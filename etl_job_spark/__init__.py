@@ -1,0 +1,14 @@
+"""etl_job_spark — a PySpark-native analytics engine.
+
+Re-expresses the capabilities of the reference ETL system
+(JinsupJung/etl-job, surveyed in SURVEY.md) as idiomatic Spark
+DataFrame / SQL operators, extended with LLM-data-pipeline operators
+(dedup, similarity search, text analysis, multimodal plumbing) and
+designed for 100 TB scale: declarative plans (Catalyst pushdown /
+pruning / join selection), broadcast joins for small dims, explicit
+partitioning on merge keys, and no driver-side row loops anywhere.
+"""
+
+__version__ = "0.1.0"
+
+from etl_job_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,80 @@
+"""merge_upsert — the reference's core write semantic (SURVEY.md §2 K3).
+
+The reference implements upsert as a per-row exists-probe
+(`SELECT COUNT(*) WHERE key = %s`, /root/reference/load_sales_data.py:35-40)
+branching to UPDATE or INSERT (load_sales_data.py:129-134). When a
+source batch contains the same key twice, the second occurrence hits
+the update branch, so the reference's effective policy is
+**last-writer-wins by row arrival order**.
+
+Set-oriented Spark equivalent (one job, no per-row round-trips):
+
+1. dedup the source to one row per key — last writer wins, ordered by
+   an explicit ``order_col`` (the reference's implicit arrival order is
+   made explicit, per SURVEY.md §7 "merge determinism");
+2. anti-join the target against the source keys (rows the batch does
+   not touch);
+3. union the deduped source back in.
+
+Scale notes (100 TB): step 2's join shuffles both sides on the key;
+when the target is date-partitioned and the source covers few
+partitions (the reference's daily yesterday..today window), restrict
+the target scan to those partitions first — ``merge_upsert`` takes an
+optional ``partition_pred`` for exactly this, turning a full-table
+rewrite into a touched-partitions rewrite (the Delta/Iceberg MERGE
+pattern without the table format). The window dedup and the anti-join
+share the same key partitioning, so AQE can reuse the exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_last_writer(source: DataFrame, keys: Sequence[str], order_col: str) -> DataFrame:
+    """Keep one row per key: the one with the greatest ``order_col``
+    (ties broken deterministically by preferring later rows is not
+    observable — equal order values pick an arbitrary-but-stable row
+    via the extra ordering on all key columns already fixed)."""
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(order_col).desc())
+    return (
+        source.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    order_col: str | None = None,
+    partition_pred: Column | None = None,
+) -> DataFrame:
+    """Return target merged with source on ``keys`` (source wins).
+
+    ``order_col``: column in ``source`` defining last-writer-wins for
+    intra-batch duplicate keys. If None, the source must already be
+    unique per key (enforced lazily by the window only when given).
+
+    ``partition_pred``: predicate selecting the target partitions the
+    source can possibly touch; rows outside it pass through untouched
+    (concat, no join) — the at-scale fast path.
+    """
+    if order_col is not None:
+        source = dedup_last_writer(source, keys, order_col)
+    # align to the target's column set/order (also drops a source-only
+    # order_col); unionByName would tolerate order but not extra cols
+    source = source.select(*target.columns)
+
+    if partition_pred is not None:
+        untouched = target.filter(~partition_pred)
+        target = target.filter(partition_pred)
+        kept = target.join(source, on=list(keys), how="left_anti")
+        return untouched.unionByName(kept).unionByName(source)
+
+    kept = target.join(source, on=list(keys), how="left_anti")
+    return kept.unionByName(source)

@@ -1,0 +1,29 @@
+"""Parquet-backed table catalog (SURVEY.md §2.1 S2/S3).
+
+The reference scans MySQL tables (full scan kicc_to_tb_sales.py:67,
+range scan kicc_to_tb_sales_prod.py:63-70); here every table is a
+Parquet directory read with an explicit select so Catalyst prunes
+columns at the scan and pushes filters into the Parquet reader. At
+cluster scale the same call reads a partitioned table
+(``partitionBy(sale_dy)`` on write → partition pruning on read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_job_spark.schemas import DRIVER_TABLES
+
+TABLE_NAMES = list(DRIVER_TABLES)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table. Filters/projections applied by the caller
+    reach the scan via Catalyst (verified in tests via explain())."""
+    if name not in DRIVER_TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
