@@ -1,0 +1,425 @@
+"""Named query registry — the driver contract surface.
+
+Every operator from SURVEY.md §2 (and the extension operators) is a
+named query here: a Spark callable ``(spark, sf_dir) -> DataFrame``
+plus, where SQL-expressible, a DuckDB oracle SQL string computing the
+same result on the same parquet tables. ``__spark_entry__`` re-exports
+these; tests/test_oracle_diff.py runs the same comparison the driver
+runs (row count + sorted-column schema + order-insensitive values).
+
+Determinism rules shared by both sides:
+- money sums are exact integer-cents sums (functions/exact.py);
+- dates/timestamps leave queries as formatted strings;
+- every top-k/rank uses a total ordering (explicit tiebreak columns).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_job_spark.operators.merge import merge_upsert
+from etl_job_spark.plans import kicc
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _with(*ctes: str) -> str:
+    return "WITH " + ",".join(ctes)
+
+
+# =====================================================================
+# Reference surface: E2 staging→mart transform (SURVEY.md §3 E2)
+# =====================================================================
+
+MART_STORE_SQL = _with(kicc.SQL_KICC_SALES_DATA) + """
+SELECT sp_code AS chain_no,
+       strftime(strptime(sale_date, '%Y%m%d'), '%Y-%m-%d') AS sale_dy,
+       sp_name AS chain_name,
+       total_amt AS chong_maechool,
+       sale_amt AS soon_maechool,
+       net_amt AS net_maechool,
+       total_dc_amt AS discount_amount,
+       vat_amt AS vat,
+       cash_amt AS cash_maechool,
+       card_amt AS card_maechool,
+       emoney_amt AS samsung_pay_maechool,
+       bill_qty AS pay_count
+FROM kicc_sales_data
+"""
+
+
+def mart_sales_by_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tb_sales_by_store shape: P2 renames (kicc_to_tb_sales.py:71-86)
+    + F1 date cast (kicc_to_tb_sales.py:72) over the A2 rollup."""
+    staging = kicc.kicc_sales_data(spark, sf_dir)
+    return staging.select(
+        F.col("sp_code").alias("chain_no"),
+        F.date_format(F.to_date("sale_date", "yyyyMMdd"), "yyyy-MM-dd").alias("sale_dy"),
+        F.col("sp_name").alias("chain_name"),
+        F.col("total_amt").alias("chong_maechool"),
+        F.col("sale_amt").alias("soon_maechool"),
+        F.col("net_amt").alias("net_maechool"),
+        F.col("total_dc_amt").alias("discount_amount"),
+        F.col("vat_amt").alias("vat"),
+        F.col("cash_amt").alias("cash_maechool"),
+        F.col("card_amt").alias("card_maechool"),
+        F.col("emoney_amt").alias("samsung_pay_maechool"),
+        F.col("bill_qty").alias("pay_count"),
+    )
+
+
+query("kicc_sales_by_store", MART_STORE_SQL)(mart_sales_by_store)
+
+
+# ---------------------------------------------------------------------
+# E3: incremental range transform to tb_sales_by_prod (P4 BETWEEN window)
+# ---------------------------------------------------------------------
+
+PROD_WINDOW = ("19980101", "19980331")
+
+MART_PROD_SQL = _with(kicc.SQL_KICC_STORE_PRODUCT_SALES) + f"""
+SELECT strftime(strptime(sale_date, '%Y%m%d'), '%Y-%m-%d') AS sale_dy,
+       sp_code AS chain_no,
+       item_code AS prod_code,
+       item_name AS prod_name,
+       sale_qty AS maechool_count,
+       total_amt AS chong_maechool,
+       sale_amt AS soon_maechool,
+       total_dc_amt AS discount,
+       vat_amt AS vat
+FROM kicc_store_product_sales
+WHERE sale_date BETWEEN '{PROD_WINDOW[0]}' AND '{PROD_WINDOW[1]}'
+"""
+
+
+def mart_sales_by_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tb_sales_by_prod shape over an incremental date window — the S3
+    range scan (kicc_to_tb_sales_prod.py:63-70) + P2 renames (:75-87).
+    The BETWEEN lands on the string YYYYMMDD column exactly like the
+    reference (sortable format, SURVEY.md §7) and pushes to the scan."""
+    staging = kicc.kicc_store_product_sales(spark, sf_dir)
+    return staging.filter(F.col("sale_date").between(*PROD_WINDOW)).select(
+        F.date_format(F.to_date("sale_date", "yyyyMMdd"), "yyyy-MM-dd").alias("sale_dy"),
+        F.col("sp_code").alias("chain_no"),
+        F.col("item_code").alias("prod_code"),
+        F.col("item_name").alias("prod_name"),
+        F.col("sale_qty").alias("maechool_count"),
+        F.col("total_amt").alias("chong_maechool"),
+        F.col("sale_amt").alias("soon_maechool"),
+        F.col("total_dc_amt").alias("discount"),
+        F.col("vat_amt").alias("vat"),
+    )
+
+
+query("kicc_sales_by_prod", MART_PROD_SQL)(mart_sales_by_prod)
+
+
+# ---------------------------------------------------------------------
+# E2 step 3: enrichment UPDATE-JOINs J1 + J2 + P6/P7 constant backfill
+# ---------------------------------------------------------------------
+
+DIRECT_STORES = ("000000", "000005", "000010", "000015", "000020")
+_IN_LIST = ",".join(f"'{c}'" for c in DIRECT_STORES)
+
+ENRICH_SQL = _with(kicc.SQL_KICC_SALES_DATA, kicc.SQL_TB_STORE_TEMP, kicc.SQL_TB_STORE_EASYPOS) + f"""
+SELECT m.chain_no, m.sale_dy, m.chong_maechool,
+       CASE WHEN t.resp IS NULL AND m.chain_no IN ({_IN_LIST}) THEN '직영' ELSE t.resp END AS responsible,
+       e.xy_degree AS xy
+FROM (
+  SELECT sp_code AS chain_no,
+         strftime(strptime(sale_date, '%Y%m%d'), '%Y-%m-%d') AS sale_dy,
+         total_amt AS chong_maechool
+  FROM kicc_sales_data
+) m
+LEFT JOIN tb_store_temp t ON m.chain_no = t.chain_no
+LEFT JOIN tb_store_easypos e ON m.chain_no = e.chain_no
+"""
+
+
+def mart_enriched_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three set-based UPDATEs of kicc_to_tb_sales.py:102-141
+    collapsed into one broadcast-join job: J1 (responsible ← resp),
+    J2 (xy ← xy_degree), then P6/P7 ('직영' where unmatched AND in-list).
+    Dims are tiny → broadcast; fact never shuffles."""
+    mart = mart_sales_by_store(spark, sf_dir).select("chain_no", "sale_dy", "chong_maechool")
+    temp = kicc.tb_store_temp(spark, sf_dir)
+    easy = kicc.tb_store_easypos(spark, sf_dir)
+    return (
+        mart.join(F.broadcast(temp), "chain_no", "left")
+        .join(F.broadcast(easy), "chain_no", "left")
+        .withColumn(
+            "responsible",
+            F.when(
+                F.col("resp").isNull() & F.col("chain_no").isin(*DIRECT_STORES), F.lit("직영")
+            ).otherwise(F.col("resp")),
+        )
+        .select(
+            "chain_no",
+            "sale_dy",
+            "chong_maechool",
+            "responsible",
+            F.col("xy_degree").alias("xy"),
+        )
+    )
+
+
+query("kicc_enrich_store", ENRICH_SQL)(mart_enriched_store)
+
+
+# ---------------------------------------------------------------------
+# J3 + P5: conditional backfill of medium_scale_nm from product dim
+# ---------------------------------------------------------------------
+
+BACKFILL_SQL = _with(kicc.SQL_KICC_STORE_PRODUCT_SALES, kicc.SQL_KICC_PRODUCT_LIST) + f"""
+SELECT m.chain_no, m.sale_dy, m.prod_code,
+       CASE WHEN m.medium_scale_nm IS NULL OR m.medium_scale_nm = ''
+            THEN coalesce(p.medium_scale_nm, m.medium_scale_nm)
+            ELSE m.medium_scale_nm END AS medium_scale_nm
+FROM (
+  SELECT sp_code AS chain_no,
+         strftime(strptime(sale_date, '%Y%m%d'), '%Y-%m-%d') AS sale_dy,
+         item_code AS prod_code,
+         CASE WHEN CAST(item_code AS INT) % 7 = 0 THEN 'preset' ELSE NULL END AS medium_scale_nm
+  FROM kicc_store_product_sales
+  WHERE sale_date BETWEEN '{PROD_WINDOW[0]}' AND '{PROD_WINDOW[1]}'
+) m
+LEFT JOIN (SELECT DISTINCT item_code, medium_scale_nm FROM kicc_product_list) p
+  ON m.prod_code = p.item_code
+"""
+
+
+def mart_backfill_medium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (kicc_to_tb_sales_prod.py:126-131): backfill medium_scale_nm
+    from kicc_product_list only where NULL/empty (P5). The dim is
+    deduped on item_code for determinism (MySQL UPDATE-JOIN picks an
+    arbitrary match — SURVEY.md §7 'duplicate dim keys'); some mart
+    rows carry a preset value to exercise the keep-existing branch."""
+    staging = kicc.kicc_store_product_sales(spark, sf_dir)
+    mart = staging.filter(F.col("sale_date").between(*PROD_WINDOW)).select(
+        F.col("sp_code").alias("chain_no"),
+        F.date_format(F.to_date("sale_date", "yyyyMMdd"), "yyyy-MM-dd").alias("sale_dy"),
+        F.col("item_code").alias("prod_code"),
+        F.when(F.col("item_code").cast("int") % 7 == 0, F.lit("preset"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("medium_scale_nm"),
+    )
+    dim = (
+        kicc.kicc_product_list(spark, sf_dir)
+        .select("item_code", "medium_scale_nm")
+        .dropDuplicates(["item_code"])
+        .withColumnRenamed("medium_scale_nm", "dim_medium")
+    )
+    needs = F.col("medium_scale_nm").isNull() | (F.col("medium_scale_nm") == "")
+    return (
+        mart.join(F.broadcast(dim), mart.prod_code == dim.item_code, "left")
+        .withColumn(
+            "medium_scale_nm",
+            F.when(needs, F.coalesce(F.col("dim_medium"), F.col("medium_scale_nm"))).otherwise(
+                F.col("medium_scale_nm")
+            ),
+        )
+        .select("chain_no", "sale_dy", "prod_code", "medium_scale_nm")
+    )
+
+
+query("kicc_backfill_medium", BACKFILL_SQL)(mart_backfill_medium)
+
+
+# ---------------------------------------------------------------------
+# K3 merge_upsert as an oracle-checked query
+# ---------------------------------------------------------------------
+
+MERGE_SQL = _with(kicc.SQL_KICC_SALES_DATA) + """
+, base AS (
+  SELECT sp_code, sale_date, total_amt, bill_qty FROM kicc_sales_data
+  WHERE CAST(sp_code AS INT) % 2 = 0
+), delta AS (
+  SELECT sp_code, sale_date, total_amt + 100.0 AS total_amt, bill_qty FROM kicc_sales_data
+  WHERE CAST(sp_code AS INT) % 3 = 0
+)
+SELECT b.sp_code, b.sale_date, b.total_amt, b.bill_qty
+FROM base b LEFT JOIN delta d ON b.sp_code = d.sp_code AND b.sale_date = d.sale_date
+WHERE d.sp_code IS NULL
+UNION ALL
+SELECT sp_code, sale_date, total_amt, bill_qty FROM delta
+"""
+
+
+def merge_sales_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 as a query: merge a 'late corrections' delta (every 3rd store,
+    amounts +100) into a base mart (even stores). Update path where
+    keys overlap (stores % 6 == 0), insert path elsewhere."""
+    staging = kicc.kicc_sales_data(spark, sf_dir).select(
+        "sp_code", "sale_date", "total_amt", "bill_qty"
+    )
+    base = staging.filter(F.col("sp_code").cast("int") % 2 == 0)
+    delta = staging.filter(F.col("sp_code").cast("int") % 3 == 0).withColumn(
+        "total_amt", F.col("total_amt") + 100.0
+    )
+    return merge_upsert(base, delta, ["sp_code", "sale_date"])
+
+
+query("kicc_merge_upsert", MERGE_SQL)(merge_sales_query)
+
+
+# ---------------------------------------------------------------------
+# P1/P3/P4 row-level projection + filters
+# ---------------------------------------------------------------------
+
+FILTER_SQL = _with(kicc.SQL_KICC_STORE_PRODUCT_SALES) + f"""
+SELECT sp_code, sale_date, item_code, item_name, sale_qty, total_amt
+FROM kicc_store_product_sales
+WHERE sp_code <> '{kicc.EXCLUDED_STORE}'
+  AND sale_qty > 30
+  AND sale_date BETWEEN '{PROD_WINDOW[0]}' AND '{PROD_WINDOW[1]}'
+"""
+
+
+def filter_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 equality skip (load_store_data.py:69-72) + P4 range + numeric
+    predicate, with P1 projection. All push down to the scan."""
+    return (
+        kicc.kicc_store_product_sales(spark, sf_dir)
+        .filter(
+            (F.col("sp_code") != kicc.EXCLUDED_STORE)
+            & (F.col("sale_qty") > 30)
+            & F.col("sale_date").between(*PROD_WINDOW)
+        )
+        .select("sp_code", "sale_date", "item_code", "item_name", "sale_qty", "total_amt")
+    )
+
+
+query("kicc_filter_rows", FILTER_SQL)(filter_rows)
+
+
+# ---------------------------------------------------------------------
+# J5 set-oriented existence: semi / anti joins
+# ---------------------------------------------------------------------
+
+SEMI_SQL = _with(kicc.SQL_KICC_STORE_LIST, kicc.SQL_KICC_SALES_DATA) + f"""
+SELECT s.sp_code, s.sp_name, s.area_code, s.open_flag
+FROM kicc_store_list s
+WHERE EXISTS (
+  SELECT 1 FROM kicc_sales_data d
+  WHERE d.sp_code = s.sp_code AND d.sale_date BETWEEN '{PROD_WINDOW[0]}' AND '{PROD_WINDOW[1]}'
+)
+"""
+
+
+def semi_join_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 done set-oriented: one left_semi join replaces the reference's
+    N per-row COUNT(*) probes (load_sales_data.py:35-40)."""
+    stores = kicc.kicc_store_list(spark, sf_dir)
+    sales = kicc.kicc_sales_data(spark, sf_dir).filter(F.col("sale_date").between(*PROD_WINDOW))
+    return stores.join(sales, "sp_code", "left_semi").select(
+        "sp_code", "sp_name", "area_code", "open_flag"
+    )
+
+
+query("kicc_semi_join", SEMI_SQL)(semi_join_stores)
+
+
+ANTI_SQL = _with(kicc.SQL_KICC_PRODUCT_LIST, kicc.SQL_KICC_STORE_PRODUCT_SALES) + """
+SELECT p.item_code, p.item_name
+FROM kicc_product_list p
+WHERE NOT EXISTS (
+  SELECT 1 FROM kicc_store_product_sales s WHERE s.item_code = p.item_code
+)
+"""
+
+
+def anti_join_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti: products never sold (the not-exists branch of J5)."""
+    prods = kicc.kicc_product_list(spark, sf_dir)
+    sold = kicc.kicc_store_product_sales(spark, sf_dir).select("item_code")
+    return prods.join(sold, "item_code", "left_anti").select("item_code", "item_name")
+
+
+query("kicc_anti_join", ANTI_SQL)(anti_join_products)
+
+
+# ---------------------------------------------------------------------
+# J4 + F3: fetch-plan cross join (stores × calendar)
+# ---------------------------------------------------------------------
+
+CAL_RANGE = ("1998-01-01", "1998-01-07")
+
+CALENDAR_SQL = _with(kicc.SQL_KICC_STORE_LIST) + f"""
+SELECT s.sp_code, strftime(d.d, '%Y%m%d') AS sale_date
+FROM kicc_store_list s
+CROSS JOIN (
+  SELECT unnest(generate_series(DATE '{CAL_RANGE[0]}', DATE '{CAL_RANGE[1]}', INTERVAL 1 DAY))::DATE AS d
+) d
+"""
+
+
+def calendar_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The J4 driving iteration (load_sales_data.py:160-164) as a
+    DataFrame: stores × sequence() calendar — each row one fetch task."""
+    stores = kicc.kicc_store_list(spark, sf_dir).select("sp_code")
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit(CAL_RANGE[0])),
+                F.to_date(F.lit(CAL_RANGE[1])),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    return stores.crossJoin(cal).select(
+        "sp_code", F.date_format("d", "yyyyMMdd").alias("sale_date")
+    )
+
+
+query("kicc_calendar_plan", CALENDAR_SQL)(calendar_plan)
+
+
+# ---------------------------------------------------------------------
+# F1-F6 scalar date functions
+# ---------------------------------------------------------------------
+
+DATES_SQL = _with(kicc.SQL_KICC_SALES_DATA) + """
+SELECT sale_date,
+       strftime(d, '%Y-%m-%d') AS iso_date,
+       strftime(d + INTERVAL 1 DAY, '%Y-%m-%d') AS next_date,
+       strftime(d - INTERVAL 1 DAY, '%Y-%m-%d') AS prev_date,
+       strftime(date_trunc('month', d), '%Y-%m-%d') AS month_start,
+       CAST(d - DATE '1997-01-01' AS BIGINT) AS days_since_epoch0
+FROM (SELECT DISTINCT sale_date, strptime(sale_date, '%Y%m%d')::DATE AS d FROM kicc_sales_data) t
+"""
+
+
+def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 parse, F2 format, F3 ±1 day arithmetic, month truncation and
+    day differences over the staging date domain."""
+    d = F.to_date("sale_date", "yyyyMMdd")
+    return (
+        kicc.kicc_sales_data(spark, sf_dir)
+        .select("sale_date")
+        .distinct()
+        .select(
+            "sale_date",
+            F.date_format(d, "yyyy-MM-dd").alias("iso_date"),
+            F.date_format(F.date_add(d, 1), "yyyy-MM-dd").alias("next_date"),
+            F.date_format(F.date_sub(d, 1), "yyyy-MM-dd").alias("prev_date"),
+            F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias("month_start"),
+            F.datediff(d, F.to_date(F.lit("1997-01-01"))).cast("bigint").alias("days_since_epoch0"),
+        )
+    )
+
+
+query("kicc_scalar_dates", DATES_SQL)(scalar_dates)
