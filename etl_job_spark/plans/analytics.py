@@ -1,0 +1,409 @@
+"""Aggregation / window / set-op / JSON / event-stream query surface.
+
+The reference contains none of these (SURVEY.md §2.6: no ORDER BY,
+LIMIT, UNION, window functions anywhere) — they're the free Spark
+surface its mart consumers imply, exposed as oracle-checked queries.
+
+Determinism: exact integer sums everywhere (functions/exact.py);
+window cumulative sums accumulate integer cents, never doubles;
+every ranking has a total order (explicit tiebreaks); session
+arithmetic is integer microseconds (unix_micros / epoch_us).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_job_spark.functions import money_sum, qty_sum
+from etl_job_spark.plans import kicc
+from etl_job_spark.plans.queries import PROD_WINDOW, query
+from etl_job_spark.sources import load_table
+
+# ---------------------------------------------------------------------
+# TPC-H Q1-style pricing summary — the flagship full-scan aggregation
+# ---------------------------------------------------------------------
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0 AS sum_charge,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) / CAST(count(*) AS BIGINT) AS avg_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / CAST(count(*) AS BIGINT) / 100.0 AS avg_price,
+       sum(CAST(round(l_discount * 100) AS BIGINT)) / CAST(count(*) AS BIGINT) / 100.0 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("pricing_summary", Q1_SQL)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one scan, map-side partial agg into 6 groups.
+    Averages are ratios of exact integer sums, so they are
+    order-independent (a plain avg(double) is not)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        qty_sum("l_quantity").alias("sum_qty"),
+        money_sum("l_extendedprice").alias("sum_base_price"),
+        money_sum(disc, 10000).alias("sum_disc_price"),
+        money_sum(charge, 1000000).alias("sum_charge"),
+        (qty_sum("l_quantity") / cnt).alias("avg_qty"),
+        (F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")) / cnt / 100.0).alias("avg_price"),
+        (F.sum(F.round(F.col("l_discount") * 100).cast("bigint")) / cnt / 100.0).alias("avg_disc"),
+        cnt.cast("bigint").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------
+# TPC-H Q3-style join aggregation with top-N
+# ---------------------------------------------------------------------
+
+Q3_SQL = """
+SELECT o.o_orderkey,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority AS orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+@query("shipping_priority", Q3_SQL)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dims broadcast into the fact scan,
+    exact-sum revenue, total-ordered top-10 (revenue desc, orderkey)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money_sum(disc, 10000).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------
+# Window functions: per-group top-k and lag/cumulative time series
+# ---------------------------------------------------------------------
+
+TOPK_SQL = "WITH" + kicc.SQL_KICC_STORE_PRODUCT_SALES + """
+, rev AS (
+  SELECT sp_code, item_code,
+         sum(CAST(round(sale_amt * 10000) AS BIGINT)) / 10000.0 AS revenue
+  FROM kicc_store_product_sales
+  GROUP BY sp_code, item_code
+)
+SELECT sp_code, item_code, revenue, rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY sp_code ORDER BY revenue DESC, item_code) AS BIGINT) AS rk
+  FROM rev
+) t WHERE rk <= 3
+"""
+
+
+@query("window_topk_products", TOPK_SQL)
+def window_topk_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 products per store by revenue — Window.partitionBy +
+    row_number with a total order (revenue desc, item_code)."""
+    sps = kicc.kicc_store_product_sales(spark, sf_dir)
+    rev = sps.groupBy("sp_code", "item_code").agg(
+        money_sum("sale_amt", 10000).alias("revenue")
+    )
+    w = Window.partitionBy("sp_code").orderBy(F.col("revenue").desc(), F.col("item_code"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("sp_code", "item_code", "revenue", "rk")
+    )
+
+
+LAG_SQL = "WITH" + kicc.SQL_KICC_SALES_DATA + """
+SELECT sp_code, sale_date, total_amt,
+       lag(total_amt) OVER w AS prev_amt,
+       sum(CAST(round(total_amt * 100) AS BIGINT)) OVER (PARTITION BY sp_code ORDER BY sale_date ROWS UNBOUNDED PRECEDING) / 100.0 AS cum_amt
+FROM kicc_sales_data
+WINDOW w AS (PARTITION BY sp_code ORDER BY sale_date)
+"""
+
+
+@query("window_day_over_day", LAG_SQL)
+def window_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + running total per store ordered by day. The running sum
+    accumulates integer cents inside the window frame, so it is exact
+    and engine-independent (a double running sum would not be)."""
+    sales = kicc.kicc_sales_data(spark, sf_dir)
+    w = Window.partitionBy("sp_code").orderBy("sale_date")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return sales.select(
+        "sp_code",
+        "sale_date",
+        "total_amt",
+        F.lag("total_amt").over(w).alias("prev_amt"),
+        (F.sum(F.round(F.col("total_amt") * 100).cast("bigint")).over(wcum) / 100.0).alias("cum_amt"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Grouping sets / rollup
+# ---------------------------------------------------------------------
+
+ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("rollup_flags", ROLLUP_SQL)
+def rollup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping() flags — subtotals + grand total in one
+    pass (Spark expands grouping sets without rescanning)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("bigint")
+            .alias("gid"),
+            qty_sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------
+
+SETOPS_SQL = "WITH" + kicc.SQL_KICC_SALES_DATA + """
+, jan AS (SELECT DISTINCT sp_code FROM kicc_sales_data WHERE sale_date BETWEEN '19980101' AND '19980131'),
+  feb AS (SELECT DISTINCT sp_code FROM kicc_sales_data WHERE sale_date BETWEEN '19980201' AND '19980228')
+SELECT 'both' AS tag, sp_code FROM (SELECT sp_code FROM jan INTERSECT SELECT sp_code FROM feb) t
+UNION ALL
+SELECT 'jan_only' AS tag, sp_code FROM (SELECT sp_code FROM jan EXCEPT SELECT sp_code FROM feb) t
+UNION ALL
+SELECT 'feb_only' AS tag, sp_code FROM (SELECT sp_code FROM feb EXCEPT SELECT sp_code FROM jan) t
+"""
+
+
+@query("set_ops", SETOPS_SQL)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over store activity in two months."""
+    sales = kicc.kicc_sales_data(spark, sf_dir)
+    jan = sales.filter(F.col("sale_date").between("19980101", "19980131")).select("sp_code").distinct()
+    feb = sales.filter(F.col("sale_date").between("19980201", "19980228")).select("sp_code").distinct()
+    return (
+        jan.intersect(feb).select(F.lit("both").alias("tag"), "sp_code")
+        .unionAll(jan.exceptAll(feb).distinct().select(F.lit("jan_only").alias("tag"), "sp_code"))
+        .unionAll(feb.exceptAll(jan).distinct().select(F.lit("feb_only").alias("tag"), "sp_code"))
+    )
+
+
+# ---------------------------------------------------------------------
+# Global sort + limit
+# ---------------------------------------------------------------------
+
+TOPN_SQL = """
+SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@query("top_orders", TOPN_SQL)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans TakeOrderedAndProject — per-partition
+    heap + driver merge of N, no full sort at any scale."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------
+# Distinct aggregates
+# ---------------------------------------------------------------------
+
+DISTINCT_SQL = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       count(*) AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("distinct_agg", DISTINCT_SQL)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) per group (Spark expands then
+    re-aggregates; approx_count_distinct is the at-scale variant,
+    kept out of the oracle set because it is approximate)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Events: JSON extraction (S5 analog on the events stream table)
+# ---------------------------------------------------------------------
+
+JSON_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("events_json_extract", JSON_SQL)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the props JSON column — schema-on-read with
+    missing-key → NULL semantics, same as the reference's dict.get."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Events: tumbling window aggregation (batch analog of streaming §2.8)
+# ---------------------------------------------------------------------
+
+TUMBLING_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,
+       event_type,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("events_tumbling_hourly", TUMBLING_SQL)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows over the events table — the batch twin of
+    the streaming pipeline in etl_job_spark/streaming (same grouping,
+    watermark added there)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Events: sessionization (gap-based) via window functions
+# ---------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+SESSION_SQL = f"""
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, t_us,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM seq
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       CAST(max(t_us) - min(t_us) AS BIGINT) AS duration_us
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+@query("events_sessionize", SESSION_SQL)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30-min inactivity) with lag + running count —
+    pure window composition, integer-microsecond arithmetic. The
+    streaming twin uses session_window / applyInPandasWithState."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t_us"), "event_id", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn(
+        "is_new",
+        F.when(
+            (F.col("t_us") - F.lag("t_us").over(w) > SESSION_GAP_US)
+            | F.lag("t_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    wcum = Window.partitionBy("user_id").orderBy("t_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = seq.withColumn("session_id", F.sum("is_new").over(wcum).cast("bigint"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("t_us") - F.min("t_us")).cast("bigint").alias("duration_us"),
+    )

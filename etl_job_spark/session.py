@@ -36,6 +36,9 @@ def get_spark(app_name: str = "etl-job-spark", shuffle_partitions: int | None = 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # events.parquet carries TIMESTAMP(NANOS); read as long, the
+        # catalog converts to TimestampType (micros) on load
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/etl_job_spark_warehouse")

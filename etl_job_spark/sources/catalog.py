@@ -11,6 +11,7 @@ cluster scale the same call reads a partitioned table
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_job_spark.schemas import DRIVER_TABLES
 
@@ -22,7 +23,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reach the scan via Catalyst (verified in tests via explain())."""
     if name not in DRIVER_TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long (nanosAsLong) → micros timestamp,
+        # matching DuckDB's epoch_us() floor semantics
+        # integer div: ns values exceed double's 2^53 exact range
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

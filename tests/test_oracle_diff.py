@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from etl_job_spark.plans.queries import ORACLE, QUERIES
+from etl_job_spark.plans.registry import ORACLE, QUERIES
 from tests.oracle import assert_matches, run_oracle
 
 
