@@ -1,0 +1,188 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+The standard LLM-corpus dedup ladder, each expressed as compositions
+of built-in DataFrame ops (explode / groupBy / join) so Catalyst owns
+the physical plan:
+
+- **exact**: hash-groupBy on a normalized-text fingerprint. One
+  shuffle on the fingerprint; at 100 TB this is the cheapest pass and
+  always runs first.
+- **n-gram Jaccard**: word-k-shingles → self-join on shingle →
+  per-pair intersection counts. The shingle join only pairs documents
+  that share a shingle, so cost tracks true near-duplicate density,
+  not n² — but a hot shingle (boilerplate) can skew; AQE skew-join
+  plus an optional frequency cap handle that.
+- **MinHash + LSH**: K hash "permutations" realized as
+  min(md5(seed:shingle)) per seed (md5 is available and identical in
+  both Spark and the DuckDB oracle), banded so candidate pairs only
+  form inside small buckets — the sub-quadratic scale path.
+- **SimHash**: 32-bit signature from per-token md5 bit votes weighted
+  by term frequency; Hamming-close signatures → near-dups. Signature
+  computation is one explode + two groupBys, all integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_job_spark.operators.text import fingerprint, tokens
+
+SHINGLE_K = 3
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group documents by normalized-text fingerprint; the canonical
+    representative is the smallest doc_id (deterministic)."""
+    return (
+        docs.select("doc_id", fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
+    """Distinct word-k-shingles per document: (doc_id, shingle)."""
+    toks = tokens(text_col)
+    parts = ", ".join(f"element_at(toks, i + {j})" for j in range(k))
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(toks) - {k - 1}, 0)),"
+        f" i -> concat_ws(' ', {parts}))"
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    doc_shingles: DataFrame, threshold: float, max_shingle_freq: int | None = None
+) -> DataFrame:
+    """All-pairs Jaccard over shared shingles.
+
+    ``max_shingle_freq`` drops shingles appearing in more than N docs
+    (boilerplate): at corpus scale a shingle shared by 10⁵ documents
+    contributes 10¹⁰ candidate pairs while carrying ~zero signal —
+    capping it bounds the join fan-out.
+    """
+    sh = doc_shingles
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle", "left_semi")
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(doc_shingles: DataFrame, num_hashes: int = 12) -> DataFrame:
+    """(doc_id, seed, minhash) — permutation s realized as
+    min(md5('s:' || shingle)): portable, deterministic, and a valid
+    minwise hash family for Jaccard estimation."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        doc_shingles.select("doc_id", "shingle", seeds)
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, band_size: int = 3) -> DataFrame:
+    """Band the signature (band = seed div band_size), bucket on the
+    concatenated in-band minhashes, and emit distinct doc pairs that
+    share any bucket. Only bucket-mates ever pair — the LSH guarantee
+    that candidate generation is sub-quadratic."""
+    bands = (
+        signatures.withColumn("band", F.expr(f"seed div {band_size}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.expr("transform(array_sort(collect_list(struct(seed, minhash))), x -> x.minhash)"),
+            ).alias("sig")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def verify_pairs(candidates: DataFrame, doc_shingles: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate pairs only (the verify stage of
+    MinHash→LSH→verify). Joins shingles twice, keyed by doc."""
+    sizes = doc_shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = doc_shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = doc_shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        candidates.join(inter, ["doc_a", "doc_b"], "left")
+        .fillna(0, subset=["inter"])
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """32-bit SimHash: per-token md5 supplies the bit stream, term
+    frequency the weight; each bit position takes the sign of the
+    weighted vote. Pure integer arithmetic end to end."""
+    tf = (
+        docs.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.md5("tok"))
+    )
+    votes = (
+        tf.select(
+            "doc_id",
+            "cnt",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        )
+        # hex nibble at 1 + j/4 (1-based), bit (j%4) of its value
+        .withColumn("a", F.ascii(F.expr("substr(h, 1 + (j div 4), 1)")))
+        .withColumn("v", F.expr("CASE WHEN a BETWEEN 48 AND 57 THEN a - 48 ELSE a - 87 END"))
+        .withColumn("bit", F.expr("shiftright(v, j % 4) & 1"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum(F.expr("cnt * (2 * bit - 1)")).alias("s"))
+    )
+    return (
+        votes.withColumn("bitval", F.expr("CASE WHEN s > 0 THEN 1 ELSE 0 END"))
+        .groupBy("doc_id")
+        .agg(F.expr("sum(shiftleft(cast(bitval as bigint), j))").alias("simhash"))
+    )

@@ -1,0 +1,94 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed by Arrow-batched Pandas functions over ``mapInPandas``.
+
+Design (the part that must be right at 100 TB):
+- media lives in a ``binary`` column next to typed metadata columns;
+  Parquet stores it page-compressed, Spark never interprets it until
+  an explicit decode operator runs;
+- decode / feature-extract run as ``mapInPandas`` so bytes move
+  executor→Python in Arrow record batches (never row-at-a-time), and
+  each batch's output row count may differ from its input (e.g. frame
+  sampling explodes rows);
+- batch size is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  to keep peak Python memory ∝ batch, not partition.
+
+The actual codecs (PIL/ffmpeg-style) are NOT in this container, so
+``decode_image`` ships a deterministic fake decoder and raises
+``NotImplementedError`` when a real codec is requested — the Spark
+plumbing (schema, batching, partitioning) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width int, height int, format string"
+)
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes binary"
+
+
+def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test-fixture media: the UTF-8 bytes of the text stand in for an
+    encoded image payload (real pipelines read binary parquet/blob
+    columns directly)."""
+    return docs.select("doc_id", F.encode(F.col(text_col), "UTF-8").alias("payload"))
+
+
+def fake_image_meta(n: int) -> tuple[int, int, str]:
+    """Deterministic stand-in for a real header parse."""
+    return (n % 640, (n // 640) % 480, ("png", "jpeg", "webp")[n % 3])
+
+
+def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """Decode image headers to (width, height, format) metadata.
+
+    ``codec='fake'`` derives metadata deterministically from payload
+    length; any real codec raises until the imaging libs exist in the
+    runtime — the surrounding plan is identical either way.
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r}: imaging libraries are not available in this "
+            "runtime; plug a real decoder into decode_image's batch fn"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            n_bytes = batch["payload"].map(len)
+            meta = n_bytes.map(fake_image_meta)
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "width": meta.map(lambda m: m[0]).astype("int32"),
+                    "height": meta.map(lambda m: m[1]).astype("int32"),
+                    "format": meta.map(lambda m: m[2]),
+                }
+            )
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling shape: one input row explodes into ≤max_frames
+    output rows (here: fixed-stride byte windows standing in for video
+    frames). Demonstrates the n:m row contract of mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": []}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                data = bytes(payload)
+                for idx in range(min(max_frames, max(len(data) // every_n_bytes, 0))):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(data[idx * every_n_bytes : (idx + 1) * every_n_bytes])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -1,0 +1,126 @@
+"""Embedding similarity search: brute-force cosine top-k baseline and
+random-hyperplane LSH bucketing as the scale path.
+
+Determinism trick shared with the DuckDB oracle: embeddings are
+quantized to integer micro-units (round(x·10⁶)), so dot products and
+norms are exact integer sums — order-independent and bit-identical on
+any engine — and the final cosine is a quotient of exactly-derived
+doubles (IEEE sqrt/div are correctly rounded, hence identical).
+
+Scale shape:
+- brute force: queries broadcast against the corpus — one pass, no
+  shuffle of the big side; right for |Q| small.
+- hyperplane LSH: P integer-weight planes → P sign bits → bucket id;
+  candidates only pair within buckets (sub-quadratic), then exact
+  cosine re-ranks. Plane weights are a fixed integer formula, not
+  RNG, so every engine/run agrees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EMBED_SCALE = 1_000_000
+N_PLANES = 8
+
+
+def quantized(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Add e_int (array<bigint>, micro-quantized) and n_int (exact
+    squared norm)."""
+    return df.withColumn(
+        "e_int",
+        F.expr(f"transform({col}, x -> cast(round(cast(x as double) * {EMBED_SCALE}) as bigint))"),
+    ).withColumn(
+        "n_int",
+        F.expr("aggregate(e_int, cast(0 as bigint), (acc, x) -> acc + x * x)"),
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 5, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is small and broadcast; the corpus streams past it in
+    one stage. Ranking is totally ordered (cosine desc, neighbor id)."""
+    q = quantized(queries).select(
+        F.col(id_col).alias("q_id"),
+        F.col("e_int").alias("q_int"),
+        F.col("n_int").alias("qn_int"),
+    )
+    v = quantized(vectors).select(
+        F.col(id_col).alias("n_id"),
+        F.col("e_int").alias("v_int"),
+        F.col("n_int").alias("vn_int"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(q_int, v_int, (x, y) -> x * y),"
+                " cast(0 as bigint), (acc, x) -> acc + x)"
+            ),
+        )
+        .withColumn("cosine", F.expr("dot / (sqrt(cast(qn_int as double)) * sqrt(cast(vn_int as double)))"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cosine", "rk")
+    )
+
+
+def plane_weight_expr(p: int) -> str:
+    """Deterministic integer weight for plane p, dimension i (1-based):
+    ((p*67 + i*31) % 97) - 48 — same formula inlined in the oracle."""
+    return f"((({p} * 67) + (i * 31)) % 97) - 48"
+
+
+def hyperplane_buckets(vectors: DataFrame, n_planes: int = N_PLANES, id_col: str = "vec_id") -> DataFrame:
+    """Random-hyperplane LSH: bucket = concatenated sign bits of the
+    integer dot products with n_planes fixed planes."""
+    v = quantized(vectors)
+    bucket = " + ".join(
+        f"shiftleft(cast(CASE WHEN aggregate(sequence(1, size(e_int)), cast(0 as bigint),"
+        f" (acc, i) -> acc + element_at(e_int, i) * ({plane_weight_expr(p)})) > 0"
+        f" THEN 1 ELSE 0 END as bigint), {p})"
+        for p in range(n_planes)
+    )
+    return v.select(F.col(id_col).alias("vec_id"), F.expr(bucket).alias("bucket"))
+
+
+def lsh_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = N_PLANES, id_col: str = "vec_id"
+) -> DataFrame:
+    """ANN: restrict the cosine search to bucket-mates, then rank.
+    Recall < 1 by construction; the bench compares it to brute force."""
+    vb = hyperplane_buckets(vectors, n_planes, id_col)
+    qb = hyperplane_buckets(queries, n_planes, id_col).withColumnRenamed("vec_id", "q_id")
+    q = quantized(queries).select(
+        F.col(id_col).alias("q_id"), F.col("e_int").alias("q_int"), F.col("n_int").alias("qn_int")
+    ).join(qb, "q_id")
+    v = quantized(vectors).select(
+        F.col(id_col).alias("n_id"), F.col("e_int").alias("v_int"), F.col("n_int").alias("vn_int")
+    ).join(vb.withColumnRenamed("vec_id", "n_id"), "n_id")
+    scored = (
+        v.join(F.broadcast(q), "bucket")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(q_int, v_int, (x, y) -> x * y),"
+                " cast(0 as bigint), (acc, x) -> acc + x)"
+            ),
+        )
+        .withColumn("cosine", F.expr("dot / (sqrt(cast(qn_int as double)) * sqrt(cast(vn_int as double)))"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cosine", "rk")
+    )

@@ -1,0 +1,508 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing — the extension surface (BASELINE.json north star),
+every SQL-expressible one oracle-checked against DuckDB.
+
+Near-dup queries run on a corpus with *planted* duplicates (each
+document unioned with a copy missing its first token, offset ids) so
+the pipelines demonstrably find known pairs; both engines construct
+the identical corpus. MinHash/LSH may deterministically miss a pair
+(that's ANN recall); the all-pairs Jaccard query is the exact
+reference beside it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_job_spark.operators import dedup, multimodal, similarity
+from etl_job_spark.operators.text import (
+    BPE_PATTERN,
+    LANG_STOPWORDS,
+    PUNCT_CLASS,
+    bpe_token_count,
+    fingerprint,
+    n_tokens,
+    stopword_hits,
+    text_stats,
+    tokens,
+)
+from etl_job_spark.plans.queries import query
+from etl_job_spark.sources import load_table
+
+# ------------------------------------------------------- shared SQL fragments
+
+SQL_TOK = r"""
+tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+)"""
+
+# planted near-duplicate corpus: original + first-token-dropped copy
+SQL_NEARDUP_CORPUS = r"""
+corpus AS (
+  SELECT doc_id, lower(trim(text)) AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[2:], ' ') AS text
+  FROM tok WHERE len(toks) > 3
+)"""
+
+SQL_CORPUS_SHINGLES = r"""
+ctoks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS shingle
+    FROM ctoks
+  ) t
+)"""
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.lower(F.trim("text")).alias("text"))
+    toks = tokens("text")
+    dropped = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 3)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.array_join(F.slice("toks", 2, F.size("toks") - 1), " ").alias("text"),
+        )
+    )
+    return base.unionByName(dropped)
+
+
+# ---------------------------------------------------------------------
+# Exact dedup (hash-groupBy) on a corpus with planted exact copies
+# ---------------------------------------------------------------------
+
+EXACT_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM corpus
+GROUP BY 1
+"""
+
+
+@query("dedup_exact", EXACT_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on the normalized-text fingerprint;
+    canonical representative = min doc_id. Every 10th doc is planted
+    twice, so those groups report n_copies=2."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    return dedup.exact_duplicates(corpus)
+
+
+# ---------------------------------------------------------------------
+# All-pairs n-gram Jaccard (exact near-dup reference)
+# ---------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.5
+
+NGRAM_SQL = (
+    "WITH" + SQL_TOK + "," + SQL_NEARDUP_CORPUS + "," + SQL_CORPUS_SHINGLES + f"""
+, sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) / (CAST(min(sa.sz) AS BIGINT) + CAST(min(sb.sz) AS BIGINT) - count(*)) AS jaccard
+FROM sh a
+JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+JOIN sizes sa ON sa.doc_id = a.doc_id
+JOIN sizes sb ON sb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) / (CAST(min(sa.sz) AS BIGINT) + CAST(min(sb.sz) AS BIGINT) - count(*)) >= {JACCARD_THRESHOLD}
+"""
+)
+
+
+@query("dedup_ngram_jaccard", NGRAM_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard via shingle self-join: only documents
+    sharing a shingle ever pair, so cost tracks duplicate density.
+    Finds the planted first-token-dropped copies at jaccard ≈ 0.96."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    sh = dedup.shingles(corpus)
+    return dedup.jaccard_pairs(sh, JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------
+# MinHash + LSH banding + verify (sub-quadratic near-dup)
+# ---------------------------------------------------------------------
+
+MINHASH_SQL = (
+    "WITH" + SQL_TOK + "," + SQL_NEARDUP_CORPUS + "," + SQL_CORPUS_SHINGLES + f"""
+, mh AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 3 AS band, string_agg(minhash, '|' ORDER BY seed) AS sig
+  FROM mh GROUP BY doc_id, seed // 3
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       i.inter / (CAST(sa.sz AS BIGINT) + CAST(sb.sz AS BIGINT) - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter / (CAST(sa.sz AS BIGINT) + CAST(sb.sz AS BIGINT) - i.inter) >= {JACCARD_THRESHOLD}
+"""
+)
+
+
+@query("dedup_minhash_lsh", MINHASH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (12 hashes) → 4 LSH bands of 3 → candidate pairs →
+    exact-Jaccard verify. Candidates only form inside band buckets, so
+    pair generation is sub-quadratic — the 100 TB dedup path. The hash
+    family min(md5(seed:shingle)) is engine-portable, so the oracle
+    reproduces the same (deterministic) candidate set."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    sh = dedup.shingles(corpus)
+    sigs = dedup.minhash_signatures(sh, num_hashes=12)
+    cands = dedup.lsh_candidate_pairs(sigs, band_size=3)
+    return dedup.verify_pairs(cands, sh, JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------
+# SimHash signatures
+# ---------------------------------------------------------------------
+
+SIMHASH_SQL = (
+    "WITH" + SQL_TOK + """
+, tf AS (
+  SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok) t
+  GROUP BY doc_id, tok
+),
+votes AS (
+  SELECT doc_id, j,
+         sum(cnt * (2 * ((CASE WHEN a BETWEEN 48 AND 57 THEN a - 48 ELSE a - 87 END >> (j % 4)) & 1) - 1)) AS s
+  FROM (
+    SELECT doc_id, cnt, j, ascii(substr(h, 1 + (j // 4), 1)) AS a
+    FROM tf, (SELECT unnest(generate_series(0, 31)) AS j) bits
+  ) t
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT ELSE 0::BIGINT END << j) AS BIGINT) AS simhash
+FROM votes
+GROUP BY doc_id
+"""
+)
+
+
+@query("dedup_simhash", SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: md5 bit votes weighted by term
+    frequency — integer arithmetic end to end, one explode and two
+    groupBys."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_signatures(docs)
+
+
+# ---------------------------------------------------------------------
+# Embedding similarity: brute-force cosine top-k + hyperplane LSH
+# ---------------------------------------------------------------------
+
+QUERY_MOD = 100  # vec_id % 100 == 0 → query set
+
+SQL_QUANT = f"""
+vq AS (
+  SELECT vec_id,
+         [CAST(round(CAST(x AS DOUBLE) * {similarity.EMBED_SCALE}) AS BIGINT) for x in embedding] AS e_int
+  FROM embeddings
+),
+vn AS (
+  SELECT vec_id, e_int,
+         CAST(list_sum([x * x for x in e_int]) AS BIGINT) AS n_int
+  FROM vq
+)"""
+
+COSINE_SQL = (
+    "WITH" + SQL_QUANT + f"""
+, q AS (SELECT vec_id AS q_id, e_int AS q_int, n_int AS qn_int FROM vn WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.q_id, v.vec_id AS n_id,
+         CAST(list_sum([q.q_int[i] * v.e_int[i] for i in generate_series(1, len(q.q_int))]) AS BIGINT)
+           / (sqrt(CAST(q.qn_int AS DOUBLE)) * sqrt(CAST(v.n_int AS DOUBLE))) AS cosine
+  FROM vn v CROSS JOIN q
+  WHERE v.vec_id <> q.q_id
+)
+SELECT q_id, n_id, cosine, rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rk
+  FROM scored
+) t WHERE rk <= 5
+"""
+)
+
+
+@query("embed_cosine_topk", COSINE_SQL)
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for each query vector (vec_id % 100 = 0):
+    broadcast queries, single pass over the corpus, integer-exact dot
+    products (see operators/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+_BUCKET_SQL_TERMS = " + ".join(
+    f"(CASE WHEN CAST(list_sum([e_int[i] * ({similarity.plane_weight_expr(p)})"
+    f" for i in generate_series(1, len(e_int))]) AS BIGINT) > 0"
+    f" THEN 1::BIGINT ELSE 0::BIGINT END << {p})"
+    for p in range(similarity.N_PLANES)
+)
+
+LSH_BUCKET_SQL = (
+    "WITH" + SQL_QUANT + f"""
+SELECT vec_id, CAST({_BUCKET_SQL_TERMS} AS BIGINT) AS bucket
+FROM vn
+"""
+)
+
+
+@query("embed_lsh_buckets", LSH_BUCKET_SQL)
+def embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: 8 sign bits from fixed
+    integer planes — the partitioning key for sub-quadratic ANN."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hyperplane_buckets(emb)
+
+
+LSH_TOPK_SQL = (
+    "WITH" + SQL_QUANT + f"""
+, buckets AS (SELECT vec_id, CAST({_BUCKET_SQL_TERMS} AS BIGINT) AS bucket FROM vn),
+q AS (
+  SELECT vn.vec_id AS q_id, e_int AS q_int, n_int AS qn_int, bucket
+  FROM vn JOIN buckets USING (vec_id) WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.q_id, v.vec_id AS n_id,
+         CAST(list_sum([q.q_int[i] * v.e_int[i] for i in generate_series(1, len(q.q_int))]) AS BIGINT)
+           / (sqrt(CAST(q.qn_int AS DOUBLE)) * sqrt(CAST(v.n_int AS DOUBLE))) AS cosine
+  FROM vn v JOIN buckets vb ON v.vec_id = vb.vec_id JOIN q ON vb.bucket = q.bucket
+  WHERE v.vec_id <> q.q_id
+)
+SELECT q_id, n_id, cosine, rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS BIGINT) AS rk
+  FROM scored
+) t WHERE rk <= 5
+"""
+)
+
+
+@query("embed_lsh_topk", LSH_TOPK_SQL)
+def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 restricted to LSH bucket-mates — deterministic recall
+    loss vs embed_cosine_topk (the bench reports the recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return similarity.lsh_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------
+
+STATS_SQL = (
+    "WITH" + SQL_TOK + rf"""
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(length(d.text) - length(regexp_replace(d.text, '{PUNCT_CLASS}', '', 'g')) AS BIGINT) AS n_punct,
+       CAST(length(d.text) - length(regexp_replace(d.text, '{PUNCT_CLASS}', '', 'g')) AS BIGINT)
+         / CAST(length(d.text) AS BIGINT) AS punct_ratio,
+       CAST(list_sum([length(x) for x in t.toks]) AS BIGINT) / CAST(len(t.toks) AS BIGINT) AS mean_token_len
+FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+"""
+)
+
+
+@query("text_stats", STATS_SQL)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char/token/punctuation stats per document — all JVM expressions,
+    ratios are integer quotients (engine-exact)."""
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+TOKEN_COUNT_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+@query("text_token_count", TOKEN_COUNT_SQL)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish pre-tokenizer count (alpha runs,
+    digit runs, single symbols) — the token-budget estimator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_tokens("text").alias("n_ws_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+@query("text_fingerprint", FINGERPRINT_SQL)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text md5 fingerprint (the exact-dedup key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = LANG_STOPWORDS[lang]
+    padded = "concat(' ', lower(text), ' ')"
+    parts = [
+        f"(length({padded}) - length(replace({padded}, ' {w} ', ''))) // {len(w) + 2}"
+        for w in words
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+LANG_SQL = (
+    "WITH scores AS (\n  SELECT doc_id, "
+    + ", ".join(f"CAST({_lang_score_sql(lg)} AS BIGINT) AS score_{lg}" for lg in sorted(LANG_STOPWORDS))
+    + "\n  FROM documents\n), unp AS (\n"
+    + "  UNION ALL ".join(
+        f"SELECT doc_id, '{lg}' AS cand_lang, score_{lg} AS score FROM scores\n"
+        for lg in sorted(LANG_STOPWORDS)
+    )
+    + """)
+SELECT doc_id, cand_lang AS pred_lang, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rk FROM unp
+) t WHERE rk = 1
+"""
+)
+
+
+@query("text_lang_id", LANG_SQL)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-anchor language ID: per-language padded-occurrence
+    scores, argmax with deterministic tiebreak (score desc, lang asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    langs = sorted(LANG_STOPWORDS)
+    scored = docs.select(
+        "doc_id",
+        *[stopword_hits("text", LANG_STOPWORDS[lg]).alias(f"score_{lg}") for lg in langs],
+    )
+    unp = scored.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(lg).alias("cand_lang"), F.col(f"score_{lg}").alias("score"))
+                    for lg in langs
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.cand_lang", "x.score")
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang"))
+    return (
+        unp.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "score")
+    )
+
+
+QUALITY_SQL = (
+    "WITH" + SQL_TOK + rf"""
+, feats AS (
+  SELECT d.doc_id,
+         CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         CAST(length(d.text) - length(regexp_replace(d.text, '{PUNCT_CLASS}', '', 'g')) AS BIGINT)
+           / CAST(length(d.text) AS BIGINT) AS punct_ratio,
+         CAST({_lang_score_sql('en')} AS BIGINT) AS en_hits
+  FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+)
+SELECT doc_id,
+       0.4 * (CAST(least(n_tokens, 400) AS BIGINT) / 400.0)
+         + 0.3 * (1.0 - punct_ratio)
+         + 0.3 * (CAST(en_hits AS BIGINT) / CAST(n_tokens AS BIGINT)) AS quality
+FROM feats
+"""
+)
+
+
+@query("text_quality_score", QUALITY_SQL)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length saturation + low punctuation +
+    stopword density — the standard cheap pre-filter before expensive
+    model-based scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    en = stopword_hits("text", LANG_STOPWORDS["en"])
+    nt = n_tokens("text")
+    punct = (
+        F.length("text").cast("bigint")
+        - F.length(F.regexp_replace("text", PUNCT_CLASS, "")).cast("bigint")
+    ) / F.length("text").cast("bigint")
+    return docs.select(
+        "doc_id",
+        (
+            F.lit(0.4) * (F.least(nt, F.lit(400).cast("bigint")) / F.lit(400.0))
+            + F.lit(0.3) * (F.lit(1.0) - punct)
+            + F.lit(0.3) * (en / nt)
+        ).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas decode, oracle-checked)
+# ---------------------------------------------------------------------
+
+MULTIMODAL_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+       CAST((octet_length(encode(text)) // 640) % 480 AS INT) AS height,
+       CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+FROM documents
+"""
+
+
+@query("multimodal_decode_meta", MULTIMODAL_SQL)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode via Arrow-batched mapInPandas (the real
+    plumbing; the codec is the deterministic fake — see
+    operators/multimodal.py). The oracle reproduces the fake's
+    byte-length arithmetic, so the batch path itself is value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.with_binary_payload(docs)
+    return multimodal.decode_image(media, codec="fake")

@@ -6,3 +6,4 @@ Importing this module imports every query-defining module so their
 
 from etl_job_spark.plans.queries import ORACLE, QUERIES  # noqa: F401
 import etl_job_spark.plans.analytics  # noqa: F401,E402
+import etl_job_spark.plans.llm_ops  # noqa: F401,E402
