@@ -78,3 +78,42 @@ def merge_upsert(
 
     kept = target.join(source, on=list(keys), how="left_anti")
     return kept.unionByName(source)
+
+
+def merge_upsert_path(
+    spark,
+    target_path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    order_col: str | None = None,
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Merge ``source`` into the parquet table at ``target_path``.
+
+    Parquet directories can't be overwritten while a lazy plan still
+    reads them, so the merge lands in a sibling staging directory that
+    atomically replaces the target (same rename-commit idea as Spark's
+    own file commit protocol). A table format (Delta/Iceberg) replaces
+    this file shuffle with a metadata-only MERGE at cluster scale; the
+    calling convention is identical.
+    """
+    import os
+    import shutil
+
+    if os.path.exists(target_path):
+        target = spark.read.parquet(target_path)
+        merged = merge_upsert(target, source, keys, order_col=order_col)
+    else:
+        merged = dedup_last_writer(source, keys, order_col) if order_col else source
+
+    staging = target_path.rstrip("/") + ".__staging__"
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    old = target_path.rstrip("/") + ".__old__"
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    os.rename(staging, target_path)
+    shutil.rmtree(old, ignore_errors=True)

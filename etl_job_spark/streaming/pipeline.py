@@ -1,0 +1,200 @@
+"""Structured Streaming pipelines (SURVEY.md §2.8).
+
+The reference has no streaming engine; its streaming-shaped idioms are
+a daily sliding re-fetch window that re-processes late-arriving
+corrections (load_sales_data.py:146-147) reconciled by idempotent
+upsert (the K3 merge, load_sales_data.py:129-134). These map onto
+Structured Streaming as:
+
+- file-source ``readStream`` over the events table (in production: a
+  Kafka/queue source with the same downstream graph),
+- event-time tumbling windows with a watermark as the principled
+  late-data bound (vs the reference's fixed 1-day lookback),
+- ``session_window`` for gap-based sessionization,
+- ``foreachBatch`` + ``merge_upsert`` as the exactly-once-per-key sink
+  — the direct streaming analog of the reference's exists-probe
+  upsert, but set-oriented per micro-batch instead of per-row.
+
+Scale notes: state for windowed aggs is keyed by (window, group); the
+watermark bounds state size. At 100 TB/day the same graph runs with
+`spark.sql.shuffle.partitions` sized to the cluster and RocksDB state
+store enabled; nothing here is local-mode-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# File-source streams must declare their schema up front (schema
+# inference is a batch-only convenience). ts arrives as TIMESTAMP(NANOS)
+# in the driver parquet; with nanosAsLong it reads as bigint and is
+# normalized to a micros timestamp below — same convention as
+# sources/catalog.py.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+SESSION_GAP = "30 minutes"
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming scan of an events parquet directory.
+
+    ``maxFilesPerTrigger`` throttles micro-batch size (one file per
+    trigger exercises real incremental processing in tests).
+    """
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Event-time 1-hour tumbling counts per event_type.
+
+    The streaming twin of the batch ``events_tumbling_hourly`` query:
+    identical grouping and output columns, plus a watermark bounding
+    how late data may arrive (the reference's fixed yesterday+today
+    re-fetch window, made explicit). Partial aggregation happens
+    map-side before the (window, event_type) shuffle.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:00:00").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Gap-based sessionization with the built-in ``session_window``
+    (30-minute inactivity gap) — the streaming twin of the batch
+    ``events_sessionize`` query. State per (user, open session),
+    closed by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        )
+        .select("user_id", "n_events", "duration_us")
+    )
+
+
+def upsert_stream_sink(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+):
+    """Write a streaming DataFrame with merge-upsert semantics: each
+    micro-batch is merged into the parquet target keyed by ``keys``
+    (last writer wins) — the reference's K3 idempotent upsert
+    (load_sales_data.py:129-134) as a streaming sink. Re-delivered or
+    corrected rows update in place; the sink is idempotent per key.
+    """
+    from etl_job_spark.operators.merge import merge_upsert_path
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert_path(
+            batch_df.sparkSession,
+            target_path,
+            batch_df,
+            keys,
+            partition_by=partition_by,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+
+
+USER_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_event string"
+_USER_STATE_SCHEMA = "n bigint, total double, last_ts bigint, last_event string"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, value-total, latest event_type), re-emitted each
+    micro-batch the user appears in.
+
+    This is the escape hatch for state machines the built-in windowed
+    aggs can't express (the built-ins cover everything the reference
+    needs — this demonstrates the extension point). State is one small
+    tuple per user, partitioned by the grouping key; Arrow moves each
+    group's rows as pandas batches, never row-at-a-time.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total, last_ts, last_event = (
+            state.get if state.exists else (0, 0.0, -1, "")
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            # deterministic "latest": max (ts, event_id) wins across batches
+            idx = pdf["ts"].astype("int64").idxmax()
+            ts_us = int(pdf["ts"].astype("int64").loc[idx])
+            if ts_us > last_ts:
+                last_ts, last_event = ts_us, str(pdf["event_type"].loc[idx])
+        state.update((n, round(total, 6), last_ts, last_event))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+                "last_event": [last_event],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_TOTALS_SCHEMA,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_completion(writer, timeout_s: int = 300) -> None:
+    """Start a writeStream with an availableNow trigger and block until
+    all currently-available input is processed — batch-equivalent
+    semantics used by tests and backfills."""
+    q = writer.trigger(availableNow=True).start()
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()

@@ -1,0 +1,132 @@
+"""Structured Streaming parity tests (SURVEY.md §2.8).
+
+Each streaming pipeline is checked against its batch twin on the same
+data: the streaming result after consuming all input must equal the
+batch query's result. Input is split into multiple files and fed with
+maxFilesPerTrigger so multiple real micro-batches (and watermark
+advances) occur.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_job_spark.plans.registry import QUERIES
+from etl_job_spark.streaming import (
+    hourly_counts_stream,
+    read_events_stream,
+    run_to_completion,
+    running_user_totals,
+    session_stream,
+    upsert_stream_sink,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """sf0.001 events re-landed as 4 parquet files (streaming source
+    dirs need uniform plain-parquet files; the repartition also forces
+    multiple micro-batches under maxFilesPerTrigger)."""
+    out = str(tmp_path_factory.mktemp("events_stream") / "events")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") != "bigint":  # pragma: no cover
+        raw = raw.withColumn("ts", F.unix_micros("ts") * 1000)
+    raw.repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _rows(df, cols):
+    return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+
+def test_hourly_counts_stream_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    agg = hourly_counts_stream(stream)
+    run_to_completion(
+        agg.writeStream.format("memory").queryName("hourly_parity").outputMode("complete")
+    )
+    got = spark.table("hourly_parity")
+    want = QUERIES["events_tumbling_hourly"](spark, sf_dir)
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_session_stream_matches_batch(spark, sf_dir, events_dir):
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    sess = session_stream(stream)
+    run_to_completion(
+        sess.writeStream.format("memory").queryName("session_parity").outputMode("complete")
+    )
+    got = spark.table("session_parity")
+    # batch twin keeps a session_id; parity is on the (user, size,
+    # duration) multiset, which identifies sessions up to renumbering
+    want = QUERIES["events_sessionize"](spark, sf_dir)
+    cols = ["user_id", "n_events", "duration_us"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_upsert_stream_sink_converges_to_batch(spark, sf_dir, events_dir, tmp_path):
+    """K3-as-streaming-sink: update-mode windowed counts merged into a
+    parquet target per micro-batch (last writer wins) converge to the
+    batch answer — the reference's idempotent late-data reconciliation
+    (load_sales_data.py:129-134) in streaming form."""
+    target = str(tmp_path / "mart")
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    # the 4 input files are a random split of a 30-day span, so a later
+    # micro-batch can carry events ~30 days older than the advanced
+    # watermark; the watermark must exceed the source's real disorder
+    # or update mode correctly drops those rows as too-late
+    agg = hourly_counts_stream(stream, watermark="60 days")
+    writer = upsert_stream_sink(
+        agg,
+        target_path=target,
+        keys=["window_start", "event_type"],
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    run_to_completion(writer)
+    got = spark.read.parquet(target)
+    want = QUERIES["events_tumbling_hourly"](spark, sf_dir)
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_running_user_totals_converges_to_batch(spark, sf_dir, events_dir, tmp_path):
+    """Custom stateful op (applyInPandasWithState): per-user running
+    totals re-emitted each batch, merged keyed by user — final state
+    equals the batch groupBy."""
+    from pyspark.sql import Window
+
+    target = str(tmp_path / "user_totals")
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    totals = running_user_totals(stream)
+    writer = upsert_stream_sink(
+        totals, target_path=target, keys=["user_id"], checkpoint=str(tmp_path / "ckpt")
+    )
+    run_to_completion(writer)
+    got = spark.read.parquet(target)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    last = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("last_event"))
+    )
+    want = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .join(last, "user_id")
+    )
+    cols = ["user_id", "n_events", "last_event"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # float accumulation order differs stream-vs-batch; compare to 1e-6
+    g = {r["user_id"]: r["total_value"] for r in got.collect()}
+    wv = {r["user_id"]: r["total_value"] for r in want.collect()}
+    assert g.keys() == wv.keys()
+    assert all(abs(g[u] - wv[u]) < 1e-6 for u in g)
