@@ -135,7 +135,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing a shingle ever pair, so cost tracks duplicate density.
     Finds the planted first-token-dropped copies at jaccard ≈ 0.96."""
     corpus = _neardup_corpus(spark, sf_dir)
-    sh = dedup.shingles(corpus)
+    # the shingle table feeds the self-join AND both size lookups;
+    # persist so the explode+distinct runs once, not four times (same
+    # reason a 100 TB dedup pipeline lands shingles before pairing)
+    sh = dedup.shingles(corpus).persist()
     return dedup.jaccard_pairs(sh, JACCARD_THRESHOLD)
 
 
@@ -185,7 +188,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     family min(md5(seed:shingle)) is engine-portable, so the oracle
     reproduces the same (deterministic) candidate set."""
     corpus = _neardup_corpus(spark, sf_dir)
-    sh = dedup.shingles(corpus)
+    sh = dedup.shingles(corpus).persist()  # read by sigs + verify ×2 + sizes
     sigs = dedup.minhash_signatures(sh, num_hashes=12)
     cands = dedup.lsh_candidate_pairs(sigs, band_size=3)
     return dedup.verify_pairs(cands, sh, JACCARD_THRESHOLD)

@@ -1,0 +1,77 @@
+"""Sink operators (SURVEY.md §2.2).
+
+The reference's write surface is per-row INSERT (K1), per-row UPDATE
+(K2, subsumed by merge K3 in operators/merge.py), TRUNCATE+reload
+(K4), and per-row audit logging (K5). Set-oriented equivalents:
+
+- K1 append          → ``append``
+- K4 truncate+reload → ``overwrite``
+- daily-window rewrite (the *_period backfill,
+  kicc_to_tb_sales_prod_period.py:133-152) → ``overwrite_partitions``:
+  dynamic partition overwrite rewrites ONLY the partitions present in
+  the batch — at 100 TB the difference between rewriting two days and
+  rewriting the table.
+- K5 per-row logging → ``observe``d aggregate metrics: one counter set
+  per job instead of one log line per row (per-row logging is the
+  reference pathology SURVEY.md §4 says not to replicate).
+- §2.10 log-and-continue → ``split_quarantine``: error rows land in a
+  dead-letter table with full payload for replay; good rows proceed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def append(df: DataFrame, path: str, partition_by: Sequence[str] | None = None) -> None:
+    """K1: append parquet, optionally hive-partitioned (date-partition
+    the marts so daily readers prune, SURVEY.md §4)."""
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def overwrite(df: DataFrame, path: str, partition_by: Sequence[str] | None = None) -> None:
+    """K4: truncate-and-reload (load_prod_data.py:52-53) as an atomic
+    directory overwrite."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_by: Sequence[str]) -> None:
+    """Rewrite only the partitions present in ``df`` (requires
+    ``spark.sql.sources.partitionOverwriteMode=dynamic``, set by
+    session.get_spark). The engine's primitive for the reference's
+    re-run-a-date-window repair flow: idempotent per partition,
+    untouched partitions never read or written."""
+    df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+def split_quarantine(
+    df: DataFrame, error_col: str = "error"
+) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantined): the dead-letter pattern for per-unit
+    failures (fetch errors carry an error column instead of raising,
+    sources/json_api.py). Quarantine keeps every column for replay."""
+    good = df.filter(F.col(error_col).isNull()).drop(error_col)
+    bad = df.filter(F.col(error_col).isNotNull())
+    return good, bad
+
+
+def with_audit(df: DataFrame, name: str = "audit") -> tuple[DataFrame, Observation]:
+    """Attach job-level audit metrics (row count, per-column null
+    counts) computed inline with whatever action runs next — zero extra
+    passes, vs the reference's one log line per row
+    (load_sales_data.py:130-133). Read ``observation.get`` after the
+    action completes."""
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"n_null_{c}") for c in df.columns
+    ]
+    return df.observe(obs, *metrics), obs
