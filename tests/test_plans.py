@@ -1,0 +1,84 @@
+"""Physical-plan regression tests (SURVEY.md §4).
+
+Correctness tests prove the answers match; these prove the PLANS stay
+scale-worthy: filters reach the parquet scan, projections prune the
+read schema, small dims broadcast, and the shuffle-free operators
+really are shuffle-free. A regression here is a 100 TB incident that
+no sf0.01 correctness test would catch.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from etl_job_spark.operators import dedup
+from etl_job_spark.plans import kicc
+from etl_job_spark.plans.registry import QUERIES
+from etl_job_spark.sources import load_table
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_range_predicate_pushed_to_parquet_scan(spark, sf_dir):
+    """S3: sale-window predicates must reach the scan (the reference
+    ships BETWEEN to MySQL, kicc_to_tb_sales_prod.py:63-70; here the
+    parquet reader must see it)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    p = plan(li)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in p
+
+
+def test_column_pruning_reaches_read_schema(spark, sf_dir):
+    """P1: a 2-column projection must scan 2 columns, not 16."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    p = plan(li)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p
+
+
+def test_enrichment_joins_broadcast(spark, sf_dir):
+    """J1/J2: tiny dims must broadcast — a shuffled join against a
+    20-row dim at 100 TB shuffles the fact for nothing."""
+    p = plan(QUERIES["kicc_enrich_store"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastExchange" in p
+
+
+def test_shingles_need_no_shuffle(spark, sf_dir):
+    """Within-document array_distinct dedup keeps the shingle table
+    shuffle-free (operators/dedup.py) — the whole point of the
+    restructure; an Exchange here reshuffles the dedup pipeline's
+    largest intermediate."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = plan(dedup.shingles(docs))
+    assert "Exchange" not in p
+
+
+def test_pricing_summary_is_one_shuffle_codegen(spark, sf_dir):
+    """A2-style rollup: partial agg → single exchange → final agg, all
+    inside whole-stage codegen."""
+    p = plan(QUERIES["pricing_summary"](spark, sf_dir))
+    # formatted mode names each exchange twice (tree + detail): one
+    # real exchange = the group-by shuffle; the sort is partition-local
+    assert p.count("Exchange") <= 2
+    # map-side combine: every sum must run as partial_sum BEFORE the
+    # exchange, so the shuffle moves one row per (group × partition)
+    assert "partial_sum" in p
+
+
+def test_semi_join_replaces_exists_probe(spark, sf_dir):
+    """J5: the reference's per-row COUNT(*) probe must appear as a set
+    semi-join, never a per-row loop."""
+    p = plan(QUERIES["kicc_semi_join"](spark, sf_dir))
+    assert "SemiJoin" in p.replace("LeftSemi", "SemiJoin") or "LeftSemi" in plan(
+        QUERIES["kicc_semi_join"](spark, sf_dir), "extended"
+    )
