@@ -66,9 +66,16 @@ def merge_upsert(
     """
     if order_col is not None:
         source = dedup_last_writer(source, keys, order_col)
-    # align to the target's column set/order (also drops a source-only
-    # order_col); unionByName would tolerate order but not extra cols
-    source = source.select(*target.columns)
+    # align to the target's column set/order: drop source-only columns
+    # (e.g. an order_col), and null-fill target-only columns (e.g.
+    # enrichment columns a later pass re-derives) with the target dtype
+    target_types = dict(target.dtypes)
+    source = source.select(
+        *[
+            F.col(c) if c in source.columns else F.lit(None).cast(target_types[c]).alias(c)
+            for c in target.columns
+        ]
+    )
 
     if partition_pred is not None:
         untouched = target.filter(~partition_pred)
@@ -117,3 +124,5 @@ def merge_upsert_path(
         os.rename(target_path, old)
     os.rename(staging, target_path)
     shutil.rmtree(old, ignore_errors=True)
+    # drop any cached file listing for the replaced directory
+    spark.catalog.refreshByPath(target_path)

@@ -44,6 +44,28 @@ def overwrite(df: DataFrame, path: str, partition_by: Sequence[str] | None = Non
     w.parquet(path)
 
 
+def overwrite_inplace(df: DataFrame, path: str, partition_by: Sequence[str] | None = None) -> None:
+    """Atomically replace the table at ``path`` with ``df`` even when
+    ``df``'s plan READS that same path (Spark can't overwrite a
+    directory a lazy plan still scans): stage to a sibling directory,
+    then rename-commit. The schema-change twin of
+    operators/merge.merge_upsert_path."""
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + ".__staging__"
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    old = path.rstrip("/") + ".__old__"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    df.sparkSession.catalog.refreshByPath(path)
+
+
 def overwrite_partitions(df: DataFrame, path: str, partition_by: Sequence[str]) -> None:
     """Rewrite only the partitions present in ``df`` (requires
     ``spark.sql.sources.partitionOverwriteMode=dynamic``, set by
