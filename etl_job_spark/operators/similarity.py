@@ -93,6 +93,42 @@ def hyperplane_buckets(vectors: DataFrame, n_planes: int = N_PLANES, id_col: str
     return v.select(F.col(id_col).alias("vec_id"), F.expr(bucket).alias("bucket"))
 
 
+def cosine_near_dups(
+    vectors: DataFrame, threshold: float, n_planes: int = N_PLANES, id_col: str = "vec_id"
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH bucket-mates (a < b) whose
+    exact cosine ≥ threshold — the embedding leg of the dedup ladder
+    (operators/dedup.py covers the text legs). Pair generation is
+    bucket-local (sub-quadratic); the cosine re-check is exact integer
+    arithmetic, so misses are deterministic ANN recall, not noise."""
+    vb = hyperplane_buckets(vectors, n_planes, id_col)
+    v = quantized(vectors).select(
+        F.col(id_col).alias("vid"), F.col("e_int"), F.col("n_int")
+    ).join(vb.withColumnRenamed("vec_id", "vid"), "vid")
+    a = v.select(
+        F.col("vid").alias("vec_a"), F.col("e_int").alias("a_int"),
+        F.col("n_int").alias("an_int"), "bucket",
+    )
+    b = v.select(
+        F.col("vid").alias("vec_b"), F.col("e_int").alias("b_int"),
+        F.col("n_int").alias("bn_int"), "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(a_int, b_int, (x, y) -> x * y),"
+                " cast(0 as bigint), (acc, x) -> acc + x)"
+            ),
+        )
+        .withColumn("cosine", F.expr("dot / (sqrt(cast(an_int as double)) * sqrt(cast(bn_int as double)))"))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = N_PLANES, id_col: str = "vec_id"
 ) -> DataFrame:

@@ -382,6 +382,44 @@ GROUP BY user_id, session_id
 """
 
 
+ASOF_SQL = """
+SELECT p.event_id,
+       p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       coalesce(v.event_id, -1) AS view_event_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+@query("asof_view_attribution", ASOF_SQL)
+def asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for each purchase event, the
+    most recent prior view by the same user — classic attribution.
+    One shuffle on user_id, no range-join explosion; DuckDB's native
+    ASOF JOIN is the oracle."""
+    from etl_job_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    joined = asof_join(
+        purchases, views, keys=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["event_id"], suffix="_view",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        # coalesce: keeps the column non-null bigint so pandas never
+        # promotes it to float in any comparison path
+        F.coalesce(F.col("event_id_view"), F.lit(-1)).alias("view_event_id"),
+        F.date_format("ts_view", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+    )
+
+
 @query("events_sessionize", SESSION_SQL)
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions (30-min inactivity) with lag + running count —

@@ -331,6 +331,61 @@ def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, k=5)
 
 
+NEARDUP_COSINE_THRESHOLD = 0.95
+
+_EC_BUCKET_TERMS = _BUCKET_SQL_TERMS  # same planes over the ecorpus quantization
+
+EMBED_NEARDUP_SQL = f"""
+WITH ecorpus AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         [CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) * 0.5
+               ELSE CAST(embedding[i] AS DOUBLE) END
+          for i in generate_series(1, len(embedding))] AS emb
+  FROM embeddings
+),
+vq AS (
+  SELECT vec_id,
+         [CAST(round(x * {similarity.EMBED_SCALE}) AS BIGINT) for x in emb] AS e_int
+  FROM ecorpus
+),
+vn AS (
+  SELECT vec_id, e_int,
+         CAST(list_sum([x * x for x in e_int]) AS BIGINT) AS n_int
+  FROM vq
+),
+bk AS (SELECT vec_id, e_int, n_int, CAST({_EC_BUCKET_TERMS} AS BIGINT) AS bucket FROM vn)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(list_sum([a.e_int[i] * b.e_int[i] for i in generate_series(1, len(a.e_int))]) AS BIGINT)
+         / (sqrt(CAST(a.n_int AS DOUBLE)) * sqrt(CAST(b.n_int AS DOUBLE))) AS cosine
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE CAST(list_sum([a.e_int[i] * b.e_int[i] for i in generate_series(1, len(a.e_int))]) AS BIGINT)
+        / (sqrt(CAST(a.n_int AS DOUBLE)) * sqrt(CAST(b.n_int AS DOUBLE))) >= {NEARDUP_COSINE_THRESHOLD}
+"""
+
+
+@query("embed_cosine_neardup", EMBED_NEARDUP_SQL)
+def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection on a corpus with planted
+    perturbed copies (first component exactly halved — a power-of-two
+    scale, so both engines quantize identically): LSH bucket-mates with
+    exact cosine ≥ 0.95. Planted pairs whose perturbed copy lands in a
+    different LSH bucket are missed deterministically (ANN recall);
+    both engines agree on exactly which."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"))
+    perturbed = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i = 0 THEN cast(x as double) * 0.5"
+            " ELSE cast(x as double) END)"
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(perturbed)
+    return similarity.cosine_near_dups(corpus, NEARDUP_COSINE_THRESHOLD)
+
+
 # ---------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------
