@@ -555,6 +555,67 @@ FROM documents
 """
 
 
+FRAME_SQL = """
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(least(64, nb - i * 64) AS BIGINT) AS frame_len
+FROM (
+  SELECT doc_id, octet_length(encode(text)) AS nb,
+         unnest(generate_series(0, least(8, octet_length(encode(text)) // 64) - 1)) AS i
+  FROM documents
+  WHERE octet_length(encode(text)) >= 64
+) t
+"""
+
+
+@query("multimodal_frame_sample", FRAME_SQL)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video-style n:m row explosion) through
+    mapInPandas: ≤8 fixed-stride 64-byte windows per payload. The
+    oracle recomputes the frame lengths arithmetically, so the
+    batch-explosion contract itself is value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.with_binary_payload(docs)
+    frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=8)
+    return frames.select(
+        "doc_id", "frame_idx", F.octet_length("frame_bytes").cast("bigint").alias("frame_len")
+    )
+
+
+VOCAB_SQL = (
+    "WITH" + SQL_TOK + """
+, df AS (
+  SELECT tok, count(*) AS doc_freq FROM (
+    SELECT DISTINCT doc_id, unnest(toks) AS tok FROM tok
+  ) t GROUP BY tok
+)
+SELECT tok, doc_freq, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT tok, doc_freq, row_number() OVER (ORDER BY doc_freq DESC, tok) AS rk FROM df
+) t WHERE rk <= 100
+"""
+)
+
+
+@query("text_vocab", VOCAB_SQL)
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by document frequency — the
+    standard stopword/vocab-building pass. Within-row array_distinct
+    (no shuffle) feeds one groupBy; the global top-k is a single-
+    partition sort of the already-tiny aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    df_counts = (
+        docs.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("tok"))
+    return (
+        df_counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 100)
+        .select("tok", "doc_freq", "rk")
+    )
+
+
 @query("multimodal_decode_meta", MULTIMODAL_SQL)
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload decode via Arrow-batched mapInPandas (the real
