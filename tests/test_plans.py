@@ -75,6 +75,50 @@ def test_pricing_summary_is_one_shuffle_codegen(spark, sf_dir):
     assert "partial_sum" in p
 
 
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key co-locate: the join plan
+    must contain NO Exchange — the pay-once-at-write bucketing
+    contract (sinks.bucketed_write)."""
+    from etl_job_spark import sinks
+    from etl_job_spark.plans import kicc
+
+    staging = kicc.kicc_sales_data(spark, sf_dir).select("sp_code", "sale_date", "total_amt")
+    sinks.bucketed_write(staging, "bk_staging", ["sp_code"], num_buckets=8)
+    sinks.bucketed_write(staging, "bk_mart", ["sp_code"], num_buckets=8)
+    # at test scale the planner would just broadcast the tiny side;
+    # disable that to exercise the plan both sides get at 100 TB
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bk_staging").join(spark.table("bk_mart"), "sp_code")
+        p = plan(joined)
+        assert "Exchange" not in p
+        assert "Bucketed: true" in p
+        # and it actually runs
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_staging")
+        spark.sql("DROP TABLE IF EXISTS bk_mart")
+
+
+def test_partition_pruning_on_date_partitioned_mart(spark, sf_dir, tmp_path):
+    """A date filter on a sale_date-partitioned mart must prune at
+    planning time (PartitionFilters), reading only the touched days —
+    the reference's daily window as a metadata operation."""
+    from etl_job_spark import sinks
+    from etl_job_spark.plans import kicc
+
+    path = str(tmp_path / "mart")
+    staging = kicc.kicc_sales_data(spark, sf_dir).filter(
+        F.col("sale_date").between("19950102", "19950131")
+    )
+    sinks.overwrite(staging, path, partition_by=["sale_date"])
+    read = spark.read.parquet(path).filter(F.col("sale_date") == "19950110")
+    p = plan(read)
+    assert "PartitionFilters" in p and "19950110" in p
+
+
 def test_semi_join_replaces_exists_probe(spark, sf_dir):
     """J5: the reference's per-row COUNT(*) probe must appear as a set
     semi-join, never a per-row loop."""
