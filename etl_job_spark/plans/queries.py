@@ -263,6 +263,9 @@ def merge_sales_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 as a query: merge a 'late corrections' delta (every 3rd store,
     amounts +100) into a base mart (even stores). Update path where
     keys overlap (stores % 6 == 0), insert path elsewhere."""
+    # base and delta both branch off the same rollup; no persist —
+    # Spark's ReusedExchange already shares the aggregation's shuffle,
+    # and a cache here measurably hurts (breaks AQE pipelining)
     staging = kicc.kicc_sales_data(spark, sf_dir).select(
         "sp_code", "sale_date", "total_amt", "bill_qty"
     )
