@@ -113,6 +113,57 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# TPC-H Q5-style multi-join: local-supplier revenue by nation
+# ---------------------------------------------------------------------
+
+Q5_SQL = """
+SELECT n.n_name,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o    ON c.c_custkey = o.o_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n    ON s.s_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+@query("local_supplier_revenue", Q5_SQL)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the deepest join chain in the suite. All four
+    dims (customer/supplier/nation/region) broadcast into the
+    orders⋈lineitem fact pipeline — at 100 TB the fact side shuffles
+    once (orderkey) and every dim lookup is map-side; the local-
+    supplier condition (c_nationkey = s_nationkey) rides the same join."""
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nat = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(money_sum(disc, 10000).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------
 # Window functions: per-group top-k and lag/cumulative time series
 # ---------------------------------------------------------------------
 
@@ -380,6 +431,42 @@ SELECT user_id, session_id,
 FROM sess
 GROUP BY user_id, session_id
 """
+
+
+SLIDE_US = 15 * 60 * 1_000_000
+DUR_US = 60 * 60 * 1_000_000
+
+SLIDING_SQL = f"""
+SELECT strftime(to_timestamp((w_start_us) / 1000000.0), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n
+FROM (
+  SELECT event_type,
+         (epoch_us(ts) // {SLIDE_US}) * {SLIDE_US} - k * {SLIDE_US} AS w_start_us,
+         epoch_us(ts) AS t_us
+  FROM events, (SELECT unnest(generate_series(0, {DUR_US // SLIDE_US} - 1)) AS k) ks
+) t
+WHERE t_us < w_start_us + {DUR_US}
+GROUP BY 1, 2
+"""
+
+
+@query("events_sliding_hourly", SLIDING_SQL)
+def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes: each event lands in 4
+    overlapping windows (F.window duration/slide — same operator the
+    streaming twin uses). The oracle derives the window set from
+    integer-microsecond arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
 
 
 ASOF_SQL = """

@@ -1,4 +1,5 @@
 from etl_job_spark.streaming.pipeline import (
+    attribution_join_stream,
     hourly_counts_stream,
     read_events_stream,
     run_to_completion,
@@ -9,6 +10,7 @@ from etl_job_spark.streaming.pipeline import (
 
 __all__ = [
     "read_events_stream",
+    "attribution_join_stream",
     "hourly_counts_stream",
     "session_stream",
     "running_user_totals",

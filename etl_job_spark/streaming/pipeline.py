@@ -139,6 +139,36 @@ def upsert_stream_sink(
     )
 
 
+def attribution_join_stream(
+    events: DataFrame, lookback: str = "7 days", watermark: str = "60 days"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase event pairs with every
+    view by the same user within ``lookback`` before it — the streaming
+    attribution join. Both sides carry watermarks and the join
+    condition bounds event-time distance, so state for either side is
+    evictable (unbounded joins are rejected by Spark for exactly the
+    100 TB reason). The batch twin is the same join on the static
+    table; the as-of variant (latest view only) is operators/asof.py.
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", watermark)
+    cond = F.expr(
+        f"p_user = v_user AND v_ts <= p_ts AND v_ts >= p_ts - interval {lookback}"
+    )
+    return purchases.join(views, cond, "inner").select(
+        F.col("p_user").alias("user_id"), "purchase_id", "view_id",
+        F.unix_micros("p_ts").alias("p_us"), F.unix_micros("v_ts").alias("v_us"),
+    )
+
+
 USER_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_event string"
 _USER_STATE_SCHEMA = "n bigint, total double, last_ts bigint, last_event string"
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from etl_job_spark.plans.registry import QUERIES
 from etl_job_spark.streaming import (
+    attribution_join_stream,
     hourly_counts_stream,
     read_events_stream,
     run_to_completion,
@@ -88,6 +89,40 @@ def test_upsert_stream_sink_converges_to_batch(spark, sf_dir, events_dir, tmp_pa
     got = spark.read.parquet(target)
     want = QUERIES["events_tumbling_hourly"](spark, sf_dir)
     cols = ["window_start", "event_type", "n", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
+    """Stream-stream interval join parity: every (purchase, view) pair
+    within the lookback must match the static join exactly."""
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    joined = attribution_join_stream(stream, lookback="7 days", watermark="60 days")
+    run_to_completion(
+        joined.writeStream.format("memory").queryName("attr_parity").outputMode("append")
+    )
+    got = spark.table("attr_parity")
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    want = p.join(
+        v,
+        F.expr("p_user = v_user AND v_ts <= p_ts AND v_ts >= p_ts - interval 7 days"),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "view_id",
+        F.unix_micros("p_ts").alias("p_us"), F.unix_micros("v_ts").alias("v_us"),
+    )
+    cols = ["user_id", "purchase_id", "view_id", "p_us", "v_us"]
+    assert got.count() > 0
     assert _rows(got, cols) == _rows(want, cols)
 
 
