@@ -542,6 +542,132 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Composition: the end-to-end corpus filter (the actual LLM-data use)
+# ---------------------------------------------------------------------
+
+FILTER_PIPELINE_SQL = (
+    "WITH" + SQL_TOK + rf"""
+, feats AS (
+  SELECT d.doc_id,
+         CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         CAST(length(d.text) - length(regexp_replace(d.text, '{PUNCT_CLASS}', '', 'g')) AS BIGINT)
+           / CAST(length(d.text) AS BIGINT) AS punct_ratio,
+         CAST({_lang_score_sql('en')} AS BIGINT) AS en_hits,
+         md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS fp
+  FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+),
+scored AS (
+  SELECT doc_id, fp, n_tokens,
+         0.4 * (CAST(least(n_tokens, 400) AS BIGINT) / 400.0)
+           + 0.3 * (1.0 - punct_ratio)
+           + 0.3 * (CAST(en_hits AS BIGINT) / CAST(n_tokens AS BIGINT)) AS quality
+  FROM feats
+),
+canon AS (
+  SELECT doc_id, fp, n_tokens, quality,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM scored
+)
+SELECT doc_id, n_tokens, quality
+FROM canon
+WHERE rn = 1 AND quality >= 0.5 AND n_tokens >= 5
+"""
+)
+
+
+@query("corpus_filter_pipeline", FILTER_PIPELINE_SQL)
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production composition: quality-score → length floor →
+    exact-dedup (keep lowest doc_id per fingerprint) in ONE plan —
+    one scan of the corpus, one shuffle (the fingerprint window); at
+    100 TB this chaining (instead of three materialized passes) is the
+    difference between one cluster-day and three."""
+    docs = load_table(spark, sf_dir, "documents")
+    en = stopword_hits("text", LANG_STOPWORDS["en"])
+    nt = n_tokens("text")
+    punct = (
+        F.length("text").cast("bigint")
+        - F.length(F.regexp_replace("text", PUNCT_CLASS, "")).cast("bigint")
+    ) / F.length("text").cast("bigint")
+    scored = docs.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        nt.alias("n_tokens"),
+        (
+            F.lit(0.4) * (F.least(nt, F.lit(400).cast("bigint")) / F.lit(400.0))
+            + F.lit(0.3) * (F.lit(1.0) - punct)
+            + F.lit(0.3) * (en / nt)
+        ).alias("quality"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5))
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
+# ---------------------------------------------------------------------
+# TF-IDF: top term per document
+# ---------------------------------------------------------------------
+
+TFIDF_SQL = (
+    "WITH" + SQL_TOK + r"""
+, tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok) t
+  GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         round(CAST(tf.tf AS BIGINT) * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / CAST(df.df AS BIGINT)), 6) AS tfidf
+  FROM tf JOIN df ON tf.tok = df.tok
+)
+SELECT doc_id, tok AS top_term, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk FROM scored
+) t WHERE rk = 1
+"""
+)
+
+
+@query("text_tfidf_top_term", TFIDF_SQL)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF argmax per document: tf (one groupBy), df (one groupBy of
+    the tf table — no second corpus scan), idf via a broadcast scalar,
+    windowed argmax with total-order tiebreak. ln() is IEEE-identical
+    across engines for identical double inputs, and the inputs are
+    exact integer ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; at scale a cheap metadata count
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_tbl, "tok").select(
+        "doc_id",
+        "tok",
+        # round(…, 6): JVM Math.log and libm ln disagree in the last
+        # ulp; 6 decimals is far above the noise and far below the
+        # separation between distinct (tf, df) pairs
+        F.round(
+            F.col("tf").cast("bigint")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("bigint")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("tok").alias("top_term"), "tfidf")
+    )
+
+
+# ---------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas decode, oracle-checked)
 # ---------------------------------------------------------------------
 
