@@ -433,6 +433,61 @@ GROUP BY user_id, session_id
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+PIVOT_SQL = """
+SELECT user_id,
+       """ + ",\n       ".join(
+    f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in EVENT_TYPES
+) + """
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("events_pivot_by_type", PIVOT_SQL)
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts, one column per type. The value
+    list is FIXED (schema can't depend on data — a discovery pass at
+    100 TB would be its own scan); Spark compiles this to one hash
+    aggregate with conditional counts, same as the oracle's FILTER."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+MEDIAN_SQL = """
+SELECT event_type,
+       quantile_cont(v_cents, 0.5) AS median_cents,
+       quantile_cont(v_cents, 0.9) AS p90_cents
+FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_cents FROM events) t
+GROUP BY event_type
+"""
+
+
+@query("events_exact_percentiles", MEDIAN_SQL)
+def events_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median/p90 over integer cents: linear-interpolated
+    percentile of integers is exact double arithmetic, so engines
+    agree bit-for-bit. (At 100 TB you'd reach for approx_percentile —
+    kept out of the oracle suite because its sketch is
+    engine-specific; this is the exact reference beside it.)"""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("v_cents")
+    )
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(v_cents, 0.5)").alias("median_cents"),
+        F.expr("percentile(v_cents, 0.9)").alias("p90_cents"),
+    )
+
+
 SLIDE_US = 15 * 60 * 1_000_000
 DUR_US = 60 * 60 * 1_000_000
 

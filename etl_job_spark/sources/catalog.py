@@ -23,6 +23,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reach the scan via Catalyst (verified in tests via explain())."""
     if name not in DRIVER_TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which a default
+        # session rejects (PARQUET_TYPE_ILLEGAL); read it as long and
+        # convert below. Set here, not only in session.py: the driver
+        # calls queries() with its OWN SparkSession
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (nanosAsLong) → micros timestamp,

@@ -60,6 +60,9 @@ def read_events_stream(
     ``maxFilesPerTrigger`` throttles micro-batch size (one file per
     trigger exercises real incremental processing in tests).
     """
+    # tolerate TIMESTAMP(NANOS) parquet on any session (see
+    # sources/catalog.load_table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
