@@ -197,6 +197,41 @@ def window_topk_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANKS_SQL = "WITH" + kicc.SQL_KICC_SALES_DATA + """
+, day_rev AS (
+  SELECT sale_date, CAST(sum(CAST(round(total_amt * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM kicc_sales_data GROUP BY sale_date
+)
+SELECT sale_date, rev_cents,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       round(percent_rank() OVER w, 9) AS prnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM day_rev
+WINDOW w AS (ORDER BY rev_cents DESC, sale_date)
+"""
+
+
+@query("window_rank_family", RANKS_SQL)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / ntile over daily revenue —
+    the remaining window-function family in one totally-ordered pass
+    (integer-cents revenue, explicit date tiebreak)."""
+    sales = kicc.kicc_sales_data(spark, sf_dir)
+    day_rev = sales.groupBy("sale_date").agg(
+        F.sum(F.round(F.col("total_amt") * 100).cast("bigint")).alias("rev_cents")
+    )
+    w = Window.orderBy(F.col("rev_cents").desc(), F.col("sale_date"))
+    return day_rev.select(
+        "sale_date",
+        "rev_cents",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 9).alias("prnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
 LAG_SQL = "WITH" + kicc.SQL_KICC_SALES_DATA + """
 SELECT sp_code, sale_date, total_amt,
        lag(total_amt) OVER w AS prev_amt,

@@ -1,0 +1,25 @@
+"""Driver-contract guard: __spark_entry__ must expose entry/queries/
+oracle_sql with matching keys, and entry must run on a BARE
+SparkSession (the driver builds its own, without session.py's configs
+— the TIMESTAMP(NANOS) regression hid exactly there)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_contract_shape():
+    qs = entrymod.queries()
+    orc = entrymod.oracle_sql()
+    assert len(qs) >= 40
+    assert set(orc) <= set(qs)
+    # every current query is SQL-expressible → full oracle coverage
+    assert set(orc) == set(qs)
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in orc.values())
+
+
+def test_entry_runs_and_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) >= 3
