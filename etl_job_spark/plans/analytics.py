@@ -468,6 +468,52 @@ GROUP BY user_id, session_id
 """
 
 
+FULL_OUTER_SQL = "WITH" + kicc.SQL_KICC_SALES_DATA + """
+, a AS (
+  SELECT sp_code, CAST(sum(CAST(round(total_amt * 100) AS BIGINT)) AS BIGINT) AS rev_1997
+  FROM kicc_sales_data WHERE sale_date BETWEEN '19970101' AND '19971231' GROUP BY sp_code
+), b AS (
+  SELECT sp_code, CAST(sum(CAST(round(total_amt * 100) AS BIGINT)) AS BIGINT) AS rev_1998
+  FROM kicc_sales_data WHERE sale_date BETWEEN '19980101' AND '19981231' GROUP BY sp_code
+)
+SELECT coalesce(a.sp_code, b.sp_code) AS sp_code,
+       coalesce(a.rev_1997, 0) AS rev_1997,
+       coalesce(b.rev_1998, 0) AS rev_1998,
+       coalesce(b.rev_1998, 0) - coalesce(a.rev_1997, 0) AS delta_cents
+FROM a FULL OUTER JOIN b ON a.sp_code = b.sp_code
+"""
+
+
+@query("full_outer_year_compare", FULL_OUTER_SQL)
+def full_outer_year_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (absent from the reference, SURVEY.md §2.4
+    'not present'): year-over-year store revenue where stores may
+    exist in either year only — null-side rows coalesce to 0."""
+    sales = kicc.kicc_sales_data(spark, sf_dir)
+    cents = F.sum(F.round(F.col("total_amt") * 100).cast("bigint")).cast("bigint")
+
+    def year(lo: str, hi: str, alias: str):
+        return (
+            sales.filter(F.col("sale_date").between(lo, hi))
+            .groupBy("sp_code")
+            .agg(cents.alias(alias))
+        )
+
+    a = year("19970101", "19971231", "rev_1997")
+    b = year("19980101", "19981231", "rev_1998")
+    return (
+        a.join(b, "sp_code", "full_outer")
+        .select(
+            "sp_code",
+            F.coalesce("rev_1997", F.lit(0)).alias("rev_1997"),
+            F.coalesce("rev_1998", F.lit(0)).alias("rev_1998"),
+            (F.coalesce("rev_1998", F.lit(0)) - F.coalesce("rev_1997", F.lit(0))).alias(
+                "delta_cents"
+            ),
+        )
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 PIVOT_SQL = """

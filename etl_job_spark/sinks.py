@@ -75,6 +75,26 @@ def overwrite_partitions(df: DataFrame, path: str, partition_by: Sequence[str]) 
     df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
 
 
+def compact(
+    spark,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    partition_by: Sequence[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite the table into
+    ceil(rows / target_rows_per_file) files (per partition when
+    partitioned). Incremental merge writers fragment tables — the
+    reference's daily upserts would too — and at 100 TB, scan cost is
+    dominated by file count once files shrink below ~128 MB. Returns
+    the file count written. Atomic via the same rename-commit as
+    merge_upsert_path."""
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    overwrite_inplace(df.repartition(n_files), path, partition_by=partition_by)
+    return n_files
+
+
 def bucketed_write(
     df: DataFrame,
     table: str,

@@ -54,6 +54,27 @@ def test_overwrite_partitions_touches_only_batch_partitions(spark, sf_dir, tmp_p
     ).count()
 
 
+def test_compact_reduces_files_preserves_data(spark, sf_dir, tmp_path):
+    import glob
+
+    path = str(tmp_path / "frag")
+    df = _staging(spark, sf_dir, "19950102", "19950228")
+    # fragment: many tiny files (as incremental merges would leave)
+    df.repartition(24).write.parquet(path)
+    before_files = len(glob.glob(path + "/part-*"))
+    n_before = spark.read.parquet(path).count()
+    checksum = spark.read.parquet(path).agg(
+        F.sum(F.round(F.col("total_amt") * 100))
+    ).first()[0]
+
+    written = sinks.compact(spark, path, target_rows_per_file=1_000_000)
+    after_files = len(glob.glob(path + "/part-*"))
+    assert written == 1 and after_files == 1 < before_files
+    after = spark.read.parquet(path)
+    assert after.count() == n_before
+    assert after.agg(F.sum(F.round(F.col("total_amt") * 100))).first()[0] == checksum
+
+
 def test_split_quarantine(spark):
     df = spark.createDataFrame(
         [(1, None), (2, "boom"), (3, None)], "id int, error string"
