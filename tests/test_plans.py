@@ -119,6 +119,24 @@ def test_partition_pruning_on_date_partitioned_mart(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in p and "19950110" in p
 
 
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    """The as-of join must plan as union → one exchange on the key →
+    window sort; a range-join formulation would show a nested-loop or
+    cartesian node here."""
+    p = plan(QUERIES["asof_view_attribution"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    # one real exchange (named twice in formatted output: tree + detail)
+    assert p.count("Exchange") <= 2
+    assert "Window" in p
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    """Brute-force ANN must broadcast the small query set — the corpus
+    side must never shuffle."""
+    p = plan(QUERIES["embed_cosine_topk"](spark, sf_dir))
+    assert "BroadcastExchange" in p
+
+
 def test_semi_join_replaces_exists_probe(spark, sf_dir):
     """J5: the reference's per-row COUNT(*) probe must appear as a set
     semi-join, never a per-row loop."""
