@@ -126,6 +126,43 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_restart_resumes_from_checkpoint_exactly_once(spark, sf_dir, tmp_path):
+    """Stop the stream, land MORE input, restart with the SAME
+    checkpoint: the second run must process only the new files, and
+    the merged sink must equal one batch pass over everything —
+    exactly-once across restarts, the property the reference
+    approximates by re-running idempotent upserts."""
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "mart")
+    ckpt = str(tmp_path / "ckpt")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") != "bigint":  # pragma: no cover
+        raw = raw.withColumn("ts", F.unix_micros("ts") * 1000)
+    first = raw.filter(F.col("event_id") % 2 == 0)
+    second = raw.filter(F.col("event_id") % 2 == 1)
+
+    first.repartition(2).write.mode("overwrite").parquet(src)
+    writer = upsert_stream_sink(
+        hourly_counts_stream(read_events_stream(spark, src), watermark="60 days"),
+        target_path=target, keys=["window_start", "event_type"], checkpoint=ckpt,
+    )
+    run_to_completion(writer)
+    n_first = spark.read.parquet(target).agg(F.sum("n")).first()[0]
+    assert n_first == first.count()
+
+    # land the second half, restart from the same checkpoint
+    second.repartition(2).write.mode("append").parquet(src)
+    writer2 = upsert_stream_sink(
+        hourly_counts_stream(read_events_stream(spark, src), watermark="60 days"),
+        target_path=target, keys=["window_start", "event_type"], checkpoint=ckpt,
+    )
+    run_to_completion(writer2)
+    got = spark.read.parquet(target)
+    want = QUERIES["events_tumbling_hourly"](spark, sf_dir)
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_running_user_totals_converges_to_batch(spark, sf_dir, events_dir, tmp_path):
     """Custom stateful op (applyInPandasWithState): per-user running
     totals re-emitted each batch, merged keyed by user — final state
