@@ -175,6 +175,59 @@ def verify_pairs(candidates: DataFrame, doc_shingles: DataFrame, threshold: floa
     )
 
 
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: (doc_id, cluster_id)
+    where cluster_id = min doc_id reachable through pair edges —
+    min-label propagation iterated to fixpoint.
+
+    The loop is DataFrame-only (join + groupBy per round) with a
+    driver-side convergence check; rounds needed = cluster diameter,
+    which for dedup graphs is tiny (duplicates of one document link to
+    a common near-neighbor). Each round's shuffle is keyed on doc_id,
+    so partitioning is stable across iterations. localCheckpoint
+    truncates the growing lineage — without it, round k replans rounds
+    1..k-1 (iterative algorithms on Spark MUST checkpoint).
+
+    ``nodes``: one doc_id column; ``pairs``: (doc_a, doc_b) edges.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("cluster_id", "new_cid")
+            .join(labels, "doc_id")
+            .filter(F.col("new_cid") != F.col("cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """32-bit SimHash: per-token md5 supplies the bit stream, term
     frequency the weight; each bit position takes the sign of the

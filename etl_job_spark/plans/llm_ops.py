@@ -146,8 +146,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH banding + verify (sub-quadratic near-dup)
 # ---------------------------------------------------------------------
 
-MINHASH_SQL = (
-    "WITH" + SQL_TOK + "," + SQL_NEARDUP_CORPUS + "," + SQL_CORPUS_SHINGLES + f"""
+MINHASH_CTES = (
+    SQL_TOK + "," + SQL_NEARDUP_CORPUS + "," + SQL_CORPUS_SHINGLES + f"""
 , mh AS (
   SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
   FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) seeds
@@ -169,7 +169,10 @@ inter AS (
   JOIN sh sa ON sa.doc_id = c.doc_a
   JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
   GROUP BY c.doc_a, c.doc_b
+)"""
 )
+
+MINHASH_FINAL = f"""
 SELECT i.doc_a, i.doc_b,
        i.inter / (CAST(sa.sz AS BIGINT) + CAST(sb.sz AS BIGINT) - i.inter) AS jaccard
 FROM inter i
@@ -177,7 +180,8 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE i.inter / (CAST(sa.sz AS BIGINT) + CAST(sb.sz AS BIGINT) - i.inter) >= {JACCARD_THRESHOLD}
 """
-)
+
+MINHASH_SQL = "WITH" + MINHASH_CTES + MINHASH_FINAL
 
 
 @query("dedup_minhash_lsh", MINHASH_SQL)
@@ -192,6 +196,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(sh, num_hashes=12)
     cands = dedup.lsh_candidate_pairs(sigs, band_size=3)
     return dedup.verify_pairs(cands, sh, JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------
+# Duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------
+
+CLUSTER_SQL = (
+    "WITH RECURSIVE" + MINHASH_CTES + ",\npairs AS (" + MINHASH_FINAL + """),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id, doc_id AS root FROM corpus
+  UNION
+  SELECT e.dst AS doc_id, r.root
+  FROM reach r JOIN edges e ON e.src = r.doc_id
+)
+SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
+"""
+)
+
+
+@query("dedup_clusters", CLUSTER_SQL)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: connected components by min-label propagation
+    (operators/dedup.connected_components) over the MinHash near-dup
+    pairs — the step that turns pairwise matches into keep/drop
+    decisions. Iterative and therefore not one SQL statement in Spark;
+    the oracle reaches the same fixpoint with a recursive CTE, so even
+    the iterative operator is value-checked."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    sh = dedup.shingles(corpus).persist()
+    sigs = dedup.minhash_signatures(sh, num_hashes=12)
+    cands = dedup.lsh_candidate_pairs(sigs, band_size=3)
+    pairs = dedup.verify_pairs(cands, sh, JACCARD_THRESHOLD)
+    return dedup.connected_components(corpus.select("doc_id"), pairs)
 
 
 # ---------------------------------------------------------------------
