@@ -75,6 +75,61 @@ def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = "doc_id bigint, width int, height int, new_width int, new_height int"
+
+FEATURE_DIM = 64
+FEATURE_SCHEMA = "doc_id bigint, feat_dim int, feat_sumsq bigint"
+
+
+def resize_image(media: DataFrame, max_side: int = 224) -> DataFrame:
+    """Resize-to-fit metadata: scale (width, height) so the longer side
+    equals ``max_side``, aspect preserved (integer floor math — the
+    deterministic stand-in for a real resampling kernel; the batch
+    plumbing and the n:1 row contract are the real part)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            n_bytes = batch["payload"].map(len)
+            meta = n_bytes.map(fake_image_meta)
+            w = meta.map(lambda m: max(m[0], 1)).astype("int64")
+            h = meta.map(lambda m: max(m[1], 1)).astype("int64")
+            long_side = pd.concat([w, h], axis=1).max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "new_width": (w * max_side // long_side).astype("int32"),
+                    "new_height": (h * max_side // long_side).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature extraction: payload → fixed-dim vector (fake:
+    feat[i] = (n_bytes·(i+1)) mod 97; a real model would run here,
+    batched). Emits the integer sum of squares instead of the raw
+    vector so the result is exactly comparable across engines."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            n_bytes = batch["payload"].map(len).astype("int64")
+            sumsq = n_bytes.map(
+                lambda n: sum(((n * (i + 1)) % 97) ** 2 for i in range(dim))
+            ).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "feat_dim": pd.Series([dim] * len(batch), dtype="int32"),
+                    "feat_sumsq": sumsq,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
     """Frame-sampling shape: one input row explodes into ≤max_frames
     output rows (here: fixed-stride byte windows standing in for video

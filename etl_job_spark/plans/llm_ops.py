@@ -723,6 +723,45 @@ FROM documents
 """
 
 
+RESIZE_SQL = """
+SELECT doc_id, width, height,
+       CAST(width * 224 // greatest(width, height) AS INT) AS new_width,
+       CAST(height * 224 // greatest(width, height) AS INT) AS new_height
+FROM (
+  SELECT doc_id,
+         CAST(greatest(octet_length(encode(text)) % 640, 1) AS INT) AS width,
+         CAST(greatest((octet_length(encode(text)) // 640) % 480, 1) AS INT) AS height
+  FROM documents
+) t
+"""
+
+
+@query("multimodal_resize", RESIZE_SQL)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-fit (224 longest side, aspect preserved) via the
+    Arrow-batched mapInPandas path; integer floor math both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.resize_image(multimodal.with_binary_payload(docs), max_side=224)
+
+
+FEATURE_SQL = f"""
+SELECT doc_id,
+       CAST({multimodal.FEATURE_DIM} AS INT) AS feat_dim,
+       CAST(list_sum([((octet_length(encode(text)) * i) % 97) ^ 2
+                      for i in generate_series(1, {multimodal.FEATURE_DIM})]) AS BIGINT) AS feat_sumsq
+FROM documents
+"""
+
+
+@query("multimodal_feature_extract", FEATURE_SQL)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload → fixed-dim feature vector (the model-inference slot),
+    emitted as an integer sum-of-squares checksum so the Arrow batch
+    path itself is value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.with_binary_payload(docs))
+
+
 FRAME_SQL = """
 SELECT doc_id,
        CAST(i AS INT) AS frame_idx,
