@@ -198,7 +198,12 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    # only nodes incident to an edge can ever change label; singletons
+    # (the overwhelming majority of a real corpus) skip the loop and
+    # rejoin at the end with their own id
+    incident = edges.select(F.col("src").alias("doc_id")).distinct()
+    singletons = nodes.select("doc_id").join(incident, "doc_id", "left_anti")
+    labels = incident.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
@@ -225,7 +230,9 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    return labels.unionByName(
+        singletons.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
