@@ -258,6 +258,77 @@ def window_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRAILING_SQL = "WITH" + kicc.SQL_KICC_SALES_DATA + """
+, daily AS (
+  SELECT sp_code, strptime(sale_date, '%Y%m%d')::DATE AS d,
+         CAST(sum(CAST(round(total_amt * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM kicc_sales_data GROUP BY 1, 2
+)
+SELECT sp_code, strftime(d, '%Y-%m-%d') AS day,
+       CAST(sum(rev_cents) OVER (
+         PARTITION BY sp_code ORDER BY d
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trailing_7d_cents
+FROM daily
+"""
+
+
+@query("window_trailing_7d", TRAILING_SQL)
+def window_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-store trailing-7-day revenue — the frame
+    is bounded by VALUE distance (6 days back), not row count, so gaps
+    in the calendar are handled correctly. Integer-cents arithmetic."""
+    sales = kicc.kicc_sales_data(spark, sf_dir)
+    daily = sales.groupBy(
+        "sp_code", F.to_date("sale_date", "yyyyMMdd").alias("d")
+    ).agg(F.sum(F.round(F.col("total_amt") * 100).cast("bigint")).cast("bigint").alias("rev_cents"))
+    # RANGE frames need a numeric ordering column: days since epoch
+    w = (
+        Window.partitionBy("sp_code")
+        .orderBy(F.unix_date("d"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "sp_code",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.sum("rev_cents").over(w).cast("bigint").alias("trailing_7d_cents"),
+    )
+
+
+CUBE_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("cube_flags", CUBE_SQL)
+def cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with grouping_id — all four
+    grouping sets in one pass (Spark expands the cube inside a single
+    aggregate, no multi-scan union)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            qty_sum("l_quantity").alias("sum_qty"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n",
+            "sum_qty",
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Grouping sets / rollup
 # ---------------------------------------------------------------------

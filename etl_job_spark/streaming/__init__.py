@@ -1,5 +1,6 @@
 from etl_job_spark.streaming.pipeline import (
     attribution_join_stream,
+    dedup_events_stream,
     hourly_counts_stream,
     read_events_stream,
     run_to_completion,
@@ -11,6 +12,7 @@ from etl_job_spark.streaming.pipeline import (
 __all__ = [
     "read_events_stream",
     "attribution_join_stream",
+    "dedup_events_stream",
     "hourly_counts_stream",
     "session_stream",
     "running_user_totals",

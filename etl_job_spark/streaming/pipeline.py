@@ -142,6 +142,15 @@ def upsert_stream_sink(
     )
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "60 days") -> DataFrame:
+    """Streaming exactly-once-per-event_id: drop re-delivered events
+    inside the watermark horizon (SURVEY.md §2.8 'dropDuplicates
+    within watermark' — the reference's exists-probe idempotency as a
+    streaming operator). State holds one entry per event_id seen
+    within the horizon; the watermark bounds it."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
 def attribution_join_stream(
     events: DataFrame, lookback: str = "7 days", watermark: str = "60 days"
 ) -> DataFrame:

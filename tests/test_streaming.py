@@ -126,6 +126,30 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Re-delivered events (the whole input landed twice) collapse to
+    one row per event_id — the reference's idempotency as a streaming
+    operator."""
+    from etl_job_spark.streaming import dedup_events_stream
+
+    src = str(tmp_path / "dup_src")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") != "bigint":  # pragma: no cover
+        raw = raw.withColumn("ts", F.unix_micros("ts") * 1000)
+    raw.repartition(2).write.mode("overwrite").parquet(src)
+    raw.repartition(3).write.mode("append").parquet(src)  # redelivery
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=2)
+    run_to_completion(
+        dedup_events_stream(stream)
+        .select("event_id")
+        .writeStream.format("memory").queryName("dedup_parity").outputMode("append")
+    )
+    got = spark.table("dedup_parity")
+    assert got.count() == raw.count()
+    assert got.distinct().count() == raw.count()
+
+
 def test_restart_resumes_from_checkpoint_exactly_once(spark, sf_dir, tmp_path):
     """Stop the stream, land MORE input, restart with the SAME
     checkpoint: the second run must process only the new files, and
