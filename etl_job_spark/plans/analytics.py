@@ -539,6 +539,37 @@ GROUP BY user_id, session_id
 """
 
 
+STRING_FN_SQL = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substr(p_name, 1, 10) AS name_prefix,
+       replace(p_type, ' ', '_') AS type_snake,
+       regexp_extract(p_type, '^([A-Z]+)', 1) AS type_first_word,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       concat_ws('|', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+       CAST(len(string_split(p_name, ' ')) AS BIGINT) AS name_words
+FROM part
+"""
+
+
+@query("string_functions", STRING_FN_SQL)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string surface in one pass: case, substring, replace,
+    regexp extraction, length, concat, split — all JVM expressions
+    inside whole-stage codegen (never a Python UDF for these)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_first_word"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat_ws("|", "p_brand", F.col("p_size").cast("string")).alias("brand_size"),
+        F.size(F.split("p_name", " ")).cast("bigint").alias("name_words"),
+    )
+
+
 FULL_OUTER_SQL = "WITH" + kicc.SQL_KICC_SALES_DATA + """
 , a AS (
   SELECT sp_code, CAST(sum(CAST(round(total_amt * 100) AS BIGINT)) AS BIGINT) AS rev_1997
