@@ -539,6 +539,38 @@ GROUP BY user_id, session_id
 """
 
 
+def sketch_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ cardinality estimates beside their exact answers, with the
+    relative error materialized. Registered WITHOUT an oracle: sketch
+    estimates are engine-specific, so the driver records a rows-only
+    check here while tests/test_sketches.py bounds the error — the
+    guarantee a user actually gets from a sketch."""
+    from etl_job_spark.functions.sketches import approx_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        approx_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        approx_distinct("l_partkey").alias("approx_parts"),
+    )
+    return out.select(
+        "exact_orders",
+        "approx_orders",
+        (F.abs(F.col("approx_orders") - F.col("exact_orders")) / F.col("exact_orders")).alias(
+            "orders_rel_err"
+        ),
+        "exact_parts",
+        "approx_parts",
+        (F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts")).alias(
+            "parts_rel_err"
+        ),
+    )
+
+
+query("sketch_cardinalities")(sketch_cardinalities)  # rows-only: no portable oracle
+
+
 STRING_FN_SQL = """
 SELECT p_partkey,
        upper(p_name) AS name_upper,

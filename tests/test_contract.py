@@ -13,8 +13,9 @@ def test_contract_shape():
     orc = entrymod.oracle_sql()
     assert len(qs) >= 40
     assert set(orc) <= set(qs)
-    # every current query is SQL-expressible → full oracle coverage
-    assert set(orc) == set(qs)
+    # every query is oracle-checked except the deliberately rows-only
+    # sketch entry (engine-specific estimates; see tests/test_sketches.py)
+    assert set(qs) - set(orc) == {"sketch_cardinalities"}
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in orc.values())
 
