@@ -1,0 +1,107 @@
+"""CLI — the cron-invocable surface replacing the reference's
+per-script entry points (load_*.py / kicc_to_tb_*.py __main__ blocks,
+SURVEY.md §3). One binary, subcommands per pipeline, windows as flags
+instead of three script variants per job.
+
+    python -m etl_job_spark list-queries
+    python -m etl_job_spark query --name pricing_summary [--sf-dir D] [--limit N]
+    python -m etl_job_spark mart-store --sf-dir D --out PATH
+    python -m etl_job_spark mart-prod  --sf-dir D --out PATH --from 19980101 --to 19980331
+    python -m etl_job_spark compact    --path PATH [--rows-per-file N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="etl_job_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("query", help="run a named registry query")
+    q.add_argument("--name", required=True)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--limit", type=int, default=10)
+
+    sub.add_parser("list-queries", help="list registry query names")
+
+    ms = sub.add_parser("mart-store", help="E2: build tb_sales_by_store mart")
+    ms.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ms.add_argument("--out", required=True)
+
+    mp = sub.add_parser("mart-prod", help="E3: build tb_sales_by_prod mart over a window")
+    mp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    mp.add_argument("--out", required=True)
+    mp.add_argument("--from", dest="lo", required=True, help="YYYYMMDD")
+    mp.add_argument("--to", dest="hi", required=True, help="YYYYMMDD")
+
+    cp = sub.add_parser("compact", help="compact a fragmented parquet table")
+    cp.add_argument("--path", required=True)
+    cp.add_argument("--rows-per-file", type=int, default=1_000_000)
+
+    args = ap.parse_args(argv)
+
+    from etl_job_spark.plans.registry import QUERIES
+
+    if args.cmd == "list-queries":
+        print(json.dumps(sorted(QUERIES)))
+        return 0
+
+    from pyspark.sql import SparkSession
+
+    from etl_job_spark.session import get_spark
+
+    # only stop a session this process created (tests and notebooks
+    # call main() with a live session; getOrCreate reuses it)
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(f"etl-job-spark-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.cmd == "query":
+            if args.name not in QUERIES:
+                print(f"unknown query {args.name!r}", file=sys.stderr)
+                return 2
+            df = QUERIES[args.name](spark, args.sf_dir)
+            rows = [r.asDict(recursive=True) for r in df.limit(args.limit).collect()]
+            print(json.dumps({"query": args.name, "n_preview": len(rows), "rows": rows},
+                             default=str))
+        elif args.cmd == "mart-store":
+            from etl_job_spark import pipelines
+            from etl_job_spark.plans import kicc
+
+            pipelines.build_mart_store(
+                spark,
+                kicc.kicc_sales_data(spark, args.sf_dir),
+                kicc.tb_store_temp(spark, args.sf_dir),
+                kicc.tb_store_easypos(spark, args.sf_dir),
+                args.out,
+            )
+            print(json.dumps({"mart": args.out, "rows": spark.read.parquet(args.out).count()}))
+        elif args.cmd == "mart-prod":
+            from etl_job_spark import pipelines
+            from etl_job_spark.plans import kicc
+
+            pipelines.build_mart_prod(
+                spark,
+                kicc.kicc_store_product_sales(spark, args.sf_dir),
+                kicc.kicc_product_list(spark, args.sf_dir),
+                args.out,
+                (args.lo, args.hi),
+            )
+            print(json.dumps({"mart": args.out, "rows": spark.read.parquet(args.out).count()}))
+        elif args.cmd == "compact":
+            from etl_job_spark import sinks
+
+            n = sinks.compact(spark, args.path, target_rows_per_file=args.rows_per_file)
+            print(json.dumps({"path": args.path, "files": n}))
+    finally:
+        if owns_session:
+            spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
