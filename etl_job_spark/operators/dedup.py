@@ -204,13 +204,16 @@ def connected_components(
     incident = edges.select(F.col("src").alias("doc_id")).distinct()
     singletons = nodes.select("doc_id").join(incident, "doc_id", "left_anti")
     labels = incident.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
             .withColumnRenamed("src", "doc_id")
         )
+        # checkpoint EVERY round: the convergence count() re-executes
+        # the label lineage, so deferring checkpoints (every-2nd) was
+        # measured slower, not faster
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
