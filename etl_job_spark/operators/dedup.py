@@ -204,7 +204,7 @@ def connected_components(
     incident = edges.select(F.col("src").alias("doc_id")).distinct()
     singletons = nodes.select("doc_id").join(incident, "doc_id", "left_anti")
     labels = incident.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
-    for it in range(max_iter):
+    for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
             .groupBy("src")
