@@ -129,6 +129,45 @@ def build_mart_store(
     overwrite_inplace(enriched, mart_path)
 
 
+def refresh_continuous_aggregate(
+    spark: SparkSession,
+    events: DataFrame,
+    rollup_path: str,
+    window: tuple[str, str],
+    bucket: str = "1 hour",
+) -> None:
+    """Hypertable-style continuous aggregate: maintain an event-time
+    bucketed rollup incrementally. Only buckets intersecting the
+    refresh ``window`` (['lo', 'hi'] timestamps, inclusive) are
+    recomputed from raw events and merged keyed by (bucket, type) —
+    refreshing a day touches a day, never the table (the TimescaleDB
+    refresh semantic on Spark primitives: bucket-aligned range scan +
+    keyed merge). Re-running any window is idempotent; late data is
+    handled by re-refreshing its window, exactly like the reference's
+    date re-runs."""
+    lo, hi = window
+    # align to full buckets so partially-covered buckets are recomputed
+    # from ALL their events, not the window's slice of them
+    aligned = events.filter(
+        (F.col("ts") >= F.date_trunc("hour", F.lit(lo).cast("timestamp")))
+        & (F.col("ts") < F.date_trunc("hour", F.lit(hi).cast("timestamp")) + F.expr("interval 1 hour"))
+    )
+    rollup = (
+        aligned.groupBy(F.window("ts", bucket), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:00:00").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    merge_upsert_path(spark, rollup_path, rollup, ["window_start", "event_type"])
+
+
 def build_mart_prod(
     spark: SparkSession,
     staging: DataFrame,

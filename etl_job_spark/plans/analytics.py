@@ -539,6 +539,51 @@ GROUP BY user_id, session_id
 """
 
 
+RANGE_JOIN_SQL = """
+WITH months AS (
+  SELECT m AS month_start,
+         m + INTERVAL 1 MONTH AS month_end,
+         strftime(m, '%Y-%m') AS ym
+  FROM (SELECT unnest(generate_series(DATE '1992-01-01', DATE '2002-12-01', INTERVAL 1 MONTH))::DATE AS m)
+)
+SELECT ym, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+JOIN months ON o_orderdate >= month_start AND o_orderdate < month_end
+GROUP BY ym
+"""
+
+
+@query("orders_month_range_join", RANGE_JOIN_SQL)
+def orders_month_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: each order lands in the month interval
+    containing it. The month dimension is tiny and broadcast, so the
+    fact side streams through a nested-loop probe against ~130
+    intervals without shuffling — the general pattern for interval
+    dimensions (calendars, SLA buckets, rate tables) that equality
+    joins can't express. (Where an equality rewrite exists — here,
+    date_trunc — prefer it; this query is the oracle-checked
+    demonstration that the general form is available and correct.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    months = spark.sql(
+        "SELECT m AS month_start, add_months(m, 1) AS month_end, date_format(m, 'yyyy-MM') AS ym "
+        "FROM (SELECT explode(sequence(to_date('1992-01-01'), to_date('2002-12-01'), "
+        "interval 1 month)) AS m)"
+    )
+    return (
+        orders.join(
+            F.broadcast(months),
+            (F.col("o_orderdate") >= F.col("month_start"))
+            & (F.col("o_orderdate") < F.col("month_end")),
+        )
+        .groupBy("ym")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("total_cents"),
+        )
+    )
+
+
 def sketch_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ cardinality estimates beside their exact answers, with the
     relative error materialized. Registered WITHOUT an oracle: sketch

@@ -127,6 +127,29 @@ def test_mart_store_pipeline(spark, sf_dir, tmp_path):
     assert s1 == s2
 
 
+def test_continuous_aggregate_incremental_refresh(spark, sf_dir, tmp_path):
+    """Refreshing two half-windows (plus an overlapping re-refresh)
+    must equal the one-shot full rollup — the hypertable refresh
+    invariant."""
+    from etl_job_spark.plans.registry import QUERIES
+    from etl_job_spark.sources import load_table
+
+    rollup = str(tmp_path / "rollup")
+    ev = load_table(spark, sf_dir, "events")
+    pipelines.refresh_continuous_aggregate(
+        spark, ev, rollup, ("2024-01-01 00:00:00", "2024-01-15 23:59:59")
+    )
+    pipelines.refresh_continuous_aggregate(
+        spark, ev, rollup, ("2024-01-10 00:00:00", "2024-01-31 23:59:59")
+    )
+    got = spark.read.parquet(rollup)
+    want = QUERIES["events_tumbling_hourly"](spark, sf_dir)
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    g = sorted(tuple(str(v) for v in r) for r in got.select(*cols).collect())
+    w = sorted(tuple(str(v) for v in r) for r in want.select(*cols).collect())
+    assert g == w
+
+
 def test_mart_prod_incremental_window(spark, sf_dir, tmp_path):
     mart_path = str(tmp_path / "tb_sales_by_prod")
     staging = kicc.kicc_store_product_sales(spark, sf_dir)
