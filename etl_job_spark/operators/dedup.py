@@ -175,6 +175,41 @@ def verify_pairs(candidates: DataFrame, doc_shingles: DataFrame, threshold: floa
     )
 
 
+def simhash_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Hamming-close SimHash pairs via byte banding: a 32-bit signature
+    splits into 4 bytes; two signatures within Hamming distance 3 MUST
+    agree on at least one whole byte (pigeonhole), so candidates only
+    form inside shared (band, byte) buckets — sub-quadratic, zero
+    false negatives for the distance bound. Verify = popcount(xor)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"shiftright(simhash, {8 * b}) & 255").alias("byte"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = signatures.select("doc_id", "simhash", F.explode(bands).alias("x")).select(
+        "doc_id", "simhash", "x.band", "x.byte"
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "byte"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "byte"
+    )
+    return (
+        a.join(b, ["band", "byte"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)").cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def connected_components(
     nodes: DataFrame, pairs: DataFrame, max_iter: int = 20
 ) -> DataFrame:

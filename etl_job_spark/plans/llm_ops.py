@@ -198,6 +198,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.verify_pairs(cands, sh, JACCARD_THRESHOLD)
 
 
+SIMHASH_PAIRS_SQL = (
+    "WITH" + SQL_TOK + "," + SQL_NEARDUP_CORPUS + r""",
+ctoks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM corpus
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM ctoks) t
+  GROUP BY doc_id, tok
+),
+votes AS (
+  SELECT doc_id, j,
+         sum(cnt * (2 * ((CASE WHEN a BETWEEN 48 AND 57 THEN a - 48 ELSE a - 87 END >> (j % 4)) & 1) - 1)) AS s
+  FROM (
+    SELECT doc_id, cnt, j, ascii(substr(h, 1 + (j // 4), 1)) AS a
+    FROM tf, (SELECT unnest(generate_series(0, 31)) AS j) bits
+  ) t
+  GROUP BY doc_id, j
+),
+sims AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT ELSE 0::BIGINT END << j) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, b AS band, (simhash >> (8 * b)) & 255 AS byte
+  FROM sims, (SELECT unnest(generate_series(0, 3)) AS b) bs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sig_a, b.simhash AS sig_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+)
+
+
+@query("dedup_simhash_pairs", SIMHASH_PAIRS_SQL)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on the planted corpus: byte-banded
+    candidate generation (pigeonhole: Hamming ≤ 3 over 4 bytes forces
+    one shared byte — zero false negatives, sub-quadratic) + exact
+    popcount verify."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    sigs = dedup.simhash_signatures(corpus)
+    return dedup.simhash_pairs(sigs, max_hamming=3)
+
+
 # ---------------------------------------------------------------------
 # Duplicate clusters: connected components over near-dup pairs
 # ---------------------------------------------------------------------
