@@ -129,6 +129,33 @@ def cosine_near_dups(
     )
 
 
+def bucket_centroids(vectors: DataFrame, n_planes: int = N_PLANES, id_col: str = "vec_id") -> DataFrame:
+    """Element-wise vector sum + count per LSH bucket — the coarse-
+    centroid primitive an IVF index trains from (centroid =
+    sum/count). Cross-row vector aggregation = posexplode to
+    (bucket, dim) then one groupBy: the shuffle moves (bucket × dim)
+    partial sums, not vectors, thanks to map-side combine. Emits the
+    exact integer L1 norm of the sum-vector as the engine-portable
+    checksum."""
+    # hyperplane_buckets emits the id as "vec_id" whatever id_col was
+    q = quantized(vectors).withColumnRenamed(id_col, "vec_id")
+    v = q.join(hyperplane_buckets(vectors, n_planes, id_col), "vec_id")
+    dims = v.select("bucket", F.posexplode("e_int").alias("dim", "x"))
+    per_dim = dims.groupBy("bucket", "dim").agg(F.sum("x").alias("sx"))
+    return (
+        per_dim.groupBy("bucket")
+        .agg(
+            F.sum(F.abs("sx")).alias("centroid_l1"),
+            F.count(F.lit(1)).alias("n_dims"),
+        )
+        .join(
+            v.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors")),
+            "bucket",
+        )
+        .select("bucket", "n_vectors", "n_dims", "centroid_l1")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = N_PLANES, id_col: str = "vec_id"
 ) -> DataFrame:

@@ -479,6 +479,39 @@ def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dups(corpus, NEARDUP_COSINE_THRESHOLD)
 
 
+CENTROID_SQL = (
+    "WITH" + SQL_QUANT + f"""
+, bk AS (SELECT vec_id, e_int, CAST({_BUCKET_SQL_TERMS} AS BIGINT) AS bucket FROM vn),
+per_dim AS (
+  SELECT bucket, dim, CAST(sum(x) AS BIGINT) AS sx FROM (
+    SELECT bucket, i AS dim, e_int[i] AS x
+    FROM bk, (SELECT unnest(generate_series(1, 64)) AS i) dims
+  ) t GROUP BY bucket, dim
+)
+SELECT p.bucket,
+       CAST(v.n_vectors AS BIGINT) AS n_vectors,
+       CAST(count(*) AS BIGINT) AS n_dims,
+       CAST(sum(abs(p.sx)) AS BIGINT) AS centroid_l1
+FROM per_dim p
+JOIN (SELECT bucket, count(*) AS n_vectors FROM bk GROUP BY bucket) v ON v.bucket = p.bucket
+GROUP BY p.bucket, v.n_vectors
+"""
+)
+
+
+@query("embed_bucket_centroids", CENTROID_SQL)
+def embed_bucket_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LSH-bucket vector aggregation (the IVF coarse-centroid
+    training pass): posexplode → one (bucket, dim) groupBy with
+    map-side partial sums — partial sums shuffle, vectors don't.
+    Checksummed as the exact integer L1 norm of the sum-vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.bucket_centroids(emb)
+    # oracle dims are 1-based via generate_series; posexplode is
+    # 0-based — dim only feeds the count, so results agree
+    return out
+
+
 # ---------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------
