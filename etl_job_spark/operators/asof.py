@@ -34,6 +34,7 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str] | None = None,
     suffix: str = "_asof",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_ts`` <= ``left_ts`` within the same key group (backward
@@ -42,6 +43,11 @@ def asof_join(
     ``right_cols``: right payload columns to carry (default: all but
     keys and ts). Carried columns are suffixed. Left rows with no
     predecessor get NULLs, like a left join.
+
+    ``tolerance``: optional max staleness as an interval string (e.g.
+    ``'7 days'``); a carried match older than this is nulled out —
+    pandas ``merge_asof(tolerance=...)``. Applied after the window
+    carry, so it adds no join or shuffle.
     """
     right_cols = list(
         right_cols
@@ -72,6 +78,14 @@ def asof_join(
     )
     carried = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
     out = carried.filter(F.col("__side") == 1).drop("__t", "__side", "__payload")
+    if tolerance is not None:
+        out = out.withColumn(
+            "__match",
+            F.when(
+                F.col("__match.__ts") >= F.col(left_ts) - F.expr(f"interval {tolerance}"),
+                F.col("__match"),
+            ),
+        )
     for c in right_cols:
         out = out.withColumn(c + suffix, F.col("__match." + c))
     return out.withColumn(right_ts + suffix, F.col("__match.__ts")).drop("__match")
