@@ -35,6 +35,7 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     suffix: str = "_asof",
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_ts`` <= ``left_ts`` within the same key group (backward
@@ -48,7 +49,14 @@ def asof_join(
     ``'7 days'``); a carried match older than this is nulled out —
     pandas ``merge_asof(tolerance=...)``. Applied after the window
     carry, so it adds no join or shuffle.
+
+    ``direction``: ``'backward'`` (default, greatest right_ts <=
+    left_ts) or ``'forward'`` (smallest right_ts >= left_ts) — the
+    forward pass is the same window run in reverse order, still one
+    shuffle.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = list(
         right_cols
         if right_cols is not None
@@ -69,23 +77,28 @@ def asof_join(
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
 
-    # right rows (side 0) sort before left rows at the same timestamp,
-    # so an exactly-equal quote matches its probe
+    # right rows (side 0) sort adjacent to left rows at the same
+    # timestamp on the matching side, so an exactly-equal quote
+    # matches its probe in either direction
+    if direction == "backward":
+        order = [F.col("__t").asc(), F.col("__side").asc()]
+    else:
+        order = [F.col("__t").desc(), F.col("__side").asc()]
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
     out = carried.filter(F.col("__side") == 1).drop("__t", "__side", "__payload")
     if tolerance is not None:
-        out = out.withColumn(
-            "__match",
-            F.when(
-                F.col("__match.__ts") >= F.col(left_ts) - F.expr(f"interval {tolerance}"),
-                F.col("__match"),
-            ),
+        bound = F.expr(f"interval {tolerance}")
+        in_bound = (
+            F.col("__match.__ts") >= F.col(left_ts) - bound
+            if direction == "backward"
+            else F.col("__match.__ts") <= F.col(left_ts) + bound
         )
+        out = out.withColumn("__match", F.when(in_bound, F.col("__match")))
     for c in right_cols:
         out = out.withColumn(c + suffix, F.col("__match." + c))
     return out.withColumn(right_ts + suffix, F.col("__match.__ts")).drop("__match")

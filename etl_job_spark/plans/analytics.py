@@ -539,6 +539,47 @@ GROUP BY user_id, session_id
 """
 
 
+ZSCORE_SQL = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round((CAST(round(e.value * 100) AS BIGINT) - s.s1 / CAST(s.n AS DOUBLE))
+         / sqrt(s.s2 / CAST(s.n AS DOUBLE) - (s.s1 / CAST(s.n AS DOUBLE)) * (s.s1 / CAST(s.n AS DOUBLE))), 6) AS zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs((CAST(round(e.value * 100) AS BIGINT) - s.s1 / CAST(s.n AS DOUBLE))
+        / sqrt(s.s2 / CAST(s.n AS DOUBLE) - (s.s1 / CAST(s.n AS DOUBLE)) * (s.s1 / CAST(s.n AS DOUBLE)))) >= 1.8
+"""
+
+
+@query("events_zscore_anomalies", ZSCORE_SQL)
+def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| ≥ 1.8): moments from exact
+    integer-cents sums (one aggregate, broadcast back over the fact),
+    so mean/variance are order-independent; the z quotient rounds to
+    6 decimals to absorb engine sqrt/div ULP."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v_cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v_cents").alias("s1"),
+        F.sum(F.col("v_cents") * F.col("v_cents")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n").cast("double")
+    var = F.col("s2") / F.col("n").cast("double") - mean * mean
+    z = (F.col("v_cents") - mean) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) >= 1.8)
+        .select("event_id", "event_type", F.round(z, 6).alias("zscore"))
+    )
+
+
 RANGE_JOIN_SQL = """
 WITH months AS (
   SELECT m AS month_start,

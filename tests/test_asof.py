@@ -23,11 +23,11 @@ def _frames(spark, sf_dir):
     return purchases, views
 
 
-def _expected(purchases, views, tolerance=None):
+def _expected(purchases, views, tolerance=None, direction="backward"):
     lp = purchases.toPandas().sort_values("ts").reset_index(drop=True)
     rp = views.toPandas().sort_values("ts").reset_index(drop=True)
     kwargs = {"tolerance": pd.Timedelta(tolerance)} if tolerance else {}
-    m = pd.merge_asof(lp, rp, on="ts", by="user_id", direction="backward", **kwargs)
+    m = pd.merge_asof(lp, rp, on="ts", by="user_id", direction=direction, **kwargs)
     return sorted(
         (int(r.purchase_id), -1 if pd.isna(r.view_id) else int(r.view_id))
         for r in m.itertuples()
@@ -45,6 +45,15 @@ def test_asof_matches_pandas_merge_asof(spark, sf_dir):
     purchases, views = _frames(spark, sf_dir)
     out = asof_join(purchases, views, ["user_id"], "ts", "ts", ["view_id"], suffix="_v")
     assert _got(out) == _expected(purchases, views)
+
+
+def test_asof_forward_matches_pandas(spark, sf_dir):
+    purchases, views = _frames(spark, sf_dir)
+    out = asof_join(
+        purchases, views, ["user_id"], "ts", "ts", ["view_id"], suffix="_v",
+        direction="forward",
+    )
+    assert _got(out) == _expected(purchases, views, direction="forward")
 
 
 def test_asof_tolerance_matches_pandas(spark, sf_dir):
