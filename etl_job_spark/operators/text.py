@@ -64,6 +64,44 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
+def winnowing_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    char k-gram rolling hashes, keep the minimum of every window of
+    ``window`` consecutive hashes, dedup — the standard local
+    plagiarism/overlap fingerprint. Guarantees any shared substring of
+    length ≥ k + window - 1 contributes a shared fingerprint.
+
+    Hash = first 8 hex digits of md5(gram) as an integer: engine-
+    portable (identical in the DuckDB oracle) and well-distributed.
+    One explode + one window + one distinct; everything stays keyed by
+    doc_id, so the window sort never crosses documents."""
+    from pyspark.sql import Window as W
+
+    c = F.lower(F.trim(F.col(text_col)))
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(lower(trim({text_col}))) - {k - 1}, 0)),"
+        f" i -> substring(lower(trim({text_col})), i, {k}))"
+    )
+    g = docs.select("doc_id", F.posexplode(grams).alias("pos", "gram")).withColumn(
+        "h", F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+    )
+    n_windows = F.max("pos").over(W.partitionBy("doc_id")) - (window - 1)
+    wmin = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    return (
+        g.withColumn("minh", F.min("h").over(wmin))
+        .withColumn("n_windows", n_windows)
+        .filter(F.col("pos") <= F.col("n_windows"))
+        .select("doc_id", "minh")
+        .distinct()
+    )
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document stats: char/token counts, punctuation ratio,
     mean token length — the quality-signal raw material."""

@@ -557,6 +557,47 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K, WINNOW_W = 5, 4
+
+WINNOW_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         CAST(CAST(('0x' || substr(md5(substr(t, i, {WINNOW_K})), 1, 8)) AS BIGINT) AS BIGINT) AS h
+  FROM norm, LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - {WINNOW_K - 1}, 0))) AS i) s
+),
+wm AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS minh,
+         max(pos) OVER (PARTITION BY doc_id) - {WINNOW_W - 1} AS n_windows
+  FROM grams
+)
+SELECT doc_id,
+       CAST(count(DISTINCT minh) AS BIGINT) AS n_fingerprints,
+       CAST(min(minh) AS BIGINT) AS min_fp
+FROM wm WHERE pos <= n_windows
+GROUP BY doc_id
+"""
+
+
+@query("text_winnowing", WINNOW_SQL)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints per document (see
+    operators/text.winnowing_fingerprints), summarized as count +
+    minimum so the result is scalar-comparable."""
+    from etl_job_spark.operators.text import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs, k=WINNOW_K, window=WINNOW_W)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("minh").alias("min_fp"),
+    )
+
+
 FINGERPRINT_SQL = r"""
 SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

@@ -41,6 +41,28 @@ def _got(df):
     )
 
 
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing's core property: documents sharing a substring of
+    length >= k + window - 1 share at least one fingerprint; unrelated
+    text shares none (here — no hash collisions at this size)."""
+    from etl_job_spark.operators.text import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, "xxxx COMMONSUBSTRING yyyy"),
+            (2, "aaa COMMONSUBSTRING bbb"),
+            (3, "totally unrelated words"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnowing_fingerprints(docs)
+    sets = {
+        i: {r.minh for r in fp.filter(F.col("doc_id") == i).collect()} for i in (1, 2, 3)
+    }
+    assert sets[1] & sets[2]
+    assert not (sets[1] & sets[3])
+
+
 def test_asof_matches_pandas_merge_asof(spark, sf_dir):
     purchases, views = _frames(spark, sf_dir)
     out = asof_join(purchases, views, ["user_id"], "ts", "ts", ["view_id"], suffix="_v")
