@@ -539,6 +539,34 @@ GROUP BY user_id, session_id
 """
 
 
+FIRST_LAST_SQL = "WITH" + kicc.SQL_KICC_SALES_DATA + """
+SELECT sp_code,
+       min(sale_date) AS first_day,
+       max(sale_date) AS last_day,
+       CAST(arg_min(CAST(round(total_amt * 100) AS BIGINT), sale_date) AS BIGINT) AS first_day_cents,
+       CAST(arg_max(CAST(round(total_amt * 100) AS BIGINT), sale_date) AS BIGINT) AS last_day_cents
+FROM kicc_sales_data
+GROUP BY sp_code
+"""
+
+
+@query("window_first_last", FIRST_LAST_SQL)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-store first/last trading day and that day's revenue —
+    min_by/max_by ordered lookups (DuckDB arg_min/arg_max), the
+    aggregate form of first_value/last_value. sale_date is unique per
+    store at this grain, so the ordered pick is deterministic."""
+    sales = kicc.kicc_sales_data(spark, sf_dir).select(
+        "sp_code", "sale_date", F.round(F.col("total_amt") * 100).cast("bigint").alias("cents")
+    )
+    return sales.groupBy("sp_code").agg(
+        F.min("sale_date").alias("first_day"),
+        F.max("sale_date").alias("last_day"),
+        F.expr("min_by(cents, sale_date)").cast("bigint").alias("first_day_cents"),
+        F.expr("max_by(cents, sale_date)").cast("bigint").alias("last_day_cents"),
+    )
+
+
 ZSCORE_SQL = """
 WITH stats AS (
   SELECT event_type,
