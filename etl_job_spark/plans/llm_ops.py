@@ -113,14 +113,26 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 JACCARD_THRESHOLD = 0.5
+# Drop shingles shared by more than this many documents before pairing:
+# a boilerplate shingle in 10⁵ docs contributes 10¹⁰ candidate pairs
+# with ~zero signal, so the cap bounds the self-join fan-out at corpus
+# scale. Far above the planted max document-frequency at test SFs, so
+# the oracle result is unchanged. Sizes are computed AFTER the cap on
+# both sides (capped-universe Jaccard), keeping engine and oracle exact.
+MAX_SHINGLE_FREQ = 128
 
 NGRAM_SQL = (
     "WITH" + SQL_TOK + "," + SQL_NEARDUP_CORPUS + "," + SQL_CORPUS_SHINGLES + f"""
-, sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+, shf AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh
+  ) WHERE df <= {MAX_SHINGLE_FREQ}
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        count(*) / (CAST(min(sa.sz) AS BIGINT) + CAST(min(sb.sz) AS BIGINT) - count(*)) AS jaccard
-FROM sh a
-JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+FROM shf a
+JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 JOIN sizes sa ON sa.doc_id = a.doc_id
 JOIN sizes sb ON sb.doc_id = b.doc_id
 GROUP BY a.doc_id, b.doc_id
@@ -132,14 +144,16 @@ HAVING count(*) / (CAST(min(sa.sz) AS BIGINT) + CAST(min(sb.sz) AS BIGINT) - cou
 @query("dedup_ngram_jaccard", NGRAM_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard via shingle self-join: only documents
-    sharing a shingle ever pair, so cost tracks duplicate density.
+    sharing a shingle ever pair, so cost tracks duplicate density, and
+    hot boilerplate shingles are capped (``MAX_SHINGLE_FREQ``) so one
+    viral shingle can't go quadratic.
     Finds the planted first-token-dropped copies at jaccard ≈ 0.96."""
     corpus = _neardup_corpus(spark, sf_dir)
     # the shingle table feeds the self-join AND both size lookups;
     # persist so the explode+distinct runs once, not four times (same
     # reason a 100 TB dedup pipeline lands shingles before pairing)
     sh = dedup.shingles(corpus).persist()
-    return dedup.jaccard_pairs(sh, JACCARD_THRESHOLD)
+    return dedup.jaccard_pairs(sh, JACCARD_THRESHOLD, max_shingle_freq=MAX_SHINGLE_FREQ)
 
 
 # ---------------------------------------------------------------------
@@ -802,29 +816,35 @@ SELECT doc_id, tok AS top_term, tfidf FROM (
 @query("text_tfidf_top_term", TFIDF_SQL)
 def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF argmax per document: tf (one groupBy), df (one groupBy of
-    the tf table — no second corpus scan), idf via a broadcast scalar,
+    the tf table — no second corpus scan), idf from an in-plan 1-row
+    corpus count broadcast-cross-joined into the scored table (no
+    driver-side ``docs.count()`` sync — the whole query is one job),
     windowed argmax with total-order tiebreak. ln() is IEEE-identical
     across engines for identical double inputs, and the inputs are
     exact integer ratios."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar; at scale a cheap metadata count
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # 1 row, broadcast below
     tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df_tbl, "tok").select(
-        "doc_id",
-        "tok",
-        # round(…, 6): JVM Math.log and libm ln disagree in the last
-        # ulp; 6 decimals is far above the noise and far below the
-        # separation between distinct (tf, df) pairs
-        F.round(
-            F.col("tf").cast("bigint")
-            * F.log(F.lit(float(n_docs)) / F.col("df").cast("bigint")),
-            6,
-        ).alias("tfidf"),
+    scored = (
+        tf.join(df_tbl, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            # round(…, 6): JVM Math.log and libm ln disagree in the last
+            # ulp; 6 decimals is far above the noise and far below the
+            # separation between distinct (tf, df) pairs
+            F.round(
+                F.col("tf").cast("bigint")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("bigint")),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
     return (
