@@ -268,6 +268,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # loop exhausted max_iter with labels still moving: silently
+        # returning would hand back WRONG cluster_ids with no signal
+        # (chain-shaped pair graphs need ~diameter rounds)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or use "
+            "connected_components_star for long-diameter graphs"
+        )
     return labels.unionByName(
         singletons.select("doc_id", F.col("doc_id").alias("cluster_id"))
     )

@@ -87,6 +87,33 @@ def merge_upsert(
     return kept.unionByName(source)
 
 
+def recover_rename_commit(target_path: str) -> bool:
+    """Repair a half-finished rename-commit at ``target_path``.
+
+    The rename-commit sequence (stage → rename target to ``.__old__`` →
+    rename staging to target → delete old) has a crash window between
+    the two renames where no directory exists at ``target_path`` and
+    the previous table sits stranded in ``.__old__``. Call this before
+    reading or re-merging: if the target is missing but ``.__old__``
+    exists, the old table is restored (the interrupted merge simply
+    never happened — the merge is re-runnable). Leftover staging
+    directories are always removed. Returns True if a restore happened.
+    """
+    import os
+    import shutil
+
+    old = target_path.rstrip("/") + ".__old__"
+    staging = target_path.rstrip("/") + ".__staging__"
+    restored = False
+    if not os.path.exists(target_path) and os.path.exists(old):
+        os.rename(old, target_path)
+        restored = True
+    shutil.rmtree(staging, ignore_errors=True)
+    if os.path.exists(target_path):
+        shutil.rmtree(old, ignore_errors=True)
+    return restored
+
+
 def merge_upsert_path(
     spark,
     target_path: str,
@@ -99,14 +126,19 @@ def merge_upsert_path(
 
     Parquet directories can't be overwritten while a lazy plan still
     reads them, so the merge lands in a sibling staging directory that
-    atomically replaces the target (same rename-commit idea as Spark's
-    own file commit protocol). A table format (Delta/Iceberg) replaces
-    this file shuffle with a metadata-only MERGE at cluster scale; the
-    calling convention is identical.
+    replaces the target via two renames (same idea as Spark's own file
+    commit protocol). NOT fully atomic: a crash between the renames
+    leaves no table at ``target_path`` (the previous data is stranded
+    in ``.__old__``) — ``recover_rename_commit`` runs first and repairs
+    exactly that state, so a rerun after any crash is safe. ``os.rename``
+    also doesn't exist on object stores; for concurrent readers or
+    S3-like storage use ``etl_job_spark.table`` (manifest-committed
+    table) instead — this path is the simple local-FS variant.
     """
     import os
     import shutil
 
+    recover_rename_commit(target_path)
     if os.path.exists(target_path):
         target = spark.read.parquet(target_path)
         merged = merge_upsert(target, source, keys, order_col=order_col)

@@ -28,6 +28,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Join types for which salting is a pure physical rewrite. Right/full
+# outer joins are NOT equivalent: every unmatched ``other`` row was
+# replicated salt× and each replica survives the outer join, so the
+# result would contain salt copies of it.
+_SAFE_HOW = {
+    "inner",
+    "left",
+    "left_outer",
+    "leftouter",
+    "left_semi",
+    "leftsemi",
+    "semi",
+    "left_anti",
+    "leftanti",
+    "anti",
+}
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
@@ -43,10 +61,19 @@ def salted_join(
     explode — no shuffle added, the join itself shuffles on
     (keys, salt) so a hot key fans out over ``salt`` tasks.
 
-    Result is exactly ``skewed.join(other, keys, how)`` — salting is a
-    physical rewrite, not a semantic one (verified by the equivalence
-    test).
+    For ``how`` in inner/left/left_semi/left_anti the result is exactly
+    ``skewed.join(other, keys, how)`` — salting is a physical rewrite,
+    not a semantic one (verified by the equivalence test). Right/full
+    outer joins would duplicate unmatched ``other`` rows once per salt
+    replica, so they are rejected; put the preserved side on the left,
+    or use AQE's skew-join handling for a full outer.
     """
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SAFE_HOW}:
+        raise ValueError(
+            f"salted_join: how={how!r} is not equivalence-safe (unmatched "
+            "replicated rows of the non-salted side would appear salt times); "
+            f"use one of {sorted(_SAFE_HOW)}"
+        )
     salt_col = (
         (F.abs(F.xxhash64(*[F.col(c) for c in skewed.columns])) % salt).cast("int").alias("__salt")
     )

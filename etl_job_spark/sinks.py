@@ -45,14 +45,21 @@ def overwrite(df: DataFrame, path: str, partition_by: Sequence[str] | None = Non
 
 
 def overwrite_inplace(df: DataFrame, path: str, partition_by: Sequence[str] | None = None) -> None:
-    """Atomically replace the table at ``path`` with ``df`` even when
-    ``df``'s plan READS that same path (Spark can't overwrite a
-    directory a lazy plan still scans): stage to a sibling directory,
-    then rename-commit. The schema-change twin of
-    operators/merge.merge_upsert_path."""
+    """Replace the table at ``path`` with ``df`` even when ``df``'s
+    plan READS that same path (Spark can't overwrite a directory a lazy
+    plan still scans): stage to a sibling directory, then
+    rename-commit. The schema-change twin of
+    operators/merge.merge_upsert_path, with the same caveat: a crash
+    between the two renames leaves no directory at ``path`` until the
+    next call (or ``recover_rename_commit``) restores ``.__old__``.
+    Local-FS only; for object stores / concurrent readers use
+    ``etl_job_spark.table``."""
     import os
     import shutil
 
+    from etl_job_spark.operators.merge import recover_rename_commit
+
+    recover_rename_commit(path)
     staging = path.rstrip("/") + ".__staging__"
     w = df.write.mode("overwrite")
     if partition_by:

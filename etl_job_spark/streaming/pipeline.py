@@ -117,12 +117,19 @@ def upsert_stream_sink(
     keys: list[str],
     checkpoint: str,
     partition_by: list[str] | None = None,
+    order_col: str | None = None,
 ):
     """Write a streaming DataFrame with merge-upsert semantics: each
-    micro-batch is merged into the parquet target keyed by ``keys``
-    (last writer wins) — the reference's K3 idempotent upsert
-    (load_sales_data.py:129-134) as a streaming sink. Re-delivered or
-    corrected rows update in place; the sink is idempotent per key.
+    micro-batch is merged into the parquet target keyed by ``keys`` —
+    the reference's K3 idempotent upsert (load_sales_data.py:129-134)
+    as a streaming sink. Re-delivered or corrected rows update in
+    place; the sink is idempotent per key.
+
+    ``order_col`` defines last-writer-wins when one micro-batch can
+    carry the same key twice (e.g. a raw CDC feed). When None, the
+    stream must be unique per key within each micro-batch (true for
+    watermarked aggregations in update mode, whose output is one row
+    per group per batch) — otherwise both rows are inserted.
     """
     from etl_job_spark.operators.merge import merge_upsert_path
 
@@ -132,6 +139,7 @@ def upsert_stream_sink(
             target_path,
             batch_df,
             keys,
+            order_col=order_col,
             partition_by=partition_by,
         )
 

@@ -78,3 +78,20 @@ def test_capped_sizes_use_capped_universe(spark):
     # docs 1,2 share shingles 'b c d','c d e','d e f','e f g' (freq 2,
     # kept): inter=4, sizes are 5 each after dropping 'a b c' → 4/6
     assert abs(pairs[(1, 2)] - 4 / 6) < 1e-9
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A path graph of diameter D needs ~D label rounds; exhausting
+    max_iter with labels still moving must be loud, not silent."""
+    import pytest
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    path_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(nodes, path_edges, max_iter=2)
+    # and with enough rounds it converges to one cluster rooted at 0
+    labels = dedup.connected_components(nodes, path_edges, max_iter=n + 1)
+    assert {r.cluster_id for r in labels.collect()} == {0}

@@ -65,3 +65,32 @@ def test_partition_pred_fast_path(spark):
         partition_pred=F.col("sale_date") == "d1",
     )
     assert _sorted(out) == [("s1", "d1", 10.0), ("s1", "d2", 2.0), ("s2", "d9", 9.0)]
+
+
+def test_recover_rename_commit_restores_stranded_old(spark, tmp_path):
+    """Crash window repair: if a merge died between its two renames,
+    the table is missing and the old data sits in .__old__ — recovery
+    must restore it (and a rerun of the merge must then succeed)."""
+    import os
+
+    from etl_job_spark.operators.merge import merge_upsert_path, recover_rename_commit
+
+    target = str(tmp_path / "mart")
+    _df(spark, [("s1", "d1", 1.0)]).write.parquet(target)
+
+    # simulate the crash: target renamed away, staging never promoted
+    os.rename(target, target + ".__old__")
+    os.makedirs(target + ".__staging__")
+
+    assert recover_rename_commit(target) is True
+    assert os.path.exists(target)
+    assert not os.path.exists(target + ".__staging__")
+    assert not os.path.exists(target + ".__old__")
+    assert _sorted(spark.read.parquet(target)) == [("s1", "d1", 1.0)]
+
+    # the interrupted merge is simply re-run — merge_upsert_path also
+    # self-recovers, so this works even without the explicit call
+    os.rename(target, target + ".__old__")
+    src = _df(spark, [("s1", "d1", 7.0)])
+    merge_upsert_path(spark, target, src, ["sp_code", "sale_date"])
+    assert _sorted(spark.read.parquet(target)) == [("s1", "d1", 7.0)]

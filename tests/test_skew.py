@@ -34,3 +34,23 @@ def test_salted_left_join_keeps_unmatched(spark):
     plain = fact.join(dim, "k", "left").select("k", "v", "d")
     salted = salted_join(fact, dim, ["k"], "left", salt=4).select("k", "v", "d")
     assert _rows(plain) == _rows(salted)
+
+
+def test_salted_anti_join_equivalence(spark):
+    fact = spark.createDataFrame([("a", 1), ("b", 2), ("zz", 3)], "k string, v int")
+    dim = spark.createDataFrame([("a", "x"), ("b", "y")], "k string, d string")
+    plain = fact.join(dim, "k", "left_anti").select("k", "v")
+    salted = salted_join(fact, dim, ["k"], "left_anti", salt=4).select("k", "v")
+    assert _rows(plain) == _rows(salted)
+
+
+def test_salted_join_rejects_outer_preserving_other_side(spark):
+    """right/full outer would emit unmatched dim rows once per salt
+    replica — salted_join must refuse rather than silently duplicate."""
+    import pytest
+
+    fact = spark.createDataFrame([("a", 1)], "k string, v int")
+    dim = spark.createDataFrame([("a", "x"), ("lonely", "y")], "k string, d string")
+    for how in ("right", "right_outer", "full", "full_outer", "outer", "cross"):
+        with pytest.raises(ValueError, match="not equivalence-safe"):
+            salted_join(fact, dim, ["k"], how, salt=4)
