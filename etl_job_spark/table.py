@@ -1,0 +1,293 @@
+"""Manifest-committed parquet table — safe writes under concurrent readers.
+
+The reference commits by mutating MySQL rows in place
+(/root/reference/load_sales_data.py:129-134); the round-1 Spark port
+committed parquet directories by renaming them, which (a) has a crash
+window where the table briefly doesn't exist, (b) breaks readers that
+resolved the directory mid-swap, and (c) relies on ``os.rename`` of a
+*directory*, which object stores don't have. This module is the
+at-scale answer, the same idea as Delta/Iceberg reduced to its core:
+
+- **data files are immutable** — every write lands new parquet files
+  under ``data/<uuid>/``; nothing ever rewrites or deletes a live file;
+- **a snapshot is a manifest** — ``_manifests/v%012d.json`` lists the
+  exact data files (and their partition values) that make up one
+  version of the table;
+- **commit = publish one manifest file atomically** — written to a
+  temp name, then ``os.link``-ed to its final name. ``link`` fails if
+  the target exists, so two racing writers can't both claim a version
+  (optimistic concurrency); on an object store the same protocol is a
+  put-if-absent. A reader either sees a manifest completely or not at
+  all — there is no window where the table is missing or half-written;
+- **readers pin a version** — ``snapshot()`` resolves the latest
+  manifest once; the DataFrame keeps reading those files even while
+  later versions commit (files are only removed by ``vacuum``, which
+  keeps every file any retained manifest references);
+- **MERGE is metadata-only for untouched partitions** — the new
+  manifest re-references old files whose recorded partition values the
+  source can't touch; only touched partitions are read and rewritten.
+
+Unlike a real table format there is no schema evolution, row-level
+deletes, or catalog — those are why production uses Delta/Iceberg; the
+commit protocol and file-pruned MERGE are the parts the engine needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_job_spark.operators.merge import merge_upsert
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _manifest_name(version: int) -> str:
+    return f"v{version:012d}.json"
+
+
+def _partition_values(rel_path: str) -> dict[str, str]:
+    """Hive-style ``key=value`` path segments → partition values."""
+    out: dict[str, str] = {}
+    for seg in rel_path.split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = v
+    return out
+
+
+class ManifestTable:
+    """A parquet table whose committed state is a versioned manifest."""
+
+    def __init__(self, path: str):
+        self.path = path.rstrip("/")
+        self.manifest_dir = os.path.join(self.path, _MANIFEST_DIR)
+        self.data_dir = os.path.join(self.path, _DATA_DIR)
+
+    # -- version bookkeeping ------------------------------------------
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        out = []
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(os.path.join(self.manifest_dir, _manifest_name(version))) as f:
+            return json.load(f)
+
+    # -- reads --------------------------------------------------------
+
+    def snapshot(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """DataFrame over one committed version (default: latest).
+
+        The returned plan references the manifest's files directly, so
+        it stays valid while newer versions commit — time travel is
+        just passing an older ``version``.
+        """
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+        man = self._read_manifest(version)
+        if not man["files"]:
+            return spark.createDataFrame([], man["schema"])
+        return self._read_files(spark, man["files"])
+
+    def _read_files(self, spark: SparkSession, entries: list[dict]) -> DataFrame:
+        """Read manifest entries; hive partition columns restored.
+
+        Files are grouped by their write batch (the uuid directory each
+        commit landed under) because partition inference needs a
+        basePath whose every child segment is ``key=value`` — the batch
+        dir is that root. One scan per batch, unioned; Catalyst still
+        prunes columns/filters into every scan.
+        """
+        by_batch: dict[str, list[str]] = {}
+        for e in entries:
+            batch = e["path"].split("/", 1)[0]
+            by_batch.setdefault(batch, []).append(os.path.join(self.data_dir, e["path"]))
+        dfs = [
+            spark.read.option("basePath", os.path.join(self.data_dir, batch)).parquet(*files)
+            for batch, files in sorted(by_batch.items())
+        ]
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out
+
+    # -- commit protocol ----------------------------------------------
+
+    def _write_data_files(self, df: DataFrame, partition_by: Sequence[str] | None) -> list[dict]:
+        """Land ``df`` as new immutable files; return manifest entries."""
+        sub = uuid.uuid4().hex
+        out_dir = os.path.join(self.data_dir, sub)
+        writer = df.write.mode("error")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out_dir)
+        entries = []
+        for root, _dirs, names in os.walk(out_dir):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(root, name), self.data_dir)
+                entries.append({"path": rel, "partition": _partition_values(rel)})
+        entries.sort(key=lambda e: e["path"])
+        return entries
+
+    def _publish(self, version: int, manifest: dict) -> None:
+        """Atomically publish ``manifest`` as ``version`` (fails if taken)."""
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
+        final = os.path.join(self.manifest_dir, _manifest_name(version))
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            # link(2) is atomic and fails with EEXIST if another writer
+            # claimed this version first — the put-if-absent primitive
+            os.link(tmp, final)
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent commit: version {version} of {self.path} was "
+                "claimed by another writer; re-read the latest snapshot and retry"
+            ) from None
+        finally:
+            os.unlink(tmp)
+
+    def _commit(
+        self,
+        entries: list[dict],
+        df: DataFrame,
+        partition_by: Sequence[str] | None,
+        expected_base: int | None,
+    ) -> int:
+        version = (0 if expected_base is None else expected_base) + 1
+        manifest = {
+            "version": version,
+            "base_version": expected_base,
+            "schema": df.schema.simpleString(),
+            "partition_by": list(partition_by or []),
+            "files": entries,
+        }
+        self._publish(version, manifest)
+        return version
+
+    # -- write operations ---------------------------------------------
+
+    def overwrite(self, df: DataFrame, partition_by: Sequence[str] | None = None) -> int:
+        """Commit a full replacement snapshot; returns the new version."""
+        base = self.latest_version()
+        if partition_by is None and base is not None:
+            partition_by = self._read_manifest(base)["partition_by"] or None
+        entries = self._write_data_files(df, partition_by)
+        return self._commit(entries, df, partition_by, base)
+
+    def append(self, df: DataFrame) -> int:
+        """Commit base's files + new files (no read of existing data)."""
+        base = self.latest_version()
+        old = self._read_manifest(base)["files"] if base is not None else []
+        partition_by = self._read_manifest(base)["partition_by"] if base is not None else []
+        entries = old + self._write_data_files(df, partition_by or None)
+        return self._commit(entries, df, partition_by or None, base)
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: Sequence[str],
+        order_col: str | None = None,
+    ) -> int:
+        """MERGE ``source`` into the table (source wins per key).
+
+        File-pruned: when the table is partitioned, the distinct
+        partition tuples present in ``source`` (a driver-side list the
+        size of the touched-partition count — e.g. the reference's
+        2-day daily window) select which data files can hold matching
+        keys. Untouched files are carried into the new manifest
+        *by reference*: never read, never rewritten — the Delta/Iceberg
+        MERGE shape. Requires the partition columns to be part of (or
+        functionally determined by) ``keys``, else a key could hide in
+        an unread partition; unpartitioned tables merge against the
+        full snapshot.
+        """
+        base = self.latest_version()
+        if base is None:
+            first = merge_upsert_source_only(source, keys, order_col)
+            entries = self._write_data_files(first, None)
+            return self._commit(entries, first, None, None)
+        man = self._read_manifest(base)
+        partition_by = man["partition_by"]
+
+        untouched: list[dict] = []
+        touched: list[dict] = man["files"]
+        if partition_by and all(c in source.columns for c in partition_by):
+            touched_parts = {
+                tuple(str(r[c]) for c in partition_by)
+                for r in source.select(*partition_by).distinct().collect()
+            }
+            touched, untouched = [], []
+            for entry in man["files"]:
+                part = tuple(entry["partition"].get(c) for c in partition_by)
+                (touched if part in touched_parts else untouched).append(entry)
+
+        if touched:
+            target = self._read_files(spark, touched)
+            merged = merge_upsert(target, source, keys, order_col=order_col)
+        else:
+            merged = merge_upsert_source_only(source, keys, order_col)
+        new_entries = self._write_data_files(merged, partition_by or None)
+        return self._commit(untouched + new_entries, merged, partition_by or None, base)
+
+    # -- maintenance --------------------------------------------------
+
+    def vacuum(self, keep_last: int = 1) -> int:
+        """Delete data files referenced by no retained manifest and
+        drop manifests older than the newest ``keep_last``. Run only
+        when no reader still holds a snapshot older than the horizon
+        (the same contract as Delta's VACUUM). Returns files deleted."""
+        vs = self.versions()
+        keep_vs = vs[-keep_last:] if keep_last > 0 else vs
+        live = set()
+        for v in keep_vs:
+            for entry in self._read_manifest(v)["files"]:
+                live.add(entry["path"])
+        deleted = 0
+        for root, _dirs, names in os.walk(self.data_dir):
+            for name in names:
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, self.data_dir)
+                if name.endswith(".parquet") and rel not in live:
+                    os.unlink(full)
+                    deleted += 1
+        for v in vs[: len(vs) - keep_last]:
+            os.unlink(os.path.join(self.manifest_dir, _manifest_name(v)))
+        # prune now-empty data subdirectories
+        for root, dirs, names in os.walk(self.data_dir, topdown=False):
+            if root != self.data_dir and not dirs and not names:
+                os.rmdir(root)
+        return deleted
+
+
+def merge_upsert_source_only(
+    source: DataFrame, keys: Sequence[str], order_col: str | None
+) -> DataFrame:
+    """Merge semantics when every touched file is new: dedup the source."""
+    from etl_job_spark.operators.merge import dedup_last_writer
+
+    out = dedup_last_writer(source, keys, order_col) if order_col else source
+    return out.drop(order_col) if order_col and order_col in out.columns else out
