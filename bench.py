@@ -3,8 +3,10 @@
 ONE JSON line the driver records as BENCH_r{N}.json.
 
 Timing = per-query wall clock of plan construction + execution to a
-count-materializing action. A warm-up pass (sf dir listing + one tiny
-action) runs first so JVM/codegen startup isn't billed to q1.
+count-materializing action. Warm-up runs the flagship query once,
+untimed (reported as ``warmup_seconds``), so session start / codegen /
+parquet-footer costs aren't billed to the first timed query and
+per-query times are comparable round over round.
 """
 
 from __future__ import annotations
@@ -24,8 +26,13 @@ def main() -> None:
     spark = get_spark("etl-job-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up JVM + whole-stage codegen + parquet footer reads
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm up JVM + whole-stage codegen + parquet footer reads by
+    # running the flagship query once, untimed
+    t0 = time.perf_counter()
+    first_name, first_fn = next(iter(QUERIES.items()))
+    first_fn(spark, sf_dir).count()
+    warmup = round(time.perf_counter() - t0, 4)
+    print(f"# warmup ({first_name}): {warmup:.3f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
@@ -48,6 +55,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "warmup_seconds": warmup,
     }
     if failures:
         out["failures"] = failures

@@ -311,3 +311,94 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", bits: int = 32) 
         .groupBy("doc_id")
         .agg(F.expr("sum(shiftleft(cast(bitval as bigint), j))").alias("simhash"))
     )
+
+
+def connected_components_star(
+    nodes: DataFrame, pairs: DataFrame, max_rounds: int = 25
+) -> DataFrame:
+    """Duplicate clusters via alternating large-star/small-star rounds
+    (the MapReduce CC formulation from Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — same output contract as
+    ``connected_components``: (doc_id, cluster_id = component min).
+
+    Why a second algorithm: min-label propagation needs ~diameter
+    rounds, so a chain-shaped pair set (A~B~C~…) degrades linearly;
+    star operations contract whole neighborhoods onto their minimum,
+    converging in O(log n) rounds regardless of diameter. Each round is
+    two groupBy(min)+join passes over the edge set — no collect_list
+    (a hot node's neighborhood never materializes in one task), so a
+    109-document boilerplate cluster and a 2-document pair cost the
+    same per edge. Convergence is one aggregate per round (count +
+    order-insensitive hash sum of the edge set) folded over the
+    checkpointed edges — cheaper than the label-diff join the
+    propagation loop does.
+
+    Use this for long/unknown-diameter graphs; ``connected_components``
+    remains marginally cheaper for the tiny-diameter graphs typical of
+    near-dup output (its per-round work is one groupBy, not two).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    incident = (
+        edges.select(F.col("u").alias("doc_id"))
+        .unionByName(edges.select(F.col("v").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    singletons = nodes.select("doc_id").join(incident, "doc_id", "left_anti")
+
+    def checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-insensitive, overflow-free under ANSI mode
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    prev = None
+    for _ in range(max_rounds):
+        # large-star: every neighbor v > u links to min(N(u) ∪ {u})
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nbr_min = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            sym.join(nbr_min, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("mn"), F.col("u")).alias("v"),
+            )
+        )
+        # small-star: orient edges high→low, link all low neighbors
+        # (and the high node) to the minimum
+        d = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        d_min = d.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            d.join(d_min, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .unionByName(d_min.select("u", F.col("m").alias("v")))
+        )
+        edges = small.distinct().localCheckpoint()
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds"
+        )
+    # at fixpoint every edge is (node, component_min); roots and
+    # singletons label themselves
+    labels = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = incident.join(labels, "doc_id", "left_anti")
+    return labels.unionByName(
+        roots.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    ).unionByName(singletons.select("doc_id", F.col("doc_id").alias("cluster_id")))

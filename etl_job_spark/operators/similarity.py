@@ -187,3 +187,163 @@ def lsh_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "cosine", "rk")
     )
+
+
+# ---------------------------------------------------------------------
+# Trained IVF: deterministic k-means coarse quantizer + probed search
+# ---------------------------------------------------------------------
+
+
+def _centroid_literal(cents: list[list[int]]):
+    """k×dim integer centroids as a nested array literal — broadcast to
+    every task inside the plan, so assignment is a pure projection."""
+    return F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in cents])
+
+
+def _nearest_centroid(cents: list[list[int]]):
+    """Column: argmin over squared-L2 to each centroid (exact integer
+    arithmetic; ties break to the lower centroid id). No join, no
+    shuffle — each row computes k distances in one codegen stage."""
+    dists = [
+        F.expr(
+            f"aggregate(zip_with(e_int, element_at(__cents, {c + 1}),"
+            " (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (acc, x) -> acc + x)"
+        ).alias(f"d{c}")
+        for c in range(len(cents))
+    ]
+    structs = [
+        F.struct(dists[c].alias("d"), F.lit(c).cast("int").alias("cid"))
+        for c in range(len(cents))
+    ]
+    return F.least(*structs)["cid"]
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+) -> list[list[int]]:
+    """Lloyd's k-means over micro-quantized embeddings, fully
+    deterministic: seeds are the ``n_centroids`` vectors with the
+    smallest ``xxhash64(id)`` (pseudo-random spread, no RNG state), a
+    fixed ``n_iters`` rounds, centroids floored to integer micro-units
+    each round so every distance ever computed is an exact integer.
+
+    Scale shape per round: assignment is a projection (centroids
+    travel into the plan as literals — no join, no shuffle of the
+    corpus); the update is posexplode → groupBy(cid, dim) with
+    map-side combine, so the shuffle carries at most
+    partitions × k × dim partial sums. The only driver-side data is
+    the k×dim centroid table itself — the quantizer, which a real IVF
+    index persists anyway.
+    """
+    v = quantized(vectors).select(F.col(id_col).alias("vid"), "e_int").persist()
+    try:
+        seeds = (
+            v.withColumn("h", F.xxhash64(F.col("vid")))
+            .orderBy("h", "vid")
+            .limit(n_centroids)
+            .select("e_int")
+            .collect()
+        )
+        cents = [[int(x) for x in r.e_int] for r in seeds]
+        for _ in range(n_iters):
+            assigned = v.withColumn("__cents", _centroid_literal(cents)).select(
+                "vid", "e_int", _nearest_centroid(cents).alias("cid")
+            )
+            rows = (
+                assigned.select("cid", F.posexplode("e_int").alias("dim", "x"))
+                .groupBy("cid", "dim")
+                .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, int]] = {}
+            for r in rows:
+                by_cid.setdefault(r.cid, {})[r.dim] = int(r.sx) // int(r.n)
+            cents = [
+                [by_cid[c][d] for d in sorted(by_cid[c])] if c in by_cid else cents[c]
+                for c in range(n_centroids)
+            ]
+        return cents
+    finally:
+        v.unpersist()
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat ANN: train the coarse quantizer, assign the corpus to
+    inverted lists, probe each query's ``n_probe`` nearest lists with
+    exact integer cosine, rank top-k. Same output contract as
+    ``cosine_topk`` so recall is directly measurable.
+
+    At scale the corpus shuffles ONCE on cid (and a real deployment
+    would land the assignment partitioned by cid and reuse it across
+    query batches); each query batch is small and broadcast, so query
+    cost is |probed lists|, not |corpus| — the IVF win over the
+    brute-force baseline, with recall controlled by ``n_probe``.
+    """
+    cents = kmeans_centroids(vectors, n_centroids, n_iters, id_col)
+    v = (
+        quantized(vectors)
+        .withColumn("__cents", _centroid_literal(cents))
+        .select(
+            F.col(id_col).alias("n_id"),
+            F.col("e_int").alias("v_int"),
+            F.col("n_int").alias("vn_int"),
+            _nearest_centroid(cents).alias("cid"),
+        )
+    )
+    # each query probes its n_probe nearest centroids
+    q = quantized(queries).withColumn("__cents", _centroid_literal(cents))
+    probes = q.select(
+        F.col(id_col).alias("q_id"),
+        F.col("e_int").alias("q_int"),
+        F.col("n_int").alias("qn_int"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"aggregate(zip_with(e_int, element_at(__cents, {c + 1}),"
+                        " (x, y) -> (x - y) * (x - y)), cast(0 as bigint),"
+                        " (acc, x) -> acc + x)"
+                    )
+                    for c in range(len(cents))
+                ]
+            )
+        ).alias("cid", "cdist"),
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.col("cdist"), F.col("cid"))
+    probed = (
+        probes.withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= n_probe)
+        .select("q_id", "q_int", "qn_int", F.col("cid").cast("int").alias("cid"))
+    )
+    scored = (
+        v.join(F.broadcast(probed), "cid")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(q_int, v_int, (x, y) -> x * y),"
+                " cast(0 as bigint), (acc, x) -> acc + x)"
+            ),
+        )
+        .withColumn(
+            "cosine",
+            F.expr("dot / (sqrt(cast(qn_int as double)) * sqrt(cast(vn_int as double)))"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cosine", "rk")
+    )

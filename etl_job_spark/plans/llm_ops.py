@@ -977,3 +977,16 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.with_binary_payload(docs)
     return multimodal.decode_image(media, codec="fake")
+
+
+@query("embed_ivf_topk")  # no SQL oracle: iterative k-means training
+def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF ANN top-5 (deterministic k-means coarse quantizer,
+    4-of-16 lists probed). Rows-only in the driver — the training loop
+    is not reasonably SQL-expressible — but fully deterministic
+    (integer centroids, hash-seeded init), and tests/test_ivf.py pins
+    recall against the exact brute-force baseline plus run-to-run and
+    partitioning invariance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4, n_iters=3)

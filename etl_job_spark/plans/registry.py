@@ -95,6 +95,7 @@ _TAIL = [
     "local_supplier_revenue",
     "dedup_simhash",
     "text_quality_score",
+    "embed_ivf_topk",  # rows-only: iterative k-means (tests pin recall)
 ]
 
 
