@@ -246,25 +246,29 @@ def connected_components(
             .agg(F.min("cluster_id").alias("nbr_min"))
             .withColumnRenamed("src", "doc_id")
         )
-        # checkpoint EVERY round: the convergence count() re-executes
-        # the label lineage, so deferring checkpoints (every-2nd) was
-        # measured slower, not faster
+        # ONE job per round: the changed-label count rides the
+        # checkpoint materialization as an observe() metric instead of
+        # a separate label-diff join+count (which re-scanned both label
+        # tables). Checkpoint EVERY round — iterative DataFrame loops
+        # must truncate lineage or round k replans rounds 1..k-1.
+        from pyspark.sql import Observation
+
+        obs = Observation()
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+            labels.withColumnRenamed("cluster_id", "old_cid")
+            .join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias(
+                F.col("old_cid"),
+                F.least(F.col("old_cid"), F.coalesce("nbr_min", F.col("old_cid"))).alias(
                     "cluster_id"
                 ),
             )
+            .observe(obs, F.sum((F.col("cluster_id") != F.col("old_cid")).cast("long")).alias("changed"))
+            .select("doc_id", "cluster_id")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("cluster_id", "new_cid")
-            .join(labels, "doc_id")
-            .filter(F.col("new_cid") != F.col("cluster_id"))
-            .count()
-        )
+        changed = obs.get["changed"] or 0
         labels = new_labels
         if changed == 0:
             break

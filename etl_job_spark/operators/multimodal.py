@@ -45,30 +45,109 @@ def fake_image_meta(n: int) -> tuple[int, int, str]:
     return (n % 640, (n // 640) % 480, ("png", "jpeg", "webp")[n % 3])
 
 
-def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
-    """Decode image headers to (width, height, format) metadata.
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers carrying dimensions (C4=DHT, C8=JPG
+# extension, CC=DAC are NOT frames)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
 
-    ``codec='fake'`` derives metadata deterministically from payload
-    length; any real codec raises until the imaging libs exist in the
-    runtime — the surrounding plan is identical either way.
+
+def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
+    """Real codec for the metadata pass: parse (width, height, format)
+    straight from container headers — PNG IHDR, GIF logical screen
+    descriptor, JPEG SOF segment scan, BMP info header. Pure Python,
+    no imaging libs: at corpus scale the metadata pass must not decode
+    pixels anyway (that's what makes it ~free vs a full decode), so
+    header parsing IS the production shape, not a stand-in. Returns
+    None for unrecognized/truncated payloads (callers surface that as
+    format='unknown' rather than failing the batch)."""
+    b = payload
+    if b[:8] == PNG_SIG and len(b) >= 24:
+        return (
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+            "png",
+        )
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+            "gif",
+        )
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                return None  # corrupt segment stream
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in _JPEG_SOF:
+                return (
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                    "jpeg",
+                )
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone marker, no length field
+                continue
+            i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+        return None
+    if b[:2] == b"BM" and len(b) >= 26:
+        return (
+            int.from_bytes(b[18:22], "little"),
+            abs(int.from_bytes(b[22:26], "little", signed=True)),
+            "bmp",
+        )
+    return None
+
+
+def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """Decode image metadata (width, height, format) from the payload.
+
+    Codecs:
+    - ``'fake'``: metadata derived deterministically from payload
+      length — the oracle-checkable fixture codec (testdata payloads
+      are text bytes, not images);
+    - ``'headers'``: the real container-header parser
+      (``parse_image_header``) — PNG/GIF/JPEG/BMP; unrecognized
+      payloads yield ``format='unknown'`` with NULL dimensions, the
+      quarantine-friendly shape;
+    - any callable ``(bytes) -> (w, h, fmt) | None``: bring-your-own
+      decoder (e.g. a PIL-backed full decode once the lib exists);
+    - anything else raises ``NotImplementedError`` (full pixel decode
+      needs imaging libs this runtime doesn't ship).
+
+    The surrounding plan — Arrow batching, schema, bounded batch
+    memory — is identical for every codec.
     """
-    if codec != "fake":
+    if codec == "fake":
+        parse = None
+    elif codec == "headers":
+        parse = parse_image_header
+    elif callable(codec):
+        parse = codec
+    else:
         raise NotImplementedError(
-            f"codec {codec!r}: imaging libraries are not available in this "
-            "runtime; plug a real decoder into decode_image's batch fn"
+            f"codec {codec!r}: full pixel decode needs imaging libraries not "
+            "available in this runtime; use 'headers', or plug a callable "
+            "(bytes) -> (width, height, format)"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             n_bytes = batch["payload"].map(len)
-            meta = n_bytes.map(fake_image_meta)
+            if parse is None:
+                meta = n_bytes.map(fake_image_meta)
+            else:
+                meta = batch["payload"].map(lambda p: parse(bytes(p)))
             yield pd.DataFrame(
                 {
                     "doc_id": batch["doc_id"],
                     "n_bytes": n_bytes.astype("int64"),
-                    "width": meta.map(lambda m: m[0]).astype("int32"),
-                    "height": meta.map(lambda m: m[1]).astype("int32"),
-                    "format": meta.map(lambda m: m[2]),
+                    "width": meta.map(lambda m: m[0] if m else None).astype("Int32"),
+                    "height": meta.map(lambda m: m[1] if m else None).astype("Int32"),
+                    "format": meta.map(lambda m: m[2] if m else "unknown"),
                 }
             )
 

@@ -248,3 +248,57 @@ def run_to_completion(writer, timeout_s: int = 300) -> None:
         q.awaitTermination(timeout_s)
     finally:
         q.stop()
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state(spark: SparkSession) -> str | None:
+    """Switch stateful streaming to the RocksDB state store (ships with
+    Spark) and return the previous provider setting (for restore).
+
+    Why at scale: the default HDFS-backed store keeps every key in
+    executor heap — a dedup or large-window state of 10⁸ keys OOMs.
+    RocksDB spills state to local disk with bounded memory and
+    changelog checkpointing, which is the production setting for every
+    stateful pipeline in this module.
+    """
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    return prev
+
+
+def read_rate_events_stream(
+    spark: SparkSession,
+    rows_per_batch: int = 1000,
+    start_timestamp_ms: int = 1_700_000_000_000,
+    advance_ms_per_batch: int = 60_000,
+) -> DataFrame:
+    """Non-file streaming source shaped to the events schema, built on
+    the deterministic ``rate-micro-batch`` source (fixed rows per
+    batch, fixed event-time progression) — the stand-in for a Kafka
+    topic in this container: same downstream graph
+    (watermark → window/dedup → foreachBatch merge), different source
+    line. Event attributes derive arithmetically from the monotonic
+    ``value`` counter, so any batch's contents are reproducible."""
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", start_timestamp_ms)
+        .option("advanceMillisPerBatch", advance_ms_per_batch)
+        .load()
+    )
+    types = F.array(F.lit("view"), F.lit("click"), F.lit("purchase"))
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 50).alias("user_id"),
+        F.element_at(types, (F.col("value") % 3 + 1).cast("int")).alias("event_type"),
+        (F.col("value").cast("double") * 1.5).alias("value"),
+    )

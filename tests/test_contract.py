@@ -14,8 +14,9 @@ def test_contract_shape():
     assert len(qs) >= 40
     assert set(orc) <= set(qs)
     # every query is oracle-checked except the deliberately rows-only
-    # sketch entry (engine-specific estimates; see tests/test_sketches.py)
-    assert set(qs) - set(orc) == {"sketch_cardinalities"}
+    # entries: sketches (engine-specific estimates; tests/test_sketches.py)
+    # and trained IVF (iterative k-means; tests/test_ivf.py pins recall)
+    assert set(qs) - set(orc) == {"sketch_cardinalities", "embed_ivf_topk"}
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in orc.values())
 
