@@ -302,3 +302,30 @@ def read_rate_events_stream(
         F.element_at(types, (F.col("value") % 3 + 1).cast("int")).alias("event_type"),
         (F.col("value").cast("double") * 1.5).alias("value"),
     )
+
+
+def upsert_stream_sink_manifest(
+    stream: DataFrame,
+    table_path: str,
+    keys: list[str],
+    checkpoint: str,
+    order_col: str | None = None,
+):
+    """``upsert_stream_sink`` on a ManifestTable backend: each
+    micro-batch MERGEs into a manifest-committed table, so downstream
+    readers keep a consistent pinned snapshot while batches land, and
+    partitioned tables get file-pruned merges. This is the
+    concurrent-reader-safe production sink; the parquet-path variant
+    remains for simple single-writer local layouts."""
+    from etl_job_spark.table import ManifestTable
+
+    table = ManifestTable(table_path)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        table.merge(batch_df.sparkSession, batch_df, keys, order_col=order_col)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

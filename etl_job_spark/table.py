@@ -40,6 +40,7 @@ import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_job_spark.operators.merge import merge_upsert
 
@@ -252,6 +253,52 @@ class ManifestTable:
             merged = merge_upsert_source_only(source, keys, order_col)
         new_entries = self._write_data_files(merged, partition_by or None)
         return self._commit(untouched + new_entries, merged, partition_by or None, base)
+
+    def diff(self, spark: SparkSession, from_version: int, to_version: int) -> DataFrame:
+        """Change feed between two committed versions, computed from
+        manifests: rows only in ``to`` (inserts/updates) tagged
+        ``'upsert'``, rows only in ``from`` tagged ``'delete'``.
+
+        File-pruned like MERGE: files present in BOTH manifests are
+        identical (files are immutable), so only each side's private
+        files are read — a daily diff reads the day's delta, not two
+        full snapshots. The downstream-incremental primitive (CDC feed)
+        the reference's consumers would poll MySQL binlogs for.
+        """
+        a = self._read_manifest(from_version)
+        b = self._read_manifest(to_version)
+        a_paths = {e["path"] for e in a["files"]}
+        b_paths = {e["path"] for e in b["files"]}
+        only_a = [e for e in a["files"] if e["path"] not in b_paths]
+        only_b = [e for e in b["files"] if e["path"] not in a_paths]
+        if not only_a and not only_b:
+            empty = self.snapshot(spark, to_version).limit(0)
+            return empty.withColumn("_change", F.lit("upsert"))
+        old = self._read_files(spark, only_a) if only_a else None
+        new = self._read_files(spark, only_b) if only_b else None
+        if old is None:
+            return new.withColumn("_change", F.lit("upsert"))
+        if new is None:
+            return old.withColumn("_change", F.lit("delete"))
+        cols = new.columns
+        upserts = new.exceptAll(old.select(*cols)).withColumn("_change", F.lit("upsert"))
+        deletes = old.select(*cols).exceptAll(new).withColumn("_change", F.lit("delete"))
+        return upserts.unionByName(deletes)
+
+    def compact(self, spark: SparkSession, target_rows_per_file: int = 1_000_000) -> int:
+        """Rewrite the current snapshot into ~rows/target files and
+        commit it as a new version — same cure for merge-writer file
+        fragmentation as ``sinks.compact``, but with snapshot isolation:
+        readers of the old version keep their small files until vacuum.
+        Returns the new version."""
+        df = self.snapshot(spark)
+        n = df.count()
+        n_files = max(1, -(-n // target_rows_per_file))
+        base = self.latest_version()
+        partition_by = self._read_manifest(base)["partition_by"] if base is not None else []
+        out = df.repartition(n_files)
+        entries = self._write_data_files(out, partition_by or None)
+        return self._commit(entries, out, partition_by or None, base)
 
     # -- maintenance --------------------------------------------------
 
