@@ -64,20 +64,28 @@ def shingles(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> Dat
     )
 
 
+def cap_shingles(doc_shingles: DataFrame, max_shingle_freq: int) -> DataFrame:
+    """Drop shingles appearing in more than N documents (boilerplate):
+    at corpus scale a shingle shared by 10⁵ documents contributes 10¹⁰
+    candidate pairs while carrying ~zero signal — capping it bounds the
+    self-join fan-out. Callers that feed the result into
+    ``jaccard_pairs`` should persist the *capped* table (it's read
+    three times there: both join sides + sizes); persisting the uncapped
+    table instead re-runs this freq-filter subtree per use."""
+    freq = doc_shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return doc_shingles.join(
+        freq.filter(F.col("df") <= max_shingle_freq), "shingle", "left_semi"
+    )
+
+
 def jaccard_pairs(
     doc_shingles: DataFrame, threshold: float, max_shingle_freq: int | None = None
 ) -> DataFrame:
-    """All-pairs Jaccard over shared shingles.
-
-    ``max_shingle_freq`` drops shingles appearing in more than N docs
-    (boilerplate): at corpus scale a shingle shared by 10⁵ documents
-    contributes 10¹⁰ candidate pairs while carrying ~zero signal —
-    capping it bounds the join fan-out.
-    """
+    """All-pairs Jaccard over shared shingles (``max_shingle_freq``:
+    see ``cap_shingles``; sizes are computed over the capped universe)."""
     sh = doc_shingles
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle", "left_semi")
+        sh = cap_shingles(sh, max_shingle_freq)
 
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -149,11 +149,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     viral shingle can't go quadratic.
     Finds the planted first-token-dropped copies at jaccard ≈ 0.96."""
     corpus = _neardup_corpus(spark, sf_dir)
-    # the shingle table feeds the self-join AND both size lookups;
-    # persist so the explode+distinct runs once, not four times (same
-    # reason a 100 TB dedup pipeline lands shingles before pairing)
-    sh = dedup.shingles(corpus).persist()
-    return dedup.jaccard_pairs(sh, JACCARD_THRESHOLD, max_shingle_freq=MAX_SHINGLE_FREQ)
+    # persist the CAPPED shingle table: it feeds the self-join (both
+    # sides) AND the size lookup, so the explode+distinct AND the
+    # freq-filter run once, not three times (same reason a 100 TB dedup
+    # pipeline lands its filtered shingles before pairing)
+    sh = dedup.cap_shingles(dedup.shingles(corpus), MAX_SHINGLE_FREQ).persist()
+    return dedup.jaccard_pairs(sh, JACCARD_THRESHOLD)
 
 
 # ---------------------------------------------------------------------
