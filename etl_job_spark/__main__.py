@@ -8,6 +8,7 @@ instead of three script variants per job.
     python -m etl_job_spark mart-store --sf-dir D --out PATH
     python -m etl_job_spark mart-prod  --sf-dir D --out PATH --from 19980101 --to 19980331
     python -m etl_job_spark compact    --path PATH [--rows-per-file N]
+    python -m etl_job_spark table versions|show|diff|compact|vacuum --path PATH
 """
 
 from __future__ import annotations
@@ -41,6 +42,17 @@ def main(argv: list[str] | None = None) -> int:
     cp = sub.add_parser("compact", help="compact a fragmented parquet table")
     cp.add_argument("--path", required=True)
     cp.add_argument("--rows-per-file", type=int, default=1_000_000)
+
+    tb = sub.add_parser("table", help="inspect/maintain a ManifestTable")
+    tb.add_argument("--path", required=True)
+    tb.add_argument(
+        "action", choices=["versions", "show", "diff", "compact", "vacuum"]
+    )
+    tb.add_argument("--version", type=int, default=None, help="for show")
+    tb.add_argument("--from", dest="from_v", type=int, default=None, help="for diff")
+    tb.add_argument("--to", dest="to_v", type=int, default=None, help="for diff")
+    tb.add_argument("--keep-last", type=int, default=2, help="for vacuum")
+    tb.add_argument("--limit", type=int, default=10)
 
     args = ap.parse_args(argv)
 
@@ -97,6 +109,32 @@ def main(argv: list[str] | None = None) -> int:
 
             n = sinks.compact(spark, args.path, target_rows_per_file=args.rows_per_file)
             print(json.dumps({"path": args.path, "files": n}))
+        elif args.cmd == "table":
+            from etl_job_spark.table import ManifestTable
+
+            t = ManifestTable(args.path)
+            if args.action == "versions":
+                print(json.dumps({"path": args.path, "versions": t.versions()}))
+            elif args.action == "show":
+                df = t.snapshot(spark, version=args.version)
+                rows = [r.asDict(recursive=True) for r in df.limit(args.limit).collect()]
+                print(json.dumps(
+                    {"path": args.path, "version": args.version or t.latest_version(),
+                     "rows": rows}, default=str))
+            elif args.action == "diff":
+                frm = args.from_v if args.from_v is not None else (t.latest_version() or 1) - 1
+                to = args.to_v if args.to_v is not None else t.latest_version()
+                df = t.diff(spark, frm, to)
+                rows = [r.asDict(recursive=True) for r in df.limit(args.limit).collect()]
+                print(json.dumps(
+                    {"path": args.path, "from": frm, "to": to,
+                     "n_preview": len(rows), "rows": rows}, default=str))
+            elif args.action == "compact":
+                v = t.compact(spark)
+                print(json.dumps({"path": args.path, "version": v}))
+            elif args.action == "vacuum":
+                n = t.vacuum(keep_last=args.keep_last)
+                print(json.dumps({"path": args.path, "deleted_files": n}))
     finally:
         if owns_session:
             spark.stop()

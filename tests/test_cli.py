@@ -30,3 +30,27 @@ def test_query_and_mart_prod(capsys, spark, sf_dir, tmp_path):
     ) == 0
     res = json.loads(capsys.readouterr().out)
     assert res["rows"] > 0
+
+
+def test_table_subcommands(capsys, spark, tmp_path):
+    from etl_job_spark.table import ManifestTable
+
+    path = str(tmp_path / "tbl")
+    t = ManifestTable(path)
+    t.overwrite(spark.createDataFrame([("a", 1.0)], "k string, v double"))
+    t.merge(spark, spark.createDataFrame([("a", 2.0), ("b", 3.0)], "k string, v double"), keys=["k"])
+
+    assert main(["table", "versions", "--path", path]) == 0
+    assert json.loads(capsys.readouterr().out)["versions"] == [1, 2]
+
+    assert main(["table", "show", "--path", path]) == 0
+    rows = json.loads(capsys.readouterr().out)["rows"]
+    assert sorted((r["k"], r["v"]) for r in rows) == [("a", 2.0), ("b", 3.0)]
+
+    assert main(["table", "diff", "--path", path]) == 0
+    d = json.loads(capsys.readouterr().out)
+    changes = sorted((r["k"], r["v"], r["_change"]) for r in d["rows"])
+    assert ("b", 3.0, "upsert") in changes
+
+    assert main(["table", "vacuum", "--path", path, "--keep-last", "1"]) == 0
+    assert json.loads(capsys.readouterr().out)["deleted_files"] >= 1
