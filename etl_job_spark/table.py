@@ -27,9 +27,17 @@ at-scale answer, the same idea as Delta/Iceberg reduced to its core:
   manifest re-references old files whose recorded partition values the
   source can't touch; only touched partitions are read and rewritten.
 
-Unlike a real table format there is no schema evolution, row-level
-deletes, or catalog — those are why production uses Delta/Iceberg; the
-commit protocol and file-pruned MERGE are the parts the engine needs.
+Row-level DELETE is copy-on-write and file-pruned (``delete_where``):
+one predicate-pushdown scan finds which files actually hold matching
+rows (parquet row-group stats skip cold files for free), and only those
+files are rewritten — every other file is carried by reference, the
+same shape as Delta's copy-on-write DELETE. Schema evolution is
+add-column-only: ``append``/``merge`` may bring new columns, readers
+see NULL for rows written before the column existed, and changing an
+existing column's type is rejected. A catalog and merge-on-read delete
+vectors remain out of scope — those are why production uses
+Delta/Iceberg; the commit protocol, pruned MERGE/DELETE, and additive
+evolution are the parts the engine needs.
 """
 
 from __future__ import annotations
@@ -39,8 +47,9 @@ import os
 import uuid
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from etl_job_spark.operators.merge import merge_upsert
 
@@ -103,18 +112,45 @@ class ManifestTable:
             if version is None:
                 raise FileNotFoundError(f"no committed version at {self.path}")
         man = self._read_manifest(version)
+        schema = self._manifest_schema(man)
         if not man["files"]:
-            return spark.createDataFrame([], man["schema"])
-        return self._read_files(spark, man["files"])
+            return spark.createDataFrame([], schema or man["schema"])
+        df = self._read_files(spark, man["files"])
+        if schema is None:
+            return df
+        # present the committed (evolved) schema: stable column order,
+        # NULL for columns added after a file was written
+        return df.select(
+            *[
+                F.col(f.name) if f.name in df.columns else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
 
-    def _read_files(self, spark: SparkSession, entries: list[dict]) -> DataFrame:
+    @staticmethod
+    def _manifest_schema(man: dict) -> StructType | None:
+        """Committed schema (None for pre-evolution manifests that only
+        recorded the simpleString form)."""
+        if "fields" in man:
+            return StructType.fromJson(man["fields"])
+        return None
+
+    def _read_files(
+        self, spark: SparkSession, entries: list[dict], with_file_path: bool = False
+    ) -> DataFrame:
         """Read manifest entries; hive partition columns restored.
 
         Files are grouped by their write batch (the uuid directory each
         commit landed under) because partition inference needs a
         basePath whose every child segment is ``key=value`` — the batch
         dir is that root. One scan per batch, unioned; Catalyst still
-        prunes columns/filters into every scan.
+        prunes columns/filters into every scan. Batches written before
+        a column was added simply lack it — the union null-fills
+        (additive schema evolution).
+
+        ``with_file_path`` exposes the source file as ``__file`` (the
+        hidden ``_metadata`` column must be selected per scan, before
+        the union erases the file-source relation).
         """
         by_batch: dict[str, list[str]] = {}
         for e in entries:
@@ -124,9 +160,11 @@ class ManifestTable:
             spark.read.option("basePath", os.path.join(self.data_dir, batch)).parquet(*files)
             for batch, files in sorted(by_batch.items())
         ]
+        if with_file_path:
+            dfs = [df.select("*", F.col("_metadata.file_path").alias("__file")) for df in dfs]
         out = dfs[0]
         for df in dfs[1:]:
-            out = out.unionByName(df)
+            out = out.unionByName(df, allowMissingColumns=True)
         return out
 
     # -- commit protocol ----------------------------------------------
@@ -144,8 +182,15 @@ class ManifestTable:
             for name in names:
                 if not name.endswith(".parquet"):
                     continue
-                rel = os.path.relpath(os.path.join(root, name), self.data_dir)
-                entries.append({"path": rel, "partition": _partition_values(rel)})
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, self.data_dir)
+                entries.append(
+                    {
+                        "path": rel,
+                        "partition": _partition_values(rel),
+                        "rows": _footer_row_count(full),
+                    }
+                )
         entries.sort(key=lambda e: e["path"])
         return entries
 
@@ -173,38 +218,76 @@ class ManifestTable:
     def _commit(
         self,
         entries: list[dict],
-        df: DataFrame,
+        schema: StructType,
         partition_by: Sequence[str] | None,
         expected_base: int | None,
+        operation: dict | None = None,
     ) -> int:
         version = (0 if expected_base is None else expected_base) + 1
         manifest = {
             "version": version,
             "base_version": expected_base,
-            "schema": df.schema.simpleString(),
+            "schema": schema.simpleString(),
+            "fields": schema.jsonValue(),
             "partition_by": list(partition_by or []),
+            "operation": operation or {},
             "files": entries,
         }
         self._publish(version, manifest)
         return version
 
+    def _evolved_schema(self, man: dict, df: DataFrame) -> StructType:
+        """Base schema + columns new in ``df`` (add-only evolution).
+
+        Shared columns must keep their type — silent widening would
+        invalidate every already-written file, which is exactly the
+        class of change a table format must reject.
+        """
+        base = self._manifest_schema(man)
+        if base is None:  # pre-evolution manifest: df's schema is the contract
+            return df.schema
+        by_name = {f.name: f for f in base.fields}
+        for f in df.schema.fields:
+            old = by_name.get(f.name)
+            if old is None:
+                continue
+            if old.dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution cannot change column {f.name!r}: "
+                    f"{old.dataType.simpleString()} -> {f.dataType.simpleString()}"
+                )
+        new = [f for f in df.schema.fields if f.name not in by_name]
+        return StructType(list(base.fields) + new)
+
     # -- write operations ---------------------------------------------
 
     def overwrite(self, df: DataFrame, partition_by: Sequence[str] | None = None) -> int:
-        """Commit a full replacement snapshot; returns the new version."""
+        """Commit a full replacement snapshot; returns the new version.
+
+        A replacement owns its schema outright — evolution rules apply
+        to ``append``/``merge``, which must coexist with old files."""
         base = self.latest_version()
         if partition_by is None and base is not None:
             partition_by = self._read_manifest(base)["partition_by"] or None
         entries = self._write_data_files(df, partition_by)
-        return self._commit(entries, df, partition_by, base)
+        return self._commit(entries, df.schema, partition_by, base, {"op": "overwrite"})
 
     def append(self, df: DataFrame) -> int:
-        """Commit base's files + new files (no read of existing data)."""
+        """Commit base's files + new files (no read of existing data).
+
+        ``df`` may carry columns the table has never seen (additive
+        schema evolution): old files stay as written and read back NULL
+        for the new columns; it may also omit evolved columns, which
+        null-fill the other way. Type changes are rejected."""
         base = self.latest_version()
-        old = self._read_manifest(base)["files"] if base is not None else []
-        partition_by = self._read_manifest(base)["partition_by"] if base is not None else []
-        entries = old + self._write_data_files(df, partition_by or None)
-        return self._commit(entries, df, partition_by or None, base)
+        if base is None:
+            entries = self._write_data_files(df, None)
+            return self._commit(entries, df.schema, None, None, {"op": "append"})
+        man = self._read_manifest(base)
+        schema = self._evolved_schema(man, df)
+        partition_by = man["partition_by"]
+        entries = man["files"] + self._write_data_files(df, partition_by or None)
+        return self._commit(entries, schema, partition_by or None, base, {"op": "append"})
 
     def merge(
         self,
@@ -230,9 +313,12 @@ class ManifestTable:
         if base is None:
             first = merge_upsert_source_only(source, keys, order_col)
             entries = self._write_data_files(first, None)
-            return self._commit(entries, first, None, None)
+            return self._commit(entries, first.schema, None, None, {"op": "merge"})
         man = self._read_manifest(base)
         partition_by = man["partition_by"]
+        # order_col is merge metadata, not part of the result schema
+        # (unless the table already owns a column of that name)
+        schema = self._evolved_schema(man, source.drop(order_col) if order_col else source)
 
         untouched: list[dict] = []
         touched: list[dict] = man["files"]
@@ -247,12 +333,69 @@ class ManifestTable:
                 (touched if part in touched_parts else untouched).append(entry)
 
         if touched:
-            target = self._read_files(spark, touched)
+            # align the touched rows to the evolved schema first, so a
+            # source-introduced column survives merge_upsert's
+            # align-to-target step
+            target = _align(self._read_files(spark, touched), schema)
             merged = merge_upsert(target, source, keys, order_col=order_col)
         else:
-            merged = merge_upsert_source_only(source, keys, order_col)
+            merged = _align(merge_upsert_source_only(source, keys, order_col), schema)
         new_entries = self._write_data_files(merged, partition_by or None)
-        return self._commit(untouched + new_entries, merged, partition_by or None, base)
+        return self._commit(
+            untouched + new_entries, schema, partition_by or None, base, {"op": "merge"}
+        )
+
+    def delete_where(self, spark: SparkSession, predicate: str | Column) -> int:
+        """DELETE the rows matching ``predicate`` — copy-on-write,
+        file-pruned. Returns the new version (or the current one when
+        nothing matched: an empty delete publishes nothing).
+
+        The Delta/Iceberg copy-on-write DELETE shape, in two passes:
+
+        1. one scan over the snapshot with the predicate pushed into
+           the parquet reader finds which files actually contain a
+           matching row (footer min/max lets whole row groups — and
+           with them most files — be skipped without reading data).
+           The result is a driver-side file list, the same scale
+           contract as MERGE's touched-partition list;
+        2. only those files are read a second time and rewritten
+           without the matching rows; every untouched file is carried
+           into the new manifest by reference — never read, never
+           rewritten.
+
+        SQL DELETE semantics: rows where the predicate is NULL are
+        kept (only WHERE-true rows are removed).
+        """
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        man = self._read_manifest(base)
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+        scan = self._read_files(spark, man["files"], with_file_path=True)
+        hit_files = {
+            _strip_file_scheme(r["__file"])
+            for r in scan.filter(pred).select("__file").distinct().collect()
+        }
+        touched, untouched = [], []
+        for entry in man["files"]:
+            full = os.path.abspath(os.path.join(self.data_dir, entry["path"]))
+            (touched if full in hit_files else untouched).append(entry)
+        if not touched:
+            return base  # nothing matched; no new version
+
+        partition_by = man["partition_by"]
+        kept = self._read_files(spark, touched).filter(
+            ~F.coalesce(pred, F.lit(False))
+        )
+        schema = self._manifest_schema(man)
+        if schema is not None:
+            kept = _align(kept, schema)
+        else:
+            schema = kept.schema
+        new_entries = self._write_data_files(kept, partition_by or None)
+        op = {"op": "delete", "predicate": predicate if isinstance(predicate, str) else str(pred)}
+        return self._commit(untouched + new_entries, schema, partition_by or None, base, op)
 
     def diff(self, spark: SparkSession, from_version: int, to_version: int) -> DataFrame:
         """Change feed between two committed versions, computed from
