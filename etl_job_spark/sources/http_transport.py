@@ -28,6 +28,7 @@ human reruns the script. This transport is what
 from __future__ import annotations
 
 import time
+import zlib
 from collections.abc import Callable, Mapping
 
 DEFAULT_RETRY_STATUSES = frozenset({408, 429, 500, 502, 503, 504})
@@ -82,9 +83,10 @@ class HttpJsonTransport:
 
     def _sleep_before_retry(self, attempt: int, key: str) -> None:
         # deterministic jitter per (key, attempt): retries spread out
-        # but a rerun of the same failing key behaves identically
+        # but a rerun of the same failing key behaves identically —
+        # crc32, not hash(), which PYTHONHASHSEED salts per process
         span = min(self.backoff_cap, self.backoff_base * (2**attempt))
-        frac = (hash((key, attempt)) % 1000) / 1000.0
+        frac = (zlib.crc32(f"{key}:{attempt}".encode()) % 1000) / 1000.0
         time.sleep(span * (0.5 + 0.5 * frac))
 
     def __call__(self, sp_code: str, sale_date: str) -> str:

@@ -44,8 +44,11 @@ from __future__ import annotations
 
 import json
 import os
+import urllib.parse
 import uuid
 from collections.abc import Sequence
+
+import pyarrow.parquet as pq
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,14 +64,46 @@ def _manifest_name(version: int) -> str:
     return f"v{version:012d}.json"
 
 
-def _partition_values(rel_path: str) -> dict[str, str]:
-    """Hive-style ``key=value`` path segments → partition values."""
-    out: dict[str, str] = {}
+def _partition_values(rel_path: str) -> dict[str, str | None]:
+    """Hive-style ``key=value`` path segments → *logical* partition values.
+
+    Spark's writer percent-escapes special characters in path segments
+    and renders NULL as ``__HIVE_DEFAULT_PARTITION__``; manifests store
+    the decoded logical value (None for NULL) so MERGE's touched-
+    partition pruning compares values, not path spellings.
+    """
+    out: dict[str, str | None] = {}
     for seg in rel_path.split("/")[:-1]:
         if "=" in seg:
             k, _, v = seg.partition("=")
-            out[k] = v
+            out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else urllib.parse.unquote(v)
     return out
+
+
+def _footer_row_count(path: str) -> int:
+    """Row count from the parquet footer — no data pages read."""
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _strip_file_scheme(path: str) -> str:
+    """``file:``-scheme URI (as `_metadata.file_path` reports) → local
+    filesystem path, percent-decoding any escaped characters."""
+    if path.startswith("file:"):
+        return urllib.parse.unquote(urllib.parse.urlparse(path).path)
+    return path
+
+
+def _align(df: DataFrame, schema: StructType) -> DataFrame:
+    """Project ``df`` onto ``schema``: stable column order, NULL-fill
+    for columns the frame lacks (additive schema evolution)."""
+    return df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
 
 
 class ManifestTable:
@@ -323,8 +358,11 @@ class ManifestTable:
         untouched: list[dict] = []
         touched: list[dict] = man["files"]
         if partition_by and all(c in source.columns for c in partition_by):
+            # manifests store decoded logical values (None for NULL);
+            # render the source's the same way so NULL and escaped
+            # characters compare correctly
             touched_parts = {
-                tuple(str(r[c]) for c in partition_by)
+                tuple(None if r[c] is None else str(r[c]) for c in partition_by)
                 for r in source.select(*partition_by).distinct().collect()
             }
             touched, untouched = [], []
@@ -441,7 +479,7 @@ class ManifestTable:
         partition_by = self._read_manifest(base)["partition_by"] if base is not None else []
         out = df.repartition(n_files)
         entries = self._write_data_files(out, partition_by or None)
-        return self._commit(entries, out, partition_by or None, base)
+        return self._commit(entries, out.schema, partition_by or None, base, {"op": "compact"})
 
     # -- maintenance --------------------------------------------------
 
@@ -464,8 +502,12 @@ class ManifestTable:
                 if name.endswith(".parquet") and rel not in live:
                     os.unlink(full)
                     deleted += 1
-        for v in vs[: len(vs) - keep_last]:
-            os.unlink(os.path.join(self.manifest_dir, _manifest_name(v)))
+        # keep_last <= 0 retains every version's files above — retain
+        # their manifests too (deleting all manifests would leave data
+        # with zero committed versions)
+        if keep_last > 0:
+            for v in vs[:-keep_last]:
+                os.unlink(os.path.join(self.manifest_dir, _manifest_name(v)))
         # prune now-empty data subdirectories
         for root, dirs, names in os.walk(self.data_dir, topdown=False):
             if root != self.data_dir and not dirs and not names:
