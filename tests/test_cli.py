@@ -52,5 +52,12 @@ def test_table_subcommands(capsys, spark, tmp_path):
     changes = sorted((r["k"], r["v"], r["_change"]) for r in d["rows"])
     assert ("b", 3.0, "upsert") in changes
 
+    assert main(["table", "compact", "--path", path]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["version"] == 3  # compact commits a new version
+    assert main(["table", "show", "--path", path]) == 0
+    rows = json.loads(capsys.readouterr().out)["rows"]
+    assert sorted((r["k"], r["v"]) for r in rows) == [("a", 2.0), ("b", 3.0)]
+
     assert main(["table", "vacuum", "--path", path, "--keep-last", "1"]) == 0
     assert json.loads(capsys.readouterr().out)["deleted_files"] >= 1

@@ -183,6 +183,72 @@ def test_compact_reduces_files_preserving_rows(spark, tmp_path):
     assert _data(t.snapshot(spark, version=v - 1)) == [("a", "d1", 1.0), ("b", "d1", 2.0)]
 
 
+def test_delete_where_is_file_pruned(spark, tmp_path):
+    """Copy-on-write DELETE rewrites only files that hold a matching
+    row; every other file is carried by reference — same path, same
+    bytes — into the new manifest."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(
+        _df(spark, [("a", "d1", 1.0), ("b", "d1", 2.0), ("c", "d2", 3.0), ("d", "d3", 4.0)]),
+        partition_by=["dy"],
+    )
+    m1 = t._read_manifest(1)
+    cold = {
+        e["path"]: open(os.path.join(t.data_dir, e["path"]), "rb").read()
+        for e in m1["files"]
+        if e["partition"]["dy"] in ("d2", "d3")
+    }
+    v = t.delete_where(spark, "dy = 'd1' AND v < 2")
+    assert v == 2
+    m2 = {e["path"] for e in t._read_manifest(2)["files"]}
+    for path, original in cold.items():
+        assert path in m2  # carried by reference
+        assert open(os.path.join(t.data_dir, path), "rb").read() == original
+    assert _data(t.snapshot(spark)) == [("b", "d1", 2.0), ("c", "d2", 3.0), ("d", "d3", 4.0)]
+
+
+def test_delete_where_null_predicate_keeps_rows_and_empty_delete(spark, tmp_path):
+    """SQL DELETE semantics: predicate-NULL rows are kept; a delete
+    that matches nothing publishes no new version."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [("a", 1.0), ("b", None), ("c", 3.0)], "k string, v double"
+        )
+    )
+    v = t.delete_where(spark, "v > 2")  # NULL for b → kept
+    assert v == 2
+    assert sorted(r.k for r in t.snapshot(spark).collect()) == ["a", "b"]
+    assert t.delete_where(spark, "v > 100") == 2  # no match: same version
+
+
+def test_schema_evolution_append_null_fills_both_ways(spark, tmp_path):
+    """Additive evolution: new columns read back NULL for pre-evolution
+    files; a later append missing the evolved column NULL-fills too."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [("a", "d1", 1.0)]))
+    t.append(
+        spark.createDataFrame([("b", "d2", 2.0, "tag-b")], "k string, dy string, v double, tag string")
+    )
+    snap = t.snapshot(spark)
+    assert snap.columns == ["k", "dy", "v", "tag"]
+    got = {r.k: r.tag for r in snap.collect()}
+    assert got == {"a": None, "b": "tag-b"}  # old file NULL-fills
+    # append WITHOUT the evolved column: it null-fills the other way
+    t.append(_df(spark, [("c", "d3", 3.0)]))
+    got = {r.k: r.tag for r in t.snapshot(spark).collect()}
+    assert got == {"a": None, "b": "tag-b", "c": None}
+    # pre-evolution time travel still shows the original schema
+    assert t.snapshot(spark, version=1).columns == ["k", "dy", "v"]
+
+
+def test_schema_evolution_rejects_type_change(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [("a", "d1", 1.0)]))
+    with pytest.raises(ValueError, match="cannot change column"):
+        t.append(spark.createDataFrame([("b", "d2", "oops")], "k string, dy string, v string"))
+
+
 def test_upsert_stream_sink_manifest(spark, tmp_path):
     import os
 
