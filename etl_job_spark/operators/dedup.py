@@ -297,32 +297,38 @@ def connected_components(
 def simhash_signatures(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """32-bit SimHash: per-token md5 supplies the bit stream, term
     frequency the weight; each bit position takes the sign of the
-    weighted vote. Pure integer arithmetic end to end."""
-    tf = (
-        docs.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", F.md5("tok"))
+    weighted vote. Pure integer arithmetic end to end.
+
+    Bit-parallel formulation: ONE explode (token occurrences) and ONE
+    groupBy(doc_id) carrying 32 sum aggregates — one per bit — plus the
+    occurrence count. The algebra: the TF-weighted vote for bit j,
+    ``sum_over_distinct_tokens(cnt * (2*bit_j - 1))``, equals
+    ``2 * sum_over_occurrences(bit_j) - n_occurrences``, so neither the
+    per-(doc, token) TF groupBy nor a per-bit row explode is needed.
+    This replaced a 3-shuffle / 32x-row-explode pipeline: at corpus
+    scale the bit explode alone multiplied the largest intermediate by
+    the signature width; here every bit travels as a map-side-combined
+    integer column and the only shuffle is the final groupBy(doc_id).
+    Map-side combine makes the shuffle |docs| rows of 33 longs."""
+    occ = docs.select("doc_id", F.explode(tokens(text_col)).alias("tok")).select(
+        "doc_id",
+        # value of the first 8 md5 hex chars; nibble c of the hex string
+        # occupies bits [(7-c)*4, (7-c)*4 + 4) of this integer
+        F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)").alias("w"),
     )
-    votes = (
-        tf.select(
-            "doc_id",
-            "cnt",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-        )
-        # hex nibble at 1 + j/4 (1-based), bit (j%4) of its value
-        .withColumn("a", F.ascii(F.expr("substr(h, 1 + (j div 4), 1)")))
-        .withColumn("v", F.expr("CASE WHEN a BETWEEN 48 AND 57 THEN a - 48 ELSE a - 87 END"))
-        .withColumn("bit", F.expr("shiftright(v, j % 4) & 1"))
-        .groupBy("doc_id", "j")
-        .agg(F.sum(F.expr("cnt * (2 * bit - 1)")).alias("s"))
-    )
-    return (
-        votes.withColumn("bitval", F.expr("CASE WHEN s > 0 THEN 1 ELSE 0 END"))
-        .groupBy("doc_id")
-        .agg(F.expr("sum(shiftleft(cast(bitval as bigint), j))").alias("simhash"))
-    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j in range(bits):
+        # same bit mapping as the oracle: hex char (j div 4), bit (j%4)
+        # of its nibble value → global bit (7 - j div 4)*4 + (j%4)
+        b = (7 - j // 4) * 4 + (j % 4)
+        aggs.append(F.sum(F.expr(f"shiftright(w, {b}) & 1")).alias(f"c{j}"))
+    counts = occ.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for j in range(bits):
+        # vote sign: 2*c_j - n > 0  ⟺  2*c_j > n  (ties → bit 0)
+        term = F.when(2 * F.col(f"c{j}") > F.col("n"), F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return counts.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
 def connected_components_star(
