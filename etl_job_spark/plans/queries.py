@@ -280,6 +280,57 @@ query("kicc_merge_upsert", MERGE_SQL)(merge_sales_query)
 
 
 # ---------------------------------------------------------------------
+# K3 at table-format scale: two daily batches through ManifestTable
+# ---------------------------------------------------------------------
+
+VERSIONED_W1 = ("19980101", "19980114")
+VERSIONED_W2 = ("19980108", "19980121")  # overlaps W1 by a week
+
+VERSIONED_SQL = _with(kicc.SQL_KICC_SALES_DATA) + f"""
+, base AS (
+  SELECT sp_code, sale_date, total_amt, bill_qty FROM kicc_sales_data
+  WHERE sale_date BETWEEN '{VERSIONED_W1[0]}' AND '{VERSIONED_W1[1]}'
+), delta AS (
+  SELECT sp_code, sale_date, total_amt + 100.0 AS total_amt, bill_qty FROM kicc_sales_data
+  WHERE sale_date BETWEEN '{VERSIONED_W2[0]}' AND '{VERSIONED_W2[1]}'
+)
+SELECT b.sp_code, b.sale_date, b.total_amt, b.bill_qty
+FROM base b LEFT JOIN delta d ON b.sp_code = d.sp_code AND b.sale_date = d.sale_date
+WHERE d.sp_code IS NULL
+UNION ALL
+SELECT sp_code, sale_date, total_amt, bill_qty FROM delta
+"""
+
+
+def mart_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's daily re-run (load_sales_data.py:146-147) against
+    the engine's committed table format, end to end: day-1 batch lands
+    as version 1 of a date-partitioned ManifestTable, the overlapping
+    day-2 correction batch MERGEs as version 2 (file-pruned: W1-only
+    dates carry by reference, never rewritten), and the query returns
+    the committed snapshot. Exercises the commit protocol + pruned
+    MERGE + string-partition round-trip under the driver's oracle."""
+    import tempfile
+
+    from etl_job_spark.table import ManifestTable
+
+    staging = kicc.kicc_sales_data(spark, sf_dir).select(
+        "sp_code", "sale_date", "total_amt", "bill_qty"
+    )
+    day1 = staging.filter(F.col("sale_date").between(*VERSIONED_W1))
+    day2 = staging.filter(F.col("sale_date").between(*VERSIONED_W2)).withColumn(
+        "total_amt", F.col("total_amt") + 100.0
+    )
+    t = ManifestTable(tempfile.mkdtemp(prefix="kicc_mart_versioned_"))
+    t.overwrite(day1, partition_by=["sale_date"])
+    t.merge(spark, day2, keys=["sp_code", "sale_date"])
+    return t.snapshot(spark).select("sp_code", "sale_date", "total_amt", "bill_qty")
+
+
+query("kicc_mart_versioned", VERSIONED_SQL)(mart_versioned)
+
+
+# ---------------------------------------------------------------------
 # P1/P3/P4 row-level projection + filters
 # ---------------------------------------------------------------------
 

@@ -35,6 +35,7 @@ _DRIVER_WINDOW = [
     "kicc_anti_join",
     "kicc_calendar_plan",
     "kicc_scalar_dates",
+    "kicc_mart_versioned",  # K3 through ManifestTable (commit protocol)
     # Extension operators with no round-1 driver row (VERDICT §wrong #1)
     "text_lang_id",
     "corpus_filter_pipeline",
@@ -58,7 +59,6 @@ _DRIVER_WINDOW = [
     "text_stats",
     "text_token_count",
     "text_winnowing",
-    "text_fingerprint",
     # Analytics / window / set-op / streaming-twin components
     "pricing_summary",
     "shipping_priority",
@@ -84,8 +84,11 @@ _DRIVER_WINDOW = [
 # window_rank_family/first_last/top_orders/distinct_agg/rollup_flags/
 # events_sliding_hourly → §2.6 umbrella; local_supplier_revenue → join
 # shapes covered by kicc_enrich_store + shipping_priority; dedup_simhash
-# → dedup_simhash_pairs; text_quality_score ⊂ corpus_filter_pipeline.
+# → dedup_simhash_pairs; text_quality_score ⊂ corpus_filter_pipeline;
+# text_fingerprint → winnowing family (text_winnowing in-window) —
+# moved out to make room for kicc_mart_versioned (round-3 verdict #3).
 _TAIL = [
+    "text_fingerprint",
     "window_rank_family",
     "window_first_last",
     "top_orders",

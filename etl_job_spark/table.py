@@ -154,13 +154,10 @@ class ManifestTable:
         if schema is None:
             return df
         # present the committed (evolved) schema: stable column order,
-        # NULL for columns added after a file was written
-        return df.select(
-            *[
-                F.col(f.name) if f.name in df.columns else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ]
-        )
+        # NULL for columns added after a file was written, and partition
+        # columns (read back as strings — see _read_files) cast to their
+        # committed types
+        return _align(df, schema)
 
     @staticmethod
     def _manifest_schema(man: dict) -> StructType | None:
@@ -187,6 +184,15 @@ class ManifestTable:
         hidden ``_metadata`` column must be selected per scan, before
         the union erases the file-source relation).
         """
+        # hive partition values come back as raw strings, never
+        # inference-typed: '19980101' must not become an int, and
+        # '000003' inferred as 3 would silently lose its leading zeros.
+        # snapshot() casts them to the committed schema — the same
+        # string-in-the-log / cast-on-read contract Delta uses.
+        # (Reader-conf mutation at read time is a documented invariant
+        # here, like nanosAsLong in sources/catalog.py — the driver's
+        # bare session has no table-specific conf.)
+        spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         by_batch: dict[str, list[str]] = {}
         for e in entries:
             batch = e["path"].split("/", 1)[0]
@@ -455,8 +461,14 @@ class ManifestTable:
         if not only_a and not only_b:
             empty = self.snapshot(spark, to_version).limit(0)
             return empty.withColumn("_change", F.lit("upsert"))
-        old = self._read_files(spark, only_a) if only_a else None
-        new = self._read_files(spark, only_b) if only_b else None
+        schema = self._manifest_schema(b)
+
+        def _rd(entries: list[dict]) -> DataFrame:
+            df = self._read_files(spark, entries)
+            return _align(df, schema) if schema is not None else df
+
+        old = _rd(only_a) if only_a else None
+        new = _rd(only_b) if only_b else None
         if old is None:
             return new.withColumn("_change", F.lit("upsert"))
         if new is None:

@@ -242,6 +242,44 @@ def test_schema_evolution_append_null_fills_both_ways(spark, tmp_path):
     assert t.snapshot(spark, version=1).columns == ["k", "dy", "v"]
 
 
+def test_numeric_string_partition_values_round_trip(spark, tmp_path):
+    """Partition values are strings in the manifest and cast to the
+    committed schema on read — '000003' must NOT come back as int 3
+    (leading zeros gone), and a true int partition keeps its type."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [("000003", "19980101", 1.0), ("000010", "19980102", 2.0)],
+            "sp_code string, sale_date string, v double",
+        ),
+        partition_by=["sp_code", "sale_date"],
+    )
+    snap = t.snapshot(spark)
+    assert dict(snap.dtypes)["sp_code"] == "string"
+    assert sorted((r.sp_code, r.sale_date) for r in snap.collect()) == [
+        ("000003", "19980101"),
+        ("000010", "19980102"),
+    ]
+    # merge prunes on the string values correctly
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [("000003", "19980101", 9.0)], "sp_code string, sale_date string, v double"
+        ),
+        keys=["sp_code", "sale_date"],
+    )
+    got = {(r.sp_code, r.sale_date): r.v for r in t.snapshot(spark).collect()}
+    assert got == {("000003", "19980101"): 9.0, ("000010", "19980102"): 2.0}
+
+    # an int-typed partition column keeps its committed type on read
+    t2 = ManifestTable(str(tmp_path / "t2"))
+    t2.overwrite(
+        spark.createDataFrame([(7, "a")], "bucket int, v string"), partition_by=["bucket"]
+    )
+    assert dict(t2.snapshot(spark).dtypes)["bucket"] == "int"
+    assert t2.snapshot(spark).collect()[0].bucket == 7
+
+
 def test_schema_evolution_rejects_type_change(spark, tmp_path):
     t = ManifestTable(str(tmp_path / "t"))
     t.overwrite(_df(spark, [("a", "d1", 1.0)]))
