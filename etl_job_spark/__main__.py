@@ -43,6 +43,12 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--path", required=True)
     cp.add_argument("--rows-per-file", type=int, default=1_000_000)
 
+    ct = sub.add_parser("catalog", help="resolve logical tables from a catalog file")
+    ct.add_argument("action", choices=["names", "show"])
+    ct.add_argument("--catalog", required=True, help="path to a catalog JSON file")
+    ct.add_argument("--name", default=None, help="for show")
+    ct.add_argument("--limit", type=int, default=10)
+
     tb = sub.add_parser("table", help="inspect/maintain a ManifestTable")
     tb.add_argument("--path", required=True)
     tb.add_argument(
@@ -109,6 +115,21 @@ def main(argv: list[str] | None = None) -> int:
 
             n = sinks.compact(spark, args.path, target_rows_per_file=args.rows_per_file)
             print(json.dumps({"path": args.path, "files": n}))
+        elif args.cmd == "catalog":
+            from etl_job_spark.catalog import Catalog
+
+            cat = Catalog.from_json_file(args.catalog)
+            if args.action == "names":
+                print(json.dumps(cat.names()))
+            elif args.action == "show":
+                if args.name is None:
+                    print("catalog show requires --name", file=sys.stderr)
+                    return 2
+                df = cat.load(spark, args.name)
+                rows = [r.asDict(recursive=True) for r in df.limit(args.limit).collect()]
+                print(json.dumps(
+                    {"name": args.name, "backend": cat.describe(args.name)["backend"],
+                     "rows": rows}, default=str))
         elif args.cmd == "table":
             from etl_job_spark.table import ManifestTable
 
