@@ -286,7 +286,23 @@ def read_rate_events_stream(
     topic in this container: same downstream graph
     (watermark → window/dedup → foreachBatch merge), different source
     line. Event attributes derive arithmetically from the monotonic
-    ``value`` counter, so any batch's contents are reproducible."""
+    ``value`` counter, so any batch's contents are reproducible.
+
+    The production Kafka line (deferred here — no broker in the
+    container; see ROADMAP.md) replaces only the reader::
+
+        spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("subscribe", "events")
+            .option("startingOffsets", "earliest")
+            .option("maxOffsetsPerTrigger", 100_000)
+            .load()
+            .select(F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA).alias("e"))
+            .select("e.*")
+
+    with ``org.apache.spark:spark-sql-kafka-0-10_2.13`` (matching the
+    Spark version) on ``spark.jars.packages``. Everything downstream —
+    watermarks, windows, state store, sinks — is source-agnostic."""
     raw = (
         spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", rows_per_batch)
