@@ -2,17 +2,26 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
 ONE JSON line the driver records as BENCH_r{N}.json.
 
-Timing = per-query wall clock of plan construction + execution to a
-count-materializing action. Warm-up runs the flagship query once,
-untimed (reported as ``warmup_seconds``), so session start / codegen /
-parquet-footer costs aren't billed to the first timed query and
-per-query times are comparable round over round.
+Methodology (round 3): each query runs ``SPARK_GRAFT_BENCH_REPS``
+(default 3) times and reports the MEDIAN — a single-pass number moves
+with execution order (JIT warm-up, page cache, AQE state land on
+whichever query runs first; round 2 saw a 3x swing on text_lang_id
+purely from moving it to slot 11). The median of three warm runs is
+stable under reordering, so a round-over-round delta means the PLAN
+changed, not the schedule. Session-level warm-up (JVM, codegen,
+parquet footers) still runs once, untimed, as ``warmup_seconds``; the
+per-query spread ships as ``queries_spread`` [min, max] so order
+artifacts stay visible instead of silently polluting the headline.
+
+Timing = wall clock of plan construction + execution to a
+count-materializing action.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -22,6 +31,7 @@ from etl_job_spark.session import get_spark
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     spark = get_spark("etl-job-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -35,14 +45,22 @@ def main() -> None:
     print(f"# warmup ({first_name}): {warmup:.3f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
+        runs: list[float] = []
         try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.perf_counter() - t0, 4)
-            print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(runs), 4)
+            spread[name] = [round(min(runs), 4), round(max(runs), 4)]
+            print(
+                f"# {name}: {timings[name]:.3f}s (min {spread[name][0]:.3f}, "
+                f"max {spread[name][1]:.3f}) rows={n}",
+                file=sys.stderr,
+            )
         except Exception as exc:  # pragma: no cover - bench resilience
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
@@ -56,6 +74,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "warmup_seconds": warmup,
+        "reps": reps,
+        "queries_spread": spread,
     }
     if failures:
         out["failures"] = failures
