@@ -149,6 +149,35 @@ class Catalog:
             return
         raise ValueError(f"table {name!r}: backend {backend!r} is read-only")
 
+    def overwrite(
+        self,
+        spark: SparkSession,
+        name: str,
+        df: DataFrame,
+        partition_by: Sequence[str] | None = None,
+    ) -> None:
+        """K4 full refresh of a writable backend. Manifest tables get a
+        new committed version (readers of the old snapshot are safe —
+        which also makes read-transform-overwrite of the SAME table
+        safe, unlike an in-place parquet rewrite); JDBC uses truncating
+        overwrite so server-side DDL survives."""
+        spec = self._spec(name)
+        backend = spec["backend"]
+        if backend == "manifest":
+            from etl_job_spark.table import ManifestTable
+
+            ManifestTable(spec["path"]).overwrite(df, partition_by=partition_by)
+            return
+        if backend == "jdbc":
+            from etl_job_spark.sources.jdbc import write_table
+
+            write_table(
+                df, self._jdbc_cfg(spec), spec["table"], mode="overwrite",
+                truncate=bool(spec.get("truncate", True)),
+            )
+            return
+        raise ValueError(f"table {name!r}: backend {backend!r} is read-only")
+
     @staticmethod
     def _jdbc_cfg(spec: dict[str, Any]):
         from etl_job_spark.sources.jdbc import JdbcConfig

@@ -82,19 +82,10 @@ def ingest_sales(
     merge_upsert_path(spark, staging_path, staged, list(keys))
 
 
-def build_mart_store(
-    spark: SparkSession,
-    staging: DataFrame,
-    temp_dim: DataFrame,
-    easypos_dim: DataFrame,
-    mart_path: str,
-    direct_stores: Sequence[str] = (),
-) -> None:
-    """E2: staging → tb_sales_by_store shape (P2 renames + F1 cast,
-    kicc_to_tb_sales.py:71-86) merged on (chain_no, sale_dy), then the
-    three set-based UPDATEs (kicc_to_tb_sales.py:102-141) as one
-    broadcast-join pass, rewritten atomically."""
-    mart = staging.select(
+def _mart_store_shape(staging: DataFrame) -> DataFrame:
+    """tb_sales_by_store shape: P2 renames + F1 cast
+    (kicc_to_tb_sales.py:71-86)."""
+    return staging.select(
         F.col("sp_code").alias("chain_no"),
         F.date_format(F.to_date("sale_date", "yyyyMMdd"), "yyyy-MM-dd").alias("sale_dy"),
         F.col("sp_name").alias("chain_name"),
@@ -108,11 +99,19 @@ def build_mart_store(
         F.col("emoney_amt").alias("samsung_pay_maechool"),
         F.col("bill_qty").alias("pay_count"),
     )
-    merge_upsert_path(spark, mart_path, mart, ["chain_no", "sale_dy"])
 
-    enriched = (
-        spark.read.parquet(mart_path)
-        .join(F.broadcast(temp_dim.select("chain_no", "resp")), "chain_no", "left")
+
+def _enrich_store(
+    mart: DataFrame,
+    temp_dim: DataFrame,
+    easypos_dim: DataFrame,
+    direct_stores: Sequence[str],
+) -> DataFrame:
+    """The three set-based UPDATEs (kicc_to_tb_sales.py:102-141) as one
+    broadcast-join pass: J1 responsible ← resp, J2 xy ← xy_degree,
+    P6/P7 '직영' where unmatched AND in-list."""
+    return (
+        mart.join(F.broadcast(temp_dim.select("chain_no", "resp")), "chain_no", "left")
         .join(F.broadcast(easypos_dim.select("chain_no", "xy_degree")), "chain_no", "left")
         .withColumn(
             "responsible",
@@ -123,10 +122,58 @@ def build_mart_store(
         .withColumn("xy", F.col("xy_degree"))
         .drop("resp", "xy_degree")
     )
+
+
+def build_mart_store(
+    spark: SparkSession,
+    staging: DataFrame,
+    temp_dim: DataFrame,
+    easypos_dim: DataFrame,
+    mart_path: str,
+    direct_stores: Sequence[str] = (),
+) -> None:
+    """E2: staging → tb_sales_by_store shape merged on
+    (chain_no, sale_dy), then enrichment rewritten atomically."""
+    mart = _mart_store_shape(staging)
+    merge_upsert_path(spark, mart_path, mart, ["chain_no", "sale_dy"])
+
+    enriched = _enrich_store(
+        spark.read.parquet(mart_path), temp_dim, easypos_dim, direct_stores
+    )
     # enrichment re-derives every row (and may ADD columns on first
     # run), so it's an atomic rewrite of the table it reads — not a
     # merge, which aligns to the pre-enrichment schema
     overwrite_inplace(enriched, mart_path)
+
+
+def build_mart_store_catalog(
+    spark: SparkSession,
+    cat,
+    *,
+    staging: str = "kicc_sales_data",
+    temp_dim: str = "tb_store_temp",
+    easypos_dim: str = "tb_store_easypos",
+    mart: str = "tb_sales_by_store",
+    direct_stores: Sequence[str] = (),
+) -> None:
+    """E2 with every table resolved by logical name through a
+    ``Catalog`` — the deployment-shaped entry point: the same pipeline
+    runs against parquet fixtures, a ManifestTable mart, or a JDBC
+    mart by editing the catalog file, never this code.
+
+    The enrichment rewrite goes through ``cat.overwrite``: on a
+    manifest backend that's a new committed version, so reading the
+    mart while rewriting it is snapshot-safe (no staging-directory
+    dance like the parquet-path variant needs)."""
+    mart_df = _mart_store_shape(cat.load(spark, staging))
+    cat.merge(spark, mart, mart_df, keys=["chain_no", "sale_dy"])
+    enriched = _enrich_store(
+        cat.load(spark, mart),
+        cat.load(spark, temp_dim),
+        cat.load(spark, easypos_dim),
+        direct_stores,
+    )
+    cat.overwrite(spark, mart, enriched)
 
 
 def refresh_continuous_aggregate(

@@ -127,6 +127,56 @@ def test_mart_store_pipeline(spark, sf_dir, tmp_path):
     assert s1 == s2
 
 
+def test_mart_store_pipeline_catalog_backend(spark, sf_dir, tmp_path):
+    """The catalog-driven E2 produces the same mart as the path-based
+    one, with the mart living in a ManifestTable resolved by name —
+    swapping storage is a catalog edit, not a pipeline change."""
+    from etl_job_spark.catalog import Catalog
+    from etl_job_spark.table import ManifestTable
+
+    staging = kicc.kicc_sales_data(spark, sf_dir)
+    temp = kicc.tb_store_temp(spark, sf_dir)
+    easy = kicc.tb_store_easypos(spark, sf_dir)
+
+    # materialize staging/dims as the E1 outputs they model
+    stg_path = str(tmp_path / "staging")
+    tmp_dim_path = str(tmp_path / "temp_dim")
+    easy_path = str(tmp_path / "easy_dim")
+    staging.write.parquet(stg_path)
+    temp.write.parquet(tmp_dim_path)
+    easy.write.parquet(easy_path)
+
+    mart_path = str(tmp_path / "mart_manifest")
+    cat = Catalog(
+        {
+            "kicc_sales_data": {"backend": "parquet", "path": stg_path},
+            "tb_store_temp": {"backend": "parquet", "path": tmp_dim_path},
+            "tb_store_easypos": {"backend": "parquet", "path": easy_path},
+            "tb_sales_by_store": {"backend": "manifest", "path": mart_path},
+        }
+    )
+    direct = ("000005",)
+    pipelines.build_mart_store_catalog(spark, cat, direct_stores=direct)
+
+    # reference result from the path-based variant
+    ref_path = str(tmp_path / "mart_parquet")
+    pipelines.build_mart_store(spark, staging, temp, easy, ref_path, direct_stores=direct)
+
+    cols = ["chain_no", "sale_dy", "chong_maechool", "responsible", "xy"]
+    got = sorted(tuple(str(v) for v in r) for r in cat.load(spark, "tb_sales_by_store").select(*cols).collect())
+    want = sorted(tuple(str(v) for v in r) for r in spark.read.parquet(ref_path).select(*cols).collect())
+    assert got == want
+
+    # the enrichment rewrite committed a second version (merge, then
+    # overwrite) — snapshot isolation all the way through
+    assert ManifestTable(mart_path).versions() == [1, 2]
+
+    # idempotent: rebuilding converges (two more versions, same rows)
+    pipelines.build_mart_store_catalog(spark, cat, direct_stores=direct)
+    again = sorted(tuple(str(v) for v in r) for r in cat.load(spark, "tb_sales_by_store").select(*cols).collect())
+    assert again == got
+
+
 def test_continuous_aggregate_incremental_refresh(spark, sf_dir, tmp_path):
     """Refreshing two half-windows (plus an overlapping re-refresh)
     must equal the one-shot full rollup — the hypertable refresh
