@@ -57,3 +57,41 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     for r in approx.collect():
         if (r.q_id, r.n_id) in e_cos:
             assert r.cosine == e_cos[(r.q_id, r.n_id)]
+
+
+def test_ivf_persisted_index_matches_and_prunes(spark, sf_dir, tmp_path):
+    """build-once/search-many: identical results to the self-contained
+    ivf_topk, and the search scan is pruned to the probed lists' files
+    (the on-disk inverted-list contract)."""
+    import contextlib
+    import io
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    idx = str(tmp_path / "ivf")
+    similarity.ivf_build_index(emb, idx, n_centroids=16, n_iters=3)
+
+    got = similarity.ivf_search(spark, idx, queries, k=5, n_probe=4)
+    want = similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4, n_iters=3)
+    g = sorted((r.q_id, r.n_id, r.cosine, r.rk) for r in got.collect())
+    w = sorted((r.q_id, r.n_id, r.cosine, r.rk) for r in want.collect())
+    assert g == w
+
+    # the probed-list filter reaches the scan as a partition filter —
+    # unprobed inverted lists are never read
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cid" in plan
+
+    # the same filter shape on the raw assignment shows the pruned
+    # partition predicate at the scan (inputFiles() can't witness
+    # pruning — it reads the unfiltered relation — so the plan is the
+    # evidence, as with PushedFilters pins elsewhere)
+    pruned = spark.read.parquet(idx + "/assignment").filter(F.col("cid").isin([0, 1]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain(mode="formatted")
+    pf_lines = [ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln]
+    assert pf_lines and "cid" in pf_lines[0] and "[]" not in pf_lines[0]
