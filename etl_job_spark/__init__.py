@@ -9,7 +9,8 @@ pruning / join selection), broadcast joins for small dims, explicit
 partitioning on merge keys, and no driver-side row loops anywhere.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
+from etl_job_spark.catalog import Catalog  # noqa: F401
 from etl_job_spark.session import get_spark  # noqa: F401
 from etl_job_spark.table import ManifestTable  # noqa: F401

@@ -52,9 +52,9 @@ def main(argv: list[str] | None = None) -> int:
     tb = sub.add_parser("table", help="inspect/maintain a ManifestTable")
     tb.add_argument("--path", required=True)
     tb.add_argument(
-        "action", choices=["versions", "show", "diff", "compact", "vacuum"]
+        "action", choices=["versions", "show", "diff", "compact", "vacuum", "restore"]
     )
-    tb.add_argument("--version", type=int, default=None, help="for show")
+    tb.add_argument("--version", type=int, default=None, help="for show/restore")
     tb.add_argument("--from", dest="from_v", type=int, default=None, help="for diff")
     tb.add_argument("--to", dest="to_v", type=int, default=None, help="for diff")
     tb.add_argument("--keep-last", type=int, default=2, help="for vacuum")
@@ -156,6 +156,13 @@ def main(argv: list[str] | None = None) -> int:
             elif args.action == "vacuum":
                 n = t.vacuum(keep_last=args.keep_last)
                 print(json.dumps({"path": args.path, "deleted_files": n}))
+            elif args.action == "restore":
+                if args.version is None:
+                    print("table restore requires --version", file=sys.stderr)
+                    return 2
+                v = t.restore(spark, args.version)
+                print(json.dumps(
+                    {"path": args.path, "restored": args.version, "version": v}))
     finally:
         if owns_session:
             spark.stop()

@@ -493,6 +493,26 @@ class ManifestTable:
         entries = self._write_data_files(out, partition_by or None)
         return self._commit(entries, out.schema, partition_by or None, base, {"op": "compact"})
 
+    def restore(self, spark: SparkSession, version: int) -> int:
+        """Roll the table back to ``version`` by committing its file
+        list as a NEW version (history is append-only — a bad commit is
+        undone by a commit, never by deleting manifests, so concurrent
+        readers and the version audit trail stay intact; the Delta
+        RESTORE shape). Metadata-only: no data file is read or written.
+        Returns the new version number."""
+        man = self._read_manifest(version)  # raises if version unknown
+        base = self.latest_version()
+        schema = self._manifest_schema(man)
+        if schema is None:
+            schema = self.snapshot(spark, version).schema
+        return self._commit(
+            man["files"],
+            schema,
+            man["partition_by"] or None,
+            base,
+            {"op": "restore", "restored_version": version},
+        )
+
     # -- maintenance --------------------------------------------------
 
     def vacuum(self, keep_last: int = 1) -> int:

@@ -59,5 +59,12 @@ def test_table_subcommands(capsys, spark, tmp_path):
     rows = json.loads(capsys.readouterr().out)["rows"]
     assert sorted((r["k"], r["v"]) for r in rows) == [("a", 2.0), ("b", 3.0)]
 
+    assert main(["table", "restore", "--path", path, "--version", "1"]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["restored"] == 1 and res["version"] == 4
+    assert main(["table", "show", "--path", path]) == 0
+    rows = json.loads(capsys.readouterr().out)["rows"]
+    assert sorted((r["k"], r["v"]) for r in rows) == [("a", 1.0)]  # pre-merge state
+
     assert main(["table", "vacuum", "--path", path, "--keep-last", "1"]) == 0
     assert json.loads(capsys.readouterr().out)["deleted_files"] >= 1

@@ -287,6 +287,24 @@ def test_schema_evolution_rejects_type_change(spark, tmp_path):
         t.append(spark.createDataFrame([("b", "d2", "oops")], "k string, dy string, v string"))
 
 
+def test_restore_rolls_back_by_committing_forward(spark, tmp_path):
+    """RESTORE = re-commit an old version's file list as a new version:
+    metadata-only (byte-identical files carried by reference), history
+    append-only, and vacuum keeps the restored files alive."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [("a", "d1", 1.0)]))
+    t.overwrite(_df(spark, [("z", "d9", 9.0)]))  # the "bad" commit
+    v = t.restore(spark, 1)
+    assert v == 3 and t.versions() == [1, 2, 3]
+    assert _data(t.snapshot(spark)) == [("a", "d1", 1.0)]
+    # metadata-only: v3 references exactly v1's files
+    assert t._read_manifest(3)["files"] == t._read_manifest(1)["files"]
+    assert t._read_manifest(3)["operation"] == {"op": "restore", "restored_version": 1}
+    # vacuum to the restore point: restored files survive, v2's don't
+    t.vacuum(keep_last=1)
+    assert _data(t.snapshot(spark)) == [("a", "d1", 1.0)]
+
+
 def test_upsert_stream_sink_manifest(spark, tmp_path):
     import os
 
