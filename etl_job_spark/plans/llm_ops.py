@@ -991,3 +991,54 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
     return similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4, n_iters=3)
+
+
+# ---------------------------------------------------------------------
+# Training-mix sampling: deterministic splits + per-source caps
+# ---------------------------------------------------------------------
+
+CORPUS_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+  FROM documents
+) t
+"""
+
+
+@query("corpus_split", CORPUS_SPLIT_SQL)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = md5(doc_id)
+    mod 100 — membership is a property of the row, so re-runs,
+    repartitions, and corpus growth never move a document between
+    splits (the invariant RNG-seeded sample() cannot give)."""
+    from etl_job_spark.operators.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_split(docs, "doc_id").select("doc_id", "split")
+
+
+CAP_PER_SOURCE_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) t WHERE rn <= 50
+"""
+
+
+@query("corpus_cap_per_source", CAP_PER_SOURCE_SQL)
+def corpus_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap (max 50 docs each) selected by hash order — a
+    uniform deterministic "random K" per group, not the K oldest ids.
+    The training-mix balancing primitive: one window shuffle on the
+    group key."""
+    from etl_job_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_group(docs, ["source"], 50).select("doc_id", "source")

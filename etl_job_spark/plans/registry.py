@@ -99,6 +99,10 @@ _TAIL = [
     "dedup_simhash",
     "text_quality_score",
     "embed_ivf_topk",  # rows-only: iterative k-means (tests pin recall)
+    # round-3 additions: exact oracles in tests/test_oracle_diff.py;
+    # outside the window because the 50 slots stay one-per-component
+    "corpus_split",
+    "corpus_cap_per_source",
 ]
 
 
