@@ -75,31 +75,33 @@ def winnowing_fingerprints(
 
     Hash = first 8 hex digits of md5(gram) as an integer: engine-
     portable (identical in the DuckDB oracle) and well-distributed.
-    One explode + one window + one distinct; everything stays keyed by
-    doc_id, so the window sort never crosses documents."""
-    from pyspark.sql import Window as W
 
-    c = F.lower(F.trim(F.col(text_col)))
-    grams = F.expr(
-        f"transform(sequence(1, greatest(length(lower(trim({text_col}))) - {k - 1}, 0)),"
-        f" i -> substring(lower(trim({text_col})), i, {k}))"
+    Entirely within-row: the gram-hash array, the per-window minima,
+    and the dedup (``array_distinct`` — fingerprints of one document
+    live in one row) are all higher-order array expressions in one
+    codegen stage, so the operator needs ZERO shuffles — no per-gram
+    explode, no window sort, no global distinct. This replaced an
+    explode + two doc-keyed window functions + distinct formulation
+    whose per-gram intermediate (one row per character position) was
+    the largest thing the text ladder materialized."""
+    t = f"lower(trim({text_col}))"
+    hashes = (
+        f"case when length({t}) < {k} then array() else "
+        f"transform(sequence(1, length({t}) - {k - 1}),"
+        f" i -> cast(conv(substring(md5(substring({t}, i, {k})), 1, 8), 16, 10) as bigint))"
+        f" end"
     )
-    g = docs.select("doc_id", F.posexplode(grams).alias("pos", "gram")).withColumn(
-        "h", F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+    g = docs.select("doc_id", F.expr(hashes).alias("hs"))
+    # window min unrolled to least(hs[i], …, hs[i+w-1]) — element_at
+    # is O(1) and allocates nothing (slice+array_min built one array
+    # per window position, which cost more than the shuffle it saved)
+    reads = ", ".join(f"element_at(hs, i + {j})" for j in range(window))
+    wins = (
+        f"case when size(hs) < {window} then array() else "
+        f"array_distinct(transform(sequence(1, size(hs) - {window - 1}),"
+        f" i -> least({reads}))) end"
     )
-    n_windows = F.max("pos").over(W.partitionBy("doc_id")) - (window - 1)
-    wmin = (
-        W.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(W.currentRow, window - 1)
-    )
-    return (
-        g.withColumn("minh", F.min("h").over(wmin))
-        .withColumn("n_windows", n_windows)
-        .filter(F.col("pos") <= F.col("n_windows"))
-        .select("doc_id", "minh")
-        .distinct()
-    )
+    return g.select("doc_id", F.explode(F.expr(wins)).alias("minh"))
 
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -30,6 +30,30 @@ from etl_job_spark.operators.text import (
 from etl_job_spark.plans.queries import query
 from etl_job_spark.sources import load_table
 
+
+def _load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a bounded corpus table hash-spread across the session's
+    cores. At test/bench SFs, documents/embeddings arrive as ONE
+    parquet split, so a query whose heavy work lives in the scan stage
+    runs it as a single task while the other cores idle; the
+    repartition is one tiny shuffle of raw rows that restores
+    parallelism.
+
+    Applied ONLY where measured to win: text_winnowing, whose per-
+    character md5 ladder is ~4M hash calls of pure map-side compute
+    (4.7s -> 0.7s warm at sf0.1). Every other corpus query either
+    shuffles immediately anyway (token/shingle groupBys re-spread for
+    free, so the extra exchange only adds cost), runs an iterative
+    loop whose per-stage overhead dominates (CC, IVF), or is too light
+    to matter — all measured flat-to-slower when spread. At production
+    scale the input has many splits and the scan parallelizes itself;
+    this helper exists for small-file corpora with scan-stage-heavy
+    plans."""
+    return load_table(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # ------------------------------------------------------- shared SQL fragments
 
 SQL_TOK = r"""
@@ -605,7 +629,7 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum so the result is scalar-comparable."""
     from etl_job_spark.operators.text import winnowing_fingerprints
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_spread(spark, sf_dir, "documents")
     fps = winnowing_fingerprints(docs, k=WINNOW_K, window=WINNOW_W)
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fingerprints"),
