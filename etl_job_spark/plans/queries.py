@@ -376,10 +376,28 @@ WHERE EXISTS (
 
 def semi_join_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 done set-oriented: one left_semi join replaces the reference's
-    N per-row COUNT(*) probes (load_sales_data.py:35-40)."""
+    N per-row COUNT(*) probes (load_sales_data.py:35-40).
+
+    The existence probe needs only WHICH stores sold in the window —
+    a store exists in kicc_sales_data iff it has a lineitem there — so
+    the probe side is the raw fact's key column with a pushed date
+    filter, not the full store-day money rollup the staging view
+    computes (EXISTS never needs the aggregates it would discard)."""
+    from etl_job_spark.sources import load_table
+
     stores = kicc.kicc_store_list(spark, sf_dir)
-    sales = kicc.kicc_sales_data(spark, sf_dir).filter(F.col("sale_date").between(*PROD_WINDOW))
-    return stores.join(sales, "sp_code", "left_semi").select(
+    lo, hi = PROD_WINDOW
+    sold = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_shipdate").between(
+                F.to_date(F.lit(f"{lo[:4]}-{lo[4:6]}-{lo[6:]}")),
+                F.to_date(F.lit(f"{hi[:4]}-{hi[4:6]}-{hi[6:]}")),
+            )
+        )
+        .select(F.lpad(F.col("l_suppkey").cast("string"), 6, "0").alias("sp_code"))
+    )
+    return stores.join(sold, "sp_code", "left_semi").select(
         "sp_code", "sp_name", "area_code", "open_flag"
     )
 
@@ -397,9 +415,19 @@ WHERE NOT EXISTS (
 
 
 def anti_join_products(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_anti: products never sold (the not-exists branch of J5)."""
+    """left_anti: products never sold (the not-exists branch of J5).
+
+    An item appears in kicc_store_product_sales iff some lineitem
+    references its part, so the probe side is the fact's single key
+    column — not the staging view's lineitem⋈part 4-key rollup, whose
+    aggregates NOT EXISTS would discard anyway. One column scanned,
+    map-side combined by the anti join's build."""
+    from etl_job_spark.sources import load_table
+
     prods = kicc.kicc_product_list(spark, sf_dir)
-    sold = kicc.kicc_store_product_sales(spark, sf_dir).select("item_code")
+    sold = load_table(spark, sf_dir, "lineitem").select(
+        F.lpad(F.col("l_partkey").cast("string"), 8, "0").alias("item_code")
+    )
     return prods.join(sold, "item_code", "left_anti").select("item_code", "item_name")
 
 
