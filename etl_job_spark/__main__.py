@@ -52,7 +52,8 @@ def main(argv: list[str] | None = None) -> int:
     tb = sub.add_parser("table", help="inspect/maintain a ManifestTable")
     tb.add_argument("--path", required=True)
     tb.add_argument(
-        "action", choices=["versions", "show", "diff", "compact", "vacuum", "restore"]
+        "action",
+        choices=["versions", "history", "show", "diff", "compact", "vacuum", "restore"],
     )
     tb.add_argument("--version", type=int, default=None, help="for show/restore")
     tb.add_argument("--from", dest="from_v", type=int, default=None, help="for diff")
@@ -136,6 +137,8 @@ def main(argv: list[str] | None = None) -> int:
             t = ManifestTable(args.path)
             if args.action == "versions":
                 print(json.dumps({"path": args.path, "versions": t.versions()}))
+            elif args.action == "history":
+                print(json.dumps({"path": args.path, "history": t.history()}))
             elif args.action == "show":
                 df = t.snapshot(spark, version=args.version)
                 rows = [r.asDict(recursive=True) for r in df.limit(args.limit).collect()]

@@ -15,6 +15,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 PUNCT_CLASS = "[.,!?;:]"
+
+# PII patterns deliberately restricted to syntax both Java regex
+# (Spark) and RE2 (the DuckDB oracle) treat identically: character
+# classes and bounded repetition only — no backreferences, lookaround,
+# or alternation whose preference order differs between engines.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d[\d ]{7,}\d"
 # BPE-ish pre-tokenizer: alpha runs | digit runs | single non-space symbol
 BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
@@ -62,6 +69,31 @@ def fingerprint(col: Column | str) -> Column:
     whitespace-normalized lowercased text."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def redact_pii(
+    col: Column | str,
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> Column:
+    """Replace email addresses and international-format phone numbers
+    with placeholder tokens — the pre-training scrub pass. Pure JVM
+    ``regexp_replace`` chain (emails first: they contain no spaces, so
+    the phone pattern can never span one); counting matches for audit
+    is ``pii_count`` below."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, email_token), PHONE_RE, phone_token
+    )
+
+
+def pii_count(col: Column | str) -> Column:
+    """Number of PII matches ``redact_pii`` would replace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0))
+        + F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0))
+    ).cast("bigint")
 
 
 def winnowing_fingerprints(

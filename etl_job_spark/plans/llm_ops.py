@@ -1066,3 +1066,52 @@ def corpus_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cap_per_group(docs, ["source"], 50).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------
+# PII redaction (pre-training scrub pass)
+# ---------------------------------------------------------------------
+
+REDACT_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 555 000 ' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+\d[\d ]{7,}\d', '<PHONE>', 'g') AS text_redacted,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(t, '\+\d[\d ]{7,}\d')) AS BIGINT) AS n_redactions
+FROM planted
+"""
+
+
+@query("text_redact_pii", REDACT_SQL)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a corpus with planted emails/phones (synthesized
+    from doc_id identically in both engines, like the near-dup corpus
+    plants duplicates): emails and international phone numbers become
+    placeholder tokens, with a per-document redaction count for the
+    audit trail. Pure JVM regexp chain — patterns restricted to
+    syntax Java regex and RE2 evaluate identically."""
+    from etl_job_spark.operators.text import pii_count, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 000 "),
+            F.col("doc_id").cast("string"),
+        ).alias("t"),
+    )
+    return planted.select(
+        "doc_id",
+        redact_pii("t").alias("text_redacted"),
+        pii_count("t").alias("n_redactions"),
+    )

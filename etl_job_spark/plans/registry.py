@@ -103,6 +103,7 @@ _TAIL = [
     # outside the window because the 50 slots stay one-per-component
     "corpus_split",
     "corpus_cap_per_source",
+    "text_redact_pii",
 ]
 
 

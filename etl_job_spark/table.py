@@ -493,6 +493,27 @@ class ManifestTable:
         entries = self._write_data_files(out, partition_by or None)
         return self._commit(entries, out.schema, partition_by or None, base, {"op": "compact"})
 
+    def history(self) -> list[dict]:
+        """Audit trail from the manifests: one row per retained
+        version with its operation tag, file count, and footer row
+        total — the reference's per-row audit log
+        (load_sales_data.py:130-133) replaced by commit-level lineage
+        that costs one JSON read per version, no data I/O."""
+        out = []
+        for v in self.versions():
+            man = self._read_manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "base_version": man.get("base_version"),
+                    "operation": man.get("operation") or {},
+                    "n_files": len(man["files"]),
+                    "rows": sum(e.get("rows") or 0 for e in man["files"]),
+                    "partition_by": man.get("partition_by") or [],
+                }
+            )
+        return out
+
     def restore(self, spark: SparkSession, version: int) -> int:
         """Roll the table back to ``version`` by committing its file
         list as a NEW version (history is append-only — a bad commit is

@@ -59,6 +59,14 @@ def test_table_subcommands(capsys, spark, tmp_path):
     rows = json.loads(capsys.readouterr().out)["rows"]
     assert sorted((r["k"], r["v"]) for r in rows) == [("a", 2.0), ("b", 3.0)]
 
+    assert main(["table", "history", "--path", path]) == 0
+    hist = json.loads(capsys.readouterr().out)["history"]
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert hist[0]["operation"]["op"] == "overwrite"
+    assert hist[1]["operation"]["op"] == "merge"
+    assert hist[2]["operation"]["op"] == "compact"
+    assert hist[2]["rows"] == 2  # footer row counts survive into the trail
+
     assert main(["table", "restore", "--path", path, "--version", "1"]) == 0
     res = json.loads(capsys.readouterr().out)
     assert res["restored"] == 1 and res["version"] == 4
