@@ -10,8 +10,17 @@ purely from moving it to slot 11). The median of three warm runs is
 stable under reordering, so a round-over-round delta means the PLAN
 changed, not the schedule. Session-level warm-up (JVM, codegen,
 parquet footers) still runs once, untimed, as ``warmup_seconds``; the
-per-query spread ships as ``queries_spread`` [min, max] so order
+per-query spread ships as ``BENCH_SPREAD.json`` [min, max] so order
 artifacts stay visible instead of silently polluting the headline.
+
+Round-4 contract fix (VERDICT r3 #1): the single stdout JSON line is
+COMPACT — metric/value/unit/queries/sf/n_queries only.  Round 3 put
+``queries_spread`` (+reps/failures) on the same line and it outgrew
+the driver's tail-capture window, so BENCH_r03.json recorded
+``parsed: null`` and the round's perf gate was unverifiable.  The
+spread, reps, warmup, and failure detail now land in
+``BENCH_SPREAD.json`` next to this file and on stderr; stdout stays
+parseable no matter how many queries register.
 
 Timing = wall clock of plan construction + execution to a
 count-materializing action.
@@ -54,7 +63,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
                 runs.append(time.perf_counter() - t0)
-            timings[name] = round(statistics.median(runs), 4)
+            timings[name] = round(statistics.median(runs), 3)
             spread[name] = [round(min(runs), 4), round(max(runs), 4)]
             print(
                 f"# {name}: {timings[name]:.3f}s (min {spread[name][0]:.3f}, "
@@ -66,6 +75,9 @@ def main() -> None:
             print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+    # Compact stdout line only — the driver tail-captures stdout and a
+    # long line breaks parsing (BENCH_r03.json: parsed null).  Detail
+    # goes to BENCH_SPREAD.json + stderr.
     out = {
         "metric": "total_query_seconds",
         "value": total,
@@ -73,13 +85,31 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
-        "warmup_seconds": warmup,
-        "reps": reps,
-        "queries_spread": spread,
     }
+    detail = {
+        "reps": reps,
+        "warmup_seconds": warmup,
+        "queries_spread": spread,
+        "failures": failures,
+        "sf": sf,
+        "total_median_seconds": total,
+    }
+    spread_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json")
+    try:
+        with open(spread_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError as exc:  # pragma: no cover - bench resilience
+        print(f"# could not write {spread_path}: {exc}", file=sys.stderr)
+    print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
     if failures:
-        out["failures"] = failures
-    print(json.dumps(out))
+        print(f"# {len(failures)} FAILED queries: {sorted(failures)}", file=sys.stderr)
+    line = json.dumps(out, separators=(",", ":"))
+    # The driver tail-captures the last ~2000 chars of stdout; a longer
+    # line records parsed:null.  64 queries at 3 decimals is ~1.7k —
+    # warn loudly if growth ever threatens the budget.
+    if len(line) > 1900:  # pragma: no cover - growth guard
+        print(f"# WARNING stdout line {len(line)} chars, driver window ~2000", file=sys.stderr)
+    print(line)
     spark.stop()
 
 

@@ -34,6 +34,14 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     "zh": ["的", "是", "了"],
 }
 
+# Languages written without word separators: anchor matching must be
+# raw substring occurrence, not space-padded occurrence — genuine
+# Chinese text has no spaces, so the padded count is always 0 and the
+# language could never be predicted (r3 VERDICT wrong-#3).  The
+# anchors are CJK codepoints that essentially never appear in
+# space-delimited scripts, so unpadded counting stays precise.
+UNSEGMENTED_LANGS = frozenset({"zh"})
+
 
 def tokens(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -54,13 +62,25 @@ def bpe_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_PATTERN), 0)).cast("bigint")
 
 
-def stopword_hits(col_name: str, words: list[str]) -> Column:
-    """Total padded-occurrence count of the given stopwords."""
-    padded = f"concat(' ', lower({col_name}), ' ')"
-    parts = [
-        f"(length({padded}) - length(replace({padded}, ' {w} '))) div {len(w) + 2}"
-        for w in words
-    ]
+def stopword_hits(col_name: str, words: list[str], padded: bool = True) -> Column:
+    """Total occurrence count of the given stopword anchors.
+
+    ``padded=True`` (space-delimited scripts) counts whole-word
+    occurrences by space-padding; ``padded=False`` (unsegmented
+    scripts — CJK) counts raw substring occurrences, since the text
+    has no word separators to pad against."""
+    if padded:
+        src = f"concat(' ', lower({col_name}), ' ')"
+        parts = [
+            f"(length({src}) - length(replace({src}, ' {w} '))) div {len(w) + 2}"
+            for w in words
+        ]
+    else:
+        src = f"lower({col_name})"
+        parts = [
+            f"(length({src}) - length(replace({src}, '{w}'))) div {len(w)}"
+            for w in words
+        ]
     return F.expr(" + ".join(parts)).cast("bigint")
 
 

@@ -77,7 +77,10 @@ _DRIVER_WINDOW = [
     "events_exact_percentiles",
     "asof_view_attribution",
     "events_sessionize",
-    "sketch_cardinalities",  # rows-only by design (no SQL oracle)
+    # round-4 swap (r3 VERDICT #5): sketch_cardinalities is rows-only
+    # forever (engine-specific HLL++); window_rank_family has an exact
+    # oracle, so it takes the 50th slot → 50/50 hash-green window.
+    "window_rank_family",
 ]
 
 # Past the window: variants of components already verified above.
@@ -88,8 +91,8 @@ _DRIVER_WINDOW = [
 # text_fingerprint → winnowing family (text_winnowing in-window) —
 # moved out to make room for kicc_mart_versioned (round-3 verdict #3).
 _TAIL = [
+    "sketch_cardinalities",  # rows-only by design (no SQL oracle)
     "text_fingerprint",
-    "window_rank_family",
     "window_first_last",
     "top_orders",
     "distinct_agg",

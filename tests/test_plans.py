@@ -144,3 +144,13 @@ def test_semi_join_replaces_exists_probe(spark, sf_dir):
     assert "SemiJoin" in p.replace("LeftSemi", "SemiJoin") or "LeftSemi" in plan(
         QUERIES["kicc_semi_join"](spark, sf_dir), "extended"
     )
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_dir):
+    """text_vocab's global top-100 must plan as TakeOrderedAndProject
+    (per-partition heap + driver merge) feeding a window over the
+    bounded 100-row result — never a row_number window over the full
+    distinct-token table, which at 100 TB is billions of rows through
+    one task (r3 VERDICT wrong-#2)."""
+    p = plan(QUERIES["text_vocab"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
