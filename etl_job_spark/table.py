@@ -23,9 +23,18 @@ at-scale answer, the same idea as Delta/Iceberg reduced to its core:
   manifest once; the DataFrame keeps reading those files even while
   later versions commit (files are only removed by ``vacuum``, which
   keeps every file any retained manifest references);
-- **MERGE is metadata-only for untouched partitions** — the new
-  manifest re-references old files whose recorded partition values the
-  source can't touch; only touched partitions are read and rewritten.
+- **MERGE is metadata-only for untouched files** — the new manifest
+  re-references old files whose recorded partition values the source
+  can't touch; within what survives partition pruning (and on
+  unpartitioned tables), per-file key min/max recorded from parquet
+  footers at write time skips files whose key range is provably
+  disjoint from the source's (data skipping, Delta's
+  dataSkippingNumIndexedCols shape). Only possibly-matching files are
+  read and rewritten.
+- **commit conflicts retry** — a writer that loses the version race
+  re-reads the latest snapshot, re-prunes, and re-commits (bounded
+  optimistic retries, the Delta-style loop); ``CommitConflictError``
+  escapes only after the budget is exhausted.
 
 Row-level DELETE is copy-on-write and file-pruned (``delete_where``):
 one predicate-pushdown scan finds which files actually hold matching
@@ -42,11 +51,12 @@ evolution are the parts the engine needs.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import urllib.parse
 import uuid
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 import pyarrow.parquet as pq
 
@@ -58,6 +68,18 @@ from etl_job_spark.operators.merge import merge_upsert
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+
+# per-file min/max stats are recorded for at most this many leading
+# columns — the same bounded-stats contract as Delta's
+# dataSkippingNumIndexedCols: manifests stay O(files), not O(files*cols)
+_STATS_MAX_COLUMNS = 32
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer claimed the version this commit targeted.
+
+    Write operations retry this internally (optimistic concurrency);
+    it escapes only after the retry budget is exhausted."""
 
 
 def _manifest_name(version: int) -> str:
@@ -80,9 +102,90 @@ def _partition_values(rel_path: str) -> dict[str, str | None]:
     return out
 
 
-def _footer_row_count(path: str) -> int:
-    """Row count from the parquet footer — no data pages read."""
-    return pq.ParquetFile(path).metadata.num_rows
+def _stat_encode(value):
+    """Footer/source statistic → JSON value that preserves ordering.
+
+    Values comparable under their JSON encoding prune; anything whose
+    order the JSON form can't represent (bytes, decimals — float
+    rounding could move a bound the wrong way) returns None and the
+    column simply records no stats, which is always sound (the file
+    stays "possibly touched"). Dates/timestamps use isoformat, whose
+    lexicographic order matches temporal order."""
+    if isinstance(value, bool):  # bool is an int subclass; exclude it
+        return None
+    if isinstance(value, (int, float, str)):
+        return value
+    if isinstance(value, (datetime.date, datetime.datetime)):
+        return value.isoformat()
+    return None
+
+
+def _file_stats(path: str) -> tuple[int, dict[str, dict]]:
+    """Row count + per-column min/max from the parquet footer — no
+    data pages read. Stats cover top-level primitive columns (first
+    ``_STATS_MAX_COLUMNS``) whose every row group recorded min/max;
+    a column with any stats-less row group is omitted (unknown range,
+    never pruned). This is the write-time half of data skipping: the
+    read-time half is ``ManifestTable._prune_by_key_stats``."""
+    meta = pq.ParquetFile(path).metadata
+    schema = meta.schema
+    stats: dict[str, list] = {}
+    eligible: list[int] = []
+    for j in range(min(meta.num_columns, _STATS_MAX_COLUMNS)):
+        if "." not in schema.column(j).path:  # top-level leaves only
+            eligible.append(j)
+    for g in range(meta.num_row_groups):
+        rg = meta.row_group(g)
+        for j in list(eligible):
+            name = schema.column(j).path
+            st = rg.column(j).statistics
+            if st is None or not st.has_min_max:
+                eligible.remove(j)
+                stats.pop(name, None)
+                continue
+            lo, hi = _stat_encode(st.min), _stat_encode(st.max)
+            if lo is None or hi is None:
+                eligible.remove(j)
+                stats.pop(name, None)
+                continue
+            cur = stats.get(name)
+            if cur is None:
+                stats[name] = [lo, hi]
+            else:
+                cur[0] = min(cur[0], lo)
+                cur[1] = max(cur[1], hi)
+    return meta.num_rows, {k: {"min": v[0], "max": v[1]} for k, v in stats.items()}
+
+
+def _comparable(a, b) -> bool:
+    """True when two encoded stats can be ordered soundly: both numeric
+    (bools never reach here — ``_stat_encode`` drops them) or both str.
+    A type mismatch (e.g. a stats column rewritten from int to its
+    isoformat string by an evolved writer) disables pruning on that
+    column rather than risking a wrong comparison."""
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return True
+    return isinstance(a, str) and isinstance(b, str)
+
+
+def _stats_disjoint(entry: dict, key_ranges: dict[str, tuple]) -> bool:
+    """True when ``entry``'s recorded min/max prove the file holds no
+    row whose key columns all fall inside the source's ranges — i.e.
+    the file provably contains no mergeable key and can be carried by
+    reference. One provably-disjoint key column suffices (a matching
+    row would need EVERY key column inside both ranges). Missing or
+    incomparable stats never prune — unknown means "possibly touched"."""
+    stats = entry.get("stats") or {}
+    for col, (lo, hi) in key_ranges.items():
+        st = stats.get(col)
+        if st is None:
+            continue
+        fmin, fmax = st["min"], st["max"]
+        if not (_comparable(fmin, lo) and _comparable(fmax, hi)):
+            continue
+        if fmax < lo or fmin > hi:
+            return True
+    return False
 
 
 def _strip_file_scheme(path: str) -> str:
@@ -91,6 +194,26 @@ def _strip_file_scheme(path: str) -> str:
     if path.startswith("file:"):
         return urllib.parse.unquote(urllib.parse.urlparse(path).path)
     return path
+
+
+def _source_key_ranges(source: DataFrame, keys: Sequence[str]) -> dict[str, tuple]:
+    """min/max of each key column in the source — ONE aggregate job
+    returning a single row of 2×len(keys) scalars (driver-side size is
+    fixed, not data-sized). Columns whose bounds can't be order-
+    preservingly JSON-encoded (or that are all-NULL) are omitted and
+    simply don't prune."""
+    aggs = []
+    for k in keys:
+        aggs.append(F.min(F.col(k)).alias(f"__lo_{k}"))
+        aggs.append(F.max(F.col(k)).alias(f"__hi_{k}"))
+    row = source.agg(*aggs).collect()[0]
+    out: dict[str, tuple] = {}
+    for k in keys:
+        lo = _stat_encode(row[f"__lo_{k}"])
+        hi = _stat_encode(row[f"__hi_{k}"])
+        if lo is not None and hi is not None:
+            out[k] = (lo, hi)
+    return out
 
 
 def _align(df: DataFrame, schema: StructType) -> DataFrame:
@@ -189,18 +312,26 @@ class ManifestTable:
         # '000003' inferred as 3 would silently lose its leading zeros.
         # snapshot() casts them to the committed schema — the same
         # string-in-the-log / cast-on-read contract Delta uses.
-        # (Reader-conf mutation at read time is a documented invariant
-        # here, like nanosAsLong in sources/catalog.py — the driver's
-        # bare session has no table-specific conf.)
-        spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        # Inference runs eagerly inside spark.read.parquet(), so the
+        # conf is scoped to reader construction and restored after —
+        # unrelated reads in the same session keep their own setting.
+        inference_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = spark.conf.get(inference_key, None)
+        spark.conf.set(inference_key, "false")
         by_batch: dict[str, list[str]] = {}
         for e in entries:
             batch = e["path"].split("/", 1)[0]
             by_batch.setdefault(batch, []).append(os.path.join(self.data_dir, e["path"]))
-        dfs = [
-            spark.read.option("basePath", os.path.join(self.data_dir, batch)).parquet(*files)
-            for batch, files in sorted(by_batch.items())
-        ]
+        try:
+            dfs = [
+                spark.read.option("basePath", os.path.join(self.data_dir, batch)).parquet(*files)
+                for batch, files in sorted(by_batch.items())
+            ]
+        finally:
+            if prev is None:
+                spark.conf.unset(inference_key)
+            else:
+                spark.conf.set(inference_key, prev)
         if with_file_path:
             dfs = [df.select("*", F.col("_metadata.file_path").alias("__file")) for df in dfs]
         out = dfs[0]
@@ -225,11 +356,13 @@ class ManifestTable:
                     continue
                 full = os.path.join(root, name)
                 rel = os.path.relpath(full, self.data_dir)
+                rows, stats = _file_stats(full)
                 entries.append(
                     {
                         "path": rel,
                         "partition": _partition_values(rel),
-                        "rows": _footer_row_count(full),
+                        "rows": rows,
+                        "stats": stats,
                     }
                 )
         entries.sort(key=lambda e: e["path"])
@@ -249,7 +382,7 @@ class ManifestTable:
             # claimed this version first — the put-if-absent primitive
             os.link(tmp, final)
         except FileExistsError:
-            raise RuntimeError(
+            raise CommitConflictError(
                 f"concurrent commit: version {version} of {self.path} was "
                 "claimed by another writer; re-read the latest snapshot and retry"
             ) from None
@@ -302,16 +435,38 @@ class ManifestTable:
 
     # -- write operations ---------------------------------------------
 
+    _COMMIT_RETRIES = 3
+
+    def _with_commit_retries(self, attempt: Callable[[], int]) -> int:
+        """Optimistic concurrency: run ``attempt`` (whose body re-reads
+        the latest version itself), retrying a bounded number of times
+        when another writer claims the target version first — the
+        Delta-style retry loop: re-read latest, re-prune, re-commit.
+        Data files landed by a losing attempt are referenced by no
+        manifest and are reclaimed by ``vacuum``."""
+        for n in range(self._COMMIT_RETRIES + 1):
+            try:
+                return attempt()
+            except CommitConflictError:
+                if n == self._COMMIT_RETRIES:
+                    raise
+        raise AssertionError("unreachable")
+
     def overwrite(self, df: DataFrame, partition_by: Sequence[str] | None = None) -> int:
         """Commit a full replacement snapshot; returns the new version.
 
         A replacement owns its schema outright — evolution rules apply
         to ``append``/``merge``, which must coexist with old files."""
-        base = self.latest_version()
-        if partition_by is None and base is not None:
-            partition_by = self._read_manifest(base)["partition_by"] or None
-        entries = self._write_data_files(df, partition_by)
-        return self._commit(entries, df.schema, partition_by, base, {"op": "overwrite"})
+
+        def attempt() -> int:
+            base = self.latest_version()
+            part = partition_by
+            if part is None and base is not None:
+                part = self._read_manifest(base)["partition_by"] or None
+            entries = self._write_data_files(df, part)
+            return self._commit(entries, df.schema, part, base, {"op": "overwrite"})
+
+        return self._with_commit_retries(attempt)
 
     def append(self, df: DataFrame) -> int:
         """Commit base's files + new files (no read of existing data).
@@ -320,15 +475,19 @@ class ManifestTable:
         schema evolution): old files stay as written and read back NULL
         for the new columns; it may also omit evolved columns, which
         null-fill the other way. Type changes are rejected."""
-        base = self.latest_version()
-        if base is None:
-            entries = self._write_data_files(df, None)
-            return self._commit(entries, df.schema, None, None, {"op": "append"})
-        man = self._read_manifest(base)
-        schema = self._evolved_schema(man, df)
-        partition_by = man["partition_by"]
-        entries = man["files"] + self._write_data_files(df, partition_by or None)
-        return self._commit(entries, schema, partition_by or None, base, {"op": "append"})
+
+        def attempt() -> int:
+            base = self.latest_version()
+            if base is None:
+                entries = self._write_data_files(df, None)
+                return self._commit(entries, df.schema, None, None, {"op": "append"})
+            man = self._read_manifest(base)
+            schema = self._evolved_schema(man, df)
+            partition_by = man["partition_by"]
+            entries = man["files"] + self._write_data_files(df, partition_by or None)
+            return self._commit(entries, schema, partition_by or None, base, {"op": "append"})
+
+        return self._with_commit_retries(attempt)
 
     def merge(
         self,
@@ -348,46 +507,79 @@ class ManifestTable:
         MERGE shape. Requires the partition columns to be part of (or
         functionally determined by) ``keys``, else a key could hide in
         an unread partition; unpartitioned tables merge against the
-        full snapshot.
+        full snapshot — minus what key-range skipping prunes, below.
+
+        A second, finer prune runs on whatever survives partition
+        pruning (and is the ONLY prune on unpartitioned tables or when
+        keys aren't the partition columns): the source's per-key-column
+        min/max (one scalar aggregate) is intersected with each file's
+        footer-derived stats recorded in the manifest at write time.
+        A file whose recorded key range is provably disjoint from the
+        source's cannot hold a mergeable row and is carried by
+        reference — data skipping, the Delta/Iceberg file-stats shape.
+        The reference's daily keyed probe (load_sales_data.py:35-40)
+        at scale is exactly this: a narrow source key window touches
+        the files that overlap it, not the whole table.
         """
-        base = self.latest_version()
-        if base is None:
-            first = merge_upsert_source_only(source, keys, order_col)
-            entries = self._write_data_files(first, None)
-            return self._commit(entries, first.schema, None, None, {"op": "merge"})
-        man = self._read_manifest(base)
-        partition_by = man["partition_by"]
-        # order_col is merge metadata, not part of the result schema
-        # (unless the table already owns a column of that name)
-        schema = self._evolved_schema(man, source.drop(order_col) if order_col else source)
 
-        untouched: list[dict] = []
-        touched: list[dict] = man["files"]
-        if partition_by and all(c in source.columns for c in partition_by):
-            # manifests store decoded logical values (None for NULL);
-            # render the source's the same way so NULL and escaped
-            # characters compare correctly
-            touched_parts = {
-                tuple(None if r[c] is None else str(r[c]) for c in partition_by)
-                for r in source.select(*partition_by).distinct().collect()
-            }
-            touched, untouched = [], []
-            for entry in man["files"]:
-                part = tuple(entry["partition"].get(c) for c in partition_by)
-                (touched if part in touched_parts else untouched).append(entry)
+        def attempt() -> int:
+            base = self.latest_version()
+            if base is None:
+                first = merge_upsert_source_only(source, keys, order_col)
+                entries = self._write_data_files(first, None)
+                return self._commit(entries, first.schema, None, None, {"op": "merge"})
+            man = self._read_manifest(base)
+            partition_by = man["partition_by"]
+            # order_col is merge metadata, not part of the result schema
+            # (unless the table already owns a column of that name)
+            schema = self._evolved_schema(man, source.drop(order_col) if order_col else source)
 
-        if touched:
-            # align the touched rows to the evolved schema first, so a
-            # source-introduced column survives merge_upsert's
-            # align-to-target step
-            target = _align(self._read_files(spark, touched), schema)
-            merged = merge_upsert(target, source, keys, order_col=order_col)
-        else:
-            merged = _align(merge_upsert_source_only(source, keys, order_col), schema)
-        new_entries = self._write_data_files(merged, partition_by or None)
-        return self._commit(
-            untouched + new_entries, schema, partition_by or None, base, {"op": "merge"}
-        )
+            untouched: list[dict] = []
+            touched: list[dict] = man["files"]
+            if partition_by and all(c in source.columns for c in partition_by):
+                # manifests store decoded logical values (None for NULL);
+                # render the source's the same way so NULL and escaped
+                # characters compare correctly
+                touched_parts = {
+                    tuple(None if r[c] is None else str(r[c]) for c in partition_by)
+                    for r in source.select(*partition_by).distinct().collect()
+                }
+                touched, untouched = [], []
+                for entry in man["files"]:
+                    part = tuple(entry["partition"].get(c) for c in partition_by)
+                    (touched if part in touched_parts else untouched).append(entry)
+
+            # key-range data skipping over the partition-prune
+            # survivors; files with no recorded/comparable stats are
+            # never pruned (unknown range = possibly touched)
+            stat_keys = [
+                k for k in keys if any((e.get("stats") or {}).get(k) for e in touched)
+            ]
+            if touched and stat_keys:
+                ranges = _source_key_ranges(source, stat_keys)
+                if ranges:
+                    still: list[dict] = []
+                    for entry in touched:
+                        if _stats_disjoint(entry, ranges):
+                            untouched.append(entry)
+                        else:
+                            still.append(entry)
+                    touched = still
+
+            if touched:
+                # align the touched rows to the evolved schema first, so a
+                # source-introduced column survives merge_upsert's
+                # align-to-target step
+                target = _align(self._read_files(spark, touched), schema)
+                merged = merge_upsert(target, source, keys, order_col=order_col)
+            else:
+                merged = _align(merge_upsert_source_only(source, keys, order_col), schema)
+            new_entries = self._write_data_files(merged, partition_by or None)
+            return self._commit(
+                untouched + new_entries, schema, partition_by or None, base, {"op": "merge"}
+            )
+
+        return self._with_commit_retries(attempt)
 
     def delete_where(self, spark: SparkSession, predicate: str | Column) -> int:
         """DELETE the rows matching ``predicate`` — copy-on-write,
@@ -410,36 +602,43 @@ class ManifestTable:
         SQL DELETE semantics: rows where the predicate is NULL are
         kept (only WHERE-true rows are removed).
         """
-        base = self.latest_version()
-        if base is None:
-            raise FileNotFoundError(f"no committed version at {self.path}")
-        man = self._read_manifest(base)
-        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
 
-        scan = self._read_files(spark, man["files"], with_file_path=True)
-        hit_files = {
-            _strip_file_scheme(r["__file"])
-            for r in scan.filter(pred).select("__file").distinct().collect()
-        }
-        touched, untouched = [], []
-        for entry in man["files"]:
-            full = os.path.abspath(os.path.join(self.data_dir, entry["path"]))
-            (touched if full in hit_files else untouched).append(entry)
-        if not touched:
-            return base  # nothing matched; no new version
+        def attempt() -> int:
+            base = self.latest_version()
+            if base is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+            man = self._read_manifest(base)
+            pred = F.expr(predicate) if isinstance(predicate, str) else predicate
 
-        partition_by = man["partition_by"]
-        kept = self._read_files(spark, touched).filter(
-            ~F.coalesce(pred, F.lit(False))
-        )
-        schema = self._manifest_schema(man)
-        if schema is not None:
-            kept = _align(kept, schema)
-        else:
-            schema = kept.schema
-        new_entries = self._write_data_files(kept, partition_by or None)
-        op = {"op": "delete", "predicate": predicate if isinstance(predicate, str) else str(pred)}
-        return self._commit(untouched + new_entries, schema, partition_by or None, base, op)
+            scan = self._read_files(spark, man["files"], with_file_path=True)
+            hit_files = {
+                _strip_file_scheme(r["__file"])
+                for r in scan.filter(pred).select("__file").distinct().collect()
+            }
+            touched, untouched = [], []
+            for entry in man["files"]:
+                full = os.path.abspath(os.path.join(self.data_dir, entry["path"]))
+                (touched if full in hit_files else untouched).append(entry)
+            if not touched:
+                return base  # nothing matched; no new version
+
+            partition_by = man["partition_by"]
+            kept = self._read_files(spark, touched).filter(
+                ~F.coalesce(pred, F.lit(False))
+            )
+            schema = self._manifest_schema(man)
+            if schema is not None:
+                kept = _align(kept, schema)
+            else:
+                schema = kept.schema
+            new_entries = self._write_data_files(kept, partition_by or None)
+            op = {
+                "op": "delete",
+                "predicate": predicate if isinstance(predicate, str) else str(pred),
+            }
+            return self._commit(untouched + new_entries, schema, partition_by or None, base, op)
+
+        return self._with_commit_retries(attempt)
 
     def diff(self, spark: SparkSession, from_version: int, to_version: int) -> DataFrame:
         """Change feed between two committed versions, computed from
@@ -484,14 +683,18 @@ class ManifestTable:
         fragmentation as ``sinks.compact``, but with snapshot isolation:
         readers of the old version keep their small files until vacuum.
         Returns the new version."""
-        df = self.snapshot(spark)
-        n = df.count()
-        n_files = max(1, -(-n // target_rows_per_file))
-        base = self.latest_version()
-        partition_by = self._read_manifest(base)["partition_by"] if base is not None else []
-        out = df.repartition(n_files)
-        entries = self._write_data_files(out, partition_by or None)
-        return self._commit(entries, out.schema, partition_by or None, base, {"op": "compact"})
+
+        def attempt() -> int:
+            df = self.snapshot(spark)
+            n = df.count()
+            n_files = max(1, -(-n // target_rows_per_file))
+            base = self.latest_version()
+            partition_by = self._read_manifest(base)["partition_by"] if base is not None else []
+            out = df.repartition(n_files)
+            entries = self._write_data_files(out, partition_by or None)
+            return self._commit(entries, out.schema, partition_by or None, base, {"op": "compact"})
+
+        return self._with_commit_retries(attempt)
 
     def history(self) -> list[dict]:
         """Audit trail from the manifests: one row per retained
@@ -522,17 +725,20 @@ class ManifestTable:
         RESTORE shape). Metadata-only: no data file is read or written.
         Returns the new version number."""
         man = self._read_manifest(version)  # raises if version unknown
-        base = self.latest_version()
         schema = self._manifest_schema(man)
         if schema is None:
             schema = self.snapshot(spark, version).schema
-        return self._commit(
-            man["files"],
-            schema,
-            man["partition_by"] or None,
-            base,
-            {"op": "restore", "restored_version": version},
-        )
+
+        def attempt() -> int:
+            return self._commit(
+                man["files"],
+                schema,
+                man["partition_by"] or None,
+                self.latest_version(),
+                {"op": "restore", "restored_version": version},
+            )
+
+        return self._with_commit_retries(attempt)
 
     # -- maintenance --------------------------------------------------
 

@@ -327,3 +327,124 @@ def test_upsert_stream_sink_manifest(spark, tmp_path):
     q.awaitTermination(120)
     t = ManifestTable(str(tmp_path / "tbl"))
     assert _data(t.snapshot(spark)) == [("a", "d1", 2.0), ("b", "d2", 9.0)]
+
+
+def _idf(spark, lo, hi, v=1.0):
+    return spark.createDataFrame([(i, v) for i in range(lo, hi)], "id long, v double")
+
+
+def test_manifest_records_file_stats(spark, tmp_path):
+    """Write path records per-file, per-column min/max from parquet
+    footers — no data read. Stats are the write-time half of MERGE's
+    key-range data skipping."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_idf(spark, 0, 100).repartition(1))
+    [entry] = t._read_manifest(1)["files"]
+    assert entry["stats"]["id"] == {"min": 0, "max": 99}
+    assert entry["stats"]["v"] == {"min": 1.0, "max": 1.0}
+
+
+def test_merge_prunes_by_key_stats_unpartitioned(spark, tmp_path):
+    """VERDICT r3 #2: unpartitioned table, merge source touching a
+    narrow key range — files whose recorded key range is disjoint from
+    the source's are carried by reference (path equality across
+    manifests), only overlapping files are rewritten."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_idf(spark, 0, 100).repartition(1))
+    t.append(_idf(spark, 1000, 1100).repartition(1))
+    before = t._read_manifest(t.latest_version())["files"]
+    high_before = {e["path"] for e in before if e["stats"]["id"]["min"] >= 1000}
+    low_before = {e["path"] for e in before} - high_before
+    assert high_before and low_before
+
+    v = t.merge(
+        spark,
+        spark.createDataFrame([(5, 99.0), (7, 99.0)], "id long, v double"),
+        keys=["id"],
+    )
+    after = {e["path"] for e in t._read_manifest(v)["files"]}
+    # high-range files: never read, never rewritten — carried by path
+    assert high_before <= after
+    # low-range files overlapped the source range and were rewritten
+    assert not (low_before & after)
+    # merge semantics unchanged by the pruning
+    got = {r.id: r.v for r in t.snapshot(spark).collect()}
+    assert len(got) == 200 and got[5] == 99.0 and got[7] == 99.0 and got[6] == 1.0
+    assert got[1050] == 1.0
+
+
+def test_merge_key_stats_prune_composes_with_partition_prune(spark, tmp_path):
+    """Within a touched partition, key-range skipping still prunes
+    files the partition prune alone would rewrite."""
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, "d1" if i < 500 else "d2", 1.0) for i in list(range(100)) + list(range(500, 600))],
+        "id long, dy string, v double",
+    )
+    t.overwrite(df.repartition(1), partition_by=["dy"])
+    # fragment d1 into two key ranges via append
+    t.append(
+        spark.createDataFrame([(i, "d1", 1.0) for i in range(200, 300)], "id long, dy string, v double")
+        .repartition(1)
+    )
+    before = t._read_manifest(t.latest_version())["files"]
+    d1_high = {
+        e["path"]
+        for e in before
+        if e["partition"].get("dy") == "d1" and (e.get("stats") or {}).get("id", {}).get("min", -1) >= 200
+    }
+    assert d1_high
+    v = t.merge(
+        spark,
+        spark.createDataFrame([(5, "d1", 42.0)], "id long, dy string, v double"),
+        keys=["id", "dy"],
+    )
+    after = {e["path"] for e in t._read_manifest(v)["files"]}
+    # d2 carried by partition prune; d1's high-key file by stats prune
+    assert d1_high <= after
+    got = {r.id: r.v for r in t.snapshot(spark).collect()}
+    assert got[5] == 42.0 and got[250] == 1.0 and got[550] == 1.0
+
+
+def test_commit_conflict_retry_two_writers(spark, tmp_path, monkeypatch):
+    """VERDICT r3 #7: two writers race a merge; the loser retries on
+    top of the winner's commit and both land — final snapshot equals
+    sequential application."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [("a", "d1", 1.0), ("b", "d2", 2.0)]))
+    other = ManifestTable(t.path)
+
+    real_publish = ManifestTable._publish
+    fired = {"done": False}
+
+    def racing_publish(self, version, manifest):
+        # writer B sneaks its whole merge in between A's prune and
+        # A's publish — the classic lost-race window
+        if not fired["done"] and self is t:
+            fired["done"] = True
+            other.merge(spark, _df(spark, [("b", "d2", 20.0)]), keys=["k", "dy"])
+        return real_publish(self, version, manifest)
+
+    monkeypatch.setattr(ManifestTable, "_publish", racing_publish)
+    v = t.merge(spark, _df(spark, [("a", "d1", 10.0)]), keys=["k", "dy"])
+    assert v == 3  # B took v2; A retried and committed v3
+    assert _data(t.snapshot(spark)) == [("a", "d1", 10.0), ("b", "d2", 20.0)]
+    ops = [h["operation"].get("op") for h in t.history()]
+    assert ops == ["overwrite", "merge", "merge"]
+
+
+def test_commit_conflict_escapes_after_retry_budget(spark, tmp_path, monkeypatch):
+    from etl_job_spark.table import CommitConflictError
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [("a", "d1", 1.0)]))
+    calls = {"n": 0}
+
+    def always_conflict(self, version, manifest):
+        calls["n"] += 1
+        raise CommitConflictError("simulated")
+
+    monkeypatch.setattr(ManifestTable, "_publish", always_conflict)
+    with pytest.raises(CommitConflictError):
+        t.append(_df(spark, [("z", "d1", 1.0)]))
+    assert calls["n"] == ManifestTable._COMMIT_RETRIES + 1
