@@ -15,6 +15,7 @@ Determinism rules shared by both sides:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -310,6 +311,7 @@ def mart_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     dates carry by reference, never rewritten), and the query returns
     the committed snapshot. Exercises the commit protocol + pruned
     MERGE + string-partition round-trip under the driver's oracle."""
+    import shutil
     import tempfile
 
     from etl_job_spark.table import ManifestTable
@@ -321,7 +323,16 @@ def mart_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     day2 = staging.filter(F.col("sale_date").between(*VERSIONED_W2)).withColumn(
         "total_amt", F.col("total_amt") + 100.0
     )
-    t = ManifestTable(tempfile.mkdtemp(prefix="kicc_mart_versioned_"))
+    # session-scoped scratch table, cleaned on re-entry: repeated
+    # invocations (driver window + median-of-3 bench) reuse ONE
+    # directory instead of leaking a mkdtemp per call (r3 verdict #8);
+    # the applicationId suffix keeps concurrent sessions apart
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"kicc_mart_versioned_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = ManifestTable(path)
     t.overwrite(day1, partition_by=["sale_date"])
     t.merge(spark, day2, keys=["sp_code", "sale_date"])
     return t.snapshot(spark).select("sp_code", "sale_date", "total_amt", "bill_qty")
