@@ -160,7 +160,18 @@ class Catalog:
         new committed version (readers of the old snapshot are safe —
         which also makes read-transform-overwrite of the SAME table
         safe, unlike an in-place parquet rewrite); JDBC uses truncating
-        overwrite so server-side DDL survives."""
+        overwrite so server-side DDL survives.
+
+        JDBC self-reference guard: a lazily-evaluated ``df`` whose
+        lineage scans the table being overwritten would execute AFTER
+        the truncate and read back empty/partial rows — silent data
+        loss (only the manifest backend is snapshot-safe). When the
+        target table's JDBCRelation appears in ``df``'s analyzed plan,
+        the frame is eagerly localCheckpoint-ed first: the enrichment
+        rows are pinned executor-side before the truncate fires. The
+        match is a conservative substring test — a false positive only
+        costs one extra materialization of data that was about to be
+        fully written anyway."""
         spec = self._spec(name)
         backend = spec["backend"]
         if backend == "manifest":
@@ -171,6 +182,9 @@ class Catalog:
         if backend == "jdbc":
             from etl_job_spark.sources.jdbc import write_table
 
+            plan = df._jdf.queryExecution().analyzed().toString()
+            if "JDBCRelation" in plan and spec["table"] in plan:
+                df = df.localCheckpoint(eager=True)
             write_table(
                 df, self._jdbc_cfg(spec), spec["table"], mode="overwrite",
                 truncate=bool(spec.get("truncate", True)),

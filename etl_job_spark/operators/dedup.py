@@ -310,6 +310,11 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", bits: int = 32) 
     the signature width; here every bit travels as a map-side-combined
     integer column and the only shuffle is the final groupBy(doc_id).
     Map-side combine makes the shuffle |docs| rows of 33 longs."""
+    if not 0 < bits <= 32:
+        # the bit stream below comes from the first 8 md5 hex chars
+        # (32 bits); a wider request would silently index negative bit
+        # positions and produce garbage signatures
+        raise ValueError(f"simhash bits must be in 1..32, got {bits}")
     occ = docs.select("doc_id", F.explode(tokens(text_col)).alias("tok")).select(
         "doc_id",
         # value of the first 8 md5 hex chars; nibble c of the hex string

@@ -104,3 +104,23 @@ def test_catalog_cli_from_json_file(capsys, spark, backends, tmp_path):
     assert main(["catalog", "show", "--catalog", cat_file, "--name", "sales"]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["backend"] == "manifest" and len(out["rows"]) >= 3
+
+
+def test_jdbc_overwrite_reading_itself_does_not_lose_data(spark, backends):
+    """ADVICE r3: a truncate-overwrite whose source plan scans the SAME
+    JDBC table must not truncate before the scan runs (lazy evaluation
+    would read back an empty table — silent data loss). The catalog
+    pins self-referencing frames executor-side before the truncate."""
+    cat = Catalog({"sales": backends["jdbc"]})
+    before = {
+        (r.sp_code, r.sale_date): float(r.amt) for r in cat.load(spark, "sales").collect()
+    }
+    assert before
+    # read-transform-overwrite of the same JDBC table — the
+    # build_mart_store_catalog enrichment shape
+    enriched = cat.load(spark, "sales").withColumn("amt", F.col("amt") + 1.0)
+    cat.overwrite(spark, "sales", enriched)
+    after = {
+        (r.sp_code, r.sale_date): float(r.amt) for r in cat.load(spark, "sales").collect()
+    }
+    assert after == {k: v + 1.0 for k, v in before.items()}

@@ -95,3 +95,18 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # and with enough rounds it converges to one cluster rooted at 0
     labels = dedup.connected_components(nodes, path_edges, max_iter=n + 1)
     assert {r.cluster_id for r in labels.collect()} == {0}
+
+
+def test_simhash_bits_guard():
+    """The bit-parallel SimHash hashes the first 8 md5 hex chars (32
+    bits); bits > 32 would index negative bit positions and emit
+    garbage signatures silently. The guard fires before any plan is
+    built, so no session is needed."""
+    import pytest
+
+    from etl_job_spark.operators.dedup import simhash_signatures
+
+    with pytest.raises(ValueError, match="1..32"):
+        simhash_signatures(None, bits=64)
+    with pytest.raises(ValueError, match="1..32"):
+        simhash_signatures(None, bits=0)
