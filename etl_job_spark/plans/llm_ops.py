@@ -1067,6 +1067,42 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4, n_iters=3)
 
 
+# one persisted index per (Spark application, sf_dir): built on first
+# use, served by every later invocation in the session — the bench's
+# median-of-3 therefore measures SERVE latency, with training amortized
+# the way a deployment amortizes it
+_IVF_INDEX_DIRS: dict[tuple[str, str], str] = {}
+
+
+@query("embed_ivf_search")  # no SQL oracle: served twin of embed_ivf_topk
+def embed_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployment IVF path (r3 verdict #6): ``ivf_build_index``
+    runs once per session into a scratch dir (quantizer training +
+    cid-partitioned inverted lists), then each invocation serves the
+    query batch with ``ivf_search`` — the probed-lists-only partition
+    filter scan. Identical results to ``embed_ivf_topk`` with the same
+    training parameters (pinned in tests/test_ivf.py); benching both
+    shows train-included vs index-amortized latency side by side."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _IVF_INDEX_DIRS.get(key)
+    if path is None:
+        tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"ivf_index_{spark.sparkContext.applicationId}_{tag}",
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        similarity.ivf_build_index(emb, path, n_centroids=16, n_iters=3)
+        _IVF_INDEX_DIRS[key] = path
+    return similarity.ivf_search(spark, path, queries, k=5, n_probe=4)
+
+
 # ---------------------------------------------------------------------
 # Training-mix sampling: deterministic splits + per-source caps
 # ---------------------------------------------------------------------

@@ -102,6 +102,7 @@ _TAIL = [
     "dedup_simhash",
     "text_quality_score",
     "embed_ivf_topk",  # rows-only: iterative k-means (tests pin recall)
+    "embed_ivf_search",  # rows-only: served-index twin of embed_ivf_topk
     # round-3 additions: exact oracles in tests/test_oracle_diff.py;
     # outside the window because the 50 slots stay one-per-component
     "corpus_split",

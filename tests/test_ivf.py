@@ -95,3 +95,21 @@ def test_ivf_persisted_index_matches_and_prunes(spark, sf_dir, tmp_path):
         pruned.explain(mode="formatted")
     pf_lines = [ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln]
     assert pf_lines and "cid" in pf_lines[0] and "[]" not in pf_lines[0]
+
+
+def test_embed_ivf_search_query_matches_trained_twin(spark, sf_dir):
+    """The registered served-index query returns the SAME rows as its
+    train-per-call twin (same training params, deterministic k-means),
+    and reuses one index directory across invocations in a session."""
+    from etl_job_spark.plans.registry import QUERIES
+
+    a = {tuple(r) for r in QUERIES["embed_ivf_topk"](spark, sf_dir).collect()}
+    b1 = QUERIES["embed_ivf_search"](spark, sf_dir)
+    b2 = QUERIES["embed_ivf_search"](spark, sf_dir)  # served from cache
+    assert {tuple(r) for r in b1.collect()} == a
+    assert {tuple(r) for r in b2.collect()} == a
+
+    from etl_job_spark.plans.llm_ops import _IVF_INDEX_DIRS
+
+    dirs = [p for k, p in _IVF_INDEX_DIRS.items() if k[1] == sf_dir]
+    assert len(dirs) == 1
