@@ -24,17 +24,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in DRIVER_TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which a default
-        # session rejects (PARQUET_TYPE_ILLEGAL); read it as long and
-        # convert below. Set here, not only in session.py: the driver
-        # calls queries() with its OWN SparkSession
+        # generator-dependent ts physical type: some driver rounds land
+        # TIMESTAMP(NANOS), which a default session rejects
+        # (PARQUET_TYPE_ILLEGAL) — read it as long and convert below.
+        # Set here, not only in session.py: the driver calls queries()
+        # with its OWN SparkSession
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts") if name == "events" else None
+    if ts_type == "bigint":
         # TIMESTAMP(NANOS) read as long (nanosAsLong) → micros timestamp,
         # matching DuckDB's epoch_us() floor semantics
         # integer div: ns values exceed double's 2^53 exact range
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as NTZ; cast to
+        # TimestampType so time arithmetic (unix_micros, windows) sees
+        # ONE type whichever physical form the generator used. The
+        # session timezone is pinned UTC (session.py), so the cast is
+        # wall-clock-preserving and matches DuckDB's naive reading.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -288,21 +288,9 @@ def read_rate_events_stream(
     line. Event attributes derive arithmetically from the monotonic
     ``value`` counter, so any batch's contents are reproducible.
 
-    The production Kafka line (deferred here — no broker in the
-    container; see ROADMAP.md) replaces only the reader::
-
-        spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap)
-            .option("subscribe", "events")
-            .option("startingOffsets", "earliest")
-            .option("maxOffsetsPerTrigger", 100_000)
-            .load()
-            .select(F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA).alias("e"))
-            .select("e.*")
-
-    with ``org.apache.spark:spark-sql-kafka-0-10_2.13`` (matching the
-    Spark version) on ``spark.jars.packages``. Everything downstream —
-    watermarks, windows, state store, sinks — is source-agnostic."""
+    The production queue line is ``read_kafka_events_stream``: same
+    output columns, so everything downstream — watermarks, windows,
+    state store, sinks — swaps sources with one call-site change."""
     raw = (
         spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", rows_per_batch)
@@ -318,6 +306,52 @@ def read_rate_events_stream(
         F.element_at(types, (F.col("value") % 3 + 1).cast("int")).alias("event_type"),
         (F.col("value").cast("double") * 1.5).alias("value"),
     )
+
+
+KAFKA_PACKAGE = "org.apache.spark:spark-sql-kafka-0-10_2.13"
+
+
+def read_kafka_events_stream(
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str = "events",
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int = 100_000,
+) -> DataFrame:
+    """Kafka topic → the events stream shape (SURVEY.md §2.8; the
+    production mapping of the reference's daily re-fetch,
+    load_sales_data.py:146-147, onto a queue source).
+
+    The value payload is JSON decoded against ``EVENTS_RAW_SCHEMA``
+    (explicit schema — streaming never infers) with the same
+    nanos→micros ts normalization as the file source, so the returned
+    frame is column-for-column interchangeable with
+    ``read_events_stream`` / ``read_rate_events_stream`` and feeds the
+    identical downstream graph. ``maxOffsetsPerTrigger`` bounds
+    micro-batch size (backpressure); at scale one Kafka partition maps
+    to one input partition, so topic partitioning sizes source
+    parallelism.
+
+    Requires the ``spark-sql-kafka-0-10`` connector (ships separately
+    from pyspark; put ``{KAFKA_PACKAGE}:<spark-version>`` on
+    ``spark.jars.packages``). This container has neither the jar nor a
+    broker, so the constructor raising ``DATA_SOURCE_NOT_FOUND`` here
+    is expected and pinned by tests/test_streaming.py; the graph it
+    feeds is exercised through the rate and file sources, which cover
+    everything downstream of the reader line.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+        .load()
+    )
+    decoded = raw.select(
+        F.from_json(F.col("value").cast("string"), EVENTS_RAW_SCHEMA).alias("e")
+    ).select("e.*")
+    return decoded.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def upsert_stream_sink_manifest(

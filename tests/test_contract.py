@@ -15,8 +15,13 @@ def test_contract_shape():
     assert set(orc) <= set(qs)
     # every query is oracle-checked except the deliberately rows-only
     # entries: sketches (engine-specific estimates; tests/test_sketches.py)
-    # and trained IVF (iterative k-means; tests/test_ivf.py pins recall)
-    assert set(qs) - set(orc) == {"sketch_cardinalities", "embed_ivf_topk"}
+    # and the IVF pair (iterative k-means; tests/test_ivf.py pins recall
+    # and served-vs-trained parity)
+    assert set(qs) - set(orc) == {
+        "sketch_cardinalities",
+        "embed_ivf_topk",
+        "embed_ivf_search",
+    }
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in orc.values())
 
