@@ -43,9 +43,41 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 UNSEGMENTED_LANGS = frozenset({"zh"})
 
 
+# CJK codepoint class for the unsegmented-script path (r3 VERDICT
+# missing-#3): CJK Unified Ideographs + Extension A, Hiragana/Katakana,
+# Hangul syllables. \x{...} ranges only — the one escape syntax Java
+# regex (Spark) and RE2 (the DuckDB oracle) read identically.
+CJK_CLASS = r"[\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7A3}]"
+
+
 def tokens(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def cjk_char_count(col: Column | str) -> Column:
+    """Number of CJK codepoints (``length`` counts codepoints in both
+    Spark and DuckDB, so the remove-and-subtract form is exact)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) - F.length(F.regexp_replace(c, CJK_CLASS, ""))).cast("bigint")
+
+
+def unicode_token_count(col: Column | str) -> Column:
+    """CJK-aware token count: whitespace tokens of the non-CJK residue
+    plus ONE token per CJK codepoint — the character-level convention
+    for unsegmented scripts (BPE vocabularies tokenize Han text at
+    roughly one token per character; ``\\s+`` splitting counts any
+    unsegmented document as a single token, off by ~100x). Pure JVM
+    expressions, zero shuffles, same cost shape as ``n_tokens``."""
+    c = F.col(col) if isinstance(col, str) else col
+    residue = F.regexp_replace(c, CJK_CLASS, " ")
+    ws_tokens = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(residue)), r"\s+"),
+            lambda t: t != F.lit(""),
+        )
+    ).cast("bigint")
+    return (ws_tokens + cjk_char_count(c)).cast("bigint")
 
 
 def n_tokens(col: Column | str) -> Column:

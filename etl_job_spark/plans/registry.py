@@ -108,6 +108,9 @@ _TAIL = [
     "corpus_split",
     "corpus_cap_per_source",
     "text_redact_pii",
+    # round-4: CJK-aware token budget (missing-#3 closure); exact
+    # oracle in tests/test_oracle_diff.py like the rest of the tail
+    "text_token_count_cjk",
 ]
 
 

@@ -45,3 +45,32 @@ def test_english_docs_still_predict_en(spark, sf_dir):
     n = base.count()
     n_en = base.filter(F.col("pred_lang") == "en").count()
     assert n_en > n * 0.5
+
+
+def test_unicode_token_count_cjk_and_mixed(spark):
+    """Whitespace splitting counts an unsegmented zh document as ONE
+    token; the unicode counter must count one per CJK codepoint, and
+    mixed text must sum ws-tokens of the residue + CJK chars."""
+    from etl_job_spark.operators.text import n_tokens, unicode_token_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "机器学习是现代人工智能的核心方法"),  # 16 Han chars, no spaces
+            (2, "hello world"),
+            (3, "spark 处理 data 的 engine"),  # 3 ascii tokens + 3 CJK chars
+            (4, "   "),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r.id: (r.ws, r.uni)
+        for r in df.select(
+            "id",
+            n_tokens("text").alias("ws"),
+            unicode_token_count("text").alias("uni"),
+        ).collect()
+    }
+    assert got[1] == (1, 16)
+    assert got[2] == (2, 2)
+    assert got[3][1] == 6  # spark/data/engine + 处,理,的
+    assert got[4][1] == 0  # whitespace-only: no phantom empty token
