@@ -342,29 +342,42 @@ class ManifestTable:
     # -- commit protocol ----------------------------------------------
 
     def _write_data_files(self, df: DataFrame, partition_by: Sequence[str] | None) -> list[dict]:
-        """Land ``df`` as new immutable files; return manifest entries."""
+        """Land ``df`` as new immutable files; return manifest entries.
+
+        Stats collection is footer-only (no data pages) and O(new
+        files per commit), never O(table); the footer reads run on a
+        thread pool since each is a small independent I/O (Delta
+        computes the same stats executor-side during the write — the
+        footer pass is the engine-agnostic equivalent and costs one
+        round of parallel ~8 KB reads)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         sub = uuid.uuid4().hex
         out_dir = os.path.join(self.data_dir, sub)
         writer = df.write.mode("error")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out_dir)
-        entries = []
+        paths = []
         for root, _dirs, names in os.walk(out_dir):
             for name in names:
-                if not name.endswith(".parquet"):
-                    continue
-                full = os.path.join(root, name)
-                rel = os.path.relpath(full, self.data_dir)
-                rows, stats = _file_stats(full)
-                entries.append(
-                    {
-                        "path": rel,
-                        "partition": _partition_values(rel),
-                        "rows": rows,
-                        "stats": stats,
-                    }
-                )
+                if name.endswith(".parquet"):
+                    paths.append(os.path.join(root, name))
+        if not paths:
+            return []
+        with ThreadPoolExecutor(max_workers=min(16, len(paths))) as pool:
+            all_stats = list(pool.map(_file_stats, paths))
+        entries = []
+        for full, (rows, stats) in zip(paths, all_stats):
+            rel = os.path.relpath(full, self.data_dir)
+            entries.append(
+                {
+                    "path": rel,
+                    "partition": _partition_values(rel),
+                    "rows": rows,
+                    "stats": stats,
+                }
+            )
         entries.sort(key=lambda e: e["path"])
         return entries
 
