@@ -9,8 +9,10 @@ pruning / join selection), broadcast joins for small dims, explicit
 partitioning on merge keys, and no driver-side row loops anywhere.
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 from etl_job_spark.catalog import Catalog  # noqa: F401
+from etl_job_spark.operators.merge import merge_upsert  # noqa: F401
 from etl_job_spark.session import get_spark  # noqa: F401
-from etl_job_spark.table import ManifestTable  # noqa: F401
+from etl_job_spark.sources import load_table  # noqa: F401
+from etl_job_spark.table import CommitConflictError, ManifestTable  # noqa: F401
