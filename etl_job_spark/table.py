@@ -541,6 +541,17 @@ class ManifestTable:
                 first = merge_upsert_source_only(source, keys, order_col)
                 entries = self._write_data_files(first, None)
                 return self._commit(entries, first.schema, None, None, {"op": "merge"})
+            # the source plan feeds up to three actions below (touched-
+            # partition collect, key-range aggregate, the merge write);
+            # persist so an expensive upstream plan — the reference's
+            # fetch+transform chain — computes once per attempt, not 3x
+            src = source.persist()
+            try:
+                return _merge_against(base, src)
+            finally:
+                src.unpersist()
+
+        def _merge_against(base: int, source: DataFrame) -> int:
             man = self._read_manifest(base)
             partition_by = man["partition_by"]
             # order_col is merge metadata, not part of the result schema
