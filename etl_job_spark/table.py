@@ -701,11 +701,26 @@ class ManifestTable:
         deletes = old.select(*cols).exceptAll(new).withColumn("_change", F.lit("delete"))
         return upserts.unionByName(deletes)
 
-    def compact(self, spark: SparkSession, target_rows_per_file: int = 1_000_000) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_rows_per_file: int = 1_000_000,
+        cluster_by: Sequence[str] | None = None,
+    ) -> int:
         """Rewrite the current snapshot into ~rows/target files and
         commit it as a new version — same cure for merge-writer file
         fragmentation as ``sinks.compact``, but with snapshot isolation:
         readers of the old version keep their small files until vacuum.
+
+        ``cluster_by`` range-partitions and sorts the rewrite on the
+        given (key) columns, so each output file owns a NARROW,
+        near-disjoint key range. That's what makes the manifest's
+        min/max stats actually skip: hash-layout files each span
+        nearly the full key domain (every file intersects every
+        source), while clustered files let a narrow-key MERGE touch
+        one file instead of all of them — the OPTIMIZE ZORDER/
+        CLUSTER BY shape for the single-dimension case, and the right
+        periodic maintenance for a table merged on a keyed window.
         Returns the new version."""
 
         def attempt() -> int:
@@ -714,9 +729,14 @@ class ManifestTable:
             n_files = max(1, -(-n // target_rows_per_file))
             base = self.latest_version()
             partition_by = self._read_manifest(base)["partition_by"] if base is not None else []
-            out = df.repartition(n_files)
+            if cluster_by:
+                cols = [F.col(c) for c in cluster_by]
+                out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+            else:
+                out = df.repartition(n_files)
             entries = self._write_data_files(out, partition_by or None)
-            return self._commit(entries, out.schema, partition_by or None, base, {"op": "compact"})
+            op = {"op": "compact", "cluster_by": list(cluster_by or [])}
+            return self._commit(entries, out.schema, partition_by or None, base, op)
 
         return self._with_commit_retries(attempt)
 

@@ -448,3 +448,35 @@ def test_commit_conflict_escapes_after_retry_budget(spark, tmp_path, monkeypatch
     with pytest.raises(CommitConflictError):
         t.append(_df(spark, [("z", "d1", 1.0)]))
     assert calls["n"] == ManifestTable._COMMIT_RETRIES + 1
+
+
+def test_clustered_compact_makes_stats_pruning_effective(spark, tmp_path):
+    """Hash-layout files each span ~the full key domain, so key-range
+    skipping can't help; compact(cluster_by=keys) rewrites into
+    near-disjoint key ranges, after which a narrow-key MERGE rewrites
+    ONE file and carries the rest by reference."""
+    t = ManifestTable(str(tmp_path / "t"))
+    # 4-way hash layout: every file holds keys from across 0..999
+    t.overwrite(_idf(spark, 0, 1000).repartition(4))
+    hash_entries = t._read_manifest(1)["files"]
+    spans = [e["stats"]["id"]["max"] - e["stats"]["id"]["min"] for e in hash_entries]
+    assert min(spans) > 500  # each hash file spans most of the domain
+
+    v = t.compact(spark, target_rows_per_file=250, cluster_by=["id"])
+    entries = t._read_manifest(v)["files"]
+    assert len(entries) == 4
+    ranges = sorted((e["stats"]["id"]["min"], e["stats"]["id"]["max"]) for e in entries)
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # disjoint, ordered key ranges
+
+    before = {e["path"] for e in entries}
+    v2 = t.merge(
+        spark,
+        spark.createDataFrame([(3, 9.0), (7, 9.0)], "id long, v double"),
+        keys=["id"],
+    )
+    after = {e["path"] for e in t._read_manifest(v2)["files"]}
+    carried = before & after
+    assert len(carried) == 3  # only the low-range file was rewritten
+    got = {r.id: r.v for r in t.snapshot(spark).collect()}
+    assert len(got) == 1000 and got[3] == 9.0 and got[999] == 1.0
