@@ -60,6 +60,12 @@ def main(argv: list[str] | None = None) -> int:
     tb.add_argument("--to", dest="to_v", type=int, default=None, help="for diff")
     tb.add_argument("--keep-last", type=int, default=2, help="for vacuum")
     tb.add_argument("--limit", type=int, default=10)
+    tb.add_argument(
+        "--cluster-by",
+        default=None,
+        help="for compact: comma-separated key columns to range-cluster "
+        "(narrow per-file key ranges -> MERGE data skipping)",
+    )
 
     args = ap.parse_args(argv)
 
@@ -154,8 +160,10 @@ def main(argv: list[str] | None = None) -> int:
                     {"path": args.path, "from": frm, "to": to,
                      "n_preview": len(rows), "rows": rows}, default=str))
             elif args.action == "compact":
-                v = t.compact(spark)
-                print(json.dumps({"path": args.path, "version": v}))
+                cluster = args.cluster_by.split(",") if args.cluster_by else None
+                v = t.compact(spark, cluster_by=cluster)
+                print(json.dumps(
+                    {"path": args.path, "version": v, "cluster_by": cluster or []}))
             elif args.action == "vacuum":
                 n = t.vacuum(keep_last=args.keep_last)
                 print(json.dumps({"path": args.path, "deleted_files": n}))
