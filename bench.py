@@ -110,6 +110,16 @@ def main() -> None:
     if len(line) > 1900:  # pragma: no cover - growth guard
         print(f"# WARNING stdout line {len(line)} chars, driver window ~2000", file=sys.stderr)
     print(line)
+    # reclaim this session's scratch tables (the served-IVF index and
+    # the mart_versioned table are keyed by applicationId — nothing
+    # else will ever reuse them once the session ends)
+    import glob
+    import shutil
+    import tempfile
+
+    app_id = spark.sparkContext.applicationId
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), f"*_{app_id}*")):
+        shutil.rmtree(d, ignore_errors=True)
     spark.stop()
 
 
