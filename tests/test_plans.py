@@ -154,3 +154,11 @@ def test_vocab_topk_is_take_ordered(spark, sf_dir):
     one task (r3 VERDICT wrong-#2)."""
     p = plan(QUERIES["text_vocab"](spark, sf_dir))
     assert "TakeOrderedAndProject" in p
+
+
+def test_cjk_token_count_is_shuffle_free(spark, sf_dir):
+    """unicode_token_count is pure per-row expression work: the plan
+    over the (union) corpus must contain no Exchange — a shuffle here
+    would mean the token budget pays a network pass at corpus scale."""
+    p = plan(QUERIES["text_token_count_cjk"](spark, sf_dir))
+    assert "Exchange" not in p
