@@ -66,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
         help="for compact: comma-separated key columns to range-cluster "
         "(narrow per-file key ranges -> MERGE data skipping)",
     )
+    tb.add_argument(
+        "--zorder",
+        action="store_true",
+        help="for compact with --cluster-by: interleave quantile-bucket "
+        "bits (space-filling curve) so EVERY listed dimension skips",
+    )
 
     args = ap.parse_args(argv)
 
@@ -161,9 +167,10 @@ def main(argv: list[str] | None = None) -> int:
                      "n_preview": len(rows), "rows": rows}, default=str))
             elif args.action == "compact":
                 cluster = args.cluster_by.split(",") if args.cluster_by else None
-                v = t.compact(spark, cluster_by=cluster)
+                v = t.compact(spark, cluster_by=cluster, zorder=args.zorder)
                 print(json.dumps(
-                    {"path": args.path, "version": v, "cluster_by": cluster or []}))
+                    {"path": args.path, "version": v, "cluster_by": cluster or [],
+                     "zorder": bool(cluster) and args.zorder}))
             elif args.action == "vacuum":
                 n = t.vacuum(keep_last=args.keep_last)
                 print(json.dumps({"path": args.path, "deleted_files": n}))

@@ -216,6 +216,49 @@ def _source_key_ranges(source: DataFrame, keys: Sequence[str]) -> dict[str, tupl
     return out
 
 
+_ZORDER_BITS = 8  # 256 quantile buckets per dimension
+
+
+def _zorder_key(df: DataFrame, cols: Sequence[str]) -> Column:
+    """Space-filling-curve key: per-column QUANTILE bucket ids
+    (skew-proof, unlike equal-width buckets) with their bits
+    interleaved round-robin — rows close on the curve are close in
+    every listed dimension, so range-clustering on this one key gives
+    each file tight-ish min/max on ALL the columns.
+
+    Driver-side cost is one ``approxQuantile`` pass (bounded: 255
+    boundaries per column, shipped as literal arrays); per-row cost is
+    a binary-search-free boundary count plus ``8 x n_cols`` bit ops,
+    all inside codegen. Numeric columns only — quantiles need a total
+    order the driver can enumerate."""
+    numeric = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal", "date", "timestamp"}
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        base = dtypes.get(c, "?").split("(")[0]
+        if base not in numeric:
+            raise ValueError(
+                f"zorder column {c!r} has type {dtypes.get(c)!r}; "
+                "z-ordering needs numeric/temporal columns (use plain "
+                "cluster_by for lexicographic string clustering)"
+            )
+    probs = [i / (1 << _ZORDER_BITS) for i in range(1, 1 << _ZORDER_BITS)]
+    cast_df = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    bounds = cast_df.approxQuantile(list(cols), probs, 0.001)
+    key = None
+    for i, c in enumerate(cols):
+        arr = F.array(*[F.lit(b) for b in bounds[i]])
+        # bucket id = #boundaries <= value (NULL -> bucket 0)
+        bucket = F.size(
+            F.filter(arr, lambda b: b <= F.coalesce(F.col(c).cast("double"), F.lit(float("-inf"))))
+        ).cast("bigint")
+        for j in range(_ZORDER_BITS):
+            term = F.shiftleft(
+                F.shiftright(bucket, j).bitwiseAND(F.lit(1)), j * len(cols) + i
+            )
+            key = term if key is None else key + term
+    return key.cast("bigint")
+
+
 def _align(df: DataFrame, schema: StructType) -> DataFrame:
     """Project ``df`` onto ``schema``: stable column order, NULL-fill
     for columns the frame lacks (additive schema evolution)."""
@@ -706,6 +749,7 @@ class ManifestTable:
         spark: SparkSession,
         target_rows_per_file: int = 1_000_000,
         cluster_by: Sequence[str] | None = None,
+        zorder: bool = False,
     ) -> int:
         """Rewrite the current snapshot into ~rows/target files and
         commit it as a new version — same cure for merge-writer file
@@ -718,9 +762,19 @@ class ManifestTable:
         min/max stats actually skip: hash-layout files each span
         nearly the full key domain (every file intersects every
         source), while clustered files let a narrow-key MERGE touch
-        one file instead of all of them — the OPTIMIZE ZORDER/
-        CLUSTER BY shape for the single-dimension case, and the right
-        periodic maintenance for a table merged on a keyed window.
+        one file instead of all of them — the OPTIMIZE CLUSTER BY
+        shape, and the right periodic maintenance for a table merged
+        on a keyed window.
+
+        Lexicographic range clustering concentrates ONLY the leading
+        column; a merge keyed on the second column still intersects
+        every file. ``zorder=True`` (numeric ``cluster_by`` columns)
+        interleaves per-column quantile-bucket bits into one
+        space-filling-curve key and clusters on that, so every listed
+        dimension gets tight-ish per-file ranges — the OPTIMIZE ZORDER
+        shape. Quantile buckets (not raw values) make the curve
+        skew-proof; the boundary lookup is a bounded in-memory array
+        per column (``approxQuantile`` on the driver, 256 buckets).
         Returns the new version."""
 
         def attempt() -> int:
@@ -729,13 +783,25 @@ class ManifestTable:
             n_files = max(1, -(-n // target_rows_per_file))
             base = self.latest_version()
             partition_by = self._read_manifest(base)["partition_by"] if base is not None else []
-            if cluster_by:
+            if cluster_by and zorder:
+                zkey = _zorder_key(df, list(cluster_by))
+                out = (
+                    df.withColumn("__z", zkey)
+                    .repartitionByRange(n_files, F.col("__z"))
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            elif cluster_by:
                 cols = [F.col(c) for c in cluster_by]
                 out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
             else:
                 out = df.repartition(n_files)
             entries = self._write_data_files(out, partition_by or None)
-            op = {"op": "compact", "cluster_by": list(cluster_by or [])}
+            op = {
+                "op": "compact",
+                "cluster_by": list(cluster_by or []),
+                "zorder": bool(cluster_by) and zorder,
+            }
             return self._commit(entries, out.schema, partition_by or None, base, op)
 
         return self._with_commit_retries(attempt)

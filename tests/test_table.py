@@ -480,3 +480,62 @@ def test_clustered_compact_makes_stats_pruning_effective(spark, tmp_path):
     assert len(carried) == 3  # only the low-range file was rewritten
     got = {r.id: r.v for r in t.snapshot(spark).collect()}
     assert len(got) == 1000 and got[3] == 9.0 and got[999] == 1.0
+
+
+def test_zorder_compact_skips_on_every_dimension(spark, tmp_path):
+    """Lexicographic clustering concentrates only the leading column;
+    z-order must give BOTH dimensions tight-ish per-file ranges, so a
+    narrow merge on either key carries most files by reference."""
+    rows = [(x, y, 1.0) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long, v double")
+
+    # lexicographic baseline: y spans the full domain in every file
+    t_lex = ManifestTable(str(tmp_path / "lex"))
+    t_lex.overwrite(df.repartition(8))
+    v = t_lex.compact(spark, target_rows_per_file=256, cluster_by=["x", "y"])
+    lex_entries = t_lex._read_manifest(v)["files"]
+    lex_y_spans = [
+        e["stats"]["y"]["max"] - e["stats"]["y"]["min"] for e in lex_entries
+    ]
+    assert min(lex_y_spans) > 32  # every file spans most of y
+
+    t_z = ManifestTable(str(tmp_path / "z"))
+    t_z.overwrite(df.repartition(8))
+    v = t_z.compact(spark, target_rows_per_file=256, cluster_by=["x", "y"], zorder=True)
+    man = t_z._read_manifest(v)
+    assert man["operation"] == {"op": "compact", "cluster_by": ["x", "y"], "zorder": True}
+    entries = man["files"]
+    assert len(entries) == 16
+
+    def _touched(table_entries, ranges):
+        from etl_job_spark.table import _stats_disjoint
+
+        return [e for e in table_entries if not _stats_disjoint(e, ranges)]
+
+    # narrow windows on EACH dimension prune most z-ordered files...
+    x_touched = _touched(entries, {"x": (10, 13)})
+    y_touched = _touched(entries, {"y": (50, 53)})
+    assert len(x_touched) <= len(entries) // 2
+    assert len(y_touched) <= len(entries) // 2
+    # ...while the lexicographic layout cannot prune the second dim
+    assert len(_touched(lex_entries, {"y": (50, 53)})) == len(lex_entries)
+
+    # and an actual narrow-y merge carries the untouched files
+    before = {e["path"] for e in entries}
+    v2 = t_z.merge(
+        spark,
+        spark.createDataFrame([(5, 51, 9.0)], "x long, y long, v double"),
+        keys=["x", "y"],
+    )
+    after = {e["path"] for e in t_z._read_manifest(v2)["files"]}
+    assert len(before & after) >= len(entries) // 2
+    got = t_z.snapshot(spark)
+    assert got.count() == 64 * 64
+    assert got.filter("x = 5 AND y = 51").collect()[0].v == 9.0
+
+
+def test_zorder_rejects_string_columns(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [("a", "d1", 1.0)]))
+    with pytest.raises(ValueError, match="zorder column"):
+        t.compact(spark, cluster_by=["k"], zorder=True)
