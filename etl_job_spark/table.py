@@ -325,6 +325,26 @@ class ManifestTable:
         # committed types
         return _align(df, schema)
 
+    def snapshot_as_of(self, spark: SparkSession, timestamp: str) -> DataFrame:
+        """Timestamp time travel: the snapshot of the latest version
+        whose ``committed_at`` is <= ``timestamp`` (ISO-8601, UTC
+        assumed when naive) — SELECT ... TIMESTAMP AS OF. Versions
+        predating the committed_at field (or an empty history before
+        ``timestamp``) raise, matching Delta's out-of-range error."""
+        want = datetime.datetime.fromisoformat(timestamp)
+        if want.tzinfo is None:
+            want = want.replace(tzinfo=datetime.timezone.utc)
+        best = None
+        for v in self.versions():
+            at = self._read_manifest(v).get("committed_at")
+            if at is not None and datetime.datetime.fromisoformat(at) <= want:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no version of {self.path} committed at or before {timestamp}"
+            )
+        return self.snapshot(spark, version=best)
+
     @staticmethod
     def _manifest_schema(man: dict) -> StructType | None:
         """Committed schema (None for pre-evolution manifests that only
@@ -457,6 +477,11 @@ class ManifestTable:
         manifest = {
             "version": version,
             "base_version": expected_base,
+            # UTC wall time of the commit attempt — the key for
+            # timestamp time travel (snapshot_as_of). Informational
+            # like Delta's commit timestamps: version order is the
+            # truth; ties/clock-skew resolve to the higher version.
+            "committed_at": datetime.datetime.now(datetime.timezone.utc).isoformat(),
             "schema": schema.simpleString(),
             "fields": schema.jsonValue(),
             "partition_by": list(partition_by or []),
@@ -819,6 +844,7 @@ class ManifestTable:
                 {
                     "version": v,
                     "base_version": man.get("base_version"),
+                    "committed_at": man.get("committed_at"),
                     "operation": man.get("operation") or {},
                     "n_files": len(man["files"]),
                     "rows": sum(e.get("rows") or 0 for e in man["files"]),

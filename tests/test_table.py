@@ -539,3 +539,25 @@ def test_zorder_rejects_string_columns(spark, tmp_path):
     t.overwrite(_df(spark, [("a", "d1", 1.0)]))
     with pytest.raises(ValueError, match="zorder column"):
         t.compact(spark, cluster_by=["k"], zorder=True)
+
+
+def test_snapshot_as_of_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: the latest version committed at or before the
+    asked-for instant; before-history raises; ties resolve to the
+    higher version (version order is the truth)."""
+    import datetime
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [("a", "d1", 1.0)]))
+    between = datetime.datetime.now(datetime.timezone.utc).isoformat()
+    t.overwrite(_df(spark, [("b", "d2", 2.0)]))
+
+    assert _data(t.snapshot_as_of(spark, between)) == [("a", "d1", 1.0)]
+    now = datetime.datetime.now(datetime.timezone.utc).isoformat()
+    assert _data(t.snapshot_as_of(spark, now)) == [("b", "d2", 2.0)]
+    with pytest.raises(ValueError, match="at or before"):
+        t.snapshot_as_of(spark, "2000-01-01T00:00:00+00:00")
+    # history carries the commit instants
+    hs = t.history()
+    assert all(h["committed_at"] for h in hs)
+    assert hs[0]["committed_at"] <= hs[1]["committed_at"]
