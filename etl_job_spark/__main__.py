@@ -56,6 +56,9 @@ def main(argv: list[str] | None = None) -> int:
         choices=["versions", "history", "show", "diff", "compact", "vacuum", "restore"],
     )
     tb.add_argument("--version", type=int, default=None, help="for show/restore")
+    tb.add_argument(
+        "--as-of", default=None, help="for show: ISO timestamp time travel"
+    )
     tb.add_argument("--from", dest="from_v", type=int, default=None, help="for diff")
     tb.add_argument("--to", dest="to_v", type=int, default=None, help="for diff")
     tb.add_argument("--keep-last", type=int, default=2, help="for vacuum")
@@ -152,11 +155,14 @@ def main(argv: list[str] | None = None) -> int:
             elif args.action == "history":
                 print(json.dumps({"path": args.path, "history": t.history()}))
             elif args.action == "show":
-                df = t.snapshot(spark, version=args.version)
+                if args.as_of is not None:
+                    df = t.snapshot_as_of(spark, args.as_of)
+                else:
+                    df = t.snapshot(spark, version=args.version)
                 rows = [r.asDict(recursive=True) for r in df.limit(args.limit).collect()]
                 print(json.dumps(
                     {"path": args.path, "version": args.version or t.latest_version(),
-                     "rows": rows}, default=str))
+                     "as_of": args.as_of, "rows": rows}, default=str))
             elif args.action == "diff":
                 frm = args.from_v if args.from_v is not None else (t.latest_version() or 1) - 1
                 to = args.to_v if args.to_v is not None else t.latest_version()
