@@ -36,17 +36,22 @@ at-scale answer, the same idea as Delta/Iceberg reduced to its core:
   optimistic retries, the Delta-style loop); ``CommitConflictError``
   escapes only after the budget is exhausted.
 
-Row-level DELETE is copy-on-write and file-pruned (``delete_where``):
-one predicate-pushdown scan finds which files actually hold matching
-rows (parquet row-group stats skip cold files for free), and only those
-files are rewritten — every other file is carried by reference, the
-same shape as Delta's copy-on-write DELETE. Schema evolution is
-add-column-only: ``append``/``merge`` may bring new columns, readers
-see NULL for rows written before the column existed, and changing an
-existing column's type is rejected. A catalog and merge-on-read delete
-vectors remain out of scope — those are why production uses
-Delta/Iceberg; the commit protocol, pruned MERGE/DELETE, and additive
-evolution are the parts the engine needs.
+Row-level DELETE comes in both production shapes (``delete_where``):
+copy-on-write (default) — one predicate-pushdown scan finds which
+files actually hold matching rows (parquet row-group stats skip cold
+files for free) and only those files are rewritten, every other file
+carried by reference — and merge-on-read deletion vectors
+(``mode="merge_on_read"``) — matching physical row positions land in
+the manifest as per-file ``dv`` lists, no data file is rewritten, and
+every reader anti-joins them out; the right shape for scattered
+GDPR-style erasure, materialized away by the next rewrite of the file
+(MERGE touch or compact). Schema evolution is add-column-only:
+``append``/``merge`` may bring new columns, readers see NULL for rows
+written before the column existed, and changing an existing column's
+type is rejected. A full catalog service remains out of scope — that
+is why production uses Delta/Iceberg; the commit protocol, pruned
+MERGE/DELETE (both CoW and MoR), and additive evolution are the parts
+the engine needs.
 """
 
 from __future__ import annotations
@@ -354,9 +359,14 @@ class ManifestTable:
         return None
 
     def _read_files(
-        self, spark: SparkSession, entries: list[dict], with_file_path: bool = False
+        self,
+        spark: SparkSession,
+        entries: list[dict],
+        with_file_path: bool = False,
+        with_row_index: bool = False,
     ) -> DataFrame:
-        """Read manifest entries; hive partition columns restored.
+        """Read manifest entries; hive partition columns restored and
+        deletion vectors applied.
 
         Files are grouped by their write batch (the uuid directory each
         commit landed under) because partition inference needs a
@@ -366,9 +376,19 @@ class ManifestTable:
         a column was added simply lack it — the union null-fills
         (additive schema evolution).
 
-        ``with_file_path`` exposes the source file as ``__file`` (the
-        hidden ``_metadata`` column must be selected per scan, before
-        the union erases the file-source relation).
+        Entries carrying a ``dv`` (merge-on-read DELETE) have those
+        physical row positions removed via a broadcast anti-join on
+        (filename, row_index) — filenames are globally unique for
+        Spark-written files (writer-uuid part names), which sidesteps
+        URI-scheme/escaping mismatches between ``_metadata.file_path``
+        and manifest paths. The DV table is driver-built and bounded
+        by the MoR contract: scattered deletes; bulk deletes take the
+        copy-on-write path.
+
+        ``with_file_path`` exposes the source file as ``__file``;
+        ``with_row_index`` exposes the physical position as ``__idx``
+        (the hidden ``_metadata`` column must be selected per scan,
+        before the union erases the file-source relation).
         """
         # hive partition values come back as raw strings, never
         # inference-typed: '19980101' must not become an int, and
@@ -395,11 +415,36 @@ class ManifestTable:
                 spark.conf.unset(inference_key)
             else:
                 spark.conf.set(inference_key, prev)
-        if with_file_path:
-            dfs = [df.select("*", F.col("_metadata.file_path").alias("__file")) for df in dfs]
+        has_dv = any(e.get("dv") for e in entries)
+        need_file = with_file_path or has_dv
+        need_idx = with_row_index or has_dv
+        meta = []
+        if need_file:
+            meta.append(F.col("_metadata.file_path").alias("__file"))
+        if need_idx:
+            meta.append(F.col("_metadata.row_index").alias("__idx"))
+        if meta:
+            dfs = [df.select("*", *meta) for df in dfs]
         out = dfs[0]
         for df in dfs[1:]:
             out = out.unionByName(df, allowMissingColumns=True)
+        if has_dv:
+            dv_rows = [
+                (os.path.basename(e["path"]), int(i))
+                for e in entries
+                for i in (e.get("dv") or [])
+            ]
+            dv = spark.createDataFrame(dv_rows, "__dv_fname string, __dv_idx bigint")
+            out = out.join(
+                F.broadcast(dv),
+                (F.element_at(F.split(F.col("__file"), "/"), -1) == F.col("__dv_fname"))
+                & (F.col("__idx") == F.col("__dv_idx")),
+                "left_anti",
+            )
+        if need_file and not with_file_path:
+            out = out.drop("__file")
+        if need_idx and not with_row_index:
+            out = out.drop("__idx")
         return out
 
     # -- commit protocol ----------------------------------------------
@@ -673,12 +718,19 @@ class ManifestTable:
 
         return self._with_commit_retries(attempt)
 
-    def delete_where(self, spark: SparkSession, predicate: str | Column) -> int:
-        """DELETE the rows matching ``predicate`` — copy-on-write,
-        file-pruned. Returns the new version (or the current one when
-        nothing matched: an empty delete publishes nothing).
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate: str | Column,
+        mode: str = "copy_on_write",
+    ) -> int:
+        """DELETE the rows matching ``predicate``; returns the new
+        version (or the current one when nothing matched: an empty
+        delete publishes nothing). SQL DELETE semantics either way:
+        rows where the predicate is NULL are kept.
 
-        The Delta/Iceberg copy-on-write DELETE shape, in two passes:
+        ``mode="copy_on_write"`` (default) — the Delta/Iceberg CoW
+        shape, in two passes:
 
         1. one scan over the snapshot with the predicate pushed into
            the parquet reader finds which files actually contain a
@@ -691,9 +743,22 @@ class ManifestTable:
            into the new manifest by reference — never read, never
            rewritten.
 
-        SQL DELETE semantics: rows where the predicate is NULL are
-        kept (only WHERE-true rows are removed).
+        ``mode="merge_on_read"`` — deletion vectors: NO data file is
+        read twice or rewritten; the matching physical row positions
+        land in the manifest as per-file ``dv`` lists and every reader
+        anti-joins them out (``_read_files``). The write is
+        metadata-only — the right shape for small scattered deletes
+        (GDPR erasure, late corrections) where CoW would rewrite a
+        file per row. The driver holds the matched positions, so bulk
+        deletes belong on the CoW path; any later rewrite of a file's
+        rows (MERGE touch, compact) materializes the DV away.
         """
+        if mode == "merge_on_read":
+            return self._delete_where_mor(spark, predicate)
+        if mode != "copy_on_write":
+            raise ValueError(
+                f"delete mode {mode!r}: use 'copy_on_write' or 'merge_on_read'"
+            )
 
         def attempt() -> int:
             base = self.latest_version()
@@ -732,6 +797,50 @@ class ManifestTable:
 
         return self._with_commit_retries(attempt)
 
+    def _delete_where_mor(self, spark: SparkSession, predicate: str | Column) -> int:
+        """Deletion-vector DELETE (see ``delete_where`` mode docs)."""
+
+        def attempt() -> int:
+            base = self.latest_version()
+            if base is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+            man = self._read_manifest(base)
+            pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+            # existing DVs are applied by _read_files, so re-deleting an
+            # already-deleted row is a no-op, not a duplicate dv entry
+            scan = self._read_files(
+                spark, man["files"], with_file_path=True, with_row_index=True
+            )
+            hits = scan.filter(pred).select("__file", "__idx").collect()
+            if not hits:
+                return base
+            by_fname: dict[str, set[int]] = {}
+            for r in hits:
+                fname = os.path.basename(_strip_file_scheme(r["__file"]))
+                by_fname.setdefault(fname, set()).add(int(r["__idx"]))
+            new_entries = []
+            for e in man["files"]:
+                add = by_fname.get(os.path.basename(e["path"]))
+                if add:
+                    dv = sorted(set(e.get("dv") or []) | add)
+                    new_entries.append({**e, "dv": dv})
+                else:
+                    new_entries.append(e)
+            op = {
+                "op": "delete",
+                "mode": "merge_on_read",
+                "predicate": predicate if isinstance(predicate, str) else str(pred),
+                "n_deleted": len(hits),
+            }
+            schema = self._manifest_schema(man)
+            if schema is None:
+                schema = self.snapshot(spark, base).schema
+            return self._commit(
+                new_entries, schema, man["partition_by"] or None, base, op
+            )
+
+        return self._with_commit_retries(attempt)
+
     def diff(self, spark: SparkSession, from_version: int, to_version: int) -> DataFrame:
         """Change feed between two committed versions, computed from
         manifests: rows only in ``to`` (inserts/updates) tagged
@@ -745,10 +854,17 @@ class ManifestTable:
         """
         a = self._read_manifest(from_version)
         b = self._read_manifest(to_version)
-        a_paths = {e["path"] for e in a["files"]}
-        b_paths = {e["path"] for e in b["files"]}
-        only_a = [e for e in a["files"] if e["path"] not in b_paths]
-        only_b = [e for e in b["files"] if e["path"] not in a_paths]
+
+        def _ident(e: dict) -> tuple:
+            # a file's LIVE content is (immutable bytes, deletion
+            # vector): a dv-only commit changes content without
+            # changing the path, so identity must carry both
+            return (e["path"], tuple(e.get("dv") or []))
+
+        a_idents = {_ident(e) for e in a["files"]}
+        b_idents = {_ident(e) for e in b["files"]}
+        only_a = [e for e in a["files"] if _ident(e) not in b_idents]
+        only_b = [e for e in b["files"] if _ident(e) not in a_idents]
         if not only_a and not only_b:
             empty = self.snapshot(spark, to_version).limit(0)
             return empty.withColumn("_change", F.lit("upsert"))
@@ -847,7 +963,11 @@ class ManifestTable:
                     "committed_at": man.get("committed_at"),
                     "operation": man.get("operation") or {},
                     "n_files": len(man["files"]),
-                    "rows": sum(e.get("rows") or 0 for e in man["files"]),
+                    # live rows: physical footer counts minus dv'd positions
+                    "rows": sum(
+                        (e.get("rows") or 0) - len(e.get("dv") or [])
+                        for e in man["files"]
+                    ),
                     "partition_by": man.get("partition_by") or [],
                 }
             )

@@ -561,3 +561,74 @@ def test_snapshot_as_of_timestamp_time_travel(spark, tmp_path):
     hs = t.history()
     assert all(h["committed_at"] for h in hs)
     assert hs[0]["committed_at"] <= hs[1]["committed_at"]
+
+
+def test_delete_where_merge_on_read_deletion_vectors(spark, tmp_path):
+    """MoR DELETE: metadata-only (same data files, byte-identical),
+    rows disappear from every reader, re-delete is a no-op, and DVs
+    union across successive deletes."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_idf(spark, 0, 100).repartition(2))
+    files_v1 = {e["path"] for e in t._read_manifest(1)["files"]}
+    blobs = {
+        p: open(os.path.join(t.data_dir, p), "rb").read() for p in files_v1
+    }
+
+    v = t.delete_where(spark, "id IN (3, 7, 50)", mode="merge_on_read")
+    assert v == 2
+    man = t._read_manifest(2)
+    assert {e["path"] for e in man["files"]} == files_v1  # no new files
+    for p, b in blobs.items():
+        assert open(os.path.join(t.data_dir, p), "rb").read() == b  # untouched bytes
+    assert sum(len(e.get("dv") or []) for e in man["files"]) == 3
+    got = {r.id for r in t.snapshot(spark).collect()}
+    assert len(got) == 97 and not ({3, 7, 50} & got)
+    # history reports LIVE rows
+    assert [h["rows"] for h in t.history()] == [100, 97]
+    # time travel still sees the deleted rows
+    assert t.snapshot(spark, version=1).count() == 100
+    # re-delete of already-dv'd rows publishes nothing
+    assert t.delete_where(spark, "id = 3", mode="merge_on_read") == 2
+    # a second MoR delete unions into the existing DVs
+    v = t.delete_where(spark, "id = 11", mode="merge_on_read")
+    assert t.snapshot(spark).count() == 96
+    assert sum(len(e.get("dv") or []) for e in t._read_manifest(v)["files"]) == 4
+
+
+def test_mor_deletes_do_not_resurrect_through_merge_or_compact(spark, tmp_path):
+    """Any rewrite that reads a dv'd file must apply the DV: MERGE over
+    a touched file and compact both materialize the deletion; untouched
+    files carry their dv along through a merge."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_idf(spark, 0, 100).repartition(1))
+    t.append(_idf(spark, 1000, 1100).repartition(1))
+    t.delete_where(spark, "id IN (5, 1005)", mode="merge_on_read")
+
+    # merge touches only the low file (key-range skipping): the high
+    # file must carry its dv by reference, the low file's dv
+    # materializes into the rewrite
+    v = t.merge(
+        spark,
+        spark.createDataFrame([(6, 9.0)], "id long, v double"),
+        keys=["id"],
+    )
+    man = t._read_manifest(v)
+    carried = [e for e in man["files"] if e.get("dv")]
+    assert len(carried) == 1  # the untouched high file keeps its dv
+    got = {r.id for r in t.snapshot(spark).collect()}
+    assert 5 not in got and 1005 not in got and len(got) == 198
+
+    # compact rewrites everything clean: no dv survives
+    v = t.compact(spark)
+    assert all(not e.get("dv") for e in t._read_manifest(v)["files"])
+    assert t.snapshot(spark).count() == 198
+
+
+def test_mor_delete_appears_in_diff(spark, tmp_path):
+    """A dv-only commit changes no file paths; diff must still report
+    the deleted rows (entry identity = path + dv)."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [("a", "d1", 1.0), ("b", "d2", 2.0)]))
+    t.delete_where(spark, "k = 'a'", mode="merge_on_read")
+    d = sorted((r.k, r._change) for r in t.diff(spark, 1, 2).collect())
+    assert d == [("a", "delete"), ("b", "delete"), ("b", "upsert")] or d == [("a", "delete")]
