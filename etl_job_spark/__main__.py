@@ -53,7 +53,17 @@ def main(argv: list[str] | None = None) -> int:
     tb.add_argument("--path", required=True)
     tb.add_argument(
         "action",
-        choices=["versions", "history", "show", "diff", "compact", "vacuum", "restore"],
+        choices=[
+            "versions", "history", "show", "diff", "compact", "vacuum",
+            "restore", "delete",
+        ],
+    )
+    tb.add_argument("--where", default=None, help="for delete: SQL predicate")
+    tb.add_argument(
+        "--mode",
+        choices=["copy_on_write", "merge_on_read"],
+        default="copy_on_write",
+        help="for delete: CoW rewrites matching files; MoR lands deletion vectors",
     )
     tb.add_argument("--version", type=int, default=None, help="for show/restore")
     tb.add_argument(
@@ -187,6 +197,14 @@ def main(argv: list[str] | None = None) -> int:
                 v = t.restore(spark, args.version)
                 print(json.dumps(
                     {"path": args.path, "restored": args.version, "version": v}))
+            elif args.action == "delete":
+                if not args.where:
+                    print("table delete requires --where", file=sys.stderr)
+                    return 2
+                v = t.delete_where(spark, args.where, mode=args.mode)
+                print(json.dumps(
+                    {"path": args.path, "version": v, "mode": args.mode,
+                     "where": args.where}))
     finally:
         if owns_session:
             spark.stop()
