@@ -166,12 +166,13 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"path": args.path, "history": t.history()}))
             elif args.action == "show":
                 if args.as_of is not None:
-                    df = t.snapshot_as_of(spark, args.as_of)
+                    shown = t.version_as_of(args.as_of)
                 else:
-                    df = t.snapshot(spark, version=args.version)
+                    shown = args.version if args.version is not None else t.latest_version()
+                df = t.snapshot(spark, version=shown)
                 rows = [r.asDict(recursive=True) for r in df.limit(args.limit).collect()]
                 print(json.dumps(
-                    {"path": args.path, "version": args.version or t.latest_version(),
+                    {"path": args.path, "version": shown,
                      "as_of": args.as_of, "rows": rows}, default=str))
             elif args.action == "diff":
                 frm = args.from_v if args.from_v is not None else (t.latest_version() or 1) - 1

@@ -71,7 +71,7 @@ SQL_NEARDUP_CORPUS = r"""
 corpus AS (
   SELECT doc_id, lower(trim(text)) AS text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[2:], ' ') AS text
+  SELECT -doc_id - 1 AS doc_id, array_to_string(toks[2:], ' ') AS text
   FROM tok WHERE len(toks) > 3
 )"""
 
@@ -97,7 +97,7 @@ def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") > 3)
         .select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
+            (-F.col("doc_id") - 1).alias("doc_id"),
             F.array_join(F.slice("toks", 2, F.size("toks") - 1), " ").alias("text"),
         )
     )
@@ -112,7 +112,7 @@ EXACT_SQL = r"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  SELECT -doc_id - 1 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
 )
 SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
        min(doc_id) AS canonical_id,
@@ -130,7 +130,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.select("doc_id", "text").unionByName(
         docs.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            (-F.col("doc_id") - 1).alias("doc_id"), "text"
         )
     )
     return dedup.exact_duplicates(corpus)
@@ -475,7 +475,7 @@ EMBED_NEARDUP_SQL = f"""
 WITH ecorpus AS (
   SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000000 AS vec_id,
+  SELECT -vec_id - 1 AS vec_id,
          [CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) * 0.5
                ELSE CAST(embedding[i] AS DOUBLE) END
           for i in generate_series(1, len(embedding))] AS emb
@@ -512,7 +512,7 @@ def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"))
     perturbed = emb.select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
+        (-F.col("vec_id") - 1).alias("vec_id"),
         F.expr(
             "transform(embedding, (x, i) -> CASE WHEN i = 0 THEN cast(x as double) * 0.5"
             " ELSE cast(x as double) END)"
@@ -675,7 +675,9 @@ def _lang_score_sql(lang: str) -> str:
 
 
 # Planted zh documents: every 10th doc gets a genuine (unspaced)
-# Chinese twin at doc_id + 2000000, synthesized identically in both
+# Chinese twin at -doc_id - 1 (the NEGATIVE id namespace is disjoint
+# from real ids at ANY corpus scale; a fixed +2M offset collides once
+# the corpus passes 2M documents), synthesized identically in both
 # engines the way the near-dup corpus plants duplicates.  Anchors in
 # the sentence: 的 ×3, 是 ×2, 了 ×1 → score_zh = 6 > every padded
 # ASCII score (0), so pred_lang='zh' MUST fire on these rows.
@@ -685,7 +687,7 @@ SQL_LANG_CORPUS = f"""
 lang_corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 2000000 AS doc_id, '{ZH_PLANT_TEXT}' AS text
+  SELECT -doc_id - 1 AS doc_id, '{ZH_PLANT_TEXT}' AS text
   FROM documents WHERE doc_id % 10 = 0
 )"""
 
@@ -710,7 +712,7 @@ SELECT doc_id, cand_lang AS pred_lang, score FROM (
 def _lang_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.lit(ZH_PLANT_TEXT).alias("text"),
     )
     return docs.select("doc_id", "text").unionByName(planted)

@@ -311,7 +311,6 @@ def mart_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     dates carry by reference, never rewritten), and the query returns
     the committed snapshot. Exercises the commit protocol + pruned
     MERGE + string-partition round-trip under the driver's oracle."""
-    import shutil
     import tempfile
 
     from etl_job_spark.table import ManifestTable
@@ -323,15 +322,19 @@ def mart_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     day2 = staging.filter(F.col("sale_date").between(*VERSIONED_W2)).withColumn(
         "total_amt", F.col("total_amt") + 100.0
     )
-    # session-scoped scratch table, cleaned on re-entry: repeated
-    # invocations (driver window + median-of-3 bench) reuse ONE
-    # directory instead of leaking a mkdtemp per call (r3 verdict #8);
-    # the applicationId suffix keeps concurrent sessions apart
+    # session-scoped scratch table, REUSED across invocations: repeated
+    # calls (driver window + median-of-3 bench) append new committed
+    # versions to ONE directory instead of leaking a mkdtemp per call
+    # (r3 verdict #8). Crucially it is NOT cleaned on re-entry — an
+    # rmtree here would delete the files a previously returned (lazy)
+    # snapshot still references, failing any later action on that
+    # frame; snapshot isolation makes reuse safe, and bench.py
+    # reclaims the directory when the session ends. The applicationId
+    # suffix keeps concurrent sessions apart.
     path = os.path.join(
         tempfile.gettempdir(),
         f"kicc_mart_versioned_{spark.sparkContext.applicationId}",
     )
-    shutil.rmtree(path, ignore_errors=True)
     t = ManifestTable(path)
     t.overwrite(day1, partition_by=["sale_date"])
     t.merge(spark, day2, keys=["sp_code", "sale_date"])

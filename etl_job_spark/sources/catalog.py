@@ -28,8 +28,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP(NANOS), which a default session rejects
         # (PARQUET_TYPE_ILLEGAL) — read it as long and convert below.
         # Set here, not only in session.py: the driver calls queries()
-        # with its OWN SparkSession
+        # with its OWN SparkSession. The UTC pin rides along for the
+        # same reason — the NTZ→timestamp cast below is wall-clock-
+        # preserving only under a UTC session, and a driver session
+        # in a non-UTC zone would silently shift every ts
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     ts_type = dict(df.dtypes).get("ts") if name == "events" else None
     if ts_type == "bigint":

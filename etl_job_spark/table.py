@@ -120,8 +120,22 @@ def _stat_encode(value):
         return None
     if isinstance(value, (int, float, str)):
         return value
-    if isinstance(value, (datetime.date, datetime.datetime)):
-        return value.isoformat()
+    if isinstance(value, datetime.datetime):
+        # epoch MICROSECONDS as int — never isoformat strings: footers
+        # surface tz-AWARE datetimes (TIMESTAMP_MICROS adjusted-to-UTC)
+        # while a collect() yields naive ones, and '...+00:00' vs '...'
+        # compare wrong lexicographically even for equal instants.
+        # Aware → exact instant; naive (NTZ footers) → wall clock
+        # treated as UTC, matching the read side's UTC-pinned sessions.
+        if value.tzinfo is not None:
+            value = value.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        delta = value - datetime.datetime(1970, 1, 1)
+        return (delta.days * 86_400_000_000
+                + delta.seconds * 1_000_000
+                + delta.microseconds)
+    if isinstance(value, datetime.date):
+        # epoch DAYS as int (source side mirrors with unix_date)
+        return (value - datetime.date(1970, 1, 1)).days
     return None
 
 
@@ -148,7 +162,15 @@ def _file_stats(path: str) -> tuple[int, dict[str, dict]]:
                 eligible.remove(j)
                 stats.pop(name, None)
                 continue
-            lo, hi = _stat_encode(st.min), _stat_encode(st.max)
+            try:
+                lo, hi = _stat_encode(st.min), _stat_encode(st.max)
+            except Exception:
+                # pyarrow can't extract stats for some physical types
+                # (ArrowNotImplementedError, e.g. INT96); unknown range
+                # = never pruned, which is always sound
+                eligible.remove(j)
+                stats.pop(name, None)
+                continue
             if lo is None or hi is None:
                 eligible.remove(j)
                 stats.pop(name, None)
@@ -204,13 +226,23 @@ def _strip_file_scheme(path: str) -> str:
 def _source_key_ranges(source: DataFrame, keys: Sequence[str]) -> dict[str, tuple]:
     """min/max of each key column in the source — ONE aggregate job
     returning a single row of 2×len(keys) scalars (driver-side size is
-    fixed, not data-sized). Columns whose bounds can't be order-
-    preservingly JSON-encoded (or that are all-NULL) are omitted and
-    simply don't prune."""
+    fixed, not data-sized). Temporal columns aggregate as epoch
+    integers (unix_micros/unix_date — tz-independent, matching
+    ``_stat_encode``'s footer encoding exactly); columns whose bounds
+    can't be order-preservingly encoded (or that are all-NULL) are
+    omitted and simply don't prune."""
+    dtypes = dict(source.dtypes)
     aggs = []
     for k in keys:
-        aggs.append(F.min(F.col(k)).alias(f"__lo_{k}"))
-        aggs.append(F.max(F.col(k)).alias(f"__hi_{k}"))
+        dt = dtypes.get(k, "")
+        if dt.startswith("timestamp"):
+            expr = F.unix_micros(F.col(k).cast("timestamp"))
+        elif dt == "date":
+            expr = F.unix_date(F.col(k))
+        else:
+            expr = F.col(k)
+        aggs.append(F.min(expr).alias(f"__lo_{k}"))
+        aggs.append(F.max(expr).alias(f"__hi_{k}"))
     row = source.agg(*aggs).collect()[0]
     out: dict[str, tuple] = {}
     for k in keys:
@@ -236,25 +268,43 @@ def _zorder_key(df: DataFrame, cols: Sequence[str]) -> Column:
     a binary-search-free boundary count plus ``8 x n_cols`` bit ops,
     all inside codegen. Numeric columns only — quantiles need a total
     order the driver can enumerate."""
-    numeric = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal", "date", "timestamp"}
+    if len(cols) * _ZORDER_BITS > 63:
+        # bit position len(cols)*8 - 1 would land in the bigint sign
+        # bit: top-bucket rows would get NEGATIVE keys and sort before
+        # everything, silently scrambling the clustering
+        raise ValueError(
+            f"zorder supports at most {63 // _ZORDER_BITS} columns "
+            f"({_ZORDER_BITS} bits each in a 63-bit signed key); got {len(cols)}"
+        )
+    numeric = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal"}
     dtypes = dict(df.dtypes)
-    for c in cols:
-        base = dtypes.get(c, "?").split("(")[0]
+
+    def _as_double(c: str) -> Column:
+        dt = dtypes.get(c, "?")
+        base = dt.split("(")[0]
+        if dt.startswith("timestamp"):
+            # DATE/TIMESTAMP don't cast to double directly — go
+            # through their epoch integers
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        if base == "date":
+            return F.unix_date(F.col(c)).cast("double")
         if base not in numeric:
             raise ValueError(
-                f"zorder column {c!r} has type {dtypes.get(c)!r}; "
-                "z-ordering needs numeric/temporal columns (use plain "
-                "cluster_by for lexicographic string clustering)"
+                f"zorder column {c!r} has type {dt!r}; z-ordering needs "
+                "numeric/temporal columns (use plain cluster_by for "
+                "lexicographic string clustering)"
             )
+        return F.col(c).cast("double")
+
     probs = [i / (1 << _ZORDER_BITS) for i in range(1, 1 << _ZORDER_BITS)]
-    cast_df = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    cast_df = df.select(*[_as_double(c).alias(c) for c in cols])
     bounds = cast_df.approxQuantile(list(cols), probs, 0.001)
     key = None
     for i, c in enumerate(cols):
         arr = F.array(*[F.lit(b) for b in bounds[i]])
         # bucket id = #boundaries <= value (NULL -> bucket 0)
         bucket = F.size(
-            F.filter(arr, lambda b: b <= F.coalesce(F.col(c).cast("double"), F.lit(float("-inf"))))
+            F.filter(arr, lambda b: b <= F.coalesce(_as_double(c), F.lit(float("-inf"))))
         ).cast("bigint")
         for j in range(_ZORDER_BITS):
             term = F.shiftleft(
@@ -330,12 +380,11 @@ class ManifestTable:
         # committed types
         return _align(df, schema)
 
-    def snapshot_as_of(self, spark: SparkSession, timestamp: str) -> DataFrame:
-        """Timestamp time travel: the snapshot of the latest version
-        whose ``committed_at`` is <= ``timestamp`` (ISO-8601, UTC
-        assumed when naive) — SELECT ... TIMESTAMP AS OF. Versions
-        predating the committed_at field (or an empty history before
-        ``timestamp``) raise, matching Delta's out-of-range error."""
+    def version_as_of(self, timestamp: str) -> int:
+        """The latest version whose ``committed_at`` is <= ``timestamp``
+        (ISO-8601, UTC assumed when naive). Versions predating the
+        committed_at field (or an empty history before ``timestamp``)
+        raise, matching Delta's out-of-range error."""
         want = datetime.datetime.fromisoformat(timestamp)
         if want.tzinfo is None:
             want = want.replace(tzinfo=datetime.timezone.utc)
@@ -348,7 +397,12 @@ class ManifestTable:
             raise ValueError(
                 f"no version of {self.path} committed at or before {timestamp}"
             )
-        return self.snapshot(spark, version=best)
+        return best
+
+    def snapshot_as_of(self, spark: SparkSession, timestamp: str) -> DataFrame:
+        """Timestamp time travel — SELECT ... TIMESTAMP AS OF: the
+        snapshot of ``version_as_of(timestamp)``."""
+        return self.snapshot(spark, version=self.version_as_of(timestamp))
 
     @staticmethod
     def _manifest_schema(man: dict) -> StructType | None:
@@ -919,10 +973,14 @@ class ManifestTable:
         Returns the new version."""
 
         def attempt() -> int:
-            df = self.snapshot(spark)
+            # pin base BEFORE reading: reading latest-then-base would
+            # let a commit landing between the two be silently erased
+            # (the rewrite would publish on top of it with the OLD
+            # file list and no CommitConflictError)
+            base = self.latest_version()
+            df = self.snapshot(spark, version=base)
             n = df.count()
             n_files = max(1, -(-n // target_rows_per_file))
-            base = self.latest_version()
             partition_by = self._read_manifest(base)["partition_by"] if base is not None else []
             if cluster_by and zorder:
                 zkey = _zorder_key(df, list(cluster_by))

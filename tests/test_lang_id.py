@@ -17,7 +17,7 @@ from etl_job_spark.plans.registry import QUERIES
 
 def test_planted_zh_docs_predict_zh(spark, sf_dir):
     out = QUERIES["text_lang_id"](spark, sf_dir)
-    planted = out.filter(F.col("doc_id") >= 2000000)
+    planted = out.filter(F.col("doc_id") < 0)
     n_planted = planted.count()
     assert n_planted > 0, "lang corpus must plant zh documents"
     assert planted.filter(F.col("pred_lang") == "zh").count() == n_planted
@@ -40,7 +40,7 @@ def test_unpadded_hits_fire_on_unspaced_chinese(spark):
 
 def test_english_docs_still_predict_en(spark, sf_dir):
     out = QUERIES["text_lang_id"](spark, sf_dir)
-    base = out.filter(F.col("doc_id") < 2000000)
+    base = out.filter(F.col("doc_id") >= 0)
     # the synthetic documents table is English prose — en must dominate
     n = base.count()
     n_en = base.filter(F.col("pred_lang") == "en").count()

@@ -162,3 +162,16 @@ def test_cjk_token_count_is_shuffle_free(spark, sf_dir):
     would mean the token budget pays a network pass at corpus scale."""
     p = plan(QUERIES["text_token_count_cjk"](spark, sf_dir))
     assert "Exchange" not in p
+
+
+def test_mart_versioned_earlier_snapshot_survives_reinvocation(spark, sf_dir):
+    """Code-review r4: the session-scoped scratch table must NOT be
+    rmtree'd on re-entry — a lazy frame returned by an earlier call
+    still references those files; reuse relies on snapshot isolation
+    (each call commits new versions)."""
+    df1 = QUERIES["kicc_mart_versioned"](spark, sf_dir)
+    n1 = df1.count()
+    df2 = QUERIES["kicc_mart_versioned"](spark, sf_dir)
+    assert df2.count() == n1
+    # the FIRST frame must still be actionable after the second call
+    assert df1.count() == n1

@@ -632,3 +632,84 @@ def test_mor_delete_appears_in_diff(spark, tmp_path):
     t.delete_where(spark, "k = 'a'", mode="merge_on_read")
     d = sorted((r.k, r._change) for r in t.diff(spark, 1, 2).collect())
     assert d == [("a", "delete"), ("b", "delete"), ("b", "upsert")] or d == [("a", "delete")]
+
+
+def test_compact_detects_concurrent_commit(spark, tmp_path, monkeypatch):
+    """Code-review r4: compact must pin base BEFORE reading — a commit
+    landing mid-compaction has to surface as a conflict and be retried
+    on top of, never silently erased."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [("a", "d1", 1.0)]).repartition(3))
+    other = ManifestTable(t.path)
+    real_publish = ManifestTable._publish
+    fired = {"done": False}
+
+    def racing_publish(self, version, manifest):
+        if not fired["done"] and self is t:
+            fired["done"] = True
+            other.append(_df(spark, [("late", "d9", 9.0)]))
+        return real_publish(self, version, manifest)
+
+    monkeypatch.setattr(ManifestTable, "_publish", racing_publish)
+    t.compact(spark)
+    # the concurrent append survived the compaction
+    assert ("late", "d9", 9.0) in _data(t.snapshot(spark))
+
+
+def test_merge_stats_prune_on_timestamp_keys(spark, tmp_path):
+    """Code-review r4: TIMESTAMP_MICROS footers surface tz-AWARE
+    datetimes while collect() yields naive ones; the epoch-integer
+    encoding must compare them exactly — files whose range ends AT the
+    source min must stay touched (equal instants), disjoint files must
+    prune."""
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        df = spark.sql(
+            "SELECT timestamp'2024-01-01 10:00:00' + make_interval(0,0,0,0,0,0,id) AS ts, "
+            "CAST(id AS DOUBLE) AS v FROM range(0, 100)"
+        )
+        hi = spark.sql(
+            "SELECT timestamp'2024-06-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts, "
+            "CAST(id AS DOUBLE) AS v FROM range(0, 100)"
+        )
+        t = ManifestTable(str(tmp_path / "t"))
+        t.overwrite(df.coalesce(1))
+        t.append(hi.coalesce(1))
+        entries = t._read_manifest(t.latest_version())["files"]
+        assert all(isinstance(e["stats"]["ts"]["min"], int) for e in entries)
+        before = {e["path"] for e in entries}
+        # source touches exactly the FIRST file's max instant — an
+        # equal-instant boundary that string encodings mis-ordered
+        src = spark.sql(
+            "SELECT timestamp'2024-01-01 10:01:39' AS ts, CAST(999.0 AS DOUBLE) AS v"
+        )
+        v = t.merge(spark, src, keys=["ts"])
+        after = {e["path"] for e in t._read_manifest(v)["files"]}
+        carried = before & after
+        assert len(carried) == 1  # june file pruned, january file touched
+        got = t.snapshot(spark)
+        assert got.count() == 200
+        assert got.filter("v = 999.0").count() == 1  # update, not duplicate
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+
+def test_zorder_on_date_and_timestamp_columns(spark, tmp_path):
+    """Code-review r4: DATE/TIMESTAMP don't cast to double; zorder must
+    route them through epoch integers instead of crashing."""
+    df = spark.sql(
+        "SELECT date_add(date'2024-01-01', CAST(id % 50 AS INT)) AS d, "
+        "id AS k, 1.0 AS v FROM range(0, 1000)"
+    )
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(df.repartition(4))
+    v = t.compact(spark, target_rows_per_file=250, cluster_by=["d", "k"], zorder=True)
+    assert len(t._read_manifest(v)["files"]) == 4
+    assert t.snapshot(spark).count() == 1000
+    # >7 columns would shift into the sign bit: loud, not scrambled
+    with pytest.raises(ValueError, match="at most"):
+        t.compact(spark, cluster_by=["d", "k", "v", "d", "k", "v", "d", "k"], zorder=True)
