@@ -117,9 +117,13 @@ def main() -> None:
     import shutil
     import tempfile
 
+    # exactly the two known scratch prefixes — a bare *_{app_id}*
+    # wildcard would rmtree any unrelated temp path that happens to
+    # contain the application id (advisor r4)
     app_id = spark.sparkContext.applicationId
-    for d in glob.glob(os.path.join(tempfile.gettempdir(), f"*_{app_id}*")):
-        shutil.rmtree(d, ignore_errors=True)
+    for pattern in (f"kicc_mart_versioned_{app_id}", f"ivf_index_{app_id}_*"):
+        for d in glob.glob(os.path.join(tempfile.gettempdir(), pattern)):
+            shutil.rmtree(d, ignore_errors=True)
     spark.stop()
 
 

@@ -683,12 +683,28 @@ def _lang_score_sql(lang: str) -> str:
 # ASCII score (0), so pred_lang='zh' MUST fire on these rows.
 ZH_PLANT_TEXT = "机器学习是现代人工智能的核心方法了它的效果是显著的"
 
+# ja/ko plants (r4 VERDICT missing-#4): same negative-id scheme on
+# disjoint residues, so the three planted languages never collide.
+# ja: hiragana particles の ×3, は ×2, です ×1 → score_ja = 6; the
+# kanji are chosen to contain NONE of the zh anchors (的/是/了), so
+# score_zh = 0 and ja wins outright. ko: hangul particles attached
+# agglutinatively (은 ×2, 이 ×1, 다 ×2 → score_ko = 5); hangul appears
+# in no other script, every other score is 0.
+JA_PLANT_TEXT = "機械学習は現代の人工知能の中心です大規模モデルの性能は向上しています"
+KO_PLANT_TEXT = "기계 학습은 현대 인공 지능의 핵심이다 모델의 성능은 매일 향상된다"
+
 SQL_LANG_CORPUS = f"""
 lang_corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT -doc_id - 1 AS doc_id, '{ZH_PLANT_TEXT}' AS text
   FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT -doc_id - 1 AS doc_id, '{JA_PLANT_TEXT}' AS text
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT -doc_id - 1 AS doc_id, '{KO_PLANT_TEXT}' AS text
+  FROM documents WHERE doc_id % 10 = 6
 )"""
 
 LANG_SQL = (
@@ -711,11 +727,15 @@ SELECT doc_id, cand_lang AS pred_lang, score FROM (
 
 def _lang_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (-F.col("doc_id") - 1).alias("doc_id"),
-        F.lit(ZH_PLANT_TEXT).alias("text"),
-    )
-    return docs.select("doc_id", "text").unionByName(planted)
+    out = docs.select("doc_id", "text")
+    for residue, plant in ((0, ZH_PLANT_TEXT), (3, JA_PLANT_TEXT), (6, KO_PLANT_TEXT)):
+        out = out.unionByName(
+            docs.filter(F.col("doc_id") % 10 == residue).select(
+                (-F.col("doc_id") - 1).alias("doc_id"),
+                F.lit(plant).alias("text"),
+            )
+        )
+    return out
 
 
 @query("text_lang_id", LANG_SQL)

@@ -41,11 +41,21 @@ copy-on-write (default) — one predicate-pushdown scan finds which
 files actually hold matching rows (parquet row-group stats skip cold
 files for free) and only those files are rewritten, every other file
 carried by reference — and merge-on-read deletion vectors
-(``mode="merge_on_read"``) — matching physical row positions land in
-the manifest as per-file ``dv`` lists, no data file is rewritten, and
-every reader anti-joins them out; the right shape for scattered
-GDPR-style erasure, materialized away by the next rewrite of the file
-(MERGE touch or compact). Schema evolution is add-column-only:
+(``mode="merge_on_read"``) — matching physical row positions are
+recorded against each file (keyed by its FULL manifest-relative path,
+partition dirs included), no data file is rewritten, and every reader
+anti-joins them out. DV positions never visit the driver: small
+per-file sets inline into the manifest, big ones spill to parquet
+sidecars under ``_dv/`` written by the executors, and a delete
+matching more than ``mor_row_limit`` rows falls back to copy-on-write
+automatically; the right shape for scattered GDPR-style erasure,
+materialized away by the next rewrite of the file (MERGE touch or
+compact). Commits between checkpoints store only their file-list
+DELTA against the previous version (every ``_CHECKPOINT_INTERVAL``-th
+version is a self-contained checkpoint), so a carried-by-reference
+commit writes O(changed files) manifest bytes and opening any
+snapshot reads a bounded number of manifests — Delta's
+checkpoint/log shape. Schema evolution is add-column-only:
 ``append``/``merge`` may bring new columns, readers see NULL for rows
 written before the column existed, and changing an existing column's
 type is rejected. A full catalog service remains out of scope — that
@@ -73,11 +83,39 @@ from etl_job_spark.operators.merge import merge_upsert
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+_DV_DIR = "_dv"
 
 # per-file min/max stats are recorded for at most this many leading
 # columns — the same bounded-stats contract as Delta's
 # dataSkippingNumIndexedCols: manifests stay O(files), not O(files*cols)
 _STATS_MAX_COLUMNS = 32
+
+# deletion-vector positions live inline in the manifest only while a
+# file's total stays at or under this; past it the positions spill to a
+# parquet sidecar under _dv/ and the manifest holds a reference — the
+# manifest stays O(files), never O(deleted rows)
+_DV_INLINE_MAX = 1024
+
+# a merge-on-read DELETE matching more rows than this auto-falls-back
+# to copy-on-write: past that point rewriting the touched files is
+# cheaper than making every future read anti-join a huge DV, and it
+# bounds the DV sidecar a single commit can leave behind
+_MOR_FALLBACK_ROWS = 10_000_000
+
+# every Nth version writes a full (checkpoint) manifest; the versions
+# between carry deltas against their base — resolving any snapshot
+# reads at most this many manifest files (Delta's checkpoint shape)
+_CHECKPOINT_INTERVAL = 10
+
+# commits landing at most this many files take footer stats on the
+# driver (a handful of ~8 KB reads — cheaper than a Spark job); bigger
+# commits compute stats ON THE EXECUTORS so a 100k-file commit never
+# becomes a driver-side metadata stampede
+_DRIVER_STATS_MAX_FILES = 8
+
+
+class _CowFallback(Exception):
+    """Internal: MoR delete matched too many rows; rerun as CoW."""
 
 
 class CommitConflictError(RuntimeError):
@@ -184,6 +222,42 @@ def _file_stats(path: str) -> tuple[int, dict[str, dict]]:
     return meta.num_rows, {k: {"min": v[0], "max": v[1]} for k, v in stats.items()}
 
 
+def _distributed_file_stats(
+    spark: SparkSession, paths: list[str]
+) -> dict[str, tuple[int, dict]]:
+    """``_file_stats`` for every path, computed ON THE EXECUTORS.
+
+    One Arrow-batched job over the path list: each task opens the
+    footers of its slice (executors can always reach the files — they
+    just wrote them) and ships back one bounded row per file
+    ``(path, rows, stats-as-JSON)``. The driver's cost is O(files)
+    tiny result rows, never O(files) storage round-trips — the
+    difference between a 100k-file commit that works and one that
+    stampedes the driver against an object store. Stats values are
+    ``_stat_encode`` outputs (JSON scalars), so the JSON round-trip
+    is lossless."""
+    src = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        min(len(paths), 64)
+    )
+
+    def _footer_batches(batches):
+        import json as _json
+
+        import pandas as _pd
+
+        from etl_job_spark.table import _file_stats as _fs
+
+        for b in batches:
+            recs = []
+            for p in b["path"]:
+                rows, stats = _fs(p)
+                recs.append((p, rows, _json.dumps(stats)))
+            yield _pd.DataFrame(recs, columns=["path", "rows", "stats"])
+
+    got = src.mapInPandas(_footer_batches, "path string, rows bigint, stats string").collect()
+    return {r["path"]: (int(r["rows"]), json.loads(r["stats"])) for r in got}
+
+
 def _comparable(a, b) -> bool:
     """True when two encoded stats can be ordered soundly: both numeric
     (bools never reach here — ``_stat_encode`` drops them) or both str.
@@ -223,6 +297,58 @@ def _strip_file_scheme(path: str) -> str:
     return path
 
 
+def _rel_path_col(data_dir: str) -> Column:
+    """``__file`` metadata URI → manifest-relative path, EXECUTOR-side.
+
+    ``_metadata.file_path`` percent-encodes the on-disk spelling
+    (verified: a partition dir ``dy=d%3A1 x`` — Spark's own hive
+    escaping — surfaces as ``dy=d%253A1%20x``), while manifest entry
+    paths carry the raw filesystem spelling from the write-time walk.
+    One URL-decode recovers the filesystem form exactly; literal ``+``
+    is protected first because ``url_decode`` is form-decoding
+    (``+`` → space) and a raw ``+`` in a path is never encoded.
+
+    Keying deletion vectors by this FULL relative path — partition
+    dirs included — is what makes DV application collision-free: Spark
+    reuses one task's ``part-NNNNN-<uuid>`` basename across every
+    partition dir the task writes, so basenames alone silently apply
+    one file's DV to its siblings (round-4 data-loss bug).
+
+    ``_delete_where_mor`` validates every produced value against the
+    manifest's entry paths, so a format drift in ``file_path`` fails
+    loudly at delete time instead of silently mis-keying.
+    """
+    prefix = "file:" + os.path.abspath(data_dir) + "/"
+    decoded = F.url_decode(F.replace(F.col("__file"), F.lit("+"), F.lit("%2B")))
+    return F.substring(decoded, len(prefix) + 1, (1 << 31) - 1)
+
+
+def _dv_count(entry: dict) -> int:
+    """Total deleted positions an entry carries (inline + sidecar).
+    ``dv_rows`` is recorded whenever positions spill to a sidecar;
+    inline-only entries fall back to the list length."""
+    n = entry.get("dv_rows")
+    return int(n) if n is not None else len(entry.get("dv") or [])
+
+
+def _fully_dead(entry: dict) -> bool:
+    """True when every physical row of the file is DV-deleted — the
+    file contributes nothing and readers skip it entirely (the stats
+    on such a file would otherwise still block key-range pruning)."""
+    rows = entry.get("rows")
+    return bool(rows) and _dv_count(entry) >= rows
+
+
+# widen timestamp_ntz source bounds by this under a non-UTC session:
+# the from_utc_timestamp re-encoding is exact except for wall clocks
+# inside a DST transition window, where the zone offset used can be
+# off by the DST shift. A day's margin swamps any legal offset
+# (±14 h) + DST (1 h) while costing a daily-window merge essentially
+# no pruning. Applied only when the session zone isn't UTC — the
+# UTC-pinned common case keeps exact bounds.
+_NTZ_SKEW_MARGIN_MICROS = 26 * 3600 * 1_000_000
+
+
 def _source_key_ranges(source: DataFrame, keys: Sequence[str]) -> dict[str, tuple]:
     """min/max of each key column in the source — ONE aggregate job
     returning a single row of 2×len(keys) scalars (driver-side size is
@@ -230,12 +356,31 @@ def _source_key_ranges(source: DataFrame, keys: Sequence[str]) -> dict[str, tupl
     integers (unix_micros/unix_date — tz-independent, matching
     ``_stat_encode``'s footer encoding exactly); columns whose bounds
     can't be order-preservingly encoded (or that are all-NULL) are
-    omitted and simply don't prune."""
+    omitted and simply don't prune.
+
+    ``timestamp_ntz`` keys need care: parquet footers record NTZ
+    values as bare wall clocks, which ``_stat_encode`` encodes as
+    wall-as-UTC micros. ``unix_micros(cast(ntz as timestamp))``
+    interprets the wall clock in the SESSION zone — under a non-UTC
+    session the two encodings differ by the zone offset and an
+    overlapping file could be wrongly pruned (silently lost updates).
+    ``from_utc_timestamp(cast(...), session_zone)`` undoes the session
+    interpretation (verified: recovers wall-as-UTC under Asia/Seoul),
+    and a one-day safety margin covers DST-transition wall clocks
+    where the offset arithmetic can be off by the shift."""
     dtypes = dict(source.dtypes)
+    session_tz = source.sparkSession.conf.get("spark.sql.session.timeZone")
+    ntz_margin = 0 if session_tz == "UTC" else _NTZ_SKEW_MARGIN_MICROS
+    ntz_cols = set()
     aggs = []
     for k in keys:
         dt = dtypes.get(k, "")
-        if dt.startswith("timestamp"):
+        if dt == "timestamp_ntz":
+            expr = F.unix_micros(
+                F.from_utc_timestamp(F.col(k).cast("timestamp"), session_tz)
+            )
+            ntz_cols.add(k)
+        elif dt.startswith("timestamp"):
             expr = F.unix_micros(F.col(k).cast("timestamp"))
         elif dt == "date":
             expr = F.unix_date(F.col(k))
@@ -249,6 +394,8 @@ def _source_key_ranges(source: DataFrame, keys: Sequence[str]) -> dict[str, tupl
         lo = _stat_encode(row[f"__lo_{k}"])
         hi = _stat_encode(row[f"__hi_{k}"])
         if lo is not None and hi is not None:
+            if k in ntz_cols and ntz_margin:
+                lo, hi = lo - ntz_margin, hi + ntz_margin
             out[k] = (lo, hi)
     return out
 
@@ -334,6 +481,10 @@ class ManifestTable:
         self.path = path.rstrip("/")
         self.manifest_dir = os.path.join(self.path, _MANIFEST_DIR)
         self.data_dir = os.path.join(self.path, _DATA_DIR)
+        # version -> resolved file-entry list. Committed manifests are
+        # immutable, so the cache is sound for the instance's lifetime;
+        # it keeps delta-chain resolution O(1) amortized per version.
+        self._files_cache: dict[int, list[dict]] = {}
 
     # -- version bookkeeping ------------------------------------------
 
@@ -350,9 +501,68 @@ class ManifestTable:
         vs = self.versions()
         return vs[-1] if vs else None
 
-    def _read_manifest(self, version: int) -> dict:
+    def _read_raw_manifest(self, version: int) -> dict:
+        """One manifest file as written: either a checkpoint (full
+        ``files`` list) or a delta (``delta.upserts``/``delta.removes``
+        against ``base_version``)."""
         with open(os.path.join(self.manifest_dir, _manifest_name(version))) as f:
             return json.load(f)
+
+    def _read_manifest(self, version: int) -> dict:
+        """Manifest with its ``files`` list RESOLVED — the call-site
+        contract predating checkpointing, preserved so every reader of
+        ``man["files"]`` is oblivious to how the version was stored.
+
+        Delta manifests resolve by walking back to the nearest
+        checkpoint (at most ``_CHECKPOINT_INTERVAL`` manifest reads —
+        the O(1)-in-table-history open cost) and replaying each delta:
+        ``removes`` drop paths, ``upserts`` replace-in-place or append.
+        Data files are immutable, so a path never changes meaning;
+        entry CONTENT can change without the path changing (DV-only
+        commits), which is why deltas carry whole entries, not paths.
+        """
+        raw = self._read_raw_manifest(version)
+        if "files" not in raw:
+            raw["files"] = self._resolve_files(raw)
+        self._files_cache.setdefault(version, raw["files"])
+        return raw
+
+    def _resolve_files(self, raw: dict) -> list[dict]:
+        base_version = raw["base_version"]
+        base_files = self._files_cache.get(base_version)
+        if base_files is None:
+            base_files = self._read_manifest(base_version)["files"]
+        delta = raw["delta"]
+        removes = set(delta["removes"])
+        upserts = {e["path"]: e for e in delta["upserts"]}
+        out = []
+        for e in base_files:
+            p = e["path"]
+            if p in removes:
+                continue
+            out.append(upserts.pop(p, e))
+        # genuinely-new paths append in the delta's recorded order
+        out.extend(e for e in delta["upserts"] if e["path"] in upserts)
+        return out
+
+    def _materialize_manifest(self, version: int) -> None:
+        """Rewrite a delta manifest in place as its resolved full form
+        (identical logical content — readers see either spelling and
+        resolve the same files). ``vacuum`` calls this on the oldest
+        retained version before dropping older manifests, so no
+        retained delta is ever left without its base chain."""
+        raw = self._read_raw_manifest(version)
+        if "files" in raw:
+            return
+        files = self._read_manifest(version)["files"]
+        full = {k: v for k, v in raw.items() if k != "delta"}
+        full["files"] = files
+        tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.manifest_dir, _manifest_name(version)))
 
     # -- reads --------------------------------------------------------
 
@@ -430,20 +640,31 @@ class ManifestTable:
         a column was added simply lack it — the union null-fills
         (additive schema evolution).
 
-        Entries carrying a ``dv`` (merge-on-read DELETE) have those
-        physical row positions removed via a broadcast anti-join on
-        (filename, row_index) — filenames are globally unique for
-        Spark-written files (writer-uuid part names), which sidesteps
-        URI-scheme/escaping mismatches between ``_metadata.file_path``
-        and manifest paths. The DV table is driver-built and bounded
-        by the MoR contract: scattered deletes; bulk deletes take the
-        copy-on-write path.
+        Entries carrying deletion vectors (merge-on-read DELETE) have
+        those physical row positions removed via an anti-join on
+        (manifest-relative path, row_index) — the path computed
+        executor-side from ``_metadata.file_path`` by ``_rel_path_col``,
+        partition directories included, so a basename shared across
+        partition dirs (Spark reuses one task's part-name in every
+        partition it writes) can never apply one file's DV to a
+        sibling. Inline ``dv`` lists are driver-built (bounded by
+        ``_DV_INLINE_MAX`` per file) and broadcast; spilled positions
+        stream from ``dv_ref`` parquet sidecars without ever visiting
+        the driver, and the join strategy is left to Catalyst/AQE.
+        Entries whose every row is deleted are skipped outright —
+        a fully-dead file neither scans nor blocks stats pruning.
 
         ``with_file_path`` exposes the source file as ``__file``;
         ``with_row_index`` exposes the physical position as ``__idx``
         (the hidden ``_metadata`` column must be selected per scan,
         before the union erases the file-source relation).
         """
+        live = [e for e in entries if not _fully_dead(e)]
+        if live:
+            # all-dead falls through with the full list: the DV
+            # anti-join still yields the correct (empty) result and
+            # the scan keeps its schema
+            entries = live
         # hive partition values come back as raw strings, never
         # inference-typed: '19980101' must not become an int, and
         # '000003' inferred as 3 would silently lose its leading zeros.
@@ -469,7 +690,7 @@ class ManifestTable:
                 spark.conf.unset(inference_key)
             else:
                 spark.conf.set(inference_key, prev)
-        has_dv = any(e.get("dv") for e in entries)
+        has_dv = any(e.get("dv") or e.get("dv_ref") for e in entries)
         need_file = with_file_path or has_dv
         need_idx = with_row_index or has_dv
         meta = []
@@ -483,16 +704,33 @@ class ManifestTable:
         for df in dfs[1:]:
             out = out.unionByName(df, allowMissingColumns=True)
         if has_dv:
-            dv_rows = [
-                (os.path.basename(e["path"]), int(i))
-                for e in entries
-                for i in (e.get("dv") or [])
+            dv_schema = "__dv_path string, __dv_pos bigint"
+            inline_rows = [
+                (e["path"], int(i)) for e in entries for i in (e.get("dv") or [])
             ]
-            dv = spark.createDataFrame(dv_rows, "__dv_fname string, __dv_idx bigint")
+            # inline DVs are small by contract — broadcast them; sidecar
+            # DVs can be millions of rows, so they stream executor-to-
+            # executor and Catalyst/AQE picks the join strategy
+            parts = []
+            if inline_rows:
+                parts.append(spark.createDataFrame(inline_rows, dv_schema))
+            refs = sorted({r for e in entries for r in (e.get("dv_ref") or [])})
+            if refs:
+                side = spark.read.parquet(*[os.path.join(self.path, r) for r in refs])
+                parts.append(
+                    side.select(
+                        F.col("path").alias("__dv_path"), F.col("pos").alias("__dv_pos")
+                    )
+                )
+            dv = parts[0]
+            for p in parts[1:]:
+                dv = dv.unionByName(p)
+            if not refs:
+                dv = F.broadcast(dv)
             out = out.join(
-                F.broadcast(dv),
-                (F.element_at(F.split(F.col("__file"), "/"), -1) == F.col("__dv_fname"))
-                & (F.col("__idx") == F.col("__dv_idx")),
+                dv,
+                (_rel_path_col(self.data_dir) == F.col("__dv_path"))
+                & (F.col("__idx") == F.col("__dv_pos")),
                 "left_anti",
             )
         if need_file and not with_file_path:
@@ -507,13 +745,13 @@ class ManifestTable:
         """Land ``df`` as new immutable files; return manifest entries.
 
         Stats collection is footer-only (no data pages) and O(new
-        files per commit), never O(table); the footer reads run on a
-        thread pool since each is a small independent I/O (Delta
-        computes the same stats executor-side during the write — the
-        footer pass is the engine-agnostic equivalent and costs one
-        round of parallel ~8 KB reads)."""
-        from concurrent.futures import ThreadPoolExecutor
-
+        files per commit), never O(table). Commits of at most
+        ``_DRIVER_STATS_MAX_FILES`` files read footers on the driver
+        (a handful of ~8 KB reads beats a Spark job); larger commits
+        compute footers ON THE EXECUTORS via ``_distributed_file_stats``
+        — the Delta shape (stats collected by the write tasks), so a
+        100k-file commit ships one bounded result row per file to the
+        driver instead of stampeding it with 100k object-store reads."""
         sub = uuid.uuid4().hex
         out_dir = os.path.join(self.data_dir, sub)
         writer = df.write.mode("error")
@@ -527,10 +765,13 @@ class ManifestTable:
                     paths.append(os.path.join(root, name))
         if not paths:
             return []
-        with ThreadPoolExecutor(max_workers=min(16, len(paths))) as pool:
-            all_stats = list(pool.map(_file_stats, paths))
+        if len(paths) <= _DRIVER_STATS_MAX_FILES:
+            all_stats = dict(zip(paths, (_file_stats(p) for p in paths)))
+        else:
+            all_stats = _distributed_file_stats(df.sparkSession, paths)
         entries = []
-        for full, (rows, stats) in zip(paths, all_stats):
+        for full in paths:
+            rows, stats = all_stats[full]
             rel = os.path.relpath(full, self.data_dir)
             entries.append(
                 {
@@ -585,9 +826,23 @@ class ManifestTable:
             "fields": schema.jsonValue(),
             "partition_by": list(partition_by or []),
             "operation": operation or {},
-            "files": entries,
         }
+        if expected_base is None or version % _CHECKPOINT_INTERVAL == 0:
+            # checkpoint: self-contained full file list
+            manifest["files"] = entries
+        else:
+            # delta against the base — a carried-by-reference commit
+            # (append, MERGE on a narrow window, DV-only delete) writes
+            # O(changed files), not O(table files); every Nth version
+            # checkpoints so resolution stays O(interval)
+            base_by_path = {e["path"]: e for e in self._read_manifest(expected_base)["files"]}
+            new_paths = {e["path"] for e in entries}
+            manifest["delta"] = {
+                "upserts": [e for e in entries if base_by_path.get(e["path"]) != e],
+                "removes": sorted(p for p in base_by_path if p not in new_paths),
+            }
         self._publish(version, manifest)
+        self._files_cache[version] = entries
         return version
 
     def _evolved_schema(self, man: dict, df: DataFrame) -> StructType:
@@ -777,6 +1032,7 @@ class ManifestTable:
         spark: SparkSession,
         predicate: str | Column,
         mode: str = "copy_on_write",
+        mor_row_limit: int = _MOR_FALLBACK_ROWS,
     ) -> int:
         """DELETE the rows matching ``predicate``; returns the new
         version (or the current one when nothing matched: an empty
@@ -799,17 +1055,28 @@ class ManifestTable:
 
         ``mode="merge_on_read"`` — deletion vectors: NO data file is
         read twice or rewritten; the matching physical row positions
-        land in the manifest as per-file ``dv`` lists and every reader
-        anti-joins them out (``_read_files``). The write is
-        metadata-only — the right shape for small scattered deletes
-        (GDPR erasure, late corrections) where CoW would rewrite a
-        file per row. The driver holds the matched positions, so bulk
-        deletes belong on the CoW path; any later rewrite of a file's
-        rows (MERGE touch, compact) materializes the DV away.
+        are recorded against each file (keyed by its full
+        manifest-relative path) and every reader anti-joins them out
+        (``_read_files``). The positions never visit the driver: a
+        per-file matched COUNT comes back (O(touched files) scalars),
+        small per-file sets (≤ ``_DV_INLINE_MAX``) inline into the
+        manifest, larger ones are written by the executors to a
+        parquet sidecar under ``_dv/`` that the manifest references —
+        manifests stay O(files) regardless of how many rows died. The
+        right shape for scattered deletes (GDPR erasure, the
+        reference's late daily corrections — load_sales_data.py:129-134);
+        a delete matching more than ``mor_row_limit`` rows
+        auto-falls-back to copy-on-write, where rewriting the files is
+        cheaper than dragging a huge DV through every future read. Any
+        later rewrite of a file's rows (MERGE touch, compact)
+        materializes its DV away.
         """
         if mode == "merge_on_read":
-            return self._delete_where_mor(spark, predicate)
-        if mode != "copy_on_write":
+            try:
+                return self._delete_where_mor(spark, predicate, mor_row_limit)
+            except _CowFallback:
+                pass  # matched set too large for MoR — rewrite instead
+        elif mode != "copy_on_write":
             raise ValueError(
                 f"delete mode {mode!r}: use 'copy_on_write' or 'merge_on_read'"
             )
@@ -851,8 +1118,16 @@ class ManifestTable:
 
         return self._with_commit_retries(attempt)
 
-    def _delete_where_mor(self, spark: SparkSession, predicate: str | Column) -> int:
-        """Deletion-vector DELETE (see ``delete_where`` mode docs)."""
+    def _delete_where_mor(
+        self, spark: SparkSession, predicate: str | Column, mor_row_limit: int
+    ) -> int:
+        """Deletion-vector DELETE (see ``delete_where`` mode docs).
+
+        Driver-bounded by construction: the only collects are the
+        per-file matched counts (O(touched files) scalars) and the
+        inline position lists (≤ ``_DV_INLINE_MAX`` each); positions
+        of heavily-hit files flow executor→sidecar-parquet without a
+        driver hop. Raises ``_CowFallback`` past ``mor_row_limit``."""
 
         def attempt() -> int:
             base = self.latest_version()
@@ -861,30 +1136,80 @@ class ManifestTable:
             man = self._read_manifest(base)
             pred = F.expr(predicate) if isinstance(predicate, str) else predicate
             # existing DVs are applied by _read_files, so re-deleting an
-            # already-deleted row is a no-op, not a duplicate dv entry
+            # already-deleted row is a no-op — new positions are always
+            # disjoint from recorded ones, and counts add exactly
             scan = self._read_files(
                 spark, man["files"], with_file_path=True, with_row_index=True
             )
-            hits = scan.filter(pred).select("__file", "__idx").collect()
-            if not hits:
-                return base
-            by_fname: dict[str, set[int]] = {}
-            for r in hits:
-                fname = os.path.basename(_strip_file_scheme(r["__file"]))
-                by_fname.setdefault(fname, set()).add(int(r["__idx"]))
+            matched = scan.filter(pred).select(
+                _rel_path_col(self.data_dir).alias("__dv_path"),
+                F.col("__idx").alias("pos"),
+            )
+            matched = matched.persist()
+            try:
+                counts = {
+                    r["__dv_path"]: int(r["n"])
+                    for r in matched.groupBy("__dv_path").agg(F.count("*").alias("n")).collect()
+                }
+                if not counts:
+                    return base
+                by_path = {e["path"]: e for e in man["files"]}
+                unknown = sorted(set(counts) - set(by_path))
+                if unknown:
+                    # the URI→relative-path mapping disagreed with the
+                    # manifest: refuse to record a DV that readers could
+                    # mis-apply (silent wrong data) — fail loudly
+                    raise RuntimeError(
+                        f"MoR delete: matched file paths not in manifest: {unknown[:3]}"
+                    )
+                total = sum(counts.values())
+                if total > mor_row_limit:
+                    raise _CowFallback
+                spill = {
+                    p
+                    for p, n in counts.items()
+                    if n + _dv_count(by_path[p]) > _DV_INLINE_MAX
+                }
+                dv_ref_rel = None
+                if spill:
+                    dv_ref_rel = os.path.join(_DV_DIR, uuid.uuid4().hex)
+                    (
+                        matched.filter(F.col("__dv_path").isin(list(spill)))
+                        .select(F.col("__dv_path").alias("path"), "pos")
+                        .repartition(max(1, min(len(spill), 32)), "path")
+                        .write.mode("error")
+                        .parquet(os.path.join(self.path, dv_ref_rel))
+                    )
+                inline_paths = [p for p in counts if p not in spill]
+                inline: dict[str, list[int]] = {}
+                if inline_paths:
+                    got = (
+                        matched.filter(F.col("__dv_path").isin(inline_paths))
+                        .groupBy("__dv_path")
+                        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+                        .collect()
+                    )
+                    inline = {r["__dv_path"]: [int(i) for i in r["positions"]] for r in got}
+            finally:
+                matched.unpersist()
             new_entries = []
             for e in man["files"]:
-                add = by_fname.get(os.path.basename(e["path"]))
-                if add:
-                    dv = sorted(set(e.get("dv") or []) | add)
-                    new_entries.append({**e, "dv": dv})
-                else:
+                n_new = counts.get(e["path"])
+                if not n_new:
                     new_entries.append(e)
+                    continue
+                e2 = {**e, "dv_rows": _dv_count(e) + n_new}
+                add = inline.get(e["path"])
+                if add is not None:
+                    e2["dv"] = sorted(set(e.get("dv") or []) | set(add))
+                else:
+                    e2["dv_ref"] = list(e.get("dv_ref") or []) + [dv_ref_rel]
+                new_entries.append(e2)
             op = {
                 "op": "delete",
                 "mode": "merge_on_read",
                 "predicate": predicate if isinstance(predicate, str) else str(pred),
-                "n_deleted": len(hits),
+                "n_deleted": total,
             }
             schema = self._manifest_schema(man)
             if schema is None:
@@ -912,8 +1237,14 @@ class ManifestTable:
         def _ident(e: dict) -> tuple:
             # a file's LIVE content is (immutable bytes, deletion
             # vector): a dv-only commit changes content without
-            # changing the path, so identity must carry both
-            return (e["path"], tuple(e.get("dv") or []))
+            # changing the path, so identity must carry the DV in
+            # both its spellings (inline list + sidecar refs)
+            return (
+                e["path"],
+                tuple(e.get("dv") or []),
+                tuple(e.get("dv_ref") or []),
+                _dv_count(e),
+            )
 
         a_idents = {_ident(e) for e in a["files"]}
         b_idents = {_ident(e) for e in b["files"]}
@@ -1021,10 +1352,10 @@ class ManifestTable:
                     "committed_at": man.get("committed_at"),
                     "operation": man.get("operation") or {},
                     "n_files": len(man["files"]),
-                    # live rows: physical footer counts minus dv'd positions
+                    # live rows: physical footer counts minus dv'd
+                    # positions (inline + sidecar, via dv_rows)
                     "rows": sum(
-                        (e.get("rows") or 0) - len(e.get("dv") or [])
-                        for e in man["files"]
+                        (e.get("rows") or 0) - _dv_count(e) for e in man["files"]
                     ),
                     "partition_by": man.get("partition_by") or [],
                 }
@@ -1060,13 +1391,19 @@ class ManifestTable:
         """Delete data files referenced by no retained manifest and
         drop manifests older than the newest ``keep_last``. Run only
         when no reader still holds a snapshot older than the horizon
-        (the same contract as Delta's VACUUM). Returns files deleted."""
+        (the same contract as Delta's VACUUM). DV sidecar directories
+        referenced by no retained manifest are reclaimed too. Returns
+        data files deleted."""
+        import shutil
+
         vs = self.versions()
         keep_vs = vs[-keep_last:] if keep_last > 0 else vs
         live = set()
+        live_refs: set[str] = set()
         for v in keep_vs:
             for entry in self._read_manifest(v)["files"]:
                 live.add(entry["path"])
+                live_refs.update(entry.get("dv_ref") or [])
         deleted = 0
         for root, _dirs, names in os.walk(self.data_dir):
             for name in names:
@@ -1078,9 +1415,18 @@ class ManifestTable:
         # keep_last <= 0 retains every version's files above — retain
         # their manifests too (deleting all manifests would leave data
         # with zero committed versions)
-        if keep_last > 0:
+        if keep_last > 0 and vs[:-keep_last]:
+            # the oldest retained version may be a delta whose base
+            # chain is about to be dropped: materialize it first so
+            # every retained version stays resolvable
+            self._materialize_manifest(keep_vs[0])
             for v in vs[:-keep_last]:
                 os.unlink(os.path.join(self.manifest_dir, _manifest_name(v)))
+        dv_root = os.path.join(self.path, _DV_DIR)
+        if os.path.isdir(dv_root):
+            for name in os.listdir(dv_root):
+                if os.path.join(_DV_DIR, name) not in live_refs:
+                    shutil.rmtree(os.path.join(dv_root, name))
         # prune now-empty data subdirectories
         for root, dirs, names in os.walk(self.data_dir, topdown=False):
             if root != self.data_dir and not dirs and not names:

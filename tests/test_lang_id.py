@@ -15,13 +15,22 @@ from etl_job_spark.operators.text import LANG_STOPWORDS, stopword_hits
 from etl_job_spark.plans.registry import QUERIES
 
 
-def test_planted_zh_docs_predict_zh(spark, sf_dir):
+def test_planted_cjk_docs_predict_their_language(spark, sf_dir):
+    """Planted genuine zh / ja / ko documents (negative-id namespace,
+    disjoint residues of the source id) must each predict THEIR
+    language — ja kanji must not cross-fire zh, ko agglutinated
+    particles must fire despite Korean phrase spacing (r4 VERDICT
+    missing-#4)."""
     out = QUERIES["text_lang_id"](spark, sf_dir)
-    planted = out.filter(F.col("doc_id") < 0)
-    n_planted = planted.count()
-    assert n_planted > 0, "lang corpus must plant zh documents"
-    assert planted.filter(F.col("pred_lang") == "zh").count() == n_planted
-    assert planted.filter(F.col("score") <= 0).count() == 0
+    planted = out.filter(F.col("doc_id") < 0).withColumn(
+        "residue", (-F.col("doc_id") - 1) % 10
+    )
+    for residue, lang in ((0, "zh"), (3, "ja"), (6, "ko")):
+        grp = planted.filter(F.col("residue") == residue)
+        n = grp.count()
+        assert n > 0, f"lang corpus must plant {lang} documents"
+        assert grp.filter(F.col("pred_lang") == lang).count() == n
+        assert grp.filter(F.col("score") <= 0).count() == 0
 
 
 def test_unpadded_hits_fire_on_unspaced_chinese(spark):
@@ -74,3 +83,36 @@ def test_unicode_token_count_cjk_and_mixed(spark):
     assert got[2] == (2, 2)
     assert got[3][1] == 6  # spark/data/engine + 处,理,的
     assert got[4][1] == 0  # whitespace-only: no phantom empty token
+
+
+def test_ko_agglutinated_particles_fire_without_word_boundaries(spark):
+    # Korean uses spaces BETWEEN phrases but particles attach to the
+    # preceding word — a padded whole-word match scores 0
+    df = spark.createDataFrame([("오늘은 날씨가 좋다",)], ["text"])
+    raw = df.select(
+        stopword_hits("text", LANG_STOPWORDS["ko"], padded=False).alias("h")
+    ).first()["h"]
+    padded = df.select(
+        stopword_hits("text", LANG_STOPWORDS["ko"], padded=True).alias("h")
+    ).first()["h"]
+    assert raw >= 2 and padded == 0  # 오늘은 -> 은, 좋다 -> 다
+
+
+def test_ja_plant_does_not_cross_fire_zh(spark):
+    from etl_job_spark.plans.llm_ops import JA_PLANT_TEXT, KO_PLANT_TEXT, ZH_PLANT_TEXT
+
+    df = spark.createDataFrame(
+        [("zh", ZH_PLANT_TEXT), ("ja", JA_PLANT_TEXT), ("ko", KO_PLANT_TEXT)],
+        "lang string, text string",
+    )
+    scores = df.select(
+        "lang",
+        *[
+            stopword_hits("text", LANG_STOPWORDS[lg], padded=False).alias(lg)
+            for lg in ("zh", "ja", "ko")
+        ],
+    ).collect()
+    by = {r.lang: r for r in scores}
+    assert by["ja"].ja > 0 and by["ja"].zh == 0 and by["ja"].ko == 0
+    assert by["zh"].zh > 0 and by["zh"].ja == 0 and by["zh"].ko == 0
+    assert by["ko"].ko > 0 and by["ko"].zh == 0 and by["ko"].ja == 0

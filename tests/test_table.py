@@ -713,3 +713,280 @@ def test_zorder_on_date_and_timestamp_columns(spark, tmp_path):
     # >7 columns would shift into the sign bit: loud, not scrambled
     with pytest.raises(ValueError, match="at most"):
         t.compact(spark, cluster_by=["d", "k", "v", "d", "k", "v", "d", "k"], zorder=True)
+
+
+# ---------------------------------------------------------------- round 5
+
+
+def _dvn(e):
+    return e.get("dv_rows") or len(e.get("dv") or [])
+
+
+def test_mor_delete_partitioned_no_basename_collision(spark, tmp_path):
+    """Round-4 data-loss bug (advisor-verified): one write task reuses
+    the SAME part-NNNNN basename in every partition dir it touches, so
+    basename-keyed DVs applied one file's positions to every sibling
+    partition. DVs are now keyed by the full manifest-relative path."""
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b", float(i)) for i in range(100)],
+        "id long, dy string, v double",
+    ).coalesce(1)  # one task writes BOTH partition dirs -> same basename
+    t.overwrite(df, partition_by=["dy"])
+    names = [os.path.basename(e["path"]) for e in t._read_manifest(1)["files"]]
+    assert len(names) == 2 and names[0] == names[1]  # collision precondition holds
+    t.delete_where(spark, "id = 0 OR id = 50", mode="merge_on_read")
+    man = t._read_manifest(2)
+    # each partition's file carries exactly ITS one position
+    assert sorted(_dvn(e) for e in man["files"]) == [1, 1]
+    got = t.snapshot(spark)
+    assert got.count() == 98
+    assert got.filter("dy = 'a'").count() == 49
+    assert got.filter("dy = 'b'").count() == 49
+
+
+def test_mor_delete_partition_values_with_special_chars(spark, tmp_path):
+    """Partition values that hive-escape on disk (:) and then
+    percent-encode again in _metadata.file_path (%, space, +) must
+    round-trip the path keying exactly; a mapping drift raises at
+    delete time instead of silently mis-keying a DV."""
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "d:1 x", 1.0), (2, "a+b", 2.0), (3, "a+b", 3.0)],
+        "id long, dy string, v double",
+    ).coalesce(1)
+    t.overwrite(df, partition_by=["dy"])
+    t.delete_where(spark, "id = 2", mode="merge_on_read")
+    got = sorted((r.id, r.dy) for r in t.snapshot(spark).collect())
+    assert got == [(1, "d:1 x"), (3, "a+b")]
+
+
+def test_mor_delete_sidecar_bounded_driver(spark, tmp_path, monkeypatch):
+    """VERDICT r4 #1: a large matched set must never be collected to
+    the driver — positions spill executor-side to a parquet sidecar;
+    the manifest stays O(files); readers still anti-join them out."""
+    # the concrete class (pyspark.sql.DataFrame is the abstract parent
+    # whose collect the classic subclass overrides)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    t = ManifestTable(str(tmp_path / "t"))
+    n = 300_000
+    t.overwrite(spark.range(n).selectExpr("id", "CAST(id AS DOUBLE) AS v").repartition(2))
+
+    sizes = []
+    real_collect = DataFrame.collect
+
+    def counting_collect(self):
+        rows = real_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    v = t.delete_where(spark, "id % 3 = 0", mode="merge_on_read")
+    monkeypatch.undo()
+    assert sizes and max(sizes) <= 16  # per-file counts only, never positions
+    man = t._read_manifest(v)
+    dv_entries = [e for e in man["files"] if e.get("dv_ref")]
+    assert dv_entries and all(not e.get("dv") for e in man["files"])
+    assert sum(e["dv_rows"] for e in dv_entries) == 100_000
+    assert man["operation"]["n_deleted"] == 100_000
+    mpath = os.path.join(t.manifest_dir, f"v{v:012d}.json")
+    assert os.path.getsize(mpath) < 20_000  # no positions in the manifest
+    snap = t.snapshot(spark)
+    assert snap.count() == n - 100_000
+    assert snap.filter("id % 3 = 0").count() == 0
+    assert t.history()[-1]["rows"] == n - 100_000
+
+
+def test_mor_delete_falls_back_to_cow_past_row_limit(spark, tmp_path):
+    """A 'scattered' delete that turns out to match half the table must
+    not bloat every future read with a giant DV: past mor_row_limit the
+    engine rewrites the touched files (copy-on-write) instead."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_idf(spark, 0, 1000).repartition(2))
+    v = t.delete_where(spark, "id < 500", mode="merge_on_read", mor_row_limit=100)
+    man = t._read_manifest(v)
+    assert all(not e.get("dv") and not e.get("dv_ref") for e in man["files"])
+    assert man["operation"].get("mode") != "merge_on_read"
+    assert t.snapshot(spark).count() == 500
+    assert t.snapshot(spark).filter("id < 500").count() == 0
+
+
+def test_mor_inline_then_sidecar_accumulation(spark, tmp_path, monkeypatch):
+    """Positions inline while a file's cumulative DV stays small and
+    spill to sidecars once it would exceed the inline cap; counts add
+    exactly across deletes (the scan never re-matches dead rows)."""
+    import etl_job_spark.table as tbl
+
+    monkeypatch.setattr(tbl, "_DV_INLINE_MAX", 5)
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_idf(spark, 0, 100).coalesce(1))
+    t.delete_where(spark, "id < 4", mode="merge_on_read")  # 4 <= 5: inline
+    e = t._read_manifest(2)["files"][0]
+    assert len(e["dv"]) == 4 and not e.get("dv_ref") and e["dv_rows"] == 4
+    t.delete_where(spark, "id >= 4 AND id < 8", mode="merge_on_read")  # 8 > 5: spill
+    e = t._read_manifest(3)["files"][0]
+    assert len(e.get("dv") or []) == 4 and len(e["dv_ref"]) == 1 and e["dv_rows"] == 8
+    assert t.snapshot(spark).count() == 92
+    t.delete_where(spark, "id = 50", mode="merge_on_read")  # stays spilled
+    e = t._read_manifest(4)["files"][0]
+    assert e["dv_rows"] == 9 and len(e["dv_ref"]) == 2
+    assert t.snapshot(spark).count() == 91
+    # compact materializes everything away, inline and sidecar alike
+    v = t.compact(spark)
+    assert all(not e.get("dv") and not e.get("dv_ref") for e in t._read_manifest(v)["files"])
+    assert t.snapshot(spark).count() == 91
+
+
+def test_mor_fully_dead_file_skipped_at_read(spark, tmp_path):
+    """VERDICT r4 #8: a file whose every row is DV-deleted contributes
+    nothing — the snapshot scan must exclude it outright."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_idf(spark, 0, 10).coalesce(1))
+    t.append(_idf(spark, 100, 110).coalesce(1))
+    v = t.delete_where(spark, "id < 10", mode="merge_on_read")
+    man = t._read_manifest(v)
+    dead = [e for e in man["files"] if _dvn(e) == e["rows"]]
+    assert len(dead) == 1
+    snap = t.snapshot(spark)
+    live_names = {os.path.basename(f) for f in snap.inputFiles()}
+    assert os.path.basename(dead[0]["path"]) not in live_names
+    assert len(live_names) == 1
+    assert sorted(r.id for r in snap.collect()) == list(range(100, 110))
+    # time travel before the delete still reads both files
+    assert t.snapshot(spark, version=2).count() == 20
+
+
+def test_vacuum_reclaims_dv_sidecars(spark, tmp_path, monkeypatch):
+    import etl_job_spark.table as tbl
+
+    monkeypatch.setattr(tbl, "_DV_INLINE_MAX", 2)
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_idf(spark, 0, 100).coalesce(1))
+    t.delete_where(spark, "id < 10", mode="merge_on_read")
+    dv_root = os.path.join(t.path, "_dv")
+    assert len(os.listdir(dv_root)) == 1
+    # while the dv'd version is retained, the sidecar must survive
+    t.compact(spark)
+    t.vacuum(keep_last=2)
+    assert len(os.listdir(dv_root)) == 1
+    # once only the compacted version remains, the sidecar is garbage
+    t.vacuum(keep_last=1)
+    assert os.listdir(dv_root) == []
+    assert t.snapshot(spark).count() == 90
+
+
+def test_manifest_checkpointing_bounds_open_cost(spark, tmp_path, monkeypatch):
+    """VERDICT r4 #3: many commits; opening the latest snapshot from a
+    FRESH instance resolves O(checkpoint interval) manifests, not the
+    whole history; deltas stay O(changed files); history/time travel
+    stay correct."""
+    import etl_job_spark.table as tbl
+
+    # interval shrunk (production default 10) purely to keep the test's
+    # Spark-job count down; the resolution logic is interval-agnostic
+    monkeypatch.setattr(tbl, "_CHECKPOINT_INTERVAL", 5)
+    t = ManifestTable(str(tmp_path / "t"))
+    rows = [(i, float(i)) for i in range(23)]
+    for i in range(23):
+        t.append(spark.createDataFrame(rows[i : i + 1], "id long, v double").coalesce(1))
+    raws = [t._read_raw_manifest(v) for v in t.versions()]
+    # v1 (first) + v5,v10,v15,v20 are checkpoints; the rest are deltas
+    assert sum("files" in r for r in raws) == 5
+    deltas = [r for r in raws if "delta" in r]
+    assert deltas and all(
+        len(r["delta"]["upserts"]) == 1 and r["delta"]["removes"] == [] for r in deltas
+    )
+
+    fresh = ManifestTable(t.path)
+    opens = []
+    real_read = ManifestTable._read_raw_manifest
+
+    def counting_read(self, version):
+        opens.append(version)
+        return real_read(self, version)
+
+    monkeypatch.setattr(ManifestTable, "_read_raw_manifest", counting_read)
+    snap = fresh.snapshot(spark)
+    assert len(opens) <= 4  # 23 -> walk back to the v20 checkpoint, never the history
+    assert snap.count() == 23
+    # time travel into the middle of a delta chain
+    assert fresh.snapshot(spark, version=13).count() == 13
+    hs = fresh.history()
+    assert len(hs) == 23 and hs[12]["rows"] == 13
+
+
+def test_vacuum_materializes_oldest_retained_delta(spark, tmp_path):
+    """Dropping old manifests must not strand a retained delta without
+    its base chain: vacuum rewrites the oldest retained version as a
+    full manifest first."""
+    t = ManifestTable(str(tmp_path / "t"))
+    for i in range(13):
+        t.append(spark.createDataFrame([(i, float(i))], "id long, v double").coalesce(1))
+    assert "delta" in t._read_raw_manifest(11)
+    t.vacuum(keep_last=3)
+    fresh = ManifestTable(t.path)
+    assert fresh.versions() == [11, 12, 13]
+    assert "files" in fresh._read_raw_manifest(11)  # materialized
+    assert fresh.snapshot(spark).count() == 13
+    assert fresh.snapshot(spark, version=11).count() == 11
+    assert fresh.snapshot(spark, version=12).count() == 12
+
+
+def test_write_stats_computed_off_driver(spark, tmp_path, monkeypatch):
+    """VERDICT r4 #2: a many-file commit must not fetch parquet footers
+    from the driver. Driver-side pyarrow is shimmed to count opens —
+    executor workers are separate processes, so any driver-side footer
+    read shows up here; stats must equal a direct footer pass."""
+    import etl_job_spark.table as tbl
+
+    calls = []
+    real_pf = tbl.pq.ParquetFile
+
+    def counting_pf(path, *a, **k):
+        calls.append(path)
+        return real_pf(path, *a, **k)
+
+    monkeypatch.setattr(tbl.pq, "ParquetFile", counting_pf)
+    t = ManifestTable(str(tmp_path / "t"))
+    v = t.overwrite(
+        spark.range(10_000).selectExpr("id", "CAST(id AS DOUBLE) AS v").repartition(20)
+    )
+    assert calls == []  # 20 files > driver cap: all footers read on executors
+    man = t._read_manifest(v)
+    assert len(man["files"]) == 20
+    assert all(e["rows"] > 0 and "id" in e["stats"] for e in man["files"])
+    for e in man["files"]:
+        rows, stats = tbl._file_stats(os.path.join(t.data_dir, e["path"]))
+        assert (rows, stats) == (e["rows"], e["stats"])
+    # a small commit keeps the bounded driver fast path
+    calls.clear()
+    t.append(_idf(spark, 0, 10).coalesce(1))
+    assert len(calls) == 1
+
+
+def test_merge_ntz_stats_prune_safe_under_non_utc_session(spark, tmp_path):
+    """ADVICE r4: unix_micros(cast(ntz)) is session-zone-dependent
+    while footers record NTZ wall-as-UTC; under Asia/Seoul the 9 h skew
+    made an overlapping file 'provably disjoint' — a silently lost
+    update. The ntz source encoding is now zone-independent."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+    try:
+        t = ManifestTable(str(tmp_path / "t"))
+        base = spark.sql(
+            "SELECT timestamp_ntz'2024-06-01 12:00:00' + make_interval(0,0,0,0,0,0,id) AS ts,"
+            " CAST(id AS DOUBLE) AS v FROM range(0, 3600)"
+        )
+        t.overwrite(base.coalesce(1))
+        entries = t._read_manifest(1)["files"]
+        assert all("ts" in (e.get("stats") or {}) for e in entries)  # footers did record ntz
+        src = spark.sql(
+            "SELECT timestamp_ntz'2024-06-01 12:00:05' AS ts, CAST(-1.0 AS DOUBLE) AS v"
+        )
+        t.merge(spark, src, keys=["ts"])
+        got = t.snapshot(spark)
+        assert got.count() == 3600  # update in place, not an appended duplicate
+        assert got.filter("v = -1.0").count() == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
