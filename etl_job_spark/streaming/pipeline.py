@@ -34,40 +34,108 @@ from pyspark.sql.types import (
 )
 
 # File-source streams must declare their schema up front (schema
-# inference is a batch-only convenience). ts arrives as TIMESTAMP(NANOS)
-# in the driver parquet; with nanosAsLong it reads as bigint and is
-# normalized to a micros timestamp below — same convention as
-# sources/catalog.py.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# inference is a batch-only convenience), and the declared type must
+# match the files' physical ts encoding, which is GENERATOR-DEPENDENT:
+# driver rounds have landed both TIMESTAMP(NANOS) (readable only as
+# bigint via nanosAsLong) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+# (reads as timestamp_ntz). ``read_events_stream`` peeks ONE footer to
+# pick the right schema — the streaming mirror of load_table's dual
+# handling in sources/catalog.py.
+def _events_schema(ts_field) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            ts_field,
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
 
 SESSION_GAP = "30 minutes"
 
 
+def _detect_ts_unit(path: str) -> str:
+    """'nanos' | 'micros_ntz' from one parquet footer (driver-side,
+    one ~8 KB read — never a data scan). An empty directory defaults
+    to 'nanos', the historical driver encoding."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    candidates = sorted(
+        _glob.glob(_os.path.join(path, "*.parquet"))
+        or _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    if _os.path.isfile(path):
+        candidates = [path]
+    if not candidates:
+        return "nanos"
+    t = pq.ParquetFile(candidates[0]).schema_arrow.field("ts").type
+    if pa.types.is_timestamp(t) and t.unit != "ns":
+        return "micros_ntz"
+    return "nanos"
+
+
 def read_events_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    ts_unit: str = "auto",
 ) -> DataFrame:
-    """Streaming scan of an events parquet directory.
+    """Streaming scan of an events parquet directory; ``ts`` is
+    normalized to a UTC micros TimestampType whichever physical form
+    the files carry.
+
+    ``ts_unit`` — ``"auto"`` (default) peeks one footer at plan time;
+    pass ``"nanos"`` (INT64 TIMESTAMP(NANOS) read as long) or
+    ``"micros_ntz"`` (TIMESTAMP(MICROS, NTZ)) explicitly when the
+    directory is empty at start but its producer's encoding is known.
+    Note new files must keep the SAME encoding for the stream's
+    lifetime — the schema is fixed at plan time.
 
     ``maxFilesPerTrigger`` throttles micro-batch size (one file per
     trigger exercises real incremental processing in tests).
     """
-    # tolerate TIMESTAMP(NANOS) parquet on any session (see
-    # sources/catalog.load_table)
+    if ts_unit == "auto":
+        ts_unit = _detect_ts_unit(path)
+    if ts_unit not in ("nanos", "micros_ntz"):
+        raise ValueError(f"ts_unit {ts_unit!r}: use 'auto', 'nanos' or 'micros_ntz'")
+    # UTC pin: the NTZ→timestamp cast below is wall-clock-preserving
+    # only under UTC, and the nanos path tolerates TIMESTAMP(NANOS)
+    # parquet on any session (see sources/catalog.load_table)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if ts_unit == "nanos":
+        schema = _events_schema(StructField("ts", LongType()))
+    else:
+        from pyspark.sql.types import TimestampNTZType
+
+        schema = _events_schema(StructField("ts", TimestampNTZType()))
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    import os as _os
+
+    if _os.path.isfile(path):
+        # pointing at a single parquet FILE (the driver generator's
+        # layout): the file stream source force-sets basePath to any
+        # NON-GLOB path and then requires it to be a directory, so a
+        # plain file path can never stream. Spelling the filename as a
+        # {name} Hadoop glob (matches exactly that file) suppresses
+        # the auto-basePath, and the explicit parent-dir basePath
+        # anchors partition discovery.
+        reader = reader.option("basePath", _os.path.dirname(path))
+        path = _os.path.join(_os.path.dirname(path), "{" + _os.path.basename(path) + "}")
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_unit == "nanos":
+        # integer div: ns values exceed double's 2^53 exact range
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:

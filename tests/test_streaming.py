@@ -257,3 +257,31 @@ def test_kafka_reader_wired_and_env_constraint_pinned(spark):
         assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
     else:  # jar present (deployment): carries the full events shape
         assert set(rate_cols) <= set(df.columns)
+
+
+def test_stream_reads_generator_micros_ntz_directly(spark, sf_dir, tmp_path):
+    """ADVICE r4: the r4 generator writes events.ts as
+    TIMESTAMP(MICROS, NTZ), which the former LongType-only schema
+    could not read — streaming over generator-shaped files must work
+    without re-landing (the footer-peek auto-detect), and produce the
+    same answers as the batch query."""
+    out = str(tmp_path / "events_ntz")
+    load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    ).repartition(2).write.parquet(out)
+
+    stream = read_events_stream(spark, out, max_files_per_trigger=1)
+    agg = hourly_counts_stream(stream, watermark="60 days")
+    run_to_completion(
+        agg.writeStream.format("memory").queryName("ntz_parity").outputMode("complete")
+    )
+    got = spark.table("ntz_parity")
+    want = QUERIES["events_tumbling_hourly"](spark, sf_dir)
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+    # explicit override still available for empty-at-start directories
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ts_unit"):
+        read_events_stream(spark, out, ts_unit="bogus")
