@@ -345,6 +345,58 @@ query("kicc_mart_versioned", VERSIONED_SQL)(mart_versioned)
 
 
 # ---------------------------------------------------------------------
+# Row-level DELETE at table-format scale: merge-on-read deletion vectors
+# ---------------------------------------------------------------------
+
+GDPR_STORES = ("000001", "000003")
+
+GDPR_SQL = _with(kicc.SQL_KICC_SALES_DATA) + f"""
+SELECT sp_code, sale_date, total_amt, bill_qty FROM kicc_sales_data
+WHERE sale_date BETWEEN '{VERSIONED_W1[0]}' AND '{VERSIONED_W1[1]}'
+  AND sp_code NOT IN {GDPR_STORES}
+"""
+
+
+def mart_gdpr_erased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style erasure through the table format: land the daily
+    window into a date-partitioned ManifestTable (one file per date —
+    the pre-write repartition on the partition column), then DELETE two
+    stores' rows via merge-on-read deletion vectors: no data file is
+    rewritten, the matched positions are recorded per file (keyed by
+    full manifest-relative path, partition dirs included) and the
+    snapshot read anti-joins them out. The oracle is the plain
+    relational filter, so the entire DV read path — path keying across
+    partition dirs, position anti-join, live-row arithmetic — is
+    hash-checked against DuckDB. Reference analogue: the late
+    row-level corrections of load_sales_data.py:129-134, here as
+    removals instead of updates (SURVEY.md §2.2)."""
+    import tempfile
+
+    from etl_job_spark.table import ManifestTable
+
+    staging = kicc.kicc_sales_data(spark, sf_dir).select(
+        "sp_code", "sale_date", "total_amt", "bill_qty"
+    )
+    day1 = staging.filter(F.col("sale_date").between(*VERSIONED_W1))
+    # same session-scoped reuse contract as kicc_mart_versioned above:
+    # repeated invocations append overwrite+delete version pairs to one
+    # directory; bench.py reclaims it at session end
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"kicc_mart_gdpr_{spark.sparkContext.applicationId}",
+    )
+    t = ManifestTable(path)
+    t.overwrite(
+        day1.repartition(F.col("sale_date")), partition_by=["sale_date"]
+    )
+    t.delete_where(spark, F.col("sp_code").isin(*GDPR_STORES), mode="merge_on_read")
+    return t.snapshot(spark).select("sp_code", "sale_date", "total_amt", "bill_qty")
+
+
+query("kicc_mart_gdpr", GDPR_SQL)(mart_gdpr_erased)
+
+
+# ---------------------------------------------------------------------
 # P1/P3/P4 row-level projection + filters
 # ---------------------------------------------------------------------
 

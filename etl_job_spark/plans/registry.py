@@ -36,6 +36,7 @@ _DRIVER_WINDOW = [
     "kicc_calendar_plan",
     "kicc_scalar_dates",
     "kicc_mart_versioned",  # K3 through ManifestTable (commit protocol)
+    "kicc_mart_gdpr",  # row-level DELETE via merge-on-read deletion vectors
     # Extension operators with no round-1 driver row (VERDICT §wrong #1)
     "text_lang_id",
     "corpus_filter_pipeline",
@@ -64,7 +65,6 @@ _DRIVER_WINDOW = [
     "shipping_priority",
     "window_topk_products",
     "window_day_over_day",
-    "window_trailing_7d",
     "cube_flags",
     "set_ops",
     "events_json_extract",
@@ -92,6 +92,12 @@ _DRIVER_WINDOW = [
 # moved out to make room for kicc_mart_versioned (round-3 verdict #3).
 _TAIL = [
     "sketch_cardinalities",  # rows-only by design (no SQL oracle)
+    # round-5 swap: kicc_mart_gdpr (merge-on-read DELETE — a component
+    # with no prior driver row) takes a window slot; the RANGE-frame
+    # variant moves out (§2.6 keeps day_over_day + rank_family
+    # in-window; the exact oracle comparison continues in
+    # tests/test_oracle_diff.py like every tail entry)
+    "window_trailing_7d",
     "text_fingerprint",
     "window_first_last",
     "top_orders",

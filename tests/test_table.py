@@ -990,3 +990,21 @@ def test_merge_ntz_stats_prune_safe_under_non_utc_session(spark, tmp_path):
         assert got.filter("v = -1.0").count() == 1
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_mor_dv_application_is_broadcast_anti_join(spark, tmp_path):
+    """Plan pin: inline DV application must compile to a BROADCAST hash
+    anti-join on (decoded relative path, row position) — JVM-side path
+    decoding, no Python in the read path, no shuffle of the fact scan."""
+    import contextlib
+    import io
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_idf(spark, 0, 100).coalesce(1))
+    t.delete_where(spark, "id IN (1, 2)", mode="merge_on_read")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        t.snapshot(spark).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin LeftAnti" in plan.replace("LeftAnti BuildRight", "LeftAnti")
+    assert "UrlCodec.decode" in plan  # path keying stays JVM-side
