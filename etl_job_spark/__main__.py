@@ -65,6 +65,13 @@ def main(argv: list[str] | None = None) -> int:
         default="copy_on_write",
         help="for delete: CoW rewrites matching files; MoR lands deletion vectors",
     )
+    tb.add_argument(
+        "--mor-row-limit",
+        type=int,
+        default=None,
+        help="for delete --mode merge_on_read: matched-row cap past "
+        "which the delete auto-falls-back to copy-on-write",
+    )
     tb.add_argument("--version", type=int, default=None, help="for show/restore")
     tb.add_argument(
         "--as-of", default=None, help="for show: ISO timestamp time travel"
@@ -202,7 +209,10 @@ def main(argv: list[str] | None = None) -> int:
                 if not args.where:
                     print("table delete requires --where", file=sys.stderr)
                     return 2
-                v = t.delete_where(spark, args.where, mode=args.mode)
+                kw = {}
+                if args.mor_row_limit is not None:
+                    kw["mor_row_limit"] = args.mor_row_limit
+                v = t.delete_where(spark, args.where, mode=args.mode, **kw)
                 print(json.dumps(
                     {"path": args.path, "version": v, "mode": args.mode,
                      "where": args.where}))

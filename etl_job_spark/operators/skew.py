@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -82,3 +82,99 @@ def salted_join(
         "*", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
     )
     return left.join(right, [*keys, "__salt"], how).drop("__salt")
+
+
+def exact_group_percentiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    percentiles: Sequence[tuple[float, str]],
+) -> DataFrame:
+    """Exact linear-interpolated percentiles per key group, computed so
+    a HOT KEY cannot serialize the aggregation — the skew story for
+    holistic aggregates (ROADMAP #3).
+
+    Spark's built-in ``percentile`` is holistic: every value of a group
+    buffers in one aggregation state, so at 100 TB a hot key means one
+    task holding (and sorting) that key's entire column. This rewrite
+    makes it algebraic over the value FREQUENCY MAP instead:
+
+    1. ``groupBy(keys, value) -> count`` — the only pass over the raw
+       rows. A hot key's volume spreads over its distinct values, and
+       map-side combine collapses duplicates before the shuffle, so
+       the data crossing the wire is O(distinct values), not O(rows);
+    2. a running-count window over each key's distinct values (state
+       is O(distinct values per key) — bounded for discrete domains
+       like quantities, cents, durations);
+    3. percentile lookup as conditional MIN aggregates: index
+       ``pos = p * (N - 1)`` splits into ``k = floor(pos)``; the
+       values at ranks k and k+1 are the smallest values whose
+       running count exceeds them, and the result interpolates
+       ``v_k + (pos - k) * (v_{k+1} - v_k)`` — the same definition
+       Spark's ``percentile`` and DuckDB's ``quantile_cont``
+       implement, so results match the built-in bit-for-bit on
+       integer-exact inputs (pinned by test).
+
+    Intended for discrete / bounded-cardinality value domains (ints,
+    money-as-cents, bucketed durations); for unbounded doubles at
+    scale, ``approx_percentile`` is the honest answer. Window + final
+    groupBy share one hash partitioning on ``keys`` (Catalyst reuses
+    the exchange), so the whole operator costs two shuffles.
+
+    ``percentiles`` — (fraction, output column name) pairs.
+    """
+    v = F.col(value_col)
+    counts = df.groupBy(*keys, v.alias("__v")).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy("__v")
+    wall = Window.partitionBy(*[F.col(k) for k in keys])
+    c = counts.select(
+        *keys,
+        "__v",
+        F.sum("__cnt").over(w).alias("__cum"),
+        F.sum("__cnt").over(wall).alias("__tot"),
+    )
+    aggs = []
+    for i, (p, _alias) in enumerate(percentiles):
+        pos = F.lit(float(p)) * (F.col("__tot") - 1).cast("double")
+        k = F.floor(pos)
+        aggs.append(F.min(F.when(F.col("__cum") >= k + 1, F.col("__v"))).alias(f"__vk_{i}"))
+        aggs.append(F.min(F.when(F.col("__cum") >= k + 2, F.col("__v"))).alias(f"__vk1_{i}"))
+        aggs.append(F.min(pos - k).alias(f"__frac_{i}"))  # constant within the group
+    out = c.groupBy(*keys).agg(*aggs)
+    final = list(keys)
+    for i, (_p, alias) in enumerate(percentiles):
+        vk = F.col(f"__vk_{i}").cast("double")
+        vk1 = F.coalesce(F.col(f"__vk1_{i}").cast("double"), vk)
+        final.append((vk + F.col(f"__frac_{i}") * (vk1 - vk)).alias(alias))
+    return out.select(*final)
+
+
+def salted_collect_list(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    salt: int = 16,
+    sort: bool = True,
+) -> DataFrame:
+    """``collect_list`` per key with two-stage salting — the other
+    holistic-agg skew shape (ROADMAP #3): a hot key's values first
+    collect into ``salt`` independent partial arrays on different
+    tasks (stage 1 groups by (key, salt)), then the bounded partials
+    concatenate per key (stage 2 moves ``salt`` arrays per key, not
+    one giant state through one task).
+
+    ``sort=True`` sorts the final array so the result is deterministic
+    (plain collect_list order is partition-dependent anyway); the
+    output column is named ``{value_col}s``."""
+    salt_col = (F.abs(F.xxhash64(*[F.col(c) for c in df.columns])) % salt).alias("__salt")
+    partials = (
+        df.select(*keys, F.col(value_col), salt_col)
+        .groupBy(*keys, "__salt")
+        .agg(F.collect_list(value_col).alias("__part"))
+    )
+    merged = partials.groupBy(*keys).agg(
+        F.flatten(F.collect_list("__part")).alias(f"{value_col}s")
+    )
+    if sort:
+        merged = merged.withColumn(f"{value_col}s", F.sort_array(F.col(f"{value_col}s")))
+    return merged

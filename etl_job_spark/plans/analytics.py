@@ -817,6 +817,30 @@ def events_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_percentiles_freqmap", MEDIAN_SQL)
+def events_percentiles_freqmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME percentiles as ``events_exact_percentiles``, computed
+    by the skew-proof frequency-map rewrite
+    (``operators.skew.exact_group_percentiles``): the built-in
+    ``percentile`` buffers every row of a group in ONE aggregation
+    state — a hot event_type at 100 TB serializes into a single task —
+    while the rewrite reduces rows to (key, value) counts with
+    map-side combine and evaluates the interpolation over the bounded
+    frequency table. Same oracle as the holistic twin, so the rewrite
+    is proven exactly equivalent, not approximately."""
+    from etl_job_spark.operators.skew import exact_group_percentiles
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("v_cents")
+    )
+    return exact_group_percentiles(
+        ev,
+        ["event_type"],
+        "v_cents",
+        [(0.5, "median_cents"), (0.9, "p90_cents")],
+    )
+
+
 SLIDE_US = 15 * 60 * 1_000_000
 DUR_US = 60 * 60 * 1_000_000
 

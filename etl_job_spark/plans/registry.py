@@ -117,6 +117,9 @@ _TAIL = [
     # round-4: CJK-aware token budget (missing-#3 closure); exact
     # oracle in tests/test_oracle_diff.py like the rest of the tail
     "text_token_count_cjk",
+    # round-5: skew-proof frequency-map percentiles — exact-oracle twin
+    # of events_exact_percentiles (in-window component)
+    "events_percentiles_freqmap",
 ]
 
 
