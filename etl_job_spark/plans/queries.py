@@ -336,7 +336,10 @@ def mart_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"kicc_mart_versioned_{spark.sparkContext.applicationId}",
     )
     t = ManifestTable(path)
-    t.overwrite(day1, partition_by=["sale_date"])
+    # cluster the landing write by its partition column: one file per
+    # date, not (shuffle tasks x dates) slivers — the write shape that
+    # keeps the table scannable without an immediate compact
+    t.overwrite(day1.repartition(F.col("sale_date")), partition_by=["sale_date"])
     t.merge(spark, day2, keys=["sp_code", "sale_date"])
     return t.snapshot(spark).select("sp_code", "sale_date", "total_amt", "bill_qty")
 

@@ -108,10 +108,10 @@ _MOR_FALLBACK_ROWS = 10_000_000
 _CHECKPOINT_INTERVAL = 10
 
 # commits landing at most this many files take footer stats on the
-# driver (a handful of ~8 KB reads — cheaper than a Spark job); bigger
-# commits compute stats ON THE EXECUTORS so a 100k-file commit never
-# becomes a driver-side metadata stampede
-_DRIVER_STATS_MAX_FILES = 8
+# driver (a few dozen ~8 KB reads — cheaper than scheduling a Spark
+# job); bigger commits compute stats ON THE EXECUTORS so a 100k-file
+# commit never becomes a driver-side metadata stampede
+_DRIVER_STATS_MAX_FILES = 32
 
 
 class _CowFallback(Exception):
@@ -1020,6 +1020,15 @@ class ManifestTable:
                 merged = merge_upsert(target, source, keys, order_col=order_col)
             else:
                 merged = _align(merge_upsert_source_only(source, keys, order_col), schema)
+            if partition_by:
+                # cluster the rewrite on the partition columns: without
+                # this every shuffle task writes a sliver into every
+                # touched partition dir (tasks x partitions tiny files —
+                # the small-file problem compact exists to cure, created
+                # fresh on every merge). One task per touched partition
+                # value is the right write shape for the keyed-window
+                # merge this method serves.
+                merged = merged.repartition(*[F.col(c) for c in partition_by])
             new_entries = self._write_data_files(merged, partition_by or None)
             return self._commit(
                 untouched + new_entries, schema, partition_by or None, base, {"op": "merge"}

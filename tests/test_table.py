@@ -950,11 +950,11 @@ def test_write_stats_computed_off_driver(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(tbl.pq, "ParquetFile", counting_pf)
     t = ManifestTable(str(tmp_path / "t"))
     v = t.overwrite(
-        spark.range(10_000).selectExpr("id", "CAST(id AS DOUBLE) AS v").repartition(20)
+        spark.range(10_000).selectExpr("id", "CAST(id AS DOUBLE) AS v").repartition(40)
     )
-    assert calls == []  # 20 files > driver cap: all footers read on executors
+    assert calls == []  # 40 files > driver cap: all footers read on executors
     man = t._read_manifest(v)
-    assert len(man["files"]) == 20
+    assert len(man["files"]) == 40
     assert all(e["rows"] > 0 and "id" in e["stats"] for e in man["files"])
     for e in man["files"]:
         rows, stats = tbl._file_stats(os.path.join(t.data_dir, e["path"]))
