@@ -55,9 +55,14 @@ def shingles(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> Dat
     because (doc_id, shingle) duplicates can only occur within one row."""
     toks = tokens(text_col)
     parts = ", ".join(f"element_at(toks, i + {j})" for j in range(k))
+    # The short-doc guard must be an explicit CASE: Spark's
+    # sequence(1, 0) is the DESCENDING [1, 0] (step inferred), so the
+    # greatest(...)-clamp alone would feed element_at an index of 0
+    # (INVALID_INDEX_OF_ZERO) for any document shorter than k tokens.
     sh = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(toks) - {k - 1}, 0)),"
-        f" i -> concat_ws(' ', {parts})))"
+        f"CASE WHEN size(toks) >= {k} THEN array_distinct("
+        f"transform(sequence(1, size(toks) - {k - 1}),"
+        f" i -> concat_ws(' ', {parts}))) ELSE array() END"
     )
     return docs.select("doc_id", toks.alias("toks")).select(
         "doc_id", F.explode(sh).alias("shingle")

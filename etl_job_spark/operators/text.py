@@ -211,3 +211,53 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             / F.size(toks).cast("bigint")
         ).alias("mean_token_len"),
     )
+
+
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/MassiveText-style intra-document repetition signals:
+    the fraction of word n-grams (n = 2, 3) that are duplicates of an
+    earlier n-gram in the SAME document, and the share of the document
+    taken by its single most-frequent 2-gram. Pathologically repetitive
+    documents (boilerplate loops, keyword stuffing, degenerate scrapes)
+    score high and get filtered before training.
+
+    Everything here is a within-row array expression — duplicate
+    counting never leaves the document — so the whole pass is a
+    zero-shuffle projection that scales linearly with executors, the
+    same cost shape as ``text_stats``.
+
+    Exactness contract: the fractions are quotients of exact integers
+    (counts of list elements) rounded to 6 places, and the boolean-ish
+    ``repetitive`` flag is computed on the INTEGER form
+    ``(total - distinct) * 20 > total`` (i.e. >5% duplicate 2-grams)
+    so it can never flip on a final-ULP difference between engines.
+    """
+    toks = tokens(text_col)
+
+    def ngrams(n: int) -> str:
+        parts = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+        return (
+            f"CASE WHEN size(toks) >= {n} THEN "
+            f"transform(sequence(1, size(toks) - {n - 1}),"
+            f" i -> concat_ws(' ', {parts})) ELSE array() END"
+        )
+
+    g = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", F.expr(ngrams(2)).alias("g2"), F.expr(ngrams(3)).alias("g3")
+    )
+    dup = lambda c: F.round(  # noqa: E731
+        (F.size(c) - F.size(F.array_distinct(c))) / F.size(c), 6
+    )
+    top2 = F.expr(
+        "array_max(transform(array_distinct(g2), x -> size(filter(g2, y -> y = x))))"
+    )
+    return g.filter(F.size("g3") > 0).select(
+        "doc_id",
+        F.size("g2").cast("bigint").alias("n_2grams"),
+        dup("g2").alias("dup_2gram_frac"),
+        dup("g3").alias("dup_3gram_frac"),
+        F.round(top2 / F.size("g2"), 6).alias("top_2gram_frac"),
+        (
+            (F.size("g2") - F.size(F.array_distinct("g2"))) * 20 > F.size("g2")
+        ).cast("int").alias("repetitive"),
+    )

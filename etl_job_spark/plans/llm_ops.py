@@ -1263,3 +1263,185 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         redact_pii("t").alias("text_redacted"),
         pii_count("t").alias("n_redactions"),
     )
+
+
+# ---------------------------------------------------------------------
+# Benchmark decontamination (eval-leak detection)
+# ---------------------------------------------------------------------
+
+CONTAM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+bench AS (
+  SELECT doc_id AS bench_id, array_to_string(toks[3:10], ' ') AS ngram
+  FROM tok WHERE doc_id % 41 = 0 AND len(toks) >= 12
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([array_to_string(toks[i:i+7], ' ')
+                   for i in generate_series(1, greatest(len(toks) - 7, 0))]) AS shingle
+    FROM tok
+  ) t
+)
+SELECT s.doc_id,
+       count(DISTINCT s.shingle) AS n_hit_ngrams,
+       count(DISTINCT b.bench_id) AS n_bench_items
+FROM sh s JOIN bench b ON s.shingle = b.ngram
+GROUP BY s.doc_id
+"""
+
+
+@query("text_contamination", CONTAM_SQL)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM n-gram-overlap rule,
+    k=8): the benchmark set is PLANTED from the corpus itself — every
+    41st document contributes its tokens 3..10 as one eval item, built
+    identically in both engines — so each contributing document must
+    flag itself, plus any coincidental 8-gram collisions. The corpus
+    side shingles within-row (zero shuffle); the benchmark side is
+    broadcast; only matched shingles reach the final per-doc groupBy.
+    Reference has no decontamination pass — LLM extension surface."""
+    from etl_job_spark.operators.contamination import contamination_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bench = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter((F.col("doc_id") % 41 == 0) & (F.size("toks") >= 12))
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.concat_ws(" ", F.slice("toks", 3, 8)).alias("text"),
+        )
+    )
+    return contamination_hits(docs, bench, k=8)
+
+
+# ---------------------------------------------------------------------
+# Intra-document repetition (Gopher-style quality signals)
+# ---------------------------------------------------------------------
+
+REPETITION_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         [toks[i] || ' ' || toks[i+1]
+          for i in generate_series(1, greatest(len(toks) - 1, 0))] AS g2,
+         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+          for i in generate_series(1, greatest(len(toks) - 2, 0))] AS g3
+  FROM tok
+)
+SELECT doc_id,
+       CAST(len(g2) AS BIGINT) AS n_2grams,
+       round((len(g2) - len(list_distinct(g2))) / len(g2), 6) AS dup_2gram_frac,
+       round((len(g3) - len(list_distinct(g3))) / len(g3), 6) AS dup_3gram_frac,
+       round(list_max(list_transform(list_distinct(g2),
+                                     x -> len(list_filter(g2, y -> y = x))))
+             / len(g2), 6) AS top_2gram_frac,
+       CASE WHEN (len(g2) - len(list_distinct(g2))) * 20 > len(g2)
+            THEN 1 ELSE 0 END AS repetitive
+FROM g WHERE len(g3) > 0
+"""
+
+
+@query("text_repetition", REPETITION_SQL)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition filters: per-document duplicate
+    2-gram / 3-gram fractions and the most-frequent-2-gram share —
+    the standard signals for dropping degenerate/boilerplate documents
+    before training. Entirely within-row array expressions: a
+    zero-shuffle projection (same cost shape as text_stats). The
+    ``repetitive`` flag compares INTEGERS (dup*20 > total), immune to
+    final-ULP drift between engines."""
+    from etl_job_spark.operators.text import repetition_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_scores(docs)
+
+
+# ---------------------------------------------------------------------
+# Token-budget shard packing (training-loader layout)
+# ---------------------------------------------------------------------
+
+PACK_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT doc_id, n_tok,
+       (CAST(sum(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT)
+        - n_tok) // 2000 AS shard_id
+FROM d
+"""
+
+
+@query("corpus_pack_shards", PACK_SQL)
+def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~2000-token training shards by running
+    token offset. The oracle is the textbook global window (single
+    task); the engine runs the two-stage distributed prefix sum
+    (range-bucket → per-bucket totals → driver offsets → per-bucket
+    window) — bit-identical results with no global sort. See
+    operators/packing.py for the 100 TB shape."""
+    from etl_job_spark.operators.packing import pack_token_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", n_tokens("text").alias("n_tok"))
+    return pack_token_shards(d, "n_tok", "doc_id", budget=2000).select(
+        "doc_id", "n_tok", "shard_id"
+    )
+
+
+# ---------------------------------------------------------------------
+# Weighted source mixture to a token budget
+# ---------------------------------------------------------------------
+
+MIX_SQL = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
+         1 + (CAST(substr(source, 4, 10) AS INT) % 3) AS wt
+  FROM documents
+),
+per AS (SELECT source, sum(n_tok) AS src_tok, min(wt) AS wt FROM d GROUP BY source),
+tot AS (SELECT sum(src_tok) AS total_tok, sum(wt) AS total_wt FROM per),
+thr AS (
+  SELECT source,
+         least(CAST(1000000 AS BIGINT),
+               (1000000 * (((total_tok // 2) * wt) // total_wt)) // src_tok) AS thr
+  FROM per, tot
+)
+SELECT d.doc_id, d.source, d.n_tok
+FROM d JOIN thr USING (source)
+WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 1000000 < thr
+"""
+
+
+@query("corpus_mix_sources", MIX_SQL)
+def corpus_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling to half the corpus token mass:
+    per-source weights (1 + source-number mod 3, derived identically
+    in both engines) set each source's target token share; membership
+    is the md5-bucket row property, so the kept set is stable under
+    rerun/repartition/growth. Fully declarative — two tiny aggs +
+    one broadcast join; the corpus never shuffles."""
+    from etl_job_spark.operators.packing import mix_to_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        n_tokens("text").alias("n_tok"),
+        F.expr("1 + (cast(substring(source, 4, 10) as int) % 3)").alias("wt"),
+    )
+    kept = mix_to_token_budget(d, "source", "wt", "n_tok", "__total_tok div 2")
+    return kept.select("doc_id", "source", "n_tok")

@@ -120,6 +120,13 @@ _TAIL = [
     # round-5: skew-proof frequency-map percentiles — exact-oracle twin
     # of events_exact_percentiles (in-window component)
     "events_percentiles_freqmap",
+    # round-5 additions (exact oracles in tests/test_oracle_diff.py):
+    # benchmark decontamination, Gopher repetition filters, token-budget
+    # shard packing (distributed prefix sum), weighted source mixture
+    "text_contamination",
+    "text_repetition",
+    "corpus_pack_shards",
+    "corpus_mix_sources",
 ]
 
 
