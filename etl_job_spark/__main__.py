@@ -55,10 +55,17 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=[
             "versions", "history", "show", "diff", "compact", "vacuum",
-            "restore", "delete",
+            "restore", "delete", "delete-keys",
         ],
     )
     tb.add_argument("--where", default=None, help="for delete: SQL predicate")
+    tb.add_argument("--key-col", default=None, help="for delete-keys: key column")
+    tb.add_argument(
+        "--keys",
+        default=None,
+        help="for delete-keys: comma-separated values (integers auto-detected); "
+        "planning skips files via manifest stats and bloom filters",
+    )
     tb.add_argument(
         "--mode",
         choices=["copy_on_write", "merge_on_read"],
@@ -216,6 +223,25 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(
                     {"path": args.path, "version": v, "mode": args.mode,
                      "where": args.where}))
+            elif args.action == "delete-keys":
+                if not args.key_col or not args.keys:
+                    print("table delete-keys requires --key-col and --keys",
+                          file=sys.stderr)
+                    return 2
+                vals: list = []
+                for s in args.keys.split(","):
+                    s = s.strip()
+                    try:
+                        vals.append(int(s))
+                    except ValueError:
+                        vals.append(s)
+                kw = {}
+                if args.mor_row_limit is not None:
+                    kw["mor_row_limit"] = args.mor_row_limit
+                v = t.delete_keys(spark, args.key_col, vals, mode=args.mode, **kw)
+                print(json.dumps(
+                    {"path": args.path, "version": v, "mode": args.mode,
+                     "key_col": args.key_col, "n_keys": len(vals)}))
     finally:
         if owns_session:
             spark.stop()

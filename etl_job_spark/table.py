@@ -55,7 +55,16 @@ DELTA against the previous version (every ``_CHECKPOINT_INTERVAL``-th
 version is a self-contained checkpoint), so a carried-by-reference
 commit writes O(changed files) manifest bytes and opening any
 snapshot reads a bounded number of manifests — Delta's
-checkpoint/log shape. Schema evolution is add-column-only:
+checkpoint/log shape. Tables written with ``bloom_cols`` additionally
+record per-file BLOOM FILTERS for the named int/string columns
+(sidecar JSONs under ``_bloom/``, built by the write tasks for big
+commits): ``delete_keys`` and small-key-set MERGE probe them at
+planning time and skip files the bloom proves cold — the prune that
+works on hash-scattered keys, where every file's min/max spans the
+whole domain and range stats can never skip anything (Iceberg's
+puffin-blob shape; complementary to parquet's own row-group blooms,
+which only help after the file is already open). Schema evolution is
+add-column-only:
 ``append``/``merge`` may bring new columns, readers see NULL for rows
 written before the column existed, and changing an existing column's
 type is rejected. A full catalog service remains out of scope — that
@@ -66,6 +75,7 @@ the engine needs.
 
 from __future__ import annotations
 
+import base64
 import datetime
 import json
 import os
@@ -112,6 +122,21 @@ _CHECKPOINT_INTERVAL = 10
 # job); bigger commits compute stats ON THE EXECUTORS so a 100k-file
 # commit never becomes a driver-side metadata stampede
 _DRIVER_STATS_MAX_FILES = 32
+
+# per-file bloom filters (point-lookup data skipping on non-clustered
+# keys — min/max ranges all overlap when keys are hash-scattered, so
+# GDPR-style "delete these 3 ids" would otherwise open every file).
+# Sized at ~10 bits/row (≈1% fpp) capped at 16 KiB of bits per column;
+# blooms live in _bloom/ sidecar JSONs written by whoever computed
+# them (executors, for big commits), never inline in the manifest.
+_BLOOM_DIR = "_bloom"
+_BLOOM_MIN_BITS = 1 << 10
+_BLOOM_MAX_BITS = 1 << 17
+_BLOOM_K = 7
+# probe a file's blooms only for value sets at most this large — a
+# bloom can't say anything useful about a million-key probe, and the
+# per-value bit tests are driver-side work
+_BLOOM_PROBE_MAX = 1024
 
 
 class _CowFallback(Exception):
@@ -339,6 +364,84 @@ def _fully_dead(entry: dict) -> bool:
     return bool(rows) and _dv_count(entry) >= rows
 
 
+# -- per-file bloom filters (point-lookup skipping) -------------------
+#
+# Values canonicalize through str() on both the build side (pyarrow
+# python values at write) and the probe side (collected Spark values /
+# caller-passed keys), and blooms are built ONLY for integer and
+# string columns, where the two spellings provably agree. Parquet's
+# native column blooms (Spark: parquet.bloom.filter.enabled) skip row
+# groups inside an already-opened scan; these manifest-level blooms
+# are the complementary half — they skip the FILE at planning time,
+# before any footer round-trip, the Iceberg puffin shape.
+
+
+def _bloom_indexes(value, m: int) -> list[int]:
+    """k bit positions for a value: double hashing off one md5 —
+    deterministic, engine-independent, identical on build and probe."""
+    import hashlib
+
+    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:16], "little") | 1
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _bloom_build(values, n_rows: int) -> dict:
+    m = _BLOOM_MIN_BITS
+    while m < 10 * max(n_rows, 1) and m < _BLOOM_MAX_BITS:
+        m *= 2
+    bits = bytearray(m // 8)
+    for v in values:
+        if v is None:
+            continue
+        for ix in _bloom_indexes(v, m):
+            bits[ix >> 3] |= 1 << (ix & 7)
+    return {"m": m, "k": _BLOOM_K, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_excludes(bloom: dict, values) -> bool:
+    """True when the bloom proves NONE of ``values`` is in the file
+    (any single possibly-present value keeps the file in play)."""
+    bits = base64.b64decode(bloom["b64"])
+    m = int(bloom["m"])
+    for v in values:
+        if v is None:
+            continue
+        if all(bits[ix >> 3] & (1 << (ix & 7)) for ix in _bloom_indexes(v, m)):
+            return False
+    return True
+
+
+def _file_blooms(path: str, cols: Sequence[str]) -> dict[str, dict]:
+    """Build blooms for ``cols`` from one parquet file: a single
+    columnar read of just the indexed columns (runs wherever the
+    caller is — executors for big commits). Non-int/str columns are
+    skipped (their str() canonicalization is not probe-stable)."""
+    import pyarrow as pa
+
+    pf = pq.ParquetFile(path)
+    schema = pf.schema_arrow
+    use = [
+        c
+        for c in cols
+        if c in schema.names
+        and (
+            pa.types.is_integer(schema.field(c).type)
+            or pa.types.is_string(schema.field(c).type)
+            or pa.types.is_large_string(schema.field(c).type)
+        )
+    ]
+    if not use:
+        return {}
+    table = pf.read(columns=use)
+    out = {}
+    for c in use:
+        vals = [v for v in table.column(c).to_pylist() if v is not None]
+        out[c] = _bloom_build(vals, len(vals))
+    return out
+
+
 # widen timestamp_ntz source bounds by this under a non-UTC session:
 # the from_utc_timestamp re-encoding is exact except for wall clocks
 # inside a DST transition window, where the zone offset used can be
@@ -485,6 +588,54 @@ class ManifestTable:
         # immutable, so the cache is sound for the instance's lifetime;
         # it keeps delta-chain resolution O(1) amortized per version.
         self._files_cache: dict[int, list[dict]] = {}
+        # bloom sidecar ref -> {rel data path -> {col -> bloom}};
+        # sidecars are immutable once written, so caching is sound
+        self._bloom_cache: dict[str, dict] = {}
+
+    # -- bloom probing -------------------------------------------------
+
+    def _entry_blooms(self, entry: dict) -> dict:
+        ref = entry.get("bloom_ref")
+        if not ref:
+            return {}
+        cached = self._bloom_cache.get(ref)
+        if cached is None:
+            try:
+                with open(os.path.join(self.path, ref)) as f:
+                    cached = json.load(f)
+            except OSError:
+                cached = {}  # missing sidecar = no blooms = never prunes
+            self._bloom_cache[ref] = cached
+        return cached.get(entry["path"], {})
+
+    def _entry_may_contain(self, entry: dict, values_by_col: dict[str, list]) -> bool:
+        """False only when the entry PROVABLY holds none of the probe
+        values: some column's recorded min/max excludes every value, or
+        some column's bloom tests negative for every value. Missing
+        stats/blooms (or oversized probe sets) never prune — unknown
+        means "possibly contains", the same soundness contract as
+        ``_stats_disjoint``."""
+        stats = entry.get("stats") or {}
+        blooms: dict | None = None  # sidecar load deferred past stats
+        for col, values in values_by_col.items():
+            vals = [v for v in values if v is not None]
+            if not vals or len(vals) > _BLOOM_PROBE_MAX:
+                continue
+            st = stats.get(col)
+            if st is not None:
+                fmin, fmax = st["min"], st["max"]
+                enc = [_stat_encode(v) for v in vals]
+                if all(
+                    e is not None and _comparable(e, fmin) and (e < fmin or e > fmax)
+                    for e in enc
+                ):
+                    return False
+            if blooms is None:
+                blooms = self._entry_blooms(entry)
+            bloom = blooms.get(col)
+            if bloom and _bloom_excludes(bloom, vals):
+                return False
+        return True
 
     # -- version bookkeeping ------------------------------------------
 
@@ -741,7 +892,12 @@ class ManifestTable:
 
     # -- commit protocol ----------------------------------------------
 
-    def _write_data_files(self, df: DataFrame, partition_by: Sequence[str] | None) -> list[dict]:
+    def _write_data_files(
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str] | None,
+        bloom_cols: Sequence[str] | None = None,
+    ) -> list[dict]:
         """Land ``df`` as new immutable files; return manifest entries.
 
         Stats collection is footer-only (no data pages) and O(new
@@ -769,20 +925,88 @@ class ManifestTable:
             all_stats = dict(zip(paths, (_file_stats(p) for p in paths)))
         else:
             all_stats = _distributed_file_stats(df.sparkSession, paths)
+        bloom_refs: dict[str, str] = {}
+        if bloom_cols:
+            bloom_refs = self._write_bloom_sidecars(df.sparkSession, paths, bloom_cols)
         entries = []
         for full in paths:
             rows, stats = all_stats[full]
             rel = os.path.relpath(full, self.data_dir)
-            entries.append(
-                {
-                    "path": rel,
-                    "partition": _partition_values(rel),
-                    "rows": rows,
-                    "stats": stats,
-                }
-            )
+            entry = {
+                "path": rel,
+                "partition": _partition_values(rel),
+                "rows": rows,
+                "stats": stats,
+            }
+            if rel in bloom_refs:
+                entry["bloom_ref"] = bloom_refs[rel]
+            entries.append(entry)
         entries.sort(key=lambda e: e["path"])
         return entries
+
+    def _write_bloom_sidecars(
+        self, spark: SparkSession, paths: list[str], bloom_cols: Sequence[str]
+    ) -> dict[str, str]:
+        """Build per-file blooms for ``bloom_cols`` and land them as
+        ``_bloom/<commit>/<part>.json`` sidecars; returns
+        rel-data-path → sidecar ref for the manifest entries.
+
+        Small commits build on the driver (one columnar read per file
+        of just the indexed columns); bigger commits run ONE
+        Arrow-batched job where each task builds the blooms for its
+        slice of files AND writes its own sidecar part, shipping back
+        only (path, ref) rows — the driver never holds bloom bytes for
+        a 100k-file commit, same contract as ``_distributed_file_stats``.
+        """
+        commit_dir = os.path.join(_BLOOM_DIR, uuid.uuid4().hex)
+        abs_dir = os.path.join(self.path, commit_dir)
+        data_dir = self.data_dir
+        cols = list(bloom_cols)
+        if len(paths) <= _DRIVER_STATS_MAX_FILES:
+            blooms = {
+                os.path.relpath(p, data_dir): fb
+                for p in paths
+                if (fb := _file_blooms(p, cols))
+            }
+            if not blooms:
+                return {}
+            os.makedirs(abs_dir, exist_ok=True)
+            ref = os.path.join(commit_dir, uuid.uuid4().hex + ".json")
+            with open(os.path.join(self.path, ref), "w") as f:
+                json.dump(blooms, f)
+            return dict.fromkeys(blooms, ref)
+
+        table_path = self.path
+        src = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+            min(len(paths), 64)
+        )
+
+        def _bloom_batches(batches):
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            import pandas as _pd
+
+            from etl_job_spark.table import _file_blooms as _fb
+
+            for b in batches:
+                blooms = {}
+                for p in b["path"]:
+                    fb = _fb(p, cols)
+                    if fb:
+                        blooms[_os.path.relpath(p, data_dir)] = fb
+                recs = []
+                if blooms:
+                    _os.makedirs(_os.path.join(table_path, commit_dir), exist_ok=True)
+                    ref = _os.path.join(commit_dir, _uuid.uuid4().hex + ".json")
+                    with open(_os.path.join(table_path, ref), "w") as f:
+                        _json.dump(blooms, f)
+                    recs = [(rel, ref) for rel in blooms]
+                yield _pd.DataFrame(recs, columns=["rel", "ref"])
+
+        got = src.mapInPandas(_bloom_batches, "rel string, ref string").collect()
+        return {r["rel"]: r["ref"] for r in got}
 
     def _publish(self, version: int, manifest: dict) -> None:
         """Atomically publish ``manifest`` as ``version`` (fails if taken)."""
@@ -812,6 +1036,7 @@ class ManifestTable:
         partition_by: Sequence[str] | None,
         expected_base: int | None,
         operation: dict | None = None,
+        bloom_cols: Sequence[str] | None = None,
     ) -> int:
         version = (0 if expected_base is None else expected_base) + 1
         manifest = {
@@ -827,6 +1052,10 @@ class ManifestTable:
             "partition_by": list(partition_by or []),
             "operation": operation or {},
         }
+        if bloom_cols:
+            # a table property: carried forward by every subsequent
+            # commit so all future files keep getting indexed
+            manifest["bloom_cols"] = list(bloom_cols)
         if expected_base is None or version % _CHECKPOINT_INTERVAL == 0:
             # checkpoint: self-contained full file list
             manifest["files"] = entries
@@ -887,19 +1116,39 @@ class ManifestTable:
                     raise
         raise AssertionError("unreachable")
 
-    def overwrite(self, df: DataFrame, partition_by: Sequence[str] | None = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str] | None = None,
+        bloom_cols: Sequence[str] | None = None,
+    ) -> int:
         """Commit a full replacement snapshot; returns the new version.
 
         A replacement owns its schema outright — evolution rules apply
-        to ``append``/``merge``, which must coexist with old files."""
+        to ``append``/``merge``, which must coexist with old files.
+
+        ``bloom_cols`` turns on per-file bloom indexing for the named
+        int/string columns — point-lookup file skipping for
+        ``delete_keys`` and small-key-set MERGE on keys whose values
+        are scattered (where min/max ranges can never prune). The
+        property persists in the manifest: every later commit keeps
+        indexing its new files; pass ``[]`` to turn it off. ``None``
+        keeps the table's current setting."""
 
         def attempt() -> int:
             base = self.latest_version()
             part = partition_by
-            if part is None and base is not None:
-                part = self._read_manifest(base)["partition_by"] or None
-            entries = self._write_data_files(df, part)
-            return self._commit(entries, df.schema, part, base, {"op": "overwrite"})
+            blooms = bloom_cols
+            if base is not None:
+                man = self._read_manifest(base)
+                if part is None:
+                    part = man["partition_by"] or None
+                if blooms is None:
+                    blooms = man.get("bloom_cols")
+            entries = self._write_data_files(df, part, bloom_cols=blooms)
+            return self._commit(
+                entries, df.schema, part, base, {"op": "overwrite"}, bloom_cols=blooms
+            )
 
         return self._with_commit_retries(attempt)
 
@@ -919,8 +1168,14 @@ class ManifestTable:
             man = self._read_manifest(base)
             schema = self._evolved_schema(man, df)
             partition_by = man["partition_by"]
-            entries = man["files"] + self._write_data_files(df, partition_by or None)
-            return self._commit(entries, schema, partition_by or None, base, {"op": "append"})
+            blooms = man.get("bloom_cols")
+            entries = man["files"] + self._write_data_files(
+                df, partition_by or None, bloom_cols=blooms
+            )
+            return self._commit(
+                entries, schema, partition_by or None, base, {"op": "append"},
+                bloom_cols=blooms,
+            )
 
         return self._with_commit_retries(attempt)
 
@@ -1012,6 +1267,35 @@ class ManifestTable:
                             still.append(entry)
                     touched = still
 
+            # bloom probing over the range-prune survivors: when the
+            # source's distinct values on an indexed key fit the probe
+            # budget (the GDPR/correction shape — a handful of keys
+            # against a big table), files whose bloom excludes every
+            # value are carried by reference. This is the prune that
+            # works where ranges can't: hash-scattered keys make every
+            # file's min/max span the domain.
+            bloom_keys = [k for k in keys if k in (man.get("bloom_cols") or [])]
+            if touched and bloom_keys:
+                probe: dict[str, list] = {}
+                for k in bloom_keys:
+                    vals = [
+                        r[0]
+                        for r in source.select(k)
+                        .distinct()
+                        .limit(_BLOOM_PROBE_MAX + 1)
+                        .collect()
+                    ]
+                    if len(vals) <= _BLOOM_PROBE_MAX:
+                        probe[k] = vals
+                if probe:
+                    still = []
+                    for entry in touched:
+                        if self._entry_may_contain(entry, probe):
+                            still.append(entry)
+                        else:
+                            untouched.append(entry)
+                    touched = still
+
             if touched:
                 # align the touched rows to the evolved schema first, so a
                 # source-introduced column survives merge_upsert's
@@ -1029,12 +1313,47 @@ class ManifestTable:
                 # value is the right write shape for the keyed-window
                 # merge this method serves.
                 merged = merged.repartition(*[F.col(c) for c in partition_by])
-            new_entries = self._write_data_files(merged, partition_by or None)
+            new_entries = self._write_data_files(
+                merged, partition_by or None, bloom_cols=man.get("bloom_cols")
+            )
             return self._commit(
-                untouched + new_entries, schema, partition_by or None, base, {"op": "merge"}
+                untouched + new_entries, schema, partition_by or None, base,
+                {"op": "merge"}, bloom_cols=man.get("bloom_cols"),
             )
 
         return self._with_commit_retries(attempt)
+
+    def delete_keys(
+        self,
+        spark: SparkSession,
+        key_col: str,
+        values: Sequence,
+        mode: str = "copy_on_write",
+        mor_row_limit: int = _MOR_FALLBACK_ROWS,
+    ) -> int:
+        """Point DELETE: drop every row whose ``key_col`` is in
+        ``values`` (the GDPR-erasure call shape). Structurally a
+        ``delete_where(key IN ...)``, but the explicit value set lets
+        planning skip whole files BEFORE any scan: per-file key
+        min/max first, then per-file bloom filters when the table
+        was written with ``bloom_cols`` — which is what saves the day
+        on hash-scattered keys, where every file's range overlaps
+        everything. NULLs in ``values`` are ignored (SQL IN never
+        matches NULL)."""
+        vals = [v for v in dict.fromkeys(values) if v is not None]
+        if not vals:
+            base = self.latest_version()
+            if base is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+            return base
+        return self.delete_where(
+            spark,
+            F.col(key_col).isin(vals),
+            mode=mode,
+            mor_row_limit=mor_row_limit,
+            _prune_values={key_col: vals},
+            _describe=f"{key_col} IN (<{len(vals)} values>)",
+        )
 
     def delete_where(
         self,
@@ -1042,6 +1361,8 @@ class ManifestTable:
         predicate: str | Column,
         mode: str = "copy_on_write",
         mor_row_limit: int = _MOR_FALLBACK_ROWS,
+        _prune_values: dict[str, list] | None = None,
+        _describe: str | None = None,
     ) -> int:
         """DELETE the rows matching ``predicate``; returns the new
         version (or the current one when nothing matched: an empty
@@ -1082,7 +1403,9 @@ class ManifestTable:
         """
         if mode == "merge_on_read":
             try:
-                return self._delete_where_mor(spark, predicate, mor_row_limit)
+                return self._delete_where_mor(
+                    spark, predicate, mor_row_limit, _prune_values, _describe
+                )
             except _CowFallback:
                 pass  # matched set too large for MoR — rewrite instead
         elif mode != "copy_on_write":
@@ -1097,13 +1420,27 @@ class ManifestTable:
             man = self._read_manifest(base)
             pred = F.expr(predicate) if isinstance(predicate, str) else predicate
 
-            scan = self._read_files(spark, man["files"], with_file_path=True)
+            # point-delete planning prune (delete_keys): stats + blooms
+            # drop provably-cold files before the scan even opens them
+            candidates = man["files"]
+            untouched: list[dict] = []
+            if _prune_values:
+                candidates = []
+                for entry in man["files"]:
+                    if self._entry_may_contain(entry, _prune_values):
+                        candidates.append(entry)
+                    else:
+                        untouched.append(entry)
+            if not candidates:
+                return base
+
+            scan = self._read_files(spark, candidates, with_file_path=True)
             hit_files = {
                 _strip_file_scheme(r["__file"])
                 for r in scan.filter(pred).select("__file").distinct().collect()
             }
-            touched, untouched = [], []
-            for entry in man["files"]:
+            touched = []
+            for entry in candidates:
                 full = os.path.abspath(os.path.join(self.data_dir, entry["path"]))
                 (touched if full in hit_files else untouched).append(entry)
             if not touched:
@@ -1118,17 +1455,28 @@ class ManifestTable:
                 kept = _align(kept, schema)
             else:
                 schema = kept.schema
-            new_entries = self._write_data_files(kept, partition_by or None)
+            new_entries = self._write_data_files(
+                kept, partition_by or None, bloom_cols=man.get("bloom_cols")
+            )
             op = {
                 "op": "delete",
-                "predicate": predicate if isinstance(predicate, str) else str(pred),
+                "predicate": _describe
+                or (predicate if isinstance(predicate, str) else str(pred)),
             }
-            return self._commit(untouched + new_entries, schema, partition_by or None, base, op)
+            return self._commit(
+                untouched + new_entries, schema, partition_by or None, base, op,
+                bloom_cols=man.get("bloom_cols"),
+            )
 
         return self._with_commit_retries(attempt)
 
     def _delete_where_mor(
-        self, spark: SparkSession, predicate: str | Column, mor_row_limit: int
+        self,
+        spark: SparkSession,
+        predicate: str | Column,
+        mor_row_limit: int,
+        prune_values: dict[str, list] | None = None,
+        describe: str | None = None,
     ) -> int:
         """Deletion-vector DELETE (see ``delete_where`` mode docs).
 
@@ -1144,11 +1492,20 @@ class ManifestTable:
                 raise FileNotFoundError(f"no committed version at {self.path}")
             man = self._read_manifest(base)
             pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+            # point-delete planning prune (delete_keys): stats + blooms
+            # drop provably-cold files before the scan opens them
+            candidates = man["files"]
+            if prune_values:
+                candidates = [
+                    e for e in candidates if self._entry_may_contain(e, prune_values)
+                ]
+            if not candidates:
+                return base
             # existing DVs are applied by _read_files, so re-deleting an
             # already-deleted row is a no-op — new positions are always
             # disjoint from recorded ones, and counts add exactly
             scan = self._read_files(
-                spark, man["files"], with_file_path=True, with_row_index=True
+                spark, candidates, with_file_path=True, with_row_index=True
             )
             matched = scan.filter(pred).select(
                 _rel_path_col(self.data_dir).alias("__dv_path"),
@@ -1217,14 +1574,16 @@ class ManifestTable:
             op = {
                 "op": "delete",
                 "mode": "merge_on_read",
-                "predicate": predicate if isinstance(predicate, str) else str(pred),
+                "predicate": describe
+                or (predicate if isinstance(predicate, str) else str(pred)),
                 "n_deleted": total,
             }
             schema = self._manifest_schema(man)
             if schema is None:
                 schema = self.snapshot(spark, base).schema
             return self._commit(
-                new_entries, schema, man["partition_by"] or None, base, op
+                new_entries, schema, man["partition_by"] or None, base, op,
+                bloom_cols=man.get("bloom_cols"),
             )
 
         return self._with_commit_retries(attempt)
@@ -1335,13 +1694,20 @@ class ManifestTable:
                 out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
             else:
                 out = df.repartition(n_files)
-            entries = self._write_data_files(out, partition_by or None)
+            blooms = (
+                self._read_manifest(base).get("bloom_cols") if base is not None else None
+            )
+            entries = self._write_data_files(
+                out, partition_by or None, bloom_cols=blooms
+            )
             op = {
                 "op": "compact",
                 "cluster_by": list(cluster_by or []),
                 "zorder": bool(cluster_by) and zorder,
             }
-            return self._commit(entries, out.schema, partition_by or None, base, op)
+            return self._commit(
+                entries, out.schema, partition_by or None, base, op, bloom_cols=blooms
+            )
 
         return self._with_commit_retries(attempt)
 
@@ -1390,6 +1756,7 @@ class ManifestTable:
                 man["partition_by"] or None,
                 self.latest_version(),
                 {"op": "restore", "restored_version": version},
+                bloom_cols=man.get("bloom_cols"),
             )
 
         return self._with_commit_retries(attempt)
@@ -1409,10 +1776,13 @@ class ManifestTable:
         keep_vs = vs[-keep_last:] if keep_last > 0 else vs
         live = set()
         live_refs: set[str] = set()
+        live_blooms: set[str] = set()
         for v in keep_vs:
             for entry in self._read_manifest(v)["files"]:
                 live.add(entry["path"])
                 live_refs.update(entry.get("dv_ref") or [])
+                if entry.get("bloom_ref"):
+                    live_blooms.add(entry["bloom_ref"])
         deleted = 0
         for root, _dirs, names in os.walk(self.data_dir):
             for name in names:
@@ -1436,6 +1806,17 @@ class ManifestTable:
             for name in os.listdir(dv_root):
                 if os.path.join(_DV_DIR, name) not in live_refs:
                     shutil.rmtree(os.path.join(dv_root, name))
+        # bloom sidecars are referenced at file granularity; drop the
+        # dead parts, then any commit dir left empty
+        bloom_root = os.path.join(self.path, _BLOOM_DIR)
+        if os.path.isdir(bloom_root):
+            for root, _dirs, names in os.walk(bloom_root, topdown=False):
+                for name in names:
+                    full = os.path.join(root, name)
+                    if os.path.relpath(full, self.path) not in live_blooms:
+                        os.unlink(full)
+                if root != bloom_root and not os.listdir(root):
+                    os.rmdir(root)
         # prune now-empty data subdirectories
         for root, dirs, names in os.walk(self.data_dir, topdown=False):
             if root != self.data_dir and not dirs and not names:

@@ -76,3 +76,22 @@ def test_table_subcommands(capsys, spark, tmp_path):
 
     assert main(["table", "vacuum", "--path", path, "--keep-last", "1"]) == 0
     assert json.loads(capsys.readouterr().out)["deleted_files"] >= 1
+
+
+def test_table_delete_keys_cli(capsys, spark, tmp_path):
+    from etl_job_spark.table import ManifestTable
+
+    path = str(tmp_path / "tbl_dk")
+    t = ManifestTable(path)
+    t.overwrite(
+        spark.createDataFrame([(i, f"p{i}") for i in range(20)], "k long, p string"),
+        bloom_cols=["k"],
+    )
+    assert main(["table", "delete-keys", "--path", path,
+                 "--key-col", "k", "--keys", "3, 7"]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["n_keys"] == 2 and res["version"] == 2
+    kept = {r["k"] for r in t.snapshot(spark).collect()}
+    assert kept == set(range(20)) - {3, 7}
+    # missing args is a usage error, not a crash
+    assert main(["table", "delete-keys", "--path", path]) == 2

@@ -1008,3 +1008,154 @@ def test_mor_dv_application_is_broadcast_anti_join(spark, tmp_path):
     plan = buf.getvalue()
     assert "BroadcastHashJoin LeftAnti" in plan.replace("LeftAnti BuildRight", "LeftAnti")
     assert "UrlCodec.decode" in plan  # path keying stays JVM-side
+
+
+# -- bloom-filter point-lookup skipping --------------------------------
+
+
+def _scattered_table(spark, tmp_path, n=400, files=8, bloom=True):
+    """Table whose int key is hash-scattered across files: every
+    file's min/max spans ~the whole domain, so range stats can never
+    prune a point lookup — only blooms can."""
+    t = ManifestTable(str(tmp_path / "bt"))
+    df = (
+        spark.range(n)
+        .select(
+            (F.xxhash64("id") % 100000).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(files)
+    )
+    t.overwrite(df, bloom_cols=["k"] if bloom else None)
+    return t
+
+
+def test_bloom_refs_recorded_and_loadable(spark, tmp_path):
+    t = _scattered_table(spark, tmp_path)
+    man = t._read_manifest(t.latest_version())
+    assert man["bloom_cols"] == ["k"]
+    entries = man["files"]
+    assert all(e.get("bloom_ref") for e in entries)
+    for e in entries:
+        bloom = t._entry_blooms(e)["k"]
+        assert set(bloom) == {"m", "k", "b64"}
+
+
+def test_delete_keys_bloom_prunes_scattered_files(spark, tmp_path):
+    t = _scattered_table(spark, tmp_path)
+    man = t._read_manifest(t.latest_version())
+    # ranges provably cannot prune this layout for a mid-domain key
+    keys = [r["k"] for r in t.snapshot(spark).select("k").limit(3).collect()]
+    before = {e["path"] for e in man["files"]}
+
+    expected = sorted(
+        (r["k"], r["payload"])
+        for r in t.snapshot(spark).filter(~F.col("k").isin(keys)).collect()
+    )
+    v = t.delete_keys(spark, "k", keys)
+    after_man = t._read_manifest(v)
+    got = sorted((r["k"], r["payload"]) for r in t.snapshot(spark).collect())
+    assert got == expected
+
+    # bloom pruning means most files are carried by reference (same
+    # path object): at most a few files contain the 3 probed keys,
+    # certainly not all 8
+    carried = {e["path"] for e in after_man["files"]} & before
+    rewritten = len(before) - len(carried)
+    assert rewritten <= len(keys)
+    assert carried, "bloom pruning should carry cold files by reference"
+    assert after_man["operation"]["predicate"] == "k IN (<3 values>)"
+
+
+def test_delete_keys_without_blooms_still_correct(spark, tmp_path):
+    t = _scattered_table(spark, tmp_path, bloom=False)
+    keys = [r["k"] for r in t.snapshot(spark).select("k").limit(2).collect()]
+    expected = sorted(
+        (r["k"], r["payload"])
+        for r in t.snapshot(spark).filter(~F.col("k").isin(keys)).collect()
+    )
+    t.delete_keys(spark, "k", keys)
+    got = sorted((r["k"], r["payload"]) for r in t.snapshot(spark).collect())
+    assert got == expected
+
+
+def test_delete_keys_mor_scans_only_candidate_files(spark, tmp_path):
+    t = _scattered_table(spark, tmp_path)
+    keys = [r["k"] for r in t.snapshot(spark).select("k").limit(2).collect()]
+    expected = sorted(
+        (r["k"], r["payload"])
+        for r in t.snapshot(spark).filter(~F.col("k").isin(keys)).collect()
+    )
+    v = t.delete_keys(spark, "k", keys, mode="merge_on_read")
+    got = sorted((r["k"], r["payload"]) for r in t.snapshot(spark).collect())
+    assert got == expected
+    # DV-only commit: every path carried; only files holding a probed
+    # key gained a dv
+    man = t._read_manifest(v)
+    with_dv = [e for e in man["files"] if e.get("dv") or e.get("dv_ref")]
+    assert 1 <= len(with_dv) <= len(keys)
+
+
+def test_bloom_property_carries_through_append_and_merge(spark, tmp_path):
+    t = _scattered_table(spark, tmp_path, n=100, files=2)
+    t.append(
+        spark.range(100, 150).select(
+            (F.xxhash64("id") % 100000).alias("k"), F.col("id").alias("payload")
+        )
+    )
+    man = t._read_manifest(t.latest_version())
+    assert man["bloom_cols"] == ["k"]
+    assert all(e.get("bloom_ref") for e in man["files"])
+
+    src = spark.createDataFrame([(424242, 1)], "k long, payload long")
+    t.merge(spark, src, ["k"])
+    man = t._read_manifest(t.latest_version())
+    assert man["bloom_cols"] == ["k"]
+
+
+def test_merge_bloom_probe_carries_cold_files(spark, tmp_path):
+    t = _scattered_table(spark, tmp_path)
+    before = {e["path"] for e in t._read_manifest(t.latest_version())["files"]}
+    # a source keyed on ONE existing key: blooms should keep all but
+    # the file(s) actually holding it carried by reference
+    k0 = t.snapshot(spark).select("k").limit(1).collect()[0]["k"]
+    src = spark.createDataFrame([(int(k0), -1)], "k long, payload long")
+    v = t.merge(spark, src, ["k"])
+    after = t._read_manifest(v)["files"]
+    carried = {e["path"] for e in after} & before
+    assert len(before) - len(carried) <= 1  # at most the hot file left
+    got = {r["k"]: r["payload"] for r in t.snapshot(spark).collect()}
+    assert got[int(k0)] == -1
+
+
+def test_vacuum_reclaims_dead_bloom_sidecars(spark, tmp_path):
+    t = _scattered_table(spark, tmp_path, n=100, files=2)
+    bloom_root = tmp_path / "bt" / "_bloom"
+    n_before = sum(len(fs) for _, _, fs in os.walk(bloom_root))
+    assert n_before >= 1
+    # full rewrite: old blooms become unreferenced
+    t.overwrite(t.snapshot(spark))
+    t.vacuum(keep_last=1)
+    live_refs = {
+        e.get("bloom_ref")
+        for e in t._read_manifest(t.latest_version())["files"]
+        if e.get("bloom_ref")
+    }
+    on_disk = {
+        os.path.relpath(os.path.join(r, f), tmp_path / "bt")
+        for r, _, fs in os.walk(bloom_root)
+        for f in fs
+    }
+    assert on_disk == live_refs
+
+
+def test_bloom_false_negative_impossible_for_present_values(spark, tmp_path):
+    # every committed key must test possibly-present in its own file
+    t = _scattered_table(spark, tmp_path, n=200, files=4)
+    man = t._read_manifest(t.latest_version())
+    for e in man["files"]:
+        full = os.path.join(t.data_dir, e["path"])
+        import pyarrow.parquet as pq
+
+        ks = [v for v in pq.read_table(full, columns=["k"]).column("k").to_pylist()]
+        assert t._entry_may_contain(e, {"k": ks[:50]})
