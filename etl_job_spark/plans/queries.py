@@ -390,9 +390,14 @@ def mart_gdpr_erased(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = ManifestTable(path)
     t.overwrite(
-        day1.repartition(F.col("sale_date")), partition_by=["sale_date"]
+        day1.repartition(F.col("sale_date")),
+        partition_by=["sale_date"],
+        bloom_cols=["sp_code"],
     )
-    t.delete_where(spark, F.col("sp_code").isin(*GDPR_STORES), mode="merge_on_read")
+    # delete_keys = the structured point-erasure call: planning consults
+    # the per-file sp_code blooms (stats can't prune — every date file
+    # holds most stores) before the MoR scan records deletion vectors
+    t.delete_keys(spark, "sp_code", list(GDPR_STORES), mode="merge_on_read")
     return t.snapshot(spark).select("sp_code", "sale_date", "total_amt", "bill_qty")
 
 

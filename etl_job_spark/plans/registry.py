@@ -42,8 +42,14 @@ _DRIVER_WINDOW = [
     "corpus_filter_pipeline",
     "text_tfidf_top_term",
     "text_vocab",
-    "multimodal_resize",
-    "multimodal_feature_extract",
+    # round-5 swap: benchmark decontamination and distributed-prefix-sum
+    # shard packing are NEW components (no prior driver row); the
+    # multimodal family keeps decode_meta (its one full-decode shape)
+    # and frame_sample (its explode shape) in-window, while resize and
+    # feature_extract — same mapInPandas codec contract, near-duplicate
+    # plumbing — move to the tail with their exact oracles intact
+    "text_contamination",
+    "corpus_pack_shards",
     "multimodal_frame_sample",
     "multimodal_decode_meta",
     # Dedup / similarity / text families
@@ -121,12 +127,14 @@ _TAIL = [
     # of events_exact_percentiles (in-window component)
     "events_percentiles_freqmap",
     # round-5 additions (exact oracles in tests/test_oracle_diff.py):
-    # benchmark decontamination, Gopher repetition filters, token-budget
-    # shard packing (distributed prefix sum), weighted source mixture
-    "text_contamination",
+    # Gopher repetition filters, weighted source mixture (their window
+    # siblings text_contamination / corpus_pack_shards hold the new
+    # components' driver slots), and the multimodal variants displaced
+    # by the round-5 swap
     "text_repetition",
-    "corpus_pack_shards",
     "corpus_mix_sources",
+    "multimodal_resize",
+    "multimodal_feature_extract",
 ]
 
 
