@@ -242,8 +242,16 @@ def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
             f" i -> concat_ws(' ', {parts})) ELSE array() END"
         )
 
-    g = docs.select("doc_id", toks.alias("toks")).select(
-        "doc_id", F.expr(ngrams(2)).alias("g2"), F.expr(ngrams(3)).alias("g3")
+    # the ≥3-token guard must be HERE, on the raw token array — not a
+    # later filter(size(g3) > 0): pushdown would substitute the g3
+    # construction into the scan-stage condition, where the tokenizer
+    # split() lands INSIDE the transform lambda and re-executes per
+    # element (measured 7.4 s -> 0.5 s at sf0.1). Same rows either
+    # way: g3 is non-empty exactly when the document has ≥3 tokens.
+    g = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.expr(ngrams(2)).alias("g2"), F.expr(ngrams(3)).alias("g3"))
     )
     dup = lambda c: F.round(  # noqa: E731
         (F.size(c) - F.size(F.array_distinct(c))) / F.size(c), 6
@@ -251,7 +259,7 @@ def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     top2 = F.expr(
         "array_max(transform(array_distinct(g2), x -> size(filter(g2, y -> y = x))))"
     )
-    return g.filter(F.size("g3") > 0).select(
+    return g.select(
         "doc_id",
         F.size("g2").cast("bigint").alias("n_2grams"),
         dup("g2").alias("dup_2gram_frac"),

@@ -1354,14 +1354,17 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText repetition filters: per-document duplicate
     2-gram / 3-gram fractions and the most-frequent-2-gram share —
     the standard signals for dropping degenerate/boilerplate documents
-    before training. Entirely within-row array expressions: a
-    zero-shuffle projection (same cost shape as text_stats). The
+    before training. Entirely within-row array expressions — no
+    shuffle is REQUIRED, but the top-2-gram share is O(distinct×n)
+    string compares per row, which on the small-SF single parquet
+    split runs the whole corpus in one task (7.4 s at sf0.1); the
+    ``_load_spread`` repartition restores core parallelism exactly
+    like text_winnowing's hash ladder (measured 7.45 → ~0.6 s). The
     ``repetitive`` flag compares INTEGERS (dup*20 > total), immune to
     final-ULP drift between engines."""
     from etl_job_spark.operators.text import repetition_scores
 
-    docs = load_table(spark, sf_dir, "documents")
-    return repetition_scores(docs)
+    return repetition_scores(_load_spread(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------

@@ -591,6 +591,11 @@ class ManifestTable:
         # bloom sidecar ref -> {rel data path -> {col -> bloom}};
         # sidecars are immutable once written, so caching is sound
         self._bloom_cache: dict[str, dict] = {}
+        # when set (by TransactionalCatalog), _publish hands the
+        # (version, manifest) pair to this callback INSTEAD of linking
+        # it — the op runs fully (reads, prunes, data-file writes) but
+        # the commit point moves to the catalog's transaction log
+        self._capture: Callable[[int, dict], None] | None = None
 
     # -- bloom probing -------------------------------------------------
 
@@ -1010,6 +1015,9 @@ class ManifestTable:
 
     def _publish(self, version: int, manifest: dict) -> None:
         """Atomically publish ``manifest`` as ``version`` (fails if taken)."""
+        if self._capture is not None:
+            self._capture(version, manifest)
+            return
         os.makedirs(self.manifest_dir, exist_ok=True)
         tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
         final = os.path.join(self.manifest_dir, _manifest_name(version))

@@ -1,0 +1,280 @@
+"""Cross-table transactions over ManifestTables — the catalog-service
+layer production borrows from Delta/Nessie, reduced to its core.
+
+A single ``ManifestTable`` commit is already atomic, but the
+reference's E1→E2 flow moves TWO tables together (staging upsert, then
+mart rebuild — ``load_sales_data.py`` then ``kicc_to_tb_sales.py``):
+a crash between the two leaves a mart that disagrees with its staging.
+This module makes a multi-table change one atomic event:
+
+- **the transaction log is the commit point.** A transaction runs its
+  table ops normally (reads, prunes, data-file writes all happen), but
+  each table's final manifest is CAPTURED instead of published
+  (``ManifestTable._capture``). The captured manifests — full content —
+  go into one transaction record, published to ``_txns/t%09d.json``
+  with the same put-if-absent link primitive manifests use. That one
+  link IS the commit: before it, no table changed; after it, every
+  table's new version is durable.
+- **roll-forward makes the record effective.** Publishing the per-table
+  manifest files is mechanical replay of the record, performed by
+  ``roll_forward()`` — run by every subsequent commit/read, so a crash
+  after the commit point heals on the next touch (write-ahead intent +
+  idempotent apply).
+- **conflicts resolve deterministically from the log alone.** Records
+  are totally ordered by id. Replaying from the start, a record
+  APPLIES iff every table's ``expected_base`` equals that table's
+  version after all earlier applied records (a table's first record
+  fixes its starting version); otherwise it is ABORTED — a pure
+  function of the log prefix, so every process, now or later, reaches
+  the same verdict with no coordination. A committer whose record lost
+  (raced to the same base) sees that after its own roll-forward and
+  re-runs its ops against the new state — the same optimistic loop as
+  single-table commits, lifted to the catalog.
+
+Contract: tables enrolled in a catalog are written THROUGH it.
+``_apply`` fails loudly if a version slot holds foreign content (an
+out-of-band writer), rather than guessing. Honest scale bounds: the
+record carries manifests by value (fine while commits are O(changed
+files); a production variant would spill large manifests to staged
+files and carry references), and commit throughput is serialized on
+the log head — exactly the coordinator's job (Nessie's single ref
+head); data-plane work stays fully parallel, and data files written
+by an aborted attempt are unreferenced and vacuum-reclaimed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_job_spark.table import CommitConflictError, ManifestTable, _manifest_name
+
+_TXN_DIR = "_txns"
+
+
+def _txn_name(txn_id: int) -> str:
+    return f"t{txn_id:09d}.json"
+
+
+class Transaction:
+    """Collects one committed-together group of table ops. Obtained
+    from ``TransactionalCatalog.commit``'s callback; one op per table
+    per transaction (a second op would need the first's uncommitted
+    version as its base, which no reader can resolve yet)."""
+
+    def __init__(self, catalog: "TransactionalCatalog"):
+        self._catalog = catalog
+        self.staged: dict[str, dict] = {}
+
+    def _run(self, name: str, op: Callable[[ManifestTable], int]) -> None:
+        if name in self.staged:
+            raise ValueError(
+                f"table {name!r} already written in this transaction "
+                "(one op per table per transaction)"
+            )
+        table = self._catalog.table(name)
+        captured: list[tuple[int, dict]] = []
+        table._capture = lambda v, m: captured.append((v, m))
+        try:
+            op(table)
+        finally:
+            table._capture = None
+            # _commit caches entries for the captured (unpublished)
+            # version; drop them — the version becomes real only if
+            # this transaction's record applies
+            for v, _ in captured:
+                table._files_cache.pop(v, None)
+        if not captured:
+            return  # op was a no-op (e.g. delete matched nothing)
+        if len(captured) != 1:  # pragma: no cover - single-commit ops only
+            raise AssertionError(f"op on {name!r} captured {len(captured)} commits")
+        version, manifest = captured[0]
+        self.staged[name] = {
+            "expected_base": manifest["base_version"],
+            "manifest": manifest,
+        }
+
+    # -- the op surface (each mirrors the ManifestTable method) -------
+
+    def overwrite(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: Sequence[str] | None = None,
+        bloom_cols: Sequence[str] | None = None,
+    ) -> None:
+        self._run(name, lambda t: t.overwrite(df, partition_by, bloom_cols))
+
+    def append(self, name: str, df: DataFrame) -> None:
+        self._run(name, lambda t: t.append(df))
+
+    def merge(
+        self,
+        name: str,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: Sequence[str],
+        order_col: str | None = None,
+    ) -> None:
+        self._run(name, lambda t: t.merge(spark, source, keys, order_col))
+
+    def delete_where(self, name: str, spark: SparkSession, predicate, **kw) -> None:
+        self._run(name, lambda t: t.delete_where(spark, predicate, **kw))
+
+    def delete_keys(
+        self, name: str, spark: SparkSession, key_col: str, values: Sequence, **kw
+    ) -> None:
+        self._run(name, lambda t: t.delete_keys(spark, key_col, values, **kw))
+
+
+class TransactionalCatalog:
+    """Tables under one root directory + the transaction log that
+    commits changes to any subset of them atomically."""
+
+    _COMMIT_RETRIES = 3
+
+    def __init__(self, root: str):
+        self.root = root.rstrip("/")
+        self.txn_dir = os.path.join(self.root, _TXN_DIR)
+
+    def table(self, name: str) -> ManifestTable:
+        if "/" in name or name.startswith("_"):
+            raise ValueError(f"invalid table name {name!r}")
+        return ManifestTable(os.path.join(self.root, name))
+
+    # -- log plumbing -------------------------------------------------
+
+    def _txn_ids(self) -> list[int]:
+        if not os.path.isdir(self.txn_dir):
+            return []
+        out = []
+        for n in os.listdir(self.txn_dir):
+            if n.startswith("t") and n.endswith(".json"):
+                out.append(int(n[1:-5]))
+        return sorted(out)
+
+    def _read_txn(self, txn_id: int) -> dict:
+        with open(os.path.join(self.txn_dir, _txn_name(txn_id))) as f:
+            return json.load(f)
+
+    def _publish_txn(self, txn_id: int, record: dict) -> None:
+        os.makedirs(self.txn_dir, exist_ok=True)
+        tmp = os.path.join(self.txn_dir, f".tmp-{uuid.uuid4().hex}.json")
+        final = os.path.join(self.txn_dir, _txn_name(txn_id))
+        with open(tmp, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)  # put-if-absent: THE commit point
+        except FileExistsError:
+            raise CommitConflictError(
+                f"transaction id {txn_id} claimed by another committer"
+            ) from None
+        finally:
+            os.unlink(tmp)
+
+    def _apply(self, name: str, staged: dict) -> None:
+        """Idempotently publish one table's manifest from an applied
+        record. A taken slot must hold THIS record's content (another
+        process already applied it); anything else is an out-of-band
+        writer violating the enrolled-tables contract — fail loudly."""
+        table = self.table(name)
+        manifest = staged["manifest"]
+        final = os.path.join(table.manifest_dir, _manifest_name(manifest["version"]))
+        if not os.path.exists(final):
+            os.makedirs(table.manifest_dir, exist_ok=True)
+            tmp = os.path.join(table.manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1, sort_keys=True)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                pass  # racing roll-forward of the same record
+            finally:
+                os.unlink(tmp)
+        with open(final) as f:
+            existing = json.load(f)
+        if existing != manifest:
+            raise RuntimeError(
+                f"table {name!r} version {manifest['version']} holds content "
+                "not from the transaction log — enrolled tables must be "
+                "written through the catalog"
+            )
+
+    def roll_forward(self) -> dict[str, int]:
+        """Replay the log, publishing every APPLIED record's manifests;
+        returns each table's current version. Deterministic: apply/abort
+        depends only on the log prefix (see module docstring), so any
+        process crashes included arrives at the same state."""
+        state: dict[str, int | None] = {}
+        for txn_id in self._txn_ids():
+            rec = self._read_txn(txn_id)
+            tables = rec["tables"]
+            for name, staged in tables.items():
+                state.setdefault(name, staged["expected_base"])
+            if any(
+                state[name] != staged["expected_base"]
+                for name, staged in tables.items()
+            ):
+                continue  # deterministically aborted
+            for name, staged in tables.items():
+                self._apply(name, staged)
+                state[name] = staged["manifest"]["version"]
+        return {k: v for k, v in state.items() if v is not None}
+
+    # -- the commit loop ----------------------------------------------
+
+    def commit(self, ops: Callable[[Transaction], None]) -> dict[str, int]:
+        """Run ``ops`` (a callback staging writes on the Transaction)
+        and commit them atomically; returns the new version of every
+        touched table. ``ops`` may run more than once — it re-executes
+        against fresh state when the transaction loses a race, the
+        catalog-level mirror of ``_with_commit_retries``."""
+        marker = uuid.uuid4().hex
+        for _ in range(self._COMMIT_RETRIES + 1):
+            self.roll_forward()
+            txn = Transaction(self)
+            ops(txn)
+            if not txn.staged:
+                return {}
+            for name, staged in txn.staged.items():
+                staged["manifest"].setdefault("txn", {})["marker"] = marker
+            ids = self._txn_ids()
+            record = {
+                "id": (ids[-1] + 1) if ids else 1,
+                "marker": marker,
+                "tables": txn.staged,
+            }
+            try:
+                self._publish_txn(record["id"], record)
+            except CommitConflictError:
+                continue  # lost the id race; re-run ops on fresh state
+            state = self.roll_forward()
+            applied = all(
+                self._committed_marker(name, staged["manifest"]["version"]) == marker
+                for name, staged in txn.staged.items()
+            )
+            if applied:
+                return {n: s["manifest"]["version"] for n, s in txn.staged.items()}
+            # our record landed in the log but lost to an earlier id
+            # touching the same base — deterministically aborted;
+            # re-run ops against the rolled-forward state
+        raise CommitConflictError(
+            f"transaction against {self.root} lost {self._COMMIT_RETRIES + 1} "
+            "races; retry later"
+        )
+
+    def _committed_marker(self, name: str, version: int) -> str | None:
+        path = os.path.join(self.table(name).manifest_dir, _manifest_name(version))
+        try:
+            with open(path) as f:
+                return (json.load(f).get("txn") or {}).get("marker")
+        except OSError:
+            return None

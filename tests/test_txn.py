@@ -1,0 +1,175 @@
+"""TransactionalCatalog: cross-table atomicity, crash roll-forward,
+deterministic conflict resolution."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_job_spark.table import CommitConflictError
+from etl_job_spark.txn import Transaction, TransactionalCatalog, _txn_name
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_two_table_commit_is_atomic_and_visible(spark, tmp_path):
+    cat = TransactionalCatalog(str(tmp_path / "cat"))
+
+    def ops(txn):
+        txn.overwrite("staging", _df(spark, [(1, "a"), (2, "b")]))
+        txn.overwrite("mart", _df(spark, [(1, "A")]))
+
+    versions = cat.commit(ops)
+    assert versions == {"staging": 1, "mart": 1}
+    assert cat.table("staging").snapshot(spark).count() == 2
+    assert cat.table("mart").snapshot(spark).count() == 1
+
+    # second txn: merge staging + rebuild mart together
+    def ops2(txn):
+        txn.merge("staging", spark, _df(spark, [(2, "b2"), (3, "c")]), keys=["k"])
+        txn.overwrite("mart", _df(spark, [(1, "A"), (2, "B")]))
+
+    versions = cat.commit(ops2)
+    assert versions == {"staging": 2, "mart": 2}
+    got = {r["k"]: r["v"] for r in cat.table("staging").snapshot(spark).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_commit_point_then_crash_heals_by_roll_forward(spark, tmp_path):
+    root = str(tmp_path / "cat")
+    cat = TransactionalCatalog(root)
+    cat.commit(lambda txn: txn.overwrite("t1", _df(spark, [(1, "x")])))
+
+    # stage a 2-table txn but "crash" right after the commit point:
+    # publish the record without applying it
+    txn = Transaction(cat)
+    txn.overwrite("t1", _df(spark, [(1, "y"), (2, "z")]))
+    txn.overwrite("t2", _df(spark, [(9, "n")]))
+    for staged in txn.staged.values():
+        staged["manifest"].setdefault("txn", {})["marker"] = "crashed"
+    cat._publish_txn(2, {"id": 2, "marker": "crashed", "tables": txn.staged})
+
+    # before roll-forward, the tables still show the old state
+    assert cat.table("t1").latest_version() == 1
+    assert cat.table("t2").latest_version() is None
+
+    # ANY later catalog touch heals both tables together
+    fresh = TransactionalCatalog(root)
+    state = fresh.roll_forward()
+    assert state == {"t1": 2, "t2": 1}
+    assert {r["k"] for r in fresh.table("t1").snapshot(spark).collect()} == {1, 2}
+    assert fresh.table("t2").snapshot(spark).count() == 1
+
+
+def test_conflicting_record_deterministically_aborted(spark, tmp_path):
+    root = str(tmp_path / "cat")
+    cat = TransactionalCatalog(root)
+    cat.commit(lambda txn: txn.overwrite("t", _df(spark, [(1, "a")])))
+
+    # two records prepared against the SAME base; the one with the
+    # higher id must lose for every observer
+    t1 = Transaction(cat)
+    t1.overwrite("t", _df(spark, [(1, "winner")]))
+    for s in t1.staged.values():
+        s["manifest"].setdefault("txn", {})["marker"] = "w"
+    cat._publish_txn(2, {"id": 2, "marker": "w", "tables": t1.staged})
+
+    t2 = Transaction(cat)
+    t2.overwrite("t", _df(spark, [(1, "loser")]))
+    for s in t2.staged.values():
+        s["manifest"].setdefault("txn", {})["marker"] = "l"
+    cat._publish_txn(3, {"id": 3, "marker": "l", "tables": t2.staged})
+
+    for observer in (cat, TransactionalCatalog(root)):
+        assert observer.roll_forward() == {"t": 2}
+    rows = cat.table("t").snapshot(spark).collect()
+    assert [r["v"] for r in rows] == ["winner"]
+
+
+def test_losing_committer_reruns_ops_against_fresh_state(spark, tmp_path):
+    root = str(tmp_path / "cat")
+    cat = TransactionalCatalog(root)
+    cat.commit(lambda txn: txn.overwrite("t", _df(spark, [(1, "base")])))
+
+    calls = []
+
+    def ops(txn):
+        calls.append(cat.table("t").latest_version())
+        if len(calls) == 1:
+            # a rival lands a record between our staging and our
+            # publish: claim the next txn id out from under us
+            rival = Transaction(cat)
+            rival.merge("t", spark, _df(spark, [(2, "rival")]), keys=["k"])
+            for s in rival.staged.values():
+                s["manifest"].setdefault("txn", {})["marker"] = "r"
+            cat._publish_txn(2, {"id": 2, "marker": "r", "tables": rival.staged})
+        txn.merge("t", spark, _df(spark, [(3, "mine")]), keys=["k"])
+
+    versions = cat.commit(ops)
+    assert len(calls) == 2  # ops re-ran after losing the id race
+    assert calls == [1, 2]  # second run saw the rival's committed state
+    got = {r["k"]: r["v"] for r in cat.table("t").snapshot(spark).collect()}
+    assert got == {1: "base", 2: "rival", 3: "mine"}
+    assert versions == {"t": 3}
+
+
+def test_one_op_per_table_per_txn(spark, tmp_path):
+    cat = TransactionalCatalog(str(tmp_path / "cat"))
+
+    def ops(txn):
+        txn.overwrite("t", _df(spark, [(1, "a")]))
+        txn.append("t", _df(spark, [(2, "b")]))
+
+    with pytest.raises(ValueError, match="one op per table"):
+        cat.commit(ops)
+
+
+def test_out_of_band_write_fails_loudly(spark, tmp_path):
+    root = str(tmp_path / "cat")
+    cat = TransactionalCatalog(root)
+    cat.commit(lambda txn: txn.overwrite("t", _df(spark, [(1, "a")])))
+
+    # stage a record, then an out-of-band writer claims the version
+    # slot directly on the table (violating the enrolled contract)
+    txn = Transaction(cat)
+    txn.overwrite("t", _df(spark, [(1, "txn")]))
+    for s in txn.staged.values():
+        s["manifest"].setdefault("txn", {})["marker"] = "m"
+    cat._publish_txn(2, {"id": 2, "marker": "m", "tables": txn.staged})
+    cat.table("t").overwrite(_df(spark, [(1, "oob")]))  # direct write → v2
+
+    with pytest.raises(RuntimeError, match="written through the catalog"):
+        cat.roll_forward()
+
+
+def test_noop_delete_inside_txn_stages_nothing(spark, tmp_path):
+    cat = TransactionalCatalog(str(tmp_path / "cat"))
+    cat.commit(lambda txn: txn.overwrite("t", _df(spark, [(1, "a")])))
+
+    def ops(txn):
+        txn.delete_where("t", spark, F.col("k") == 999)  # matches nothing
+
+    assert cat.commit(ops) == {}
+    assert cat.table("t").latest_version() == 1
+
+
+def test_txn_log_survives_and_orders_restarts(spark, tmp_path):
+    root = str(tmp_path / "cat")
+    cat = TransactionalCatalog(root)
+    for i in range(4):
+        cat.commit(
+            lambda txn, i=i: txn.append("t", _df(spark, [(i, f"r{i}")]))
+            if i
+            else txn.overwrite("t", _df(spark, [(0, "r0")]))
+        )
+    assert os.path.isfile(os.path.join(root, "_txns", _txn_name(4)))
+    fresh = TransactionalCatalog(root)
+    assert fresh.roll_forward() == {"t": 4}
+    assert fresh.table("t").snapshot(spark).count() == 4
+    hist = fresh.table("t").history()
+    assert [h["version"] for h in hist] == [1, 2, 3, 4]
