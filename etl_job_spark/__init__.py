@@ -16,3 +16,4 @@ from etl_job_spark.operators.merge import merge_upsert  # noqa: F401
 from etl_job_spark.session import get_spark  # noqa: F401
 from etl_job_spark.sources import load_table  # noqa: F401
 from etl_job_spark.table import CommitConflictError, ManifestTable  # noqa: F401
+from etl_job_spark.txn import TransactionalCatalog  # noqa: F401

@@ -1,0 +1,65 @@
+"""Hypothesis property tests for the distributed prefix-sum shard
+packer and the bloom-filter primitives.
+
+pack_token_shards claims BIT-EQUALITY with the single-task global
+window at any id distribution (sparse, clustered, constant-weight)
+and any input partitioning; blooms claim zero false NEGATIVES ever
+(a false negative silently loses a delete) and a usable positive
+rate. Both claims are exactly the kind hypothesis breaks fastest."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_job_spark.operators.packing import pack_token_shards
+from etl_job_spark.table import _bloom_build, _bloom_excludes
+
+ids_st = st.lists(
+    st.integers(0, 10_000), min_size=1, max_size=60, unique=True
+)
+weights_st = st.lists(st.integers(0, 500), min_size=60, max_size=60)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ids=ids_st, weights=weights_st, budget=st.integers(1, 2000), nparts=st.integers(1, 7))
+def test_pack_equals_global_window(spark, ids, weights, budget, nparts):
+    rows = list(zip(ids, weights))
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = pack_token_shards(df.repartition(nparts), "w", "id", budget, n_buckets=8)
+    naive = df.withColumn(
+        "shard_id",
+        F.expr(f"(sum(w) over (order by id rows unbounded preceding) - w) div {budget}"),
+    )
+    assert sorted(map(tuple, got.select("id", "w", "shard_id").collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    present=st.lists(
+        st.one_of(st.integers(-(10**12), 10**12), st.text(max_size=20)),
+        min_size=0,
+        max_size=200,
+    ),
+    absent=st.lists(st.integers(2 * 10**12, 3 * 10**12), min_size=1, max_size=20),
+)
+def test_bloom_never_false_negative(present, absent):
+    bloom = _bloom_build(present, len(present))
+    # every present value must test possibly-present
+    for v in present:
+        assert not _bloom_excludes(bloom, [v])
+    # excludes([vs]) is False whenever ANY value is present
+    if present:
+        assert not _bloom_excludes(bloom, list(absent) + [present[0]])
+
+
+def test_bloom_positive_rate_is_usable():
+    # 10 bits/row sizing: absent probes on a realistic file should
+    # almost always be excluded (that's the entire point)
+    values = list(range(5000))
+    bloom = _bloom_build(values, len(values))
+    misses = sum(1 for v in range(10_000_000, 10_002_000) if _bloom_excludes(bloom, [v]))
+    assert misses >= 1900  # <5% false-positive rate at 2000 probes

@@ -175,3 +175,43 @@ def test_mart_versioned_earlier_snapshot_survives_reinvocation(spark, sf_dir):
     assert df2.count() == n1
     # the FIRST frame must still be actionable after the second call
     assert df1.count() == n1
+
+
+def test_contamination_probe_is_broadcast(spark, sf_dir):
+    """The benchmark side of decontamination must broadcast — a
+    sort-merge join here shuffles the full corpus shingle stream to
+    meet a set that is small by construction."""
+    p = plan(QUERIES["text_contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_repetition_scores_tokenize_once_per_row(spark, sf_dir):
+    """The ≥3-token guard must surface as a size(split(...)) >= 3
+    condition, not as a filter over the BUILT 3-gram array — pushdown
+    of the latter inlines the tokenizer into the transform lambda and
+    re-splits the text per element (the 7.4 s scan-stage regression).
+    One split per expression tree below the exchange: the condition
+    may not contain a lambda."""
+    p = plan(QUERIES["text_repetition"](spark, sf_dir))
+    cond = [ln for ln in p.splitlines() if ln.startswith("Condition")]
+    assert cond, p
+    assert "lambdafunction" not in cond[0]
+
+
+def test_pack_shards_window_is_partitioned_not_global(spark, sf_dir):
+    """The running sum must come from per-bucket windows (parallel)
+    plus broadcast offsets — never a global ORDER BY window, whose
+    SinglePartition exchange funnels the corpus through one task."""
+    p = plan(QUERIES["corpus_pack_shards"](spark, sf_dir))
+    assert "SinglePartition" not in p
+    assert "BroadcastHashJoin" in p  # the offsets join
+
+
+def test_mix_sources_joins_broadcast_and_corpus_never_shuffles(spark, sf_dir):
+    """Thresholds come back to the corpus via broadcast; the only
+    exchanges allowed are for the TINY per-source aggregates, so no
+    exchange may sit above the documents scan on the probe side."""
+    p = plan(QUERIES["corpus_mix_sources"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
