@@ -22,8 +22,16 @@ spread, reps, warmup, and failure detail now land in
 ``BENCH_SPREAD.json`` next to this file and on stderr; stdout stays
 parseable no matter how many queries register.
 
-Timing = wall clock of plan construction + execution to a
-count-materializing action.
+Timing = wall clock of plan construction + execution to the ``noop``
+sink (round-5 methodology fix): ``count()`` lets Catalyst PRUNE every
+projection the count doesn't need, so a projection-heavy query benched
+as its scan+filter skeleton — text_repetition's O(distinct x n)
+top-gram expression was invisible to a count() while costing every
+real consumer seconds. ``df.write.format("noop")`` materializes every
+row of every column through the full plan (the standard Spark
+benchmarking sink), so the number is what a consumer actually pays.
+Row counts on stderr come from ``observe()`` so the plan still runs
+exactly once per rep.
 """
 
 from __future__ import annotations
@@ -34,8 +42,21 @@ import statistics
 import sys
 import time
 
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
 from etl_job_spark.plans.registry import QUERIES
 from etl_job_spark.session import get_spark
+
+
+def run_to_noop(df) -> int:
+    """Materialize every row/column through the noop sink; returns the
+    row count via observe() so the plan executes exactly once."""
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return int(obs.get["n"])
 
 
 def main() -> None:
@@ -49,7 +70,7 @@ def main() -> None:
     # running the flagship query once, untimed
     t0 = time.perf_counter()
     first_name, first_fn = next(iter(QUERIES.items()))
-    first_fn(spark, sf_dir).count()
+    run_to_noop(first_fn(spark, sf_dir))
     warmup = round(time.perf_counter() - t0, 4)
     print(f"# warmup ({first_name}): {warmup:.3f}s", file=sys.stderr)
 
@@ -61,7 +82,7 @@ def main() -> None:
         try:
             for _ in range(reps):
                 t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
+                n = run_to_noop(fn(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
             # 2 decimals on the stdout medians: 10 ms precision is
             # ample for 2x-gated anchors, and the registry's growth

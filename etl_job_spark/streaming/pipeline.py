@@ -428,19 +428,35 @@ def upsert_stream_sink_manifest(
     keys: list[str],
     checkpoint: str,
     order_col: str | None = None,
+    txn_app_id: str | None = None,
 ):
     """``upsert_stream_sink`` on a ManifestTable backend: each
     micro-batch MERGEs into a manifest-committed table, so downstream
     readers keep a consistent pinned snapshot while batches land, and
     partitioned tables get file-pruned merges. This is the
     concurrent-reader-safe production sink; the parquet-path variant
-    remains for simple single-writer local layouts."""
+    remains for simple single-writer local layouts.
+
+    Exactly-once on restart: each merge commits as streaming
+    transaction ``(txn_app_id, batch_id)`` — the manifest's per-app
+    high-water mark makes a replayed micro-batch (Structured Streaming
+    re-runs the last uncommitted batch after a crash) a metadata-only
+    no-op, even when batch content is not deterministic. The app id
+    defaults to the checkpoint path, the one identity that is stable
+    across restarts of the same query (query ids are not)."""
     from etl_job_spark.table import ManifestTable
 
     table = ManifestTable(table_path)
+    app_id = txn_app_id or checkpoint.rstrip("/")
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        table.merge(batch_df.sparkSession, batch_df, keys, order_col=order_col)
+        table.merge(
+            batch_df.sparkSession,
+            batch_df,
+            keys,
+            order_col=order_col,
+            txn=(app_id, batch_id),
+        )
 
     return (
         stream.writeStream.foreachBatch(_merge)

@@ -1045,7 +1045,22 @@ class ManifestTable:
         expected_base: int | None,
         operation: dict | None = None,
         bloom_cols: Sequence[str] | None = None,
+        stream_txn: tuple[str, int] | None = None,
     ) -> int:
+        # table properties carry forward across every commit unless the
+        # caller overrides them: bloom_cols (None = keep, [] = clear)
+        # and the streaming-transaction ledger (app id -> last applied
+        # batch id — the Delta txnAppId/txnVersion idempotency shape;
+        # losing it on a compact/overwrite would let a restarted stream
+        # double-apply a replayed micro-batch)
+        stream_txns: dict[str, int] = {}
+        if expected_base is not None:
+            base_man = self._read_manifest(expected_base)
+            if bloom_cols is None:
+                bloom_cols = base_man.get("bloom_cols")
+            stream_txns = dict(base_man.get("stream_txns") or {})
+        if stream_txn is not None:
+            stream_txns[stream_txn[0]] = int(stream_txn[1])
         version = (0 if expected_base is None else expected_base) + 1
         manifest = {
             "version": version,
@@ -1064,6 +1079,8 @@ class ManifestTable:
             # a table property: carried forward by every subsequent
             # commit so all future files keep getting indexed
             manifest["bloom_cols"] = list(bloom_cols)
+        if stream_txns:
+            manifest["stream_txns"] = stream_txns
         if expected_base is None or version % _CHECKPOINT_INTERVAL == 0:
             # checkpoint: self-contained full file list
             manifest["files"] = entries
@@ -1193,8 +1210,18 @@ class ManifestTable:
         source: DataFrame,
         keys: Sequence[str],
         order_col: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """MERGE ``source`` into the table (source wins per key).
+
+        ``txn=(app_id, version)`` makes the merge an idempotent
+        streaming transaction (Delta's txnAppId/txnVersion shape): the
+        manifest carries a per-app high-water mark, and a merge whose
+        version is at or below it is SKIPPED — so a restarted
+        Structured Streaming query replaying its last micro-batch
+        through ``foreachBatch`` lands it exactly once even when batch
+        content is not deterministic. The ledger survives compaction,
+        overwrite, and restore (carried forward by every commit).
 
         File-pruned: when the table is partitioned, the distinct
         partition tuples present in ``source`` (a driver-side list the
@@ -1225,7 +1252,9 @@ class ManifestTable:
             if base is None:
                 first = merge_upsert_source_only(source, keys, order_col)
                 entries = self._write_data_files(first, None)
-                return self._commit(entries, first.schema, None, None, {"op": "merge"})
+                return self._commit(
+                    entries, first.schema, None, None, {"op": "merge"}, stream_txn=txn
+                )
             # the source plan feeds up to three actions below (touched-
             # partition collect, key-range aggregate, the merge write);
             # persist so an expensive upstream plan — the reference's
@@ -1238,6 +1267,10 @@ class ManifestTable:
 
         def _merge_against(base: int, source: DataFrame) -> int:
             man = self._read_manifest(base)
+            if txn is not None:
+                applied = (man.get("stream_txns") or {}).get(txn[0])
+                if applied is not None and int(txn[1]) <= applied:
+                    return base  # replayed micro-batch: already landed
             partition_by = man["partition_by"]
             # order_col is merge metadata, not part of the result schema
             # (unless the table already owns a column of that name)
@@ -1326,7 +1359,7 @@ class ManifestTable:
             )
             return self._commit(
                 untouched + new_entries, schema, partition_by or None, base,
-                {"op": "merge"}, bloom_cols=man.get("bloom_cols"),
+                {"op": "merge"}, bloom_cols=man.get("bloom_cols"), stream_txn=txn,
             )
 
         return self._with_commit_retries(attempt)

@@ -119,8 +119,9 @@ class Transaction:
         source: DataFrame,
         keys: Sequence[str],
         order_col: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> None:
-        self._run(name, lambda t: t.merge(spark, source, keys, order_col))
+        self._run(name, lambda t: t.merge(spark, source, keys, order_col, txn=txn))
 
     def delete_where(self, name: str, spark: SparkSession, predicate, **kw) -> None:
         self._run(name, lambda t: t.delete_where(spark, predicate, **kw))

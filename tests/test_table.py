@@ -1159,3 +1159,65 @@ def test_bloom_false_negative_impossible_for_present_values(spark, tmp_path):
 
         ks = [v for v in pq.read_table(full, columns=["k"]).column("k").to_pylist()]
         assert t._entry_may_contain(e, {"k": ks[:50]})
+
+
+# -- streaming-transaction idempotency ---------------------------------
+
+
+def test_merge_stream_txn_skips_replayed_batch(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "st"))
+    b0 = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    v1 = t.merge(spark, b0, ["k"], txn=("q", 0))
+    # replay of batch 0 (same OR different content - content may not be
+    # deterministic across a crash) must be a no-op
+    b0_replay = spark.createDataFrame([("a", 99.0)], "k string, v double")
+    assert t.merge(spark, b0_replay, ["k"], txn=("q", 0)) == v1
+    assert [r["v"] for r in t.snapshot(spark).collect()] == [1.0]
+    # the next batch applies
+    v2 = t.merge(
+        spark, spark.createDataFrame([("b", 2.0)], "k string, v double"), ["k"],
+        txn=("q", 1),
+    )
+    assert v2 == v1 + 1
+    # ... and an out-of-order older batch is still skipped
+    assert t.merge(spark, b0_replay, ["k"], txn=("q", 0)) == v2
+    # independent app ids do not interfere
+    v3 = t.merge(spark, b0_replay, ["k"], txn=("other", 0))
+    assert v3 == v2 + 1
+
+
+def test_stream_txn_ledger_survives_compact_and_overwrite(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "st2"))
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    v1 = t.merge(spark, df, ["k"], txn=("q", 7))
+    t.compact(spark)
+    t.overwrite(t.snapshot(spark))
+    # table maintenance must not forget applied batches - a restarted
+    # stream replaying batch 7 would otherwise double-apply
+    latest = t.latest_version()
+    assert t.merge(spark, df, ["k"], txn=("q", 7)) == latest
+    man = t._read_manifest(latest)
+    assert man["stream_txns"] == {"q": 7}
+    assert v1 == 1
+
+
+def test_manifest_stream_sink_exactly_once_on_replay(spark, tmp_path):
+    """The sink's replay protection is (checkpoint-path, batch_id) on
+    the table ledger; exercise it the way a restarted foreachBatch
+    would — same app id, same batch id, different content."""
+    from etl_job_spark.streaming.pipeline import upsert_stream_sink_manifest
+
+    path = str(tmp_path / "sink_t")
+    ckpt = str(tmp_path / "ckpt")
+    # the writer builds against a real (unstarted) stream; the app id
+    # it stamps is the checkpoint path
+    upsert_stream_sink_manifest(
+        spark.readStream.format("rate").load(), path, ["k"], checkpoint=ckpt
+    )
+    t = ManifestTable(path)
+    b0 = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    b0_replay = spark.createDataFrame([("a", 9.0)], "k string, v double")
+    t.merge(spark, b0, ["k"], txn=(ckpt, 0))
+    t.merge(spark, b0_replay, ["k"], txn=(ckpt, 0))  # replayed batch 0
+    assert [r["v"] for r in t.snapshot(spark).collect()] == [1.0]
+    assert t.latest_version() == 1
