@@ -15,5 +15,9 @@ from etl_job_spark.catalog import Catalog  # noqa: F401
 from etl_job_spark.operators.merge import merge_upsert  # noqa: F401
 from etl_job_spark.session import get_spark  # noqa: F401
 from etl_job_spark.sources import load_table  # noqa: F401
-from etl_job_spark.table import CommitConflictError, ManifestTable  # noqa: F401
+from etl_job_spark.table import (  # noqa: F401
+    CommitConflictError,
+    ConstraintViolationError,
+    ManifestTable,
+)
 from etl_job_spark.txn import TransactionalCatalog  # noqa: F401

@@ -63,8 +63,12 @@ planning time and skip files the bloom proves cold — the prune that
 works on hash-scattered keys, where every file's min/max spans the
 whole domain and range stats can never skip anything (Iceberg's
 puffin-blob shape; complementary to parquet's own row-group blooms,
-which only help after the file is already open). Schema evolution is
-add-column-only:
+which only help after the file is already open). Named CHECK
+constraints (``alter_constraints``) persist in the manifest and gate
+every subsequent write's incoming rows in one aggregation pass
+(Delta's invariant checker shape); ``merge(txn=(app, version))``
+keeps a per-app batch high-water mark so streaming replays land
+exactly once. Schema evolution is add-column-only:
 ``append``/``merge`` may bring new columns, readers see NULL for rows
 written before the column existed, and changing an existing column's
 type is rejected. A full catalog service remains out of scope — that
@@ -148,6 +152,18 @@ class CommitConflictError(RuntimeError):
 
     Write operations retry this internally (optimistic concurrency);
     it escapes only after the retry budget is exhausted."""
+
+
+class ConstraintViolationError(ValueError):
+    """Incoming rows violate a table CHECK constraint; nothing was
+    committed. Carries ``violations``: constraint name → row count."""
+
+    def __init__(self, table_path: str, violations: dict[str, int]):
+        self.violations = violations
+        detail = ", ".join(f"{k} ({v} rows)" for k, v in sorted(violations.items()))
+        super().__init__(
+            f"write to {table_path} rejected by CHECK constraints: {detail}"
+        )
 
 
 def _manifest_name(version: int) -> str:
@@ -1046,6 +1062,7 @@ class ManifestTable:
         operation: dict | None = None,
         bloom_cols: Sequence[str] | None = None,
         stream_txn: tuple[str, int] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> int:
         # table properties carry forward across every commit unless the
         # caller overrides them: bloom_cols (None = keep, [] = clear)
@@ -1058,6 +1075,8 @@ class ManifestTable:
             base_man = self._read_manifest(expected_base)
             if bloom_cols is None:
                 bloom_cols = base_man.get("bloom_cols")
+            if constraints is None:
+                constraints = base_man.get("constraints")
             stream_txns = dict(base_man.get("stream_txns") or {})
         if stream_txn is not None:
             stream_txns[stream_txn[0]] = int(stream_txn[1])
@@ -1081,6 +1100,8 @@ class ManifestTable:
             manifest["bloom_cols"] = list(bloom_cols)
         if stream_txns:
             manifest["stream_txns"] = stream_txns
+        if constraints:
+            manifest["constraints"] = dict(constraints)
         if expected_base is None or version % _CHECKPOINT_INTERVAL == 0:
             # checkpoint: self-contained full file list
             manifest["files"] = entries
@@ -1141,6 +1162,67 @@ class ManifestTable:
                     raise
         raise AssertionError("unreachable")
 
+    def _validate(self, df: DataFrame, constraints: dict[str, str] | None) -> None:
+        """Enforce CHECK constraints on incoming rows — ONE aggregation
+        pass counting violations of every constraint at once (the same
+        single-job shape Delta's invariant checker uses). A NULL
+        predicate counts as a violation (the row can't PROVE it
+        satisfies the check — Delta/ANSI CHECK semantics on write).
+        Raises ``ConstraintViolationError`` before anything commits."""
+        if not constraints:
+            return
+        aggs = [
+            F.sum(
+                F.when(~F.coalesce(F.expr(pred), F.lit(False)), 1).otherwise(0)
+            ).alias(name)
+            for name, pred in sorted(constraints.items())
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {name: int(row[name]) for name in constraints if row[name]}
+        if bad:
+            raise ConstraintViolationError(self.path, bad)
+
+    def alter_constraints(
+        self,
+        spark: SparkSession,
+        add: dict[str, str] | None = None,
+        drop: Sequence[str] | None = None,
+    ) -> int:
+        """Add/remove named CHECK constraints (SQL boolean expressions
+        over the table's columns) as a METADATA-ONLY commit — no data
+        file is read or written, except that each ADDED constraint is
+        first validated against the current snapshot (a constraint the
+        existing data already violates would make the table lie).
+        Constraints persist in the manifest and every subsequent
+        ``overwrite``/``append``/``merge`` validates its incoming rows
+        against them before committing — the Delta CHECK-constraint
+        shape. Returns the new version."""
+
+        def attempt() -> int:
+            base = self.latest_version()
+            if base is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+            man = self._read_manifest(base)
+            cons = dict(man.get("constraints") or {})
+            for name in drop or []:
+                cons.pop(name, None)
+            if add:
+                self._validate(self.snapshot(spark, base), dict(add))
+                cons.update(add)
+            schema = self._manifest_schema(man) or self.snapshot(spark, base).schema
+            op = {
+                "op": "alter_constraints",
+                "add": sorted(add or {}),
+                "drop": sorted(drop or []),
+            }
+            return self._commit(
+                man["files"], schema, man["partition_by"] or None, base, op,
+                # {} (not None) when all dropped: None would re-carry
+                constraints=cons if cons else {},
+            )
+
+        return self._with_commit_retries(attempt)
+
     def overwrite(
         self,
         df: DataFrame,
@@ -1170,6 +1252,7 @@ class ManifestTable:
                     part = man["partition_by"] or None
                 if blooms is None:
                     blooms = man.get("bloom_cols")
+                self._validate(df, man.get("constraints"))
             entries = self._write_data_files(df, part, bloom_cols=blooms)
             return self._commit(
                 entries, df.schema, part, base, {"op": "overwrite"}, bloom_cols=blooms
@@ -1194,6 +1277,9 @@ class ManifestTable:
             schema = self._evolved_schema(man, df)
             partition_by = man["partition_by"]
             blooms = man.get("bloom_cols")
+            # validate on the schema-ALIGNED frame (null-filled evolved
+            # columns), matching what readers will see for these rows
+            self._validate(_align(df, schema), man.get("constraints"))
             entries = man["files"] + self._write_data_files(
                 df, partition_by or None, bloom_cols=blooms
             )
@@ -1275,6 +1361,12 @@ class ManifestTable:
             # order_col is merge metadata, not part of the result schema
             # (unless the table already owns a column of that name)
             schema = self._evolved_schema(man, source.drop(order_col) if order_col else source)
+            # the source rows are the only NEW data a merge introduces;
+            # rows already in the table were validated when written
+            self._validate(
+                _align(source.drop(order_col) if order_col else source, schema),
+                man.get("constraints"),
+            )
 
             untouched: list[dict] = []
             touched: list[dict] = man["files"]

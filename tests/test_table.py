@@ -1221,3 +1221,55 @@ def test_manifest_stream_sink_exactly_once_on_replay(spark, tmp_path):
     t.merge(spark, b0_replay, ["k"], txn=(ckpt, 0))  # replayed batch 0
     assert [r["v"] for r in t.snapshot(spark).collect()] == [1.0]
     assert t.latest_version() == 1
+
+
+# -- CHECK constraints -------------------------------------------------
+
+
+def test_check_constraints_enforced_on_every_write_shape(spark, tmp_path):
+    from etl_job_spark.table import ConstraintViolationError
+
+    t = ManifestTable(str(tmp_path / "ct"))
+    t.overwrite(_df(spark, [("a", "d1", 1.0)]))
+    v = t.alter_constraints(
+        spark, add={"v_nonneg": "v >= 0", "k_present": "k IS NOT NULL"}
+    )
+    assert v == 2
+    # append of a violating batch: rejected atomically, nothing committed
+    with pytest.raises(ConstraintViolationError) as ei:
+        t.append(_df(spark, [("b", "d1", -5.0)]))
+    assert ei.value.violations == {"v_nonneg": 1}
+    assert t.latest_version() == 2
+    # merge with a violating SOURCE row: rejected
+    with pytest.raises(ConstraintViolationError):
+        t.merge(spark, _df(spark, [(None, "d1", 3.0)]), ["k", "dy"])
+    # clean writes pass; constraint survives compact + overwrite
+    t.append(_df(spark, [("b", "d1", 5.0)]))
+    t.compact(spark)
+    with pytest.raises(ConstraintViolationError):
+        t.overwrite(_df(spark, [("c", "d1", -1.0)]))
+    # dropping the constraint re-opens the gate
+    t.alter_constraints(spark, drop=["v_nonneg"])
+    t.append(_df(spark, [("c", "d1", -1.0)]))
+    assert t.snapshot(spark).count() == 3
+
+
+def test_adding_constraint_existing_data_violates_is_rejected(spark, tmp_path):
+    from etl_job_spark.table import ConstraintViolationError
+
+    t = ManifestTable(str(tmp_path / "ct2"))
+    t.overwrite(_df(spark, [("a", "d1", -1.0)]))
+    with pytest.raises(ConstraintViolationError):
+        t.alter_constraints(spark, add={"v_nonneg": "v >= 0"})
+    assert t.latest_version() == 1  # metadata commit did not land
+
+
+def test_null_predicate_counts_as_violation(spark, tmp_path):
+    from etl_job_spark.table import ConstraintViolationError
+
+    t = ManifestTable(str(tmp_path / "ct3"))
+    t.overwrite(_df(spark, [("a", "d1", 1.0)]))
+    t.alter_constraints(spark, add={"v_pos": "v > 0"})
+    with pytest.raises(ConstraintViolationError) as ei:
+        t.append(spark.createDataFrame([("b", "d1", None)], "k string, dy string, v double"))
+    assert ei.value.violations == {"v_pos": 1}
