@@ -55,8 +55,22 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=[
             "versions", "history", "show", "diff", "compact", "vacuum",
-            "restore", "delete", "delete-keys",
+            "restore", "delete", "delete-keys", "constraints",
         ],
+    )
+    tb.add_argument(
+        "--add",
+        action="append",
+        default=[],
+        metavar="NAME=SQL",
+        help="for constraints: add a named CHECK (repeatable)",
+    )
+    tb.add_argument(
+        "--drop",
+        action="append",
+        default=[],
+        metavar="NAME",
+        help="for constraints: drop a named CHECK (repeatable)",
     )
     tb.add_argument("--where", default=None, help="for delete: SQL predicate")
     tb.add_argument("--key-col", default=None, help="for delete-keys: key column")
@@ -242,6 +256,24 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(
                     {"path": args.path, "version": v, "mode": args.mode,
                      "key_col": args.key_col, "n_keys": len(vals)}))
+            elif args.action == "constraints":
+                add = {}
+                for spec in args.add:
+                    name, sep, expr = spec.partition("=")
+                    if not sep or not name or not expr:
+                        print(f"--add wants NAME=SQL, got {spec!r}", file=sys.stderr)
+                        return 2
+                    add[name] = expr
+                if not add and not args.drop:
+                    man = t._read_manifest(t.latest_version())
+                    print(json.dumps(
+                        {"path": args.path,
+                         "constraints": man.get("constraints") or {}}))
+                else:
+                    v = t.alter_constraints(spark, add=add or None, drop=args.drop or None)
+                    print(json.dumps(
+                        {"path": args.path, "version": v,
+                         "added": sorted(add), "dropped": sorted(args.drop)}))
     finally:
         if owns_session:
             spark.stop()

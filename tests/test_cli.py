@@ -95,3 +95,21 @@ def test_table_delete_keys_cli(capsys, spark, tmp_path):
     assert kept == set(range(20)) - {3, 7}
     # missing args is a usage error, not a crash
     assert main(["table", "delete-keys", "--path", path]) == 2
+
+
+def test_table_constraints_cli(capsys, spark, tmp_path):
+    from etl_job_spark.table import ManifestTable
+
+    path = str(tmp_path / "tbl_ct")
+    ManifestTable(path).overwrite(
+        spark.createDataFrame([(1, 2.0)], "k long, v double")
+    )
+    assert main(["table", "constraints", "--path", path,
+                 "--add", "v_pos=v > 0"]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["added"] == ["v_pos"] and res["version"] == 2
+    # listing mode
+    assert main(["table", "constraints", "--path", path]) == 0
+    assert json.loads(capsys.readouterr().out)["constraints"] == {"v_pos": "v > 0"}
+    # malformed spec is a usage error
+    assert main(["table", "constraints", "--path", path, "--add", "nonsense"]) == 2
