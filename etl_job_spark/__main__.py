@@ -242,13 +242,18 @@ def main(argv: list[str] | None = None) -> int:
                     print("table delete-keys requires --key-col and --keys",
                           file=sys.stderr)
                     return 2
+                import re as _re
+
                 vals: list = []
-                for s in args.keys.split(","):
-                    s = s.strip()
-                    try:
-                        vals.append(int(s))
-                    except ValueError:
-                        vals.append(s)
+                for tok in args.keys.split(","):
+                    tok = tok.strip()
+                    # only CANONICAL decimals become ints: int('03') /
+                    # int('1_000') / int('+3') would silently rewrite a
+                    # string key to a different value before the delete
+                    if _re.fullmatch(r"-?(0|[1-9][0-9]*)", tok):
+                        vals.append(int(tok))
+                    else:
+                        vals.append(tok)
                 kw = {}
                 if args.mor_row_limit is not None:
                     kw["mor_row_limit"] = args.mor_row_limit
@@ -265,7 +270,11 @@ def main(argv: list[str] | None = None) -> int:
                         return 2
                     add[name] = expr
                 if not add and not args.drop:
-                    man = t._read_manifest(t.latest_version())
+                    latest = t.latest_version()
+                    if latest is None:
+                        print(f"no committed version at {args.path}", file=sys.stderr)
+                        return 2
+                    man = t._read_manifest(latest)
                     print(json.dumps(
                         {"path": args.path,
                          "constraints": man.get("constraints") or {}}))

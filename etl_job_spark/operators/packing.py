@@ -27,12 +27,14 @@ partitioning, with the only data shuffle being the per-bucket window
 exchange. At 1000 executors, raise ``n_buckets`` to keep buckets at
 task granularity; skew across buckets is bounded by the range split.
 
-**mix_to_token_budget** is fully declarative — per-source token
-totals and weight normalization are two tiny aggregations joined back
-(broadcast) onto the corpus; membership is the md5-bucket row property
-used by ``sampling.split_bucket``, so the kept set never moves on
-rerun or repartition and the threshold arithmetic is all integer
-division (exact in any engine).
+**mix_to_token_budget** aggregates one row per SOURCE to the driver
+(bounded metadata, the touched-partition-list contract) and computes
+per-source thresholds in Python arbitrary-precision integers — the
+equivalent int64 SQL arithmetic (resolution × target tokens) wraps at
+~9.2e12 target tokens, exactly the scale this operator exists for.
+Thresholds broadcast back onto the corpus; membership is the
+md5-bucket row property used by ``sampling.split_bucket``, so the
+kept set never moves on rerun or repartition.
 """
 
 from __future__ import annotations
@@ -65,14 +67,21 @@ def pack_token_shards(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    df = df.persist()  # feeds the two metadata aggs below (the final
+    # result plan is returned lazily and recomputes upstream once more;
+    # callers packing an expensive pipeline should persist it themselves)
     bounds = df.agg(F.min(order_col).alias("lo"), F.max(order_col).alias("hi")).first()
     if bounds is None or bounds["lo"] is None:
+        df.unpersist()
         return df.withColumn("shard_id", F.lit(0).cast("bigint")).limit(0)
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
-    span = hi - lo + 1
-    bucket = F.expr(
-        f"cast((cast({order_col} as bigint) - {lo}) * {n_buckets} div {span} as int)"
-    )
+    # divide-first bucketing: (order-lo) div stride never overflows,
+    # unlike (order-lo)*n_buckets, which wraps for snowflake-scale id
+    # domains (~1e18 span) and would scramble bucket order silently.
+    # Any contiguous range bucketing yields the identical final result
+    # (the offsets absorb the boundaries), so stride rounding is free.
+    stride = max(1, -(-(hi - lo + 1) // n_buckets))
+    bucket = F.expr(f"cast((cast({order_col} as bigint) - {lo}) div {stride} as int)")
     rows = df.withColumn("__bucket", bucket)
 
     # ≤ n_buckets rows: the ONLY driver-side data in the whole pass
@@ -82,6 +91,7 @@ def pack_token_shards(
         .orderBy("__bucket")
         .collect()
     )
+    df.unpersist()
     offsets, acc = [], 0
     for r in per_bucket:
         offsets.append((int(r["__bucket"]), acc))
@@ -124,17 +134,34 @@ def mix_to_token_budget(
     """
     per_src = df.groupBy(source_col).agg(
         F.sum(token_col).alias("__src_tok"), F.min(weight_col).alias("__wt")
+    ).collect()  # one row per SOURCE — bounded metadata, like MERGE's
+    # touched-partition list. Thresholds are then computed in Python
+    # ARBITRARY-PRECISION ints: the SQL form (resolution * target div
+    # src_tok) wraps int64 once a source's target token mass passes
+    # ~9.2e12 — at exactly the corpus scale this operator exists for —
+    # and a wrapped-negative threshold silently empties the source.
+    if not per_src:
+        return df.limit(0)
+    src_tok = {r[source_col]: int(r["__src_tok"]) for r in per_src}
+    wt = {r[source_col]: int(r["__wt"]) for r in per_src}
+    total_tok, total_wt = sum(src_tok.values()), sum(wt.values())
+    budget = int(
+        df.sparkSession.sql(
+            f"SELECT ({budget_sql}) AS b FROM VALUES "
+            f"({total_tok}, {total_wt}) AS t(__total_tok, __total_wt)"
+        ).first()["b"]
     )
-    totals = per_src.agg(
-        F.sum("__src_tok").alias("__total_tok"), F.sum("__wt").alias("__total_wt")
-    )
-    thr = per_src.crossJoin(F.broadcast(totals)).select(
-        source_col,
-        F.expr(
-            f"least(cast({resolution} as bigint),"
-            f" ({resolution} * ((({budget_sql}) * __wt) div __total_wt))"
-            f" div __src_tok)"
-        ).alias("__thr"),
+    thr_rows = [
+        (
+            s,
+            min(resolution, (resolution * ((budget * wt[s]) // total_wt)) // src_tok[s])
+            if src_tok[s]
+            else 0,
+        )
+        for s in src_tok
+    ]
+    thr = df.sparkSession.createDataFrame(
+        thr_rows, f"{source_col} {dict(df.dtypes)[source_col]}, __thr bigint"
     )
     kept = df.join(F.broadcast(thr), source_col).filter(
         split_bucket(id_col, resolution).cast("bigint") < F.col("__thr")

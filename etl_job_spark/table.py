@@ -392,7 +392,7 @@ def _fully_dead(entry: dict) -> bool:
 # before any footer round-trip, the Iceberg puffin shape.
 
 
-def _bloom_indexes(value, m: int) -> list[int]:
+def _bloom_indexes(value, m: int, k: int) -> list[int]:
     """k bit positions for a value: double hashing off one md5 —
     deterministic, engine-independent, identical on build and probe."""
     import hashlib
@@ -400,10 +400,13 @@ def _bloom_indexes(value, m: int) -> list[int]:
     d = hashlib.md5(str(value).encode("utf-8")).digest()
     h1 = int.from_bytes(d[:8], "little")
     h2 = int.from_bytes(d[8:16], "little") | 1
-    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+    return [(h1 + i * h2) % m for i in range(k)]
 
 
-def _bloom_build(values, n_rows: int) -> dict:
+def _bloom_build(values, n_rows: int, value_type: str) -> dict:
+    """``value_type`` ('i' int / 's' str) is persisted and enforced at
+    probe time: str() canonicalization only agrees between build and
+    probe when the Python types agree (str(3.0) != str(3))."""
     m = _BLOOM_MIN_BITS
     while m < 10 * max(n_rows, 1) and m < _BLOOM_MAX_BITS:
         m *= 2
@@ -411,20 +414,55 @@ def _bloom_build(values, n_rows: int) -> dict:
     for v in values:
         if v is None:
             continue
-        for ix in _bloom_indexes(v, m):
+        for ix in _bloom_indexes(v, m, _BLOOM_K):
             bits[ix >> 3] |= 1 << (ix & 7)
-    return {"m": m, "k": _BLOOM_K, "b64": base64.b64encode(bytes(bits)).decode()}
+    return {
+        "m": m,
+        "k": _BLOOM_K,
+        "t": value_type,
+        "b64": base64.b64encode(bytes(bits)).decode(),
+    }
+
+
+def _bloom_canonical(value, value_type: str):
+    """Probe value → the build side's canonical Python type, or the
+    ``_BLOOM_SKIP`` sentinel when no sound mapping exists (probing
+    would risk a silent false negative — the one failure a delete
+    planner must never have). int-typed blooms accept bools/integral
+    floats (Spark's isin compares them numerically); str-typed blooms
+    accept only str."""
+    if value_type == "i":
+        if isinstance(value, bool):
+            return int(value)
+        if isinstance(value, int):
+            return value
+        if isinstance(value, float) and value.is_integer():
+            return int(value)
+        return _BLOOM_SKIP
+    if value_type == "s":
+        return value if isinstance(value, str) else _BLOOM_SKIP
+    return _BLOOM_SKIP  # unknown build type: never prune
+
+
+_BLOOM_SKIP = object()
 
 
 def _bloom_excludes(bloom: dict, values) -> bool:
     """True when the bloom proves NONE of ``values`` is in the file
-    (any single possibly-present value keeps the file in play)."""
+    (any single possibly-present OR unprobeable value keeps the file
+    in play). Uses the PERSISTED m/k/t — a sidecar written under an
+    older tuning must keep probing with its own parameters."""
     bits = base64.b64decode(bloom["b64"])
     m = int(bloom["m"])
+    k = int(bloom["k"])
+    vtype = bloom.get("t", "?")
     for v in values:
         if v is None:
             continue
-        if all(bits[ix >> 3] & (1 << (ix & 7)) for ix in _bloom_indexes(v, m)):
+        cv = _bloom_canonical(v, vtype)
+        if cv is _BLOOM_SKIP:
+            return False  # can't canonicalize -> possibly present
+        if all(bits[ix >> 3] & (1 << (ix & 7)) for ix in _bloom_indexes(cv, m, k)):
             return False
     return True
 
@@ -453,8 +491,9 @@ def _file_blooms(path: str, cols: Sequence[str]) -> dict[str, dict]:
     table = pf.read(columns=use)
     out = {}
     for c in use:
+        vtype = "i" if pa.types.is_integer(schema.field(c).type) else "s"
         vals = [v for v in table.column(c).to_pylist() if v is not None]
-        out[c] = _bloom_build(vals, len(vals))
+        out[c] = _bloom_build(vals, len(vals), vtype)
     return out
 
 
@@ -1109,8 +1148,9 @@ class ManifestTable:
             # delta against the base — a carried-by-reference commit
             # (append, MERGE on a narrow window, DV-only delete) writes
             # O(changed files), not O(table files); every Nth version
-            # checkpoints so resolution stays O(interval)
-            base_by_path = {e["path"]: e for e in self._read_manifest(expected_base)["files"]}
+            # checkpoints so resolution stays O(interval).
+            # base_man was already resolved above for property carry.
+            base_by_path = {e["path"]: e for e in base_man["files"]}
             new_paths = {e["path"] for e in entries}
             manifest["delta"] = {
                 "upserts": [e for e in entries if base_by_path.get(e["path"]) != e],
@@ -1246,14 +1286,26 @@ class ManifestTable:
             base = self.latest_version()
             part = partition_by
             blooms = bloom_cols
+            frame = df
+            constraints = None
             if base is not None:
                 man = self._read_manifest(base)
                 if part is None:
                     part = man["partition_by"] or None
                 if blooms is None:
                     blooms = man.get("bloom_cols")
-                self._validate(df, man.get("constraints"))
-            entries = self._write_data_files(df, part, bloom_cols=blooms)
+                constraints = man.get("constraints")
+            if constraints:
+                # the validation agg and the file write are two actions
+                # on the same plan — persist so an expensive upstream
+                # only computes once (the merge-source idiom)
+                frame = frame.persist()
+            try:
+                self._validate(frame, constraints)
+                entries = self._write_data_files(frame, part, bloom_cols=blooms)
+            finally:
+                if constraints:
+                    frame.unpersist()
             return self._commit(
                 entries, df.schema, part, base, {"op": "overwrite"}, bloom_cols=blooms
             )
@@ -1277,12 +1329,19 @@ class ManifestTable:
             schema = self._evolved_schema(man, df)
             partition_by = man["partition_by"]
             blooms = man.get("bloom_cols")
-            # validate on the schema-ALIGNED frame (null-filled evolved
-            # columns), matching what readers will see for these rows
-            self._validate(_align(df, schema), man.get("constraints"))
-            entries = man["files"] + self._write_data_files(
-                df, partition_by or None, bloom_cols=blooms
-            )
+            constraints = man.get("constraints")
+            frame = df.persist() if constraints else df
+            try:
+                # validate on the schema-ALIGNED frame (null-filled
+                # evolved columns) — what readers will see for these rows
+                self._validate(_align(frame, schema), constraints)
+                new_entries = self._write_data_files(
+                    frame, partition_by or None, bloom_cols=blooms
+                )
+            finally:
+                if constraints:
+                    frame.unpersist()
+            entries = man["files"] + new_entries
             return self._commit(
                 entries, schema, partition_by or None, base, {"op": "append"},
                 bloom_cols=blooms,

@@ -141,6 +141,15 @@ class TransactionalCatalog:
     def __init__(self, root: str):
         self.root = root.rstrip("/")
         self.txn_dir = os.path.join(self.root, _TXN_DIR)
+        # published records are immutable → cache parses for the
+        # instance's lifetime; _applied tracks (table, version) pairs
+        # this instance already verified on disk, so repeated
+        # roll_forward calls do O(new records) work, not O(history).
+        # (Cross-process opens still replay the whole log — a
+        # production variant would checkpoint applied state the way
+        # the table's manifest log checkpoints its file lists.)
+        self._txn_cache: dict[int, dict] = {}
+        self._applied: set[tuple[str, int]] = set()
 
     def table(self, name: str) -> ManifestTable:
         if "/" in name or name.startswith("_"):
@@ -159,8 +168,12 @@ class TransactionalCatalog:
         return sorted(out)
 
     def _read_txn(self, txn_id: int) -> dict:
-        with open(os.path.join(self.txn_dir, _txn_name(txn_id))) as f:
-            return json.load(f)
+        cached = self._txn_cache.get(txn_id)
+        if cached is None:
+            with open(os.path.join(self.txn_dir, _txn_name(txn_id))) as f:
+                cached = json.load(f)
+            self._txn_cache[txn_id] = cached
+        return cached
 
     def _publish_txn(self, txn_id: int, record: dict) -> None:
         os.makedirs(self.txn_dir, exist_ok=True)
@@ -186,6 +199,8 @@ class TransactionalCatalog:
         writer violating the enrolled-tables contract — fail loudly."""
         table = self.table(name)
         manifest = staged["manifest"]
+        if (name, manifest["version"]) in self._applied:
+            return  # verified on disk earlier in this instance's life
         final = os.path.join(table.manifest_dir, _manifest_name(manifest["version"]))
         if not os.path.exists(final):
             os.makedirs(table.manifest_dir, exist_ok=True)
@@ -208,6 +223,7 @@ class TransactionalCatalog:
                 "not from the transaction log — enrolled tables must be "
                 "written through the catalog"
             )
+        self._applied.add((name, manifest["version"]))
 
     def roll_forward(self) -> dict[str, int]:
         """Replay the log, publishing every APPLIED record's manifests;

@@ -37,29 +37,34 @@ def test_pack_equals_global_window(spark, ids, weights, budget, nparts):
     )
 
 
-@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
-    present=st.lists(
-        st.one_of(st.integers(-(10**12), 10**12), st.text(max_size=20)),
-        min_size=0,
-        max_size=200,
-    ),
+    ints=st.lists(st.integers(-(10**12), 10**12), min_size=0, max_size=120),
+    strs=st.lists(st.text(max_size=20), min_size=0, max_size=120),
     absent=st.lists(st.integers(2 * 10**12, 3 * 10**12), min_size=1, max_size=20),
 )
-def test_bloom_never_false_negative(present, absent):
-    bloom = _bloom_build(present, len(present))
-    # every present value must test possibly-present
-    for v in present:
-        assert not _bloom_excludes(bloom, [v])
-    # excludes([vs]) is False whenever ANY value is present
-    if present:
-        assert not _bloom_excludes(bloom, list(absent) + [present[0]])
+def test_bloom_never_false_negative(ints, strs, absent):
+    ib = _bloom_build(ints, len(ints), "i")
+    sb = _bloom_build(strs, len(strs), "s")
+    # every present value must test possibly-present — including when
+    # the caller probes an int column with an equal-valued float
+    for v in ints:
+        assert not _bloom_excludes(ib, [v])
+        if abs(v) < 2**52:  # exactly float-representable
+            assert not _bloom_excludes(ib, [float(v)])
+    for v in strs:
+        assert not _bloom_excludes(sb, [v])
+    # excludes([vs]) is False whenever ANY value is present, and a
+    # probe the bloom can't soundly canonicalize never prunes
+    if ints:
+        assert not _bloom_excludes(ib, list(absent) + [ints[0]])
+        assert not _bloom_excludes(ib, ["not-an-int"])
 
 
 def test_bloom_positive_rate_is_usable():
     # 10 bits/row sizing: absent probes on a realistic file should
     # almost always be excluded (that's the entire point)
     values = list(range(5000))
-    bloom = _bloom_build(values, len(values))
+    bloom = _bloom_build(values, len(values), "i")
     misses = sum(1 for v in range(10_000_000, 10_002_000) if _bloom_excludes(bloom, [v]))
     assert misses >= 1900  # <5% false-positive rate at 2000 probes

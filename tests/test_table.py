@@ -1038,7 +1038,7 @@ def test_bloom_refs_recorded_and_loadable(spark, tmp_path):
     assert all(e.get("bloom_ref") for e in entries)
     for e in entries:
         bloom = t._entry_blooms(e)["k"]
-        assert set(bloom) == {"m", "k", "b64"}
+        assert set(bloom) == {"m", "k", "t", "b64"}
 
 
 def test_delete_keys_bloom_prunes_scattered_files(spark, tmp_path):
@@ -1273,3 +1273,68 @@ def test_null_predicate_counts_as_violation(spark, tmp_path):
     with pytest.raises(ConstraintViolationError) as ei:
         t.append(spark.createDataFrame([("b", "d1", None)], "k string, dy string, v double"))
     assert ei.value.violations == {"v_pos": 1}
+
+
+def test_bloom_probe_type_mismatch_never_prunes(spark, tmp_path):
+    """str(3.0) != str(3): a probe value typed differently than the
+    stored column must NOT be bloom-pruned (it would silently miss the
+    delete the Spark predicate would perform via numeric cast)."""
+    t = ManifestTable(str(tmp_path / "btype"))
+    t.overwrite(
+        spark.range(50).selectExpr("id as k", "id as v").repartition(4),
+        bloom_cols=["k"],
+    )
+    # float probe of an int column: Spark coerces isin(3.0) to match
+    # row k=3, so the bloom must NOT have pruned the file holding it
+    # (str(3.0) hashes differently than the build side's str(3))
+    v = t.delete_keys(spark, "k", [3.0])
+    assert v == 2
+    assert t.snapshot(spark).filter(F.col("k") == 3).count() == 0
+    # a non-integral float can match nothing - but must not crash or
+    # wrongly commit a new version
+    assert t.delete_keys(spark, "k", [3.5]) == v
+
+
+def test_bloom_probe_uses_persisted_k(spark, tmp_path):
+    """A sidecar written under an older k tuning must probe with ITS
+    k: testing extra bit positions the build never set would turn a
+    present key into 'provably absent' — a silently lost delete."""
+    import json as _json
+
+    t = ManifestTable(str(tmp_path / "bk"))
+    t.overwrite(
+        spark.range(100).selectExpr("id as k", "id as v").repartition(2),
+        bloom_cols=["k"],
+    )
+    man = t._read_manifest(t.latest_version())
+    # simulate an old sidecar: rewrite every bloom claiming k=3 (fewer
+    # hash probes than today's constant) - bits beyond build-k are unset
+    from etl_job_spark.table import _bloom_build
+
+    for e in man["files"]:
+        ref = e["bloom_ref"]
+        with open(os.path.join(t.path, ref)) as fh:
+            side = _json.load(fh)
+        full = os.path.join(t.data_dir, e["path"])
+        import pyarrow.parquet as pq
+
+        ks = [v for v in pq.read_table(full, columns=["k"]).column("k").to_pylist()]
+        import etl_job_spark.table as tbl
+
+        old_k = tbl._BLOOM_K
+        tbl._BLOOM_K = 3
+        try:
+            side[e["path"]]["k"] = _bloom_build(ks, len(ks), "i")
+        finally:
+            tbl._BLOOM_K = old_k
+        with open(os.path.join(t.path, ref), "w") as fh:
+            _json.dump(side, fh)
+    t._bloom_cache.clear()
+    for e in man["files"]:
+        full = os.path.join(t.data_dir, e["path"])
+        import pyarrow.parquet as pq
+
+        ks = [v for v in pq.read_table(full, columns=["k"]).column("k").to_pylist()]
+        # every present key must still test possibly-present under the
+        # sidecar's own (smaller) k
+        assert t._entry_may_contain(e, {"k": ks})
