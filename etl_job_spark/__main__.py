@@ -242,18 +242,54 @@ def main(argv: list[str] | None = None) -> int:
                     print("table delete-keys requires --key-col and --keys",
                           file=sys.stderr)
                     return 2
-                import re as _re
+                # parse key tokens by the TABLE's column type, never by
+                # token shape: against a string key column a sniffed
+                # int 123 would make Spark coerce the column numerically
+                # (so '0123' also matches) and the int-vs-str mismatch
+                # would disable all bloom/stat pruning
+                latest = t.latest_version()
+                if latest is None:
+                    print(f"no committed version at {args.path}", file=sys.stderr)
+                    return 2
+                from etl_job_spark.table import ManifestTable as _MT
 
-                vals: list = []
-                for tok in args.keys.split(","):
-                    tok = tok.strip()
-                    # only CANONICAL decimals become ints: int('03') /
-                    # int('1_000') / int('+3') would silently rewrite a
-                    # string key to a different value before the delete
-                    if _re.fullmatch(r"-?(0|[1-9][0-9]*)", tok):
-                        vals.append(int(tok))
-                    else:
-                        vals.append(tok)
+                schema = _MT._manifest_schema(t._read_manifest(latest))
+                field = None
+                if schema is not None:
+                    field = next(
+                        (f for f in schema.fields if f.name == args.key_col), None
+                    )
+                    if field is None:
+                        print(
+                            f"column {args.key_col!r} not in table schema "
+                            f"({schema.simpleString()})",
+                            file=sys.stderr,
+                        )
+                        return 2
+                kind = field.dataType.simpleString() if field is not None else "string"
+
+                def _parse(tok: str):
+                    import datetime as _dt
+
+                    if kind in ("tinyint", "smallint", "int", "bigint"):
+                        return int(tok)
+                    if kind in ("float", "double"):
+                        return float(tok)
+                    if kind == "date":
+                        return _dt.date.fromisoformat(tok)
+                    if kind.startswith("timestamp"):
+                        return _dt.datetime.fromisoformat(tok)
+                    return tok  # string & anything else: pass through as-is
+
+                try:
+                    vals = [_parse(tok.strip()) for tok in args.keys.split(",")]
+                except ValueError as exc:
+                    print(
+                        f"--keys value does not parse as the {args.key_col!r} "
+                        f"column's type {kind}: {exc}",
+                        file=sys.stderr,
+                    )
+                    return 2
                 kw = {}
                 if args.mor_row_limit is not None:
                     kw["mor_row_limit"] = args.mor_row_limit

@@ -53,6 +53,7 @@ def pack_token_shards(
     order_col: str,
     budget: int,
     n_buckets: int = 256,
+    materialize: bool = True,
 ) -> DataFrame:
     """Assign each row the shard id of its starting token offset in
     the ``order_col`` sequence: ``shard_id = (running_sum - weight)
@@ -64,15 +65,28 @@ def pack_token_shards(
     the two-stage prefix-sum shape. Shards are contiguous runs of the
     order column, so a downstream ``write.partitionBy("shard_id")``
     lands loader-ready shards of ~``budget`` tokens each.
-    """
+
+    ``materialize=True`` (default) pins the input with an eager
+    ``localCheckpoint`` before anything reads it: the upstream pipeline
+    (typically post-dedup, expensive) computes EXACTLY once, and the
+    driver-computed offsets and the returned plan's rows come from the
+    same materialization — required for correctness when the upstream
+    plan is nondeterministic (offsets computed against one run and rows
+    against another would silently break the bit-equality with the
+    global window). ``materialize=False`` skips the checkpoint for
+    callers that already persisted/landed a DETERMINISTIC input and
+    want zero extra storage; the two metadata aggregations then
+    recompute the input plan."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    df = df.persist()  # feeds the two metadata aggs below (the final
-    # result plan is returned lazily and recomputes upstream once more;
-    # callers packing an expensive pipeline should persist it themselves)
+    if materialize:
+        # one upstream compute shared by the bounds agg, the per-bucket
+        # agg AND the returned plan; blocks are executor-local
+        # (MEMORY_AND_DISK) and reclaimed by the context cleaner when
+        # the frame is garbage-collected
+        df = df.localCheckpoint(eager=True)
     bounds = df.agg(F.min(order_col).alias("lo"), F.max(order_col).alias("hi")).first()
     if bounds is None or bounds["lo"] is None:
-        df.unpersist()
         return df.withColumn("shard_id", F.lit(0).cast("bigint")).limit(0)
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     # divide-first bucketing: (order-lo) div stride never overflows,
@@ -91,7 +105,6 @@ def pack_token_shards(
         .orderBy("__bucket")
         .collect()
     )
-    df.unpersist()
     offsets, acc = [], 0
     for r in per_bucket:
         offsets.append((int(r["__bucket"]), acc))

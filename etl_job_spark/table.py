@@ -299,6 +299,49 @@ def _distributed_file_stats(
     return {r["path"]: (int(r["rows"]), json.loads(r["stats"])) for r in got}
 
 
+def _probe_outside(e, fmin, fmax) -> bool:
+    """True when probe value ``e`` is PROVABLY outside the recorded
+    ``[fmin, fmax]`` under Spark's own comparison semantics (the bar a
+    delete/merge planner must clear before skipping a file).
+
+    Exact Python comparison agrees with Spark except for one corner:
+    Spark compares bigint against double by casting the bigint side to
+    double, which is lossy at or beyond 2**53 — a stored int64 whose
+    double form equals the probe can sit outside the probe's exact
+    position. Cross-type comparisons where either side reaches 2**53
+    therefore never exclude (unknown = possibly present). Same-type
+    comparisons (bigint=bigint, double=double, str=str) are exact on
+    both engines at any magnitude, so snowflake-scale integer keys
+    keep pruning."""
+    if e is None or not _comparable(e, fmin):
+        return False
+    if isinstance(e, (int, float)) and type(e) is not type(fmin):
+        big = 2**53
+        if abs(e) >= big or abs(fmin) >= big or abs(fmax) >= big:
+            return False
+    return e < fmin or e > fmax
+
+
+def _envelope_outside(st: dict, vals: list) -> bool:
+    """Range check of a probe SET's overall min/max against a file's
+    recorded range — the only test cheap enough for oversized value
+    sets (> ``_BLOOM_PROBE_MAX``), and sound: if even the set's
+    envelope misses the file's range entirely, no member can hit it.
+    Any un-encodable value keeps the file (it might match anywhere)."""
+    enc = [_stat_encode(v) for v in vals]
+    if any(e is None for e in enc):
+        return False
+    fmin, fmax = st["min"], st["max"]
+    if not all(_comparable(e, fmin) for e in enc):
+        return False
+    # the WHOLE envelope must sit on one side of the file's range —
+    # a straddling envelope can hide members inside the range
+    lo, hi = min(enc), max(enc)
+    return (_probe_outside(hi, fmin, fmax) and hi < fmin) or (
+        _probe_outside(lo, fmin, fmax) and lo > fmax
+    )
+
+
 def _comparable(a, b) -> bool:
     """True when two encoded stats can be ordered soundly: both numeric
     (bools never reach here — ``_stat_encode`` drops them) or both str.
@@ -436,7 +479,13 @@ def _bloom_canonical(value, value_type: str):
             return int(value)
         if isinstance(value, int):
             return value
-        if isinstance(value, float) and value.is_integer():
+        if isinstance(value, float) and value.is_integer() and abs(value) < 2.0**53:
+            # above 2**53 Spark's bigint<->double comparison casts the
+            # STORED int to a lossy double: a stored k whose double
+            # form equals the probe can differ from int(probe), so the
+            # bloom built on k would wrongly exclude a file the
+            # predicate actually matches. Unrepresentable probes never
+            # prune.
             return int(value)
         return _BLOOM_SKIP
     if value_type == "s":
@@ -679,16 +728,18 @@ class ManifestTable:
         blooms: dict | None = None  # sidecar load deferred past stats
         for col, values in values_by_col.items():
             vals = [v for v in values if v is not None]
-            if not vals or len(vals) > _BLOOM_PROBE_MAX:
+            if not vals:
                 continue
             st = stats.get(col)
+            if len(vals) > _BLOOM_PROBE_MAX:
+                # oversized sets skip the per-value tests (cost) but
+                # still range-prune on the set's overall envelope
+                if st is not None and _envelope_outside(st, vals):
+                    return False
+                continue
             if st is not None:
                 fmin, fmax = st["min"], st["max"]
-                enc = [_stat_encode(v) for v in vals]
-                if all(
-                    e is not None and _comparable(e, fmin) and (e < fmin or e > fmax)
-                    for e in enc
-                ):
+                if all(_probe_outside(_stat_encode(v), fmin, fmax) for v in vals):
                     return False
             if blooms is None:
                 blooms = self._entry_blooms(entry)
@@ -1211,6 +1262,22 @@ class ManifestTable:
         Raises ``ConstraintViolationError`` before anything commits."""
         if not constraints:
             return
+        # resolve each predicate against the incoming schema FIRST:
+        # an overwrite legitimately replacing the schema can orphan a
+        # constraint's column references, and the raw AnalysisException
+        # from the validation agg below would not say which constraint
+        # or what to do about it
+        for name, pred in sorted(constraints.items()):
+            try:
+                df.select(F.expr(pred))
+            except Exception as exc:
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({pred!r}) does not resolve "
+                    f"against the incoming schema "
+                    f"({df.schema.simpleString()}): {exc.__class__.__name__}. "
+                    "Drop or update the constraint first "
+                    "(alter_constraints(drop=[...]))."
+                ) from exc
         aggs = [
             F.sum(
                 F.when(~F.coalesce(F.expr(pred), F.lit(False)), 1).otherwise(0)

@@ -113,3 +113,31 @@ def test_table_constraints_cli(capsys, spark, tmp_path):
     assert json.loads(capsys.readouterr().out)["constraints"] == {"v_pos": "v > 0"}
     # malformed spec is a usage error
     assert main(["table", "constraints", "--path", path, "--add", "nonsense"]) == 2
+
+
+def test_table_delete_keys_cli_resolves_column_type(capsys, spark, tmp_path):
+    """--keys tokens parse by the TABLE's column type, not token shape:
+    a sniffed int 123 against a string key column would let Spark's
+    numeric coercion also match '0123' (and disable all pruning)."""
+    from etl_job_spark.table import ManifestTable
+
+    path = str(tmp_path / "tbl_dk_str")
+    t = ManifestTable(path)
+    t.overwrite(
+        spark.createDataFrame([("123", 1), ("0123", 2)], "k string, v long"),
+        bloom_cols=["k"],
+    )
+    assert main(["table", "delete-keys", "--path", path,
+                 "--key-col", "k", "--keys", "123"]) == 0
+    capsys.readouterr()
+    assert {r["k"] for r in t.snapshot(spark).collect()} == {"0123"}
+    # unparseable token against an int column: usage error, not a crash
+    path2 = str(tmp_path / "tbl_dk_int")
+    ManifestTable(path2).overwrite(
+        spark.createDataFrame([(1, "a")], "k long, p string")
+    )
+    assert main(["table", "delete-keys", "--path", path2,
+                 "--key-col", "k", "--keys", "xyz"]) == 2
+    # unknown key column: usage error
+    assert main(["table", "delete-keys", "--path", path2,
+                 "--key-col", "nope", "--keys", "1"]) == 2

@@ -68,3 +68,22 @@ def test_bloom_positive_rate_is_usable():
     bloom = _bloom_build(values, len(values), "i")
     misses = sum(1 for v in range(10_000_000, 10_002_000) if _bloom_excludes(bloom, [v]))
     assert misses >= 1900  # <5% false-positive rate at 2000 probes
+
+
+def test_pack_materializes_input_once(spark):
+    """The packer's offsets AND its returned rows must come from ONE
+    materialization of the input (r5 advice: an expensive upstream ran
+    twice, and a nondeterministic one silently broke the bit-equality
+    claim). The accumulator counts upstream row production."""
+    acc = spark.sparkContext.accumulator(0)
+    base = spark.range(0, 1000).selectExpr("id", "id % 7 as w")
+
+    def count_rows(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    upstream = base.mapInPandas(count_rows, "id long, w long")
+    out = pack_token_shards(upstream, "w", "id", 100, n_buckets=8)
+    assert out.count() == 1000
+    assert acc.value == 1000  # upstream computed exactly once

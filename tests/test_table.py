@@ -1338,3 +1338,77 @@ def test_bloom_probe_uses_persisted_k(spark, tmp_path):
         # every present key must still test possibly-present under the
         # sidecar's own (smaller) k
         assert t._entry_may_contain(e, {"k": ks})
+
+
+# -- round-6 soundness: lossy-cast probes, oversized sets, constraints --
+
+
+def test_large_float_probe_never_prunes_bloom_or_stats(spark, tmp_path):
+    """Spark compares bigint against double by casting the BIGINT side
+    to double (lossy at/after 2**53): a stored 2**53+1 matches the
+    probe float(2**53), so neither the bloom nor the exact stats check
+    may prune the file — a prune here is a silently missed GDPR
+    delete."""
+    big = 2**53 + 1  # double-casts down to exactly 2**53
+    t = ManifestTable(str(tmp_path / "bigk"))
+    t.overwrite(
+        spark.createDataFrame([(big, "x")], "k long, p string"), bloom_cols=["k"]
+    )
+    probe = float(2**53)
+    # Spark's own semantics: the row MATCHES the float probe
+    assert t.snapshot(spark).filter(F.col("k").isin([probe])).count() == 1
+    e = t._read_manifest(t.latest_version())["files"][0]
+    assert t._entry_may_contain(e, {"k": [probe]})
+    v = t.delete_keys(spark, "k", [probe])
+    assert v == 2 and t.snapshot(spark).count() == 0
+
+
+def test_large_int_probes_still_prune_exactly(spark, tmp_path):
+    """Same-type (bigint vs bigint) comparisons are exact on both
+    engines at any magnitude — snowflake-scale integer keys must keep
+    pruning."""
+    t = ManifestTable(str(tmp_path / "snow"))
+    base = 10**18
+    t.overwrite(
+        spark.createDataFrame([(base + i, i) for i in range(4)], "k long, v long")
+        .coalesce(1),
+        bloom_cols=["k"],
+    )
+    e = next(x for x in t._read_manifest(t.latest_version())["files"] if x["rows"])
+    assert not t._entry_may_contain(e, {"k": [base - 5, base + 100]})
+    assert t._entry_may_contain(e, {"k": [base + 2]})
+
+
+def test_oversized_keyset_envelope_prunes(spark, tmp_path):
+    from etl_job_spark.table import _BLOOM_PROBE_MAX
+
+    t = ManifestTable(str(tmp_path / "envp"))
+    df = spark.range(0, 200).selectExpr("id as k", "id as v")
+    t.overwrite(df.repartitionByRange(2, "k").sortWithinPartitions("k"))
+    man = t._read_manifest(t.latest_version())
+    low = next(e for e in man["files"] if e["stats"]["k"]["min"] == 0)
+    n_over = _BLOOM_PROBE_MAX + 10
+    # a >_BLOOM_PROBE_MAX set wholly above the file's range: pruned
+    assert not t._entry_may_contain(low, {"k": list(range(10_000, 10_000 + n_over))})
+    # a straddling envelope (members could be inside): kept
+    assert t._entry_may_contain(low, {"k": list(range(-50, -50 + n_over))})
+    # end-to-end: an oversized delete hitting only the high file
+    # carries the low file by reference (same path survives)
+    v = t.delete_keys(spark, "k", list(range(100, 100 + n_over)))
+    assert v == 2
+    kept_paths = {e["path"] for e in t._read_manifest(v)["files"]}
+    assert low["path"] in kept_paths
+    assert t.snapshot(spark).count() == 100
+
+
+def test_overwrite_constraint_on_absent_column_clear_error(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "cerr"))
+    t.overwrite(spark.createDataFrame([(1, 2.0)], "k long, v double"))
+    t.alter_constraints(spark, add={"v_pos": "v > 0"})
+    with pytest.raises(ValueError, match="v_pos"):
+        t.overwrite(spark.createDataFrame([(1,)], "k long"))
+    # replacement that keeps the referenced column still validates
+    from etl_job_spark.table import ConstraintViolationError
+
+    with pytest.raises(ConstraintViolationError):
+        t.overwrite(spark.createDataFrame([(1, -2.0)], "k long, v double"))
