@@ -256,8 +256,22 @@ def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     dup = lambda c: F.round(  # noqa: E731
         (F.size(c) - F.size(F.array_distinct(c))) / F.size(c), 6
     )
+    # max frequency of any 2-gram == the longest run of equal elements
+    # in the SORTED 2-gram array: one sort + one linear aggregate pass,
+    # O(n log n) per document. The previous distinct×filter form was
+    # O(|distinct| × n) lambda evaluations — ~10^10 comparisons for the
+    # degenerate 100k-token boilerplate documents this filter exists to
+    # catch, turning one row into a straggler task (r5 verdict wrong-#1).
     top2 = F.expr(
-        "array_max(transform(array_distinct(g2), x -> size(filter(g2, y -> y = x))))"
+        "aggregate(array_sort(g2),"
+        " named_struct('prev', cast(null as string),"
+        "              'run', cast(0 as bigint),"
+        "              'best', cast(0 as bigint)),"
+        " (s, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', if(s.prev <=> x, s.run + 1, cast(1 as bigint)),"
+        "   'best', greatest(s.best, if(s.prev <=> x, s.run + 1, cast(1 as bigint)))),"
+        " s -> s.best)"
     )
     return g.select(
         "doc_id",

@@ -116,3 +116,28 @@ def test_mix_membership_is_a_row_property(spark):
     kept_srcs = {f"s{d % 4}" for d in kept}
     assert kept_srcs == srcs
     assert 0 < len(kept) < 400
+
+def test_repetition_top2gram_linear_on_degenerate_doc(spark):
+    """The top-2-gram share must be computed in O(n log n) per document
+    (sort + longest-equal-run), not O(|distinct| x n): a planted
+    50k-token document with ~25k distinct 2-grams must finish within a
+    small factor of a short doc, and the values must stay exact."""
+    import time
+
+    # worst case for the old quadratic form: a long cycle = many
+    # distinct 2-grams, each scanned against the full array
+    cycle = " ".join(f"w{i % 12500} w{(i * 7) % 12500}" for i in range(25_000))
+    docs = _docs(spark, [(1, cycle), (2, "spam spam spam spam")])
+    t0 = time.monotonic()
+    rows = {r["doc_id"]: r for r in repetition_scores(docs).collect()}
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60, f"degenerate doc took {elapsed:.1f}s - quadratic regression?"
+    # short doc: 3 identical 2-grams out of 3 -> top share 1.0
+    assert rows[2]["top_2gram_frac"] == 1.0
+    # planted doc: brute-force the expected max 2-gram frequency in python
+    toks = cycle.split()
+    from collections import Counter
+
+    g2 = Counter(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+    expect = max(g2.values()) / (len(toks) - 1)
+    assert rows[1]["top_2gram_frac"] == pytest.approx(expect, abs=1e-6)
