@@ -405,6 +405,69 @@ query("kicc_mart_gdpr", GDPR_SQL)(mart_gdpr_erased)
 
 
 # ---------------------------------------------------------------------
+# Read-path data skipping: predicate-pruned snapshot over a clustered
+# table (the reference's daily incremental window read as a scan that
+# never opens cold files)
+# ---------------------------------------------------------------------
+
+WINDOW_READ_W = ("19980201", "19980214")
+WINDOW_READ_STORES = ("000002", "000005")
+
+WINDOW_READ_SQL = _with(kicc.SQL_KICC_SALES_DATA) + f"""
+SELECT sp_code, sale_date, total_amt, bill_qty FROM kicc_sales_data
+WHERE sale_date BETWEEN '{WINDOW_READ_W[0]}' AND '{WINDOW_READ_W[1]}'
+  AND sp_code IN {WINDOW_READ_STORES}
+"""
+
+
+def mart_window_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's daily incremental read
+    (kicc_to_tb_sales_prod.py:63-70 — a BETWEEN on the sortable date
+    key) through the table format's READ-path data skipping: the
+    staging window lands range-clustered on sale_date with sp_code
+    bloom-indexed, and ``snapshot_where`` prunes the manifest's file
+    list with per-file key-range stats + blooms BEFORE constructing
+    the scan — cold files are never opened, listed, or footer-read.
+    The oracle is the plain relational filter, so the pruned path's
+    results are hash-checked file-skipping included; a test pins that
+    the scan's input files equal the stats-eligible subset
+    (tests/test_table.py::test_snapshot_where_*)."""
+    import tempfile
+
+    from etl_job_spark.table import ManifestTable
+
+    staging = kicc.kicc_sales_data(spark, sf_dir).select(
+        "sp_code", "sale_date", "total_amt", "bill_qty"
+    )
+    # session-scoped scratch table, reused across invocations like the
+    # mart_versioned/mart_gdpr siblings above
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"kicc_mart_window_read_{spark.sparkContext.applicationId}",
+    )
+    t = ManifestTable(path)
+    # range-cluster the landing write on the date key: each file owns a
+    # narrow sale_date slice, which is precisely what makes the
+    # manifest's min/max stats prune the daily window read
+    t.overwrite(
+        staging.repartitionByRange(8, F.col("sale_date")).sortWithinPartitions(
+            "sale_date"
+        ),
+        bloom_cols=["sp_code"],
+    )
+    return t.snapshot_where(
+        spark,
+        [
+            ("sale_date", "between", WINDOW_READ_W),
+            ("sp_code", "in", list(WINDOW_READ_STORES)),
+        ],
+    )
+
+
+query("kicc_mart_window_read", WINDOW_READ_SQL)(mart_window_read)
+
+
+# ---------------------------------------------------------------------
 # P1/P3/P4 row-level projection + filters
 # ---------------------------------------------------------------------
 

@@ -37,6 +37,12 @@ _DRIVER_WINDOW = [
     "kicc_scalar_dates",
     "kicc_mart_versioned",  # K3 through ManifestTable (commit protocol)
     "kicc_mart_gdpr",  # row-level DELETE via merge-on-read deletion vectors
+    # round-6 swap: read-path data skipping (snapshot_where — stats +
+    # bloom file pruning before the scan) is a NEW component with no
+    # prior driver row; embed_lsh_buckets — the bucketing SUB-STEP of
+    # embed_lsh_topk, which stays in-window — moves to the tail with
+    # its exact oracle intact
+    "kicc_mart_window_read",
     # Extension operators with no round-1 driver row (VERDICT §wrong #1)
     "text_lang_id",
     "corpus_filter_pipeline",
@@ -59,7 +65,6 @@ _DRIVER_WINDOW = [
     "dedup_simhash_pairs",
     "dedup_clusters",
     "embed_cosine_topk",
-    "embed_lsh_buckets",
     "embed_lsh_topk",
     "embed_cosine_neardup",
     "embed_bucket_centroids",
@@ -98,6 +103,10 @@ _DRIVER_WINDOW = [
 # moved out to make room for kicc_mart_versioned (round-3 verdict #3).
 _TAIL = [
     "sketch_cardinalities",  # rows-only by design (no SQL oracle)
+    # round-6 swap: displaced by kicc_mart_window_read (read-path data
+    # skipping); the LSH family keeps embed_lsh_topk in-window and this
+    # bucketing sub-step keeps its exact oracle in test_oracle_diff.py
+    "embed_lsh_buckets",
     # round-5 swap: kicc_mart_gdpr (merge-on-read DELETE — a component
     # with no prior driver row) takes a window slot; the RANGE-frame
     # variant moves out (§2.6 keeps day_over_day + rank_family

@@ -353,6 +353,191 @@ def _comparable(a, b) -> bool:
     return isinstance(a, str) and isinstance(b, str)
 
 
+def _range_excludes(st: dict, op: str, v) -> bool:
+    """True when a file's recorded ``[min, max]`` proves NO row can
+    satisfy ``col <op> v`` — the inequality half of read-path data
+    skipping. Un-encodable probes and lossy cross-type comparisons
+    (see ``_probe_outside``) never exclude."""
+    e = _stat_encode(v)
+    if e is None:
+        return False
+    fmin, fmax = st["min"], st["max"]
+    if not _comparable(e, fmin):
+        return False
+    if isinstance(e, (int, float)) and type(e) is not type(fmin):
+        big = 2**53
+        if abs(e) >= big or abs(fmin) >= big or abs(fmax) >= big:
+            return False
+    if op == ">=":
+        return fmax < e
+    if op == ">":
+        return fmax <= e
+    if op == "<=":
+        return fmin > e
+    if op == "<":
+        return fmin >= e
+    return False
+
+
+# sentinels for partition-constant reasoning: a partition value either
+# provably matches a probe, provably cannot, or we refuse to guess
+_PART_UNKNOWN = object()
+
+
+def _canon_partition(x, kind):
+    """Partition-dir string OR probe value → one canonical Python value
+    under the column's committed type ``kind`` (simpleString), chosen
+    so that exact Python comparison of two canon values agrees with
+    Spark's implicit-cast comparison of the partition column against
+    the probe literal. Returns ``None`` when the cast provably nulls
+    out (Spark: never matches) and ``_PART_UNKNOWN`` when no sound
+    mapping exists (never prune)."""
+    try:
+        if kind == "string":
+            if isinstance(x, str):
+                return x
+            # non-string probe vs string column: Spark casts the STRING
+            # side to double; mirror that on the stored value
+            if isinstance(x, bool):
+                return _PART_UNKNOWN
+            if isinstance(x, (int, float)):
+                if abs(x) >= 2**53:
+                    return _PART_UNKNOWN
+                return float(x)
+            return _PART_UNKNOWN
+        if kind in ("tinyint", "smallint", "int", "bigint"):
+            if isinstance(x, bool):
+                return int(x)
+            if isinstance(x, int):
+                return x
+            if isinstance(x, float):
+                return _PART_UNKNOWN if abs(x) >= 2**53 else x
+            if isinstance(x, str):
+                return int(x.strip())
+            return _PART_UNKNOWN
+        if kind in ("float", "double"):
+            if isinstance(x, bool):
+                return float(x)
+            if isinstance(x, (int, float)):
+                return _PART_UNKNOWN if abs(x) >= 2**53 else float(x)
+            if isinstance(x, str):
+                return float(x.strip())
+            return _PART_UNKNOWN
+        if kind == "date":
+            if isinstance(x, datetime.datetime):
+                return _PART_UNKNOWN
+            if isinstance(x, datetime.date):
+                return x
+            if isinstance(x, str):
+                return datetime.date.fromisoformat(x.strip())
+            return _PART_UNKNOWN
+    except ValueError:
+        # the implicit cast fails: legacy mode yields NULL (never
+        # matches); ANSI mode would RAISE mid-scan. Either way the file
+        # contributes no matching row — pruning it is the Delta
+        # behavior (a query that would have errored on a malformed
+        # partition value instead skips it).
+        return None
+    return _PART_UNKNOWN
+
+
+def _canon_string_probe(pv: str, v, kind):
+    """Canonicalize the stored partition value ``pv`` for comparison
+    with probe ``v`` on a STRING column: string probes compare as raw
+    strings; numeric probes pull the stored string through Spark's
+    string→double coercion."""
+    if isinstance(v, str):
+        return pv
+    return _canon_partition(pv, "double" if kind == "string" else kind)
+
+
+def _part_match_possible(pv: str | None, vals: list, kind: str | None) -> bool:
+    """Whether a file-constant hive partition value ``pv`` can satisfy
+    ``col IN vals`` under the column's committed type ``kind``. A NULL
+    partition value satisfies nothing (SQL IN); probes whose implicit
+    cast provably nulls out match nothing; anything we can't reason
+    about soundly keeps the file."""
+    if pv is None:
+        return False
+    for x in vals:
+        if kind == "string" and isinstance(x, str):
+            if pv == x:
+                return True
+            continue
+        if kind is None:
+            return True  # pre-evolution manifest: no type info, keep
+        cpv = _canon_partition(pv, "double" if kind == "string" else kind)
+        cx = _canon_partition(x, kind)
+        if cpv is _PART_UNKNOWN or cx is _PART_UNKNOWN:
+            return True
+        if cpv is None or cx is None:
+            continue  # a NULL side never equals anything
+        if cpv == cx:
+            return True
+    return False
+
+
+def _part_range_excludes(pv: str | None, op: str, v, kind: str | None) -> bool:
+    """Whether the file-constant partition value ``pv`` PROVABLY fails
+    ``col <op> v``. NULL partition values fail every comparison (the
+    whole file is excludable); unsound canonicalizations never
+    exclude."""
+    if pv is None:
+        return True
+    if kind == "string" and isinstance(v, str):
+        cpv, cx = pv, v
+    else:
+        if kind is None:
+            return False
+        cpv = _canon_partition(pv, "double" if kind == "string" else kind)
+        cx = _canon_partition(v, kind)
+        if cpv is _PART_UNKNOWN or cx is _PART_UNKNOWN:
+            return False
+        if cpv is None or cx is None:
+            return True  # a NULL side satisfies no comparison
+    if op == ">=":
+        return not cpv >= cx
+    if op == ">":
+        return not cpv > cx
+    if op == "<=":
+        return not cpv <= cx
+    if op == "<":
+        return not cpv < cx
+    return False
+
+
+def predicate_column(predicates: Sequence[tuple]) -> Column:
+    """The conjunctive predicate spec as one Spark ``Column`` — the
+    SAME spec ``_prune_by_key_stats`` plans from, so the residual
+    filter and the file prune can never disagree."""
+    out = None
+    for col, op, v in predicates:
+        c = F.col(col)
+        if op == "=":
+            term = c == F.lit(v)
+        elif op == "in":
+            term = c.isin(list(v))
+        elif op == "between":
+            lo, hi = v
+            term = c.between(F.lit(lo), F.lit(hi))
+        elif op == ">=":
+            term = c >= F.lit(v)
+        elif op == ">":
+            term = c > F.lit(v)
+        elif op == "<=":
+            term = c <= F.lit(v)
+        elif op == "<":
+            term = c < F.lit(v)
+        else:
+            raise ValueError(
+                f"predicate op {op!r}: use '=', 'in', 'between', '<', '<=', '>', '>='"
+            )
+        out = term if out is None else out & term
+    if out is None:
+        raise ValueError("empty predicate list: use snapshot() for a full scan")
+    return out
+
+
 def _stats_disjoint(entry: dict, key_ranges: dict[str, tuple]) -> bool:
     """True when ``entry``'s recorded min/max prove the file holds no
     row whose key columns all fall inside the source's ranges — i.e.
@@ -875,6 +1060,124 @@ class ManifestTable:
         """Timestamp time travel — SELECT ... TIMESTAMP AS OF: the
         snapshot of ``version_as_of(timestamp)``."""
         return self.snapshot(spark, version=self.version_as_of(timestamp))
+
+    # -- read-path data skipping --------------------------------------
+
+    def _prune_by_key_stats(
+        self,
+        entries: list[dict],
+        predicates: Sequence[tuple],
+        schema: StructType | None = None,
+    ) -> tuple[list[dict], list[dict]]:
+        """Split ``entries`` into (kept, pruned) under a conjunctive
+        predicate spec — the read-time half of data skipping whose
+        write-time half is ``_file_stats``/``_write_bloom_sidecars``.
+
+        ``predicates`` is a list of ``(col, op, value)`` with op one of
+        ``'=' 'in' 'between' '<' '<=' '>' '>='`` (``between`` takes a
+        ``(lo, hi)`` pair, ``in`` a value list), ANDed together. A file
+        is pruned only when some constraint PROVABLY excludes every row
+        it holds: its hive partition value (a file constant) fails the
+        constraint, its recorded min/max range misses it, or its bloom
+        filter tests negative for every probed value. Missing stats,
+        un-encodable probes, and lossy cross-type comparisons never
+        prune — identical soundness contract to the MERGE/DELETE
+        planners, which share these primitives."""
+        norm: list[tuple] = []
+        for col, op, v in predicates:
+            if op == "=":
+                norm.append((col, "in", [v]))
+            elif op == "in":
+                norm.append((col, "in", list(v)))
+            elif op == "between":
+                lo, hi = v
+                norm.append((col, ">=", lo))
+                norm.append((col, "<=", hi))
+            elif op in ("<", "<=", ">", ">="):
+                norm.append((col, op, v))
+            else:
+                raise ValueError(
+                    f"predicate op {op!r}: use '=', 'in', 'between', "
+                    "'<', '<=', '>', '>='"
+                )
+        part_types = {
+            f.name: f.dataType.simpleString() for f in (schema.fields if schema else [])
+        }
+        kept, pruned = [], []
+        for e in entries:
+            if _fully_dead(e) or not self._entry_matches_possible(e, norm, part_types):
+                pruned.append(e)
+            else:
+                kept.append(e)
+        return kept, pruned
+
+    def _entry_matches_possible(
+        self, entry: dict, constraints: list[tuple], part_types: dict[str, str]
+    ) -> bool:
+        """False only when some conjunctive constraint PROVABLY holds
+        for no row of the file."""
+        part = entry.get("partition") or {}
+        stats = entry.get("stats") or {}
+        for col, op, v in constraints:
+            if op == "in":
+                vals = [x for x in v if x is not None]
+                if not vals:
+                    return False  # IN (NULL…) matches nothing
+                if col in part:
+                    if not _part_match_possible(part[col], vals, part_types.get(col)):
+                        return False
+                elif not self._entry_may_contain(entry, {col: vals}):
+                    return False
+            else:
+                if v is None:
+                    return False  # NULL comparison matches nothing
+                if col in part:
+                    if _part_range_excludes(part[col], op, v, part_types.get(col)):
+                        return False
+                else:
+                    st = stats.get(col)
+                    if st is not None and _range_excludes(st, op, v):
+                        return False
+        return True
+
+    def snapshot_where(
+        self,
+        spark: SparkSession,
+        predicates: Sequence[tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Predicate-pruned snapshot read: equal to
+        ``snapshot(spark, version).filter(...)`` but the manifest's
+        file list is pruned BEFORE the scan is constructed, so the plan
+        never opens (or even lists) a file whose partition value,
+        key-range stats, or bloom filter proves it cold. On a table
+        kept clustered by its query keys (``compact(cluster_by=…)`` /
+        zorder), a narrow predicate touches O(matching) files instead
+        of O(table) — the Delta/Iceberg data-skipping read, and exactly
+        the shape of the reference's daily incremental window read
+        (kicc_to_tb_sales_prod.py:63-70: a BETWEEN on the sortable date
+        key). The residual predicate is still applied to the surviving
+        rows (pruning is file-granular), built from the SAME spec via
+        ``predicate_column`` so plan and prune cannot disagree.
+
+        ``version`` makes the pruned read time-travel-aware: pruning
+        consults the manifest of the REQUESTED version (file stats and
+        blooms are immutable per file, so historical pruning is exactly
+        as sound as latest-version pruning)."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+        man = self._read_manifest(version)
+        schema = self._manifest_schema(man)
+        pred = predicate_column(predicates)  # validates the spec up front
+        kept, _pruned = self._prune_by_key_stats(man["files"], predicates, schema)
+        if not kept:
+            return spark.createDataFrame([], schema or man["schema"])
+        df = self._read_files(spark, kept)
+        if schema is not None:
+            df = _align(df, schema)
+        return df.filter(pred)
 
     @staticmethod
     def _manifest_schema(man: dict) -> StructType | None:
