@@ -33,13 +33,18 @@ This module makes a multi-table change one atomic event:
 
 Contract: tables enrolled in a catalog are written THROUGH it.
 ``_apply`` fails loudly if a version slot holds foreign content (an
-out-of-band writer), rather than guessing. Honest scale bounds: the
-record carries manifests by value (fine while commits are O(changed
-files); a production variant would spill large manifests to staged
-files and carry references), and commit throughput is serialized on
-the log head — exactly the coordinator's job (Nessie's single ref
-head); data-plane work stays fully parallel, and data files written
-by an aborted attempt are unreferenced and vacuum-reclaimed.
+out-of-band writer), rather than guessing. Scale bounds: a manifest
+whose serialized form passes ``_TXN_INLINE_MAX_BYTES`` is SPILLED to
+an immutable staged file under ``_txns/_staged/`` (written + fsynced
+BEFORE the record publishes, so a record in the log always resolves)
+and the record carries ``manifest_ref`` instead — txn records stay
+O(1) in table size, the same reference-not-value move the manifest
+log itself makes with checkpoint deltas. Aborted records may leave
+orphan staged files (O(aborted transactions), reclaimable like any
+unreferenced data file). Commit throughput is serialized on the log
+head — exactly the coordinator's job (Nessie's single ref head);
+data-plane work stays fully parallel, and data files written by an
+aborted attempt are unreferenced and vacuum-reclaimed.
 """
 
 from __future__ import annotations
@@ -54,6 +59,12 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_job_spark.table import CommitConflictError, ManifestTable, _manifest_name
 
 _TXN_DIR = "_txns"
+_TXN_STAGE_DIR = os.path.join(_TXN_DIR, "_staged")
+
+# a staged-table manifest larger than this (serialized) is spilled to
+# an immutable file under _txns/_staged/ and carried by reference —
+# records over a 100k-file table stay O(1), not O(table files)
+_TXN_INLINE_MAX_BYTES = 65_536
 
 
 def _txn_name(txn_id: int) -> str:
@@ -95,6 +106,7 @@ class Transaction:
         version, manifest = captured[0]
         self.staged[name] = {
             "expected_base": manifest["base_version"],
+            "version": version,
             "manifest": manifest,
         }
 
@@ -150,6 +162,9 @@ class TransactionalCatalog:
         # the table's manifest log checkpoints its file lists.)
         self._txn_cache: dict[int, dict] = {}
         self._applied: set[tuple[str, int]] = set()
+        # spilled-manifest cache: staged files are immutable once a
+        # record referencing them publishes
+        self._staged_cache: dict[str, dict] = {}
 
     def table(self, name: str) -> ManifestTable:
         if "/" in name or name.startswith("_"):
@@ -192,13 +207,28 @@ class TransactionalCatalog:
         finally:
             os.unlink(tmp)
 
+    def _staged_manifest(self, staged: dict) -> dict:
+        """The manifest a record stages for one table — inline content,
+        or resolved through its ``manifest_ref`` spill file (written +
+        fsynced before the record's commit point, so a published record
+        always resolves)."""
+        if "manifest" in staged:
+            return staged["manifest"]
+        ref = staged["manifest_ref"]
+        cached = self._staged_cache.get(ref)
+        if cached is None:
+            with open(os.path.join(self.root, ref)) as f:
+                cached = json.load(f)
+            self._staged_cache[ref] = cached
+        return cached
+
     def _apply(self, name: str, staged: dict) -> None:
         """Idempotently publish one table's manifest from an applied
         record. A taken slot must hold THIS record's content (another
         process already applied it); anything else is an out-of-band
         writer violating the enrolled-tables contract — fail loudly."""
         table = self.table(name)
-        manifest = staged["manifest"]
+        manifest = self._staged_manifest(staged)
         if (name, manifest["version"]) in self._applied:
             return  # verified on disk earlier in this instance's life
         final = os.path.join(table.manifest_dir, _manifest_name(manifest["version"]))
@@ -243,8 +273,16 @@ class TransactionalCatalog:
                 continue  # deterministically aborted
             for name, staged in tables.items():
                 self._apply(name, staged)
-                state[name] = staged["manifest"]["version"]
+                state[name] = self._staged_version(staged)
         return {k: v for k, v in state.items() if v is not None}
+
+    @staticmethod
+    def _staged_version(staged: dict) -> int:
+        """Version a staged entry commits — available WITHOUT loading a
+        spilled manifest (replay stays O(records), not O(spill bytes));
+        pre-spill records fall back to the inline manifest."""
+        v = staged.get("version")
+        return int(v) if v is not None else staged["manifest"]["version"]
 
     # -- the commit loop ----------------------------------------------
 
@@ -263,11 +301,15 @@ class TransactionalCatalog:
                 return {}
             for name, staged in txn.staged.items():
                 staged["manifest"].setdefault("txn", {})["marker"] = marker
+            record_tables = {
+                name: self._spill_if_large(name, staged, marker)
+                for name, staged in txn.staged.items()
+            }
             ids = self._txn_ids()
             record = {
                 "id": (ids[-1] + 1) if ids else 1,
                 "marker": marker,
-                "tables": txn.staged,
+                "tables": record_tables,
             }
             try:
                 self._publish_txn(record["id"], record)
@@ -287,6 +329,34 @@ class TransactionalCatalog:
             f"transaction against {self.root} lost {self._COMMIT_RETRIES + 1} "
             "races; retry later"
         )
+
+    def _spill_if_large(self, name: str, staged: dict, marker: str) -> dict:
+        """The record-side form of one staged table: inline manifest
+        when small, else a ``manifest_ref`` to an immutable spill file
+        written + fsynced NOW — before the record (the commit point)
+        can reference it."""
+        manifest = staged["manifest"]
+        body = json.dumps(manifest, sort_keys=True)
+        entry = {
+            "expected_base": staged["expected_base"],
+            "version": staged["version"],
+        }
+        if len(body) <= _TXN_INLINE_MAX_BYTES:
+            entry["manifest"] = manifest
+            return entry
+        stage_dir = os.path.join(self.root, _TXN_STAGE_DIR)
+        os.makedirs(stage_dir, exist_ok=True)
+        # unique per attempt: a retried commit (same marker) must never
+        # overwrite a file an earlier, aborted-but-published record
+        # references
+        ref = os.path.join(_TXN_STAGE_DIR, f"{marker}-{uuid.uuid4().hex[:8]}-{name}.json")
+        with open(os.path.join(self.root, ref), "w") as f:
+            f.write(body)
+            f.flush()
+            os.fsync(f.fileno())
+        entry["manifest_ref"] = ref
+        self._staged_cache[ref] = manifest
+        return entry
 
     def _committed_marker(self, name: str, version: int) -> str | None:
         path = os.path.join(self.table(name).manifest_dir, _manifest_name(version))

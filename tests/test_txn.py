@@ -173,3 +173,43 @@ def test_txn_log_survives_and_orders_restarts(spark, tmp_path):
     assert fresh.table("t").snapshot(spark).count() == 4
     hist = fresh.table("t").history()
     assert [h["version"] for h in hist] == [1, 2, 3, 4]
+
+
+def test_txn_record_stays_small_for_many_file_table(spark, tmp_path, monkeypatch):
+    """A transaction over a many-file table must publish an O(1)-size
+    record: past the inline threshold the manifest spills to an
+    immutable staged file (durable BEFORE the commit point) and the
+    record carries a reference (r5 verdict #3)."""
+    import etl_job_spark.txn as txn_mod
+
+    monkeypatch.setattr(txn_mod, "_TXN_INLINE_MAX_BYTES", 512)
+    root = str(tmp_path / "cat_spill")
+    cat = TransactionalCatalog(root)
+    df = spark.range(0, 200).selectExpr("id as k", "id as v").repartition(8)
+    versions = cat.commit(lambda t: t.overwrite("big", df))
+    assert versions == {"big": 1}
+    rec = cat._read_txn(1)
+    staged = rec["tables"]["big"]
+    assert "manifest" not in staged
+    assert staged["manifest_ref"].startswith("_txns/_staged/")
+    assert staged["version"] == 1 and staged["expected_base"] is None
+    assert os.path.getsize(os.path.join(cat.txn_dir, _txn_name(1))) < 1024
+    assert os.path.isfile(os.path.join(root, staged["manifest_ref"]))
+    # a FRESH catalog (cross-process replay) resolves the spill
+    cat2 = TransactionalCatalog(root)
+    assert cat2.roll_forward() == {"big": 1}
+    assert cat2.table("big").snapshot(spark).count() == 200
+    # crash-heal: lose the published manifest, replay re-publishes it
+    # from the spilled record content
+    from etl_job_spark.table import _manifest_name as _mn
+    man = os.path.join(cat.table("big").manifest_dir, _mn(1))
+    os.remove(man)
+    cat3 = TransactionalCatalog(root)
+    assert cat3.roll_forward() == {"big": 1}
+    assert cat3.table("big").snapshot(spark).count() == 200
+    # a small follow-up txn stays inline (no gratuitous spill) once
+    # the real threshold is back
+    monkeypatch.setattr(txn_mod, "_TXN_INLINE_MAX_BYTES", 65_536)
+    cat3.commit(lambda t: t.overwrite("tiny", _df(spark, [(1, "a")])))
+    rec2 = cat3._read_txn(2)
+    assert "manifest" in rec2["tables"]["tiny"]
