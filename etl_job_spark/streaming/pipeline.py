@@ -463,3 +463,80 @@ def upsert_stream_sink_manifest(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def catalog_merge_batch(
+    catalog,
+    tables: dict[str, dict],
+    app_id: str,
+    batch_df: DataFrame,
+    batch_id: int,
+) -> dict[str, int]:
+    """Land ONE micro-batch into every listed table of a
+    ``TransactionalCatalog`` atomically and exactly once — the batch
+    body of ``upsert_stream_sink_catalog``, factored out so tests and
+    manual replay drive the identical code path.
+
+    Each table's spec is ``{"keys": [...]}`` plus optional
+    ``"transform"`` (callable ``batch_df -> DataFrame``, e.g. the
+    staging→mart projection) and ``"order_col"``. Every merge carries
+    the streaming transaction ``(app_id, batch_id)``, so each table's
+    manifest ledger marks the batch applied; the whole group commits
+    through ONE transaction-log record, so a crash can never leave the
+    staging table with a batch the mart lacks. On replay every merge
+    sees its ledger mark and stages nothing — the catalog publishes no
+    record at all. Returns the committed versions ({} for a fully
+    replayed batch)."""
+    batch_df = batch_df.persist()
+    try:
+
+        def ops(txn) -> None:
+            for name, spec in tables.items():
+                transform = spec.get("transform") or (lambda d: d)
+                txn.merge(
+                    name,
+                    batch_df.sparkSession,
+                    transform(batch_df),
+                    list(spec["keys"]),
+                    spec.get("order_col"),
+                    txn=(app_id, batch_id),
+                )
+
+        return catalog.commit(ops)
+    finally:
+        batch_df.unpersist()
+
+
+def upsert_stream_sink_catalog(
+    stream: DataFrame,
+    catalog_root: str,
+    tables: dict[str, dict],
+    checkpoint: str,
+    txn_app_id: str | None = None,
+):
+    """MULTI-table exactly-once streaming sink: each micro-batch lands
+    in every listed table of one ``TransactionalCatalog`` through a
+    single atomic transaction-log record, with the per-table
+    ``(app_id, batch_id)`` ledger making replays metadata-only no-ops.
+    This is the reference's E1→E2 pair (staging upsert + mart rebuild,
+    load_sales_data.py then kicc_to_tb_sales.py) under a restarted
+    stream: Structured Streaming re-runs the last uncommitted batch
+    after a crash, and here neither table can double-apply it NOR can
+    one table apply it without the other — the two failure modes the
+    single-table sink (``upsert_stream_sink_manifest``) cannot rule
+    out across tables. Spec shape per table: see
+    ``catalog_merge_batch``. The app id defaults to the checkpoint
+    path, the one identity stable across restarts of the same query."""
+    from etl_job_spark.txn import TransactionalCatalog
+
+    catalog = TransactionalCatalog(catalog_root)
+    app_id = txn_app_id or checkpoint.rstrip("/")
+
+    def _land(batch_df: DataFrame, batch_id: int) -> None:
+        catalog_merge_batch(catalog, tables, app_id, batch_df, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

@@ -285,3 +285,69 @@ def test_stream_reads_generator_micros_ntz_directly(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="ts_unit"):
         read_events_stream(spark, out, ts_unit="bogus")
+
+
+def test_multi_table_batch_lands_exactly_once_and_atomically(spark, tmp_path):
+    """The reference's E1→E2 pair (staging merge + mart projection)
+    through the transactional catalog sink: a replayed micro-batch —
+    same (app, batch) id, DIFFERENT content, the post-crash shape —
+    must change neither table, and a crash between the txn commit
+    point and manifest publication must heal so both tables agree."""
+    import os
+
+    from etl_job_spark.streaming.pipeline import catalog_merge_batch
+    from etl_job_spark.table import _manifest_name
+    from etl_job_spark.txn import TransactionalCatalog
+
+    root = str(tmp_path / "cat_stream")
+    cat = TransactionalCatalog(root)
+    app = "ckpt/app1"
+    spec = {
+        "staging": {"keys": ["k"]},
+        "mart": {
+            "keys": ["k"],
+            # the E2 projection: rename + derived column
+            "transform": lambda d: d.selectExpr("k", "upper(v) as mv"),
+        },
+    }
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    versions = catalog_merge_batch(cat, spec, app, b0, 0)
+    assert versions == {"staging": 1, "mart": 1}
+    # replay batch 0 with different content (content is not
+    # deterministic across a crash): EXACTLY once — nothing changes
+    b0_replay = spark.createDataFrame([(1, "XXX"), (9, "z")], "k long, v string")
+    assert catalog_merge_batch(cat, spec, app, b0_replay, 0) == {}
+    assert {r["v"] for r in cat.table("staging").snapshot(spark).collect()} == {"a", "b"}
+    assert {r["mv"] for r in cat.table("mart").snapshot(spark).collect()} == {"A", "B"}
+    # batch 1 applies to both
+    b1 = spark.createDataFrame([(2, "b2"), (3, "c")], "k long, v string")
+    assert catalog_merge_batch(cat, spec, app, b1, 1) == {"staging": 2, "mart": 2}
+    # crash between commit point and manifest publication: drop the
+    # MART manifest only — the asymmetric state a non-atomic two-table
+    # sink would be stuck in
+    os.remove(os.path.join(cat.table("mart").manifest_dir, _manifest_name(2)))
+    cat2 = TransactionalCatalog(root)  # fresh process
+    state = cat2.roll_forward()
+    assert state == {"staging": 2, "mart": 2}
+    staging = {r["k"]: r["v"] for r in cat2.table("staging").snapshot(spark).collect()}
+    mart = {r["k"]: r["mv"] for r in cat2.table("mart").snapshot(spark).collect()}
+    assert staging == {1: "a", 2: "b2", 3: "c"}
+    assert mart == {k: v.upper() for k, v in staging.items()}
+    # replays of BOTH applied batches through the fresh catalog: no-ops
+    assert catalog_merge_batch(cat2, spec, app, b0_replay, 0) == {}
+    assert catalog_merge_batch(cat2, spec, app, b1, 1) == {}
+
+
+def test_catalog_stream_sink_writer_builds(spark, tmp_path):
+    """The writer constructs against a real (unstarted) stream with the
+    checkpoint-derived app id — the same smoke contract as the
+    single-table manifest sink."""
+    from etl_job_spark.streaming.pipeline import upsert_stream_sink_catalog
+
+    w = upsert_stream_sink_catalog(
+        spark.readStream.format("rate").load(),
+        str(tmp_path / "cat"),
+        {"t1": {"keys": ["value"]}},
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert w is not None
