@@ -395,7 +395,72 @@ def ivf_build_index(
     _assigned_corpus(vectors, cents, id_col).write.mode("overwrite").partitionBy(
         "cid"
     ).parquet(f"{index_path}/assignment")
+    # staleness ledger: one base row now, one row per later ivf_append
+    n_base = vectors.count()
+    spark.createDataFrame([("base", n_base)], "kind string, n bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_path}/meta")
     return cents
+
+
+def _load_centroids(spark, index_path: str) -> list[list[int]]:
+    cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
+    return [list(map(int, r.centroid)) for r in sorted(cent_rows, key=lambda r: r.cid)]
+
+
+def ivf_append(
+    spark,
+    index_path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+) -> dict:
+    """Append new vectors to a persisted IVF index WITHOUT retraining
+    or rewriting any existing inverted list — the standard serving
+    pattern (r5 verdict #5): the FROZEN quantizer (the persisted
+    centroid table) assigns each new vector to its nearest list, and
+    the assignment parquet gains append-mode files under the same
+    ``cid=…`` partition directories. Existing files are untouched, so
+    results for previously indexed vectors keep their exact scores;
+    the next ``ivf_search`` sees the new vectors immediately (same
+    partition-pruned scan).
+
+    The quantizer drifts as the corpus grows — appended vectors land
+    in lists trained on the old distribution, so probe recall decays
+    slowly. The index's ``meta`` ledger counts appended-vs-base rows;
+    ``ivf_index_staleness`` turns that into a retrain recommendation
+    (rebuild with ``ivf_build_index`` — idempotent-by-replacement).
+    Returns the staleness summary after the append."""
+    cents = _load_centroids(spark, index_path)
+    _assigned_corpus(vectors, cents, id_col).write.mode("append").partitionBy(
+        "cid"
+    ).parquet(f"{index_path}/assignment")
+    n_new = vectors.count()
+    spark.createDataFrame([("append", n_new)], "kind string, n bigint").coalesce(
+        1
+    ).write.mode("append").parquet(f"{index_path}/meta")
+    return ivf_index_staleness(spark, index_path)
+
+
+_IVF_RETRAIN_APPEND_FRACTION = 0.2
+
+
+def ivf_index_staleness(spark, index_path: str) -> dict:
+    """Staleness summary of a persisted IVF index:
+    ``{"n_base", "n_appended", "appended_fraction", "recommend_retrain"}``.
+    Retrain is recommended once appends exceed
+    ``_IVF_RETRAIN_APPEND_FRACTION`` of the trained base — past that
+    the frozen quantizer's lists no longer reflect the corpus
+    distribution and probe recall degrades."""
+    rows = spark.read.parquet(f"{index_path}/meta").collect()
+    n_base = sum(int(r.n) for r in rows if r.kind == "base")
+    n_app = sum(int(r.n) for r in rows if r.kind == "append")
+    frac = (n_app / n_base) if n_base else float("inf")
+    return {
+        "n_base": n_base,
+        "n_appended": n_app,
+        "appended_fraction": frac,
+        "recommend_retrain": frac > _IVF_RETRAIN_APPEND_FRACTION,
+    }
 
 
 def ivf_search(
@@ -415,8 +480,7 @@ def ivf_search(
     probed lists' files — unprobed inverted lists cost zero I/O. Same
     output contract and identical results to ``ivf_topk`` with the
     same training parameters."""
-    cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
-    cents = [list(map(int, r.centroid)) for r in sorted(cent_rows, key=lambda r: r.cid)]
+    cents = _load_centroids(spark, index_path)
     probed = _probe_queries(queries, cents, n_probe, id_col)
     probe_cids = sorted({r.cid for r in probed.select("cid").distinct().collect()})
     assigned = spark.read.parquet(f"{index_path}/assignment").filter(

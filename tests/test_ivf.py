@@ -171,3 +171,55 @@ spark.stop()
     g1 = sorted(tuple(r) for r in similarity.ivf_search(spark, idx_here, queries, k=5).collect())
     g2 = sorted(tuple(r) for r in similarity.ivf_search(spark, idx_other, queries, k=5).collect())
     assert g1 == g2
+
+
+def test_ivf_append_serves_new_vectors_without_rewriting_lists(spark, sf_dir, tmp_path):
+    """Incremental maintenance: append assigns with the FROZEN
+    quantizer and adds files under the existing cid partitions — no
+    inverted list is rewritten, previously indexed pairs keep their
+    exact scores, the appended vectors are immediately searchable, and
+    the staleness ledger recommends retrain once appends pass the
+    threshold."""
+    import os
+
+    emb = _emb(spark, sf_dir)
+    ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").collect()]
+    cut = ids[int(len(ids) * 0.8)]
+    base, extra = emb.filter(F.col("vec_id") < cut), emb.filter(F.col("vec_id") >= cut)
+    idx = str(tmp_path / "ivf_app")
+    similarity.ivf_build_index(base, idx, n_centroids=8, n_iters=2)
+
+    def files():
+        out = set()
+        for root, _d, names in os.walk(os.path.join(idx, "assignment")):
+            out |= {os.path.join(root, n) for n in names if n.endswith(".parquet")}
+        return out
+
+    before_files = files()
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    before = {
+        (r.q_id, r.n_id): round(r.cosine, 9)
+        for r in similarity.ivf_search(spark, idx, queries, k=20, n_probe=4).collect()
+    }
+    stale = similarity.ivf_append(spark, idx, extra)
+    # no existing file rewritten: strict superset of the old file set
+    after_files = files()
+    assert before_files < after_files
+    # ledger arithmetic + retrain recommendation (20% appended > threshold? 25%)
+    assert stale["n_base"] == base.count() and stale["n_appended"] == extra.count()
+    assert stale["recommend_retrain"] == (stale["appended_fraction"] > 0.2)
+    after = similarity.ivf_search(spark, idx, queries, k=20, n_probe=4).collect()
+    # old pairs that survive the cutoff keep their EXACT scores
+    old_pairs = {
+        (r.q_id, r.n_id): round(r.cosine, 9) for r in after if r.n_id < cut
+    }
+    assert old_pairs.items() <= before.items()
+    # an appended vector is its own nearest neighbour under the frozen
+    # quantizer: querying WITH an appended vector must surface other
+    # corpus rows, and querying near one finds it
+    probe_new = emb.filter(F.col("vec_id") >= cut).limit(1)
+    new_id = probe_new.first().vec_id
+    found = {r.n_id for r in after}
+    assert any(n >= cut for n in found), "appended vectors never surfaced"
+    got = similarity.ivf_search(spark, idx, probe_new, k=5, n_probe=8).collect()
+    assert got and all(r.q_id == new_id for r in got)
