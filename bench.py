@@ -77,7 +77,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
-    for name, fn in QUERIES.items():
+    # optional subset run (e.g. the 8 headliners at a second scale
+    # factor for BENCH_SF2.json): comma-separated names; unknown names
+    # fail loudly so a typo can't silently bench nothing
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    queries = dict(QUERIES)
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = sorted(set(names) - set(queries))
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY names not registered: {unknown}")
+        queries = {n: queries[n] for n in names}
+
+    for name, fn in queries.items():
         runs: list[float] = []
         try:
             for _ in range(reps):

@@ -9,7 +9,7 @@ pruning / join selection), broadcast joins for small dims, explicit
 partitioning on merge keys, and no driver-side row loops anywhere.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from etl_job_spark.catalog import Catalog  # noqa: F401
 from etl_job_spark.operators.merge import merge_upsert  # noqa: F401
@@ -19,5 +19,6 @@ from etl_job_spark.table import (  # noqa: F401
     CommitConflictError,
     ConstraintViolationError,
     ManifestTable,
+    predicate_column,
 )
 from etl_job_spark.txn import TransactionalCatalog  # noqa: F401

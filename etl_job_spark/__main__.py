@@ -113,6 +113,17 @@ def main(argv: list[str] | None = None) -> int:
         help="for compact with --cluster-by: interleave quantile-bucket "
         "bits (space-filling curve) so EVERY listed dimension skips",
     )
+    tb.add_argument(
+        "--small-files-only",
+        action="store_true",
+        help="for compact: bin-pack only fragmented/DV-carrying files "
+        "(incremental OPTIMIZE — cost scales with fragmentation, not "
+        "table size); incompatible with --cluster-by/--zorder",
+    )
+    tb.add_argument(
+        "--rows-per-file", type=int, default=1_000_000,
+        help="for compact: target rows per output file",
+    )
 
     args = ap.parse_args(argv)
 
@@ -212,10 +223,25 @@ def main(argv: list[str] | None = None) -> int:
                      "n_preview": len(rows), "rows": rows}, default=str))
             elif args.action == "compact":
                 cluster = args.cluster_by.split(",") if args.cluster_by else None
-                v = t.compact(spark, cluster_by=cluster, zorder=args.zorder)
-                print(json.dumps(
-                    {"path": args.path, "version": v, "cluster_by": cluster or [],
-                     "zorder": bool(cluster) and args.zorder}))
+                if args.small_files_only:
+                    if cluster or args.zorder:
+                        print("--small-files-only cannot cluster/zorder "
+                              "(bin-packing preserves no global order)",
+                              file=sys.stderr)
+                        return 2
+                    v = t.compact_small_files(
+                        spark, target_rows_per_file=args.rows_per_file
+                    )
+                    print(json.dumps(
+                        {"path": args.path, "version": v, "small_files_only": True}))
+                else:
+                    v = t.compact(
+                        spark, target_rows_per_file=args.rows_per_file,
+                        cluster_by=cluster, zorder=args.zorder,
+                    )
+                    print(json.dumps(
+                        {"path": args.path, "version": v, "cluster_by": cluster or [],
+                         "zorder": bool(cluster) and args.zorder}))
             elif args.action == "vacuum":
                 n = t.vacuum(keep_last=args.keep_last)
                 print(json.dumps({"path": args.path, "deleted_files": n}))

@@ -2273,6 +2273,85 @@ class ManifestTable:
 
         return self._with_commit_retries(attempt)
 
+    def compact_small_files(
+        self,
+        spark: SparkSession,
+        target_rows_per_file: int = 1_000_000,
+        small_file_rows: int | None = None,
+    ) -> int:
+        """INCREMENTAL compaction — the at-scale counterpart of
+        ``compact``: bin-pack only the FRAGMENTED files (fewer than
+        ``small_file_rows`` rows, default half the target) plus any
+        file carrying deletion vectors (the rewrite materializes the
+        DV away, shrinking every future read's anti-join); every
+        already-well-sized file is carried into the new manifest by
+        reference, and fully-dead files are dropped outright. Cost
+        scales with the fragmentation a merge/streaming writer
+        actually produced, not with table size — ``compact`` on a
+        100 TB table rewrites 100 TB to cure a few thousand sliver
+        files; this rewrites the slivers. Returns the new version
+        (the current one when there is nothing worth rewriting).
+
+        Partitioned tables cluster the rewrite on their partition
+        columns (one task per touched partition — the same write shape
+        as MERGE); clustering/z-ordering beyond that remains
+        ``compact(cluster_by=…)``'s job, since bin-packing arbitrary
+        small files cannot preserve a global sort."""
+        if small_file_rows is None:
+            small_file_rows = max(1, target_rows_per_file // 2)
+
+        def attempt() -> int:
+            base = self.latest_version()
+            if base is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+            man = self._read_manifest(base)
+            carried, rewrite = [], []
+            for e in man["files"]:
+                if _fully_dead(e):
+                    continue  # garbage-collected by this commit
+                has_dv = bool(e.get("dv") or e.get("dv_ref"))
+                rows = e.get("rows") or 0
+                live = rows - _dv_count(e)
+                if has_dv or live < small_file_rows:
+                    rewrite.append(e)
+                else:
+                    carried.append(e)
+            n_dead = len(man["files"]) - len(carried) - len(rewrite)
+            if len(rewrite) <= 1 and not any(
+                e.get("dv") or e.get("dv_ref") for e in rewrite
+            ) and n_dead == 0:
+                return base  # nothing to pack, nothing to drop
+            partition_by = man["partition_by"]
+            schema = self._manifest_schema(man)
+            new_entries: list[dict] = []
+            if rewrite:
+                df = self._read_files(spark, rewrite)
+                if schema is not None:
+                    df = _align(df, schema)
+                n = df.count()
+                n_files = max(1, -(-n // target_rows_per_file))
+                if partition_by:
+                    out = df.repartition(*[F.col(c) for c in partition_by])
+                else:
+                    out = df.repartition(n_files)
+                new_entries = self._write_data_files(
+                    out, partition_by or None, bloom_cols=man.get("bloom_cols")
+                )
+            if schema is None:
+                schema = self.snapshot(spark, base).schema
+            op = {
+                "op": "compact_small_files",
+                "rewritten": len(rewrite),
+                "carried": len(carried),
+                "dropped_dead": n_dead,
+            }
+            return self._commit(
+                carried + new_entries, schema, partition_by or None, base, op,
+                bloom_cols=man.get("bloom_cols"),
+            )
+
+        return self._with_commit_retries(attempt)
+
     def history(self) -> list[dict]:
         """Audit trail from the manifests: one row per retained
         version with its operation tag, file count, and footer row

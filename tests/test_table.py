@@ -1525,3 +1525,69 @@ def test_snapshot_where_applies_deletion_vectors(spark, tmp_path):
     t.delete_keys(spark, "k", [12, 15], mode="merge_on_read")
     got = sorted(r["k"] for r in t.snapshot_where(spark, [("k", "between", (10, 20))]).collect())
     assert got == [10, 11, 13, 14, 16, 17, 18, 19, 20]
+
+
+# -- incremental compaction --------------------------------------------
+
+
+def test_compact_small_files_rewrites_only_slivers(spark, tmp_path):
+    """Bin-packing cost must scale with fragmentation: the well-sized
+    file is carried by reference (same path), the sliver files merge
+    into one, and the data is unchanged."""
+    t = ManifestTable(str(tmp_path / "csf"))
+    big = spark.range(0, 10_000).selectExpr("id as k", "id as v").coalesce(1)
+    t.overwrite(big)
+    for i in range(4):  # streaming-writer fragmentation
+        t.append(
+            spark.createDataFrame([(100_000 + i, i)], "k long, v long").coalesce(1)
+        )
+    man = t._read_manifest(t.latest_version())
+    big_paths = {e["path"] for e in man["files"] if e["rows"] >= 10_000}
+    assert len(big_paths) == 1 and len(man["files"]) == 5
+    v = t.compact_small_files(spark, target_rows_per_file=10_000, small_file_rows=100)
+    man2 = t._read_manifest(v)
+    paths2 = {e["path"] for e in man2["files"]}
+    assert big_paths <= paths2  # untouched, carried by reference
+    assert len(man2["files"]) == 2  # 1 big + 1 packed sliver file
+    assert t.snapshot(spark).count() == 10_004
+    # idempotent: nothing left to pack
+    assert t.compact_small_files(spark, 10_000, small_file_rows=100) == v
+
+
+def test_compact_small_files_materializes_deletion_vectors(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "csfdv"))
+    t.overwrite(
+        spark.range(0, 1000).selectExpr("id as k", "id as v")
+        .repartitionByRange(2, "k").sortWithinPartitions("k")
+    )
+    t.delete_keys(spark, "k", [5, 7, 999], mode="merge_on_read", mor_row_limit=10**6)
+    man = t._read_manifest(t.latest_version())
+    assert any(e.get("dv") or e.get("dv_ref") for e in man["files"])
+    # files are well-sized, but the DV'd ones still rewrite
+    v = t.compact_small_files(spark, target_rows_per_file=1000, small_file_rows=10)
+    man2 = t._read_manifest(v)
+    assert not any(e.get("dv") or e.get("dv_ref") for e in man2["files"])
+    assert sorted(r["k"] for r in t.snapshot(spark).collect()) == sorted(
+        set(range(1000)) - {5, 7, 999}
+    )
+
+
+def test_compact_small_files_partitioned_drops_dead_and_packs_per_partition(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "csfp"))
+    rows = [(f"d{i % 2}", i, i) for i in range(100)]
+    t.overwrite(
+        spark.createDataFrame(rows, "dy string, k long, v long")
+        .repartition(F.col("dy")),
+        partition_by=["dy"],
+    )
+    # fragment one partition with appends, fully-kill nothing yet
+    for i in range(3):
+        t.append(spark.createDataFrame([("d0", 1000 + i, i)], "dy string, k long, v long"))
+    before = t.snapshot(spark).count()
+    v = t.compact_small_files(spark, target_rows_per_file=1000, small_file_rows=1000)
+    assert t.snapshot(spark).count() == before
+    man = t._read_manifest(v)
+    # per-partition clustering: one file per partition value
+    assert len(man["files"]) == 2
+    parts = {e["partition"]["dy"] for e in man["files"]}
+    assert parts == {"d0", "d1"}
