@@ -90,30 +90,49 @@ class Catalog:
 
     # -- verbs --------------------------------------------------------
 
-    def load(self, spark: SparkSession, name: str) -> DataFrame:
+    def load(
+        self, spark: SparkSession, name: str, where: list[tuple] | None = None
+    ) -> DataFrame:
+        """Load a table by logical name. ``where`` is an optional
+        conjunctive predicate spec ``[(col, op, value), …]`` (the
+        ``snapshot_where`` spec): manifest-backed tables plan it as
+        read-path data skipping (stats + bloom + partition pruning of
+        the file list BEFORE the scan); every other backend applies it
+        as an ordinary filter, which Catalyst pushes into the scan —
+        same rows either way, so pipelines can pass predicates without
+        knowing the backend."""
+        from etl_job_spark.table import predicate_column
+
         spec = self._spec(name)
         backend = spec["backend"]
         if backend == "parquet":
-            return spark.read.parquet(spec["path"])
+            df = spark.read.parquet(spec["path"])
+            return df.filter(predicate_column(where)) if where else df
         if backend == "driver":
             from etl_job_spark.sources.catalog import load_table
 
-            return load_table(spark, spec["sf_dir"], spec["table"])
+            df = load_table(spark, spec["sf_dir"], spec["table"])
+            return df.filter(predicate_column(where)) if where else df
         if backend == "manifest":
             from etl_job_spark.table import ManifestTable
 
-            return ManifestTable(spec["path"]).snapshot(spark, version=spec.get("version"))
+            t = ManifestTable(spec["path"])
+            if where:
+                return t.snapshot_where(spark, where, version=spec.get("version"))
+            return t.snapshot(spark, version=spec.get("version"))
         # jdbc
         cfg = self._jdbc_cfg(spec)
         from etl_job_spark.sources.jdbc import read_table
 
-        return read_table(
+        df = read_table(
             spark,
             cfg,
             spec["table"],
             partition_column=spec.get("partition_column"),
             num_partitions=int(spec.get("num_partitions", 8)),
         )
+        # Catalyst pushes the filter into the JDBC WHERE clause
+        return df.filter(predicate_column(where)) if where else df
 
     def merge(
         self,

@@ -66,9 +66,19 @@ _TXN_STAGE_DIR = os.path.join(_TXN_DIR, "_staged")
 # records over a 100k-file table stay O(1), not O(table files)
 _TXN_INLINE_MAX_BYTES = 65_536
 
+# commit() publishes a log checkpoint once this many records have
+# accumulated past the previous checkpoint — cross-process replay
+# stays O(interval), the same bound the manifest log's delta
+# checkpoints give a single table
+_TXN_CHECKPOINT_INTERVAL = 16
+
 
 def _txn_name(txn_id: int) -> str:
     return f"t{txn_id:09d}.json"
+
+
+def _ckpt_name(upto: int) -> str:
+    return f"c{upto:09d}.json"
 
 
 class Transaction:
@@ -157,9 +167,10 @@ class TransactionalCatalog:
         # instance's lifetime; _applied tracks (table, version) pairs
         # this instance already verified on disk, so repeated
         # roll_forward calls do O(new records) work, not O(history).
-        # (Cross-process opens still replay the whole log — a
-        # production variant would checkpoint applied state the way
-        # the table's manifest log checkpoints its file lists.)
+        # Cross-process opens replay from the newest LOG CHECKPOINT
+        # (published by commit() every _TXN_CHECKPOINT_INTERVAL
+        # records), so they are O(interval) too; vacuum() reclaims the
+        # records and spill files a checkpoint makes dead.
         self._txn_cache: dict[int, dict] = {}
         self._applied: set[tuple[str, int]] = set()
         # spilled-manifest cache: staged files are immutable once a
@@ -255,13 +266,38 @@ class TransactionalCatalog:
             )
         self._applied.add((name, manifest["version"]))
 
-    def roll_forward(self) -> dict[str, int]:
-        """Replay the log, publishing every APPLIED record's manifests;
-        returns each table's current version. Deterministic: apply/abort
-        depends only on the log prefix (see module docstring), so any
-        process crashes included arrives at the same state."""
-        state: dict[str, int | None] = {}
+    def _ckpt_ids(self) -> list[int]:
+        if not os.path.isdir(self.txn_dir):
+            return []
+        out = []
+        for n in os.listdir(self.txn_dir):
+            if n.startswith("c") and n.endswith(".json"):
+                out.append(int(n[1:-5]))
+        return sorted(out)
+
+    def _latest_checkpoint(self) -> tuple[int, dict]:
+        """(upto, state) of the newest log checkpoint — (0, {}) when
+        none exists. The state dict is the FULL replay state through
+        record ``upto``, including tables whose only appearance was in
+        an aborted record (their pinned starting version participates
+        in later apply/abort verdicts)."""
+        ids = self._ckpt_ids()
+        if not ids:
+            return 0, {}
+        with open(os.path.join(self.txn_dir, _ckpt_name(ids[-1]))) as f:
+            ck = json.load(f)
+        return int(ck["upto"]), dict(ck["state"])
+
+    def _replay(self) -> tuple[dict[str, int | None], int]:
+        """Replay from the newest checkpoint: (full state, last record
+        id seen). Publishes every applied record's manifests on the
+        way (idempotent)."""
+        upto, state = self._latest_checkpoint()
+        last = upto
         for txn_id in self._txn_ids():
+            if txn_id <= upto:
+                continue  # covered by the checkpoint
+            last = txn_id
             rec = self._read_txn(txn_id)
             tables = rec["tables"]
             for name, staged in tables.items():
@@ -274,7 +310,80 @@ class TransactionalCatalog:
             for name, staged in tables.items():
                 self._apply(name, staged)
                 state[name] = self._staged_version(staged)
+        return state, last
+
+    def roll_forward(self) -> dict[str, int]:
+        """Replay the log, publishing every APPLIED record's manifests;
+        returns each table's current version. Deterministic: apply/abort
+        depends only on the log prefix (see module docstring), so any
+        process crashes included arrives at the same state. Replay
+        starts from the newest log CHECKPOINT, so a fresh process does
+        O(records since checkpoint) work, not O(history)."""
+        state, _last = self._replay()
         return {k: v for k, v in state.items() if v is not None}
+
+    def checkpoint(self) -> int | None:
+        """Publish a log checkpoint covering every current record;
+        returns its upto id (None on an empty log). Content is a pure
+        function of the log prefix, so racing checkpointers write
+        byte-identical files and the put-if-absent link can treat
+        EEXIST as success. Applied records' manifests are published
+        before the checkpoint lands (\\_replay applies on the way), so
+        a reader trusting the checkpoint never needs a pre-checkpoint
+        record again — which is what makes ``vacuum`` sound."""
+        state, last = self._replay()
+        if last == 0:
+            return None
+        if last in self._ckpt_ids():
+            return last  # already covered
+        os.makedirs(self.txn_dir, exist_ok=True)
+        tmp = os.path.join(self.txn_dir, f".tmp-{uuid.uuid4().hex}.json")
+        final = os.path.join(self.txn_dir, _ckpt_name(last))
+        with open(tmp, "w") as f:
+            json.dump({"upto": last, "state": state}, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            pass  # a racing checkpointer wrote the identical content
+        finally:
+            os.unlink(tmp)
+        return last
+
+    def vacuum(self) -> int:
+        """Reclaim log space made dead by the newest checkpoint:
+        records at or below its upto id, earlier checkpoints, and
+        staged-manifest spill files no retained record references.
+        Returns the number of files removed. Safe because replay never
+        reads below the newest checkpoint and every applied record's
+        manifests were published before that checkpoint landed."""
+        upto, _state = self._latest_checkpoint()
+        removed = 0
+        if upto:
+            for txn_id in self._txn_ids():
+                if txn_id <= upto:
+                    os.unlink(os.path.join(self.txn_dir, _txn_name(txn_id)))
+                    self._txn_cache.pop(txn_id, None)
+                    removed += 1
+            for ck in self._ckpt_ids():
+                if ck < upto:
+                    os.unlink(os.path.join(self.txn_dir, _ckpt_name(ck)))
+                    removed += 1
+        live_refs = {
+            staged.get("manifest_ref")
+            for txn_id in self._txn_ids()
+            for staged in self._read_txn(txn_id)["tables"].values()
+        }
+        stage_dir = os.path.join(self.root, _TXN_STAGE_DIR)
+        if os.path.isdir(stage_dir):
+            for n in os.listdir(stage_dir):
+                ref = os.path.join(_TXN_STAGE_DIR, n)
+                if ref not in live_refs:
+                    os.unlink(os.path.join(stage_dir, n))
+                    self._staged_cache.pop(ref, None)
+                    removed += 1
+        return removed
 
     @staticmethod
     def _staged_version(staged: dict) -> int:
@@ -295,6 +404,9 @@ class TransactionalCatalog:
         marker = uuid.uuid4().hex
         for _ in range(self._COMMIT_RETRIES + 1):
             self.roll_forward()
+            ck_upto = self._latest_checkpoint()[0]
+            if sum(1 for i in self._txn_ids() if i > ck_upto) >= _TXN_CHECKPOINT_INTERVAL:
+                ck_upto = self.checkpoint() or ck_upto
             txn = Transaction(self)
             ops(txn)
             if not txn.staged:
@@ -307,7 +419,9 @@ class TransactionalCatalog:
             }
             ids = self._txn_ids()
             record = {
-                "id": (ids[-1] + 1) if ids else 1,
+                # ids keep increasing across a vacuumed (empty) record
+                # dir — the checkpoint pins the high-water mark
+                "id": max((ids[-1] + 1) if ids else 1, ck_upto + 1),
                 "marker": marker,
                 "tables": record_tables,
             }

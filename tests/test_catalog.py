@@ -124,3 +124,15 @@ def test_jdbc_overwrite_reading_itself_does_not_lose_data(spark, backends):
         (r.sp_code, r.sale_date): float(r.amt) for r in cat.load(spark, "sales").collect()
     }
     assert after == {k: v + 1.0 for k, v in before.items()}
+
+
+def test_load_where_same_rows_every_backend(spark, backends):
+    """Catalog.load(where=...) must return identical rows regardless of
+    backend: manifest tables plan it as read-path file pruning, the
+    others as a pushed-down filter."""
+    preds = [("sp_code", "=", "000001"), ("sale_date", ">=", "19980102")]
+    expect = [("000001", "19980102", 5.0)]
+    for backend, spec in backends.items():
+        cat = Catalog({"sales": spec})
+        got = sorted(map(tuple, cat.load(spark, "sales", where=preds).collect()))
+        assert got == expect, (backend, got)

@@ -213,3 +213,66 @@ def test_txn_record_stays_small_for_many_file_table(spark, tmp_path, monkeypatch
     cat3.commit(lambda t: t.overwrite("tiny", _df(spark, [(1, "a")])))
     rec2 = cat3._read_txn(2)
     assert "manifest" in rec2["tables"]["tiny"]
+
+
+def test_txn_log_checkpoint_bounds_replay_and_vacuum_reclaims(spark, tmp_path, monkeypatch):
+    """A fresh process must resolve catalog state from the newest log
+    checkpoint alone: after checkpoint + vacuum the pre-checkpoint
+    records and their spill files are GONE, yet replay still lands on
+    the same versions and commits keep monotonically increasing ids."""
+    import etl_job_spark.txn as txn_mod
+
+    monkeypatch.setattr(txn_mod, "_TXN_CHECKPOINT_INTERVAL", 4)
+    root = str(tmp_path / "cat_ck")
+    cat = TransactionalCatalog(root)
+    for i in range(6):  # 6 records; a checkpoint lands once >= 4 accumulate
+        cat.commit(lambda t, i=i: t.overwrite("t1", _df(spark, [(i, f"v{i}")])))
+    assert cat._ckpt_ids(), "auto-checkpoint never published"
+    upto = cat._latest_checkpoint()[0]
+    assert upto >= 4
+    n_removed = cat.vacuum()
+    assert n_removed >= upto  # the covered records are reclaimed
+    assert all(i > upto for i in cat._txn_ids())
+    # fresh process: state comes from checkpoint + surviving records
+    cat2 = TransactionalCatalog(root)
+    state = cat2.roll_forward()
+    assert state["t1"] == 6
+    assert {r["v"] for r in cat2.table("t1").snapshot(spark).collect()} == {"v5"}
+    # ids keep increasing past the vacuumed range
+    v = cat2.commit(lambda t: t.overwrite("t1", _df(spark, [(9, "z")])))
+    assert v == {"t1": 7}
+    assert min(cat2._txn_ids()) > upto
+
+
+def test_txn_checkpoint_preserves_abort_determinism(spark, tmp_path):
+    """A table whose starting version was pinned by a PRE-checkpoint
+    record (even an aborted one) must keep the same apply/abort
+    verdicts after replay switches to the checkpoint."""
+    import json as _json
+
+    root = str(tmp_path / "cat_det")
+    cat = TransactionalCatalog(root)
+    cat.commit(lambda t: t.overwrite("a", _df(spark, [(1, "x")])))
+    cat.commit(lambda t: t.overwrite("a", _df(spark, [(2, "y")])))
+    # hand-plant an aborted record: expected_base 0 against actual 2
+    rec = {
+        "id": 3,
+        "marker": "m",
+        "tables": {
+            "a": {
+                "expected_base": 0,
+                "version": 1,
+                "manifest": {"version": 1, "base_version": 0, "files": [],
+                             "schema": "struct<>", "partition_by": [],
+                             "operation": {}},
+            }
+        },
+    }
+    with open(os.path.join(cat.txn_dir, _txn_name(3)), "w") as f:
+        _json.dump(rec, f)
+    before = TransactionalCatalog(root).roll_forward()
+    ck = cat.checkpoint()
+    assert ck == 3
+    cat.vacuum()
+    after = TransactionalCatalog(root).roll_forward()
+    assert after == before == {"a": 2}
