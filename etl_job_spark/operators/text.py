@@ -283,3 +283,50 @@ def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
             (F.size("g2") - F.size(F.array_distinct("g2"))) * 20 > F.size("g2")
         ).cast("int").alias("repetitive"),
     )
+
+
+def remove_repeated_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 5,
+    delim: str = "\n",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet/MassiveText-style boilerplate removal: drop every LINE
+    that appears verbatim in at least ``min_docs`` DISTINCT documents
+    (nav bars, cookie banners, subscribe prompts — the segments whose
+    per-document context is noise at training time), then reassemble
+    each document's surviving lines in their original order. A
+    document whose every line is boilerplate disappears entirely —
+    a pure-boilerplate page is exactly what the filter exists to drop.
+
+    Shape at scale: ONE shuffle keyed on the line text computes the
+    distinct-document count (map-side partial aggregation collapses a
+    line's repeats within each task first), the hot set joins back as
+    a left-anti join (its size is data-dependent — at most
+    total_lines / min_docs — so the strategy is left to Catalyst/AQE
+    rather than forced broadcast), and the per-document reassembly
+    (sort_array over (pos, line) structs) is within-row. Duplicate
+    lines WITHIN one document count once toward hotness and are kept
+    together if the line stays cold — document-internal repetition is
+    ``repetition_scores``'s job, not this filter's."""
+    lines = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(hot, "line", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            delim,
+        ).alias(text_col)
+    )

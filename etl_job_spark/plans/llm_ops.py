@@ -1355,11 +1355,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-gram / 3-gram fractions and the most-frequent-2-gram share —
     the standard signals for dropping degenerate/boilerplate documents
     before training. Entirely within-row array expressions — no
-    shuffle is REQUIRED, but the top-2-gram share is O(distinct×n)
-    string compares per row, which on the small-SF single parquet
-    split runs the whole corpus in one task (7.4 s at sf0.1); the
-    ``_load_spread`` repartition restores core parallelism exactly
-    like text_winnowing's hash ladder (measured 7.45 → ~0.6 s). The
+    shuffle is REQUIRED; the top-2-gram share is one array_sort +
+    one linear aggregate pass per row (O(n log n) — round 6 replaced
+    the earlier O(distinct×n) distinct×filter form that made one
+    degenerate long document a straggler task), and the
+    ``_load_spread`` repartition restores core parallelism on the
+    small-SF single parquet split exactly like text_winnowing. The
     ``repetitive`` flag compares INTEGERS (dup*20 > total), immune to
     final-ULP drift between engines."""
     from etl_job_spark.operators.text import repetition_scores
@@ -1448,3 +1449,54 @@ def corpus_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = mix_to_token_budget(d, "source", "wt", "n_tok", "__total_tok div 2")
     return kept.select("doc_id", "source", "n_tok")
+
+
+# ---------------------------------------------------------------------
+# Boilerplate line removal (CCNet/MassiveText repeated-segment filter)
+# ---------------------------------------------------------------------
+
+BOILER_BANNER = "subscribe to our newsletter for updates"
+
+LINE_DEDUP_SQL = rf"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || chr(10) || '{BOILER_BANNER}'
+              ELSE text END AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, pos, ls[pos] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+       LATERAL (SELECT unnest(generate_series(1, len(ls))) AS pos) u
+), hot AS (
+  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 5
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+FROM lines WHERE line NOT IN (SELECT line FROM hot)
+GROUP BY doc_id
+"""
+
+
+@query("text_line_dedup", LINE_DEDUP_SQL)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/MassiveText boilerplate-line removal: a line appearing
+    verbatim in >= 5 distinct documents (nav bars, cookie banners —
+    here a banner PLANTED onto every 7th document, the same
+    planted-signal pattern as text_contamination) is dropped from
+    every document, surviving lines reassemble in original order.
+    One line-keyed count shuffle with map-side combine + a left-anti
+    join + within-row reassembly; a document that is pure boilerplate
+    disappears entirely. The oracle replays the identical planting and
+    removal relationally, so hotness counting, anti-join semantics,
+    and order-preserving reassembly are all hash-checked."""
+    from etl_job_spark.operators.text import remove_repeated_lines
+
+    docs = _load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat_ws("\n", F.col("text"), F.lit(BOILER_BANNER)),
+        ).otherwise(F.col("text")),
+    )
+    return remove_repeated_lines(planted, min_docs=5)

@@ -144,6 +144,11 @@ _TAIL = [
     "corpus_mix_sources",
     "multimodal_resize",
     "multimodal_feature_extract",
+    # round-6 addition: CCNet/MassiveText boilerplate-line removal
+    # (exact oracle in tests/test_oracle_diff.py; tail because the
+    # 50-slot window stays one-per-component and the text-filter
+    # family is represented in-window by corpus_filter_pipeline)
+    "text_line_dedup",
 ]
 
 

@@ -141,3 +141,25 @@ def test_repetition_top2gram_linear_on_degenerate_doc(spark):
     g2 = Counter(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
     expect = max(g2.values()) / (len(toks) - 1)
     assert rows[1]["top_2gram_frac"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_remove_repeated_lines_semantics(spark):
+    from etl_job_spark.operators.text import remove_repeated_lines
+
+    banner = "click here to subscribe"
+    rows = [
+        (1, f"unique one\n{banner}\nunique two"),
+        (2, f"{banner}\nreal content"),
+        (3, banner),  # pure boilerplate: the whole document drops
+        (4, f"dup line\ndup line\n{banner}"),  # within-doc dup stays
+        (5, f"{banner}\ntail text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in
+           remove_repeated_lines(docs, min_docs=4).collect()}
+    assert out == {
+        1: "unique one\nunique two",
+        2: "real content",
+        4: "dup line\ndup line",
+        5: "tail text",
+    }

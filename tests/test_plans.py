@@ -215,3 +215,16 @@ def test_mix_sources_joins_broadcast_and_corpus_never_shuffles(spark, sf_dir):
     p = plan(QUERIES["corpus_mix_sources"](spark, sf_dir))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_snapshot_where_residual_filter_pushes_to_scan(spark, sf_dir):
+    """Read-path data skipping prunes FILES; the residual predicate
+    must still reach the surviving scans as pushed parquet filters —
+    otherwise every surviving file is read in full and filtered
+    row-by-row above the scan."""
+    p = plan(QUERIES["kicc_mart_window_read"](spark, sf_dir))
+    assert "PushedFilters" in p
+    assert "GreaterThanOrEqual(sale_date" in p and "LessThanOrEqual(sale_date" in p
+    assert "In(sp_code" in p
+    # no join/shuffle machinery: a pruned snapshot read is scan+filter
+    assert "SortMergeJoin" not in p
