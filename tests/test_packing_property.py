@@ -87,3 +87,69 @@ def test_pack_materializes_input_once(spark):
     out = pack_token_shards(upstream, "w", "id", 100, n_buckets=8)
     assert out.count() == 1000
     assert acc.value == 1000  # upstream computed exactly once
+
+
+# -- snapshot_where equivalence (read-path data skipping) ---------------
+
+import pytest as _pytest
+
+pred_values = st.one_of(st.integers(-50, 150), st.none())
+
+
+@st.composite
+def _pred_specs(draw):
+    preds = []
+    for _ in range(draw(st.integers(1, 3))):
+        col = draw(st.sampled_from(["k", "g"]))
+        op = draw(st.sampled_from(["=", "in", "between", "<", "<=", ">", ">="]))
+        if col == "g":
+            v = draw(st.sampled_from(["a", "b", "zz", None]))
+            if op == "in":
+                v = draw(st.lists(st.sampled_from(["a", "b", "zz"]), min_size=1, max_size=3))
+            elif op == "between":
+                v = ("a", draw(st.sampled_from(["b", "zz"])))
+        else:
+            if op == "in":
+                v = draw(st.lists(pred_values, min_size=1, max_size=4))
+            elif op == "between":
+                lo = draw(st.integers(-50, 150))
+                v = (lo, lo + draw(st.integers(0, 80)))
+            else:
+                v = draw(pred_values)
+        preds.append((col, op, v))
+    return preds
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 100),
+            st.one_of(st.sampled_from(["a", "b", "zz"]), st.none()),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    preds=_pred_specs(),
+    partitioned=st.booleans(),
+)
+def test_snapshot_where_equals_brute_filter(spark, tmp_path_factory, rows, preds, partitioned):
+    """The headline read-path contract, property-tested: for ANY small
+    table (nullable partition values included, clustered or
+    hive-partitioned) and ANY conjunctive predicate spec, the pruned
+    read returns exactly filter()'s rows."""
+    from etl_job_spark.table import ManifestTable, predicate_column
+
+    t = ManifestTable(str(tmp_path_factory.mktemp("swprop") / "t"))
+    df = spark.createDataFrame([(k, g, float(k)) for k, g in rows], "k long, g string, v double")
+    if partitioned:
+        t.overwrite(df.repartition(F.col("g")), partition_by=["g"])
+    else:
+        t.overwrite(df.repartitionByRange(3, "k"))
+    key = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
+    got = sorted(map(tuple, t.snapshot_where(spark, preds).collect()), key=key)
+    exp = sorted(
+        map(tuple, t.snapshot(spark).filter(predicate_column(preds)).collect()),
+        key=key,
+    )
+    assert got == exp, (preds, got, exp)
