@@ -853,6 +853,114 @@ def _zorder_key(df: DataFrame, cols: Sequence[str]) -> Column:
     return key.cast("bigint")
 
 
+# -- hidden partitioning (Iceberg-style partition transforms) ---------
+#
+# A partition_by entry is either a raw column name or a TRANSFORM over
+# one: days(ts) / months(ts) / truncate(N, col) / bucket(N, col). The
+# table partitions its directories on the DERIVED value while the data
+# files keep the source column untouched — queries filter the source
+# column and never know the layout (per-file footer stats on the
+# source column carry the fine-grained pruning; the transform dirs
+# give merge/delete their touched-partition lists and keep the write
+# clustered by the natural key). Derivation happens in ONE place
+# (_write_data_files), so overwrite/append/merge/delete/compact all
+# inherit it.
+
+_TRANSFORM_RE = r"^(days|months|bucket|truncate)\((?:\s*(\d+)\s*,)?\s*([A-Za-z0-9_]+)\s*\)$"
+
+
+class _PartitionField:
+    """One partition_by entry, resolved: ``dirname`` is the hive
+    directory key, ``source`` the column it derives from (== dirname
+    for raw columns), ``kind`` in {raw, days, months, bucket,
+    truncate}, ``arg`` the N of bucket/truncate."""
+
+    def __init__(self, spec: str):
+        import re as _re
+
+        self.spec = spec
+        m = _re.match(_TRANSFORM_RE, spec.strip())
+        if m is None:
+            if "(" in spec:
+                raise ValueError(
+                    f"partition transform {spec!r}: supported forms are "
+                    "days(col), months(col), bucket(N, col), truncate(N, col)"
+                )
+            self.kind, self.arg, self.source = "raw", None, spec.strip()
+            self.dirname = self.source
+            return
+        self.kind = m.group(1)
+        self.arg = int(m.group(2)) if m.group(2) else None
+        self.source = m.group(3)
+        if self.kind in ("bucket", "truncate") and not self.arg:
+            raise ValueError(f"partition transform {spec!r} needs its N argument")
+        suffix = {"days": "day", "months": "month", "bucket": "bucket", "truncate": "trunc"}
+        self.dirname = f"{self.source}_{suffix[self.kind]}"
+
+    def column(self) -> Column:
+        """The derived partition value as a Spark column — string-typed
+        so the hive directory spelling IS the logical value (the same
+        string-in-the-log contract raw partition columns use)."""
+        c = F.col(self.source)
+        if self.kind == "raw":
+            return c
+        if self.kind == "days":
+            return F.date_format(c.cast("timestamp"), "yyyy-MM-dd")
+        if self.kind == "months":
+            return F.date_format(c.cast("timestamp"), "yyyy-MM")
+        if self.kind == "bucket":
+            # md5-derived bucket: deterministic, engine-portable, and
+            # computable in plain Python at plan time (_probe_bucket),
+            # unlike xxhash64/murmur
+            return F.pmod(
+                F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+                    "bigint"
+                ),
+                F.lit(self.arg),
+            ).cast("string")
+        # truncate: Iceberg semantics — strings take the leading N
+        # chars; the caller partitions strings in this engine's
+        # string-keyed world (ints would use (v div N) * N)
+        return F.substring(c.cast("string"), 1, self.arg)
+
+
+def _partition_fields(partition_by: Sequence[str] | None) -> list[_PartitionField]:
+    return [_PartitionField(s) for s in (partition_by or [])]
+
+
+def _probe_bucket(value, n: int) -> int:
+    """Python twin of _PartitionField.column()'s bucket derivation —
+    lets the planner turn ``col = v`` into the one bucket directory
+    that can hold it."""
+    import hashlib as _h
+
+    return int(_h.md5(str(value).encode()).hexdigest()[:8], 16) % n
+
+
+def _transform_probe(field: "_PartitionField", v):
+    """Derived partition value a probe ``v`` lands in under
+    ``field``'s transform — computed in plain Python, mirroring the
+    Spark derivation exactly (UTC sessions; the caller disables
+    transform pruning otherwise). ``_PART_UNKNOWN`` when no sound
+    mirror exists for the probe's type."""
+    if field.kind in ("days", "months"):
+        fmt = "%Y-%m-%d" if field.kind == "days" else "%Y-%m"
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc)
+            return v.strftime(fmt)
+        if isinstance(v, datetime.date):
+            return v.strftime(fmt)
+        return _PART_UNKNOWN
+    if field.kind == "truncate":
+        return v[: field.arg] if isinstance(v, str) else _PART_UNKNOWN
+    if field.kind == "bucket":
+        if isinstance(v, (str, int)) and not isinstance(v, bool):
+            return str(_probe_bucket(v, field.arg))
+        return _PART_UNKNOWN
+    return _PART_UNKNOWN
+
+
 def _align(df: DataFrame, schema: StructType) -> DataFrame:
     """Project ``df`` onto ``schema``: stable column order, NULL-fill
     for columns the frame lacks (additive schema evolution)."""
@@ -1068,6 +1176,8 @@ class ManifestTable:
         entries: list[dict],
         predicates: Sequence[tuple],
         schema: StructType | None = None,
+        partition_by: Sequence[str] | None = None,
+        transforms_ok: bool = True,
     ) -> tuple[list[dict], list[dict]]:
         """Split ``entries`` into (kept, pruned) under a conjunctive
         predicate spec — the read-time half of data skipping whose
@@ -1103,22 +1213,42 @@ class ManifestTable:
         part_types = {
             f.name: f.dataType.simpleString() for f in (schema.fields if schema else [])
         }
+        tmap = (
+            {f.source: f for f in _partition_fields(partition_by) if f.kind != "raw"}
+            if transforms_ok
+            else {}
+        )
         kept, pruned = [], []
         for e in entries:
-            if _fully_dead(e) or not self._entry_matches_possible(e, norm, part_types):
+            if _fully_dead(e) or not self._entry_matches_possible(
+                e, norm, part_types, tmap
+            ):
                 pruned.append(e)
             else:
                 kept.append(e)
         return kept, pruned
 
     def _entry_matches_possible(
-        self, entry: dict, constraints: list[tuple], part_types: dict[str, str]
+        self,
+        entry: dict,
+        constraints: list[tuple],
+        part_types: dict[str, str],
+        tmap: dict[str, "_PartitionField"] | None = None,
     ) -> bool:
         """False only when some conjunctive constraint PROVABLY holds
-        for no row of the file."""
+        for no row of the file. Three independent exclusion tests per
+        constraint: the raw hive partition constant, the TRANSFORM
+        partition constant the constrained column derives (hidden
+        partitioning — ``tmap`` maps source column → field), and the
+        source column's own footer stats/bloom (transform-partitioned
+        files keep the source column in the data, so both dir-level
+        and stats-level pruning apply)."""
         part = entry.get("partition") or {}
         stats = entry.get("stats") or {}
+        tmap = tmap or {}
         for col, op, v in constraints:
+            field = tmap.get(col)
+            on_transform = field is not None and field.dirname in part
             if op == "in":
                 vals = [x for x in v if x is not None]
                 if not vals:
@@ -1126,7 +1256,15 @@ class ManifestTable:
                 if col in part:
                     if not _part_match_possible(part[col], vals, part_types.get(col)):
                         return False
-                elif not self._entry_may_contain(entry, {col: vals}):
+                    continue  # raw partition col: not in the data files
+                if on_transform:
+                    pv = part[field.dirname]
+                    if pv is None:
+                        return False  # every source value in the file is NULL
+                    dvs = [_transform_probe(field, x) for x in vals]
+                    if all(d is not _PART_UNKNOWN for d in dvs) and pv not in set(dvs):
+                        return False
+                if not self._entry_may_contain(entry, {col: vals}):
                     return False
             else:
                 if v is None:
@@ -1134,10 +1272,21 @@ class ManifestTable:
                 if col in part:
                     if _part_range_excludes(part[col], op, v, part_types.get(col)):
                         return False
-                else:
-                    st = stats.get(col)
-                    if st is not None and _range_excludes(st, op, v):
+                    continue
+                if on_transform and field.kind in ("days", "months", "truncate"):
+                    # monotonic floor transforms: x >= v ⇒ t(x) >= t(v)
+                    pv = part[field.dirname]
+                    if pv is None:
                         return False
+                    dv = _transform_probe(field, v)
+                    if dv is not _PART_UNKNOWN:
+                        if op in (">=", ">") and pv < dv:
+                            return False
+                        if op in ("<=", "<") and pv > dv:
+                            return False
+                st = stats.get(col)
+                if st is not None and _range_excludes(st, op, v):
+                    return False
         return True
 
     def snapshot_where(
@@ -1171,7 +1320,15 @@ class ManifestTable:
         man = self._read_manifest(version)
         schema = self._manifest_schema(man)
         pred = predicate_column(predicates)  # validates the spec up front
-        kept, _pruned = self._prune_by_key_stats(man["files"], predicates, schema)
+        # transform-partition pruning mirrors the Spark-side derivation
+        # in Python, which is exact only under the engine's pinned UTC
+        # sessions — other zones keep stats/bloom/raw-partition pruning
+        # and simply skip the transform-dir reasoning
+        utc = spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        kept, _pruned = self._prune_by_key_stats(
+            man["files"], predicates, schema,
+            partition_by=man.get("partition_by"), transforms_ok=utc,
+        )
         if not kept:
             return spark.createDataFrame([], schema or man["schema"])
         df = self._read_files(spark, kept)
@@ -1324,9 +1481,25 @@ class ManifestTable:
         driver instead of stampeding it with 100k object-store reads."""
         sub = uuid.uuid4().hex
         out_dir = os.path.join(self.data_dir, sub)
-        writer = df.write.mode("error")
         if partition_by:
-            writer = writer.partitionBy(*partition_by)
+            # hidden partitioning: derive transform values here — the
+            # ONE write funnel — so every write shape (overwrite,
+            # append, merge rewrite, delete rewrite, compaction)
+            # partitions identically. partitionBy removes the derived
+            # column from the file contents; the source column stays
+            # in the files with its footer stats intact.
+            fields = _partition_fields(partition_by)
+            for f in fields:
+                if f.kind != "raw":
+                    if f.dirname in df.columns:
+                        raise ValueError(
+                            f"partition transform {f.spec!r} derives column "
+                            f"{f.dirname!r}, which the frame already has"
+                        )
+                    df = df.withColumn(f.dirname, f.column())
+            writer = df.write.mode("error").partitionBy(*[f.dirname for f in fields])
+        else:
+            writer = df.write.mode("error")
         writer.parquet(out_dir)
         paths = []
         for root, _dirs, names in os.walk(out_dir):
@@ -1799,17 +1972,24 @@ class ManifestTable:
 
             untouched: list[dict] = []
             touched: list[dict] = man["files"]
-            if partition_by and all(c in source.columns for c in partition_by):
+            part_fields = _partition_fields(partition_by)
+            if partition_by and all(f.source in source.columns for f in part_fields):
                 # manifests store decoded logical values (None for NULL);
                 # render the source's the same way so NULL and escaped
-                # characters compare correctly
+                # characters compare correctly. Transform partitions
+                # derive the SAME expression the write side uses, so a
+                # days(ts) table gets its touched-day list from raw ts
+                # source columns — hidden partitioning's whole point.
+                dirnames = [f.dirname for f in part_fields]
                 touched_parts = {
-                    tuple(None if r[c] is None else str(r[c]) for c in partition_by)
-                    for r in source.select(*partition_by).distinct().collect()
+                    tuple(None if r[d] is None else str(r[d]) for d in dirnames)
+                    for r in source.select(
+                        *[f.column().alias(f.dirname) for f in part_fields]
+                    ).distinct().collect()
                 }
                 touched, untouched = [], []
                 for entry in man["files"]:
-                    part = tuple(entry["partition"].get(c) for c in partition_by)
+                    part = tuple(entry["partition"].get(d) for d in dirnames)
                     (touched if part in touched_parts else untouched).append(entry)
 
             # key-range data skipping over the partition-prune
@@ -1867,14 +2047,15 @@ class ManifestTable:
             else:
                 merged = _align(merge_upsert_source_only(source, keys, order_col), schema)
             if partition_by:
-                # cluster the rewrite on the partition columns: without
-                # this every shuffle task writes a sliver into every
-                # touched partition dir (tasks x partitions tiny files —
-                # the small-file problem compact exists to cure, created
-                # fresh on every merge). One task per touched partition
-                # value is the right write shape for the keyed-window
-                # merge this method serves.
-                merged = merged.repartition(*[F.col(c) for c in partition_by])
+                # cluster the rewrite on the partition VALUES (raw or
+                # transform-derived): without this every shuffle task
+                # writes a sliver into every touched partition dir
+                # (tasks x partitions tiny files — the small-file
+                # problem compact exists to cure, created fresh on
+                # every merge). One task per touched partition value is
+                # the right write shape for the keyed-window merge this
+                # method serves.
+                merged = merged.repartition(*[f.column() for f in part_fields])
             new_entries = self._write_data_files(
                 merged, partition_by or None, bloom_cols=man.get("bloom_cols")
             )
@@ -2331,7 +2512,9 @@ class ManifestTable:
                 n = df.count()
                 n_files = max(1, -(-n // target_rows_per_file))
                 if partition_by:
-                    out = df.repartition(*[F.col(c) for c in partition_by])
+                    out = df.repartition(
+                        *[f.column() for f in _partition_fields(partition_by)]
+                    )
                 else:
                     out = df.repartition(n_files)
                 new_entries = self._write_data_files(

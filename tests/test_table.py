@@ -1591,3 +1591,98 @@ def test_compact_small_files_partitioned_drops_dead_and_packs_per_partition(spar
     assert len(man["files"]) == 2
     parts = {e["partition"]["dy"] for e in man["files"]}
     assert parts == {"d0", "d1"}
+
+
+# -- hidden partitioning (partition transforms) ------------------------
+
+
+def test_hidden_partitioning_days_write_read_prune_merge(spark, tmp_path):
+    """days(ts): dirs derive from the timestamp, the snapshot exposes
+    only the source columns, predicates on raw ts prune at BOTH the
+    transform-dir level and the per-file stats level, and a merge
+    keyed on raw columns carries untouched days by reference."""
+    import datetime as dt
+
+    from etl_job_spark.table import _strip_file_scheme
+
+    t = ManifestTable(str(tmp_path / "hp_days"))
+    rows = [
+        (k, dt.datetime(2024, 1, 1 + d, 10 + k % 3), float(k))
+        for d in range(3)
+        for k in range(4)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    t.overwrite(df, partition_by=["days(ts)"])
+    man = t._read_manifest(t.latest_version())
+    assert man["partition_by"] == ["days(ts)"]
+    assert all("ts_day=" in e["path"] for e in man["files"])
+    snap = t.snapshot(spark)
+    assert set(snap.columns) == {"k", "ts", "v"}  # derived col hidden
+    assert snap.count() == 12
+    # raw-ts predicate prunes whole day dirs before the scan
+    got = t.snapshot_where(spark, [("ts", ">=", dt.datetime(2024, 1, 3))])
+    assert got.count() == 4
+    scan = {_strip_file_scheme(p) for p in got.inputFiles()}
+    assert scan and all("ts_day=2024-01-03" in p for p in scan)
+    # equality probes via the transform too
+    one = t.snapshot_where(spark, [("ts", "=", dt.datetime(2024, 1, 2, 11))])
+    assert one.count() == 1
+    assert all("ts_day=2024-01-02" in p for p in one.inputFiles())
+    # merge touching only day 3 carries day-1/2 files by reference
+    before = {e["path"] for e in man["files"] if "ts_day=2024-01-03" not in e["path"]}
+    src = spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 3, 10), 99.0)], "k long, ts timestamp, v double"
+    )
+    v2 = t.merge(spark, src, keys=["k", "ts"])
+    after = {e["path"] for e in t._read_manifest(v2)["files"]}
+    assert before <= after
+    assert t.snapshot(spark).filter("v = 99.0").count() == 1
+
+
+def test_hidden_partitioning_bucket_equality_prunes(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "hp_bucket"))
+    df = spark.range(0, 200).selectExpr("id as k", "cast(id as string) as s")
+    t.overwrite(df, partition_by=["bucket(8, k)"])
+    man = t._read_manifest(t.latest_version())
+    assert all("k_bucket=" in e["path"] for e in man["files"])
+    got = t.snapshot_where(spark, [("k", "=", 57)])
+    assert [r["s"] for r in got.collect()] == ["57"]
+    dirs = {p.split("k_bucket=")[1].split("/")[0] for p in got.inputFiles()}
+    assert len(dirs) == 1  # exactly one bucket dir scanned
+    # range predicates cannot use the bucket transform but still
+    # answer correctly through stats/data
+    assert t.snapshot_where(spark, [("k", "<", 10)]).count() == 10
+
+
+def test_hidden_partitioning_truncate_and_delete_rewrite(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "hp_trunc"))
+    rows = [(f"sku-{i * 10:03d}", i) for i in range(40)]  # sku-000..sku-390
+    t.overwrite(
+        spark.createDataFrame(rows, "sku string, v long"),
+        partition_by=["truncate(5, sku)"],
+    )
+    man = t._read_manifest(t.latest_version())
+    assert {e["partition"]["sku_trunc"] for e in man["files"]} == {
+        "sku-0", "sku-1", "sku-2", "sku-3"
+    }
+    got = t.snapshot_where(spark, [("sku", ">=", "sku-2"), ("sku", "<", "sku-3")])
+    assert got.count() == 10
+    assert all("sku_trunc=sku-2" in p for p in got.inputFiles())
+    # a CoW delete rewrites through the same transform layout
+    v = t.delete_where(spark, "sku = 'sku-150'")
+    man2 = t._read_manifest(v)
+    assert all("sku_trunc=" in e["path"] for e in man2["files"])
+    assert t.snapshot(spark).count() == 39
+
+
+def test_partition_transform_spec_validation(spark, tmp_path):
+    from etl_job_spark.table import _PartitionField
+
+    with pytest.raises(ValueError, match="supported forms"):
+        _PartitionField("hours(ts)")
+    with pytest.raises(ValueError, match="N argument"):
+        _PartitionField("bucket(k)")
+    t = ManifestTable(str(tmp_path / "hp_bad"))
+    df = spark.range(3).selectExpr("id as k", "cast(id as string) as k_bucket")
+    with pytest.raises(ValueError, match="already has"):
+        t.overwrite(df, partition_by=["bucket(4, k)"])
