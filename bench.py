@@ -174,6 +174,7 @@ def main() -> None:
         f"kicc_mart_versioned_{app_id}",
         f"kicc_mart_gdpr_{app_id}",
         f"kicc_mart_window_read_{app_id}_*",
+        f"events_mart_daily_{app_id}_*",
         f"ivf_index_{app_id}_*",
     ):
         for d in glob.glob(os.path.join(tempfile.gettempdir(), pattern)):

@@ -1500,3 +1500,57 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return remove_repeated_lines(planted, min_docs=5)
+
+
+# ---------------------------------------------------------------------
+# Hidden partitioning under the oracle: daily window over a days(ts)
+# transform-partitioned events mart
+# ---------------------------------------------------------------------
+
+EVENTS_DAILY_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+GROUP BY event_type
+"""
+
+
+@query("events_mart_daily_read", EVENTS_DAILY_SQL)
+def events_mart_daily_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning end to end under the driver oracle: the
+    events table lands ONCE per (session, sf_dir) into a ManifestTable
+    partitioned by the TRANSFORM days(ts) — the query below filters the
+    raw timestamp and never mentions the layout; ``snapshot_where``
+    prunes whole day directories (plus per-file ts stats) before the
+    scan, then aggregates the three-day window. The oracle is the plain
+    relational filter+group over the source parquet, so the transform
+    write path, the hidden derived column, AND the transform-dir
+    pruning arithmetic are all hash-checked."""
+    import datetime as dt
+    import hashlib
+    import os
+    import tempfile
+
+    from etl_job_spark.table import ManifestTable
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"events_mart_daily_{spark.sparkContext.applicationId}"
+        f"_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    t = ManifestTable(path)
+    if t.latest_version() is None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        t.overwrite(ev, partition_by=["days(ts)"])
+    day_window = t.snapshot_where(
+        spark,
+        [("ts", ">=", dt.datetime(2024, 1, 10)), ("ts", "<", dt.datetime(2024, 1, 13))],
+    )
+    return day_window.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+    )

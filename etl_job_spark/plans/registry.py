@@ -144,11 +144,13 @@ _TAIL = [
     "corpus_mix_sources",
     "multimodal_resize",
     "multimodal_feature_extract",
-    # round-6 addition: CCNet/MassiveText boilerplate-line removal
-    # (exact oracle in tests/test_oracle_diff.py; tail because the
-    # 50-slot window stays one-per-component and the text-filter
-    # family is represented in-window by corpus_filter_pipeline)
+    # round-6 additions (exact oracles in tests/test_oracle_diff.py;
+    # tail because the 50-slot window stays one-per-component):
+    # CCNet/MassiveText boilerplate-line removal, and the hidden-
+    # partitioning daily read (the table-format family is represented
+    # in-window by kicc_mart_versioned/gdpr/window_read)
     "text_line_dedup",
+    "events_mart_daily_read",
 ]
 
 
