@@ -2535,6 +2535,19 @@ class ManifestTable:
 
         return self._with_commit_retries(attempt)
 
+    def row_count(self, version: int | None = None) -> int:
+        """Exact live-row count from MANIFEST metadata alone — no data
+        I/O, no Spark job: per-file footer row counts minus recorded
+        deletion-vector positions (Iceberg's metadata-table count).
+        The at-scale answer to ``snapshot(spark).count()`` scanning a
+        100 TB table to count it."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+        man = self._read_manifest(version)
+        return sum((e.get("rows") or 0) - _dv_count(e) for e in man["files"])
+
     def history(self) -> list[dict]:
         """Audit trail from the manifests: one row per retained
         version with its operation tag, file count, and footer row

@@ -1686,3 +1686,15 @@ def test_partition_transform_spec_validation(spark, tmp_path):
     df = spark.range(3).selectExpr("id as k", "cast(id as string) as k_bucket")
     with pytest.raises(ValueError, match="already has"):
         t.overwrite(df, partition_by=["bucket(4, k)"])
+
+
+def test_row_count_metadata_only_matches_snapshot(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "rc"))
+    t.overwrite(spark.range(0, 500).selectExpr("id as k", "id as v").repartition(4))
+    assert t.row_count() == 500
+    v1 = t.latest_version()
+    t.delete_keys(spark, "k", [1, 2, 3], mode="merge_on_read")
+    assert t.row_count() == 497 == t.snapshot(spark).count()
+    assert t.row_count(version=v1) == 500  # version-aware
+    t.append(spark.createDataFrame([(1000, 0)], "k long, v long"))
+    assert t.row_count() == 498
