@@ -392,11 +392,19 @@ def ivf_build_index(
     spark.createDataFrame(cent_rows, "cid int, centroid array<bigint>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{index_path}/centroids")
-    _assigned_corpus(vectors, cents, id_col).write.mode("overwrite").partitionBy(
-        "cid"
-    ).parquet(f"{index_path}/assignment")
-    # staleness ledger: one base row now, one row per later ivf_append
-    n_base = vectors.count()
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    _assigned_corpus(vectors, cents, id_col).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    ).write.mode("overwrite").partitionBy("cid").parquet(f"{index_path}/assignment")
+    # staleness ledger: one base row now, one row per later ivf_append.
+    # The count rides the assignment write via observe() — a separate
+    # vectors.count() would recompute the (often expensive) upstream
+    # embedding pipeline a whole extra time for one ledger integer,
+    # and could disagree with the rows actually written if the
+    # upstream is nondeterministic.
+    n_base = int(obs.get["n"])
     spark.createDataFrame([("base", n_base)], "kind string, n bigint").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{index_path}/meta")
@@ -430,11 +438,16 @@ def ivf_append(
     ``ivf_index_staleness`` turns that into a retrain recommendation
     (rebuild with ``ivf_build_index`` — idempotent-by-replacement).
     Returns the staleness summary after the append."""
+    from pyspark.sql import Observation
+
     cents = _load_centroids(spark, index_path)
-    _assigned_corpus(vectors, cents, id_col).write.mode("append").partitionBy(
-        "cid"
-    ).parquet(f"{index_path}/assignment")
-    n_new = vectors.count()
+    obs = Observation()
+    _assigned_corpus(vectors, cents, id_col).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    ).write.mode("append").partitionBy("cid").parquet(f"{index_path}/assignment")
+    # ledger count rides the write (see ivf_build_index): one upstream
+    # compute, and the count always equals the rows actually appended
+    n_new = int(obs.get["n"])
     spark.createDataFrame([("append", n_new)], "kind string, n bigint").coalesce(
         1
     ).write.mode("append").parquet(f"{index_path}/meta")

@@ -310,9 +310,14 @@ def remove_repeated_lines(
     lines WITHIN one document count once toward hotness and are kept
     together if the line stays cold — document-internal repetition is
     ``repetition_scores``'s job, not this filter's."""
+    # F.split takes a REGEX; reassembly below joins the delimiter as a
+    # LITERAL — quote it so a metacharacter delimiter ('|', '.') can't
+    # shred every document into per-character "lines" on the way in
     lines = docs.select(
         id_col,
-        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), "\\Q" + delim + "\\E")).alias(
+            "pos", "line"
+        ),
     )
     hot = (
         lines.groupBy("line")

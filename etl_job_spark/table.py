@@ -299,6 +299,31 @@ def _distributed_file_stats(
     return {r["path"]: (int(r["rows"]), json.loads(r["stats"])) for r in got}
 
 
+def _stat_probe_encode(v, kind: str | None):
+    """Probe value → the stat unit of a column of type ``kind``
+    (simpleString), or None when no sound mapping exists.
+
+    The footer stats encode temporal columns in UNIT-SPECIFIC integers
+    (date → epoch DAYS, timestamp → epoch MICROS), indistinguishable
+    from plain int64 key stats once stored. A probe must therefore
+    only encode when its unit provably matches the column's: a
+    datetime probe against a date column (or any temporal probe
+    against a column of unknown type) would compare micros against
+    days as raw ints and prune every matching file — a silently missed
+    GDPR delete. Unknown means never prune, same contract as every
+    other encoder here."""
+    # NB: datetime.datetime IS a datetime.date subclass — check it first
+    if isinstance(v, datetime.datetime):
+        if kind is not None and kind.startswith("timestamp"):
+            return _stat_encode(v)
+        return None
+    if isinstance(v, datetime.date):
+        return _stat_encode(v) if kind == "date" else None
+    if kind in ("date",) or (kind is not None and kind.startswith("timestamp")):
+        return None  # non-temporal probe against a temporal column
+    return _stat_encode(v)
+
+
 def _probe_outside(e, fmin, fmax) -> bool:
     """True when probe value ``e`` is PROVABLY outside the recorded
     ``[fmin, fmax]`` under Spark's own comparison semantics (the bar a
@@ -322,17 +347,26 @@ def _probe_outside(e, fmin, fmax) -> bool:
     return e < fmin or e > fmax
 
 
-def _envelope_outside(st: dict, vals: list) -> bool:
+def _envelope_outside(st: dict, vals: list, kind: str | None = None) -> bool:
     """Range check of a probe SET's overall min/max against a file's
     recorded range — the only test cheap enough for oversized value
     sets (> ``_BLOOM_PROBE_MAX``), and sound: if even the set's
     envelope misses the file's range entirely, no member can hit it.
     Any un-encodable value keeps the file (it might match anywhere)."""
-    enc = [_stat_encode(v) for v in vals]
+    enc = [_stat_probe_encode(v, kind) for v in vals]
     if any(e is None for e in enc):
         return False
     fmin, fmax = st["min"], st["max"]
     if not all(_comparable(e, fmin) for e in enc):
+        return False
+    big = 2**53
+    if any(
+        isinstance(e, (int, float)) and type(e) is not type(fmin) and abs(e) >= big
+        for e in enc
+    ):
+        # EVERY member must clear the lossy-cast bar, not just the
+        # endpoints: a cross-type member past 2**53 inside the set can
+        # double-cast-equal a stored value the endpoints prune around
         return False
     # the WHOLE envelope must sit on one side of the file's range —
     # a straddling envelope can hide members inside the range
@@ -353,12 +387,13 @@ def _comparable(a, b) -> bool:
     return isinstance(a, str) and isinstance(b, str)
 
 
-def _range_excludes(st: dict, op: str, v) -> bool:
+def _range_excludes(st: dict, op: str, v, kind: str | None = None) -> bool:
     """True when a file's recorded ``[min, max]`` proves NO row can
     satisfy ``col <op> v`` — the inequality half of read-path data
-    skipping. Un-encodable probes and lossy cross-type comparisons
+    skipping. Un-encodable probes, unit-mismatched temporal probes
+    (``_stat_probe_encode``), and lossy cross-type comparisons
     (see ``_probe_outside``) never exclude."""
-    e = _stat_encode(v)
+    e = _stat_probe_encode(v, kind)
     if e is None:
         return False
     fmin, fmax = st["min"], st["max"]
@@ -413,7 +448,15 @@ def _canon_partition(x, kind):
             if isinstance(x, float):
                 return _PART_UNKNOWN if abs(x) >= 2**53 else x
             if isinstance(x, str):
-                return int(x.strip())
+                s = x.strip()
+                try:
+                    return int(s)
+                except ValueError:
+                    # Spark compares integral columns against decimal
+                    # strings through double ('57.0' matches 57) —
+                    # mirror with an exact sub-2**53 float
+                    f = float(s)
+                    return _PART_UNKNOWN if abs(f) >= 2**53 else f
             return _PART_UNKNOWN
         if kind in ("float", "double"):
             if isinstance(x, bool):
@@ -441,16 +484,6 @@ def _canon_partition(x, kind):
     return _PART_UNKNOWN
 
 
-def _canon_string_probe(pv: str, v, kind):
-    """Canonicalize the stored partition value ``pv`` for comparison
-    with probe ``v`` on a STRING column: string probes compare as raw
-    strings; numeric probes pull the stored string through Spark's
-    string→double coercion."""
-    if isinstance(v, str):
-        return pv
-    return _canon_partition(pv, "double" if kind == "string" else kind)
-
-
 def _part_match_possible(pv: str | None, vals: list, kind: str | None) -> bool:
     """Whether a file-constant hive partition value ``pv`` can satisfy
     ``col IN vals`` under the column's committed type ``kind``. A NULL
@@ -459,15 +492,26 @@ def _part_match_possible(pv: str | None, vals: list, kind: str | None) -> bool:
     about soundly keeps the file."""
     if pv is None:
         return False
+    # a MIXED string+numeric IN list makes Spark promote the WHOLE
+    # comparison to double — string members then also match
+    # numerically ('01' matches stored '1'), so the byte-wise string
+    # fast path is only sound when every member is a string
+    numeric_promoted = kind == "string" and any(not isinstance(x, str) for x in vals)
     for x in vals:
-        if kind == "string" and isinstance(x, str):
+        if kind == "string" and isinstance(x, str) and not numeric_promoted:
             if pv == x:
                 return True
             continue
         if kind is None:
             return True  # pre-evolution manifest: no type info, keep
-        cpv = _canon_partition(pv, "double" if kind == "string" else kind)
-        cx = _canon_partition(x, kind)
+        if kind == "string":
+            cpv = _canon_partition(pv, "double")
+            cx = _canon_partition(x, "double") if isinstance(x, str) else (
+                _canon_partition(x, "string")
+            )
+        else:
+            cpv = _canon_partition(pv, kind)
+            cx = _canon_partition(x, kind)
         if cpv is _PART_UNKNOWN or cx is _PART_UNKNOWN:
             return True
         if cpv is None or cx is None:
@@ -937,13 +981,21 @@ def _probe_bucket(value, n: int) -> int:
     return int(_h.md5(str(value).encode()).hexdigest()[:8], 16) % n
 
 
-def _transform_probe(field: "_PartitionField", v):
+def _transform_probe(field: "_PartitionField", v, col_kind: str | None = None):
     """Derived partition value a probe ``v`` lands in under
     ``field``'s transform — computed in plain Python, mirroring the
     Spark derivation exactly (UTC sessions; the caller disables
     transform pruning otherwise). ``_PART_UNKNOWN`` when no sound
-    mirror exists for the probe's type."""
+    mirror exists for the probe's type — including any CROSS-TYPE
+    probe of a bucket/truncate column, where Spark's implicit cast
+    makes the comparison numeric while the directory was derived from
+    the stored spelling (bucket('057') != bucket(57) even though
+    '057' = 57 matches under coercion)."""
     if field.kind in ("days", "months"):
+        # calendar bucketing is spelling-independent: a date or
+        # datetime probe lands in its own calendar day/month whether
+        # the column is date or timestamp (Spark promotes within the
+        # temporal family without changing the calendar field)
         fmt = "%Y-%m-%d" if field.kind == "days" else "%Y-%m"
         if isinstance(v, datetime.datetime):
             if v.tzinfo is not None:
@@ -953,9 +1005,17 @@ def _transform_probe(field: "_PartitionField", v):
             return v.strftime(fmt)
         return _PART_UNKNOWN
     if field.kind == "truncate":
-        return v[: field.arg] if isinstance(v, str) else _PART_UNKNOWN
+        if isinstance(v, str) and col_kind == "string":
+            return v[: field.arg]
+        return _PART_UNKNOWN
     if field.kind == "bucket":
-        if isinstance(v, (str, int)) and not isinstance(v, bool):
+        if isinstance(v, str) and col_kind == "string":
+            return str(_probe_bucket(v, field.arg))
+        if (
+            isinstance(v, int)
+            and not isinstance(v, bool)
+            and col_kind in ("tinyint", "smallint", "int", "bigint")
+        ):
             return str(_probe_bucket(v, field.arg))
         return _PART_UNKNOWN
     return _PART_UNKNOWN
@@ -1010,29 +1070,42 @@ class ManifestTable:
             self._bloom_cache[ref] = cached
         return cached.get(entry["path"], {})
 
-    def _entry_may_contain(self, entry: dict, values_by_col: dict[str, list]) -> bool:
+    def _entry_may_contain(
+        self,
+        entry: dict,
+        values_by_col: dict[str, list],
+        types: dict[str, str] | None = None,
+    ) -> bool:
         """False only when the entry PROVABLY holds none of the probe
         values: some column's recorded min/max excludes every value, or
         some column's bloom tests negative for every value. Missing
         stats/blooms (or oversized probe sets) never prune — unknown
         means "possibly contains", the same soundness contract as
-        ``_stats_disjoint``."""
+        ``_stats_disjoint``. ``types`` (column → simpleString) lets the
+        stats tests refuse unit-mismatched temporal probes — without it
+        every temporal probe is treated as un-encodable (sound, just
+        prunes less)."""
         stats = entry.get("stats") or {}
+        types = types or {}
         blooms: dict | None = None  # sidecar load deferred past stats
         for col, values in values_by_col.items():
             vals = [v for v in values if v is not None]
             if not vals:
                 continue
             st = stats.get(col)
+            kind = types.get(col)
             if len(vals) > _BLOOM_PROBE_MAX:
                 # oversized sets skip the per-value tests (cost) but
                 # still range-prune on the set's overall envelope
-                if st is not None and _envelope_outside(st, vals):
+                if st is not None and _envelope_outside(st, vals, kind):
                     return False
                 continue
             if st is not None:
                 fmin, fmax = st["min"], st["max"]
-                if all(_probe_outside(_stat_encode(v), fmin, fmax) for v in vals):
+                if all(
+                    _probe_outside(_stat_probe_encode(v, kind), fmin, fmax)
+                    for v in vals
+                ):
                     return False
             if blooms is None:
                 blooms = self._entry_blooms(entry)
@@ -1261,10 +1334,12 @@ class ManifestTable:
                     pv = part[field.dirname]
                     if pv is None:
                         return False  # every source value in the file is NULL
-                    dvs = [_transform_probe(field, x) for x in vals]
+                    dvs = [
+                        _transform_probe(field, x, part_types.get(col)) for x in vals
+                    ]
                     if all(d is not _PART_UNKNOWN for d in dvs) and pv not in set(dvs):
                         return False
-                if not self._entry_may_contain(entry, {col: vals}):
+                if not self._entry_may_contain(entry, {col: vals}, types=part_types):
                     return False
             else:
                 if v is None:
@@ -1278,14 +1353,14 @@ class ManifestTable:
                     pv = part[field.dirname]
                     if pv is None:
                         return False
-                    dv = _transform_probe(field, v)
+                    dv = _transform_probe(field, v, part_types.get(col))
                     if dv is not _PART_UNKNOWN:
                         if op in (">=", ">") and pv < dv:
                             return False
                         if op in ("<=", "<") and pv > dv:
                             return False
                 st = stats.get(col)
-                if st is not None and _range_excludes(st, op, v):
+                if st is not None and _range_excludes(st, op, v, part_types.get(col)):
                     return False
         return True
 
@@ -1335,6 +1410,16 @@ class ManifestTable:
         if schema is not None:
             df = _align(df, schema)
         return df.filter(pred)
+
+    @staticmethod
+    def _schema_types(man: dict) -> dict[str, str]:
+        """Column → simpleString type map from a manifest's committed
+        schema ({} for pre-evolution manifests) — what the stats
+        probes need to refuse unit-mismatched temporal comparisons."""
+        schema = ManifestTable._manifest_schema(man)
+        if schema is None:
+            return {}
+        return {f.name: f.dataType.simpleString() for f in schema.fields}
 
     @staticmethod
     def _manifest_schema(man: dict) -> StructType | None:
@@ -1481,6 +1566,16 @@ class ManifestTable:
         driver instead of stampeding it with 100k object-store reads."""
         sub = uuid.uuid4().hex
         out_dir = os.path.join(self.data_dir, sub)
+        # write timestamps as INT64 TIMESTAMP_MICROS, scoped to this
+        # write: Spark's legacy INT96 default produces footers whose
+        # timestamp stats pyarrow cannot extract, so ts columns would
+        # silently never participate in stats pruning (and the driver
+        # calls with a BARE session — this must be set here, not in
+        # session.py)
+        ts_key = "spark.sql.parquet.outputTimestampType"
+        spark = df.sparkSession
+        prev_ts = spark.conf.get(ts_key, None)
+        spark.conf.set(ts_key, "TIMESTAMP_MICROS")
         if partition_by:
             # hidden partitioning: derive transform values here — the
             # ONE write funnel — so every write shape (overwrite,
@@ -1500,7 +1595,13 @@ class ManifestTable:
             writer = df.write.mode("error").partitionBy(*[f.dirname for f in fields])
         else:
             writer = df.write.mode("error")
-        writer.parquet(out_dir)
+        try:
+            writer.parquet(out_dir)
+        finally:
+            if prev_ts is None:
+                spark.conf.unset(ts_key)
+            else:
+                spark.conf.set(ts_key, prev_ts)
         paths = []
         for root, _dirs, names in os.walk(out_dir):
             for name in names:
@@ -2030,9 +2131,12 @@ class ManifestTable:
                     if len(vals) <= _BLOOM_PROBE_MAX:
                         probe[k] = vals
                 if probe:
+                    types = {
+                        f.name: f.dataType.simpleString() for f in schema.fields
+                    }
                     still = []
                     for entry in touched:
-                        if self._entry_may_contain(entry, probe):
+                        if self._entry_may_contain(entry, probe, types=types):
                             still.append(entry)
                         else:
                             untouched.append(entry)
@@ -2168,9 +2272,10 @@ class ManifestTable:
             candidates = man["files"]
             untouched: list[dict] = []
             if _prune_values:
+                types = self._schema_types(man)
                 candidates = []
                 for entry in man["files"]:
-                    if self._entry_may_contain(entry, _prune_values):
+                    if self._entry_may_contain(entry, _prune_values, types=types):
                         candidates.append(entry)
                     else:
                         untouched.append(entry)
@@ -2239,8 +2344,11 @@ class ManifestTable:
             # drop provably-cold files before the scan opens them
             candidates = man["files"]
             if prune_values:
+                types = self._schema_types(man)
                 candidates = [
-                    e for e in candidates if self._entry_may_contain(e, prune_values)
+                    e
+                    for e in candidates
+                    if self._entry_may_contain(e, prune_values, types=types)
                 ]
             if not candidates:
                 return base

@@ -351,13 +351,22 @@ class TransactionalCatalog:
             os.unlink(tmp)
         return last
 
-    def vacuum(self) -> int:
+    def vacuum(self, grace_seconds: float = 3600.0) -> int:
         """Reclaim log space made dead by the newest checkpoint:
         records at or below its upto id, earlier checkpoints, and
         staged-manifest spill files no retained record references.
         Returns the number of files removed. Safe because replay never
         reads below the newest checkpoint and every applied record's
-        manifests were published before that checkpoint landed."""
+        manifests were published before that checkpoint landed.
+
+        ``grace_seconds`` protects the commit protocol's intentional
+        write-before-publish window: a concurrent committer spills its
+        manifest (fsynced) BEFORE linking the record that references
+        it, so a spill file younger than the grace period may belong
+        to an in-flight commit and is never touched — deleting it
+        would leave a published record unresolvable forever (the same
+        retention reasoning as data-file vacuum on any optimistic
+        table format)."""
         upto, _state = self._latest_checkpoint()
         removed = 0
         if upto:
@@ -375,14 +384,24 @@ class TransactionalCatalog:
             for txn_id in self._txn_ids()
             for staged in self._read_txn(txn_id)["tables"].values()
         }
+        import time as _time
+
+        now = _time.time()
         stage_dir = os.path.join(self.root, _TXN_STAGE_DIR)
         if os.path.isdir(stage_dir):
             for n in os.listdir(stage_dir):
                 ref = os.path.join(_TXN_STAGE_DIR, n)
-                if ref not in live_refs:
-                    os.unlink(os.path.join(stage_dir, n))
-                    self._staged_cache.pop(ref, None)
-                    removed += 1
+                full = os.path.join(stage_dir, n)
+                if ref in live_refs:
+                    continue
+                try:
+                    if now - os.path.getmtime(full) < grace_seconds:
+                        continue  # possibly an in-flight commit's spill
+                    os.unlink(full)
+                except OSError:
+                    continue  # racing vacuum/committer: skip
+                self._staged_cache.pop(ref, None)
+                removed += 1
         return removed
 
     @staticmethod

@@ -1698,3 +1698,103 @@ def test_row_count_metadata_only_matches_snapshot(spark, tmp_path):
     assert t.row_count(version=v1) == 500  # version-aware
     t.append(spark.createDataFrame([(1000, 0)], "k long, v long"))
     assert t.row_count() == 498
+
+
+# -- round-6 self-review regression pins -------------------------------
+
+
+def test_temporal_unit_mismatch_probes_never_prune(spark, tmp_path):
+    """date stats encode epoch DAYS, timestamp stats epoch MICROS —
+    a probe of the other unit must not compare as raw ints (it would
+    prune every matching file: a silently missed GDPR delete)."""
+    import datetime as dt
+
+    td = ManifestTable(str(tmp_path / "tu_date"))
+    td.overwrite(
+        spark.createDataFrame(
+            [(dt.date(2024, 6, 15), 1)], "d date, v long"
+        ).coalesce(1)
+    )
+    ed = next(e for e in td._read_manifest(td.latest_version())["files"] if e["rows"])
+    types = {"d": "date"}
+    # datetime probe of a date column: unknown, keep the file
+    assert td.snapshot_where(spark, [("d", ">=", dt.datetime(2024, 6, 1))]).count() == 1
+    # matching-unit probes still prune
+    assert not td._entry_may_contain(ed, {"d": [dt.date(2030, 1, 1)]}, types=types)
+    assert td._entry_may_contain(ed, {"d": [dt.date(2024, 6, 15)]}, types=types)
+
+    tt = ManifestTable(str(tmp_path / "tu_ts"))
+    tt.overwrite(
+        spark.createDataFrame(
+            [(dt.datetime(2024, 6, 15, 12), 1)], "ts timestamp, v long"
+        ).coalesce(1)
+    )
+    # date probe of a timestamp column: Spark promotes to timestamp and
+    # matches via <=; the pruned read must agree
+    got = tt.snapshot_where(spark, [("ts", ">=", dt.date(2024, 6, 15))])
+    exp = tt.snapshot(spark).filter(F.col("ts") >= F.lit(dt.date(2024, 6, 15)))
+    assert got.count() == exp.count() == 1
+    et = next(e for e in tt._read_manifest(tt.latest_version())["files"] if e["rows"])
+    assert not tt._entry_may_contain(
+        et, {"ts": [dt.datetime(2030, 1, 1)]}, types={"ts": "timestamp"}
+    )
+
+
+def test_envelope_rejects_cross_type_member_past_2_53(spark):
+    from etl_job_spark.table import _envelope_outside
+
+    s = 2**55 + 12  # float(s) == float(s + 4): the lossy-cast corner
+    st = {"min": 0, "max": s}
+    # oversized-set shape: int endpoints prune, but the float member
+    # double-cast-equals the stored max — the file must stay
+    vals = [s + 1, s + 5, float(s + 4)]
+    assert not _envelope_outside(st, vals, "bigint")
+    # all-int sets of the same magnitude still prune exactly
+    assert _envelope_outside(st, [s + 1, s + 5], "bigint")
+
+
+def test_bucket_transform_cross_type_probe_not_pruned(spark, tmp_path):
+    """bucket('057') != bucket(57), but Spark's bigint-vs-string
+    comparison matches — the transform prune must refuse cross-type
+    probes instead of hashing the wrong spelling."""
+    t = ManifestTable(str(tmp_path / "bx"))
+    t.overwrite(
+        spark.range(0, 100).selectExpr("id as k", "id as v"),
+        partition_by=["bucket(8, k)"],
+    )
+    got = t.snapshot_where(spark, [("k", "=", "057")])
+    assert [r["v"] for r in got.collect()] == [57]
+    # same-type probes keep the single-directory prune
+    one = t.snapshot_where(spark, [("k", "=", 57)])
+    dirs = {p.split("k_bucket=")[1].split("/")[0] for p in one.inputFiles()}
+    assert len(dirs) == 1 and one.count() == 1
+
+
+def test_mixed_type_in_list_on_string_partition(spark, tmp_path):
+    """A mixed string+numeric IN list promotes the WHOLE comparison to
+    double in Spark ('01' matches stored '1') — the byte-wise partition
+    fast path must not prune what the filter returns."""
+    from etl_job_spark.table import predicate_column
+
+    t = ManifestTable(str(tmp_path / "mixin"))
+    rows = [("1", 1), ("01", 2), ("7", 3)]
+    t.overwrite(
+        spark.createDataFrame(rows, "dy string, v long").repartition(F.col("dy")),
+        partition_by=["dy"],
+    )
+    preds = [("dy", "in", ["01", 5])]
+    got = sorted(map(tuple, t.snapshot_where(spark, preds).collect()))
+    exp = sorted(
+        map(tuple, t.snapshot(spark).filter(predicate_column(preds)).collect())
+    )
+    assert got == exp and len(got) == 2  # both '1' and '01' match
+
+
+def test_line_dedup_metacharacter_delimiter(spark):
+    from etl_job_spark.operators.text import remove_repeated_lines
+
+    rows = [(1, "keep me|BANner|also keep"), (2, "BANner|solo"), (3, "BANner")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in
+           remove_repeated_lines(docs, min_docs=3, delim="|").collect()}
+    assert out == {1: "keep me|also keep", 2: "solo"}

@@ -276,3 +276,26 @@ def test_txn_checkpoint_preserves_abort_determinism(spark, tmp_path):
     cat.vacuum()
     after = TransactionalCatalog(root).roll_forward()
     assert after == before == {"a": 2}
+
+
+def test_txn_vacuum_grace_spares_fresh_spills(spark, tmp_path, monkeypatch):
+    """A spill file is written BEFORE the record that references it
+    publishes — vacuum must never delete a fresh orphan (it may belong
+    to an in-flight commit); past the grace period orphans go."""
+    import etl_job_spark.txn as txn_mod
+
+    monkeypatch.setattr(txn_mod, "_TXN_INLINE_MAX_BYTES", 256)
+    root = str(tmp_path / "cat_grace")
+    cat = TransactionalCatalog(root)
+    cat.commit(lambda t: t.overwrite("a", _df(spark, [(1, "x")])))
+    # simulate an in-flight committer's fresh spill (no record yet)
+    stage = os.path.join(root, "_txns", "_staged")
+    os.makedirs(stage, exist_ok=True)
+    orphan = os.path.join(stage, "deadbeef-x-a.json")
+    with open(orphan, "w") as f:
+        f.write("{}")
+    cat.checkpoint()
+    cat.vacuum()  # default grace: the fresh orphan survives
+    assert os.path.exists(orphan)
+    assert cat.vacuum(grace_seconds=0.0) >= 1  # aged out: reclaimed
+    assert not os.path.exists(orphan)
