@@ -54,8 +54,9 @@ def main(argv: list[str] | None = None) -> int:
     tb.add_argument(
         "action",
         choices=[
-            "versions", "history", "show", "diff", "compact", "vacuum",
-            "restore", "delete", "delete-keys", "constraints",
+            "versions", "history", "show", "read", "rows", "diff",
+            "compact", "vacuum", "restore", "delete", "delete-keys",
+            "constraints",
         ],
     )
     tb.add_argument(
@@ -73,12 +74,21 @@ def main(argv: list[str] | None = None) -> int:
         help="for constraints: drop a named CHECK (repeatable)",
     )
     tb.add_argument("--where", default=None, help="for delete: SQL predicate")
+    tb.add_argument(
+        "--predicates",
+        default=None,
+        help='for read: JSON conjunctive spec, e.g. '
+        '\'[["sale_date","between",["19980201","19980214"]],'
+        '["sp_code","in",["000002"]]]\' — files are pruned via '
+        "manifest stats/blooms/partitions before the scan",
+    )
     tb.add_argument("--key-col", default=None, help="for delete-keys: key column")
     tb.add_argument(
         "--keys",
         default=None,
-        help="for delete-keys: comma-separated values (integers auto-detected); "
-        "planning skips files via manifest stats and bloom filters",
+        help="for delete-keys: comma-separated values, parsed by the key "
+        "column's type from the manifest schema; planning skips files "
+        "via manifest stats and bloom filters",
     )
     tb.add_argument(
         "--mode",
@@ -213,6 +223,32 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(
                     {"path": args.path, "version": shown,
                      "as_of": args.as_of, "rows": rows}, default=str))
+            elif args.action == "read":
+                if not args.predicates:
+                    print("table read requires --predicates (JSON)", file=sys.stderr)
+                    return 2
+                try:
+                    spec = [tuple(p) for p in json.loads(args.predicates)]
+                    # JSON lists arrive for between pairs; predicate
+                    # ops validate inside snapshot_where
+                    spec = [
+                        (c, op, tuple(v) if op == "between" else v)
+                        for c, op, v in spec
+                    ]
+                except (ValueError, TypeError) as exc:
+                    print(f"--predicates does not parse: {exc}", file=sys.stderr)
+                    return 2
+                df = t.snapshot_where(spark, spec, version=args.version)
+                rows = [r.asDict(recursive=True) for r in df.limit(args.limit).collect()]
+                print(json.dumps(
+                    {"path": args.path, "predicates": args.predicates,
+                     "n_preview": len(rows), "rows": rows}, default=str))
+            elif args.action == "rows":
+                print(json.dumps(
+                    {"path": args.path,
+                     "version": args.version
+                     if args.version is not None else t.latest_version(),
+                     "rows": t.row_count(version=args.version)}))
             elif args.action == "diff":
                 frm = args.from_v if args.from_v is not None else (t.latest_version() or 1) - 1
                 to = args.to_v if args.to_v is not None else t.latest_version()

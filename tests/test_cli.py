@@ -141,3 +141,27 @@ def test_table_delete_keys_cli_resolves_column_type(capsys, spark, tmp_path):
     # unknown key column: usage error
     assert main(["table", "delete-keys", "--path", path2,
                  "--key-col", "nope", "--keys", "1"]) == 2
+
+
+def test_table_read_and_rows_cli(capsys, spark, tmp_path):
+    from etl_job_spark.table import ManifestTable
+
+    path = str(tmp_path / "tbl_read")
+    t = ManifestTable(path)
+    t.overwrite(
+        spark.createDataFrame(
+            [("d1", 1, 10.0), ("d1", 2, 20.0), ("d2", 3, 30.0)],
+            "dy string, k long, v double",
+        ).repartition(2),
+        partition_by=["dy"],
+    )
+    preds = '[["dy","=","d1"],["k",">=",2]]'
+    assert main(["table", "read", "--path", path, "--predicates", preds]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["n_preview"] == 1 and res["rows"][0]["k"] == 2
+    # rows: metadata-only count
+    assert main(["table", "rows", "--path", path]) == 0
+    assert json.loads(capsys.readouterr().out)["rows"] == 3
+    # malformed predicates: usage error
+    assert main(["table", "read", "--path", path, "--predicates", "not json"]) == 2
+    assert main(["table", "read", "--path", path]) == 2
