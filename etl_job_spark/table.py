@@ -1730,6 +1730,7 @@ class ManifestTable:
         bloom_cols: Sequence[str] | None = None,
         stream_txn: tuple[str, int] | None = None,
         constraints: dict[str, str] | None = None,
+        dropped_cols: Sequence[str] | None = None,
     ) -> int:
         # table properties carry forward across every commit unless the
         # caller overrides them: bloom_cols (None = keep, [] = clear)
@@ -1744,6 +1745,8 @@ class ManifestTable:
                 bloom_cols = base_man.get("bloom_cols")
             if constraints is None:
                 constraints = base_man.get("constraints")
+            if dropped_cols is None:
+                dropped_cols = base_man.get("dropped_cols")
             stream_txns = dict(base_man.get("stream_txns") or {})
         if stream_txn is not None:
             stream_txns[stream_txn[0]] = int(stream_txn[1])
@@ -1769,6 +1772,12 @@ class ManifestTable:
             manifest["stream_txns"] = stream_txns
         if constraints:
             manifest["constraints"] = dict(constraints)
+        if dropped_cols:
+            # tombstones: names a later append/merge may NOT reintroduce
+            # (old files still hold the physical bytes — re-adding the
+            # name would resurrect their values on read). Cleared by
+            # overwrite, which replaces every file.
+            manifest["dropped_cols"] = sorted(set(dropped_cols))
         if expected_base is None or version % _CHECKPOINT_INTERVAL == 0:
             # checkpoint: self-contained full file list
             manifest["files"] = entries
@@ -1799,7 +1808,15 @@ class ManifestTable:
         if base is None:  # pre-evolution manifest: df's schema is the contract
             return df.schema
         by_name = {f.name: f for f in base.fields}
+        dropped = set(man.get("dropped_cols") or [])
         for f in df.schema.fields:
+            if f.name in dropped:
+                raise ValueError(
+                    f"column {f.name!r} was DROPPED from this table; re-adding "
+                    "the name would resurrect the values still present in old "
+                    "data files. overwrite() (which replaces every file) "
+                    "clears the tombstone."
+                )
             old = by_name.get(f.name)
             if old is None:
                 continue
@@ -1907,6 +1924,67 @@ class ManifestTable:
 
         return self._with_commit_retries(attempt)
 
+    def alter_schema(self, spark: SparkSession, drop: Sequence[str]) -> int:
+        """DROP columns as a METADATA-ONLY commit — no data file is
+        read or written: the committed schema loses the fields, every
+        reader stops projecting them (``_align``), and the names go
+        into a tombstone list so a later append/merge cannot
+        reintroduce them (the physical bytes are still in the
+        immutable old files — re-adding the name would silently
+        resurrect those values; ``overwrite`` clears the tombstones
+        because it replaces every file). Refuses to drop partition
+        columns / transform sources (the layout depends on them) and
+        columns referenced by a CHECK constraint (drop the constraint
+        first); bloom indexing on a dropped column stops. Returns the
+        new version."""
+
+        def attempt() -> int:
+            base = self.latest_version()
+            if base is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+            man = self._read_manifest(base)
+            schema = self._manifest_schema(man)
+            if schema is None:
+                raise ValueError(
+                    "alter_schema needs a schema-carrying manifest "
+                    "(pre-evolution table: overwrite it first)"
+                )
+            names = {f.name for f in schema.fields}
+            missing = sorted(set(drop) - names)
+            if missing:
+                raise ValueError(f"cannot drop unknown column(s): {missing}")
+            part_sources = {
+                f.source for f in _partition_fields(man.get("partition_by"))
+            }
+            clash = sorted(set(drop) & part_sources)
+            if clash:
+                raise ValueError(
+                    f"cannot drop partition column(s)/transform source(s): {clash}"
+                )
+            import re as _re
+
+            for name, pred in sorted((man.get("constraints") or {}).items()):
+                hit = sorted(
+                    c for c in drop if _re.search(rf"\b{_re.escape(c)}\b", pred)
+                )
+                if hit:
+                    raise ValueError(
+                        f"CHECK constraint {name!r} ({pred!r}) references "
+                        f"dropped column(s) {hit}; drop the constraint first"
+                    )
+            new_schema = StructType([f for f in schema.fields if f.name not in set(drop)])
+            if not new_schema.fields:
+                raise ValueError("cannot drop every column of the table")
+            blooms = [c for c in (man.get("bloom_cols") or []) if c not in set(drop)]
+            tombstones = sorted(set(man.get("dropped_cols") or []) | set(drop))
+            op = {"op": "alter_schema", "drop": sorted(set(drop))}
+            return self._commit(
+                man["files"], new_schema, man["partition_by"] or None, base, op,
+                bloom_cols=blooms, dropped_cols=tombstones,
+            )
+
+        return self._with_commit_retries(attempt)
+
     def overwrite(
         self,
         df: DataFrame,
@@ -1951,7 +2029,11 @@ class ManifestTable:
                 if constraints:
                     frame.unpersist()
             return self._commit(
-                entries, df.schema, part, base, {"op": "overwrite"}, bloom_cols=blooms
+                entries, df.schema, part, base, {"op": "overwrite"},
+                bloom_cols=blooms,
+                # a replacement owns its schema outright — every old file
+                # is gone, so drop-tombstones cannot resurrect anything
+                dropped_cols=[],
             )
 
         return self._with_commit_retries(attempt)

@@ -99,6 +99,10 @@ pred_values = st.one_of(st.integers(-50, 150), st.none())
 @st.composite
 def _pred_specs(draw):
     preds = []
+    # int probes may arrive as integral STRINGS ('07'): Spark coerces
+    # them numerically, and the planner must refuse to prune on the
+    # cross-type spelling (bucket('07') != bucket(7))
+    k_probe = st.one_of(pred_values, st.sampled_from(["3", "07", "100"]))
     for _ in range(draw(st.integers(1, 3))):
         col = draw(st.sampled_from(["k", "g"]))
         op = draw(st.sampled_from(["=", "in", "between", "<", "<=", ">", ">="]))
@@ -110,12 +114,12 @@ def _pred_specs(draw):
                 v = ("a", draw(st.sampled_from(["b", "zz"])))
         else:
             if op == "in":
-                v = draw(st.lists(pred_values, min_size=1, max_size=4))
+                v = draw(st.lists(k_probe, min_size=1, max_size=4))
             elif op == "between":
                 lo = draw(st.integers(-50, 150))
                 v = (lo, lo + draw(st.integers(0, 80)))
             else:
-                v = draw(pred_values)
+                v = draw(k_probe)
         preds.append((col, op, v))
     return preds
 
@@ -131,19 +135,24 @@ def _pred_specs(draw):
         max_size=40,
     ),
     preds=_pred_specs(),
-    partitioned=st.booleans(),
+    layout=st.sampled_from(["clustered", "raw_partition", "bucket", "truncate"]),
 )
-def test_snapshot_where_equals_brute_filter(spark, tmp_path_factory, rows, preds, partitioned):
+def test_snapshot_where_equals_brute_filter(spark, tmp_path_factory, rows, preds, layout):
     """The headline read-path contract, property-tested: for ANY small
-    table (nullable partition values included, clustered or
-    hive-partitioned) and ANY conjunctive predicate spec, the pruned
-    read returns exactly filter()'s rows."""
+    table (nullable partition values included; clustered,
+    hive-partitioned, or TRANSFORM-partitioned layout), ANY
+    conjunctive predicate spec — cross-type integral-string probes
+    included — the pruned read returns exactly filter()'s rows."""
     from etl_job_spark.table import ManifestTable, predicate_column
 
     t = ManifestTable(str(tmp_path_factory.mktemp("swprop") / "t"))
     df = spark.createDataFrame([(k, g, float(k)) for k, g in rows], "k long, g string, v double")
-    if partitioned:
+    if layout == "raw_partition":
         t.overwrite(df.repartition(F.col("g")), partition_by=["g"])
+    elif layout == "bucket":
+        t.overwrite(df, partition_by=["bucket(4, k)"])
+    elif layout == "truncate":
+        t.overwrite(df.repartition(F.col("g")), partition_by=["truncate(1, g)"])
     else:
         t.overwrite(df.repartitionByRange(3, "k"))
     key = lambda r: tuple((x is None, x) for x in r)  # noqa: E731

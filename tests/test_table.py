@@ -1798,3 +1798,74 @@ def test_line_dedup_metacharacter_delimiter(spark):
     out = {r["doc_id"]: r["text"] for r in
            remove_repeated_lines(docs, min_docs=3, delim="|").collect()}
     assert out == {1: "keep me|also keep", 2: "solo"}
+
+
+def test_hidden_partitioning_months(spark, tmp_path):
+    import datetime as dt
+
+    t = ManifestTable(str(tmp_path / "hp_months"))
+    rows = [
+        (m * 10 + d, dt.datetime(2024, m, 10 * d + 1, 9)) for m in (1, 2, 3) for d in (0, 1, 2)
+    ]
+    t.overwrite(
+        spark.createDataFrame(rows, "k long, ts timestamp"),
+        partition_by=["months(ts)"],
+    )
+    man = t._read_manifest(t.latest_version())
+    assert {e["partition"]["ts_month"] for e in man["files"]} == {
+        "2024-01", "2024-02", "2024-03"
+    }
+    # floor semantics: ts >= Feb 15 keeps Feb (mixed) + Mar, prunes Jan
+    got = t.snapshot_where(spark, [("ts", ">=", dt.datetime(2024, 2, 15))])
+    months = {p.split("ts_month=")[1].split("/")[0] for p in got.inputFiles()}
+    assert months == {"2024-02", "2024-03"}
+    assert sorted(r["k"] for r in got.collect()) == [22, 30, 31, 32]
+
+
+# -- schema DROP (metadata-only, resurrection-proof) -------------------
+
+
+def test_alter_schema_drop_column(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "drop1"))
+    t.overwrite(
+        spark.createDataFrame([(1, "x", 1.5), (2, "y", 2.5)], "k long, s string, v double")
+    )
+    v = t.alter_schema(spark, drop=["s"])
+    assert v == 2
+    snap = t.snapshot(spark)
+    assert set(snap.columns) == {"k", "v"} and snap.count() == 2
+    # metadata-only: same data files carried by reference
+    assert (
+        {e["path"] for e in t._read_manifest(2)["files"]}
+        == {e["path"] for e in t._read_manifest(1)["files"]}
+    )
+    # time travel still shows the column at v1
+    assert "s" in t.snapshot(spark, version=1).columns
+    # re-adding the dropped name is refused: old files still hold the
+    # bytes and would resurrect
+    with pytest.raises(ValueError, match="resurrect"):
+        t.append(spark.createDataFrame([(3, "zz", 9.9)], "k long, s string, v double"))
+    # appends WITHOUT the column are fine
+    t.append(spark.createDataFrame([(3, 9.9)], "k long, v double"))
+    assert t.snapshot(spark).count() == 3
+    # overwrite replaces every file -> tombstone cleared, name reusable
+    t.overwrite(spark.createDataFrame([(1, "new")], "k long, s string"))
+    assert set(t.snapshot(spark).columns) == {"k", "s"}
+
+
+def test_alter_schema_drop_guards(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "drop2"))
+    t.overwrite(
+        spark.createDataFrame([("d1", 1, 2.0)], "dy string, k long, v double"),
+        partition_by=["dy"],
+    )
+    with pytest.raises(ValueError, match="partition"):
+        t.alter_schema(spark, drop=["dy"])
+    with pytest.raises(ValueError, match="unknown"):
+        t.alter_schema(spark, drop=["nope"])
+    t.alter_constraints(spark, add={"v_pos": "v > 0"})
+    with pytest.raises(ValueError, match="constraint"):
+        t.alter_schema(spark, drop=["v"])
+    t.alter_constraints(spark, drop=["v_pos"])
+    assert t.alter_schema(spark, drop=["v"]) > 0
+    assert set(t.snapshot(spark).columns) == {"dy", "k"}
