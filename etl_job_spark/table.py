@@ -910,7 +910,7 @@ def _zorder_key(df: DataFrame, cols: Sequence[str]) -> Column:
 # (_write_data_files), so overwrite/append/merge/delete/compact all
 # inherit it.
 
-_TRANSFORM_RE = r"^(days|months|bucket|truncate)\((?:\s*(\d+)\s*,)?\s*([A-Za-z0-9_]+)\s*\)$"
+_TRANSFORM_RE = r"^(hours|days|months|bucket|truncate)\((?:\s*(\d+)\s*,)?\s*([A-Za-z0-9_]+)\s*\)$"
 
 
 class _PartitionField:
@@ -928,7 +928,8 @@ class _PartitionField:
             if "(" in spec:
                 raise ValueError(
                     f"partition transform {spec!r}: supported forms are "
-                    "days(col), months(col), bucket(N, col), truncate(N, col)"
+                    "hours(col), days(col), months(col), bucket(N, col), "
+                    "truncate(N, col)"
                 )
             self.kind, self.arg, self.source = "raw", None, spec.strip()
             self.dirname = self.source
@@ -938,16 +939,26 @@ class _PartitionField:
         self.source = m.group(3)
         if self.kind in ("bucket", "truncate") and not self.arg:
             raise ValueError(f"partition transform {spec!r} needs its N argument")
-        suffix = {"days": "day", "months": "month", "bucket": "bucket", "truncate": "trunc"}
+        suffix = {
+            "hours": "hour",
+            "days": "day",
+            "months": "month",
+            "bucket": "bucket",
+            "truncate": "trunc",
+        }
         self.dirname = f"{self.source}_{suffix[self.kind]}"
 
-    def column(self) -> Column:
+    def column(self, df: DataFrame) -> Column:
         """The derived partition value as a Spark column — string-typed
         so the hive directory spelling IS the logical value (the same
-        string-in-the-log contract raw partition columns use)."""
+        string-in-the-log contract raw partition columns use). ``df``
+        supplies the source column's type where the transform is
+        type-dependent (integer vs string truncate)."""
         c = F.col(self.source)
         if self.kind == "raw":
             return c
+        if self.kind == "hours":
+            return F.date_format(c.cast("timestamp"), "yyyy-MM-dd HH")
         if self.kind == "days":
             return F.date_format(c.cast("timestamp"), "yyyy-MM-dd")
         if self.kind == "months":
@@ -963,8 +974,15 @@ class _PartitionField:
                 F.lit(self.arg),
             ).cast("string")
         # truncate: Iceberg semantics — strings take the leading N
-        # chars; the caller partitions strings in this engine's
-        # string-keyed world (ints would use (v div N) * N)
+        # chars; integral columns floor to a multiple of N (the
+        # double-mod form floors for negatives too, matching Python's
+        # %, so the Python probe mirror stays exact)
+        if dict(df.dtypes).get(self.source) in ("tinyint", "smallint", "int", "bigint"):
+            n = self.arg
+            return F.expr(
+                f"cast({self.source} - ((({self.source} % {n}) + {n}) % {n})"
+                " as string)"
+            )
         return F.substring(c.cast("string"), 1, self.arg)
 
 
@@ -991,12 +1009,14 @@ def _transform_probe(field: "_PartitionField", v, col_kind: str | None = None):
     makes the comparison numeric while the directory was derived from
     the stored spelling (bucket('057') != bucket(57) even though
     '057' = 57 matches under coercion)."""
-    if field.kind in ("days", "months"):
+    if field.kind in ("hours", "days", "months"):
         # calendar bucketing is spelling-independent: a date or
-        # datetime probe lands in its own calendar day/month whether
-        # the column is date or timestamp (Spark promotes within the
-        # temporal family without changing the calendar field)
-        fmt = "%Y-%m-%d" if field.kind == "days" else "%Y-%m"
+        # datetime probe lands in its own calendar hour/day/month
+        # whether the column is date or timestamp (Spark promotes
+        # within the temporal family without changing the field)
+        fmt = {"hours": "%Y-%m-%d %H", "days": "%Y-%m-%d", "months": "%Y-%m"}[
+            field.kind
+        ]
         if isinstance(v, datetime.datetime):
             if v.tzinfo is not None:
                 v = v.astimezone(datetime.timezone.utc)
@@ -1007,6 +1027,13 @@ def _transform_probe(field: "_PartitionField", v, col_kind: str | None = None):
     if field.kind == "truncate":
         if isinstance(v, str) and col_kind == "string":
             return v[: field.arg]
+        if (
+            isinstance(v, int)
+            and not isinstance(v, bool)
+            and col_kind in ("tinyint", "smallint", "int", "bigint")
+        ):
+            # Python % floors like the engine-side double-mod form
+            return str(v - (v % field.arg))
         return _PART_UNKNOWN
     if field.kind == "bucket":
         if isinstance(v, str) and col_kind == "string":
@@ -1348,17 +1375,30 @@ class ManifestTable:
                     if _part_range_excludes(part[col], op, v, part_types.get(col)):
                         return False
                     continue
-                if on_transform and field.kind in ("days", "months", "truncate"):
+                if on_transform and field.kind in ("hours", "days", "months", "truncate"):
                     # monotonic floor transforms: x >= v ⇒ t(x) >= t(v)
                     pv = part[field.dirname]
                     if pv is None:
                         return False
-                    dv = _transform_probe(field, v, part_types.get(col))
+                    col_kind = part_types.get(col)
+                    dv = _transform_probe(field, v, col_kind)
                     if dv is not _PART_UNKNOWN:
-                        if op in (">=", ">") and pv < dv:
-                            return False
-                        if op in ("<=", "<") and pv > dv:
-                            return False
+                        a, b = pv, dv
+                        if field.kind == "truncate" and col_kind in (
+                            "tinyint", "smallint", "int", "bigint",
+                        ):
+                            # integer-truncate dirs compare NUMERICALLY:
+                            # '10' < '9' lexicographically would
+                            # mis-prune
+                            try:
+                                a, b = int(pv), int(dv)
+                            except ValueError:
+                                a = b = None
+                        if a is not None:
+                            if op in (">=", ">") and a < b:
+                                return False
+                            if op in ("<=", "<") and a > b:
+                                return False
                 st = stats.get(col)
                 if st is not None and _range_excludes(st, op, v, part_types.get(col)):
                     return False
@@ -1591,7 +1631,7 @@ class ManifestTable:
                             f"partition transform {f.spec!r} derives column "
                             f"{f.dirname!r}, which the frame already has"
                         )
-                    df = df.withColumn(f.dirname, f.column())
+                    df = df.withColumn(f.dirname, f.column(df))
             writer = df.write.mode("error").partitionBy(*[f.dirname for f in fields])
         else:
             writer = df.write.mode("error")
@@ -2167,7 +2207,7 @@ class ManifestTable:
                 touched_parts = {
                     tuple(None if r[d] is None else str(r[d]) for d in dirnames)
                     for r in source.select(
-                        *[f.column().alias(f.dirname) for f in part_fields]
+                        *[f.column(source).alias(f.dirname) for f in part_fields]
                     ).distinct().collect()
                 }
                 touched, untouched = [], []
@@ -2241,7 +2281,7 @@ class ManifestTable:
                 # every merge). One task per touched partition value is
                 # the right write shape for the keyed-window merge this
                 # method serves.
-                merged = merged.repartition(*[f.column() for f in part_fields])
+                merged = merged.repartition(*[f.column(merged) for f in part_fields])
             new_entries = self._write_data_files(
                 merged, partition_by or None, bloom_cols=man.get("bloom_cols")
             )
@@ -2703,7 +2743,7 @@ class ManifestTable:
                 n_files = max(1, -(-n // target_rows_per_file))
                 if partition_by:
                     out = df.repartition(
-                        *[f.column() for f in _partition_fields(partition_by)]
+                        *[f.column(df) for f in _partition_fields(partition_by)]
                     )
                 else:
                     out = df.repartition(n_files)

@@ -1679,7 +1679,7 @@ def test_partition_transform_spec_validation(spark, tmp_path):
     from etl_job_spark.table import _PartitionField
 
     with pytest.raises(ValueError, match="supported forms"):
-        _PartitionField("hours(ts)")
+        _PartitionField("years(ts)")
     with pytest.raises(ValueError, match="N argument"):
         _PartitionField("bucket(k)")
     t = ManifestTable(str(tmp_path / "hp_bad"))
@@ -1869,3 +1869,51 @@ def test_alter_schema_drop_guards(spark, tmp_path):
     t.alter_constraints(spark, drop=["v_pos"])
     assert t.alter_schema(spark, drop=["v"]) > 0
     assert set(t.snapshot(spark).columns) == {"dy", "k"}
+
+
+def test_hidden_partitioning_hours_and_int_truncate(spark, tmp_path):
+    import datetime as dt
+
+    th = ManifestTable(str(tmp_path / "hp_hours"))
+    rows = [(h, dt.datetime(2024, 5, 1, h, 30)) for h in range(6)]
+    th.overwrite(
+        spark.createDataFrame(rows, "k long, ts timestamp"),
+        partition_by=["hours(ts)"],
+    )
+    man = th._read_manifest(th.latest_version())
+    assert {e["partition"]["ts_hour"] for e in man["files"]} == {
+        f"2024-05-01 {h:02d}" for h in range(6)
+    }
+    got = th.snapshot_where(spark, [("ts", ">=", dt.datetime(2024, 5, 1, 4))])
+    assert sorted(r["k"] for r in got.collect()) == [4, 5]
+    # inputFiles() URL-encodes the space in the hour dirs
+    import urllib.parse as _u
+
+    hours = {
+        _u.unquote(p).split("ts_hour=")[1].split("/")[0] for p in got.inputFiles()
+    }
+    assert hours == {"2024-05-01 04", "2024-05-01 05"}
+
+    ti = ManifestTable(str(tmp_path / "hp_itrunc"))
+    # spread across negative and positive multiples of 100 — floor
+    # semantics and NUMERIC (not lexicographic) dir comparison matter
+    ti.overwrite(
+        spark.createDataFrame(
+            [(v, v) for v in (-150, -50, 5, 99, 100, 950)], "k long, v long"
+        ),
+        partition_by=["truncate(100, k)"],
+    )
+    man = ti._read_manifest(ti.latest_version())
+    assert {e["partition"]["k_trunc"] for e in man["files"]} == {
+        "-200", "-100", "0", "100", "900"
+    }
+    # lexicographic '900' < '99' would wrongly include/exclude; numeric
+    # compare keeps exactly the >= 100 dirs
+    got = ti.snapshot_where(spark, [("k", ">=", 100)])
+    assert sorted(r["v"] for r in got.collect()) == [100, 950]
+    dirs = {p.split("k_trunc=")[1].split("/")[0] for p in got.inputFiles()}
+    assert dirs == {"100", "900"}
+    # equality probes land in the single floor dir (negatives floor DOWN)
+    one = ti.snapshot_where(spark, [("k", "=", -150)])
+    assert [r["v"] for r in one.collect()] == [-150]
+    assert {p.split("k_trunc=")[1].split("/")[0] for p in one.inputFiles()} == {"-200"}
