@@ -1407,8 +1407,9 @@ class ManifestTable:
     def snapshot_where(
         self,
         spark: SparkSession,
-        predicates: Sequence[tuple],
+        predicates: Sequence[tuple] | None = None,
         version: int | None = None,
+        any_of: Sequence[Sequence[tuple]] | None = None,
     ) -> DataFrame:
         """Predicate-pruned snapshot read: equal to
         ``snapshot(spark, version).filter(...)`` but the manifest's
@@ -1427,23 +1428,43 @@ class ManifestTable:
         ``version`` makes the pruned read time-travel-aware: pruning
         consults the manifest of the REQUESTED version (file stats and
         blooms are immutable per file, so historical pruning is exactly
-        as sound as latest-version pruning)."""
+        as sound as latest-version pruning).
+
+        ``any_of`` (mutually exclusive with ``predicates``) takes a
+        list of conjunctive specs OR-ed together — disjunctive normal
+        form: each disjunct prunes the file list independently, a file
+        is scanned when ANY disjunct might match it, and the residual
+        filter is the OR of the disjuncts' predicates. The multi-window
+        read shape (this week OR the same week last year) without
+        falling back to a full scan."""
+        if (predicates is None) == (any_of is None):
+            raise ValueError("pass exactly one of predicates / any_of")
         if version is None:
             version = self.latest_version()
             if version is None:
                 raise FileNotFoundError(f"no committed version at {self.path}")
         man = self._read_manifest(version)
         schema = self._manifest_schema(man)
-        pred = predicate_column(predicates)  # validates the spec up front
+        specs = [list(predicates)] if predicates is not None else [list(s) for s in any_of]
+        if not specs:
+            raise ValueError("any_of needs at least one disjunct")
+        cols = [predicate_column(s) for s in specs]  # validates up front
+        pred = cols[0]
+        for c in cols[1:]:
+            pred = pred | c
         # transform-partition pruning mirrors the Spark-side derivation
         # in Python, which is exact only under the engine's pinned UTC
         # sessions — other zones keep stats/bloom/raw-partition pruning
         # and simply skip the transform-dir reasoning
         utc = spark.conf.get("spark.sql.session.timeZone") == "UTC"
-        kept, _pruned = self._prune_by_key_stats(
-            man["files"], predicates, schema,
-            partition_by=man.get("partition_by"), transforms_ok=utc,
-        )
+        keep_paths: set[str] = set()
+        for s in specs:
+            kept_s, _ = self._prune_by_key_stats(
+                man["files"], s, schema,
+                partition_by=man.get("partition_by"), transforms_ok=utc,
+            )
+            keep_paths.update(e["path"] for e in kept_s)
+        kept = [e for e in man["files"] if e["path"] in keep_paths]
         if not kept:
             return spark.createDataFrame([], schema or man["schema"])
         df = self._read_files(spark, kept)

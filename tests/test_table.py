@@ -1917,3 +1917,40 @@ def test_hidden_partitioning_hours_and_int_truncate(spark, tmp_path):
     one = ti.snapshot_where(spark, [("k", "=", -150)])
     assert [r["v"] for r in one.collect()] == [-150]
     assert {p.split("k_trunc=")[1].split("/")[0] for p in one.inputFiles()} == {"-200"}
+
+
+def test_snapshot_where_any_of_dnf_pruning(spark, tmp_path):
+    """OR-of-conjunctions: each disjunct prunes independently, the
+    scan unions the surviving files, and the residual filter is the
+    OR — a two-window read touches two windows' files, not the table."""
+    from etl_job_spark.table import _strip_file_scheme, predicate_column
+
+    t = ManifestTable(str(tmp_path / "dnf"))
+    t.overwrite(
+        spark.range(0, 1000).selectExpr("id as k", "id % 7 as v")
+        .repartitionByRange(10, "k").sortWithinPartitions("k")
+    )
+    specs = [
+        [("k", "between", (50, 120))],
+        [("k", "between", (800, 860)), ("v", "=", 3)],
+    ]
+    got = t.snapshot_where(spark, any_of=specs)
+    brute = t.snapshot(spark).filter(
+        predicate_column(specs[0]) | predicate_column(specs[1])
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, brute.collect()))
+    man = t._read_manifest(t.latest_version())
+    union_paths = set()
+    for s in specs:
+        k, _ = t._prune_by_key_stats(man["files"], s)
+        union_paths |= {os.path.join(t.data_dir, e["path"]) for e in k}
+    scan = {_strip_file_scheme(p) for p in got.inputFiles()}
+    assert scan == union_paths
+    assert 0 < len(scan) < len(man["files"])
+    # API guards
+    with pytest.raises(ValueError, match="exactly one"):
+        t.snapshot_where(spark, [("k", "=", 1)], any_of=specs)
+    with pytest.raises(ValueError, match="exactly one"):
+        t.snapshot_where(spark)
+    with pytest.raises(ValueError, match="at least one"):
+        t.snapshot_where(spark, any_of=[])
