@@ -162,3 +162,36 @@ def test_snapshot_where_equals_brute_filter(spark, tmp_path_factory, rows, preds
         key=key,
     )
     assert got == exp, (preds, got, exp)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 100),
+            st.one_of(st.sampled_from(["a", "b", "zz"]), st.none()),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    disjuncts=st.lists(_pred_specs(), min_size=1, max_size=3),
+)
+def test_snapshot_where_any_of_equals_brute_or(spark, tmp_path_factory, rows, disjuncts):
+    """DNF reads: for ANY set of conjunctive disjuncts, the unioned
+    pruned read equals the brute OR filter."""
+    from etl_job_spark.table import ManifestTable, predicate_column
+
+    t = ManifestTable(str(tmp_path_factory.mktemp("dnfprop") / "t"))
+    df = spark.createDataFrame(
+        [(k, g, float(k)) for k, g in rows], "k long, g string, v double"
+    )
+    t.overwrite(df.repartitionByRange(3, "k"))
+    key = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
+    got = sorted(
+        map(tuple, t.snapshot_where(spark, any_of=disjuncts).collect()), key=key
+    )
+    pred = predicate_column(disjuncts[0])
+    for s in disjuncts[1:]:
+        pred = pred | predicate_column(s)
+    exp = sorted(map(tuple, t.snapshot(spark).filter(pred).collect()), key=key)
+    assert got == exp, (disjuncts, got, exp)
