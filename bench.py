@@ -159,26 +159,14 @@ def main() -> None:
     if len(line) > 1900:  # pragma: no cover - growth guard
         print(f"# WARNING stdout line {len(line)} chars, driver window ~2000", file=sys.stderr)
     print(line)
-    # reclaim this session's scratch tables (the served-IVF index and
-    # the mart_versioned table are keyed by applicationId — nothing
-    # else will ever reuse them once the session ends)
-    import glob
-    import shutil
-    import tempfile
+    # reclaim this session's scratch tables (keyed by applicationId —
+    # nothing else will ever reuse them once the session ends). The
+    # same reclaim is registered atexit by scratch_dir for any caller
+    # that isn't the bench; running it here too keeps the bench's
+    # cleanup deterministic and pre-stop.
+    from etl_job_spark.scratch import reclaim_scratch
 
-    # exactly the two known scratch prefixes — a bare *_{app_id}*
-    # wildcard would rmtree any unrelated temp path that happens to
-    # contain the application id (advisor r4)
-    app_id = spark.sparkContext.applicationId
-    for pattern in (
-        f"kicc_mart_versioned_{app_id}",
-        f"kicc_mart_gdpr_{app_id}",
-        f"kicc_mart_window_read_{app_id}_*",
-        f"events_mart_daily_{app_id}_*",
-        f"ivf_index_{app_id}_*",
-    ):
-        for d in glob.glob(os.path.join(tempfile.gettempdir(), pattern)):
-            shutil.rmtree(d, ignore_errors=True)
+    reclaim_scratch(spark.sparkContext.applicationId)
     spark.stop()
 
 

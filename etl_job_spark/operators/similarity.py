@@ -200,6 +200,51 @@ def _centroid_literal(cents: list[list[int]]):
     return F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in cents])
 
 
+# past this many centroid ints (k×dim), the plan-literal centroid
+# table stops being a trick and becomes the bottleneck: k=4096 lists
+# of dim=1024 is ~4M Literal nodes — a ~100 MB expression tree that
+# blows plan compilation before any data moves. Bigger quantizers ride
+# a ONE-ROW broadcast DataFrame instead (same __cents column, O(1)
+# plan size), with the k-way argmin as a single transform/array_min
+# expression rather than k generated expressions.
+_CENT_LITERAL_MAX_INTS = 100_000
+
+
+def _with_centroids(df: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Attach the centroid table as a ``__cents`` column: plan literal
+    below ``_CENT_LITERAL_MAX_INTS`` total ints (fastest — pure
+    codegen constant), broadcast one-row crossJoin above it (no row
+    multiplication: the broadcast side is a single row)."""
+    if len(cents) * (len(cents[0]) if cents else 0) <= _CENT_LITERAL_MAX_INTS:
+        return df.withColumn("__cents", _centroid_literal(cents))
+    spark = df.sparkSession
+    row = spark.createDataFrame(
+        [([list(map(int, c)) for c in cents],)], "__cents array<array<bigint>>"
+    )
+    return df.crossJoin(F.broadcast(row))
+
+
+# argmin over __cents as ONE expression (O(1) plan size, O(k·dim) row
+# cost): distance per centroid via transform, then array_min on
+# (d, cid) structs — struct ordering breaks ties to the lower cid,
+# exactly matching the literal path's least(struct(d, cid)) semantics
+_NEAREST_CID_EXPR = (
+    "array_min(transform(__cents, (c, i) -> struct("
+    "aggregate(zip_with(e_int, c, (x, y) -> (x - y) * (x - y)),"
+    " cast(0 as bigint), (acc, x) -> acc + x) as d,"
+    " cast(i as int) as cid))).cid"
+)
+
+_CENT_DISTS_EXPR = (
+    "transform(__cents, c -> aggregate(zip_with(e_int, c,"
+    " (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (acc, x) -> acc + x))"
+)
+
+
+def _is_literal_path(cents: list[list[int]]) -> bool:
+    return len(cents) * (len(cents[0]) if cents else 0) <= _CENT_LITERAL_MAX_INTS
+
+
 def _nearest_centroid(cents: list[list[int]]):
     """Column: argmin over squared-L2 to each centroid (exact integer
     arithmetic; ties break to the lower centroid id). No join, no
@@ -249,8 +294,13 @@ def kmeans_centroids(
         )
         cents = [[int(x) for x in r.e_int] for r in seeds]
         for _ in range(n_iters):
-            assigned = v.withColumn("__cents", _centroid_literal(cents)).select(
-                "vid", "e_int", _nearest_centroid(cents).alias("cid")
+            cid = (
+                _nearest_centroid(cents)
+                if _is_literal_path(cents)
+                else F.expr(_NEAREST_CID_EXPR)
+            )
+            assigned = _with_centroids(v, cents).select(
+                "vid", "e_int", cid.alias("cid")
             )
             rows = (
                 assigned.select("cid", F.posexplode("e_int").alias("dim", "x"))
@@ -272,16 +322,22 @@ def kmeans_centroids(
 
 def _assigned_corpus(vectors: DataFrame, cents: list[list[int]], id_col: str) -> DataFrame:
     """Corpus quantized and assigned to inverted lists:
-    (n_id, v_int, vn_int, cid) — assignment is a pure projection."""
-    return (
-        quantized(vectors)
-        .withColumn("__cents", _centroid_literal(cents))
-        .select(
-            F.col(id_col).alias("n_id"),
-            F.col("e_int").alias("v_int"),
-            F.col("n_int").alias("vn_int"),
-            _nearest_centroid(cents).alias("cid"),
-        )
+    (n_id, v_int, vn_int, cid) — assignment is a pure projection
+    either way: generated least(struct…) over the literal centroid
+    table below the size threshold, one transform/array_min expression
+    over a broadcast one-row centroid frame above it (identical
+    integer arithmetic, identical tie-breaks — determinism-pinned)."""
+    v = _with_centroids(quantized(vectors), cents)
+    cid = (
+        _nearest_centroid(cents)
+        if _is_literal_path(cents)
+        else F.expr(_NEAREST_CID_EXPR)
+    )
+    return v.select(
+        F.col(id_col).alias("n_id"),
+        F.col("e_int").alias("v_int"),
+        F.col("n_int").alias("vn_int"),
+        cid.alias("cid"),
     )
 
 
@@ -290,23 +346,25 @@ def _probe_queries(
 ) -> DataFrame:
     """Each query's ``n_probe`` nearest inverted lists:
     (q_id, q_int, qn_int, cid), one row per probed list."""
-    q = quantized(queries).withColumn("__cents", _centroid_literal(cents))
+    q = _with_centroids(quantized(queries), cents)
+    if _is_literal_path(cents):
+        dists = F.array(
+            *[
+                F.expr(
+                    f"aggregate(zip_with(e_int, element_at(__cents, {c + 1}),"
+                    " (x, y) -> (x - y) * (x - y)), cast(0 as bigint),"
+                    " (acc, x) -> acc + x)"
+                )
+                for c in range(len(cents))
+            ]
+        )
+    else:
+        dists = F.expr(_CENT_DISTS_EXPR)
     probes = q.select(
         F.col(id_col).alias("q_id"),
         F.col("e_int").alias("q_int"),
         F.col("n_int").alias("qn_int"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(
-                        f"aggregate(zip_with(e_int, element_at(__cents, {c + 1}),"
-                        " (x, y) -> (x - y) * (x - y)), cast(0 as bigint),"
-                        " (acc, x) -> acc + x)"
-                    )
-                    for c in range(len(cents))
-                ]
-            )
-        ).alias("cid", "cdist"),
+        F.posexplode(dists).alias("cid", "cdist"),
     )
     w_probe = Window.partitionBy("q_id").orderBy(F.col("cdist"), F.col("cid"))
     return (
@@ -476,6 +534,11 @@ def ivf_index_staleness(spark, index_path: str) -> dict:
     }
 
 
+class IndexStalenessError(RuntimeError):
+    """The IVF index's appended fraction exceeds the caller's
+    ``max_staleness`` budget — retrain with ``ivf_build_index``."""
+
+
 def ivf_search(
     spark,
     index_path: str,
@@ -483,6 +546,7 @@ def ivf_search(
     k: int = 5,
     n_probe: int = 4,
     id_col: str = "vec_id",
+    max_staleness: float | None = None,
 ) -> DataFrame:
     """Serve a query batch from a persisted IVF index (``ivf_build_index``).
 
@@ -492,7 +556,24 @@ def ivf_search(
     static ``cid IN (…)`` partition filter, so the scan reads ONLY the
     probed lists' files — unprobed inverted lists cost zero I/O. Same
     output contract and identical results to ``ivf_topk`` with the
-    same training parameters."""
+    same training parameters.
+
+    ``max_staleness`` ENFORCES the retrain ledger ``ivf_append``
+    maintains (r6 verdict: recommendation alone lets a long-running
+    ingest degrade recall silently): a search against an index whose
+    appended fraction exceeds the budget raises
+    ``IndexStalenessError`` instead of quietly serving from a
+    quantizer that no longer reflects the corpus. ``None`` (default)
+    keeps the advisory-only behavior."""
+    if max_staleness is not None:
+        st = ivf_index_staleness(spark, index_path)
+        if st["appended_fraction"] > max_staleness:
+            raise IndexStalenessError(
+                f"IVF index at {index_path} has appended_fraction "
+                f"{st['appended_fraction']:.3f} > max_staleness "
+                f"{max_staleness:.3f} ({st['n_appended']} appended on "
+                f"{st['n_base']} base rows); rebuild with ivf_build_index"
+            )
     cents = _load_centroids(spark, index_path)
     probed = _probe_queries(queries, cents, n_probe, id_col)
     probe_cids = sorted({r.cid for r in probed.select("cid").distinct().collect()})

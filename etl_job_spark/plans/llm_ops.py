@@ -1147,7 +1147,8 @@ def embed_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     shows train-included vs index-amortized latency side by side."""
     import os
     import shutil
-    import tempfile
+
+    from etl_job_spark.scratch import scratch_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
@@ -1155,10 +1156,7 @@ def embed_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _IVF_INDEX_DIRS.get(key)
     if path is None:
         tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-        path = os.path.join(
-            tempfile.gettempdir(),
-            f"ivf_index_{spark.sparkContext.applicationId}_{tag}",
-        )
+        path = scratch_dir(spark, "ivf_index", f"_{tag}")
         shutil.rmtree(path, ignore_errors=True)
         similarity.ivf_build_index(emb, path, n_centroids=16, n_iters=3)
         _IVF_INDEX_DIRS[key] = path
@@ -1530,14 +1528,13 @@ def events_mart_daily_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning arithmetic are all hash-checked."""
     import datetime as dt
     import hashlib
-    import os
-    import tempfile
 
+    from etl_job_spark.scratch import scratch_dir
     from etl_job_spark.table import ManifestTable
 
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"events_mart_daily_{spark.sparkContext.applicationId}"
+    path = scratch_dir(
+        spark,
+        "events_mart_daily",
         f"_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     t = ManifestTable(path)

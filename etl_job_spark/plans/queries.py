@@ -328,14 +328,13 @@ def mart_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r3 verdict #8). Crucially it is NOT cleaned on re-entry — an
     # rmtree here would delete the files a previously returned (lazy)
     # snapshot still references, failing any later action on that
-    # frame; snapshot isolation makes reuse safe, and bench.py
-    # reclaims the directory when the session ends. The applicationId
-    # suffix keeps concurrent sessions apart.
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"kicc_mart_versioned_{spark.sparkContext.applicationId}",
-    )
-    t = ManifestTable(path)
+    # frame; snapshot isolation makes reuse safe, and scratch_dir
+    # registers the session-end reclaim (atexit; bench.py also
+    # reclaims explicitly). The applicationId suffix keeps concurrent
+    # sessions apart.
+    from etl_job_spark.scratch import scratch_dir
+
+    t = ManifestTable(scratch_dir(spark, "kicc_mart_versioned"))
     # cluster the landing write by its partition column: one file per
     # date, not (shuffle tasks x dates) slivers — the write shape that
     # keeps the table scannable without an immediate compact
@@ -383,12 +382,10 @@ def mart_gdpr_erased(spark: SparkSession, sf_dir: str) -> DataFrame:
     day1 = staging.filter(F.col("sale_date").between(*VERSIONED_W1))
     # same session-scoped reuse contract as kicc_mart_versioned above:
     # repeated invocations append overwrite+delete version pairs to one
-    # directory; bench.py reclaims it at session end
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"kicc_mart_gdpr_{spark.sparkContext.applicationId}",
-    )
-    t = ManifestTable(path)
+    # directory; scratch_dir registers the session-end reclaim
+    from etl_job_spark.scratch import scratch_dir
+
+    t = ManifestTable(scratch_dir(spark, "kicc_mart_gdpr"))
     t.overwrite(
         day1.repartition(F.col("sale_date")),
         partition_by=["sale_date"],
@@ -433,8 +430,8 @@ def mart_window_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan's input files equal the stats-eligible subset
     (tests/test_table.py::test_snapshot_where_*)."""
     import hashlib
-    import tempfile
 
+    from etl_job_spark.scratch import scratch_dir
     from etl_job_spark.table import ManifestTable
 
     # session-scoped scratch table like the mart_versioned/mart_gdpr
@@ -443,9 +440,9 @@ def mart_window_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the landing write is deterministic for a given input dir, so
     # re-landing it every invocation would just re-bench the write
     # (first-landing cost is visible in BENCH_SPREAD's max)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"kicc_mart_window_read_{spark.sparkContext.applicationId}"
+    path = scratch_dir(
+        spark,
+        "kicc_mart_window_read",
         f"_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     t = ManifestTable(path)

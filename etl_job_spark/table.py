@@ -81,6 +81,7 @@ from __future__ import annotations
 
 import base64
 import datetime
+import decimal
 import json
 import os
 import urllib.parse
@@ -190,13 +191,20 @@ def _stat_encode(value):
     """Footer/source statistic → JSON value that preserves ordering.
 
     Values comparable under their JSON encoding prune; anything whose
-    order the JSON form can't represent (bytes, decimals — float
-    rounding could move a bound the wrong way) returns None and the
+    order the JSON form can't represent (bytes) returns None and the
     column simply records no stats, which is always sound (the file
-    stays "possibly touched"). Dates/timestamps use isoformat, whose
-    lexicographic order matches temporal order."""
+    stays "possibly touched"). Temporal values encode as unit-specific
+    epoch integers; DECIMALS encode EXACTLY as ``{"dec": "<str>"}``
+    (the float form could round a bound the wrong way — the one
+    failure a planner must never have) and compare through
+    ``decimal.Decimal`` on the probe side. The dict form is
+    deliberately incomparable to every scalar encoding
+    (``_comparable``), so decimal stats can never be confused with
+    plain int64 key stats by an old or type-ignorant probe."""
     if isinstance(value, bool):  # bool is an int subclass; exclude it
         return None
+    if isinstance(value, decimal.Decimal):
+        return {"dec": str(value)} if value.is_finite() else None
     if isinstance(value, (int, float, str)):
         return value
     if isinstance(value, datetime.datetime):
@@ -242,7 +250,12 @@ def _file_stats(path: str) -> tuple[int, dict[str, dict]]:
                 stats.pop(name, None)
                 continue
             try:
-                lo, hi = _stat_encode(st.min), _stat_encode(st.max)
+                col = schema.column(j)
+                if getattr(col.logical_type, "type", None) == "DECIMAL":
+                    lo = _decimal_raw_stat(st.min_raw, col.scale)
+                    hi = _decimal_raw_stat(st.max_raw, col.scale)
+                else:
+                    lo, hi = _stat_encode(st.min), _stat_encode(st.max)
             except Exception:
                 # pyarrow can't extract stats for some physical types
                 # (ArrowNotImplementedError, e.g. INT96); unknown range
@@ -258,9 +271,37 @@ def _file_stats(path: str) -> tuple[int, dict[str, dict]]:
             if cur is None:
                 stats[name] = [lo, hi]
             else:
-                cur[0] = min(cur[0], lo)
-                cur[1] = max(cur[1], hi)
+                # order under _enc_order: decimal encodings (dicts)
+                # are not orderable directly
+                if _enc_order(lo) < _enc_order(cur[0]):
+                    cur[0] = lo
+                if _enc_order(hi) > _enc_order(cur[1]):
+                    cur[1] = hi
     return meta.num_rows, {k: {"min": v[0], "max": v[1]} for k, v in stats.items()}
+
+
+def _decimal_raw_stat(raw, scale: int):
+    """Parquet DECIMAL raw statistic → exact ``{"dec": str}`` encoding.
+    INT32/INT64-backed decimals surface the unscaled int directly;
+    FIXED_LEN_BYTE_ARRAY/BYTE_ARRAY-backed ones surface big-endian
+    two's-complement bytes. pyarrow cannot ``cast`` these statistics
+    (ArrowNotImplementedError), which is why the raw form is decoded
+    here instead of going through ``_stat_encode``."""
+    if isinstance(raw, bytes):
+        raw = int.from_bytes(raw, "big", signed=True)
+    if isinstance(raw, bool) or not isinstance(raw, int):
+        return None
+    return {"dec": str(decimal.Decimal(raw).scaleb(-scale))}
+
+
+def _enc_order(x):
+    """Encoded stat → an orderable Python value: decimal encodings
+    (``{"dec": str}``) become exact ``decimal.Decimal``; every scalar
+    encoding orders as itself. Callers gate on ``_comparable`` first —
+    this never mixes families."""
+    if isinstance(x, dict):
+        return decimal.Decimal(x["dec"])
+    return x
 
 
 def _distributed_file_stats(
@@ -299,7 +340,7 @@ def _distributed_file_stats(
     return {r["path"]: (int(r["rows"]), json.loads(r["stats"])) for r in got}
 
 
-def _stat_probe_encode(v, kind: str | None):
+def _stat_probe_encode(v, kind: str | None, utc: bool = True):
     """Probe value → the stat unit of a column of type ``kind``
     (simpleString), or None when no sound mapping exists.
 
@@ -311,14 +352,41 @@ def _stat_probe_encode(v, kind: str | None):
     against a column of unknown type) would compare micros against
     days as raw ints and prune every matching file — a silently missed
     GDPR delete. Unknown means never prune, same contract as every
-    other encoder here."""
+    other encoder here.
+
+    Datetime probes encode through ``TimestampType().toInternal`` —
+    the EXACT conversion PySpark's ``F.lit(datetime)`` applies
+    (verified: naive datetimes convert through the PYTHON process's
+    local zone via mktime; neither the session zone nor the JVM
+    default moves the literal) — so for plain ``timestamp`` columns,
+    whose footer stats are already instants, probe and residual agree
+    in ANY zone. ``timestamp_ntz`` stats are naive wall clocks encoded
+    wall-as-UTC, which equal the stored instants only under a UTC
+    session, so NTZ probes are additionally gated on ``utc``."""
     # NB: datetime.datetime IS a datetime.date subclass — check it first
     if isinstance(v, datetime.datetime):
-        if kind is not None and kind.startswith("timestamp"):
-            return _stat_encode(v)
-        return None
+        if kind is None or not kind.startswith("timestamp"):
+            return None
+        if kind != "timestamp" and not utc:
+            return None  # ntz stats are instants only under UTC sessions
+        from pyspark.sql.types import TimestampType
+
+        return TimestampType().toInternal(v)
     if isinstance(v, datetime.date):
         return _stat_encode(v) if kind == "date" else None
+    if kind is not None and kind.startswith("decimal"):
+        # decimal columns compare EXACTLY against int and decimal
+        # probes on both engines; against float/string Spark casts the
+        # DECIMAL side to double — lossy, so those probes never prune
+        if isinstance(v, bool) or isinstance(v, float):
+            return None
+        if isinstance(v, int):
+            return {"dec": str(v)}
+        if isinstance(v, decimal.Decimal) and v.is_finite():
+            return {"dec": str(v)}
+        return None
+    if isinstance(v, decimal.Decimal):
+        return None  # decimal probe against a non-decimal column
     if kind in ("date",) or (kind is not None and kind.startswith("timestamp")):
         return None  # non-temporal probe against a temporal column
     return _stat_encode(v)
@@ -340,6 +408,8 @@ def _probe_outside(e, fmin, fmax) -> bool:
     keep pruning."""
     if e is None or not _comparable(e, fmin):
         return False
+    if isinstance(e, dict):  # decimal family: exact at any magnitude
+        return _enc_order(e) < _enc_order(fmin) or _enc_order(e) > _enc_order(fmax)
     if isinstance(e, (int, float)) and type(e) is not type(fmin):
         big = 2**53
         if abs(e) >= big or abs(fmin) >= big or abs(fmax) >= big:
@@ -347,59 +417,93 @@ def _probe_outside(e, fmin, fmax) -> bool:
     return e < fmin or e > fmax
 
 
-def _envelope_outside(st: dict, vals: list, kind: str | None = None) -> bool:
+def _envelope_outside(
+    st: dict, vals: list, kind: str | None = None, utc: bool = True
+) -> bool:
     """Range check of a probe SET's overall min/max against a file's
     recorded range — the only test cheap enough for oversized value
     sets (> ``_BLOOM_PROBE_MAX``), and sound: if even the set's
     envelope misses the file's range entirely, no member can hit it.
     Any un-encodable value keeps the file (it might match anywhere)."""
-    enc = [_stat_probe_encode(v, kind) for v in vals]
+    enc = [_stat_probe_encode(v, kind, utc) for v in vals]
     if any(e is None for e in enc):
         return False
     fmin, fmax = st["min"], st["max"]
     if not all(_comparable(e, fmin) for e in enc):
         return False
     big = 2**53
+    stored_big = (
+        isinstance(fmin, (int, float)) and (abs(fmin) >= big or abs(fmax) >= big)
+    )
     if any(
-        isinstance(e, (int, float)) and type(e) is not type(fmin) and abs(e) >= big
+        isinstance(e, (int, float))
+        and type(e) is not type(fmin)
+        and (abs(e) >= big or stored_big)
         for e in enc
     ):
         # EVERY member must clear the lossy-cast bar, not just the
-        # endpoints: a cross-type member past 2**53 inside the set can
-        # double-cast-equal a stored value the endpoints prune around
+        # endpoints: a cross-type member past 2**53 (on either side)
+        # can double-cast-equal a stored value the endpoints prune
+        # around
         return False
     # the WHOLE envelope must sit on one side of the file's range —
     # a straddling envelope can hide members inside the range
-    lo, hi = min(enc), max(enc)
-    return (_probe_outside(hi, fmin, fmax) and hi < fmin) or (
-        _probe_outside(lo, fmin, fmax) and lo > fmax
-    )
+    ordv = [_enc_order(e) for e in enc]
+    lo, hi = min(ordv), max(ordv)
+    return hi < _enc_order(fmin) or lo > _enc_order(fmax)
+
+
+def _session_utc(spark: SparkSession) -> bool:
+    """True when BOTH timezone knobs that bend timezone-sensitive
+    pruning are UTC: the SESSION zone (governs SQL string literals,
+    ``date_format`` — hence the transform-dir spellings — and NTZ
+    casts) and the PYTHON process's local zone (governs naive-datetime
+    literal conversion through ``TimestampType.toInternal``/mktime —
+    verified; the JVM default moves neither). Non-UTC disables the
+    transform-dir and NTZ-stat prunes — sound, just prunes less; plain
+    timestamp-instant stat probes stay exact in any zone via
+    ``toInternal`` and are not gated."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        return False
+    import time
+
+    return time.timezone == 0 and (time.daylight == 0 or time.altzone == 0)
 
 
 def _comparable(a, b) -> bool:
     """True when two encoded stats can be ordered soundly: both numeric
-    (bools never reach here — ``_stat_encode`` drops them) or both str.
-    A type mismatch (e.g. a stats column rewritten from int to its
-    isoformat string by an evolved writer) disables pruning on that
-    column rather than risking a wrong comparison."""
+    (bools never reach here — ``_stat_encode`` drops them), both str,
+    or both exact decimal encodings. A family mismatch (e.g. a stats
+    column rewritten from int to its isoformat string by an evolved
+    writer, or a decimal dict probed by a type-ignorant int encode)
+    disables pruning on that column rather than risking a wrong
+    comparison."""
+    if isinstance(a, dict) or isinstance(b, dict):
+        return (
+            isinstance(a, dict) and isinstance(b, dict) and "dec" in a and "dec" in b
+        )
     if isinstance(a, (int, float)) and isinstance(b, (int, float)):
         return True
     return isinstance(a, str) and isinstance(b, str)
 
 
-def _range_excludes(st: dict, op: str, v, kind: str | None = None) -> bool:
+def _range_excludes(
+    st: dict, op: str, v, kind: str | None = None, utc: bool = True
+) -> bool:
     """True when a file's recorded ``[min, max]`` proves NO row can
     satisfy ``col <op> v`` — the inequality half of read-path data
     skipping. Un-encodable probes, unit-mismatched temporal probes
     (``_stat_probe_encode``), and lossy cross-type comparisons
     (see ``_probe_outside``) never exclude."""
-    e = _stat_probe_encode(v, kind)
+    e = _stat_probe_encode(v, kind, utc)
     if e is None:
         return False
     fmin, fmax = st["min"], st["max"]
     if not _comparable(e, fmin):
         return False
-    if isinstance(e, (int, float)) and type(e) is not type(fmin):
+    if isinstance(e, dict):  # decimal family: exact at any magnitude
+        e, fmin, fmax = _enc_order(e), _enc_order(fmin), _enc_order(fmax)
+    elif isinstance(e, (int, float)) and type(e) is not type(fmin):
         big = 2**53
         if abs(e) >= big or abs(fmin) >= big or abs(fmax) >= big:
             return False
@@ -419,6 +523,10 @@ def _range_excludes(st: dict, op: str, v, kind: str | None = None) -> bool:
 _PART_UNKNOWN = object()
 
 
+def _is_nan(x) -> bool:
+    return isinstance(x, float) and x != x
+
+
 def _canon_partition(x, kind):
     """Partition-dir string OR probe value → one canonical Python value
     under the column's committed type ``kind`` (simpleString), chosen
@@ -426,7 +534,13 @@ def _canon_partition(x, kind):
     Spark's implicit-cast comparison of the partition column against
     the probe literal. Returns ``None`` when the cast provably nulls
     out (Spark: never matches) and ``_PART_UNKNOWN`` when no sound
-    mapping exists (never prune)."""
+    mapping exists (never prune).
+
+    NaN on either side is ``_PART_UNKNOWN``: Spark's ordering treats
+    NaN as greater than every double and NaN = NaN as TRUE, while
+    every Python NaN comparison is false — reasoning about it here
+    would prune a NaN partition dir that predicates like ``x > 5`` or
+    ``x = NaN`` actually match. Unknown = never prune."""
     try:
         if kind == "string":
             if isinstance(x, str):
@@ -436,7 +550,7 @@ def _canon_partition(x, kind):
             if isinstance(x, bool):
                 return _PART_UNKNOWN
             if isinstance(x, (int, float)):
-                if abs(x) >= 2**53:
+                if _is_nan(x) or abs(x) >= 2**53:
                     return _PART_UNKNOWN
                 return float(x)
             return _PART_UNKNOWN
@@ -446,7 +560,7 @@ def _canon_partition(x, kind):
             if isinstance(x, int):
                 return x
             if isinstance(x, float):
-                return _PART_UNKNOWN if abs(x) >= 2**53 else x
+                return _PART_UNKNOWN if _is_nan(x) or abs(x) >= 2**53 else x
             if isinstance(x, str):
                 s = x.strip()
                 try:
@@ -456,15 +570,16 @@ def _canon_partition(x, kind):
                     # strings through double ('57.0' matches 57) —
                     # mirror with an exact sub-2**53 float
                     f = float(s)
-                    return _PART_UNKNOWN if abs(f) >= 2**53 else f
+                    return _PART_UNKNOWN if _is_nan(f) or abs(f) >= 2**53 else f
             return _PART_UNKNOWN
         if kind in ("float", "double"):
             if isinstance(x, bool):
                 return float(x)
             if isinstance(x, (int, float)):
-                return _PART_UNKNOWN if abs(x) >= 2**53 else float(x)
+                return _PART_UNKNOWN if _is_nan(x) or abs(x) >= 2**53 else float(x)
             if isinstance(x, str):
-                return float(x.strip())
+                f = float(x.strip())
+                return _PART_UNKNOWN if _is_nan(f) else f
             return _PART_UNKNOWN
         if kind == "date":
             if isinstance(x, datetime.datetime):
@@ -597,7 +712,7 @@ def _stats_disjoint(entry: dict, key_ranges: dict[str, tuple]) -> bool:
         fmin, fmax = st["min"], st["max"]
         if not (_comparable(fmin, lo) and _comparable(fmax, hi)):
             continue
-        if fmax < lo or fmin > hi:
+        if _enc_order(fmax) < _enc_order(lo) or _enc_order(fmin) > _enc_order(hi):
             return True
     return False
 
@@ -939,6 +1054,14 @@ class _PartitionField:
         self.source = m.group(3)
         if self.kind in ("bucket", "truncate") and not self.arg:
             raise ValueError(f"partition transform {spec!r} needs its N argument")
+        if self.kind in ("hours", "days", "months") and self.arg is not None:
+            # silently ignoring the N would give a user writing
+            # bucket-style syntax (hours(3, ts)) plain hourly
+            # partitioning with no error
+            raise ValueError(
+                f"partition transform {spec!r}: {self.kind}() takes no N "
+                f"argument — use {self.kind}({self.source})"
+            )
         suffix = {
             "hours": "hour",
             "days": "day",
@@ -1102,6 +1225,7 @@ class ManifestTable:
         entry: dict,
         values_by_col: dict[str, list],
         types: dict[str, str] | None = None,
+        utc: bool = True,
     ) -> bool:
         """False only when the entry PROVABLY holds none of the probe
         values: some column's recorded min/max excludes every value, or
@@ -1124,13 +1248,13 @@ class ManifestTable:
             if len(vals) > _BLOOM_PROBE_MAX:
                 # oversized sets skip the per-value tests (cost) but
                 # still range-prune on the set's overall envelope
-                if st is not None and _envelope_outside(st, vals, kind):
+                if st is not None and _envelope_outside(st, vals, kind, utc):
                     return False
                 continue
             if st is not None:
                 fmin, fmax = st["min"], st["max"]
                 if all(
-                    _probe_outside(_stat_probe_encode(v, kind), fmin, fmax)
+                    _probe_outside(_stat_probe_encode(v, kind, utc), fmin, fmax)
                     for v in vals
                 ):
                     return False
@@ -1277,7 +1401,7 @@ class ManifestTable:
         predicates: Sequence[tuple],
         schema: StructType | None = None,
         partition_by: Sequence[str] | None = None,
-        transforms_ok: bool = True,
+        utc: bool = True,
     ) -> tuple[list[dict], list[dict]]:
         """Split ``entries`` into (kept, pruned) under a conjunctive
         predicate spec — the read-time half of data skipping whose
@@ -1292,7 +1416,13 @@ class ManifestTable:
         filter tests negative for every probed value. Missing stats,
         un-encodable probes, and lossy cross-type comparisons never
         prune — identical soundness contract to the MERGE/DELETE
-        planners, which share these primitives."""
+        planners, which share these primitives.
+
+        ``utc`` gates BOTH timezone-sensitive prune families: the
+        transform-dir reasoning (the Python mirror of days()/hours()
+        derivation assumes UTC sessions) AND timestamp-kind stat
+        probes (footer stats are wall-as-UTC micros; a non-UTC session
+        interprets the probe literal in its own zone)."""
         norm: list[tuple] = []
         for col, op, v in predicates:
             if op == "=":
@@ -1315,13 +1445,13 @@ class ManifestTable:
         }
         tmap = (
             {f.source: f for f in _partition_fields(partition_by) if f.kind != "raw"}
-            if transforms_ok
+            if utc
             else {}
         )
         kept, pruned = [], []
         for e in entries:
             if _fully_dead(e) or not self._entry_matches_possible(
-                e, norm, part_types, tmap
+                e, norm, part_types, tmap, utc=utc
             ):
                 pruned.append(e)
             else:
@@ -1334,6 +1464,7 @@ class ManifestTable:
         constraints: list[tuple],
         part_types: dict[str, str],
         tmap: dict[str, "_PartitionField"] | None = None,
+        utc: bool = True,
     ) -> bool:
         """False only when some conjunctive constraint PROVABLY holds
         for no row of the file. Three independent exclusion tests per
@@ -1366,7 +1497,9 @@ class ManifestTable:
                     ]
                     if all(d is not _PART_UNKNOWN for d in dvs) and pv not in set(dvs):
                         return False
-                if not self._entry_may_contain(entry, {col: vals}, types=part_types):
+                if not self._entry_may_contain(
+                    entry, {col: vals}, types=part_types, utc=utc
+                ):
                     return False
             else:
                 if v is None:
@@ -1400,7 +1533,9 @@ class ManifestTable:
                             if op in ("<=", "<") and a > b:
                                 return False
                 st = stats.get(col)
-                if st is not None and _range_excludes(st, op, v, part_types.get(col)):
+                if st is not None and _range_excludes(
+                    st, op, v, part_types.get(col), utc
+                ):
                     return False
         return True
 
@@ -1452,16 +1587,17 @@ class ManifestTable:
         pred = cols[0]
         for c in cols[1:]:
             pred = pred | c
-        # transform-partition pruning mirrors the Spark-side derivation
-        # in Python, which is exact only under the engine's pinned UTC
-        # sessions — other zones keep stats/bloom/raw-partition pruning
-        # and simply skip the transform-dir reasoning
-        utc = spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        # transform-partition pruning and timestamp stat probes both
+        # mirror Spark-side semantics in Python, which is exact only
+        # under the engine's pinned UTC sessions — other zones keep
+        # date/int/string stats, bloom, and raw-partition pruning and
+        # simply skip the timezone-sensitive reasoning
+        utc = _session_utc(spark)
         keep_paths: set[str] = set()
         for s in specs:
             kept_s, _ = self._prune_by_key_stats(
                 man["files"], s, schema,
-                partition_by=man.get("partition_by"), transforms_ok=utc,
+                partition_by=man.get("partition_by"), utc=utc,
             )
             keep_paths.update(e["path"] for e in kept_s)
         kept = [e for e in man["files"] if e["path"] in keep_paths]
@@ -1627,23 +1763,15 @@ class ManifestTable:
         driver instead of stampeding it with 100k object-store reads."""
         sub = uuid.uuid4().hex
         out_dir = os.path.join(self.data_dir, sub)
-        # write timestamps as INT64 TIMESTAMP_MICROS, scoped to this
-        # write: Spark's legacy INT96 default produces footers whose
-        # timestamp stats pyarrow cannot extract, so ts columns would
-        # silently never participate in stats pruning (and the driver
-        # calls with a BARE session — this must be set here, not in
-        # session.py)
-        ts_key = "spark.sql.parquet.outputTimestampType"
-        spark = df.sparkSession
-        prev_ts = spark.conf.get(ts_key, None)
-        spark.conf.set(ts_key, "TIMESTAMP_MICROS")
         if partition_by:
             # hidden partitioning: derive transform values here — the
             # ONE write funnel — so every write shape (overwrite,
             # append, merge rewrite, delete rewrite, compaction)
             # partitions identically. partitionBy removes the derived
             # column from the file contents; the source column stays
-            # in the files with its footer stats intact.
+            # in the files with its footer stats intact. Validation
+            # (and the lazy writer build) happen BEFORE the conf swap
+            # below, so a raised ValueError can't leak the setting.
             fields = _partition_fields(partition_by)
             for f in fields:
                 if f.kind != "raw":
@@ -1656,6 +1784,16 @@ class ManifestTable:
             writer = df.write.mode("error").partitionBy(*[f.dirname for f in fields])
         else:
             writer = df.write.mode("error")
+        # write timestamps as INT64 TIMESTAMP_MICROS, scoped to this
+        # write: Spark's legacy INT96 default produces footers whose
+        # timestamp stats pyarrow cannot extract, so ts columns would
+        # silently never participate in stats pruning (and the driver
+        # calls with a BARE session — this must be set here, not in
+        # session.py)
+        ts_key = "spark.sql.parquet.outputTimestampType"
+        spark = df.sparkSession
+        prev_ts = spark.conf.get(ts_key, None)
+        spark.conf.set(ts_key, "TIMESTAMP_MICROS")
         try:
             writer.parquet(out_dir)
         finally:
@@ -2277,9 +2415,10 @@ class ManifestTable:
                     types = {
                         f.name: f.dataType.simpleString() for f in schema.fields
                     }
+                    utc = _session_utc(spark)
                     still = []
                     for entry in touched:
-                        if self._entry_may_contain(entry, probe, types=types):
+                        if self._entry_may_contain(entry, probe, types=types, utc=utc):
                             still.append(entry)
                         else:
                             untouched.append(entry)
@@ -2416,9 +2555,12 @@ class ManifestTable:
             untouched: list[dict] = []
             if _prune_values:
                 types = self._schema_types(man)
+                utc = _session_utc(spark)
                 candidates = []
                 for entry in man["files"]:
-                    if self._entry_may_contain(entry, _prune_values, types=types):
+                    if self._entry_may_contain(
+                        entry, _prune_values, types=types, utc=utc
+                    ):
                         candidates.append(entry)
                     else:
                         untouched.append(entry)
@@ -2488,10 +2630,11 @@ class ManifestTable:
             candidates = man["files"]
             if prune_values:
                 types = self._schema_types(man)
+                utc = _session_utc(spark)
                 candidates = [
                     e
                     for e in candidates
-                    if self._entry_may_contain(e, prune_values, types=types)
+                    if self._entry_may_contain(e, prune_values, types=types, utc=utc)
                 ]
             if not candidates:
                 return base

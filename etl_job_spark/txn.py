@@ -291,7 +291,26 @@ class TransactionalCatalog:
     def _replay(self) -> tuple[dict[str, int | None], int]:
         """Replay from the newest checkpoint: (full state, last record
         id seen). Publishes every applied record's manifests on the
-        way (idempotent)."""
+        way (idempotent).
+
+        A concurrent ``vacuum`` may delete a record (or its manifest
+        spill) we LISTED against an older checkpoint — but it only ever
+        deletes records at or below a published checkpoint's upto, so
+        the deletion proves a newer checkpoint covers them. Restart
+        from scratch: the fresh ``_latest_checkpoint``/``_txn_ids``
+        pass sees the new checkpoint and no longer needs the dead
+        files. Bounded retries — each restart requires another racing
+        checkpoint+vacuum to have landed mid-pass."""
+        for _ in range(8):
+            try:
+                return self._replay_once()
+            except FileNotFoundError:
+                self._txn_cache.clear()
+                self._staged_cache.clear()
+                continue
+        return self._replay_once()
+
+    def _replay_once(self) -> tuple[dict[str, int | None], int]:
         upto, state = self._latest_checkpoint()
         last = upto
         for txn_id in self._txn_ids():

@@ -223,3 +223,75 @@ def test_ivf_append_serves_new_vectors_without_rewriting_lists(spark, sf_dir, tm
     assert any(n >= cut for n in found), "appended vectors never surfaced"
     got = similarity.ivf_search(spark, idx, probe_new, k=5, n_probe=8).collect()
     assert got and all(r.q_id == new_id for r in got)
+
+
+# -- round 7: scalable centroid assignment + staleness enforcement ----
+
+
+def test_broadcast_assignment_bit_identical_to_literal(spark, sf_dir, monkeypatch):
+    """Past the plan-literal size threshold, assignment switches to a
+    broadcast one-row centroid frame with a transform/array_min
+    argmin — the distances, argmin, and tie-breaks must be
+    BIT-IDENTICAL to the literal path on the same quantizer."""
+    emb = _emb(spark, sf_dir).limit(400)
+    cents = similarity.kmeans_centroids(emb, n_centroids=8, n_iters=2)
+    lit = similarity._assigned_corpus(emb, cents, "vec_id")
+    assert similarity._is_literal_path(cents)
+    monkeypatch.setattr(similarity, "_CENT_LITERAL_MAX_INTS", 0)
+    bc = similarity._assigned_corpus(emb, cents, "vec_id")
+    assert not similarity._is_literal_path(cents)
+    a = {r.n_id: r.cid for r in lit.collect()}
+    b = {r.n_id: r.cid for r in bc.collect()}
+    assert a == b
+
+    # probe planning must agree too
+    q = emb.limit(20)
+    p_lit = similarity._probe_queries(q, cents, 3, "vec_id")
+    monkeypatch.setattr(similarity, "_CENT_LITERAL_MAX_INTS", 10**9)
+    pl = {(r.q_id, r.cid) for r in p_lit.collect()}
+    monkeypatch.setattr(similarity, "_CENT_LITERAL_MAX_INTS", 0)
+    p_bc = similarity._probe_queries(q, cents, 3, "vec_id")
+    pb = {(r.q_id, r.cid) for r in p_bc.collect()}
+    assert pl == pb
+
+
+def test_big_quantizer_compiles_and_runs(spark):
+    """k=512, dim=256 (131072 ints — past the literal threshold): the
+    broadcast path must compile a bounded-size plan and assign every
+    row. The literal path at this size would build a ~131k-node
+    expression tree."""
+    k, dim = 512, 256
+    cents = [[(c * 31 + d * 7) % 1000 - 500 for d in range(dim)] for c in range(k)]
+    assert not similarity._is_literal_path(cents)
+    vecs = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 256), i -> cast((id * 13 + i * 3) % 7 - 3 as float))"
+        ).alias("embedding"),
+    )
+    got = similarity._assigned_corpus(vecs, cents, "vec_id")
+    rows = got.collect()
+    assert len(rows) == 64
+    assert all(0 <= r.cid < k for r in rows)
+
+
+def test_ivf_search_staleness_enforced(spark, sf_dir, tmp_path):
+    import pytest
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    extra = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "ivf")
+    similarity.ivf_build_index(base, idx, n_centroids=8, n_iters=1)
+    q = emb.limit(5)
+    # fresh index: guarded search serves fine
+    assert similarity.ivf_search(spark, idx, q, k=3, max_staleness=0.2).count() > 0
+    st = similarity.ivf_append(spark, idx, extra)
+    assert st["appended_fraction"] > 0.2 and st["recommend_retrain"]
+    with pytest.raises(similarity.IndexStalenessError, match="max_staleness"):
+        similarity.ivf_search(spark, idx, q, k=3, max_staleness=0.2)
+    # unguarded search keeps the advisory-only behavior
+    assert similarity.ivf_search(spark, idx, q, k=3).count() > 0
+    # retrain clears it
+    similarity.ivf_build_index(emb, idx, n_centroids=8, n_iters=1)
+    assert similarity.ivf_search(spark, idx, q, k=3, max_staleness=0.2).count() > 0
