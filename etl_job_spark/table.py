@@ -122,6 +122,23 @@ _MOR_FALLBACK_ROWS = 10_000_000
 # reads at most this many manifest files (Delta's checkpoint shape)
 _CHECKPOINT_INTERVAL = 10
 
+# checkpoints listing at least this many files store the entry list as
+# a PARQUET sidecar (files-<uuid>.parquet, one row per file) instead
+# of inline JSON — Delta's parquet-checkpoint shape: at 10^6 files the
+# JSON form is GBs of text the driver must parse per open, while the
+# parquet form is a columnar metadata TABLE that read planning can
+# scan as a Spark job (below)
+_FILES_PARQUET_MIN = 512
+
+# distributed read planning kicks in when the snapshot's file count
+# reaches this: the per-entry prune (partition constants + transform
+# dirs + footer stats) runs as ONE mapInPandas job over the checkpoint
+# parquet, shipping back only the O(matching) survivors; below it the
+# in-memory loop beats a Spark job's scheduling overhead. The bloom
+# probe stays a driver pass over the survivors either way (sidecar
+# reads keyed through the table instance).
+_SPARK_PRUNE_MIN_FILES = 4096
+
 # commits landing at most this many files take footer stats on the
 # driver (a few dozen ~8 KB reads — cheaper than scheduling a Spark
 # job); bigger commits compute stats ON THE EXECUTORS so a 100k-file
@@ -1171,6 +1188,142 @@ def _transform_probe(field: "_PartitionField", v, col_kind: str | None = None):
     return _PART_UNKNOWN
 
 
+def _entry_stats_may_contain(
+    entry: dict,
+    values_by_col: dict[str, list],
+    types: dict[str, str] | None = None,
+    utc: bool = True,
+) -> bool:
+    """The STATS half of ``_entry_may_contain`` — a pure function of
+    the entry dict, so distributed planning can ship it to executors
+    (blooms need sidecar file reads keyed through the table instance
+    and stay a driver-side pass over the survivors)."""
+    stats = entry.get("stats") or {}
+    types = types or {}
+    for col, values in values_by_col.items():
+        vals = [v for v in values if v is not None]
+        if not vals:
+            continue
+        st = stats.get(col)
+        kind = types.get(col)
+        if len(vals) > _BLOOM_PROBE_MAX:
+            # oversized sets skip the per-value tests (cost) but
+            # still range-prune on the set's overall envelope
+            if st is not None and _envelope_outside(st, vals, kind, utc):
+                return False
+            continue
+        if st is not None:
+            fmin, fmax = st["min"], st["max"]
+            if all(
+                _probe_outside(_stat_probe_encode(v, kind, utc), fmin, fmax)
+                for v in vals
+            ):
+                return False
+    return True
+
+
+def _normalize_predicates(predicates: Sequence[tuple]) -> list[tuple]:
+    """Conjunctive predicate spec → constraints with ``=`` folded into
+    single-member ``in`` and ``between`` split into its two bounds —
+    the one normal form every planner (in-memory and distributed)
+    reasons from."""
+    norm: list[tuple] = []
+    for col, op, v in predicates:
+        if op == "=":
+            norm.append((col, "in", [v]))
+        elif op == "in":
+            norm.append((col, "in", list(v)))
+        elif op == "between":
+            lo, hi = v
+            norm.append((col, ">=", lo))
+            norm.append((col, "<=", hi))
+        elif op in ("<", "<=", ">", ">="):
+            norm.append((col, op, v))
+        else:
+            raise ValueError(
+                f"predicate op {op!r}: use '=', 'in', 'between', "
+                "'<', '<=', '>', '>='"
+            )
+    return norm
+
+
+def _entry_matches_stats(
+    entry: dict,
+    constraints: list[tuple],
+    part_types: dict[str, str],
+    tmap: dict[str, "_PartitionField"] | None = None,
+    utc: bool = True,
+) -> bool:
+    """False only when some conjunctive constraint PROVABLY holds for
+    no row of the file, judged from the entry dict alone (partition
+    constants, transform dirs, footer stats — everything except bloom
+    sidecars). Pure and picklable: this is the per-entry matcher the
+    distributed planner ships to executors; the in-memory planner runs
+    the same function, then layers blooms on top
+    (``ManifestTable._entry_matches_possible``)."""
+    part = entry.get("partition") or {}
+    stats = entry.get("stats") or {}
+    tmap = tmap or {}
+    for col, op, v in constraints:
+        field = tmap.get(col)
+        on_transform = field is not None and field.dirname in part
+        if op == "in":
+            vals = [x for x in v if x is not None]
+            if not vals:
+                return False  # IN (NULL…) matches nothing
+            if col in part:
+                if not _part_match_possible(part[col], vals, part_types.get(col)):
+                    return False
+                continue  # raw partition col: not in the data files
+            if on_transform:
+                pv = part[field.dirname]
+                if pv is None:
+                    return False  # every source value in the file is NULL
+                dvs = [
+                    _transform_probe(field, x, part_types.get(col)) for x in vals
+                ]
+                if all(d is not _PART_UNKNOWN for d in dvs) and pv not in set(dvs):
+                    return False
+            if not _entry_stats_may_contain(entry, {col: vals}, part_types, utc):
+                return False
+        else:
+            if v is None:
+                return False  # NULL comparison matches nothing
+            if col in part:
+                if _part_range_excludes(part[col], op, v, part_types.get(col)):
+                    return False
+                continue
+            if on_transform and field.kind in ("hours", "days", "months", "truncate"):
+                # monotonic floor transforms: x >= v ⇒ t(x) >= t(v)
+                pv = part[field.dirname]
+                if pv is None:
+                    return False
+                col_kind = part_types.get(col)
+                dv = _transform_probe(field, v, col_kind)
+                if dv is not _PART_UNKNOWN:
+                    a, b = pv, dv
+                    if field.kind == "truncate" and col_kind in (
+                        "tinyint", "smallint", "int", "bigint",
+                    ):
+                        # integer-truncate dirs compare NUMERICALLY:
+                        # '10' < '9' lexicographically would mis-prune
+                        try:
+                            a, b = int(pv), int(dv)
+                        except ValueError:
+                            a = b = None
+                    if a is not None:
+                        if op in (">=", ">") and a < b:
+                            return False
+                        if op in ("<=", "<") and a > b:
+                            return False
+            st = stats.get(col)
+            if st is not None and _range_excludes(
+                st, op, v, part_types.get(col), utc
+            ):
+                return False
+    return True
+
+
 def _align(df: DataFrame, schema: StructType) -> DataFrame:
     """Project ``df`` onto ``schema``: stable column order, NULL-fill
     for columns the frame lacks (additive schema evolution)."""
@@ -1235,29 +1388,17 @@ class ManifestTable:
         ``_stats_disjoint``. ``types`` (column → simpleString) lets the
         stats tests refuse unit-mismatched temporal probes — without it
         every temporal probe is treated as un-encodable (sound, just
-        prunes less)."""
-        stats = entry.get("stats") or {}
-        types = types or {}
+        prunes less). The stats half is the pure module-level
+        ``_entry_stats_may_contain`` (what distributed planning ships
+        to executors); the bloom sidecar probe stays here, deferred
+        past the stats tests."""
+        if not _entry_stats_may_contain(entry, values_by_col, types, utc):
+            return False
         blooms: dict | None = None  # sidecar load deferred past stats
         for col, values in values_by_col.items():
             vals = [v for v in values if v is not None]
-            if not vals:
+            if not vals or len(vals) > _BLOOM_PROBE_MAX:
                 continue
-            st = stats.get(col)
-            kind = types.get(col)
-            if len(vals) > _BLOOM_PROBE_MAX:
-                # oversized sets skip the per-value tests (cost) but
-                # still range-prune on the set's overall envelope
-                if st is not None and _envelope_outside(st, vals, kind, utc):
-                    return False
-                continue
-            if st is not None:
-                fmin, fmax = st["min"], st["max"]
-                if all(
-                    _probe_outside(_stat_probe_encode(v, kind, utc), fmin, fmax)
-                    for v in vals
-                ):
-                    return False
             if blooms is None:
                 blooms = self._entry_blooms(entry)
             bloom = blooms.get(col)
@@ -1299,12 +1440,43 @@ class ManifestTable:
         Data files are immutable, so a path never changes meaning;
         entry CONTENT can change without the path changing (DV-only
         commits), which is why deltas carry whole entries, not paths.
+        Big checkpoints carry ``files_ref`` — a parquet sidecar — and
+        resolve through one columnar read instead of a JSON parse.
         """
         raw = self._read_raw_manifest(version)
         if "files" not in raw:
-            raw["files"] = self._resolve_files(raw)
+            if "files_ref" in raw:
+                raw["files"] = self._read_files_parquet(raw["files_ref"])
+            else:
+                raw["files"] = self._resolve_files(raw)
         self._files_cache.setdefault(version, raw["files"])
         return raw
+
+    def _read_files_parquet(self, ref: str) -> list[dict]:
+        tbl = pq.read_table(
+            os.path.join(self.manifest_dir, ref), columns=["entry"]
+        )
+        return [json.loads(s) for s in tbl.column("entry").to_pylist()]
+
+    def _write_files_parquet(self, entries: list[dict]) -> str:
+        """Land the entry list as ``files-<uuid>.parquet`` (one row per
+        file: its path for planning-side filters, the whole entry as
+        JSON for lossless round-trip of heterogeneous stats/DV/bloom
+        fields). Uuid-named per commit ATTEMPT: a losing optimistic
+        retry orphans its sidecar, which vacuum reclaims like any
+        unreferenced file."""
+        import pyarrow as pa
+
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        name = f"files-{uuid.uuid4().hex}.parquet"
+        tbl = pa.table(
+            {
+                "path": [e["path"] for e in entries],
+                "entry": [json.dumps(e, sort_keys=True) for e in entries],
+            }
+        )
+        pq.write_table(tbl, os.path.join(self.manifest_dir, name))
+        return name
 
     def _resolve_files(self, raw: dict) -> list[dict]:
         base_version = raw["base_version"]
@@ -1329,13 +1501,20 @@ class ManifestTable:
         (identical logical content — readers see either spelling and
         resolve the same files). ``vacuum`` calls this on the oldest
         retained version before dropping older manifests, so no
-        retained delta is ever left without its base chain."""
+        retained delta is ever left without its base chain.
+        ``files_ref`` checkpoints are already self-contained (their
+        parquet sidecar lives in the manifest dir and is retained with
+        them); big materializations take the parquet form themselves."""
         raw = self._read_raw_manifest(version)
-        if "files" in raw:
+        if "files" in raw or "files_ref" in raw:
             return
         files = self._read_manifest(version)["files"]
         full = {k: v for k, v in raw.items() if k != "delta"}
-        full["files"] = files
+        if len(files) >= _FILES_PARQUET_MIN:
+            full["files_ref"] = self._write_files_parquet(files)
+            full["n_files"] = len(files)
+        else:
+            full["files"] = files
         tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
@@ -1423,23 +1602,7 @@ class ManifestTable:
         derivation assumes UTC sessions) AND timestamp-kind stat
         probes (footer stats are wall-as-UTC micros; a non-UTC session
         interprets the probe literal in its own zone)."""
-        norm: list[tuple] = []
-        for col, op, v in predicates:
-            if op == "=":
-                norm.append((col, "in", [v]))
-            elif op == "in":
-                norm.append((col, "in", list(v)))
-            elif op == "between":
-                lo, hi = v
-                norm.append((col, ">=", lo))
-                norm.append((col, "<=", hi))
-            elif op in ("<", "<=", ">", ">="):
-                norm.append((col, op, v))
-            else:
-                raise ValueError(
-                    f"predicate op {op!r}: use '=', 'in', 'between', "
-                    "'<', '<=', '>', '>='"
-                )
+        norm = _normalize_predicates(predicates)
         part_types = {
             f.name: f.dataType.simpleString() for f in (schema.fields if schema else [])
         }
@@ -1467,76 +1630,23 @@ class ManifestTable:
         utc: bool = True,
     ) -> bool:
         """False only when some conjunctive constraint PROVABLY holds
-        for no row of the file. Three independent exclusion tests per
-        constraint: the raw hive partition constant, the TRANSFORM
-        partition constant the constrained column derives (hidden
-        partitioning — ``tmap`` maps source column → field), and the
-        source column's own footer stats/bloom (transform-partitioned
-        files keep the source column in the data, so both dir-level
-        and stats-level pruning apply)."""
+        for no row of the file. The partition-constant, transform-dir,
+        and footer-stats tests are the pure ``_entry_matches_stats``
+        (shared verbatim with the distributed planner); the bloom
+        sidecar probe layers on top for small ``in`` sets over
+        non-partition columns."""
+        if not _entry_matches_stats(entry, constraints, part_types, tmap, utc):
+            return False
         part = entry.get("partition") or {}
-        stats = entry.get("stats") or {}
-        tmap = tmap or {}
         for col, op, v in constraints:
-            field = tmap.get(col)
-            on_transform = field is not None and field.dirname in part
-            if op == "in":
-                vals = [x for x in v if x is not None]
-                if not vals:
-                    return False  # IN (NULL…) matches nothing
-                if col in part:
-                    if not _part_match_possible(part[col], vals, part_types.get(col)):
-                        return False
-                    continue  # raw partition col: not in the data files
-                if on_transform:
-                    pv = part[field.dirname]
-                    if pv is None:
-                        return False  # every source value in the file is NULL
-                    dvs = [
-                        _transform_probe(field, x, part_types.get(col)) for x in vals
-                    ]
-                    if all(d is not _PART_UNKNOWN for d in dvs) and pv not in set(dvs):
-                        return False
-                if not self._entry_may_contain(
-                    entry, {col: vals}, types=part_types, utc=utc
-                ):
-                    return False
-            else:
-                if v is None:
-                    return False  # NULL comparison matches nothing
-                if col in part:
-                    if _part_range_excludes(part[col], op, v, part_types.get(col)):
-                        return False
-                    continue
-                if on_transform and field.kind in ("hours", "days", "months", "truncate"):
-                    # monotonic floor transforms: x >= v ⇒ t(x) >= t(v)
-                    pv = part[field.dirname]
-                    if pv is None:
-                        return False
-                    col_kind = part_types.get(col)
-                    dv = _transform_probe(field, v, col_kind)
-                    if dv is not _PART_UNKNOWN:
-                        a, b = pv, dv
-                        if field.kind == "truncate" and col_kind in (
-                            "tinyint", "smallint", "int", "bigint",
-                        ):
-                            # integer-truncate dirs compare NUMERICALLY:
-                            # '10' < '9' lexicographically would
-                            # mis-prune
-                            try:
-                                a, b = int(pv), int(dv)
-                            except ValueError:
-                                a = b = None
-                        if a is not None:
-                            if op in (">=", ">") and a < b:
-                                return False
-                            if op in ("<=", "<") and a > b:
-                                return False
-                st = stats.get(col)
-                if st is not None and _range_excludes(
-                    st, op, v, part_types.get(col), utc
-                ):
-                    return False
+            if op != "in" or col in part:
+                continue
+            vals = [x for x in v if x is not None]
+            if not vals or len(vals) > _BLOOM_PROBE_MAX:
+                continue
+            bloom = self._entry_blooms(entry).get(col)
+            if bloom and _bloom_excludes(bloom, vals):
+                return False
         return True
 
     def snapshot_where(
@@ -1978,8 +2088,17 @@ class ManifestTable:
             # overwrite, which replaces every file.
             manifest["dropped_cols"] = sorted(set(dropped_cols))
         if expected_base is None or version % _CHECKPOINT_INTERVAL == 0:
-            # checkpoint: self-contained full file list
-            manifest["files"] = entries
+            # checkpoint: self-contained full file list. Big lists take
+            # the parquet-sidecar form (Delta's parquet checkpoint) —
+            # one columnar read to open, a scannable metadata TABLE for
+            # distributed read planning. Captured commits (transaction
+            # catalog) stay inline: the manifest content itself travels
+            # through the txn log and must be self-describing.
+            if self._capture is None and len(entries) >= _FILES_PARQUET_MIN:
+                manifest["files_ref"] = self._write_files_parquet(entries)
+                manifest["n_files"] = len(entries)
+            else:
+                manifest["files"] = entries
         else:
             # delta against the base — a carried-by-reference commit
             # (append, MERGE on a narrow window, DV-only delete) writes
