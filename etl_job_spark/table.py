@@ -1324,6 +1324,62 @@ def _entry_matches_stats(
     return True
 
 
+# -- distributed read planning ("metadata as data") -------------------
+#
+# Below _SPARK_PRUNE_MIN_FILES the per-entry matcher runs as a driver
+# loop (a Spark job's scheduling latency would dominate); at or above
+# it, planning itself becomes a Spark job: the file entries — already
+# a columnar parquet TABLE for big checkpoints (files_ref sidecars) —
+# are scanned with mapInPandas running the SAME pure matcher on the
+# executors, and only the O(matching) survivors return to the driver.
+# This is the Delta/Iceberg shape (checkpoint-parquet / Avro manifests
+# planned as a distributed scan): at 10^6 files (a 100 TB table at
+# 100 MB/file) the driver never parses — for sidecar-backed versions,
+# never even HOLDS — the full entry list. Bloom probes stay a driver
+# pass over the survivors either way (sidecar reads are keyed through
+# the table instance and touch O(matching) files).
+
+
+def _entries_df(spark: SparkSession, entries: list[dict]) -> DataFrame:
+    """Driver-held entry list → one-column DataFrame of entry JSON
+    (Arrow-shipped, sliced across the default parallelism). The tier
+    for big INLINE manifests and already-resolved caches; sidecar
+    checkpoints scan their parquet directly and skip the driver hop."""
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"entry": [json.dumps(e, sort_keys=True) for e in entries]})
+    )
+
+
+def _spark_filter_entries(
+    source: DataFrame,
+    match_fn: Callable[[dict], bool],
+    skip_paths: "frozenset[str] | set[str] | None" = None,
+) -> list[dict]:
+    """The planning job: mapInPandas over ``source``'s ``entry`` JSON
+    column, keeping rows where ``match_fn`` (a pure closure over
+    module-level matchers — picklable by construction) holds; rows
+    whose path is in ``skip_paths`` are dropped unseen (delta-chain
+    removes/replacements, re-planned driver-side). Returns surviving
+    entry dicts in scan order — O(matching) driver memory."""
+    skip = frozenset(skip_paths or ())
+
+    def keep(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = [
+                s
+                for s in pdf["entry"]
+                if (e := json.loads(s))["path"] not in skip and match_fn(e)
+            ]
+            yield pd.DataFrame({"entry": pd.Series(out, dtype="object")})
+
+    rows = source.select("entry").mapInPandas(keep, "entry string").collect()
+    return [json.loads(r.entry) for r in rows]
+
+
 def _align(df: DataFrame, schema: StructType) -> DataFrame:
     """Project ``df`` onto ``schema``: stable column order, NULL-fill
     for columns the frame lacks (additive schema evolution)."""
@@ -1351,6 +1407,11 @@ class ManifestTable:
         # bloom sidecar ref -> {rel data path -> {col -> bloom}};
         # sidecars are immutable once written, so caching is sound
         self._bloom_cache: dict[str, dict] = {}
+        # observability: how the most recent snapshot_where / merge /
+        # delete planned its file prune ({"mode": "driver" |
+        # "distributed" | "distributed-lazy", ...}) — what the
+        # planning tests (and a curious operator) inspect
+        self.last_planning: dict | None = None
         # when set (by TransactionalCatalog), _publish hands the
         # (version, manifest) pair to this callback INSTEAD of linking
         # it — the op runs fully (reads, prunes, data-file writes) but
@@ -1688,8 +1749,11 @@ class ManifestTable:
             version = self.latest_version()
             if version is None:
                 raise FileNotFoundError(f"no committed version at {self.path}")
-        man = self._read_manifest(version)
-        schema = self._manifest_schema(man)
+        # the RAW manifest (schema/partition_by always inline) — file
+        # resolution is the planner's call: sidecar-backed versions
+        # plan distributed without ever materializing the entry list
+        raw = self._read_raw_manifest(version)
+        schema = self._manifest_schema(raw)
         specs = [list(predicates)] if predicates is not None else [list(s) for s in any_of]
         if not specs:
             raise ValueError("any_of needs at least one disjunct")
@@ -1703,20 +1767,192 @@ class ManifestTable:
         # date/int/string stats, bloom, and raw-partition pruning and
         # simply skip the timezone-sensitive reasoning
         utc = _session_utc(spark)
-        keep_paths: set[str] = set()
-        for s in specs:
-            kept_s, _ = self._prune_by_key_stats(
-                man["files"], s, schema,
-                partition_by=man.get("partition_by"), utc=utc,
-            )
-            keep_paths.update(e["path"] for e in kept_s)
-        kept = [e for e in man["files"] if e["path"] in keep_paths]
+        kept = self._plan_read_entries(spark, version, raw, specs, schema, utc)
         if not kept:
-            return spark.createDataFrame([], schema or man["schema"])
+            return spark.createDataFrame([], schema or raw["schema"])
         df = self._read_files(spark, kept)
         if schema is not None:
             df = _align(df, schema)
         return df.filter(pred)
+
+    def _plan_read_entries(
+        self,
+        spark: SparkSession,
+        version: int,
+        raw: dict,
+        specs: list[list[tuple]],
+        schema: StructType | None,
+        utc: bool,
+    ) -> list[dict]:
+        """The file entries a DNF spec might touch, planned at the
+        right tier for the snapshot's size:
+
+        - **driver** (< ``_SPARK_PRUNE_MIN_FILES``): the in-memory
+          per-entry loop — a Spark job's scheduling latency would
+          dominate at this size;
+        - **distributed**: entries already driver-resident (inline
+          manifest or resolved cache) ship once via Arrow and the
+          stats matcher runs as a mapInPandas job;
+        - **distributed-lazy**: the version resolves from a parquet
+          checkpoint sidecar — planning SCANS the sidecar (the file
+          entries are already a columnar metadata table; the driver
+          never materializes the list), with the delta chain on top
+          applied as a broadcast skip-set (replaced/removed paths drop
+          executor-side) plus an O(chain) driver pass over the
+          replacement entries themselves.
+
+        All tiers end with the same driver-side per-disjunct pass over
+        the O(matching) stats survivors, which layers bloom-sidecar
+        probes on top — so every tier returns the identical kept set,
+        and ``last_planning`` records which tier ran."""
+        partition_by = raw.get("partition_by")
+        part_types = {
+            f.name: f.dataType.simpleString() for f in (schema.fields if schema else [])
+        }
+        tmap = (
+            {f.source: f for f in _partition_fields(partition_by) if f.kind != "raw"}
+            if utc
+            else {}
+        )
+        norm = [_normalize_predicates(s) for s in specs]
+
+        def stats_match(e: dict) -> bool:
+            return not _fully_dead(e) and any(
+                _entry_matches_stats(e, sp, part_types, tmap, utc) for sp in norm
+            )
+
+        entries = self._files_cache.get(version)
+        if entries is None and "files" in raw:
+            entries = raw["files"]
+        mode = "driver"
+        candidates: int | None = None
+        if entries is not None:
+            candidates = len(entries)
+            if candidates >= _SPARK_PRUNE_MIN_FILES:
+                mode = "distributed"
+                entries = _spark_filter_entries(_entries_df(spark, entries), stats_match)
+        else:
+            # walk the delta chain toward a resolvable base
+            node, chain = raw, []
+            while (
+                "files" not in node
+                and "files_ref" not in node
+                and node.get("base_version") not in self._files_cache
+            ):
+                chain.append(node)
+                node = self._read_raw_manifest(node["base_version"])
+            if "files_ref" in node and node.get("n_files", 0) >= _SPARK_PRUNE_MIN_FILES:
+                mode = "distributed-lazy"
+                candidates = node["n_files"]
+                # composite patch of the (≤ _CHECKPOINT_INTERVAL-1)
+                # deltas: a path removed or replaced anywhere in the
+                # chain is skipped executor-side; the replacement
+                # entries (latest content wins) re-plan driver-side
+                removes: set[str] = set()
+                upserts: dict[str, dict] = {}
+                for d in reversed(chain):  # oldest delta first
+                    delta = d["delta"]
+                    for p in delta["removes"]:
+                        removes.add(p)
+                        upserts.pop(p, None)
+                    for e in delta["upserts"]:
+                        upserts[e["path"]] = e
+                source = spark.read.parquet(
+                    os.path.join(self.manifest_dir, node["files_ref"])
+                )
+                entries = _spark_filter_entries(
+                    source, stats_match, skip_paths=removes | set(upserts)
+                )
+                entries.extend(e for e in upserts.values() if stats_match(e))
+            else:
+                entries = self._read_manifest(version)["files"]
+                candidates = len(entries)
+                if candidates >= _SPARK_PRUNE_MIN_FILES:
+                    mode = "distributed"
+                    entries = _spark_filter_entries(
+                        _entries_df(spark, entries), stats_match
+                    )
+        # bloom layer: per-disjunct driver pass over the stats
+        # survivors (identical semantics at every tier — the stats
+        # tests are deterministic per entry, so re-running them over
+        # survivors is a no-op plus the bloom probes)
+        keep_paths: set[str] = set()
+        for s in specs:
+            kept_s, _ = self._prune_by_key_stats(
+                entries, s, schema, partition_by=partition_by, utc=utc
+            )
+            keep_paths.update(e["path"] for e in kept_s)
+        kept = [e for e in entries if e["path"] in keep_paths]
+        self.last_planning = {
+            "mode": mode,
+            "version": version,
+            "candidates": candidates,
+            "stats_survivors": len(entries),
+            "kept": len(kept),
+        }
+        return kept
+
+    def _split_candidates(
+        self,
+        spark: SparkSession,
+        entries: list[dict],
+        match_fn: Callable[[dict], bool],
+        op: str,
+    ) -> tuple[list[dict], list[dict]]:
+        """Split ``entries`` into (possibly-matching, provably-cold)
+        under a PURE per-entry matcher — the write-path planning
+        primitive (MERGE partition/range prune, DELETE candidates).
+        Past ``_SPARK_PRUNE_MIN_FILES`` the matcher runs as a
+        distributed job (same shape as ``_plan_read_entries``); below
+        it, the driver loop. Both tiers return identical splits in
+        manifest order."""
+        if len(entries) >= _SPARK_PRUNE_MIN_FILES:
+            mode = "distributed"
+            surv = {
+                e["path"]
+                for e in _spark_filter_entries(_entries_df(spark, entries), match_fn)
+            }
+            kept = [e for e in entries if e["path"] in surv]
+            cold = [e for e in entries if e["path"] not in surv]
+        else:
+            mode = "driver"
+            kept, cold = [], []
+            for e in entries:
+                (kept if match_fn(e) else cold).append(e)
+        self.last_planning = {
+            "mode": mode,
+            "op": op,
+            "candidates": len(entries),
+            "kept": len(kept),
+        }
+        return kept, cold
+
+    def _split_by_values(
+        self,
+        spark: SparkSession,
+        entries: list[dict],
+        values_by_col: dict[str, list],
+        types: dict[str, str],
+        utc: bool,
+        op: str,
+    ) -> tuple[list[dict], list[dict]]:
+        """(may-contain, provably-cold) under a values probe — the
+        MERGE/DELETE point-prune. The stats half (pure) distributes
+        past the threshold; bloom sidecar probes stay a driver pass
+        over the O(matching) stats survivors."""
+        kept, cold = self._split_candidates(
+            spark,
+            entries,
+            lambda e: _entry_stats_may_contain(e, values_by_col, types, utc),
+            op,
+        )
+        still: list[dict] = []
+        for e in kept:
+            if self._entry_may_contain(e, values_by_col, types=types, utc=utc):
+                still.append(e)
+            else:
+                cold.append(e)
+        return still, cold
 
     @staticmethod
     def _schema_types(man: dict) -> dict[str, str]:
@@ -2488,10 +2724,13 @@ class ManifestTable:
                         *[f.column(source).alias(f.dirname) for f in part_fields]
                     ).distinct().collect()
                 }
-                touched, untouched = [], []
-                for entry in man["files"]:
-                    part = tuple(entry["partition"].get(d) for d in dirnames)
-                    (touched if part in touched_parts else untouched).append(entry)
+                touched, untouched = self._split_candidates(
+                    spark,
+                    man["files"],
+                    lambda e: tuple(e["partition"].get(d) for d in dirnames)
+                    in touched_parts,
+                    "merge-partition",
+                )
 
             # key-range data skipping over the partition-prune
             # survivors; files with no recorded/comparable stats are
@@ -2502,13 +2741,13 @@ class ManifestTable:
             if touched and stat_keys:
                 ranges = _source_key_ranges(source, stat_keys)
                 if ranges:
-                    still: list[dict] = []
-                    for entry in touched:
-                        if _stats_disjoint(entry, ranges):
-                            untouched.append(entry)
-                        else:
-                            still.append(entry)
-                    touched = still
+                    touched, cold = self._split_candidates(
+                        spark,
+                        touched,
+                        lambda e: not _stats_disjoint(e, ranges),
+                        "merge-range",
+                    )
+                    untouched.extend(cold)
 
             # bloom probing over the range-prune survivors: when the
             # source's distinct values on an indexed key fit the probe
@@ -2535,13 +2774,10 @@ class ManifestTable:
                         f.name: f.dataType.simpleString() for f in schema.fields
                     }
                     utc = _session_utc(spark)
-                    still = []
-                    for entry in touched:
-                        if self._entry_may_contain(entry, probe, types=types, utc=utc):
-                            still.append(entry)
-                        else:
-                            untouched.append(entry)
-                    touched = still
+                    touched, cold = self._split_by_values(
+                        spark, touched, probe, types, utc, "merge-bloom"
+                    )
+                    untouched.extend(cold)
 
             if touched:
                 # align the touched rows to the evolved schema first, so a
@@ -2675,14 +2911,9 @@ class ManifestTable:
             if _prune_values:
                 types = self._schema_types(man)
                 utc = _session_utc(spark)
-                candidates = []
-                for entry in man["files"]:
-                    if self._entry_may_contain(
-                        entry, _prune_values, types=types, utc=utc
-                    ):
-                        candidates.append(entry)
-                    else:
-                        untouched.append(entry)
+                candidates, untouched = self._split_by_values(
+                    spark, man["files"], _prune_values, types, utc, "delete-cow"
+                )
             if not candidates:
                 return base
 
@@ -2750,11 +2981,9 @@ class ManifestTable:
             if prune_values:
                 types = self._schema_types(man)
                 utc = _session_utc(spark)
-                candidates = [
-                    e
-                    for e in candidates
-                    if self._entry_may_contain(e, prune_values, types=types, utc=utc)
-                ]
+                candidates, _ = self._split_by_values(
+                    spark, candidates, prune_values, types, utc, "delete-mor"
+                )
             if not candidates:
                 return base
             # existing DVs are applied by _read_files, so re-deleting an

@@ -1,0 +1,184 @@
+"""Distributed read planning: metadata as data.
+
+The scale ceiling named by the round-6 review: every snapshot_where /
+MERGE / DELETE prune ran the per-entry matcher as a serial driver-side
+Python loop — O(table files) driver CPU at 10^6 files. These tests pin
+the fix: past ``_SPARK_PRUNE_MIN_FILES`` the SAME pure matcher runs as
+a mapInPandas job (over the checkpoint's parquet sidecar when the
+version resolves from one — the driver never materializes the entry
+list), and every tier returns the identical kept set.
+
+Thresholds are monkeypatched small so the suite exercises the
+distributed tiers on dozens of files instead of thousands; the
+matchers and job shapes are byte-identical to the production path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import etl_job_spark.table as tablemod
+from etl_job_spark.table import ManifestTable
+
+
+def _mk_table(spark, path, n_rows=3000, n_files=24, bloom=False):
+    t = ManifestTable(str(path))
+    df = spark.range(0, n_rows).selectExpr(
+        "id as k", "cast(id % 7 as int) as v", "concat('u', id) as u"
+    )
+    t.overwrite(
+        df.repartitionByRange(n_files, "k").sortWithinPartitions("k"),
+        bloom_cols=["u"] if bloom else None,
+    )
+    return t
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_files_parquet_sidecar_roundtrip(spark, tmp_path, monkeypatch):
+    """Checkpoints past _FILES_PARQUET_MIN land their entry list as a
+    parquet sidecar (files_ref) and resolve losslessly."""
+    monkeypatch.setattr(tablemod, "_FILES_PARQUET_MIN", 16)
+    t = _mk_table(spark, tmp_path / "t", n_files=24)
+    raw = t._read_raw_manifest(t.latest_version())
+    assert "files" not in raw and raw["n_files"] == 24
+    assert os.path.exists(os.path.join(t.manifest_dir, raw["files_ref"]))
+    # a cold instance resolves the sidecar to the same snapshot
+    t2 = ManifestTable(t.path)
+    assert _rows(t2.snapshot(spark)) == _rows(t.snapshot(spark))
+    man = t2._read_manifest(t2.latest_version())
+    assert len(man["files"]) == 24 and all("stats" in e for e in man["files"])
+
+
+def test_snapshot_where_distributed_matches_driver(spark, tmp_path, monkeypatch):
+    """Tier 'distributed' (driver-resident entries shipped via Arrow):
+    same kept set, same rows as the in-memory loop."""
+    t = _mk_table(spark, tmp_path / "t", bloom=True)
+    preds = [("k", "between", (400, 900)), ("u", "in", ["u500", "u9999"])]
+    monkeypatch.setattr(tablemod, "_SPARK_PRUNE_MIN_FILES", 10**9)
+    drv = _rows(t.snapshot_where(spark, preds))
+    assert t.last_planning["mode"] == "driver"
+    drv_kept = t.last_planning["kept"]
+    monkeypatch.setattr(tablemod, "_SPARK_PRUNE_MIN_FILES", 4)
+    dist = _rows(t.snapshot_where(spark, preds))
+    assert t.last_planning["mode"] == "distributed"
+    assert t.last_planning["kept"] == drv_kept
+    assert dist == drv == _rows(
+        t.snapshot(spark).filter("k between 400 and 900 and u in ('u500','u9999')")
+    )
+    # the prune actually bit: blooms + ranges beat the 24-file scan
+    assert drv_kept < 24
+
+
+def test_snapshot_where_lazy_plans_from_sidecar(spark, tmp_path, monkeypatch):
+    """Tier 'distributed-lazy': a cold instance over a sidecar-backed
+    checkpoint plans by SCANNING the sidecar — the full entry list is
+    never materialized on the driver — and keeps the identical files."""
+    monkeypatch.setattr(tablemod, "_FILES_PARQUET_MIN", 16)
+    t = _mk_table(spark, tmp_path / "t", n_files=24)
+    preds = [("k", "between", (100, 600))]
+    monkeypatch.setattr(tablemod, "_SPARK_PRUNE_MIN_FILES", 10**9)
+    drv = _rows(t.snapshot_where(spark, preds))
+    drv_kept = t.last_planning["kept"]
+
+    monkeypatch.setattr(tablemod, "_SPARK_PRUNE_MIN_FILES", 8)
+    t2 = ManifestTable(t.path)
+    v = t2.latest_version()
+    got = t2.snapshot_where(spark, preds)
+    assert t2.last_planning["mode"] == "distributed-lazy"
+    assert t2.last_planning["candidates"] == 24
+    assert t2.last_planning["kept"] == drv_kept
+    # lazy means lazy: planning did not resolve the version's file list
+    assert v not in t2._files_cache
+    assert _rows(got) == drv
+
+
+def test_lazy_plan_applies_delta_chain(spark, tmp_path, monkeypatch):
+    """Deltas on top of a sidecar checkpoint: removed/replaced paths
+    drop executor-side via the skip-set, replacement entries re-plan
+    driver-side — snapshot_where stays exact through appends, a
+    copy-on-write delete (removes + upserts), and a MOR fully-dead
+    file."""
+    monkeypatch.setattr(tablemod, "_FILES_PARQUET_MIN", 16)
+    monkeypatch.setattr(tablemod, "_SPARK_PRUNE_MIN_FILES", 8)
+    t = _mk_table(spark, tmp_path / "t", n_rows=2000, n_files=20)
+    # delta 1: append new rows (net-new paths in the chain)
+    t.append(spark.range(2000, 2100).selectExpr(
+        "id as k", "cast(id % 7 as int) as v", "concat('u', id) as u"
+    ))
+    # delta 2: copy-on-write delete rewrites one file region
+    t.delete_where(spark, "k between 50 and 60")
+    # delta 3: MOR delete kills every row of the 2000-2100 append
+    t.delete_where(spark, "k >= 2000", mode="merge_on_read")
+
+    preds = [("k", "between", (0, 2100))]
+    t2 = ManifestTable(t.path)
+    got = _rows(t2.snapshot_where(spark, preds))
+    assert t2.last_planning["mode"] == "distributed-lazy"
+    monkeypatch.setattr(tablemod, "_SPARK_PRUNE_MIN_FILES", 10**9)
+    t3 = ManifestTable(t.path)
+    exp = _rows(t3.snapshot_where(spark, preds))
+    assert t3.last_planning["mode"] == "driver"
+    assert got == exp
+    assert got == _rows(t.snapshot(spark).filter("k between 0 and 2100"))
+    # and a narrow window still prunes through the lazy tier
+    t4 = ManifestTable(t.path)
+    monkeypatch.setattr(tablemod, "_SPARK_PRUNE_MIN_FILES", 8)
+    narrow = t4.snapshot_where(spark, [("k", "between", (300, 340))])
+    assert t4.last_planning["mode"] == "distributed-lazy"
+    assert t4.last_planning["kept"] < t3.last_planning["kept"]
+    assert _rows(narrow) == _rows(t.snapshot(spark).filter("k between 300 and 340"))
+
+
+def test_dnf_distributed_matches_brute_or(spark, tmp_path, monkeypatch):
+    t = _mk_table(spark, tmp_path / "t")
+    any_of = [
+        [("k", "between", (100, 200))],
+        [("k", "between", (2500, 2600)), ("v", "=", 3)],
+    ]
+    monkeypatch.setattr(tablemod, "_SPARK_PRUNE_MIN_FILES", 4)
+    got = _rows(t.snapshot_where(spark, any_of=any_of))
+    assert t.last_planning["mode"] == "distributed"
+    exp = _rows(
+        t.snapshot(spark).filter(
+            "(k between 100 and 200) or (k between 2500 and 2600 and v = 3)"
+        )
+    )
+    assert got == exp
+
+
+def test_merge_prunes_distributed(spark, tmp_path, monkeypatch):
+    """merge's partition/range prune past the threshold runs as
+    a planning job; untouched files still carry by reference."""
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.range(0, 2000).selectExpr("id as k", "cast(id as double) as x")
+    t.overwrite(df.repartitionByRange(20, "k").sortWithinPartitions("k"))
+    before = {e["path"] for e in t._read_manifest(t.latest_version())["files"]}
+    monkeypatch.setattr(tablemod, "_SPARK_PRUNE_MIN_FILES", 8)
+    src = spark.createDataFrame([(5, -1.0), (7, -2.0)], "k long, x double")
+    t.merge(spark, src, keys=["k"])
+    assert t.last_planning["mode"] == "distributed"
+    assert t.last_planning["op"] == "merge-range"
+    after = t._read_manifest(t.latest_version())["files"]
+    carried = {e["path"] for e in after} & before
+    assert len(carried) == 19  # one file touched, 19 by reference
+    got = t.snapshot(spark).filter("k in (5, 7)").select("x")
+    assert sorted(r.x for r in got.collect()) == [-2.0, -1.0]
+
+
+def test_delete_keys_prunes_distributed(spark, tmp_path, monkeypatch):
+    t = _mk_table(spark, tmp_path / "t", bloom=True)
+    before = {e["path"] for e in t._read_manifest(t.latest_version())["files"]}
+    monkeypatch.setattr(tablemod, "_SPARK_PRUNE_MIN_FILES", 8)
+    t.delete_keys(spark, "u", ["u42", "u43"])
+    assert t.last_planning["mode"] == "distributed"
+    assert t.last_planning["op"] == "delete-cow"
+    after = t._read_manifest(t.latest_version())["files"]
+    assert len({e["path"] for e in after} & before) >= 22
+    assert t.snapshot(spark).filter("u in ('u42','u43')").count() == 0
+    assert t.snapshot(spark).count() == 2998
