@@ -92,7 +92,7 @@ import pyarrow.parquet as pq
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from etl_job_spark.operators.merge import merge_upsert
 
@@ -1380,13 +1380,31 @@ def _spark_filter_entries(
     return [json.loads(r.entry) for r in rows]
 
 
-def _align(df: DataFrame, schema: StructType) -> DataFrame:
+def _renamed(df: DataFrame, mapping: dict[str, str] | None) -> DataFrame:
+    """Rename columns through ``mapping`` (missing = keep) as ONE
+    simultaneous projection — unlike chained withColumnRenamed, a swap
+    ({a: b, b: a}) cannot transiently collide. Columns outside the
+    mapping (including planner extras like __file/__idx) pass through
+    untouched."""
+    if not mapping or not any(c in mapping for c in df.columns):
+        return df
+    return df.select(*[F.col(c).alias(mapping.get(c, c)) for c in df.columns])
+
+
+def _align(
+    df: DataFrame, schema: StructType, column_map: dict[str, str] | None = None
+) -> DataFrame:
     """Project ``df`` onto ``schema``: stable column order, NULL-fill
-    for columns the frame lacks (additive schema evolution)."""
+    for columns the frame lacks (additive schema evolution), and — for
+    tables with RENAMED columns — resolve each logical field from its
+    PHYSICAL name in the files (``column_map``: logical → physical,
+    Delta's column-mapping shape: a rename changes only this map;
+    every file, old and new, keeps storing the physical name)."""
+    cmap = column_map or {}
     return df.select(
         *[
-            F.col(f.name).cast(f.dataType).alias(f.name)
-            if f.name in df.columns
+            F.col(cmap.get(f.name, f.name)).cast(f.dataType).alias(f.name)
+            if cmap.get(f.name, f.name) in df.columns
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in schema.fields
         ]
@@ -1604,10 +1622,11 @@ class ManifestTable:
         if schema is None:
             return df
         # present the committed (evolved) schema: stable column order,
-        # NULL for columns added after a file was written, and partition
-        # columns (read back as strings — see _read_files) cast to their
-        # committed types
-        return _align(df, schema)
+        # NULL for columns added after a file was written, renamed
+        # columns resolved from their physical names, and partition
+        # columns (read back as strings — see _read_files) cast to
+        # their committed types
+        return _align(df, schema, man.get("column_map"))
 
     def version_as_of(self, timestamp: str) -> int:
         """The latest version whose ``committed_at`` is <= ``timestamp``
@@ -1642,6 +1661,7 @@ class ManifestTable:
         schema: StructType | None = None,
         partition_by: Sequence[str] | None = None,
         utc: bool = True,
+        column_map: dict[str, str] | None = None,
     ) -> tuple[list[dict], list[dict]]:
         """Split ``entries`` into (kept, pruned) under a conjunctive
         predicate spec — the read-time half of data skipping whose
@@ -1663,9 +1683,16 @@ class ManifestTable:
         derivation assumes UTC sessions) AND timestamp-kind stat
         probes (footer stats are wall-as-UTC micros; a non-UTC session
         interprets the probe literal in its own zone)."""
-        norm = _normalize_predicates(predicates)
+        cmap = column_map or {}
+        # translate LOGICAL spec/type names to the PHYSICAL namespace
+        # everything below (stats keys, partition dirs, blooms) lives in
+        norm = [
+            (cmap.get(col, col), op, v)
+            for col, op, v in _normalize_predicates(predicates)
+        ]
         part_types = {
-            f.name: f.dataType.simpleString() for f in (schema.fields if schema else [])
+            cmap.get(f.name, f.name): f.dataType.simpleString()
+            for f in (schema.fields if schema else [])
         }
         tmap = (
             {f.source: f for f in _partition_fields(partition_by) if f.kind != "raw"}
@@ -1772,7 +1799,7 @@ class ManifestTable:
             return spark.createDataFrame([], schema or raw["schema"])
         df = self._read_files(spark, kept)
         if schema is not None:
-            df = _align(df, schema)
+            df = _align(df, schema, raw.get("column_map"))
         return df.filter(pred)
 
     def _plan_read_entries(
@@ -1806,15 +1833,22 @@ class ManifestTable:
         probes on top — so every tier returns the identical kept set,
         and ``last_planning`` records which tier ran."""
         partition_by = raw.get("partition_by")
+        cmap = raw.get("column_map") or {}
         part_types = {
-            f.name: f.dataType.simpleString() for f in (schema.fields if schema else [])
+            cmap.get(f.name, f.name): f.dataType.simpleString()
+            for f in (schema.fields if schema else [])
         }
         tmap = (
             {f.source: f for f in _partition_fields(partition_by) if f.kind != "raw"}
             if utc
             else {}
         )
-        norm = [_normalize_predicates(s) for s in specs]
+        # specs arrive in LOGICAL names; stats/partition/bloom keys are
+        # PHYSICAL — translate once here
+        norm = [
+            [(cmap.get(col, col), op, v) for col, op, v in _normalize_predicates(s)]
+            for s in specs
+        ]
 
         def stats_match(e: dict) -> bool:
             return not _fully_dead(e) and any(
@@ -1879,7 +1913,8 @@ class ManifestTable:
         keep_paths: set[str] = set()
         for s in specs:
             kept_s, _ = self._prune_by_key_stats(
-                entries, s, schema, partition_by=partition_by, utc=utc
+                entries, s, schema, partition_by=partition_by, utc=utc,
+                column_map=cmap,
             )
             keep_paths.update(e["path"] for e in kept_s)
         kept = [e for e in entries if e["path"] in keep_paths]
@@ -1935,11 +1970,19 @@ class ManifestTable:
         types: dict[str, str],
         utc: bool,
         op: str,
+        column_map: dict[str, str] | None = None,
     ) -> tuple[list[dict], list[dict]]:
         """(may-contain, provably-cold) under a values probe — the
         MERGE/DELETE point-prune. The stats half (pure) distributes
         past the threshold; bloom sidecar probes stay a driver pass
-        over the O(matching) stats survivors."""
+        over the O(matching) stats survivors. ``values_by_col`` and
+        ``types`` arrive in LOGICAL names; stats and bloom keys are
+        PHYSICAL — translated here."""
+        if column_map:
+            values_by_col = {
+                column_map.get(c, c): v for c, v in values_by_col.items()
+            }
+            types = {column_map.get(c, c): t for c, t in types.items()}
         kept, cold = self._split_candidates(
             spark,
             entries,
@@ -2276,6 +2319,7 @@ class ManifestTable:
         stream_txn: tuple[str, int] | None = None,
         constraints: dict[str, str] | None = None,
         dropped_cols: Sequence[str] | None = None,
+        column_map: dict[str, str] | None = None,
     ) -> int:
         # table properties carry forward across every commit unless the
         # caller overrides them: bloom_cols (None = keep, [] = clear)
@@ -2292,6 +2336,8 @@ class ManifestTable:
                 constraints = base_man.get("constraints")
             if dropped_cols is None:
                 dropped_cols = base_man.get("dropped_cols")
+            if column_map is None:
+                column_map = base_man.get("column_map")
             stream_txns = dict(base_man.get("stream_txns") or {})
         if stream_txn is not None:
             stream_txns[stream_txn[0]] = int(stream_txn[1])
@@ -2318,11 +2364,17 @@ class ManifestTable:
         if constraints:
             manifest["constraints"] = dict(constraints)
         if dropped_cols:
-            # tombstones: names a later append/merge may NOT reintroduce
-            # (old files still hold the physical bytes — re-adding the
-            # name would resurrect their values on read). Cleared by
-            # overwrite, which replaces every file.
+            # tombstones: PHYSICAL names a later append/merge may NOT
+            # reintroduce (old files still hold the physical bytes —
+            # re-adding the name would resurrect their values on
+            # read). Cleared by overwrite, which replaces every file.
             manifest["dropped_cols"] = sorted(set(dropped_cols))
+        if column_map:
+            # logical → physical column names (rename support): files
+            # always store the PHYSICAL name; a rename edits only this
+            # map. Cleared by overwrite (fresh files adopt the logical
+            # names as physical).
+            manifest["column_map"] = dict(column_map)
         if expected_base is None or version % _CHECKPOINT_INTERVAL == 0:
             # checkpoint: self-contained full file list. Big lists take
             # the parquet-sidecar form (Delta's parquet checkpoint) —
@@ -2363,6 +2415,9 @@ class ManifestTable:
             return df.schema
         by_name = {f.name: f for f in base.fields}
         dropped = set(man.get("dropped_cols") or [])
+        cmap = man.get("column_map") or {}
+        # physical names already carrying another logical column's data
+        phys_in_use = {cmap.get(f.name, f.name) for f in base.fields}
         for f in df.schema.fields:
             if f.name in dropped:
                 raise ValueError(
@@ -2370,6 +2425,13 @@ class ManifestTable:
                     "the name would resurrect the values still present in old "
                     "data files. overwrite() (which replaces every file) "
                     "clears the tombstone."
+                )
+            if f.name not in by_name and f.name in phys_in_use:
+                raise ValueError(
+                    f"cannot add column {f.name!r}: it is the PHYSICAL name of "
+                    "a renamed column — old data files still store values "
+                    "under it, which the new column would silently resurrect. "
+                    "Pick another name, or overwrite() to rewrite every file."
                 )
             old = by_name.get(f.name)
             if old is None:
@@ -2507,10 +2569,11 @@ class ManifestTable:
             missing = sorted(set(drop) - names)
             if missing:
                 raise ValueError(f"cannot drop unknown column(s): {missing}")
+            cmap = dict(man.get("column_map") or {})
             part_sources = {
                 f.source for f in _partition_fields(man.get("partition_by"))
             }
-            clash = sorted(set(drop) & part_sources)
+            clash = sorted(c for c in drop if cmap.get(c, c) in part_sources)
             if clash:
                 raise ValueError(
                     f"cannot drop partition column(s)/transform source(s): {clash}"
@@ -2529,12 +2592,100 @@ class ManifestTable:
             new_schema = StructType([f for f in schema.fields if f.name not in set(drop)])
             if not new_schema.fields:
                 raise ValueError("cannot drop every column of the table")
-            blooms = [c for c in (man.get("bloom_cols") or []) if c not in set(drop)]
-            tombstones = sorted(set(man.get("dropped_cols") or []) | set(drop))
+            # tombstones block the PHYSICAL name (that's where the
+            # bytes live); bloom_cols are physical already
+            drop_phys = {cmap.get(c, c) for c in drop}
+            blooms = [c for c in (man.get("bloom_cols") or []) if c not in drop_phys]
+            tombstones = sorted(set(man.get("dropped_cols") or []) | drop_phys)
+            for c in drop:
+                cmap.pop(c, None)
             op = {"op": "alter_schema", "drop": sorted(set(drop))}
             return self._commit(
                 man["files"], new_schema, man["partition_by"] or None, base, op,
-                bloom_cols=blooms, dropped_cols=tombstones,
+                bloom_cols=blooms, dropped_cols=tombstones, column_map=cmap,
+            )
+
+        return self._with_commit_retries(attempt)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME a column as a METADATA-ONLY commit — no data file is
+        read or written (Delta's column-mapping shape): every file,
+        past and future, keeps storing the column under its PHYSICAL
+        name (the name it had when first written); the manifest's
+        ``column_map`` records logical → physical, and every reader
+        (``_align``), stats/bloom prune, MERGE key probe, and write
+        path resolves through it. Time travel is exact: an old version
+        reads under its own manifest's names.
+
+        Refuses: renaming partition columns / transform sources (the
+        directory layout carries the physical name and planners would
+        need a third namespace — rewrite via ``overwrite`` instead),
+        columns referenced by a CHECK constraint (drop it first), and
+        a ``new`` name that collides with a live column, an in-use
+        physical name, or a drop-tombstone (either would resurrect
+        bytes still present in immutable old files). ``overwrite``
+        clears the mapping — fresh files adopt the logical names.
+        Returns the new version."""
+
+        def attempt() -> int:
+            base = self.latest_version()
+            if base is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+            man = self._read_manifest(base)
+            schema = self._manifest_schema(man)
+            if schema is None:
+                raise ValueError(
+                    "rename_column needs a schema-carrying manifest "
+                    "(pre-evolution table: overwrite it first)"
+                )
+            names = {f.name for f in schema.fields}
+            if old not in names:
+                raise ValueError(f"cannot rename unknown column {old!r}")
+            if new in names:
+                raise ValueError(f"cannot rename {old!r} to existing column {new!r}")
+            cmap = dict(man.get("column_map") or {})
+            phys_in_use = {cmap.get(f.name, f.name) for f in schema.fields}
+            if new in (phys_in_use - {cmap.get(old, old)}) or new in set(
+                man.get("dropped_cols") or []
+            ):
+                raise ValueError(
+                    f"cannot rename to {new!r}: old data files store bytes "
+                    "under that physical name (another column's storage or a "
+                    "dropped column) — reads would resurrect them. Pick "
+                    "another name, or overwrite() to rewrite every file."
+                )
+            part_sources = {
+                f.source for f in _partition_fields(man.get("partition_by"))
+            }
+            if cmap.get(old, old) in part_sources:
+                raise ValueError(
+                    f"cannot rename partition column/transform source {old!r}: "
+                    "the directory layout carries its name; rewrite the table "
+                    "via overwrite(partition_by=...) to relayout"
+                )
+            import re as _re
+
+            for cname, cpred in sorted((man.get("constraints") or {}).items()):
+                if _re.search(rf"\b{_re.escape(old)}\b", cpred):
+                    raise ValueError(
+                        f"CHECK constraint {cname!r} ({cpred!r}) references "
+                        f"{old!r}; drop the constraint first"
+                    )
+            phys = cmap.pop(old, old)
+            if new != phys:  # renaming BACK to the physical name: no map entry
+                cmap[new] = phys
+            new_schema = StructType(
+                [
+                    StructField(new, f.dataType, f.nullable, f.metadata)
+                    if f.name == old
+                    else f
+                    for f in schema.fields
+                ]
+            )
+            op = {"op": "rename_column", "from": old, "to": new}
+            return self._commit(
+                man["files"], new_schema, man["partition_by"] or None, base, op,
+                column_map=cmap,
             )
 
         return self._with_commit_retries(attempt)
@@ -2587,7 +2738,9 @@ class ManifestTable:
                 bloom_cols=blooms,
                 # a replacement owns its schema outright — every old file
                 # is gone, so drop-tombstones cannot resurrect anything
+                # and the fresh files store logical names as physical
                 dropped_cols=[],
+                column_map={},
             )
 
         return self._with_commit_retries(attempt)
@@ -2616,7 +2769,9 @@ class ManifestTable:
                 # evolved columns) — what readers will see for these rows
                 self._validate(_align(frame, schema), constraints)
                 new_entries = self._write_data_files(
-                    frame, partition_by or None, bloom_cols=blooms
+                    _renamed(frame, man.get("column_map")),
+                    partition_by or None,
+                    bloom_cols=blooms,
                 )
             finally:
                 if constraints:
@@ -2709,8 +2864,12 @@ class ManifestTable:
 
             untouched: list[dict] = []
             touched: list[dict] = man["files"]
+            # rename support: keys/source speak LOGICAL names; entry
+            # stats, partition dirs, blooms, and data files PHYSICAL
+            cmap = man.get("column_map") or {}
+            src_phys = _renamed(source, cmap)
             part_fields = _partition_fields(partition_by)
-            if partition_by and all(f.source in source.columns for f in part_fields):
+            if partition_by and all(f.source in src_phys.columns for f in part_fields):
                 # manifests store decoded logical values (None for NULL);
                 # render the source's the same way so NULL and escaped
                 # characters compare correctly. Transform partitions
@@ -2720,8 +2879,8 @@ class ManifestTable:
                 dirnames = [f.dirname for f in part_fields]
                 touched_parts = {
                     tuple(None if r[d] is None else str(r[d]) for d in dirnames)
-                    for r in source.select(
-                        *[f.column(source).alias(f.dirname) for f in part_fields]
+                    for r in src_phys.select(
+                        *[f.column(src_phys).alias(f.dirname) for f in part_fields]
                     ).distinct().collect()
                 }
                 touched, untouched = self._split_candidates(
@@ -2736,10 +2895,12 @@ class ManifestTable:
             # survivors; files with no recorded/comparable stats are
             # never pruned (unknown range = possibly touched)
             stat_keys = [
-                k for k in keys if any((e.get("stats") or {}).get(k) for e in touched)
+                cmap.get(k, k)
+                for k in keys
+                if any((e.get("stats") or {}).get(cmap.get(k, k)) for e in touched)
             ]
             if touched and stat_keys:
-                ranges = _source_key_ranges(source, stat_keys)
+                ranges = _source_key_ranges(src_phys, stat_keys)
                 if ranges:
                     touched, cold = self._split_candidates(
                         spark,
@@ -2756,7 +2917,9 @@ class ManifestTable:
             # value are carried by reference. This is the prune that
             # works where ranges can't: hash-scattered keys make every
             # file's min/max span the domain.
-            bloom_keys = [k for k in keys if k in (man.get("bloom_cols") or [])]
+            bloom_keys = [
+                k for k in keys if cmap.get(k, k) in (man.get("bloom_cols") or [])
+            ]
             if touched and bloom_keys:
                 probe: dict[str, list] = {}
                 for k in bloom_keys:
@@ -2775,7 +2938,8 @@ class ManifestTable:
                     }
                     utc = _session_utc(spark)
                     touched, cold = self._split_by_values(
-                        spark, touched, probe, types, utc, "merge-bloom"
+                        spark, touched, probe, types, utc, "merge-bloom",
+                        column_map=man.get("column_map"),
                     )
                     untouched.extend(cold)
 
@@ -2783,10 +2947,13 @@ class ManifestTable:
                 # align the touched rows to the evolved schema first, so a
                 # source-introduced column survives merge_upsert's
                 # align-to-target step
-                target = _align(self._read_files(spark, touched), schema)
+                target = _align(self._read_files(spark, touched), schema, cmap)
                 merged = merge_upsert(target, source, keys, order_col=order_col)
             else:
                 merged = _align(merge_upsert_source_only(source, keys, order_col), schema)
+            # files store physical names: rename BEFORE the partition
+            # repartition (whose fields are physical) and the write
+            merged = _renamed(merged, cmap)
             if partition_by:
                 # cluster the rewrite on the partition VALUES (raw or
                 # transform-derived): without this every shuffle task
@@ -2912,12 +3079,18 @@ class ManifestTable:
                 types = self._schema_types(man)
                 utc = _session_utc(spark)
                 candidates, untouched = self._split_by_values(
-                    spark, man["files"], _prune_values, types, utc, "delete-cow"
+                    spark, man["files"], _prune_values, types, utc, "delete-cow",
+                    column_map=man.get("column_map"),
                 )
             if not candidates:
                 return base
 
-            scan = self._read_files(spark, candidates, with_file_path=True)
+            # the predicate speaks LOGICAL names; files store PHYSICAL
+            cmap = man.get("column_map") or {}
+            inv = {p: l for l, p in cmap.items()}
+            scan = _renamed(
+                self._read_files(spark, candidates, with_file_path=True), inv
+            )
             hit_files = {
                 _strip_file_scheme(r["__file"])
                 for r in scan.filter(pred).select("__file").distinct().collect()
@@ -2930,7 +3103,7 @@ class ManifestTable:
                 return base  # nothing matched; no new version
 
             partition_by = man["partition_by"]
-            kept = self._read_files(spark, touched).filter(
+            kept = _renamed(self._read_files(spark, touched), inv).filter(
                 ~F.coalesce(pred, F.lit(False))
             )
             schema = self._manifest_schema(man)
@@ -2939,7 +3112,8 @@ class ManifestTable:
             else:
                 schema = kept.schema
             new_entries = self._write_data_files(
-                kept, partition_by or None, bloom_cols=man.get("bloom_cols")
+                _renamed(kept, cmap), partition_by or None,
+                bloom_cols=man.get("bloom_cols"),
             )
             op = {
                 "op": "delete",
@@ -2982,15 +3156,20 @@ class ManifestTable:
                 types = self._schema_types(man)
                 utc = _session_utc(spark)
                 candidates, _ = self._split_by_values(
-                    spark, candidates, prune_values, types, utc, "delete-mor"
+                    spark, candidates, prune_values, types, utc, "delete-mor",
+                    column_map=man.get("column_map"),
                 )
             if not candidates:
                 return base
             # existing DVs are applied by _read_files, so re-deleting an
             # already-deleted row is a no-op — new positions are always
-            # disjoint from recorded ones, and counts add exactly
-            scan = self._read_files(
-                spark, candidates, with_file_path=True, with_row_index=True
+            # disjoint from recorded ones, and counts add exactly.
+            # The predicate speaks LOGICAL names; files store PHYSICAL
+            scan = _renamed(
+                self._read_files(
+                    spark, candidates, with_file_path=True, with_row_index=True
+                ),
+                {p: l for l, p in (man.get("column_map") or {}).items()},
             )
             matched = scan.filter(pred).select(
                 _rel_path_col(self.data_dir).alias("__dv_path"),
@@ -3110,7 +3289,11 @@ class ManifestTable:
 
         def _rd(entries: list[dict]) -> DataFrame:
             df = self._read_files(spark, entries)
-            return _align(df, schema) if schema is not None else df
+            # files of BOTH versions store physical names; present the
+            # to-version's logical view
+            return (
+                _align(df, schema, b.get("column_map")) if schema is not None else df
+            )
 
         old = _rd(only_a) if only_a else None
         new = _rd(only_b) if only_b else None
@@ -3182,8 +3365,11 @@ class ManifestTable:
             blooms = (
                 self._read_manifest(base).get("bloom_cols") if base is not None else None
             )
+            cmap = (
+                self._read_manifest(base).get("column_map") if base is not None else None
+            )
             entries = self._write_data_files(
-                out, partition_by or None, bloom_cols=blooms
+                _renamed(out, cmap), partition_by or None, bloom_cols=blooms
             )
             op = {
                 "op": "compact",
@@ -3250,7 +3436,12 @@ class ManifestTable:
             if rewrite:
                 df = self._read_files(spark, rewrite)
                 if schema is not None:
-                    df = _align(df, schema)
+                    # align to the logical view (applies DVs/evolution),
+                    # then back to physical names for the rewrite
+                    df = _renamed(
+                        _align(df, schema, man.get("column_map")),
+                        man.get("column_map"),
+                    )
                 n = df.count()
                 n_files = max(1, -(-n // target_rows_per_file))
                 if partition_by:
@@ -3336,6 +3527,10 @@ class ManifestTable:
                 self.latest_version(),
                 {"op": "restore", "restored_version": version},
                 bloom_cols=man.get("bloom_cols"),
+                # the restored schema's names only resolve through the
+                # restored version's own mapping ({} for none — the
+                # LATEST version's map must not leak onto old fields)
+                column_map=man.get("column_map") or {},
             )
 
         return self._with_commit_retries(attempt)
