@@ -1,3 +1,7 @@
+from etl_job_spark.streaming.cdf import (
+    TableChangesDataSource,
+    read_table_changes,
+)
 from etl_job_spark.streaming.pipeline import (
     attribution_join_stream,
     catalog_merge_batch,
@@ -16,6 +20,8 @@ from etl_job_spark.streaming.pipeline import (
 )
 
 __all__ = [
+    "TableChangesDataSource",
+    "read_table_changes",
     "read_events_stream",
     "read_kafka_events_stream",
     "read_rate_events_stream",

@@ -1,0 +1,294 @@
+"""Streaming table-changes (CDF) source for ManifestTable.
+
+The reference runs its staging→mart cascade as sequential batch
+scripts (kicc_to_tb_sales.py re-reads staging each run); the
+at-scale continuous form is Delta's Change Data Feed: a downstream
+table SUBSCRIBES to the upstream's committed changes and applies each
+commit incrementally. ``ManifestTable.diff`` already computes version
+deltas; this module turns them into a real ``readStream`` source via
+PySpark's Python Data Source API (Spark 4.x):
+
+- **offset = committed version** — the streaming engine checkpoints
+  ``{"version": N}``; a restart resumes from the checkpointed version
+  (manifests and data files are immutable, so re-planning a replayed
+  batch is deterministic). Retention contract: ``vacuum`` must keep
+  versions the stream hasn't consumed — Delta's own CDF caveat.
+- **planning is metadata-only** — each micro-batch classifies the
+  version range's file-entry changes on the driver (O(changed files),
+  resolved through the delta-manifest chain) into one InputPartition
+  per changed file; no data file is opened at planning time.
+- **reads are executor-side Arrow** — each task pyarrow-reads ONE
+  file (only the projected columns), applies deletion-vector
+  positions, reconstructs hive partition values, and yields
+  RecordBatches; the driver never sees row data.
+
+Change semantics are FILE-level, like Delta CDF without CDC files:
+
+- file added            → its live rows as ``_change='insert'``
+- file removed          → its previously-live rows as ``'delete'``
+- DV grew on same file  → the newly-dead positions as ``'delete'``
+
+An update therefore surfaces as delete+insert (its file is rewritten)
+and a compaction surfaces as pair-wise delete+insert of identical
+rows; key-based consumers (``upsert_stream_sink_manifest`` /
+``merge``) absorb both, and the batch-side ``diff()`` remains the
+exact exceptAll-refined comparison when a one-shot answer is needed.
+
+Output schema = the table's schema AT STREAM START plus ``_change``
+(string) and ``_commit_version`` (long). Columns renamed later in the
+stream keep resolving through their stable PHYSICAL names; columns
+ADDED later are not surfaced until the stream restarts (fixed-schema
+contract of a streaming source).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+CHANGE_COL = "_change"
+VERSION_COL = "_commit_version"
+
+
+class _ChangePartition(InputPartition):
+    """One changed file of one committed version.
+
+    ``entry`` is the manifest entry whose rows this task emits (the
+    NEW entry for inserts and DV-growth deletes, the OLD entry for
+    removed-file deletes); ``old_entry`` is set only for DV-growth,
+    where the emitted positions are new-dead minus old-dead."""
+
+    def __init__(self, entry: dict, change: str, version: int, old_entry: dict | None):
+        self.entry = entry
+        self.change = change
+        self.version = version
+        self.old_entry = old_entry
+
+
+def _dv_positions(table_path: str, entry: dict) -> set:
+    """All deletion-vector positions of ``entry`` — inline list plus
+    sidecar parquet rows for this file's path (predicate-pushed read;
+    sidecars are shared across files of one commit)."""
+    pos = {int(i) for i in (entry.get("dv") or [])}
+    if entry.get("dv_ref"):
+        import pyarrow.parquet as pq
+
+        for ref in entry["dv_ref"]:
+            t = pq.read_table(
+                os.path.join(table_path, ref),
+                columns=["pos"],
+                filters=[("path", "=", entry["path"])],
+            )
+            pos.update(int(i) for i in t.column("pos").to_pylist())
+    return pos
+
+
+def _dv_ident(entry: dict) -> tuple:
+    """A file's live-content identity: immutable bytes + DV state
+    (same shape as ``ManifestTable.diff``'s _ident)."""
+    return (
+        tuple(entry.get("dv") or []),
+        tuple(entry.get("dv_ref") or []),
+        entry.get("dv_rows"),
+    )
+
+
+class _TableChangesReader(DataSourceStreamReader):
+    def __init__(self, table_path: str, out_schema: StructType, start_version: int | None):
+        self._path = table_path
+        # the logical fields (output schema minus the two change columns)
+        self._fields = StructType(out_schema.fields[:-2])
+        self._tbl = None
+        t = self._table()
+        latest = t.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {table_path}")
+        man = t._read_manifest(latest)
+        # logical→physical map captured ONCE: physical names are
+        # immutable, so later renames don't disturb a running stream
+        self._cmap = dict(man.get("column_map") or {})
+        if start_version is None:
+            self._start = latest  # future changes only
+        else:
+            # Delta startingVersion semantics: INCLUDE that version
+            self._start = max(0, int(start_version) - 1)
+
+    # -- driver side --------------------------------------------------
+
+    def _table(self):
+        if self._tbl is None:
+            from etl_job_spark.table import ManifestTable
+
+            self._tbl = ManifestTable(self._path)
+        return self._tbl
+
+    def __getstate__(self):
+        # executors only need path/schema/cmap; never ship the table
+        # instance (its resolved-files cache can be huge)
+        s = dict(self.__dict__)
+        s["_tbl"] = None
+        return s
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        latest = self._table().latest_version()
+        return {"version": max(self._start, latest if latest is not None else 0)}
+
+    def partitions(self, start: dict, end: dict):
+        t = self._table()
+        parts: list[_ChangePartition] = []
+        lo, hi = int(start["version"]), int(end["version"])
+        for v in range(lo + 1, hi + 1):
+            before = t._read_manifest(v - 1)["files"] if v > 1 else []
+            after = t._read_manifest(v)["files"]
+            by_a = {e["path"]: e for e in before}
+            by_b = {e["path"]: e for e in after}
+            for p, e in by_b.items():
+                if p not in by_a:
+                    parts.append(_ChangePartition(e, "insert", v, None))
+                elif _dv_ident(e) != _dv_ident(by_a[p]):
+                    parts.append(_ChangePartition(e, "delete", v, by_a[p]))
+            parts.extend(
+                _ChangePartition(e, "delete", v, None)
+                for p, e in by_a.items()
+                if p not in by_b
+            )
+        # the resolved-files cache only ever needs the trailing edge:
+        # drop older versions so a long-running stream stays O(1)
+        t._files_cache = {
+            k: f for k, f in t._files_cache.items() if k >= hi - 1
+        }
+        return parts
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    # -- executor side ------------------------------------------------
+
+    def read(self, partition: _ChangePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        e = partition.entry
+        full = os.path.join(self._path, "data", e["path"])
+        part_vals = e.get("partition") or {}
+        phys = [self._cmap.get(f.name, f.name) for f in self._fields.fields]
+        pf = pq.ParquetFile(full)
+        file_cols = set(pf.schema_arrow.names)
+        want = [c for c in phys if c in file_cols]
+        tbl = pq.read_table(full, columns=want)
+        n = tbl.num_rows
+        if partition.old_entry is not None:
+            # DV growth: emit exactly the newly-dead positions
+            idx = sorted(
+                _dv_positions(self._path, e)
+                - _dv_positions(self._path, partition.old_entry)
+            )
+        else:
+            dead = _dv_positions(self._path, e)
+            idx = [i for i in range(n) if i not in dead] if dead else None
+        if idx is not None:
+            tbl = tbl.take(pa.array(idx, type=pa.int64()))
+        m = tbl.num_rows
+        if m == 0:
+            return
+        target = to_arrow_schema(self._fields)
+        cols, names = [], []
+        for f, ph, tf in zip(self._fields.fields, phys, target):
+            if ph in tbl.column_names:
+                col = tbl.column(ph).combine_chunks().cast(tf.type)
+            elif ph in part_vals:
+                v = part_vals[ph]
+                col = (
+                    pa.nulls(m, tf.type)
+                    if v is None
+                    else pa.array([str(v)] * m, type=pa.string()).cast(tf.type)
+                )
+            else:
+                col = pa.nulls(m, tf.type)
+            cols.append(col)
+            names.append(f.name)
+        cols.append(pa.array([partition.change] * m, type=pa.string()))
+        names.append(CHANGE_COL)
+        cols.append(pa.array([partition.version] * m, type=pa.int64()))
+        names.append(VERSION_COL)
+        out = pa.table(dict(zip(names, cols)))
+        yield from out.combine_chunks().to_batches()
+
+
+class TableChangesDataSource(DataSource):
+    """``spark.readStream.format("table_changes").option("path", p)``
+    — the ManifestTable change-data-feed source (module docstring has
+    the full semantics). Options: ``path`` (required),
+    ``startingVersion`` (include changes from that version on;
+    default: only changes committed after the stream starts)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "table_changes"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("table_changes source requires option 'path'")
+        return path
+
+    def schema(self) -> StructType:
+        from etl_job_spark.table import ManifestTable
+
+        t = ManifestTable(self._path())
+        latest = t.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self._path()}")
+        base = t._manifest_schema(t._read_manifest(latest))
+        if base is None:
+            raise ValueError(
+                "table_changes needs a schema-carrying manifest "
+                "(pre-evolution table: overwrite it first)"
+            )
+        return StructType(
+            list(base.fields)
+            + [
+                StructField(CHANGE_COL, StringType(), False),
+                StructField(VERSION_COL, LongType(), False),
+            ]
+        )
+
+    def streamReader(self, schema: StructType) -> _TableChangesReader:
+        sv = self.options.get("startingversion")
+        return _TableChangesReader(
+            self._path(), schema, None if sv is None else int(sv)
+        )
+
+
+def read_table_changes(
+    spark: SparkSession, table_path: str, starting_version: int | None = None
+) -> DataFrame:
+    """The CDF stream over a ManifestTable: registers the data source
+    (idempotent) and returns the streaming DataFrame. Compose with
+    ``upsert_stream_sink_manifest`` for an exactly-once incremental
+    staging→mart cascade:
+
+        changes = read_table_changes(spark, staging_path, 0)
+        q = upsert_stream_sink_manifest(
+            changes.filter("_change = 'insert'").drop("_change"),
+            mart_path, keys=[...], checkpoint=ckpt,
+            order_col="_commit_version",
+        ).trigger(availableNow=True).start()
+    """
+    spark.dataSource.register(TableChangesDataSource)
+    reader = spark.readStream.format("table_changes").option("path", table_path)
+    if starting_version is not None:
+        reader = reader.option("startingVersion", str(starting_version))
+    return reader.load()

@@ -1,0 +1,165 @@
+"""Streaming table-changes (CDF) source.
+
+The reference's E1→E2 staging→mart cascade as a CONTINUOUS pipeline
+(kicc_to_tb_sales.py re-reads staging per run; here the mart
+subscribes to staging's commits). Pinned contract: offset = committed
+version (restart resumes from the checkpoint), change rows carry
+_change/_commit_version, file-level semantics (insert / delete /
+DV-growth delete), and exactly-once delivery into a downstream
+ManifestTable across a restart via the txn ledger.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_job_spark.streaming import read_table_changes, upsert_stream_sink_manifest
+from etl_job_spark.table import ManifestTable
+
+
+def _run_available(stream_df, sink_builder):
+    q = sink_builder(stream_df).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def _collect_changes(spark, path, checkpoint, name, starting_version=0):
+    """Drain all available changes via a checkpointed foreachBatch
+    collector (the memory sink cannot resume from a checkpoint);
+    returns the drained rows."""
+    df = read_table_changes(spark, path, starting_version=starting_version)
+    got: list = []
+    q = (
+        df.writeStream.foreachBatch(lambda b, _id: got.extend(b.collect()))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return got
+
+
+def test_cdf_streams_history_then_increments(spark, tmp_path):
+    a = ManifestTable(str(tmp_path / "a"))
+    a.overwrite(spark.range(0, 10).selectExpr("id as k", "id * 2 as v"))
+    ck = str(tmp_path / "ck1")
+    rows = _collect_changes(spark, a.path, ck, "cdf_hist")
+    assert len(rows) == 10
+    assert {r._change for r in rows} == {"insert"}
+    assert {r._commit_version for r in rows} == {1}
+    assert sorted(r.k for r in rows) == list(range(10))
+
+    # append lands as version-2 inserts ONLY (incremental, not rescan)
+    a.append(spark.range(10, 13).selectExpr("id as k", "id * 2 as v"))
+    rows = _collect_changes(spark, a.path, ck, "cdf_incr")
+    assert sorted((r.k, r._change, r._commit_version) for r in rows) == [
+        (10, "insert", 2), (11, "insert", 2), (12, "insert", 2),
+    ]
+
+
+def test_cdf_default_start_skips_history(spark, tmp_path):
+    a = ManifestTable(str(tmp_path / "a"))
+    a.overwrite(spark.range(0, 5).selectExpr("id as k"))
+    df = read_table_changes(spark, a.path)  # no startingVersion
+    got: list = []
+    q = (
+        df.writeStream.foreachBatch(lambda b, _id: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert got == []
+
+
+def test_cdf_cow_delete_and_mor_delete_semantics(spark, tmp_path):
+    a = ManifestTable(str(tmp_path / "a"))
+    a.overwrite(
+        spark.range(0, 100).selectExpr("id as k", "id % 10 as v")
+        .repartitionByRange(4, "k").sortWithinPartitions("k")
+    )
+    ck = str(tmp_path / "ck")
+    _collect_changes(spark, a.path, ck, "cdf_seed")  # drain v1
+
+    # copy-on-write: one file rewritten → file-level delete+insert
+    a.delete_where(spark, "k = 7")
+    rows = _collect_changes(spark, a.path, ck, "cdf_cow")
+    dels = [r.k for r in rows if r._change == "delete"]
+    ins = [r.k for r in rows if r._change == "insert"]
+    assert 7 in dels and 7 not in ins
+    assert sorted(set(dels) - {7}) == sorted(ins)  # rewrite pairs up
+
+    # merge-on-read: DV growth → ONLY the newly-dead rows as deletes
+    a.delete_where(spark, "k in (40, 41)", mode="merge_on_read")
+    rows = _collect_changes(spark, a.path, ck, "cdf_mor")
+    assert sorted((r.k, r._change) for r in rows) == [
+        (40, "delete"), (41, "delete"),
+    ]
+
+
+def test_cdf_partition_values_and_renamed_columns(spark, tmp_path):
+    a = ManifestTable(str(tmp_path / "a"))
+    a.overwrite(
+        spark.createDataFrame(
+            [("d1", 1, "x"), ("d2", 2, "y")], "dy string, k long, s string"
+        ),
+        partition_by=["dy"],
+    )
+    a.rename_column("s", "label")  # physical 's' stays in the files
+    rows = _collect_changes(spark, a.path, str(tmp_path / "ck"), "cdf_part")
+    got = sorted((r.dy, r.k, r.label) for r in rows if r._change == "insert")
+    assert got == [("d1", 1, "x"), ("d2", 2, "y")]
+
+
+def test_cdf_exactly_once_cascade_across_restart(spark, tmp_path):
+    """The flagship: staging A streams into mart B; appends arrive
+    between runs; a replayed run (same checkpoint, no new commits)
+    lands nothing twice — offsets + the merge txn ledger compose to
+    exactly-once."""
+    a = ManifestTable(str(tmp_path / "a"))
+    b_path = str(tmp_path / "b")
+    ck = str(tmp_path / "ck")
+    a.overwrite(spark.range(0, 50).selectExpr("id as k", "id * 10 as v"))
+
+    def _cascade():
+        changes = read_table_changes(spark, a.path, starting_version=0)
+        sink = upsert_stream_sink_manifest(
+            changes.filter("_change = 'insert'").drop("_change"),
+            b_path,
+            keys=["k"],
+            checkpoint=ck,
+            order_col="_commit_version",
+            txn_app_id="cascade-test",
+        )
+        q = sink.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    _cascade()
+    b = ManifestTable(b_path)
+    assert b.snapshot(spark).drop("_commit_version").count() == 50
+
+    # new upstream commits between runs: only the delta lands
+    a.append(spark.range(50, 60).selectExpr("id as k", "id * 10 as v"))
+    a.merge(spark, spark.createDataFrame([(5, -1)], "k long, v long"), keys=["k"])
+    _cascade()
+    snap = b.snapshot(spark)
+    assert snap.count() == 60
+    assert snap.filter("k = 5").first().v == -1
+
+    # replayed run with nothing new: byte-identical mart, no dup rows
+    v_before = b.latest_version()
+    _cascade()
+    assert b.snapshot(spark).count() == 60
+    assert b.latest_version() == v_before
+
+
+def test_cdf_restart_resumes_from_checkpoint_not_start(spark, tmp_path):
+    a = ManifestTable(str(tmp_path / "a"))
+    a.overwrite(spark.range(0, 4).selectExpr("id as k"))
+    ck = str(tmp_path / "ck")
+    first = _collect_changes(spark, a.path, ck, "cdf_r1")
+    assert len(first) == 4
+    a.append(spark.range(4, 6).selectExpr("id as k"))
+    # a NEW query object on the SAME checkpoint resumes at version 1
+    second = _collect_changes(spark, a.path, ck, "cdf_r2")
+    assert sorted(r.k for r in second) == [4, 5]
