@@ -472,6 +472,75 @@ query("kicc_mart_window_read", WINDOW_READ_SQL)(mart_window_read)
 
 
 # ---------------------------------------------------------------------
+# Column RENAME (P2): the reference's staging→mart rename map as
+# metadata-only schema evolution + a pruned read under the NEW names
+# ---------------------------------------------------------------------
+
+# the reference's E2 transfer renames every staging column into the
+# mart (kicc_to_tb_sales.py:71-86: sp_code→chain_no, sale_date→
+# sale_dy, total_amt→chong_maechool, bill_qty→pay_count) by copying
+# all rows; here the same rename is four metadata-only commits
+_RENAME_MAP = {
+    "sp_code": "chain_no",
+    "sale_date": "sale_dy",
+    "total_amt": "chong_maechool",
+    "bill_qty": "pay_count",
+}
+
+RENAMED_READ_SQL = _with(kicc.SQL_KICC_SALES_DATA) + f"""
+SELECT sp_code AS chain_no, sale_date AS sale_dy,
+       total_amt AS chong_maechool, bill_qty AS pay_count
+FROM kicc_sales_data
+WHERE sale_date BETWEEN '{WINDOW_READ_W[0]}' AND '{WINDOW_READ_W[1]}'
+  AND sp_code IN {WINDOW_READ_STORES}
+"""
+
+
+def mart_renamed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's P2 rename (kicc_to_tb_sales.py:71-86 re-copies
+    every row under new column names) as Delta-style column mapping:
+    ``rename_column`` commits are metadata-only — files keep storing
+    the original physical names — and the daily window read then
+    prunes with stats + blooms THROUGH the mapping, predicates spoken
+    entirely in the new names. The oracle is the plain relational
+    filter with SQL aliases, so rename + file-skipping are
+    hash-checked together."""
+    import hashlib
+
+    from etl_job_spark.scratch import scratch_dir
+    from etl_job_spark.table import ManifestTable
+
+    path = scratch_dir(
+        spark,
+        "kicc_mart_renamed",
+        f"_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    t = ManifestTable(path)
+    if t.latest_version() is None:
+        staging = kicc.kicc_sales_data(spark, sf_dir).select(
+            "sp_code", "sale_date", "total_amt", "bill_qty"
+        )
+        t.overwrite(
+            staging.repartitionByRange(8, F.col("sale_date")).sortWithinPartitions(
+                "sale_date"
+            ),
+            bloom_cols=["sp_code"],
+        )
+        for old, new in _RENAME_MAP.items():
+            t.rename_column(old, new)
+    return t.snapshot_where(
+        spark,
+        [
+            ("sale_dy", "between", WINDOW_READ_W),
+            ("chain_no", "in", list(WINDOW_READ_STORES)),
+        ],
+    )
+
+
+query("kicc_mart_renamed_read", RENAMED_READ_SQL)(mart_renamed_read)
+
+
+# ---------------------------------------------------------------------
 # P1/P3/P4 row-level projection + filters
 # ---------------------------------------------------------------------
 

@@ -151,6 +151,12 @@ _TAIL = [
     # in-window by kicc_mart_versioned/gdpr/window_read)
     "text_line_dedup",
     "events_mart_daily_read",
+    # round-7: the reference's P2 staging→mart rename as metadata-only
+    # column mapping + a stats/bloom-pruned read under the NEW names
+    # (exact oracle in tests/test_oracle_diff.py; tail because the
+    # table-format family is represented in-window by
+    # kicc_mart_versioned/gdpr/window_read)
+    "kicc_mart_renamed_read",
 ]
 
 
