@@ -56,8 +56,22 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "versions", "history", "show", "read", "rows", "diff",
             "compact", "vacuum", "restore", "delete", "delete-keys",
-            "constraints",
+            "constraints", "rename", "drop-cols",
         ],
+    )
+    tb.add_argument(
+        "--from-col", default=None,
+        help="for rename: current (logical) column name",
+    )
+    tb.add_argument(
+        "--to-col", default=None,
+        help="for rename: new column name (metadata-only; files keep "
+        "the physical name — Delta-style column mapping)",
+    )
+    tb.add_argument(
+        "--cols", default=None,
+        help="for drop-cols: comma-separated column names to DROP "
+        "(metadata-only, tombstoned against resurrection)",
     )
     tb.add_argument(
         "--add",
@@ -359,6 +373,22 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(
                     {"path": args.path, "version": v, "mode": args.mode,
                      "key_col": args.key_col, "n_keys": len(vals)}))
+            elif args.action == "rename":
+                if not args.from_col or not args.to_col:
+                    print("rename wants --from-col and --to-col", file=sys.stderr)
+                    return 2
+                v = t.rename_column(args.from_col, args.to_col)
+                print(json.dumps(
+                    {"path": args.path, "version": v,
+                     "renamed": {args.from_col: args.to_col}}))
+            elif args.action == "drop-cols":
+                if not args.cols:
+                    print("drop-cols wants --cols a,b,...", file=sys.stderr)
+                    return 2
+                cols = [c for c in args.cols.split(",") if c]
+                v = t.alter_schema(spark, drop=cols)
+                print(json.dumps(
+                    {"path": args.path, "version": v, "dropped": cols}))
             elif args.action == "constraints":
                 add = {}
                 for spec in args.add:

@@ -165,3 +165,26 @@ def test_table_read_and_rows_cli(capsys, spark, tmp_path):
     # malformed predicates: usage error
     assert main(["table", "read", "--path", path, "--predicates", "not json"]) == 2
     assert main(["table", "read", "--path", path]) == 2
+
+
+def test_table_rename_and_drop_cols_cli(capsys, spark, tmp_path):
+    import json
+
+    from etl_job_spark.table import ManifestTable
+
+    path = str(tmp_path / "t")
+    t = ManifestTable(path)
+    t.overwrite(spark.range(0, 20).selectExpr("id as k", "id * 2 as v", "id % 3 as g"))
+    assert main(["table", "rename", "--path", path,
+                 "--from-col", "v", "--to-col", "val"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["renamed"] == {"v": "val"}
+    assert t.snapshot(spark).columns == ["k", "val", "g"]
+    # pruned read speaks the new name through the CLI spec path
+    assert main(["table", "read", "--path", path,
+                 "--predicates", '[["val", "between", [0, 6]]]']) == 0
+    assert main(["table", "drop-cols", "--path", path, "--cols", "g"]) == 0
+    assert t.snapshot(spark).columns == ["k", "val"]
+    # missing args are loud exits, not tracebacks
+    assert main(["table", "rename", "--path", path]) == 2
+    assert main(["table", "drop-cols", "--path", path]) == 2
