@@ -182,3 +182,39 @@ def test_delete_keys_prunes_distributed(spark, tmp_path, monkeypatch):
     assert len({e["path"] for e in after} & before) >= 22
     assert t.snapshot(spark).filter("u in ('u42','u43')").count() == 0
     assert t.snapshot(spark).count() == 2998
+
+
+def test_default_threshold_distributed_split_on_5k_entries(spark):
+    """The r6 verdict's done-bar: a many-file (>=5k) table plans its
+    prune as a distributed job AT THE DEFAULT THRESHOLD, with a split
+    identical to the driver loop. Planning consumes only manifest
+    entries, so the 6k-file table is synthesized as entries (range-
+    clustered stats, every 7th file a hive partition dir, every 13th
+    fully dead) without writing 6k parquet files."""
+    t = ManifestTable("/tmp/_plan_scale_unused")
+    entries = []
+    for i in range(6000):
+        e = {
+            "path": f"b/{i:05d}.parquet",
+            "partition": {"region": f"r{i % 4}"} if i % 7 == 0 else {},
+            "rows": 100,
+            "stats": {"k": {"min": i * 100, "max": i * 100 + 99}},
+        }
+        if i % 13 == 0:
+            e["dv_rows"] = 100  # fully dead
+        entries.append(e)
+
+    def match(e):
+        st = e["stats"]["k"]
+        dead = (e.get("dv_rows") or 0) >= e["rows"]
+        in_range = not (st["max"] < 150_000 or st["min"] > 250_000)
+        in_region = e["partition"].get("region") in (None, "r2")
+        return not dead and in_range and in_region
+
+    assert len(entries) >= tablemod._SPARK_PRUNE_MIN_FILES  # default gate
+    kept, cold = t._split_candidates(spark, entries, match, "scale-test")
+    assert t.last_planning["mode"] == "distributed"
+    drv_kept = [e for e in entries if match(e)]
+    assert kept == drv_kept  # identical split, manifest order preserved
+    assert len(kept) + len(cold) == 6000
+    assert 0 < len(kept) < 1100  # the prune actually bit
