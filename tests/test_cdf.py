@@ -163,3 +163,37 @@ def test_cdf_restart_resumes_from_checkpoint_not_start(spark, tmp_path):
     # a NEW query object on the SAME checkpoint resumes at version 1
     second = _collect_changes(spark, a.path, ck, "cdf_r2")
     assert sorted(r.k for r in second) == [4, 5]
+
+
+def test_suppress_unchanged_cancels_compaction_noise(spark, tmp_path):
+    """File-level CDF surfaces a compaction as pair-wise delete+insert
+    of identical rows; suppress_unchanged cancels exactly those pairs
+    (multiplicity-aware, same-commit only) and keeps genuine changes."""
+    from etl_job_spark.streaming import suppress_unchanged
+
+    a = ManifestTable(str(tmp_path / "a"))
+    a.overwrite(
+        spark.range(0, 40).selectExpr("id as k", "id % 4 as v").repartition(4)
+    )
+    ck = str(tmp_path / "ck")
+    _collect_changes(spark, a.path, ck, "sup_seed")  # drain v1
+
+    # a pure rewrite: compaction carries every row -> all pairs cancel
+    a.compact(spark, target_rows_per_file=40)
+    raw = _collect_changes(spark, a.path, ck, "sup_raw")
+    assert len(raw) == 80  # 40 deletes + 40 inserts of identical rows
+    batch = spark.createDataFrame(raw)
+    assert suppress_unchanged(batch).count() == 0
+
+    # genuine change + rewrite noise in ONE commit: CoW delete of k=3
+    # rewrites its whole file; only the true delete survives
+    a.delete_where(spark, "k = 3")
+    raw = _collect_changes(spark, a.path, ck, "sup_mixed")
+    kept = suppress_unchanged(spark.createDataFrame(raw)).collect()
+    assert [(r.k, r._change) for r in kept] == [(3, "delete")]
+
+    # duplicate-content rows cancel with multiplicity, not as a set
+    a.append(spark.createDataFrame([(100, 0), (100, 0)], "k long, v long"))
+    raw = _collect_changes(spark, a.path, ck, "sup_dup")
+    batch = spark.createDataFrame(raw)
+    assert suppress_unchanged(batch).count() == 2  # both genuine inserts
