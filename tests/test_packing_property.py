@@ -195,3 +195,51 @@ def test_snapshot_where_any_of_equals_brute_or(spark, tmp_path_factory, rows, di
         pred = pred | predicate_column(s)
     exp = sorted(map(tuple, t.snapshot(spark).filter(pred).collect()), key=key)
     assert got == exp, (disjuncts, got, exp)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 100),
+            st.one_of(st.sampled_from(["a", "b", "zz"]), st.none()),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    preds=_pred_specs(),
+    distributed=st.booleans(),
+)
+def test_snapshot_where_equals_brute_filter_after_rename(
+    spark, tmp_path_factory, rows, preds, distributed
+):
+    """Column-mapping soundness, property-tested: after renaming every
+    column, ANY conjunctive spec spoken in the NEW names prunes (at
+    the driver tier or the distributed tier) to exactly filter()'s
+    rows — the stats recorded under physical names must neither
+    over-prune nor leak through the mapping."""
+    import etl_job_spark.table as tablemod
+    from etl_job_spark.table import ManifestTable, predicate_column
+
+    t = ManifestTable(str(tmp_path_factory.mktemp("swren") / "t"))
+    df = spark.createDataFrame(
+        [(k, g, float(k)) for k, g in rows], "k long, g string, v double"
+    )
+    t.overwrite(df.repartitionByRange(3, "k"))
+    t.rename_column("k", "kk")
+    t.rename_column("g", "gg")
+    ren = [(dict(k="kk", g="gg")[c], op, v) for c, op, v in preds]
+    key = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
+    old_thr = tablemod._SPARK_PRUNE_MIN_FILES
+    tablemod._SPARK_PRUNE_MIN_FILES = 1 if distributed else old_thr
+    try:
+        got = sorted(map(tuple, t.snapshot_where(spark, ren).collect()), key=key)
+        if distributed:
+            assert t.last_planning["mode"] == "distributed"
+    finally:
+        tablemod._SPARK_PRUNE_MIN_FILES = old_thr
+    exp = sorted(
+        map(tuple, t.snapshot(spark).filter(predicate_column(ren)).collect()),
+        key=key,
+    )
+    assert got == exp, (ren, got, exp)
