@@ -1855,57 +1855,52 @@ class ManifestTable:
                 _entry_matches_stats(e, sp, part_types, tmap, utc) for sp in norm
             )
 
-        entries = self._files_cache.get(version)
-        if entries is None and "files" in raw:
-            entries = raw["files"]
         mode = "driver"
         candidates: int | None = None
-        if entries is not None:
+        # tier choice: PREFER the sidecar-backed lazy tier whenever the
+        # version resolves from a parquet checkpoint big enough to
+        # distribute — even when a resolved list is already cached:
+        # the scan plans entirely off the driver, while re-shipping a
+        # cached 10^6-entry list via Arrow on every read would dwarf
+        # it. The chain walk costs ≤ _CHECKPOINT_INTERVAL small JSON
+        # reads.
+        node, chain = raw, []
+        while "files" not in node and "files_ref" not in node:
+            chain.append(node)
+            node = self._read_raw_manifest(node["base_version"])
+        if "files_ref" in node and node.get("n_files", 0) >= _SPARK_PRUNE_MIN_FILES:
+            mode = "distributed-lazy"
+            candidates = node["n_files"]
+            # composite patch of the (≤ _CHECKPOINT_INTERVAL-1)
+            # deltas: a path removed or replaced anywhere in the
+            # chain is skipped executor-side; the replacement
+            # entries (latest content wins) re-plan driver-side
+            removes: set[str] = set()
+            upserts: dict[str, dict] = {}
+            for d in reversed(chain):  # oldest delta first
+                delta = d["delta"]
+                for p in delta["removes"]:
+                    removes.add(p)
+                    upserts.pop(p, None)
+                for e in delta["upserts"]:
+                    upserts[e["path"]] = e
+            source = spark.read.parquet(
+                os.path.join(self.manifest_dir, node["files_ref"])
+            )
+            entries = _spark_filter_entries(
+                source, stats_match, skip_paths=removes | set(upserts)
+            )
+            entries.extend(e for e in upserts.values() if stats_match(e))
+        else:
+            entries = self._files_cache.get(version)
+            if entries is None and "files" in raw:
+                entries = raw["files"]
+            if entries is None:
+                entries = self._read_manifest(version)["files"]
             candidates = len(entries)
             if candidates >= _SPARK_PRUNE_MIN_FILES:
                 mode = "distributed"
                 entries = _spark_filter_entries(_entries_df(spark, entries), stats_match)
-        else:
-            # walk the delta chain toward a resolvable base
-            node, chain = raw, []
-            while (
-                "files" not in node
-                and "files_ref" not in node
-                and node.get("base_version") not in self._files_cache
-            ):
-                chain.append(node)
-                node = self._read_raw_manifest(node["base_version"])
-            if "files_ref" in node and node.get("n_files", 0) >= _SPARK_PRUNE_MIN_FILES:
-                mode = "distributed-lazy"
-                candidates = node["n_files"]
-                # composite patch of the (≤ _CHECKPOINT_INTERVAL-1)
-                # deltas: a path removed or replaced anywhere in the
-                # chain is skipped executor-side; the replacement
-                # entries (latest content wins) re-plan driver-side
-                removes: set[str] = set()
-                upserts: dict[str, dict] = {}
-                for d in reversed(chain):  # oldest delta first
-                    delta = d["delta"]
-                    for p in delta["removes"]:
-                        removes.add(p)
-                        upserts.pop(p, None)
-                    for e in delta["upserts"]:
-                        upserts[e["path"]] = e
-                source = spark.read.parquet(
-                    os.path.join(self.manifest_dir, node["files_ref"])
-                )
-                entries = _spark_filter_entries(
-                    source, stats_match, skip_paths=removes | set(upserts)
-                )
-                entries.extend(e for e in upserts.values() if stats_match(e))
-            else:
-                entries = self._read_manifest(version)["files"]
-                candidates = len(entries)
-                if candidates >= _SPARK_PRUNE_MIN_FILES:
-                    mode = "distributed"
-                    entries = _spark_filter_entries(
-                        _entries_df(spark, entries), stats_match
-                    )
         # bloom layer: per-disjunct driver pass over the stats
         # survivors (identical semantics at every tier — the stats
         # tests are deterministic per entry, so re-running them over
