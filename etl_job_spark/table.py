@@ -3570,6 +3570,30 @@ class ManifestTable:
             self._materialize_manifest(keep_vs[0])
             for v in vs[:-keep_last]:
                 os.unlink(os.path.join(self.manifest_dir, _manifest_name(v)))
+        # manifest parquet sidecars (files_ref checkpoints): reclaim
+        # any not referenced by a manifest that still exists — dropped
+        # checkpoints orphan theirs, and so does a LOSING optimistic
+        # commit attempt. A one-hour mtime grace (same contract as
+        # TransactionalCatalog.vacuum) protects an in-flight attempt
+        # that has written its sidecar but not yet published.
+        if os.path.isdir(self.manifest_dir):
+            live_file_refs = {
+                ref
+                for v in self.versions()
+                if (ref := self._read_raw_manifest(v).get("files_ref"))
+            }
+            import time as _time
+
+            now = _time.time()
+            for name in os.listdir(self.manifest_dir):
+                full = os.path.join(self.manifest_dir, name)
+                if (
+                    name.startswith("files-")
+                    and name.endswith(".parquet")
+                    and name not in live_file_refs
+                    and now - os.path.getmtime(full) >= 3600.0
+                ):
+                    os.unlink(full)
         dv_root = os.path.join(self.path, _DV_DIR)
         if os.path.isdir(dv_root):
             for name in os.listdir(dv_root):

@@ -218,3 +218,37 @@ def test_default_threshold_distributed_split_on_5k_entries(spark):
     assert kept == drv_kept  # identical split, manifest order preserved
     assert len(kept) + len(cold) == 6000
     assert 0 < len(kept) < 1100  # the prune actually bit
+
+
+def test_vacuum_reclaims_orphan_sidecars_keeps_live(spark, tmp_path, monkeypatch):
+    """Dropped checkpoints' parquet sidecars are reclaimed (past the
+    in-flight grace); the retained checkpoint's sidecar survives and
+    the table stays readable."""
+    import time
+
+    monkeypatch.setattr(tablemod, "_FILES_PARQUET_MIN", 8)
+    t = _mk_table(spark, tmp_path / "t", n_rows=600, n_files=12)
+    t.overwrite(  # v2: new checkpoint sidecar, v1's becomes droppable
+        spark.range(0, 300).selectExpr(
+            "id as k", "cast(id % 7 as int) as v", "concat('u', id) as u"
+        ).repartitionByRange(10, "k")
+    )
+    sidecars = [n for n in os.listdir(t.manifest_dir) if n.startswith("files-")]
+    assert len(sidecars) == 1  # v1's checkpoint; v2 is a delta
+    # age it past the grace so it becomes eligible once v1 drops
+    for n in sidecars:
+        p = os.path.join(t.manifest_dir, n)
+        os.utime(p, (time.time() - 7200, time.time() - 7200))
+    # vacuum materializes v2 (its own fresh sidecar), drops v1's
+    # manifest, and reclaims v1's now-orphaned aged sidecar
+    t.vacuum(keep_last=1)
+    left = [n for n in os.listdir(t.manifest_dir) if n.startswith("files-")]
+    assert left == [t._read_raw_manifest(t.latest_version())["files_ref"]]
+    assert left != sidecars
+    t2 = ManifestTable(t.path)
+    assert t2.snapshot(spark).count() == 300
+    # a fresh (in-grace) unreferenced sidecar is left alone
+    orphan = os.path.join(t.manifest_dir, "files-deadbeef.parquet")
+    open(orphan, "wb").write(b"x")
+    t.vacuum(keep_last=1)
+    assert os.path.exists(orphan)
