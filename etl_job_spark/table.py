@@ -2638,6 +2638,16 @@ class ManifestTable:
                 raise ValueError(f"cannot rename unknown column {old!r}")
             if new in names:
                 raise ValueError(f"cannot rename {old!r} to existing column {new!r}")
+            # reserved planner names (__file/__idx/__dv_*) and
+            # parquet-hostile characters would break the DELETE
+            # detection scan / future writes in confusing ways — refuse
+            # loudly at the rename instead
+            if new.startswith("__") or any(c in new for c in " ,;{}()\n\t="):
+                raise ValueError(
+                    f"cannot rename to {new!r}: names starting with '__' are "
+                    "reserved for planner metadata columns, and "
+                    "' ,;{}()\\n\\t=' are invalid in parquet field names"
+                )
             cmap = dict(man.get("column_map") or {})
             phys_in_use = {cmap.get(f.name, f.name) for f in schema.fields}
             if new in (phys_in_use - {cmap.get(old, old)}) or new in set(

@@ -210,3 +210,13 @@ def test_compact_and_diff_after_rename(spark, tmp_path):
     d = t.diff(spark, v_before, t.latest_version())
     assert "item_key" in d.columns
     assert d.filter("_change = 'delete' and item_key = 7").count() == 1
+
+
+def test_rename_rejects_reserved_and_invalid_names(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=10, files=1)
+    with pytest.raises(ValueError, match="reserved"):
+        t.rename_column("v", "__file")
+    with pytest.raises(ValueError, match="invalid"):
+        t.rename_column("v", "bad name")
+    with pytest.raises(ValueError, match="invalid"):
+        t.rename_column("v", "a=b")
