@@ -134,10 +134,16 @@ _FILES_PARQUET_MIN = 512
 # reaches this: the per-entry prune (partition constants + transform
 # dirs + footer stats) runs as ONE mapInPandas job over the checkpoint
 # parquet, shipping back only the O(matching) survivors; below it the
-# in-memory loop beats a Spark job's scheduling overhead. The bloom
-# probe stays a driver pass over the survivors either way (sidecar
-# reads keyed through the table instance).
-_SPARK_PRUNE_MIN_FILES = 4096
+# in-memory loop wins outright. Threshold set from measurement, not
+# vibes (local[32], BASELINE.md "Planning tiers"): the driver loop
+# matches ~0.3-3 M entries/s and sidecar materialization json-parses
+# ~130 k entries/s, while the distributed job carries ~2 s of fixed
+# scan/schedule cost — CPU crossover lands around 10^5 entries, and
+# by there driver MEMORY (a 10^6-entry list is GBs of dicts) is the
+# bigger reason to stay lazy. The bloom probe stays a driver pass
+# over the survivors either way (sidecar reads keyed through the
+# table instance).
+_SPARK_PRUNE_MIN_FILES = 65_536
 
 # commits landing at most this many files take footer stats on the
 # driver (a few dozen ~8 KB reads — cheaper than scheduling a Spark
