@@ -430,3 +430,32 @@ def connected_components_star(
     return labels.unionByName(
         roots.select("doc_id", F.col("doc_id").alias("cluster_id"))
     ).unionByName(singletons.select("doc_id", F.col("doc_id").alias("cluster_id")))
+
+
+def resolve_duplicates(
+    corpus: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The RESOLVE step that turns cluster labels into a deduplicated
+    corpus: keep ONE deterministic representative per cluster (the
+    minimum ``id_col`` — the CCNet/"keep first" policy; stable across
+    runs and partitionings) and annotate it with ``n_duplicates``, the
+    number of rows it displaced. Completes the dedup ladder:
+    detect (pairs) → cluster (connected components) → resolve (this).
+
+    Scale shape: one groupBy on cluster_id where both aggregates
+    (min, count) combine map-side — a giant duplicate cluster
+    collapses in the partial aggregation instead of skewing a window
+    sort — then one join back to the corpus on the surviving ids
+    (broadcast-eligible when survivors are small). Rows never widen:
+    the join carries only (id, n_duplicates).
+
+    Reference analogue: the reference keeps the LAST write per key
+    (load_sales_data.py update-or-insert); for corpus dedup the
+    canonical-representative policy is explicit and pluggable — pick
+    a different representative by pre-ranking ids upstream (e.g.
+    re-keying ``id_col`` to "<quality_rank>:<doc_id>")."""
+    keeps = clusters.groupBy("cluster_id").agg(
+        F.min(id_col).alias(id_col),
+        (F.count("*") - F.lit(1)).alias("n_duplicates"),
+    )
+    return corpus.join(keeps.drop("cluster_id"), id_col)

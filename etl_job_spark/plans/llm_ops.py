@@ -331,6 +331,55 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Duplicate RESOLUTION: clusters → one canonical survivor each
+# ---------------------------------------------------------------------
+
+DEDUP_RESOLVED_SQL = (
+    "WITH RECURSIVE" + MINHASH_CTES + ",\npairs AS (" + MINHASH_FINAL + """),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id, doc_id AS root FROM corpus
+  UNION
+  SELECT e.dst AS doc_id, r.root
+  FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+clusters AS (SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id),
+keeps AS (
+  SELECT min(doc_id) AS doc_id, count(*) - 1 AS n_duplicates
+  FROM clusters GROUP BY cluster_id
+)
+SELECT k.doc_id, k.n_duplicates, length(c.text) AS text_len
+FROM keeps k JOIN corpus c ON c.doc_id = k.doc_id
+"""
+)
+
+
+@query("corpus_dedup_resolved", DEDUP_RESOLVED_SQL)
+def corpus_dedup_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup ladder end to end — detect (MinHash+LSH pairs)
+    → cluster (connected components) → RESOLVE
+    (dedup.resolve_duplicates: one deterministic min-id survivor per
+    cluster, annotated with how many rows it displaced). What a
+    training-data pipeline actually ships: the deduplicated corpus,
+    not the pair list. Map-side-combining aggregates, no windows — a
+    giant duplicate cluster collapses in partial aggregation."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    sh = dedup.shingles(corpus).persist()
+    sigs = dedup.minhash_signatures(sh, num_hashes=12)
+    cands = dedup.lsh_candidate_pairs(sigs, band_size=3)
+    pairs = dedup.verify_pairs(cands, sh, JACCARD_THRESHOLD)
+    clusters = dedup.connected_components(corpus.select("doc_id"), pairs)
+    resolved = dedup.resolve_duplicates(corpus, clusters)
+    return resolved.select(
+        "doc_id", "n_duplicates", F.length("text").alias("text_len")
+    )
+
+
+# ---------------------------------------------------------------------
 # SimHash signatures
 # ---------------------------------------------------------------------
 

@@ -157,6 +157,11 @@ _TAIL = [
     # table-format family is represented in-window by
     # kicc_mart_versioned/gdpr/window_read)
     "kicc_mart_renamed_read",
+    # round-7: the dedup ladder's RESOLVE step (clusters → one min-id
+    # survivor each + displaced count); tail because detect/cluster
+    # hold the family's window slots (dedup_minhash_lsh,
+    # dedup_clusters)
+    "corpus_dedup_resolved",
 ]
 
 

@@ -57,3 +57,22 @@ def test_star_handles_reversed_and_duplicate_edges(spark):
     )
     got = _labels(dedup.connected_components_star(nodes, pairs))
     assert got == [(0, 0), (1, 0), (2, 2), (3, 2), (4, 2), (5, 5)]
+
+
+def test_resolve_duplicates_keeps_min_id_and_counts(spark):
+    from etl_job_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [("a", "xx"), ("b", "yy"), ("c", "zz"), ("d", "solo")],
+        "doc_id string, text string",
+    )
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("d", "d")],
+        "doc_id string, cluster_id string",
+    )
+    got = sorted(
+        map(tuple, dedup.resolve_duplicates(corpus, clusters).collect())
+    )
+    # one min-id survivor per cluster, displaced count attached,
+    # corpus columns carried through
+    assert got == [("a", "xx", 2), ("d", "solo", 0)]
