@@ -2346,6 +2346,13 @@ class ManifestTable:
         manifest = {
             "version": version,
             "base_version": expected_base,
+            # commit-time rollups so metadata queries (row_count,
+            # history) answer from ONE raw manifest read — no file-list
+            # resolution, O(1) per version instead of O(table files)
+            "n_files": len(entries),
+            "live_rows": sum(
+                (e.get("rows") or 0) - _dv_count(e) for e in entries
+            ),
             # UTC wall time of the commit attempt — the key for
             # timestamp time travel (snapshot_as_of). Informational
             # like Delta's commit timestamps: version order is the
@@ -2385,7 +2392,6 @@ class ManifestTable:
             # through the txn log and must be self-describing.
             if self._capture is None and len(entries) >= _FILES_PARQUET_MIN:
                 manifest["files_ref"] = self._write_files_parquet(entries)
-                manifest["n_files"] = len(entries)
             else:
                 manifest["files"] = entries
         else:
@@ -3489,6 +3495,11 @@ class ManifestTable:
             version = self.latest_version()
             if version is None:
                 raise FileNotFoundError(f"no committed version at {self.path}")
+        raw = self._read_raw_manifest(version)
+        if "live_rows" in raw:
+            # commit-time rollup: ONE manifest read, no file-list
+            # resolution — O(1) even at 10^6 files
+            return int(raw["live_rows"])
         man = self._read_manifest(version)
         return sum((e.get("rows") or 0) - _dv_count(e) for e in man["files"])
 
@@ -3500,19 +3511,26 @@ class ManifestTable:
         that costs one JSON read per version, no data I/O."""
         out = []
         for v in self.versions():
-            man = self._read_manifest(v)
+            man = self._read_raw_manifest(v)
+            if "n_files" not in man or "live_rows" not in man:
+                # pre-rollup manifest: resolve and count the old way
+                man = dict(self._read_manifest(v))
+                man.setdefault("n_files", len(man["files"]))
+                man.setdefault(
+                    "live_rows",
+                    sum((e.get("rows") or 0) - _dv_count(e) for e in man["files"]),
+                )
             out.append(
                 {
                     "version": v,
                     "base_version": man.get("base_version"),
                     "committed_at": man.get("committed_at"),
                     "operation": man.get("operation") or {},
-                    "n_files": len(man["files"]),
+                    "n_files": int(man["n_files"]),
                     # live rows: physical footer counts minus dv'd
-                    # positions (inline + sidecar, via dv_rows)
-                    "rows": sum(
-                        (e.get("rows") or 0) - _dv_count(e) for e in man["files"]
-                    ),
+                    # positions (inline + sidecar, via dv_rows) —
+                    # rolled up at commit time, one raw read per row
+                    "rows": int(man["live_rows"]),
                     "partition_by": man.get("partition_by") or [],
                 }
             )
