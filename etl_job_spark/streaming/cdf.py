@@ -248,13 +248,46 @@ class _TableChangesReader(DataSourceStreamReader):
 class TableChangesDataSource(DataSource):
     """``spark.readStream.format("table_changes").option("path", p)``
     — the ManifestTable change-data-feed source (module docstring has
-    the full semantics). Options: ``path`` (required),
-    ``startingVersion`` (include changes from that version on;
-    default: only changes committed after the stream starts)."""
+    the full semantics). Options: ``path`` (required), and at most one
+    of ``startingVersion`` (include changes from that version on) /
+    ``startingTimestamp`` (inclusive: from the first version committed
+    at or after the ISO timestamp); default: only changes committed
+    after the stream starts."""
 
     @classmethod
     def name(cls) -> str:
         return "table_changes"
+
+    def _starting_version(self) -> int | None:
+        sv = self.options.get("startingversion")
+        st = self.options.get("startingtimestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "table_changes: pass at most one of startingVersion / "
+                "startingTimestamp"
+            )
+        if sv is not None:
+            return int(sv)
+        if st is not None:
+            import datetime
+
+            from etl_job_spark.table import ManifestTable
+
+            # Delta's startingTimestamp shape, inclusive: changes from
+            # the FIRST version committed at or after the timestamp
+            want = datetime.datetime.fromisoformat(st)
+            if want.tzinfo is None:
+                want = want.replace(tzinfo=datetime.timezone.utc)
+            t = ManifestTable(self._path())
+            for v in t.versions():
+                at = t._read_raw_manifest(v).get("committed_at")
+                if at is not None and datetime.datetime.fromisoformat(at) >= want:
+                    return v
+            # nothing committed at/after the timestamp yet: start past
+            # the current tip (future changes only)
+            latest = t.latest_version()
+            return (latest or 0) + 1
+        return None
 
     def _path(self) -> str:
         path = self.options.get("path")
@@ -284,10 +317,7 @@ class TableChangesDataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType) -> _TableChangesReader:
-        sv = self.options.get("startingversion")
-        return _TableChangesReader(
-            self._path(), schema, None if sv is None else int(sv)
-        )
+        return _TableChangesReader(self._path(), schema, self._starting_version())
 
 
 def suppress_unchanged(batch_df: DataFrame) -> DataFrame:
@@ -312,7 +342,10 @@ def suppress_unchanged(batch_df: DataFrame) -> DataFrame:
 
 
 def read_table_changes(
-    spark: SparkSession, table_path: str, starting_version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    starting_version: int | None = None,
+    starting_timestamp: str | None = None,
 ) -> DataFrame:
     """The CDF stream over a ManifestTable: registers the data source
     (idempotent) and returns the streaming DataFrame. Compose with
@@ -330,4 +363,6 @@ def read_table_changes(
     reader = spark.readStream.format("table_changes").option("path", table_path)
     if starting_version is not None:
         reader = reader.option("startingVersion", str(starting_version))
+    if starting_timestamp is not None:
+        reader = reader.option("startingTimestamp", starting_timestamp)
     return reader.load()

@@ -197,3 +197,41 @@ def test_suppress_unchanged_cancels_compaction_noise(spark, tmp_path):
     raw = _collect_changes(spark, a.path, ck, "sup_dup")
     batch = spark.createDataFrame(raw)
     assert suppress_unchanged(batch).count() == 2  # both genuine inserts
+
+
+def test_cdf_starting_timestamp_inclusive(spark, tmp_path):
+    a = ManifestTable(str(tmp_path / "a"))
+    a.overwrite(spark.range(0, 3).selectExpr("id as k"))  # v1
+    cut = a._read_raw_manifest(1)["committed_at"]
+    a.append(spark.range(3, 5).selectExpr("id as k"))  # v2
+    # inclusive at v1's own commit time: both versions stream
+    df = read_table_changes(spark, a.path, starting_timestamp=cut)
+    got: list = []
+    q = (
+        df.writeStream.foreachBatch(lambda b, _id: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.k for r in got) == [0, 1, 2, 3, 4]
+    # a far-future timestamp: nothing yet (future changes only)
+    df2 = read_table_changes(
+        spark, a.path, starting_timestamp="2099-01-01T00:00:00+00:00"
+    )
+    got2: list = []
+    q = (
+        df2.writeStream.foreachBatch(lambda b, _id: got2.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert got2 == []
+    # both options together is a loud error (raised when the reader
+    # is built; asserted directly — streaming surfaces it async)
+    from etl_job_spark.streaming import TableChangesDataSource
+
+    ds = TableChangesDataSource(
+        {"path": a.path, "startingversion": "0", "startingtimestamp": cut}
+    )
+    with pytest.raises(ValueError, match="at most one"):
+        ds._starting_version()
