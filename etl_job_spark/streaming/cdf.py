@@ -112,10 +112,12 @@ class _TableChangesReader(DataSourceStreamReader):
         latest = t.latest_version()
         if latest is None:
             raise FileNotFoundError(f"no committed version at {table_path}")
-        man = t._read_manifest(latest)
+        # RAW manifest read: column_map is inline; resolving the file
+        # list here would parse a big checkpoint's whole sidecar just
+        # for one small field.
         # logical→physical map captured ONCE: physical names are
         # immutable, so later renames don't disturb a running stream
-        self._cmap = dict(man.get("column_map") or {})
+        self._cmap = dict(t._read_raw_manifest(latest).get("column_map") or {})
         if start_version is None:
             self._start = latest  # future changes only
         else:
@@ -302,7 +304,8 @@ class TableChangesDataSource(DataSource):
         latest = t.latest_version()
         if latest is None:
             raise FileNotFoundError(f"no committed version at {self._path()}")
-        base = t._manifest_schema(t._read_manifest(latest))
+        # raw read: 'fields' is inline, never resolve the file list
+        base = t._manifest_schema(t._read_raw_manifest(latest))
         if base is None:
             raise ValueError(
                 "table_changes needs a schema-carrying manifest "

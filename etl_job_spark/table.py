@@ -314,7 +314,13 @@ def _decimal_raw_stat(raw, scale: int):
         raw = int.from_bytes(raw, "big", signed=True)
     if isinstance(raw, bool) or not isinstance(raw, int):
         return None
-    return {"dec": str(decimal.Decimal(raw).scaleb(-scale))}
+    # scaleb is ARITHMETIC and rounds to the ambient context's 28-digit
+    # precision — a decimal(38,2) bound would silently move INWARD
+    # (min up / max down), the exact wrong-way movement that prunes a
+    # file still holding the true extreme. Scale under exact precision.
+    with decimal.localcontext() as ctx:
+        ctx.prec = decimal.MAX_PREC
+        return {"dec": str(decimal.Decimal(raw).scaleb(-scale))}
 
 
 def _enc_order(x):
@@ -1228,23 +1234,40 @@ def _entry_stats_may_contain(
     return True
 
 
+def _bind_naive(v):
+    """Naive-datetime probe → aware, with the DRIVER process's local
+    zone attached. ``TimestampType().toInternal`` converts naive
+    values through the PYTHON PROCESS's zone (mktime), so a matcher
+    closure shipped to an executor whose worker runs a different TZ
+    would encode a different instant than the driver's ``F.lit`` —
+    files in the offset gap would be wrongly pruned. Binding the zone
+    on the driver makes the encoding location-independent (aware
+    datetimes convert by pure offset arithmetic) while preserving the
+    residual filter's semantics, whose literal also converts through
+    the driver process zone."""
+    if isinstance(v, datetime.datetime) and v.tzinfo is None:
+        return v.astimezone()
+    return v
+
+
 def _normalize_predicates(predicates: Sequence[tuple]) -> list[tuple]:
     """Conjunctive predicate spec → constraints with ``=`` folded into
-    single-member ``in`` and ``between`` split into its two bounds —
-    the one normal form every planner (in-memory and distributed)
-    reasons from."""
+    single-member ``in``, ``between`` split into its two bounds, and
+    naive datetime probes zone-bound (``_bind_naive``) — the one
+    normal form every planner (in-memory and distributed) reasons
+    from."""
     norm: list[tuple] = []
     for col, op, v in predicates:
         if op == "=":
-            norm.append((col, "in", [v]))
+            norm.append((col, "in", [_bind_naive(v)]))
         elif op == "in":
-            norm.append((col, "in", list(v)))
+            norm.append((col, "in", [_bind_naive(x) for x in v]))
         elif op == "between":
             lo, hi = v
-            norm.append((col, ">=", lo))
-            norm.append((col, "<=", hi))
+            norm.append((col, ">=", _bind_naive(lo)))
+            norm.append((col, "<=", _bind_naive(hi)))
         elif op in ("<", "<=", ">", ">="):
-            norm.append((col, op, v))
+            norm.append((col, op, _bind_naive(v)))
         else:
             raise ValueError(
                 f"predicate op {op!r}: use '=', 'in', 'between', "
@@ -1644,7 +1667,9 @@ class ManifestTable:
             want = want.replace(tzinfo=datetime.timezone.utc)
         best = None
         for v in self.versions():
-            at = self._read_manifest(v).get("committed_at")
+            # raw read: committed_at is inline — resolving file lists
+            # here would materialize every checkpoint just for a scalar
+            at = self._read_raw_manifest(v).get("committed_at")
             if at is not None and datetime.datetime.fromisoformat(at) <= want:
                 best = v
         if best is None:
@@ -1984,6 +2009,12 @@ class ManifestTable:
                 column_map.get(c, c): v for c, v in values_by_col.items()
             }
             types = {column_map.get(c, c): t for c, t in types.items()}
+        # zone-bind datetime probes on the DRIVER (see _bind_naive):
+        # the stats half of this split may run in executor processes
+        # whose TZ differs
+        values_by_col = {
+            c: [_bind_naive(x) for x in vals] for c, vals in values_by_col.items()
+        }
         kept, cold = self._split_candidates(
             spark,
             entries,
@@ -2654,11 +2685,12 @@ class ManifestTable:
             # parquet-hostile characters would break the DELETE
             # detection scan / future writes in confusing ways — refuse
             # loudly at the rename instead
-            if new.startswith("__") or any(c in new for c in " ,;{}()\n\t="):
+            if new.startswith("__") or any(c in new for c in " ,;{}()\n\t=.`"):
                 raise ValueError(
                     f"cannot rename to {new!r}: names starting with '__' are "
-                    "reserved for planner metadata columns, and "
-                    "' ,;{}()\\n\\t=' are invalid in parquet field names"
+                    "reserved for planner metadata columns, ' ,;{}()\\n\\t=' "
+                    "are invalid in parquet field names, and '.'/'`' break "
+                    "column resolution (F.col parses '.' as struct access)"
                 )
             cmap = dict(man.get("column_map") or {})
             phys_in_use = {cmap.get(f.name, f.name) for f in schema.fields}

@@ -182,3 +182,45 @@ def test_replay_tolerates_concurrent_vacuum(spark, tmp_path):
     state = other.roll_forward()
     assert state["t1"] == 3
     assert calls["n"] >= 2  # the restart actually happened
+
+
+def test_bound_datetime_probes_encode_tz_independently():
+    """r7 review finding: naive-datetime probes inside shipped matcher
+    closures encode through the EXECUTOR process's local zone
+    (TimestampType().toInternal uses mktime), so a worker running a
+    different TZ than the driver would prune against a shifted
+    instant. _normalize_predicates now zone-binds naive probes on the
+    driver; this pins that the bound (aware) form encodes to the SAME
+    micros under any process TZ, while the naive form demonstrably
+    does not."""
+    import datetime
+    import os
+    import time
+
+    from etl_job_spark.table import _bind_naive, _normalize_predicates, _stat_probe_encode
+
+    naive = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    bound = _bind_naive(naive)
+    assert bound.tzinfo is not None
+    # the normal form carries the bound value everywhere
+    norm = _normalize_predicates([("ts", "between", (naive, naive))])
+    assert all(v.tzinfo is not None for _c, _op, v in norm)
+
+    old_tz = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "UTC"
+        time.tzset()
+        e_utc = _stat_probe_encode(bound, "timestamp")
+        naive_utc = _stat_probe_encode(naive, "timestamp")
+        os.environ["TZ"] = "America/New_York"
+        time.tzset()
+        e_ny = _stat_probe_encode(bound, "timestamp")
+        naive_ny = _stat_probe_encode(naive, "timestamp")
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+    assert e_utc == e_ny  # bound probe: location-independent
+    assert naive_utc != naive_ny  # the bug the binding removes

@@ -114,3 +114,27 @@ def test_merge_prunes_on_decimal_key(spark, tmp_path):
     assert carried, "files whose decimal key range misses the source must carry"
     # correctness: the merged row landed exactly once
     assert t.snapshot(spark).filter(F.col("amt") == F.lit(Decimal("500.00"))).count() == 1
+
+
+def test_high_precision_decimal_stats_do_not_round_inward(spark, tmp_path):
+    """r7 review finding: Decimal(raw).scaleb(-scale) under the default
+    28-digit context ROUNDED a decimal(38,2) bound inward — the
+    recorded max fell below the true max and an equality probe on the
+    extreme value pruned the file holding it (silent row loss)."""
+    import decimal
+
+    from etl_job_spark.table import ManifestTable
+
+    big = decimal.Decimal("100000000000000000000000000000000000.01")
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, decimal.Decimal("1.00")), (2, big)], "k long, amount decimal(38,2)"
+    )
+    t.overwrite(df.repartition(2, "k"))
+    man = t._read_manifest(t.latest_version())
+    stats = [e["stats"].get("amount") for e in man["files"] if e["stats"].get("amount")]
+    # the recorded bound is EXACT — 38 significant digits survive
+    assert any(s["max"] == {"dec": str(big)} for s in stats)
+    got = t.snapshot_where(spark, [("amount", "=", big)])
+    assert [r.k for r in got.collect()] == [2]
+    assert t.last_planning["kept"] == 1  # pruned to the one file, kept it

@@ -220,3 +220,8 @@ def test_rename_rejects_reserved_and_invalid_names(spark, tmp_path):
         t.rename_column("v", "bad name")
     with pytest.raises(ValueError, match="invalid"):
         t.rename_column("v", "a=b")
+    # '.' and '`' break F.col resolution AFTER the commit — refused
+    with pytest.raises(ValueError, match="resolution"):
+        t.rename_column("v", "a.b")
+    with pytest.raises(ValueError, match="resolution"):
+        t.rename_column("v", "a`b")

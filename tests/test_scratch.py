@@ -16,17 +16,21 @@ from etl_job_spark import scratch
 
 def test_scratch_dir_registers_reclaim_and_reclaims(spark):
     app_id = spark.sparkContext.applicationId
-    scratch._registered.discard(app_id)  # fresh-session simulation
+    scratch._HANDED_OUT.pop(app_id, None)  # fresh-session simulation
     p = scratch.scratch_dir(spark, "kicc_mart_window_read", "_deadbeef")
-    assert app_id in scratch._registered
+    assert app_id in scratch._HANDED_OUT
     os.makedirs(p, exist_ok=True)
     with open(os.path.join(p, "x.json"), "w") as f:
         f.write("{}")
     q = scratch.scratch_dir(spark, "events_mart_daily", "_deadbeef")
     os.makedirs(q, exist_ok=True)
+    # ANY prefix is reclaimed — paths are recorded at hand-out, not
+    # matched against a list that can drift (r7 review finding)
+    r = scratch.scratch_dir(spark, "some_brand_new_query", "_x")
+    os.makedirs(r, exist_ok=True)
     n = scratch.reclaim_scratch(app_id)
-    assert n >= 2
-    assert not os.path.exists(p) and not os.path.exists(q)
+    assert n >= 3
+    assert not os.path.exists(p) and not os.path.exists(q) and not os.path.exists(r)
     # idempotent
     assert scratch.reclaim_scratch(app_id) == 0
 
