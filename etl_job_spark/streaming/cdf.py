@@ -108,6 +108,10 @@ class _TableChangesReader(DataSourceStreamReader):
         # the logical fields (output schema minus the two change columns)
         self._fields = StructType(out_schema.fields[:-2])
         self._tbl = None
+        # rolling table state for incremental classification
+        # (partitions() docstring); never shipped to executors
+        self._by_path: dict[str, dict] = {}
+        self._at_version: int | None = None
         t = self._table()
         latest = t.latest_version()
         if latest is None:
@@ -135,9 +139,12 @@ class _TableChangesReader(DataSourceStreamReader):
 
     def __getstate__(self):
         # executors only need path/schema/cmap; never ship the table
-        # instance (its resolved-files cache can be huge)
+        # instance or the rolling classification state (both can be
+        # O(table files))
         s = dict(self.__dict__)
         s["_tbl"] = None
+        s["_by_path"] = {}
+        s["_at_version"] = None
         return s
 
     def initialOffset(self) -> dict:
@@ -150,32 +157,56 @@ class _TableChangesReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         """One _ChangePartition per changed file in (start, end].
 
-        Cost note: classification compares consecutive RESOLVED file
-        lists by path — O(table files) of driver DICT BUILDING per
-        version crossed (metadata only, no file I/O; resolution itself
-        is O(delta) amortized through the cache). Delta's CDF planner
-        pays the same per-commit metadata pass; if this ever shows up
-        at 10^6 files it can classify delta manifests directly from
-        their upserts/removes, but the dict build is ~1 s/10^6 entries
-        and a stream crosses each version once."""
+        Cost shape: the reader keeps a ROLLING path→entry dict of the
+        table state at the last classified version. Versions whose raw
+        manifest is a DELTA classify straight from its
+        upserts/removes — O(changed files), no full-list compare —
+        and patch the rolling dict in place; checkpoint manifests
+        (every _CHECKPOINT_INTERVAL-th commit) resolve and full-compare
+        once, same as the initial build. So a long-running stream pays
+        O(table) dict work once per checkpoint, not once per commit —
+        metadata only, never file I/O."""
         t = self._table()
         parts: list[_ChangePartition] = []
         lo, hi = int(start["version"]), int(end["version"])
-        for v in range(lo + 1, hi + 1):
-            before = t._read_manifest(v - 1)["files"] if v > 1 else []
-            after = t._read_manifest(v)["files"]
-            by_a = {e["path"]: e for e in before}
-            by_b = {e["path"]: e for e in after}
-            for p, e in by_b.items():
-                if p not in by_a:
-                    parts.append(_ChangePartition(e, "insert", v, None))
-                elif _dv_ident(e) != _dv_ident(by_a[p]):
-                    parts.append(_ChangePartition(e, "delete", v, by_a[p]))
-            parts.extend(
-                _ChangePartition(e, "delete", v, None)
-                for p, e in by_a.items()
-                if p not in by_b
+        if self._at_version != lo:
+            # fresh reader / availableNow re-plan: (re)base the state
+            self._by_path = (
+                {e["path"]: e for e in t._read_manifest(lo)["files"]}
+                if lo >= 1
+                else {}
             )
+            self._at_version = lo
+        for v in range(lo + 1, hi + 1):
+            raw = t._read_raw_manifest(v)
+            if "delta" in raw:
+                delta = raw["delta"]
+                for p in delta["removes"]:
+                    old = self._by_path.pop(p, None)
+                    if old is not None:
+                        parts.append(_ChangePartition(old, "delete", v, None))
+                for e in delta["upserts"]:
+                    old = self._by_path.get(e["path"])
+                    if old is None:
+                        parts.append(_ChangePartition(e, "insert", v, None))
+                    elif _dv_ident(e) != _dv_ident(old):
+                        parts.append(_ChangePartition(e, "delete", v, old))
+                    self._by_path[e["path"]] = e
+            else:
+                by_b = {e["path"]: e for e in t._read_manifest(v)["files"]}
+                for p, e in by_b.items():
+                    old = self._by_path.get(p)
+                    if old is None:
+                        parts.append(_ChangePartition(e, "insert", v, None))
+                    elif _dv_ident(e) != _dv_ident(old):
+                        parts.append(_ChangePartition(e, "delete", v, old))
+                parts.extend(
+                    _ChangePartition(e, "delete", v, None)
+                    for p, e in self._by_path.items()
+                    if p not in by_b
+                )
+                self._by_path = by_b
+            self._at_version = v
         # the resolved-files cache only ever needs the trailing edge:
         # drop older versions so a long-running stream stays O(1)
         t._files_cache = {
