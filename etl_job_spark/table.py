@@ -3535,6 +3535,67 @@ class ManifestTable:
         man = self._read_manifest(version)
         return sum((e.get("rows") or 0) - _dv_count(e) for e in man["files"])
 
+    def files_df(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """The snapshot's file entries as a queryable DataFrame —
+        Iceberg's ``.files`` metadata table: one row per file
+        with path, partition values, footer row count, DV count, live
+        rows, and the raw stats/entry JSON for ad-hoc inspection
+        (``get_json_object`` reaches any stat). Sidecar-backed
+        checkpoints scan their parquet directly (column-pruned, never
+        materialized on the driver); inline manifests ship via Arrow.
+        Immutable for a pinned version, like any snapshot."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+        raw = self._read_raw_manifest(version)
+        node = raw
+        while "files" not in node and "files_ref" not in node:
+            node = self._read_raw_manifest(node["base_version"])
+        if "files_ref" in node and node is raw:
+            src = spark.read.parquet(os.path.join(self.manifest_dir, node["files_ref"]))
+        else:
+            src = _entries_df(spark, self._read_manifest(version)["files"])
+        entry = F.col("entry")
+        rows = F.get_json_object(entry, "$.rows").cast("bigint")
+        dv_rows = F.coalesce(
+            F.get_json_object(entry, "$.dv_rows").cast("bigint"),
+            F.size(F.from_json(F.get_json_object(entry, "$.dv"), "array<bigint>")),
+            F.lit(0),
+        )
+        return src.select(
+            F.get_json_object(entry, "$.path").alias("path"),
+            F.from_json(
+                F.get_json_object(entry, "$.partition"), "map<string,string>"
+            ).alias("partition"),
+            rows.alias("rows"),
+            dv_rows.alias("dv_rows"),
+            (rows - dv_rows).alias("live_rows"),
+            F.get_json_object(entry, "$.stats").alias("stats_json"),
+            entry.alias("entry_json"),
+        )
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """``history()`` as a DataFrame — the DESCRIBE HISTORY shape
+        (version, committed_at, operation op/detail, n_files, rows)."""
+        rows = [
+            (
+                h["version"],
+                h.get("base_version"),
+                h.get("committed_at"),
+                (h.get("operation") or {}).get("op"),
+                json.dumps(h.get("operation") or {}, sort_keys=True),
+                h["n_files"],
+                h["rows"],
+            )
+            for h in self.history()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version long, base_version long, committed_at string, "
+            "op string, operation_json string, n_files long, rows long",
+        )
+
     def history(self) -> list[dict]:
         """Audit trail from the manifests: one row per retained
         version with its operation tag, file count, and footer row

@@ -256,3 +256,32 @@ def test_vacuum_reclaims_orphan_sidecars_keeps_live(spark, tmp_path, monkeypatch
     open(orphan, "wb").write(b"x")
     t.vacuum(keep_last=1)
     assert os.path.exists(orphan)
+
+
+def test_files_df_and_history_df_metadata_tables(spark, tmp_path, monkeypatch):
+    """Iceberg-style metadata tables: files_df is SQL over the
+    manifest (sidecar-scanned for checkpoint versions, never
+    materialized), history_df is DESCRIBE HISTORY."""
+    monkeypatch.setattr(tablemod, "_FILES_PARQUET_MIN", 8)
+    t = _mk_table(spark, tmp_path / "t", n_rows=1000, n_files=10)
+    t.delete_where(spark, "k in (3, 4)", mode="merge_on_read")
+
+    cold = ManifestTable(t.path)  # cold instance: nothing resolved yet
+    fdf = cold.files_df(spark, version=1)  # checkpoint: direct sidecar scan
+    assert fdf.count() == 10
+    agg = fdf.selectExpr("sum(rows) r", "sum(live_rows) lr").first()
+    assert agg.r == 1000 and agg.lr == 1000
+    assert 1 not in cold._files_cache  # metadata query didn't materialize
+
+    cur = t.files_df(spark)  # MOR version: rows unchanged, 2 dv'd
+    got = cur.selectExpr("sum(rows) r", "sum(dv_rows) d", "sum(live_rows) lr").first()
+    assert (got.r, got.d, got.lr) == (1000, 2, 998)
+    # stats are reachable with plain SQL over the JSON
+    mins = cur.selectExpr(
+        "min(cast(get_json_object(stats_json, '$.k.min') as bigint)) m"
+    ).first()
+    assert mins.m == 0
+
+    h = t.history_df(spark)
+    assert [r.op for r in h.orderBy("version").collect()] == ["overwrite", "delete"]
+    assert h.filter("version = 2").first().rows == 998
