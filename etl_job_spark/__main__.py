@@ -56,7 +56,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "versions", "history", "show", "read", "rows", "diff",
             "compact", "vacuum", "restore", "delete", "delete-keys",
-            "constraints", "rename", "drop-cols",
+            "constraints", "rename", "drop-cols", "files",
         ],
     )
     tb.add_argument(
@@ -373,6 +373,10 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(
                     {"path": args.path, "version": v, "mode": args.mode,
                      "key_col": args.key_col, "n_keys": len(vals)}))
+            elif args.action == "files":
+                df = t.files_df(spark, version=args.version)
+                for r in df.drop("entry_json").limit(args.limit).collect():
+                    print(json.dumps(r.asDict(), default=str, sort_keys=True))
             elif args.action == "rename":
                 if not args.from_col or not args.to_col:
                     print("rename wants --from-col and --to-col", file=sys.stderr)

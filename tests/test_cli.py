@@ -188,3 +188,8 @@ def test_table_rename_and_drop_cols_cli(capsys, spark, tmp_path):
     # missing args are loud exits, not tracebacks
     assert main(["table", "rename", "--path", path]) == 2
     assert main(["table", "drop-cols", "--path", path]) == 2
+    # the files metadata table prints one JSON row per file
+    capsys.readouterr()  # drain earlier actions' output
+    assert main(["table", "files", "--path", path, "--limit", "3"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and all("live_rows" in json.loads(l) for l in out)
