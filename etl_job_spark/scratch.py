@@ -24,9 +24,14 @@ import atexit
 import os
 import shutil
 import tempfile
+import threading
 
-# app_id -> the exact scratch paths handed out this session
+# app_id -> the exact scratch paths handed out this session; guarded
+# by _LOCK — an unsynchronized first-use race could replace a set
+# another thread just recorded into, and a lost entry is a permanent
+# leak now that reclaim deletes exactly what was recorded
 _HANDED_OUT: dict[str, set[str]] = {}
+_LOCK = threading.Lock()
 
 
 def reclaim_scratch(app_id: str) -> int:
@@ -35,8 +40,10 @@ def reclaim_scratch(app_id: str) -> int:
     atexit hook. Only paths ``scratch_dir`` itself constructed are
     touched (never a wildcard over the temp dir — an unrelated path
     containing the application id must not be rmtree'd; advisor r4)."""
+    with _LOCK:
+        paths = sorted(_HANDED_OUT.get(app_id, ()))
     n = 0
-    for d in sorted(_HANDED_OUT.get(app_id, ())):
+    for d in paths:
         if os.path.exists(d):
             shutil.rmtree(d, ignore_errors=True)
             n += 1
@@ -47,9 +54,12 @@ def scratch_dir(spark, prefix: str, suffix: str = "") -> str:
     """``{tmp}/{prefix}_{applicationId}{suffix}`` — recorded, and (once
     per session) wired to the atexit reclaim so no caller leaks it."""
     app_id = spark.sparkContext.applicationId
-    if app_id not in _HANDED_OUT:
-        _HANDED_OUT[app_id] = set()
-        atexit.register(reclaim_scratch, app_id)
     path = os.path.join(tempfile.gettempdir(), f"{prefix}_{app_id}{suffix}")
-    _HANDED_OUT[app_id].add(path)
+    with _LOCK:
+        first = app_id not in _HANDED_OUT
+        if first:
+            _HANDED_OUT[app_id] = set()
+        _HANDED_OUT[app_id].add(path)
+    if first:
+        atexit.register(reclaim_scratch, app_id)
     return path

@@ -250,21 +250,35 @@ def _stat_encode(value):
 
 
 def _file_stats(path: str) -> tuple[int, dict[str, dict]]:
-    """Row count + per-column min/max from the parquet footer — no
-    data pages read. Stats cover top-level primitive columns (first
-    ``_STATS_MAX_COLUMNS``) whose every row group recorded min/max;
-    a column with any stats-less row group is omitted (unknown range,
-    never pruned). This is the write-time half of data skipping: the
-    read-time half is ``ManifestTable._prune_by_key_stats``."""
+    """Row count + per-column min/max AND null counts from the parquet
+    footer — no data pages read. Min/max cover top-level primitive
+    columns (first ``_STATS_MAX_COLUMNS``) whose every row group
+    recorded min/max; a column with any stats-less row group is
+    omitted (unknown range, never pruned). Null counts are tracked
+    independently (an all-NULL or binary column has no min/max but a
+    perfectly good null count — that's what lets ``not_null`` prune
+    it), summed only when EVERY row group reports one. This is the
+    write-time half of data skipping: the read-time half is
+    ``ManifestTable._prune_by_key_stats``."""
     meta = pq.ParquetFile(path).metadata
     schema = meta.schema
     stats: dict[str, list] = {}
+    nulls: dict[str, int] = {}
     eligible: list[int] = []
     for j in range(min(meta.num_columns, _STATS_MAX_COLUMNS)):
         if "." not in schema.column(j).path:  # top-level leaves only
             eligible.append(j)
+    n_eligible = list(eligible)
     for g in range(meta.num_row_groups):
         rg = meta.row_group(g)
+        for j in list(n_eligible):
+            name = schema.column(j).path
+            st = rg.column(j).statistics
+            if st is None or not st.has_null_count:
+                n_eligible.remove(j)
+                nulls.pop(name, None)
+            else:
+                nulls[name] = nulls.get(name, 0) + st.null_count
         for j in list(eligible):
             name = schema.column(j).path
             st = rg.column(j).statistics
@@ -300,7 +314,10 @@ def _file_stats(path: str) -> tuple[int, dict[str, dict]]:
                     cur[0] = lo
                 if _enc_order(hi) > _enc_order(cur[1]):
                     cur[1] = hi
-    return meta.num_rows, {k: {"min": v[0], "max": v[1]} for k, v in stats.items()}
+    out: dict[str, dict] = {k: {"min": v[0], "max": v[1]} for k, v in stats.items()}
+    for name, n in nulls.items():
+        out.setdefault(name, {})["nulls"] = n
+    return meta.num_rows, out
 
 
 def _decimal_raw_stat(raw, scale: int):
@@ -457,7 +474,9 @@ def _envelope_outside(
     enc = [_stat_probe_encode(v, kind, utc) for v in vals]
     if any(e is None for e in enc):
         return False
-    fmin, fmax = st["min"], st["max"]
+    fmin, fmax = st.get("min"), st.get("max")
+    if fmin is None or fmax is None:  # nulls-only stats entry
+        return False
     if not all(_comparable(e, fmin) for e in enc):
         return False
     big = 2**53
@@ -527,7 +546,9 @@ def _range_excludes(
     e = _stat_probe_encode(v, kind, utc)
     if e is None:
         return False
-    fmin, fmax = st["min"], st["max"]
+    fmin, fmax = st.get("min"), st.get("max")
+    if fmin is None or fmax is None:  # nulls-only stats entry
+        return False
     if not _comparable(e, fmin):
         return False
     if isinstance(e, dict):  # decimal family: exact at any magnitude
@@ -699,9 +720,14 @@ def predicate_column(predicates: Sequence[tuple]) -> Column:
     SAME spec ``_prune_by_key_stats`` plans from, so the residual
     filter and the file prune can never disagree."""
     out = None
-    for col, op, v in predicates:
+    for p in predicates:
+        col, op, v = p if len(p) == 3 else (*p, None)
         c = F.col(col)
-        if op == "=":
+        if op == "is_null":
+            term = c.isNull()
+        elif op == "not_null":
+            term = c.isNotNull()
+        elif op == "=":
             term = c == F.lit(v)
         elif op == "in":
             term = c.isin(list(v))
@@ -718,7 +744,8 @@ def predicate_column(predicates: Sequence[tuple]) -> Column:
             term = c < F.lit(v)
         else:
             raise ValueError(
-                f"predicate op {op!r}: use '=', 'in', 'between', '<', '<=', '>', '>='"
+                f"predicate op {op!r}: use '=', 'in', 'between', "
+                "'<', '<=', '>', '>=', 'is_null', 'not_null'"
             )
         out = term if out is None else out & term
     if out is None:
@@ -738,7 +765,9 @@ def _stats_disjoint(entry: dict, key_ranges: dict[str, tuple]) -> bool:
         st = stats.get(col)
         if st is None:
             continue
-        fmin, fmax = st["min"], st["max"]
+        fmin, fmax = st.get("min"), st.get("max")
+        if fmin is None or fmax is None:  # nulls-only stats entry
+            continue
         if not (_comparable(fmin, lo) and _comparable(fmax, hi)):
             continue
         if _enc_order(fmax) < _enc_order(lo) or _enc_order(fmin) > _enc_order(hi):
@@ -1224,7 +1253,7 @@ def _entry_stats_may_contain(
             if st is not None and _envelope_outside(st, vals, kind, utc):
                 return False
             continue
-        if st is not None:
+        if st is not None and st.get("min") is not None:
             fmin, fmax = st["min"], st["max"]
             if all(
                 _probe_outside(_stat_probe_encode(v, kind, utc), fmin, fmax)
@@ -1244,21 +1273,38 @@ def _bind_naive(v):
     on the driver makes the encoding location-independent (aware
     datetimes convert by pure offset arithmetic) while preserving the
     residual filter's semantics, whose literal also converts through
-    the driver process zone."""
+    the driver process zone.
+
+    The binding goes through ``time.mktime`` — the SAME call
+    ``TimestampType().toInternal`` makes for naive values — not
+    ``astimezone()``: the two can resolve a nonexistent/ambiguous
+    local wall clock (DST gap/fold) to instants an hour apart
+    (astimezone is PEP-495 fold-aware, mktime's gap handling is
+    platform-defined), and a prune instant that disagrees with the
+    residual's literal is exactly the silent-row-loss bug this
+    function exists to prevent."""
     if isinstance(v, datetime.datetime) and v.tzinfo is None:
-        return v.astimezone()
+        import time as _time
+
+        secs = int(_time.mktime(v.timetuple()))
+        return datetime.datetime.fromtimestamp(
+            secs, tz=datetime.timezone.utc
+        ).replace(microsecond=v.microsecond)
     return v
 
 
 def _normalize_predicates(predicates: Sequence[tuple]) -> list[tuple]:
     """Conjunctive predicate spec → constraints with ``=`` folded into
-    single-member ``in``, ``between`` split into its two bounds, and
-    naive datetime probes zone-bound (``_bind_naive``) — the one
-    normal form every planner (in-memory and distributed) reasons
-    from."""
+    single-member ``in``, ``between`` split into its two bounds,
+    nullness tests padded to 3-tuples, and naive datetime probes
+    zone-bound (``_bind_naive``) — the one normal form every planner
+    (in-memory and distributed) reasons from."""
     norm: list[tuple] = []
-    for col, op, v in predicates:
-        if op == "=":
+    for p in predicates:
+        col, op, v = p if len(p) == 3 else (*p, None)
+        if op in ("is_null", "not_null"):
+            norm.append((col, op, None))
+        elif op == "=":
             norm.append((col, "in", [_bind_naive(v)]))
         elif op == "in":
             norm.append((col, "in", [_bind_naive(x) for x in v]))
@@ -1271,7 +1317,7 @@ def _normalize_predicates(predicates: Sequence[tuple]) -> list[tuple]:
         else:
             raise ValueError(
                 f"predicate op {op!r}: use '=', 'in', 'between', "
-                "'<', '<=', '>', '>='"
+                "'<', '<=', '>', '>=', 'is_null', 'not_null'"
             )
     return norm
 
@@ -1296,6 +1342,31 @@ def _entry_matches_stats(
     for col, op, v in constraints:
         field = tmap.get(col)
         on_transform = field is not None and field.dirname in part
+        if op in ("is_null", "not_null"):
+            want_null = op == "is_null"
+            if col in part:
+                # file-constant partition value: NULL dir ⇔ every row
+                # NULL, non-NULL dir ⇔ every row that exact value
+                if (part[col] is None) != want_null:
+                    return False
+                continue
+            if on_transform:
+                # every transform is null-preserving (date_format,
+                # md5-bucket, substring/arith truncate all yield NULL
+                # for NULL input), so a non-NULL dir proves zero NULL
+                # sources and a NULL dir proves all-NULL sources
+                if (part[field.dirname] is None) != want_null:
+                    return False
+                continue
+            st = stats.get(col) or {}
+            n = st.get("nulls")
+            if n is not None:
+                if want_null and n == 0:
+                    return False
+                rows = entry.get("rows")
+                if not want_null and rows and n >= rows:
+                    return False
+            continue
         if op == "in":
             vals = [x for x in v if x is not None]
             if not vals:
@@ -1377,7 +1448,9 @@ def _entries_df(spark: SparkSession, entries: list[dict]) -> DataFrame:
     import pandas as pd
 
     return spark.createDataFrame(
-        pd.DataFrame({"entry": [json.dumps(e, sort_keys=True) for e in entries]})
+        pd.DataFrame({"entry": [json.dumps(e, sort_keys=True) for e in entries]}),
+        schema="entry string",  # explicit: an empty list must not
+        # trip CANNOT_INFER_EMPTY_SCHEMA (zero-file versions)
     )
 
 
@@ -1700,7 +1773,10 @@ class ManifestTable:
 
         ``predicates`` is a list of ``(col, op, value)`` with op one of
         ``'=' 'in' 'between' '<' '<=' '>' '>='`` (``between`` takes a
-        ``(lo, hi)`` pair, ``in`` a value list), ANDed together. A file
+        ``(lo, hi)`` pair, ``in`` a value list) plus the value-less
+        nullness tests ``('col', 'is_null')`` / ``('col', 'not_null')``
+        (footer null counts, NULL partition dirs, and null-preserving
+        transform dirs all prune them), ANDed together. A file
         is pruned only when some constraint PROVABLY excludes every row
         it holds: its hive partition value (a file constant) fails the
         constraint, its recorded min/max range misses it, or its bloom
@@ -1895,26 +1971,13 @@ class ManifestTable:
         # cached 10^6-entry list via Arrow on every read would dwarf
         # it. The chain walk costs ≤ _CHECKPOINT_INTERVAL small JSON
         # reads.
-        node, chain = raw, []
-        while "files" not in node and "files_ref" not in node:
-            chain.append(node)
-            node = self._read_raw_manifest(node["base_version"])
-        if "files_ref" in node and node.get("n_files", 0) >= _SPARK_PRUNE_MIN_FILES:
+        node, removes, upserts = self._sidecar_plan(raw)
+        if node is not None and node.get("n_files", 0) >= _SPARK_PRUNE_MIN_FILES:
             mode = "distributed-lazy"
             candidates = node["n_files"]
-            # composite patch of the (≤ _CHECKPOINT_INTERVAL-1)
-            # deltas: a path removed or replaced anywhere in the
-            # chain is skipped executor-side; the replacement
+            # the chain's composite patch: a path removed or replaced
+            # anywhere in it is skipped executor-side; the replacement
             # entries (latest content wins) re-plan driver-side
-            removes: set[str] = set()
-            upserts: dict[str, dict] = {}
-            for d in reversed(chain):  # oldest delta first
-                delta = d["delta"]
-                for p in delta["removes"]:
-                    removes.add(p)
-                    upserts.pop(p, None)
-                for e in delta["upserts"]:
-                    upserts[e["path"]] = e
             source = spark.read.parquet(
                 os.path.join(self.manifest_dir, node["files_ref"])
             )
@@ -1952,6 +2015,34 @@ class ManifestTable:
             "kept": len(kept),
         }
         return kept
+
+    def _sidecar_plan(self, raw: dict) -> tuple[dict | None, set, dict]:
+        """Walk ``raw``'s delta chain to its files/files_ref base.
+
+        Returns ``(checkpoint, removes, upserts)``: the sidecar-backed
+        checkpoint manifest when one anchors the chain (None when the
+        base stores inline files — then callers resolve normally), and
+        the chain's COMPOSITE patch — a path removed or replaced by
+        any delta lands in ``removes``/``upserts`` with latest content
+        winning (a removed-then-re-added path survives via upserts).
+        ≤ _CHECKPOINT_INTERVAL small JSON reads; never materializes a
+        file list."""
+        node, chain = raw, []
+        while "files" not in node and "files_ref" not in node:
+            chain.append(node)
+            node = self._read_raw_manifest(node["base_version"])
+        if "files_ref" not in node:
+            return None, set(), {}
+        removes: set[str] = set()
+        upserts: dict[str, dict] = {}
+        for d in reversed(chain):  # oldest delta first
+            delta = d["delta"]
+            for p in delta["removes"]:
+                removes.add(p)
+                upserts.pop(p, None)
+            for e in delta["upserts"]:
+                upserts[e["path"]] = e
+        return node, removes, upserts
 
     def _split_candidates(
         self,
@@ -2239,6 +2330,14 @@ class ManifestTable:
         entries = []
         for full in paths:
             rows, stats = all_stats[full]
+            if rows == 0:
+                # Spark lands a schema-only part file for empty frames
+                # (and empty partitions of near-empty ones); recording
+                # it would add a scan entry every reader pays forever.
+                # The manifest carries the schema, so the version reads
+                # back fine with no files at all.
+                os.remove(full)
+                continue
             rel = os.path.relpath(full, self.data_dir)
             entry = {
                 "path": rel,
@@ -3549,11 +3648,23 @@ class ManifestTable:
             if version is None:
                 raise FileNotFoundError(f"no committed version at {self.path}")
         raw = self._read_raw_manifest(version)
-        node = raw
-        while "files" not in node and "files_ref" not in node:
-            node = self._read_raw_manifest(node["base_version"])
-        if "files_ref" in node and node is raw:
-            src = spark.read.parquet(os.path.join(self.manifest_dir, node["files_ref"]))
+        node, removes, upserts = self._sidecar_plan(raw)
+        if node is not None:
+            # sidecar-anchored (directly or through a delta chain):
+            # scan the checkpoint parquet, drop removed/replaced paths
+            # with a bounded literal filter (≤ interval × changed), and
+            # union the O(chain) replacement entries
+            src = spark.read.parquet(
+                os.path.join(self.manifest_dir, node["files_ref"])
+            )
+            skip = sorted(removes | set(upserts))
+            if skip:
+                src = src.filter(~F.col("path").isin(skip))
+            src = src.select("entry")
+            if upserts:
+                src = src.unionByName(
+                    _entries_df(spark, list(upserts.values()))
+                )
         else:
             src = _entries_df(spark, self._read_manifest(version)["files"])
         entry = F.col("entry")

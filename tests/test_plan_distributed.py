@@ -285,3 +285,37 @@ def test_files_df_and_history_df_metadata_tables(spark, tmp_path, monkeypatch):
     h = t.history_df(spark)
     assert [r.op for r in h.orderBy("version").collect()] == ["overwrite", "delete"]
     assert h.filter("version = 2").first().rows == 998
+
+
+def test_files_df_empty_version_and_lazy_delta_chain(spark, tmp_path, monkeypatch):
+    """r7 second-review findings: a zero-file version must yield an
+    empty metadata frame (not CANNOT_INFER_EMPTY_SCHEMA), and a DELTA
+    version over a sidecar checkpoint must plan files_df from the
+    sidecar + patch — never materializing the base list."""
+    monkeypatch.setattr(tablemod, "_FILES_PARQUET_MIN", 8)
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([], "k long, v string"))
+    assert t.files_df(spark).count() == 0  # zero-file version
+
+    t.overwrite(
+        spark.range(0, 500).selectExpr("id as k", "concat('v', id) as v")
+        .repartitionByRange(10, "k").sortWithinPartitions("k")
+    )  # v2: delta listing 10 new files over the empty base... still inline
+    t.compact(spark, target_rows_per_file=50)  # v3: delta
+    # force a sidecar checkpoint then a delta on top of it
+    for i in range(20):
+        t.append(spark.createDataFrame([(1000 + i, "x")], "k long, v string"))
+        raw = t._read_raw_manifest(t.latest_version())
+        if "delta" in raw and "files_ref" in t._read_raw_manifest(raw["base_version"]):
+            break
+    else:
+        raise AssertionError("never reached a delta over a sidecar checkpoint")
+    cold = ManifestTable(t.path)
+    v = cold.latest_version()
+    fdf = cold.files_df(spark, version=v)
+    # exact agreement with the resolved list, no driver materialization
+    assert v not in cold._files_cache
+    exp = {e["path"]: e for e in t._read_manifest(v)["files"]}
+    got = {r.path: r for r in fdf.collect()}
+    assert set(got) == set(exp)
+    assert all(got[p].rows == exp[p]["rows"] for p in exp)
