@@ -417,29 +417,18 @@ WHERE sale_date BETWEEN '{WINDOW_READ_W[0]}' AND '{WINDOW_READ_W[1]}'
 """
 
 
-def mart_window_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's daily incremental read
-    (kicc_to_tb_sales_prod.py:63-70 — a BETWEEN on the sortable date
-    key) through the table format's READ-path data skipping: the
-    staging window lands range-clustered on sale_date with sp_code
-    bloom-indexed, and ``snapshot_where`` prunes the manifest's file
-    list with per-file key-range stats + blooms BEFORE constructing
-    the scan — cold files are never opened, listed, or footer-read.
-    The oracle is the plain relational filter, so the pruned path's
-    results are hash-checked file-skipping included; a test pins that
-    the scan's input files equal the stats-eligible subset
-    (tests/test_table.py::test_snapshot_where_*)."""
+def _window_mart(spark: SparkSession, sf_dir: str):
+    """The session-scoped landed staging mart the data-skipping reads
+    share (``kicc_mart_window_read`` / ``kicc_mart_meta_agg``) —
+    landed ONCE per (session, sf_dir): the queries demonstrate READ
+    paths, and the landing write is deterministic for a given input
+    dir, so re-landing it every invocation would just re-bench the
+    write (first-landing cost is visible in BENCH_SPREAD's max)."""
     import hashlib
 
     from etl_job_spark.scratch import scratch_dir
     from etl_job_spark.table import ManifestTable
 
-    # session-scoped scratch table like the mart_versioned/mart_gdpr
-    # siblings — but keyed by sf_dir too, and landed ONCE per
-    # (session, sf_dir): the query demonstrates the pruned READ path,
-    # and the landing write is deterministic for a given input dir, so
-    # re-landing it every invocation would just re-bench the write
-    # (first-landing cost is visible in BENCH_SPREAD's max)
     path = scratch_dir(
         spark,
         "kicc_mart_window_read",
@@ -459,6 +448,22 @@ def mart_window_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             bloom_cols=["sp_code"],
         )
+    return t
+
+
+def mart_window_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's daily incremental read
+    (kicc_to_tb_sales_prod.py:63-70 — a BETWEEN on the sortable date
+    key) through the table format's READ-path data skipping: the
+    staging window lands range-clustered on sale_date with sp_code
+    bloom-indexed, and ``snapshot_where`` prunes the manifest's file
+    list with per-file key-range stats + blooms BEFORE constructing
+    the scan — cold files are never opened, listed, or footer-read.
+    The oracle is the plain relational filter, so the pruned path's
+    results are hash-checked file-skipping included; a test pins that
+    the scan's input files equal the stats-eligible subset
+    (tests/test_table.py::test_snapshot_where_*)."""
+    t = _window_mart(spark, sf_dir)
     return t.snapshot_where(
         spark,
         [
@@ -715,3 +720,119 @@ def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 query("kicc_scalar_dates", DATES_SQL)(scalar_dates)
+
+
+# ---------------------------------------------------------------------
+# NULL-count data skipping: the J3 backfill work-set as a pruned read
+# ---------------------------------------------------------------------
+
+BACKFILL_SCAN_SQL = _with(kicc.SQL_KICC_STORE_PRODUCT_SALES) + f"""
+SELECT sp_code AS chain_no,
+       strftime(strptime(sale_date, '%Y%m%d'), '%Y-%m-%d') AS sale_dy,
+       item_code AS prod_code
+FROM kicc_store_product_sales
+WHERE sale_date BETWEEN '{PROD_WINDOW[0]}' AND '{PROD_WINDOW[1]}'
+  AND CAST(item_code AS INT) % 7 <> 0
+"""
+
+
+def mart_backfill_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIND half of the J3 backfill (kicc_to_tb_sales_prod.py:
+    126-131 UPDATEs only rows WHERE medium_scale_nm IS NULL) as a
+    null-pruned table read: the landing write range-clusters on
+    medium_scale_nm (a range partitioner sorts NULLs first, so rows
+    needing backfill concentrate into dedicated files), and
+    ``snapshot_where([('medium_scale_nm', 'is_null')])`` prunes every
+    file whose parquet footer proves zero NULLs before the scan is
+    built. Min/max ranges cannot express this predicate — it is the
+    null-COUNT half of data skipping, and at 100 TB it is the
+    difference between a maintenance scan reading the ~1% unbackfilled
+    slice and rereading the table."""
+    import hashlib
+
+    from etl_job_spark.scratch import scratch_dir
+    from etl_job_spark.table import ManifestTable
+
+    path = scratch_dir(
+        spark,
+        "kicc_mart_backfill_scan",
+        f"_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    t = ManifestTable(path)
+    if t.latest_version() is None:
+        staging = kicc.kicc_store_product_sales(spark, sf_dir)
+        mart = staging.filter(F.col("sale_date").between(*PROD_WINDOW)).select(
+            F.col("sp_code").alias("chain_no"),
+            F.date_format(F.to_date("sale_date", "yyyyMMdd"), "yyyy-MM-dd").alias(
+                "sale_dy"
+            ),
+            F.col("item_code").alias("prod_code"),
+            F.when(F.col("item_code").cast("int") % 7 == 0, F.lit("preset"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("medium_scale_nm"),
+        )
+        # cluster the landing write on the backfill column: NULLs sort
+        # first under the range partitioner, so "already backfilled"
+        # files record nulls=0 and the is_null read never opens them
+        t.overwrite(
+            mart.repartitionByRange(
+                8, F.col("medium_scale_nm"), F.col("prod_code")
+            ).sortWithinPartitions("medium_scale_nm", "prod_code")
+        )
+    return t.snapshot_where(spark, [("medium_scale_nm", "is_null")]).select(
+        "chain_no", "sale_dy", "prod_code"
+    )
+
+
+query("kicc_mart_backfill_scan", BACKFILL_SCAN_SQL)(mart_backfill_scan)
+
+
+# ---------------------------------------------------------------------
+# Metadata-only aggregates: the reference's pre-load COUNT guards as a
+# catalog lookup instead of a table scan
+# ---------------------------------------------------------------------
+
+META_AGG_SQL = _with(kicc.SQL_KICC_SALES_DATA) + """
+SELECT count(*) AS n_rows,
+       count(total_amt) AS n_amt,
+       min(sale_date) AS min_dy,
+       max(sale_date) AS max_dy,
+       min(total_amt) AS min_amt,
+       max(total_amt) AS max_amt
+FROM kicc_sales_data
+"""
+
+
+def mart_meta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's existence/row-count guards before each window
+    load (SELECT COUNT(*) in kicc_to_tb_sales.py) answered from
+    MANIFEST METADATA: ``meta_agg`` folds per-file footer row counts,
+    null counts, and min/max into exact COUNT(*)/COUNT(col)/MIN/MAX
+    without opening one data file — Delta's answer-count(*)-from-the-
+    log, the O(metadata) form of a guard that would otherwise scan
+    100 TB. The oracle runs the real aggregation, so the metadata
+    answers are value-checked against a full scan every round."""
+    t = _window_mart(spark, sf_dir)
+    m = t.meta_agg(spark, ["sale_date", "total_amt"])
+    dy, amt = m["columns"]["sale_date"], m["columns"]["total_amt"]
+    assert dy["metadata_only"] and amt["metadata_only"], (
+        "landing write carries no DVs — a scan fallback here means "
+        "stats recording regressed"
+    )
+    return spark.createDataFrame(
+        [
+            (
+                m["rows"],
+                amt["non_null"],
+                dy["min"],
+                dy["max"],
+                float(amt["min"]),
+                float(amt["max"]),
+            )
+        ],
+        "n_rows long, n_amt long, min_dy string, max_dy string, "
+        "min_amt double, max_amt double",
+    )
+
+
+query("kicc_mart_meta_agg", META_AGG_SQL)(mart_meta_agg)

@@ -162,6 +162,14 @@ _TAIL = [
     # hold the family's window slots (dedup_minhash_lsh,
     # dedup_clusters)
     "corpus_dedup_resolved",
+    # round-7: NULL-count data skipping — the J3 backfill work-set as
+    # an is_null-pruned table read; tail because kicc_mart_window_read
+    # holds the data-skipping family's window slot
+    "kicc_mart_backfill_scan",
+    # round-7: metadata-only COUNT/MIN/MAX (meta_agg) — the reference's
+    # pre-load COUNT guards as a catalog lookup; the oracle runs the
+    # real aggregation so the metadata answers stay value-checked
+    "kicc_mart_meta_agg",
 ]
 
 

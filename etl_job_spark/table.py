@@ -320,6 +320,132 @@ def _file_stats(path: str) -> tuple[int, dict[str, dict]]:
     return meta.num_rows, out
 
 
+def _stat_decode(enc, kind: str | None):
+    """Inverse of ``_stat_encode`` for a column of committed type
+    ``kind`` (simpleString): the user-facing Python value of a stored
+    statistic. Temporal statistics are stored as unit-epoch integers
+    (micros / days), decimals as exact ``{"dec": str}`` dicts;
+    everything else is already its own value."""
+    if enc is None:
+        return None
+    if isinstance(enc, dict):
+        return decimal.Decimal(enc["dec"])
+    if kind and kind.startswith("timestamp") and isinstance(enc, int):
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=enc)
+    if kind == "date" and isinstance(enc, int):
+        return datetime.date(1970, 1, 1) + datetime.timedelta(days=enc)
+    return enc
+
+
+# -- metadata-only aggregates -----------------------------------------
+#
+# The accumulator below folds file ENTRIES (not data) into exact
+# COUNT/COUNT(col)/MIN/MAX answers — Delta's "answer count(*) from the
+# transaction log" for this table format. Pure module functions so the
+# big-table tier can run them inside a mapInPandas partial job over the
+# same entries source the planners scan; the driver only ever holds one
+# small accumulator per partial.
+
+
+def _meta_acc_new(specs: dict) -> dict:
+    return {
+        "files": 0,
+        "cols": {
+            c: {
+                "non_null": 0,
+                "nn_ok": True,
+                "min": None,
+                "max": None,
+                "mm_ok": True,
+                "seen": False,
+            }
+            for c in specs
+        },
+    }
+
+
+def _meta_merge(a: dict, lo, hi) -> None:
+    try:
+        if not a["seen"]:
+            a["min"], a["max"], a["seen"] = lo, hi, True
+            return
+        if _enc_order(lo) < _enc_order(a["min"]):
+            a["min"] = lo
+        if _enc_order(hi) > _enc_order(a["max"]):
+            a["max"] = hi
+    except Exception:
+        # incomparable encoding families (e.g. a column rewritten to a
+        # different stat form by an evolved writer): unknown, not wrong
+        a["mm_ok"] = False
+
+
+def _meta_acc_update(acc: dict, e: dict, specs: dict) -> None:
+    """Fold one file entry into the accumulator. ``specs`` maps the
+    PHYSICAL column name to its committed simpleString kind. Honesty
+    contract: a flag flips to False whenever the metadata cannot PROVE
+    the exact answer (deletion vectors, missing stats/nulls, an
+    un-canonicalizable partition dir) — the caller then computes that
+    column with a real scan instead of guessing."""
+    if _fully_dead(e):
+        return
+    acc["files"] += 1
+    rows = e.get("rows") or 0
+    has_dv = _dv_count(e) > 0
+    part = e.get("partition") or {}
+    stats = e.get("stats") or {}
+    for c, kind in specs.items():
+        a = acc["cols"][c]
+        if has_dv:
+            # deleted positions may hold the extrema or the NULLs
+            a["nn_ok"] = a["mm_ok"] = False
+            continue
+        if c in part:
+            # file-constant raw partition value: NULL dir ⇔ all rows
+            # NULL; otherwise every row holds the canon'd dir value
+            pv = part[c]
+            a["non_null"] += 0 if pv is None else rows
+            if pv is None:
+                continue
+            if kind == "string":
+                cv = pv
+            elif kind in ("tinyint", "smallint", "int", "bigint"):
+                try:
+                    cv = int(pv)
+                except ValueError:
+                    a["mm_ok"] = False
+                    continue
+            else:
+                a["mm_ok"] = False
+                continue
+            _meta_merge(a, cv, cv)
+            continue
+        st = stats.get(c) or {}
+        n = st.get("nulls")
+        if n is None:
+            a["nn_ok"] = False
+        else:
+            a["non_null"] += rows - n
+        if st.get("min") is not None:
+            _meta_merge(a, st["min"], st["max"])
+        elif n is not None and n >= rows:
+            pass  # provably all-NULL file: contributes no extrema
+        else:
+            a["mm_ok"] = False
+
+
+def _meta_acc_combine(acc: dict, other: dict) -> None:
+    acc["files"] += other["files"]
+    for c, b in other["cols"].items():
+        a = acc["cols"][c]
+        a["non_null"] += b["non_null"]
+        if not b["nn_ok"]:
+            a["nn_ok"] = False
+        if not b["mm_ok"]:
+            a["mm_ok"] = False
+        if b["seen"]:
+            _meta_merge(a, b["min"], b["max"])
+
+
 def _decimal_raw_stat(raw, scale: int):
     """Parquet DECIMAL raw statistic → exact ``{"dec": str}`` encoding.
     INT32/INT64-backed decimals surface the unscaled int directly;
@@ -3634,15 +3760,123 @@ class ManifestTable:
         man = self._read_manifest(version)
         return sum((e.get("rows") or 0) - _dv_count(e) for e in man["files"])
 
-    def files_df(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """The snapshot's file entries as a queryable DataFrame —
-        Iceberg's ``.files`` metadata table: one row per file
-        with path, partition values, footer row count, DV count, live
-        rows, and the raw stats/entry JSON for ad-hoc inspection
-        (``get_json_object`` reaches any stat). Sidecar-backed
-        checkpoints scan their parquet directly (column-pruned, never
-        materialized on the driver); inline manifests ship via Arrow.
-        Immutable for a pinned version, like any snapshot."""
+    def meta_agg(
+        self,
+        spark: SparkSession,
+        cols: Sequence[str],
+        version: int | None = None,
+    ) -> dict:
+        """Exact COUNT(*) / COUNT(col) / MIN(col) / MAX(col) answered
+        from MANIFEST METADATA — footer row counts, null counts, and
+        min/max recorded at write time — without opening a single data
+        file (Delta answers ``count(*)`` from its log the same way; at
+        100 TB this is the difference between a catalog lookup and a
+        full scan). Returns::
+
+            {"version": v, "rows": n,
+             "columns": {col: {"non_null": n, "min": v, "max": v,
+                               "metadata_only": bool}}}
+
+        Exactness is never traded away: whenever the metadata cannot
+        PROVE a column's answer — a file carries deletion vectors
+        (deleted rows may hold the extrema or the NULLs), stats are
+        missing (schema-evolved, wide-table truncation, binary), or a
+        partition dir can't be canonicalized — that column silently
+        falls back to ONE real aggregation scan and reports
+        ``metadata_only: False``. Small tables fold entries on the
+        driver; past ``_SPARK_PRUNE_MIN_FILES`` the fold runs as
+        mapInPandas partials over the same (sidecar-backed, never
+        driver-materialized) entries source the read planners scan.
+
+        Reference analogue: the row-count/SUM existence checks the
+        reference's loaders run before each window load
+        (kicc_to_tb_sales.py SELECT COUNT(*) guards) — O(metadata)
+        here instead of a table scan there."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+        raw = self._read_raw_manifest(version)
+        schema = self._manifest_schema(raw)
+        cmap = raw.get("column_map") or {}
+        cols = list(cols)
+        by_name = {f.name: f for f in (schema.fields if schema else [])}
+        missing = [c for c in cols if c not in by_name]
+        if missing:
+            raise ValueError(f"meta_agg: unknown columns {missing}")
+        phys_of = {c: cmap.get(c, c) for c in cols}
+        specs = {
+            phys_of[c]: by_name[c].dataType.simpleString() for c in cols
+        }
+        n_files = raw.get("n_files", 0)
+        if version in self._files_cache or n_files < _SPARK_PRUNE_MIN_FILES:
+            acc = _meta_acc_new(specs)
+            for e in self._read_manifest(version)["files"]:
+                _meta_acc_update(acc, e, specs)
+        else:
+            src = self._entries_source(spark, version)
+
+            def partials(batches):
+                import json as _json
+
+                import pandas as _pd
+
+                from etl_job_spark.table import (
+                    _meta_acc_new as _new,
+                    _meta_acc_update as _upd,
+                )
+
+                part = _new(specs)
+                for pdf in batches:
+                    for s in pdf["entry"]:
+                        _upd(part, _json.loads(s), specs)
+                yield _pd.DataFrame({"partial": [_json.dumps(part)]})
+
+            acc = _meta_acc_new(specs)
+            for r in src.mapInPandas(partials, "partial string").collect():
+                _meta_acc_combine(acc, json.loads(r.partial))
+        out: dict[str, dict] = {}
+        unsound: list[str] = []
+        for c in cols:
+            a = acc["cols"][phys_of[c]]
+            if a["nn_ok"] and a["mm_ok"]:
+                kind = specs[phys_of[c]]
+                out[c] = {
+                    "non_null": a["non_null"],
+                    "min": _stat_decode(a["min"], kind),
+                    "max": _stat_decode(a["max"], kind),
+                    "metadata_only": True,
+                }
+            else:
+                unsound.append(c)
+        if unsound:
+            aggs = []
+            for c in unsound:
+                aggs += [
+                    F.count(c).alias(f"__nn_{c}"),
+                    F.min(c).alias(f"__mn_{c}"),
+                    F.max(c).alias(f"__mx_{c}"),
+                ]
+            row = self.snapshot(spark, version).agg(*aggs).first()
+            for c in unsound:
+                out[c] = {
+                    "non_null": row[f"__nn_{c}"],
+                    "min": row[f"__mn_{c}"],
+                    "max": row[f"__mx_{c}"],
+                    "metadata_only": False,
+                }
+        return {"version": version, "rows": self.row_count(version), "columns": out}
+
+    def _entries_source(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """One-column (``entry`` JSON string) DataFrame over a
+        version's file entries — the shared planning source for the
+        metadata tables (``files_df``) and metadata aggregates
+        (``meta_agg``). Sidecar-anchored versions (directly or through
+        a delta chain) scan the checkpoint parquet and patch the
+        O(chain) removes/replacements without ever materializing the
+        base list on the driver; inline manifests ship via Arrow."""
         if version is None:
             version = self.latest_version()
             if version is None:
@@ -3650,10 +3884,7 @@ class ManifestTable:
         raw = self._read_raw_manifest(version)
         node, removes, upserts = self._sidecar_plan(raw)
         if node is not None:
-            # sidecar-anchored (directly or through a delta chain):
-            # scan the checkpoint parquet, drop removed/replaced paths
-            # with a bounded literal filter (≤ interval × changed), and
-            # union the O(chain) replacement entries
+            # bounded literal filter (≤ interval × changed paths)
             src = spark.read.parquet(
                 os.path.join(self.manifest_dir, node["files_ref"])
             )
@@ -3665,8 +3896,19 @@ class ManifestTable:
                 src = src.unionByName(
                     _entries_df(spark, list(upserts.values()))
                 )
-        else:
-            src = _entries_df(spark, self._read_manifest(version)["files"])
+            return src
+        return _entries_df(spark, self._read_manifest(version)["files"])
+
+    def files_df(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """The snapshot's file entries as a queryable DataFrame —
+        Iceberg's ``.files`` metadata table: one row per file
+        with path, partition values, footer row count, DV count, live
+        rows, and the raw stats/entry JSON for ad-hoc inspection
+        (``get_json_object`` reaches any stat). Sidecar-backed
+        checkpoints scan their parquet directly (column-pruned, never
+        materialized on the driver); inline manifests ship via Arrow.
+        Immutable for a pinned version, like any snapshot."""
+        src = self._entries_source(spark, version)
         entry = F.col("entry")
         rows = F.get_json_object(entry, "$.rows").cast("bigint")
         dv_rows = F.coalesce(

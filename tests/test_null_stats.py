@@ -149,3 +149,18 @@ def test_bad_op_message_names_null_ops(spark, tmp_path):
     t.overwrite(spark.range(3).selectExpr("id as k").coalesce(1))
     with pytest.raises(ValueError, match="is_null"):
         t.snapshot_where(spark, [("k", "~", 1)])
+
+
+def test_backfill_scan_query_prunes_backfilled_files(spark):
+    """The registry query's contract: the is_null maintenance scan
+    never opens a file whose footer proves zero NULLs."""
+    from etl_job_spark.plans.registry import QUERIES
+
+    got = QUERIES["kicc_mart_backfill_scan"](spark, "/root/testdata/sf0.001")
+    # the scratch table landed 8 range files; the preset-only tail
+    # files must be pruned from the scan
+    paths = {p for p in got.inputFiles()}
+    assert 0 < len(paths) < 8
+    assert got.count() > 0
+    # every surviving row really needs backfill
+    assert got.filter(~(F.col("prod_code").cast("int") % 7 != 0)).count() == 0
