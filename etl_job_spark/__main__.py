@@ -54,9 +54,10 @@ def main(argv: list[str] | None = None) -> int:
     tb.add_argument(
         "action",
         choices=[
-            "versions", "history", "show", "read", "rows", "diff",
-            "compact", "vacuum", "restore", "delete", "delete-keys",
-            "constraints", "rename", "drop-cols", "files",
+            "versions", "history", "show", "read", "count", "rows",
+            "diff", "compact", "vacuum", "restore", "delete",
+            "delete-keys", "constraints", "rename", "drop-cols",
+            "files",
         ],
     )
     tb.add_argument(
@@ -237,26 +238,37 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(
                     {"path": args.path, "version": shown,
                      "as_of": args.as_of, "rows": rows}, default=str))
-            elif args.action == "read":
+            elif args.action in ("read", "count"):
                 if not args.predicates:
-                    print("table read requires --predicates (JSON)", file=sys.stderr)
+                    print(
+                        f"table {args.action} requires --predicates (JSON)",
+                        file=sys.stderr,
+                    )
                     return 2
                 try:
-                    spec = [tuple(p) for p in json.loads(args.predicates)]
-                    # JSON lists arrive for between pairs; predicate
-                    # ops validate inside snapshot_where
-                    spec = [
-                        (c, op, tuple(v) if op == "between" else v)
-                        for c, op, v in spec
-                    ]
+                    # JSON lists arrive for between pairs; value-less
+                    # nullness tests arrive as 2-element specs;
+                    # predicate ops validate inside snapshot_where
+                    spec = []
+                    for p in json.loads(args.predicates):
+                        c, op, v = p if len(p) == 3 else (*p, None)
+                        spec.append((c, op, tuple(v) if op == "between" else v))
                 except (ValueError, TypeError) as exc:
                     print(f"--predicates does not parse: {exc}", file=sys.stderr)
                     return 2
-                df = t.snapshot_where(spark, spec, version=args.version)
-                rows = [r.asDict(recursive=True) for r in df.limit(args.limit).collect()]
-                print(json.dumps(
-                    {"path": args.path, "predicates": args.predicates,
-                     "n_preview": len(rows), "rows": rows}, default=str))
+                if args.action == "count":
+                    n = t.count_where(spark, spec, version=args.version)
+                    print(json.dumps(
+                        {"path": args.path, "predicates": args.predicates,
+                         "count": n, "plan": t.last_count_plan}))
+                else:
+                    df = t.snapshot_where(spark, spec, version=args.version)
+                    rows = [
+                        r.asDict(recursive=True) for r in df.limit(args.limit).collect()
+                    ]
+                    print(json.dumps(
+                        {"path": args.path, "predicates": args.predicates,
+                         "n_preview": len(rows), "rows": rows}, default=str))
             elif args.action == "rows":
                 print(json.dumps(
                     {"path": args.path,

@@ -836,3 +836,31 @@ def mart_meta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 query("kicc_mart_meta_agg", META_AGG_SQL)(mart_meta_agg)
+
+
+# ---------------------------------------------------------------------
+# Metadata-interior window count: the pre-load COUNT guard at scale
+# ---------------------------------------------------------------------
+
+WINDOW_COUNT_SQL = _with(kicc.SQL_KICC_SALES_DATA) + f"""
+SELECT count(*) AS n
+FROM kicc_sales_data
+WHERE sale_date BETWEEN '{WINDOW_READ_W[0]}' AND '{WINDOW_READ_W[1]}'
+"""
+
+
+def mart_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's windowed COUNT guard (kicc_to_tb_sales_prod.py
+    runs SELECT COUNT(*) over the load window before each incremental
+    load) through ``count_where``: on the sale_date-clustered landing,
+    interior window files are counted from their footer row counts and
+    only the two boundary files are scanned — O(window boundary) data
+    for a window count instead of O(window). The oracle counts the
+    same window relationally, value-checking the metadata interior
+    every round."""
+    t = _window_mart(spark, sf_dir)
+    n = t.count_where(spark, [("sale_date", "between", WINDOW_READ_W)])
+    return spark.createDataFrame([(n,)], "n long")
+
+
+query("kicc_mart_window_count", WINDOW_COUNT_SQL)(mart_window_count)

@@ -170,6 +170,9 @@ _TAIL = [
     # pre-load COUNT guards as a catalog lookup; the oracle runs the
     # real aggregation so the metadata answers stay value-checked
     "kicc_mart_meta_agg",
+    # round-7: count_where — windowed COUNT guards with the window
+    # interior answered from footer row counts (boundary-only scan)
+    "kicc_mart_window_count",
 ]
 
 

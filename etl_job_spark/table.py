@@ -1550,6 +1550,154 @@ def _entry_matches_stats(
     return True
 
 
+def _enc_exact_eq(e, f) -> bool:
+    """True only when two stat encodings PROVABLY denote the same
+    value: same family, and no cross-type comparison that could lie
+    (int/float above 2^53, bool/int aliasing). Unprovable = False."""
+    if isinstance(e, dict) or isinstance(f, dict):
+        if isinstance(e, dict) and isinstance(f, dict):
+            try:
+                return decimal.Decimal(e["dec"]) == decimal.Decimal(f["dec"])
+            except Exception:
+                return False
+        return False
+    if isinstance(e, bool) or isinstance(f, bool):
+        return False
+    if isinstance(e, str) != isinstance(f, str):
+        return False
+    if isinstance(e, str):
+        return e == f
+    if not isinstance(e, (int, float)) or not isinstance(f, (int, float)):
+        return False
+    if type(e) is not type(f) and (abs(e) >= 2**53 or abs(f) >= 2**53):
+        return False
+    return e == f
+
+
+def _entry_all_match(
+    entry: dict,
+    constraints: list[tuple],
+    part_types: dict[str, str],
+    tmap: dict[str, "_PartitionField"] | None = None,
+    utc: bool = True,
+) -> bool:
+    """True only when the entry's metadata PROVES every row satisfies
+    every conjunctive constraint — the positive dual of
+    ``_entry_matches_stats``, and the test that lets ``count_where``
+    count a file from its footer row count without scanning it.
+
+    Soundness leans the opposite way from the exclusion matcher:
+    anything unprovable returns False (the file just gets scanned),
+    and comparison constraints additionally require a RECORDED ZERO
+    null count (a NULL row satisfies no comparison, so stats ranges
+    alone can never prove all-match). Parquet's possibly-truncated
+    binary min/max stay sound here too: truncation only widens the
+    recorded range, and all-match tests against the wide bounds."""
+    part = entry.get("partition") or {}
+    stats = entry.get("stats") or {}
+    rows = entry.get("rows") or 0
+    tmap = tmap or {}
+    if rows <= 0:
+        return False
+    for col, op, v in constraints:
+        field = tmap.get(col)
+        if op in ("is_null", "not_null"):
+            want_null = op == "is_null"
+            if col in part:
+                if (part[col] is None) == want_null:
+                    continue
+                return False
+            if field is not None and field.dirname in part:
+                # null-preserving transforms: dir nullness ⇔ source
+                # nullness for every row of the file
+                if (part[field.dirname] is None) == want_null:
+                    continue
+                return False
+            n = (stats.get(col) or {}).get("nulls")
+            if n is not None and ((want_null and n >= rows) or (not want_null and n == 0)):
+                continue
+            return False
+        if op == "in":
+            vals = [x for x in v if x is not None]
+            if not vals:
+                return False
+            if col in part:
+                kind = part_types.get(col)
+                if part[col] is None or kind is None:
+                    return False
+                cpv = _canon_partition(part[col], kind)
+                if cpv is _PART_UNKNOWN or cpv is None:
+                    return False
+                cvs = [_canon_partition(x, kind) for x in vals]
+                if any(c is _PART_UNKNOWN for c in cvs):
+                    return False
+                if any(c is not None and cpv == c for c in cvs):
+                    continue
+                return False
+            st = stats.get(col) or {}
+            if st.get("nulls") != 0:
+                return False
+            fmin, fmax = st.get("min"), st.get("max")
+            if fmin is None or not _enc_exact_eq(fmin, fmax):
+                return False
+            encs = [_stat_probe_encode(x, part_types.get(col), utc) for x in vals]
+            if any(e is not None and _enc_exact_eq(e, fmin) for e in encs):
+                continue
+            return False
+        # inequality / range constraint
+        if v is None:
+            return False
+        if col in part:
+            kind = part_types.get(col)
+            if part[col] is None:
+                return False
+            if kind == "string" and isinstance(v, str):
+                cpv, cx = part[col], v
+            else:
+                if kind is None:
+                    return False
+                cpv = _canon_partition(part[col], "double" if kind == "string" else kind)
+                cx = _canon_partition(v, kind)
+                if (
+                    cpv is _PART_UNKNOWN
+                    or cx is _PART_UNKNOWN
+                    or cpv is None
+                    or cx is None
+                ):
+                    return False
+            if (
+                (op == ">=" and cpv >= cx)
+                or (op == ">" and cpv > cx)
+                or (op == "<=" and cpv <= cx)
+                or (op == "<" and cpv < cx)
+            ):
+                continue
+            return False
+        st = stats.get(col) or {}
+        if st.get("nulls") != 0:
+            return False
+        fmin, fmax = st.get("min"), st.get("max")
+        if fmin is None:
+            return False
+        e = _stat_probe_encode(v, part_types.get(col), utc)
+        if e is None or not _comparable(e, fmin):
+            return False
+        if isinstance(e, dict):
+            e, fmin, fmax = _enc_order(e), _enc_order(fmin), _enc_order(fmax)
+        elif isinstance(e, (int, float)) and type(e) is not type(fmin):
+            if abs(e) >= 2**53 or abs(fmin) >= 2**53 or abs(fmax) >= 2**53:
+                return False
+        if (
+            (op == ">=" and fmin >= e)
+            or (op == ">" and fmin > e)
+            or (op == "<=" and fmax <= e)
+            or (op == "<" and fmax < e)
+        ):
+            continue
+        return False
+    return True
+
+
 # -- distributed read planning ("metadata as data") -------------------
 #
 # Below _SPARK_PRUNE_MIN_FILES the per-entry matcher runs as a driver
@@ -2034,6 +2182,93 @@ class ManifestTable:
         if schema is not None:
             df = _align(df, schema, raw.get("column_map"))
         return df.filter(pred)
+
+    def count_where(
+        self,
+        spark: SparkSession,
+        predicates: Sequence[tuple] | None = None,
+        version: int | None = None,
+        any_of: Sequence[Sequence[tuple]] | None = None,
+    ) -> int:
+        """Exact count of the rows matching a predicate spec, with the
+        interior of the match counted from METADATA: after the same
+        file pruning ``snapshot_where`` plans, every kept file whose
+        footer stats / partition constants PROVE all rows match
+        (``_entry_all_match`` — ranges require a recorded zero null
+        count) contributes its live row count without being opened;
+        only the boundary files — the ones that may contain both
+        matching and non-matching rows — are scanned, in one job, with
+        the same residual predicate. On a table clustered by the query
+        key, a window count touches O(window boundary) data instead of
+        O(window): the at-scale form of the reference's windowed COUNT
+        guards (kicc_to_tb_sales_prod.py pre-load checks).
+
+        Deletion vectors stay exact on both paths: an all-match file
+        contributes ``rows - dv_rows`` (every surviving row still
+        matches), and boundary scans apply DVs like any snapshot read.
+        ``last_count_plan`` records the split for tests/inspection."""
+        if (predicates is None) == (any_of is None):
+            raise ValueError("pass exactly one of predicates / any_of")
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+        raw = self._read_raw_manifest(version)
+        schema = self._manifest_schema(raw)
+        specs = (
+            [list(predicates)] if predicates is not None else [list(s) for s in any_of]
+        )
+        if not specs:
+            raise ValueError("any_of needs at least one disjunct")
+        cols = [predicate_column(s) for s in specs]  # validates up front
+        pred = cols[0]
+        for c in cols[1:]:
+            pred = pred | c
+        utc = _session_utc(spark)
+        kept = self._plan_read_entries(spark, version, raw, specs, schema, utc)
+        cmap = raw.get("column_map") or {}
+        part_types = {
+            cmap.get(f.name, f.name): f.dataType.simpleString()
+            for f in (schema.fields if schema else [])
+        }
+        tmap = (
+            {
+                f.source: f
+                for f in _partition_fields(raw.get("partition_by"))
+                if f.kind != "raw"
+            }
+            if utc
+            else {}
+        )
+        norm = [
+            [(cmap.get(col, col), op, v) for col, op, v in _normalize_predicates(s)]
+            for s in specs
+        ]
+        full_rows = 0
+        full_files = 0
+        partial: list[dict] = []
+        for e in kept:
+            # a file all-matches the DNF when ONE disjunct provably
+            # holds for every row (then every row satisfies the OR)
+            if any(_entry_all_match(e, sp, part_types, tmap, utc) for sp in norm):
+                full_rows += (e.get("rows") or 0) - _dv_count(e)
+                full_files += 1
+            else:
+                partial.append(e)
+        total = full_rows
+        if partial:
+            df = self._read_files(spark, partial)
+            if schema is not None:
+                df = _align(df, schema, cmap)
+            total += df.filter(pred).count()
+        self.last_count_plan = {
+            "version": version,
+            "pruned_candidates": len(kept),
+            "metadata_files": full_files,
+            "metadata_rows": full_rows,
+            "scanned_files": len(partial),
+        }
+        return total
 
     def _plan_read_entries(
         self,

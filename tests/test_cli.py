@@ -193,3 +193,25 @@ def test_table_rename_and_drop_cols_cli(capsys, spark, tmp_path):
     assert main(["table", "files", "--path", path, "--limit", "3"]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out and all("live_rows" in json.loads(l) for l in out)
+
+
+def test_table_count_cli(capsys, spark, tmp_path):
+    from etl_job_spark.table import ManifestTable
+
+    path = str(tmp_path / "tbl_count")
+    t = ManifestTable(path)
+    t.overwrite(
+        spark.range(0, 200)
+        .selectExpr("id as k", "if(id % 4 = 0, null, concat('u', id)) as u")
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    preds = '[["k","between",[50,149]]]'
+    assert main(["table", "count", "--path", path, "--predicates", preds]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["count"] == 100
+    assert res["plan"]["metadata_files"] >= 1
+    # 2-element nullness spec parses through the CLI
+    assert main(["table", "count", "--path", path, "--predicates", '[["u","is_null"]]']) == 0
+    assert json.loads(capsys.readouterr().out)["count"] == 50
+    assert main(["table", "count", "--path", path]) == 2
