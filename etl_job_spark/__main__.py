@@ -55,9 +55,9 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=[
             "versions", "history", "show", "read", "count", "rows",
-            "diff", "compact", "vacuum", "restore", "delete",
+            "agg", "diff", "compact", "vacuum", "restore", "delete",
             "delete-keys", "constraints", "rename", "drop-cols",
-            "files",
+            "files", "partitions",
         ],
     )
     tb.add_argument(
@@ -72,7 +72,8 @@ def main(argv: list[str] | None = None) -> int:
     tb.add_argument(
         "--cols", default=None,
         help="for drop-cols: comma-separated column names to DROP "
-        "(metadata-only, tombstoned against resurrection)",
+        "(metadata-only, tombstoned against resurrection); for agg: "
+        "the columns to aggregate",
     )
     tb.add_argument(
         "--add",
@@ -385,9 +386,23 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(
                     {"path": args.path, "version": v, "mode": args.mode,
                      "key_col": args.key_col, "n_keys": len(vals)}))
+            elif args.action == "agg":
+                if not args.cols:
+                    print("table agg requires --cols", file=sys.stderr)
+                    return 2
+                res = t.meta_agg(
+                    spark,
+                    [c.strip() for c in args.cols.split(",") if c.strip()],
+                    version=args.version,
+                )
+                print(json.dumps({"path": args.path, **res}, default=str))
             elif args.action == "files":
                 df = t.files_df(spark, version=args.version)
                 for r in df.drop("entry_json").limit(args.limit).collect():
+                    print(json.dumps(r.asDict(), default=str, sort_keys=True))
+            elif args.action == "partitions":
+                df = t.partitions_df(spark, version=args.version)
+                for r in df.orderBy("partition_json").limit(args.limit).collect():
                     print(json.dumps(r.asDict(), default=str, sort_keys=True))
             elif args.action == "rename":
                 if not args.from_col or not args.to_col:

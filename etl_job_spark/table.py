@@ -4163,6 +4163,46 @@ class ManifestTable:
             entry.alias("entry_json"),
         )
 
+    def partitions_df(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """Per-partition rollup of the snapshot's files — Iceberg's
+        ``.partitions`` metadata table: one row per distinct partition
+        value map (transform dirs included, empty map for unpartitioned
+        tables) with file count, footer rows, DV'd rows, and live rows.
+        Built on the same lazy entries source as ``files_df``, so a
+        10^6-file table rolls up as a Spark aggregation over the
+        checkpoint sidecar — the partition landscape of a 100 TB table
+        from metadata alone (which partitions exist, which are
+        fragmented enough to compact, which carry DV debt worth
+        rewriting)."""
+        fdf = self.files_df(spark, version)
+        # maps aren't groupable in Spark; the entry JSON is dumped with
+        # sorted keys, so its $.partition substring IS the canonical
+        # grouping key — group on it, rebuild the map after
+        pj = F.coalesce(
+            F.get_json_object(F.col("entry_json"), "$.partition"), F.lit("{}")
+        )
+        return (
+            fdf.groupBy(pj.alias("partition_json"))
+            .agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("rows").alias("rows"),
+                F.sum("dv_rows").alias("dv_rows"),
+                F.sum("live_rows").alias("live_rows"),
+            )
+            .select(
+                F.from_json("partition_json", "map<string,string>").alias(
+                    "partition"
+                ),
+                "partition_json",
+                "n_files",
+                "rows",
+                "dv_rows",
+                "live_rows",
+            )
+        )
+
     def history_df(self, spark: SparkSession) -> DataFrame:
         """``history()`` as a DataFrame — the DESCRIBE HISTORY shape
         (version, committed_at, operation op/detail, n_files, rows)."""

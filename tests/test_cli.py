@@ -215,3 +215,21 @@ def test_table_count_cli(capsys, spark, tmp_path):
     assert main(["table", "count", "--path", path, "--predicates", '[["u","is_null"]]']) == 0
     assert json.loads(capsys.readouterr().out)["count"] == 50
     assert main(["table", "count", "--path", path]) == 2
+
+
+def test_table_agg_cli(capsys, spark, tmp_path):
+    from etl_job_spark.table import ManifestTable
+
+    path = str(tmp_path / "tbl_agg")
+    ManifestTable(path).overwrite(
+        spark.range(0, 50)
+        .selectExpr("id as k", "if(id % 2 = 0, null, id * 10) as m")
+        .coalesce(1)
+    )
+    assert main(["table", "agg", "--path", path, "--cols", "k,m"]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["rows"] == 50
+    assert res["columns"]["m"]["non_null"] == 25
+    assert res["columns"]["m"]["max"] == 490
+    assert res["columns"]["m"]["metadata_only"] is True
+    assert main(["table", "agg", "--path", path]) == 2

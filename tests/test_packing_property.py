@@ -105,7 +105,15 @@ def _pred_specs(draw):
     k_probe = st.one_of(pred_values, st.sampled_from(["3", "07", "100"]))
     for _ in range(draw(st.integers(1, 3))):
         col = draw(st.sampled_from(["k", "g"]))
-        op = draw(st.sampled_from(["=", "in", "between", "<", "<=", ">", ">="]))
+        op = draw(
+            st.sampled_from(
+                ["=", "in", "between", "<", "<=", ">", ">=", "is_null", "not_null"]
+            )
+        )
+        if op in ("is_null", "not_null"):
+            # both accepted spellings: value-less 2-tuple and padded
+            preds.append((col, op) if draw(st.booleans()) else (col, op, None))
+            continue
         if col == "g":
             v = draw(st.sampled_from(["a", "b", "zz", None]))
             if op == "in":
@@ -162,6 +170,8 @@ def test_snapshot_where_equals_brute_filter(spark, tmp_path_factory, rows, preds
         key=key,
     )
     assert got == exp, (preds, got, exp)
+    # count_where's metadata-interior split must agree row-for-row
+    assert t.count_where(spark, preds) == len(exp), preds
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
@@ -195,6 +205,7 @@ def test_snapshot_where_any_of_equals_brute_or(spark, tmp_path_factory, rows, di
         pred = pred | predicate_column(s)
     exp = sorted(map(tuple, t.snapshot(spark).filter(pred).collect()), key=key)
     assert got == exp, (disjuncts, got, exp)
+    assert t.count_where(spark, any_of=disjuncts) == len(exp), disjuncts
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
@@ -228,7 +239,11 @@ def test_snapshot_where_equals_brute_filter_after_rename(
     t.overwrite(df.repartitionByRange(3, "k"))
     t.rename_column("k", "kk")
     t.rename_column("g", "gg")
-    ren = [(dict(k="kk", g="gg")[c], op, v) for c, op, v in preds]
+    names = dict(k="kk", g="gg")
+    ren = [
+        (names[p[0]], *p[1:])  # 2-tuple nullness specs keep their arity
+        for p in preds
+    ]
     key = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
     old_thr = tablemod._SPARK_PRUNE_MIN_FILES
     tablemod._SPARK_PRUNE_MIN_FILES = 1 if distributed else old_thr

@@ -319,3 +319,30 @@ def test_files_df_empty_version_and_lazy_delta_chain(spark, tmp_path, monkeypatc
     got = {r.path: r for r in fdf.collect()}
     assert set(got) == set(exp)
     assert all(got[p].rows == exp[p]["rows"] for p in exp)
+
+
+def test_partitions_df_metadata_rollup(spark, tmp_path):
+    """Iceberg's .partitions shape: one row per partition value map
+    with file/row/DV rollups, NULL partitions included."""
+    t = ManifestTable(str(tmp_path / "pt"))
+    df = spark.createDataFrame(
+        [(i, None if i % 5 == 0 else f"d{i % 2}") for i in range(100)],
+        "k long, dy string",
+    )
+    t.overwrite(df.repartition(F.col("dy")), partition_by=["dy"])
+    t.delete_keys(spark, "k", [1, 3, 7], mode="merge_on_read")
+    rows = {r.partition_json: r for r in t.partitions_df(spark).collect()}
+    assert len(rows) == 3  # d0, d1, NULL
+    total = sum(r.rows for r in rows.values())
+    assert total == 100
+    assert sum(r.dv_rows for r in rows.values()) == 3
+    assert sum(r.live_rows for r in rows.values()) == 97
+    [null_row] = [
+        r for r in rows.values() if "dy" in r.partition and r.partition["dy"] is None
+    ]
+    assert null_row.rows == 20
+    # unpartitioned tables roll up to ONE empty-map row
+    t2 = ManifestTable(str(tmp_path / "u"))
+    t2.overwrite(spark.range(10).selectExpr("id as k").repartition(3))
+    [r] = t2.partitions_df(spark).collect()
+    assert r.partition == {} and r.n_files == 3 and r.rows == 10

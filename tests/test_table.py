@@ -340,8 +340,8 @@ def test_manifest_records_file_stats(spark, tmp_path):
     t = ManifestTable(str(tmp_path / "t"))
     t.overwrite(_idf(spark, 0, 100).repartition(1))
     [entry] = t._read_manifest(1)["files"]
-    assert entry["stats"]["id"] == {"min": 0, "max": 99}
-    assert entry["stats"]["v"] == {"min": 1.0, "max": 1.0}
+    assert entry["stats"]["id"] == {"min": 0, "max": 99, "nulls": 0}
+    assert entry["stats"]["v"] == {"min": 1.0, "max": 1.0, "nulls": 0}
 
 
 def test_merge_prunes_by_key_stats_unpartitioned(spark, tmp_path):
