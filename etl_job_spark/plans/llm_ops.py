@@ -1600,3 +1600,67 @@ def events_mart_daily_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
     )
+
+
+# ---------------------------------------------------------------------
+# Exact substring (span) deduplication — Lee et al. 2022: delete every
+# token position covered by a k-gram occurring more than once in the
+# corpus, reassemble the remainder
+# ---------------------------------------------------------------------
+
+SPAN_K = 8
+
+SPAN_DEDUP_SQL = (
+    "WITH" + SQL_TOK + "," + SQL_NEARDUP_CORPUS + f"""
+, ctoks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         unnest([{{'start': i - 1,
+                   'g': array_to_string(toks[i:i+{SPAN_K - 1}], ' ')}}
+                 for i in generate_series(1, greatest(len(toks) - {SPAN_K - 1}, 0))],
+                recursive := true)
+  FROM ctoks
+),
+dup AS (SELECT g FROM sh GROUP BY g HAVING count(*) > 1),
+cov AS (
+  SELECT DISTINCT sh.doc_id, sh.start + o.o AS p
+  FROM sh JOIN dup USING (g)
+  CROSS JOIN (SELECT unnest(generate_series(0, {SPAN_K - 1})) AS o) o
+),
+pos AS (
+  SELECT doc_id,
+         unnest([{{'p': i - 1, 'tok': toks[i]}}
+                 for i in generate_series(1, len(toks))],
+                recursive := true)
+  FROM ctoks
+)
+SELECT pos.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(cov.p) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(list(tok ORDER BY pos.p)
+                                FILTER (WHERE cov.p IS NULL), ' '),
+                '') AS kept_text
+FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+GROUP BY pos.doc_id
+"""
+)
+
+
+@query("text_span_dedup", SPAN_DEDUP_SQL)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup over the planted near-dup corpus: every
+    first-token-dropped copy shares ALL its {SPAN_K}-gram windows with
+    its original, so the copy collapses to nothing and the original
+    keeps only its first token — span removal edits INSIDE documents,
+    the modality whole-document dedup (exact/minhash/simhash) can't
+    express. Strictly linear: one explode, one window-text groupBy,
+    one semi-join, O(n+m) within-row interval-merge reassembly — no
+    document pairing anywhere (reference has no analogue; extension
+    per SURVEY.md §2 LLM-ops mandate). The oracle replays the same
+    position-coverage semantics relationally (a position survives iff
+    no duplicated window covers it), hash-checking window extraction,
+    global counting, coverage union, and order-preserving reassembly."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    return dedup.remove_duplicate_spans(corpus, k=SPAN_K)

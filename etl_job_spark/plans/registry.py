@@ -173,6 +173,10 @@ _TAIL = [
     # round-7: count_where — windowed COUNT guards with the window
     # interior answered from footer row counts (boundary-only scan)
     "kicc_mart_window_count",
+    # round-7: exact substring (span) dedup — Lee et al. 2022 position-
+    # coverage removal; tail because the dedup family's window slots
+    # are held by dedup_minhash_lsh/dedup_clusters
+    "text_span_dedup",
 ]
 
 
