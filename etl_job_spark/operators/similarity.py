@@ -129,6 +129,46 @@ def cosine_near_dups(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame, threshold: float, n_planes: int = N_PLANES, id_col: str = "vec_id"
+) -> DataFrame:
+    """SemDeDup-style resolution (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    detection via LSH-bucketed exact-cosine pairs, resolution via the
+    deterministic greedy min-id policy — a vector is REMOVED iff some
+    smaller-id bucket-mate sits at cosine ≥ threshold.
+
+    Returns one row per input vector: (id, dedup_to, kept) where
+    ``dedup_to`` is the smallest such neighbor (the vector itself when
+    kept) and ``kept`` ∈ {0, 1}. Chains (a~b, b~c, ¬a~c) resolve
+    greedily — c points at b even though b was itself removed; feed
+    the pairs into ``dedup.connected_components`` +
+    ``dedup.resolve_duplicates`` when transitive-closure resolution is
+    wanted instead.
+
+    Scale shape: pair generation is bucket-local (sub-quadratic, the
+    same fan-out bound as ``cosine_near_dups``); resolution adds ONE
+    groupBy on the removed side (min combines map-side) and one
+    broadcast-eligible left join back to the id set — vectors
+    themselves never move in the resolution stage."""
+    pairs = cosine_near_dups(vectors, threshold, n_planes, id_col)
+    removed = pairs.groupBy(F.col("vec_b").alias(id_col)).agg(
+        F.min("vec_a").alias("_min_neighbor")
+    )
+    return (
+        vectors.select(id_col)
+        .join(removed, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_min_neighbor", F.col(id_col)).cast("bigint").alias("dedup_to"),
+            F.when(F.col("_min_neighbor").isNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("kept"),
+        )
+    )
+
+
 def bucket_centroids(vectors: DataFrame, n_planes: int = N_PLANES, id_col: str = "vec_id") -> DataFrame:
     """Element-wise vector sum + count per LSH bucket — the coarse-
     centroid primitive an IVF index trains from (centroid =

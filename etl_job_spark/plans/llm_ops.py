@@ -520,7 +520,10 @@ NEARDUP_COSINE_THRESHOLD = 0.95
 
 _EC_BUCKET_TERMS = _BUCKET_SQL_TERMS  # same planes over the ecorpus quantization
 
-EMBED_NEARDUP_SQL = f"""
+# shared quantized-and-bucketed planted corpus (original + first-
+# component-halved copy) — the CTE prefix for both the pair query and
+# the SemDeDup resolution query
+_EC_CTES = f"""
 WITH ecorpus AS (
   SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings
   UNION ALL
@@ -540,7 +543,9 @@ vn AS (
          CAST(list_sum([x * x for x in e_int]) AS BIGINT) AS n_int
   FROM vq
 ),
-bk AS (SELECT vec_id, e_int, n_int, CAST({_EC_BUCKET_TERMS} AS BIGINT) AS bucket FROM vn)
+bk AS (SELECT vec_id, e_int, n_int, CAST({_EC_BUCKET_TERMS} AS BIGINT) AS bucket FROM vn)"""
+
+EMBED_NEARDUP_SQL = _EC_CTES + f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        CAST(list_sum([a.e_int[i] * b.e_int[i] for i in generate_series(1, len(a.e_int))]) AS BIGINT)
          / (sqrt(CAST(a.n_int AS DOUBLE)) * sqrt(CAST(b.n_int AS DOUBLE))) AS cosine
@@ -550,14 +555,10 @@ WHERE CAST(list_sum([a.e_int[i] * b.e_int[i] for i in generate_series(1, len(a.e
 """
 
 
-@query("embed_cosine_neardup", EMBED_NEARDUP_SQL)
-def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup detection on a corpus with planted
-    perturbed copies (first component exactly halved — a power-of-two
-    scale, so both engines quantize identically): LSH bucket-mates with
-    exact cosine ≥ 0.95. Planted pairs whose perturbed copy lands in a
-    different LSH bucket are missed deterministically (ANN recall);
-    both engines agree on exactly which."""
+def _perturbed_ecorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted embedding near-dup corpus: original + first-component-
+    halved copy (a power-of-two scale, so both engines quantize
+    identically)."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"))
     perturbed = emb.select(
@@ -567,8 +568,47 @@ def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE cast(x as double) END)"
         ).alias("embedding"),
     )
-    corpus = base.unionByName(perturbed)
+    return base.unionByName(perturbed)
+
+
+@query("embed_cosine_neardup", EMBED_NEARDUP_SQL)
+def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection on a corpus with planted
+    perturbed copies: LSH bucket-mates with exact cosine ≥ 0.95.
+    Planted pairs whose perturbed copy lands in a different LSH bucket
+    are missed deterministically (ANN recall); both engines agree on
+    exactly which."""
+    corpus = _perturbed_ecorpus(spark, sf_dir)
     return similarity.cosine_near_dups(corpus, NEARDUP_COSINE_THRESHOLD)
+
+
+EMBED_SEMDEDUP_SQL = _EC_CTES + f"""
+, pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE CAST(list_sum([a.e_int[i] * b.e_int[i] for i in generate_series(1, len(a.e_int))]) AS BIGINT)
+          / (sqrt(CAST(a.n_int AS DOUBLE)) * sqrt(CAST(b.n_int AS DOUBLE))) >= {NEARDUP_COSINE_THRESHOLD}
+)
+SELECT v.vec_id,
+       CAST(coalesce(min(p.vec_a), v.vec_id) AS BIGINT) AS dedup_to,
+       CAST(CASE WHEN min(p.vec_a) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM ecorpus v LEFT JOIN pairs p ON p.vec_b = v.vec_id
+GROUP BY v.vec_id
+"""
+
+
+@query("embed_semantic_dedup", EMBED_SEMDEDUP_SQL)
+def embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup resolution over the planted embedding corpus: every
+    vector reports whether it SURVIVES semantic dedup (no smaller-id
+    LSH bucket-mate at cosine ≥ 0.95) and which neighbor displaced it.
+    The embedding twin of ``corpus_dedup_resolved`` — detection plus
+    the deterministic greedy min-id keep policy in one pass; the
+    oracle replays bucketing, exact integer cosine, and the resolution
+    join relationally (reference has no analogue; extension per
+    SURVEY.md §2 LLM-ops mandate)."""
+    corpus = _perturbed_ecorpus(spark, sf_dir)
+    return similarity.semantic_dedup(corpus, NEARDUP_COSINE_THRESHOLD)
 
 
 CENTROID_SQL = (

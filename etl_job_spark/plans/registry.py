@@ -177,6 +177,10 @@ _TAIL = [
     # coverage removal; tail because the dedup family's window slots
     # are held by dedup_minhash_lsh/dedup_clusters
     "text_span_dedup",
+    # round-7: SemDeDup resolution (greedy min-id keep policy over
+    # LSH-bucketed cosine pairs); tail because embed_cosine_neardup
+    # holds the embedding-dedup window slot
+    "embed_semantic_dedup",
 ]
 
 
