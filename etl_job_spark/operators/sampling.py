@@ -78,3 +78,122 @@ def cap_per_group(
         .filter(F.col("__rn") <= max_rows)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): rank raw-corpus documents by how target-like
+# their hashed n-gram bag is, then Gumbel-top-k sample proportionally
+# to the importance weight. The reference has no analogue; extension
+# per SURVEY.md §2's LLM-pipeline mandate.
+#
+# Engine-portability choices (the repo's integer-exactness invariant):
+# per-feature log-ratios are rounded to INTEGER micro-nats before any
+# summation, so document scores are exact bigint sums (order-free); the
+# Gumbel noise derives from md5(doc_id) — a deterministic hash-RNG both
+# engines replay bit-identically — and is itself micro-nat-rounded.
+# The only floating step, ln() of a deterministic IEEE quotient, sits
+# ~9 orders of magnitude above its ULP error when rounded at 1e-6.
+# ---------------------------------------------------------------------
+
+_GUMBEL_GRID = 1 << 20  # hash-uniform resolution for the Gumbel draw
+
+
+def _bucket_expr(md5_arg: str, n_buckets: int) -> str:
+    """First 8 md5 hex chars as an integer, mod n_buckets — the same
+    portable bucket `split_bucket` uses, inlined for array lambdas."""
+    return (
+        f"cast(conv(substring(md5({md5_arg}), 1, 8), 16, 10) as bigint) % {n_buckets}"
+    )
+
+
+def hashed_ngram_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Hashed bag-of-ngrams: (id, feat, cnt) with feat ∈ [0, n_buckets)
+    covering unigrams AND bigrams (DSIR §3.1's feature space).
+
+    Scale shape: the n-gram arrays build inside the row (zero
+    shuffle), then ONE groupBy(id, feat) counts the bag — and because
+    feat has at most n_buckets distinct values per document, map-side
+    combine collapses the exploded pairs to ≤ n_buckets rows per doc
+    before anything moves."""
+    uni_arg = "concat('1:', t)"
+    uni = f"transform(toks, t -> {_bucket_expr(uni_arg, n_buckets)})"
+    bi = (
+        "transform(slice(toks, 1, size(toks) - 1), (t, i) -> "
+        + _bucket_expr("concat('2:', t, ' ', element_at(toks, i + 2))", n_buckets)
+        + ")"
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+").alias(
+                "toks"
+            ),
+        )
+        .select(id_col, F.explode(F.expr(f"concat({uni}, {bi})")).alias("feat"))
+        .groupBy(id_col, "feat")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def dsir_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-raw-document importance score and Gumbel-perturbed sampling
+    key, both in exact integer micro-nats:
+
+      score_micro = Σ_f cnt_f(doc) · round(1e6 · ln p̂_target(f)/p̂_raw(f))
+      key_micro   = score_micro + round(1e6 · Gumbel(md5('g:'||id)))
+
+    p̂ uses add-one smoothing over the n_buckets hashed features. The
+    top-k rows by key_micro ARE the Gumbel-top-k sample ∝ exp(score)
+    (Gumbel-max trick), made reproducible by the hash-derived noise.
+
+    Scale shape: the ratio table is n_buckets rows (broadcast); doc
+    scores are one groupBy(id) over the already-bucketed feature bag.
+    Raw totals never leave the executors except as one 1-row aggregate."""
+    raw_feats = hashed_ngram_features(raw_docs, text_col, id_col, n_buckets)
+    tgt_feats = hashed_ngram_features(target_docs, text_col, id_col, n_buckets)
+    cr = raw_feats.groupBy("feat").agg(F.sum("cnt").alias("cr"))
+    ct = tgt_feats.groupBy("feat").agg(F.sum("cnt").alias("ct"))
+    ratios = cr.join(ct, "feat", "full").fillna(0, ["cr", "ct"])
+    totals = ratios.agg(
+        F.sum("ct").cast("bigint").alias("t_tot"), F.sum("cr").cast("bigint").alias("r_tot")
+    )
+    lr = ratios.crossJoin(F.broadcast(totals)).select(
+        "feat",
+        F.expr(
+            f"cast(round(ln((cast(ct + 1 as double) * (r_tot + {n_buckets}))"
+            f" / (cast(cr + 1 as double) * (t_tot + {n_buckets}))) * 1e6) as bigint)"
+        ).alias("lr_micro"),
+    )
+    scores = (
+        raw_feats.join(F.broadcast(lr), "feat")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("lr_micro")).cast("bigint").alias("score_micro"))
+    )
+    gum_arg = f"concat('g:', cast({id_col} as string))"
+    gumbel = F.expr(
+        f"cast(round(-ln(-ln((({_bucket_expr(gum_arg, _GUMBEL_GRID)}) + 1)"
+        f" / {_GUMBEL_GRID + 1}.0)) * 1e6) as bigint)"
+    )
+    return scores.select(
+        id_col, "score_micro", (F.col("score_micro") + gumbel).alias("key_micro")
+    )
+
+
+def dsir_resample(weights: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    """The k rows with the largest Gumbel keys — a weighted sample
+    without replacement ∝ exp(score). orderBy(...).limit(k) compiles
+    to TakeOrderedAndProject: per-partition top-k then a k-row merge,
+    never a global sort."""
+    return weights.orderBy(F.col("key_micro").desc(), F.col(id_col)).limit(k)

@@ -1303,6 +1303,68 @@ def corpus_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(docs, ["source"], 50).select("doc_id", "source")
 
 
+DSIR_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, lang, f.feat AS feat
+  FROM d, UNNEST(list_concat(
+    [CAST('0x' || substring(md5('1:' || t), 1, 8) AS BIGINT) % 64 for t in toks],
+    [CAST('0x' || substring(md5('2:' || toks[i] || ' ' || toks[i + 1]), 1, 8) AS BIGINT) % 64
+     for i in generate_series(1, len(toks) - 1)]
+  )) AS f(feat)
+),
+bag AS (SELECT doc_id, lang, feat, CAST(count(*) AS BIGINT) AS cnt FROM feats GROUP BY 1, 2, 3),
+ratios AS (
+  SELECT feat,
+         CAST(sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(cnt) AS BIGINT) AS cr
+  FROM bag GROUP BY feat
+),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t_tot, CAST(sum(cr) AS BIGINT) AS r_tot FROM ratios),
+lr AS (
+  SELECT feat,
+         CAST(round(ln((CAST(ct + 1 AS DOUBLE) * (r_tot + 64))
+               / (CAST(cr + 1 AS DOUBLE) * (t_tot + 64))) * 1e6) AS BIGINT) AS lr_micro
+  FROM ratios, tot
+),
+scores AS (
+  SELECT doc_id, CAST(sum(cnt * lr_micro) AS BIGINT) AS score_micro
+  FROM bag JOIN lr USING (feat) GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, score_micro,
+         score_micro + CAST(round(-ln(-ln(
+             ((CAST('0x' || substring(md5('g:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 1048576) + 1) / 1048577.0)) * 1e6) AS BIGINT) AS key_micro
+  FROM scores
+)
+SELECT doc_id, score_micro, key_micro FROM (
+  SELECT *, row_number() OVER (ORDER BY key_micro DESC, doc_id) AS rn FROM keyed
+) t WHERE rn <= (SELECT count(*) // 4 FROM documents)
+"""
+
+
+@query("corpus_dsir_resample", DSIR_SQL)
+def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): rank every document by
+    how English-target-like its hashed unigram+bigram bag is (integer
+    micro-nat log-ratio scores — exact, order-free sums) and take the
+    top 25% by hash-seeded Gumbel key: a reproducible weighted sample
+    ∝ exp(score). The ratio table is 64 broadcast rows; selection is
+    TakeOrderedAndProject (per-partition top-k), never a global sort.
+    Reference has no analogue; extension per SURVEY.md §2's
+    LLM-pipeline mandate."""
+    from etl_job_spark.operators.sampling import dsir_resample, dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+    return dsir_resample(weights, docs.count() // 4)
+
+
 # ---------------------------------------------------------------------
 # PII redaction (pre-training scrub pass)
 # ---------------------------------------------------------------------

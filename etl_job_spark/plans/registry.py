@@ -181,6 +181,10 @@ _TAIL = [
     # LSH-bucketed cosine pairs); tail because embed_cosine_neardup
     # holds the embedding-dedup window slot
     "embed_semantic_dedup",
+    # round-7: DSIR importance resampling (hashed-ngram log-ratio
+    # scores + hash-seeded Gumbel top-k); tail because corpus_split /
+    # corpus_cap_per_source hold the sampling window slots
+    "corpus_dsir_resample",
 ]
 
 
