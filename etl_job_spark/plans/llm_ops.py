@@ -241,6 +241,104 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.verify_pairs(cands, sh, JACCARD_THRESHOLD)
 
 
+# ---------------------------------------------------------------------
+# Cross-run incremental dedup against the persisted signature store
+# ---------------------------------------------------------------------
+
+_INCR_CORPUS = r"""
+corpus AS (
+  SELECT doc_id, lower(trim(text)) AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, array_to_string(toks[2:], ' ') AS text
+  FROM tok WHERE len(toks) > 3
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, array_to_string(toks[1:len(toks)-1], ' ') AS text
+  FROM tok WHERE len(toks) > 3
+)"""
+
+INCR_DEDUP_SQL = (
+    "WITH" + SQL_TOK + "," + _INCR_CORPUS + "," + SQL_CORPUS_SHINGLES + r""",
+mh AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM sh, (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 3 AS band, string_agg(minhash, '|' ORDER BY seed) AS sig
+  FROM mh GROUP BY doc_id, seed // 3
+),
+store AS (SELECT doc_id, band, sig FROM bands WHERE doc_id < 1000000),
+newb AS (SELECT doc_id, band, sig FROM bands WHERE doc_id >= 1000000),
+store_hits AS (
+  SELECT n.doc_id, CAST(min(s.doc_id) AS BIGINT) AS store_min
+  FROM newb n JOIN store s ON s.band = n.band AND s.sig = n.sig
+  GROUP BY n.doc_id
+),
+within AS (
+  SELECT b.doc_id, CAST(min(a.doc_id) AS BIGINT) AS within_min
+  FROM newb b JOIN newb a ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY b.doc_id
+),
+batch_ids AS (
+  SELECT doc_id + 1000000 AS doc_id FROM tok WHERE len(toks) > 3
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id FROM tok WHERE len(toks) > 3
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN h.store_min IS NULL THEN coalesce(w.within_min, d.doc_id)
+                 WHEN w.within_min IS NULL THEN h.store_min
+                 WHEN h.store_min <= w.within_min THEN h.store_min
+                 ELSE w.within_min END AS BIGINT) AS dedup_to,
+       CAST(CASE WHEN h.store_min IS NULL AND w.within_min IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       CAST(CASE WHEN h.store_min IS NOT NULL
+                  AND (w.within_min IS NULL OR h.store_min <= w.within_min)
+                 THEN 1 ELSE 0 END AS BIGINT) AS via_store
+FROM batch_ids d
+LEFT JOIN store_hits h ON h.doc_id = d.doc_id
+LEFT JOIN within w ON w.doc_id = d.doc_id
+"""
+)
+
+
+@query("corpus_incremental_dedup", INCR_DEDUP_SQL)
+def corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental dedup: the corpus's banded MinHash
+    signatures land ONCE per (session, sf_dir) in a sig_bucket-
+    partitioned ManifestTable (``dedup.MinHashStore``); the "new batch"
+    — first-token-dropped and last-token-dropped copies of every long
+    document — then resolves against the STORE (a bucket-pruned
+    ``snapshot_where`` read, never a corpus rescan) plus itself. The
+    oracle replays shingling, minhashing, banding, and the greedy
+    store-wins-ties resolution relationally, so the persisted store
+    round-trip is hash-checked against pure SQL."""
+    import hashlib
+
+    from etl_job_spark.operators.dedup import MinHashStore
+    from etl_job_spark.scratch import scratch_dir
+
+    path = scratch_dir(
+        spark, "incr_dedup_store", f"_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    store = MinHashStore(path, n_buckets=16)
+    docs = load_table(spark, sf_dir, "documents")
+    if not store.exists():
+        store.initialize(docs.select("doc_id", F.lower(F.trim("text")).alias("text")))
+    t = docs.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") > 3)
+    batch = (
+        t.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.array_join(F.expr("slice(toks, 2, size(toks) - 1)"), " ").alias("text"),
+        )
+    ).unionByName(
+        t.select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.array_join(F.expr("slice(toks, 1, size(toks) - 1)"), " ").alias("text"),
+        )
+    )
+    return store.dedup_batch(spark, batch)
+
+
 SIMHASH_PAIRS_SQL = (
     "WITH" + SQL_TOK + "," + SQL_NEARDUP_CORPUS + r""",
 ctoks AS (

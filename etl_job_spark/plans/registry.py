@@ -185,6 +185,10 @@ _TAIL = [
     # scores + hash-seeded Gumbel top-k); tail because corpus_split /
     # corpus_cap_per_source hold the sampling window slots
     "corpus_dsir_resample",
+    # round-7: cross-run incremental dedup through the persisted
+    # MinHash signature store (bucket-pruned snapshot_where probe);
+    # tail because dedup_minhash_lsh holds the minhash window slot
+    "corpus_incremental_dedup",
 ]
 
 
