@@ -26,13 +26,18 @@ from hypothesis import strategies as st
 from etl_job_spark.table import ManifestTable
 
 
-def _mean_span(entries, col) -> float | None:
+def _median_span(entries, col) -> float | None:
+    # median, not mean: under pareto skew one outlier file's span
+    # dominates a mean and makes the z-vs-lex ratio a coin flip.
+    # Entries may carry nulls-only stats ({"nulls": N}, no min/max)
+    # for files where the column is entirely NULL — skip them, the
+    # same guard every production min/max consumer applies.
     spans = []
     for e in entries:
         st_ = (e.get("stats") or {}).get(col)
-        if st_ is not None:
+        if st_ is not None and "min" in st_ and "max" in st_:
             spans.append(st_["max"] - st_["min"])
-    return float(np.mean(spans)) if spans else None
+    return float(np.median(spans)) if spans else None
 
 
 def _make_rows(rng: np.random.Generator, dist: str, n: int = 2000):
@@ -65,7 +70,7 @@ def _compact_spans(spark, rows, zorder: bool):
         )
         entries = t._read_manifest(v)["files"]
         total = sum(e["rows"] for e in entries)
-        return _mean_span(entries, "b"), total
+        return _median_span(entries, "b"), total
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -75,6 +80,8 @@ def _compact_spans(spark, rows, zorder: bool):
 @settings(
     max_examples=2,
     deadline=None,
+    derandomize=True,  # the strict z-vs-lex ratio is statistical; a
+    # fixed example set keeps the gate deterministic across runs
     suppress_health_check=[HealthCheck.too_slow],
 )
 def test_zorder_second_dimension_no_looser_than_lexicographic(spark, dist, seed):
