@@ -611,6 +611,7 @@ class MinHashStore:
         self.num_hashes = num_hashes
         self.band_size = band_size
         self.n_buckets = n_buckets
+        self._last_bands: DataFrame | None = None
 
     def _table(self):
         from etl_job_spark.table import ManifestTable
@@ -642,6 +643,16 @@ class MinHashStore:
     def exists(self) -> bool:
         return self._table().latest_version() is not None
 
+    def release(self) -> None:
+        """Unpersist the cached bands of the most recent
+        ``dedup_batch`` — long-running callers (the streaming sink)
+        call this per batch so caches don't accumulate; one-shot
+        callers may ignore it (dedup_batch also releases the PRIOR
+        batch automatically)."""
+        if self._last_bands is not None:
+            self._last_bands.unpersist()
+            self._last_bands = None
+
     def dedup_batch(
         self, spark, new_docs: DataFrame, text_col: str = "text"
     ) -> DataFrame:
@@ -652,7 +663,9 @@ class MinHashStore:
         or smaller-id batch doc (itself when kept), ``via_store``
         flags a store displacement (store wins ties). Documents too
         short to shingle have no bands and always survive."""
+        self.release()  # drop the previous batch's cached bands
         nb = self.bands_of(new_docs, text_col).persist()
+        self._last_bands = nb
         buckets = sorted(
             r[0] for r in nb.select("sig_bucket").distinct().collect()
         )  # bounded driver metadata: ≤ n_buckets ints

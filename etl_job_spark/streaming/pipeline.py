@@ -540,3 +540,132 @@ def upsert_stream_sink_catalog(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def dedup_batch_into_catalog(
+    catalog,
+    app_id: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_table: str = "corpus",
+    store_table: str = "signatures",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    band_size: int = 3,
+    n_buckets: int = 64,
+) -> dict[str, int]:
+    """Land ONE micro-batch of documents deduplicated against
+    everything kept so far — the batch body of
+    ``incremental_dedup_sink``, factored out so tests and manual
+    replay drive the identical code path.
+
+    The batch resolves against the COMMITTED signature store (a
+    bucket-pruned ``MinHashStore.dedup_batch`` probe — never a corpus
+    rescan) plus itself; then the surviving documents MERGE into
+    ``corpus_table`` and their bands MERGE into ``store_table``
+    through ONE transaction-log record, both carrying the streaming
+    ledger ``(app_id, batch_id)``.
+
+    Exactly-once on replay: after a crash between store commit and
+    checkpoint advance, Structured Streaming re-runs the batch — its
+    re-probe now sees the batch's OWN bands in the store and resolves
+    differently, but that recomputed resolution is discarded: both
+    merges find their ledger mark and stage nothing, the catalog
+    publishes no record (the same content-independence guarantee
+    ``catalog_merge_batch`` documents). Neither table can double-apply
+    NOR diverge from the other. Returns committed versions ({} for a
+    fully replayed batch)."""
+    from etl_job_spark.operators.dedup import MinHashStore
+
+    store = MinHashStore(
+        catalog.table(store_table).path,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        n_buckets=n_buckets,
+    )
+    batch_df = batch_df.persist()
+    try:
+        spark = batch_df.sparkSession
+        res = store.dedup_batch(spark, batch_df, text_col)
+        kept = batch_df.join(
+            res.filter(F.col("kept") == 1).select("doc_id"), "doc_id", "left_semi"
+        ).persist()
+        try:
+            bands = store.bands_of(kept, text_col)
+
+            def ops(txn) -> None:
+                txn.merge(corpus_table, spark, kept, ["doc_id"], txn=(app_id, batch_id))
+                txn.merge(
+                    store_table, spark, bands, ["doc_id", "band"], txn=(app_id, batch_id)
+                )
+
+            return catalog.commit(ops)
+        finally:
+            kept.unpersist()
+    finally:
+        store.release()  # per-batch band cache must not accumulate
+        batch_df.unpersist()
+
+
+def incremental_dedup_sink(
+    stream: DataFrame,
+    catalog_root: str,
+    checkpoint: str,
+    corpus_table: str = "corpus",
+    store_table: str = "signatures",
+    text_col: str = "text",
+    txn_app_id: str | None = None,
+    num_hashes: int = 12,
+    band_size: int = 3,
+    n_buckets: int = 64,
+):
+    """Streaming corpus ingestion with CROSS-BATCH dedup: each
+    micro-batch of documents drops everything near-duplicating any
+    previously KEPT document (or a smaller-id batch-mate), then the
+    survivors and their MinHash bands land atomically in a
+    ``TransactionalCatalog`` — the continuous form of the
+    ``MinHashStore`` probe→resolve→absorb cycle, with the same
+    exactly-once ledger semantics as ``upsert_stream_sink_catalog``.
+
+    The signature store is created (empty, sig_bucket-partitioned) at
+    sink construction so every batch probe gets partition-pruned file
+    skipping; per-batch cost is O(batch + matching store partitions),
+    never O(corpus). Documents are (doc_id bigint, text string, …) —
+    extra columns ride into the corpus table untouched."""
+    from etl_job_spark.operators.dedup import MinHashStore
+    from etl_job_spark.txn import TransactionalCatalog
+
+    catalog = TransactionalCatalog(catalog_root)
+    app_id = txn_app_id or checkpoint.rstrip("/")
+    store = MinHashStore(
+        catalog.table(store_table).path,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        n_buckets=n_buckets,
+    )
+    if not store.exists():
+        # zero-file version carrying the bands schema + partition spec
+        empty = stream.sparkSession.createDataFrame(
+            [], "doc_id bigint, band int, sig string, sig_bucket bigint"
+        )
+        catalog.table(store_table).overwrite(empty, partition_by=["sig_bucket"])
+
+    def _land(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_batch_into_catalog(
+            catalog,
+            app_id,
+            batch_df,
+            batch_id,
+            corpus_table,
+            store_table,
+            text_col,
+            num_hashes,
+            band_size,
+            n_buckets,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_land)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
