@@ -335,3 +335,47 @@ def remove_repeated_lines(
             delim,
         ).alias(text_col)
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: split each document into sliding token
+    windows of ``max_tokens`` with ``overlap`` tokens of left context —
+    the sequence-preparation step between corpus hygiene and packing
+    (long documents must fit a model's context before
+    ``packing.pack_shards`` bins them).
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk). Windows start every
+    ``max_tokens - overlap`` tokens; the final window may be shorter,
+    and a document of ≤ max_tokens tokens yields exactly itself as
+    chunk 0. Zero shuffle: window arithmetic, slicing, and reassembly
+    all happen inside the row (one explode), so chunking keeps
+    whatever partitioning the corpus already has. All-integer window
+    math — engine-portable, oracle-checked.
+
+    Reference analogue: none; extension per SURVEY.md §2's
+    LLM-pipeline mandate (Spark-first form of the chunkers in public
+    training-data pipelines, e.g. Dolma/DataTrove window splitters).
+    """
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < max_tokens ({max_tokens})")
+    step = max_tokens - overlap
+    chunks = F.expr(
+        f"""explode(transform(
+          sequence(0, cast((greatest(size(toks) - {max_tokens}, 0) + {step} - 1)
+                            div {step} as int)),
+          i -> struct(
+            cast(i as bigint) AS chunk_id,
+            cast(least({max_tokens}, size(toks) - i * {step}) as bigint) AS n_chunk_tokens,
+            array_join(slice(toks, i * {step} + 1, {max_tokens}), ' ') AS chunk)))"""
+    )
+    return (
+        docs.select(F.col(id_col), tokens(text_col).alias("toks"))
+        .select(id_col, chunks.alias("c"))
+        .select(id_col, "c.chunk_id", "c.n_chunk_tokens", "c.chunk")
+    )

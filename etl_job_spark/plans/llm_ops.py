@@ -1463,6 +1463,34 @@ def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_resample(weights, docs.count() // 4)
 
 
+CHUNK_MAX, CHUNK_OVERLAP = 32, 8
+_CHUNK_STEP = CHUNK_MAX - CHUNK_OVERLAP
+
+CHUNK_SQL = (
+    "WITH" + SQL_TOK + f"""
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(least({CHUNK_MAX}, len(toks) - i * {_CHUNK_STEP}) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[i * {_CHUNK_STEP} + 1 : i * {_CHUNK_STEP} + {CHUNK_MAX}], ' ') AS chunk
+FROM tok, UNNEST(generate_series(0,
+       (greatest(len(toks) - {CHUNK_MAX}, 0) + {_CHUNK_STEP} - 1) // {_CHUNK_STEP})) AS g(i)
+"""
+)
+
+
+@query("corpus_chunk_windows", CHUNK_SQL)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document split into sliding
+    {max}-token windows with {ov} tokens of overlap — the sequence-prep
+    step before shard packing. Zero shuffle (all window arithmetic is
+    within-row); the oracle replays the integer window math and slicing
+    relationally."""
+    from etl_job_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, CHUNK_MAX, CHUNK_OVERLAP)
+
+
 # ---------------------------------------------------------------------
 # PII redaction (pre-training scrub pass)
 # ---------------------------------------------------------------------

@@ -189,6 +189,10 @@ _TAIL = [
     # MinHash signature store (bucket-pruned snapshot_where probe);
     # tail because dedup_minhash_lsh holds the minhash window slot
     "corpus_incremental_dedup",
+    # round-7: sliding context-window chunking (within-row integer
+    # window math); tail because corpus_pack_shards holds the
+    # sequence-prep window slot
+    "corpus_chunk_windows",
 ]
 
 
