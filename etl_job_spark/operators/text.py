@@ -379,3 +379,89 @@ def chunk_documents(
         .select(id_col, chunks.alias("c"))
         .select(id_col, "c.chunk_id", "c.n_chunk_tokens", "c.chunk")
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    lm_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): score every
+    document by its negative log-likelihood under an add-one-smoothed
+    bigram language model trained on a reference corpus — the filter
+    that buckets a crawl into head/middle/tail by how much it reads
+    like the reference.
+
+    Returns (id, n_bigrams, nll_micro) with the NLL in exact integer
+    micro-nats: per-bigram log-probs ln((c(w1,w2)+1) / (c(w1·)+V)) are
+    rounded to bigint BEFORE summation (order-free exact sums, the
+    repo's integer-exactness invariant); consumers divide
+    nll_micro / n_bigrams for per-token perplexity. Documents shorter
+    than two tokens score (0, 0).
+
+    Scale shape: bigram extraction is within-row; the model is two
+    count tables (bigram, context) built by one groupBy each; scoring
+    is a shuffle join of the document bag against the bigram table —
+    O(corpus) rows once, never quadratic — plus a broadcast of the
+    1-row vocabulary size. Unlike ``sampling.dsir_weights`` (hashed
+    features, broadcastable ratio table) the model here is
+    vocabulary-sized by design — the trade CCNet makes for exact
+    per-token probabilities.
+
+    Reference analogue: none; extension per SURVEY.md §2's
+    LLM-pipeline mandate."""
+
+    def bigrams(d: DataFrame, *extra):
+        return d.select(
+            *extra,
+            tokens(text_col).alias("toks"),
+        ).select(
+            *extra,
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1),"
+                    " (t, i) -> struct(t AS w1, element_at(toks, i + 2) AS w2))"
+                )
+            ).alias("bg"),
+        ).select(*extra, "bg.w1", "bg.w2")
+
+    lm_bg = bigrams(lm_docs)
+    cb = lm_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = lm_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = (
+        lm_docs.select(F.explode(tokens(text_col)).alias("w"))
+        .agg(F.count_distinct("w").cast("bigint").alias("v"))
+    )
+    doc_bg = (
+        bigrams(docs, F.col(id_col))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        doc_bg.join(cb, ["w1", "w2"], "left")
+        .join(cu, "w1", "left")
+        .fillna(0, ["cb", "cu"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            "c",
+            F.expr(
+                "cast(round(-ln(cast(cb + 1 as double) / (cu + v)) * 1e6) as bigint)"
+            ).alias("nlp_micro"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("nlp_micro")).cast("bigint").alias("nll_micro"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("nll_micro", F.lit(0)).cast("bigint").alias("nll_micro"),
+        )
+    )

@@ -1463,6 +1463,52 @@ def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_resample(weights, docs.count() // 4)
 
 
+LM_PPL_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+),
+cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+cu AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM bg WHERE lang = 'en' GROUP BY 1),
+voc AS (
+  SELECT CAST(count(DISTINCT tk) AS BIGINT) AS v
+  FROM (SELECT unnest(toks) AS tk FROM t WHERE lang = 'en')
+),
+db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2, 3),
+sc AS (
+  SELECT d.doc_id,
+         CAST(sum(d.c) AS BIGINT) AS n_bigrams,
+         CAST(sum(d.c * CAST(round(-ln(CAST(coalesce(b.cb, 0) + 1 AS DOUBLE)
+                / (coalesce(u.cu, 0) + voc.v)) * 1e6) AS BIGINT)) AS BIGINT) AS nll_micro
+  FROM db d
+  LEFT JOIN cb b ON b.w1 = d.w1 AND b.w2 = d.w2
+  LEFT JOIN cu u ON u.w1 = d.w1, voc
+  GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(s.nll_micro, 0) AS BIGINT) AS nll_micro
+FROM documents LEFT JOIN sc s USING (doc_id)
+"""
+
+
+@query("text_lm_perplexity", LM_PPL_SQL)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet LM quality scoring: every document's negative
+    log-likelihood (exact integer micro-nats) under an add-one bigram
+    LM trained on the English subset — the head/middle/tail perplexity
+    filter. The oracle replays training counts, smoothing, and the
+    integer-rounded log-probs relationally."""
+    from etl_job_spark.operators.text import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, docs.filter(F.col("lang") == "en"))
+
+
 CHUNK_MAX, CHUNK_OVERLAP = 32, 8
 _CHUNK_STEP = CHUNK_MAX - CHUNK_OVERLAP
 

@@ -193,6 +193,9 @@ _TAIL = [
     # window math); tail because corpus_pack_shards holds the
     # sequence-prep window slot
     "corpus_chunk_windows",
+    # round-7: CCNet bigram-LM perplexity scoring (integer micro-nat
+    # NLL); tail because text_quality holds the quality window slot
+    "text_lm_perplexity",
 ]
 
 
