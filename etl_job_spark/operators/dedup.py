@@ -669,27 +669,30 @@ class MinHashStore:
         buckets = sorted(
             r[0] for r in nb.select("sig_bucket").distinct().collect()
         )  # bounded driver metadata: ≤ n_buckets ints
+        # Greedy min-id resolution only ever needs each band-bucket's
+        # MINIMUM id, so both probes join against per-bucket minima
+        # (map-side-combining groupBys) instead of materializing all
+        # bucket pairs — a hot bucket (viral boilerplate duplicated
+        # across the whole batch) costs O(bucket), not O(bucket²),
+        # and the result is identical: any smaller bucket-mate of a
+        # doc is ≥ its bucket's minimum.
         store_hits = None
         if buckets and self.exists():
             sb = self._table().snapshot_where(
                 spark, [("sig_bucket", "in", buckets)]
             )
+            store_mins = sb.groupBy("band", "sig").agg(F.min("doc_id").alias("m"))
             store_hits = (
-                nb.join(
-                    sb.select(
-                        F.col("doc_id").alias("store_id"), "band", "sig"
-                    ),
-                    ["band", "sig"],
-                )
+                nb.join(store_mins, ["band", "sig"])
                 .groupBy("doc_id")
-                .agg(F.min("store_id").alias("store_min"))
+                .agg(F.min("m").alias("store_min"))
             )
+        batch_mins = nb.groupBy("band", "sig").agg(F.min("doc_id").alias("m"))
         within = (
-            nb.select(F.col("doc_id").alias("doc_b"), "band", "sig")
-            .join(nb.select(F.col("doc_id").alias("doc_a"), "band", "sig"), ["band", "sig"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .groupBy(F.col("doc_b").alias("doc_id"))
-            .agg(F.min("doc_a").alias("within_min"))
+            nb.join(batch_mins, ["band", "sig"])
+            .filter(F.col("m") < F.col("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.min("m").alias("within_min"))
         )
         res = new_docs.select("doc_id").join(within, "doc_id", "left")
         if store_hits is not None:
