@@ -67,9 +67,18 @@ _DRIVER_WINDOW = [
     "embed_cosine_topk",
     "embed_lsh_topk",
     "embed_cosine_neardup",
-    "embed_bucket_centroids",
+    # round-7 swap: cross-run incremental dedup (the persisted
+    # signature store probed through bucket-pruned snapshot_where —
+    # the table-format × dedup integration) and DSIR importance
+    # resampling are NEW components with no prior driver row;
+    # embed_bucket_centroids — the coarse-centroid SUB-STEP of the IVF
+    # family whose bucketing stays in-window via embed_lsh_topk — and
+    # text_token_count — within-row counting subsumed by text_stats'
+    # n_tokens (the BPE variant keeps its exact oracle in the tail) —
+    # move out with their oracles intact
+    "corpus_incremental_dedup",
     "text_stats",
-    "text_token_count",
+    "corpus_dsir_resample",
     "text_winnowing",
     # Analytics / window / set-op / streaming-twin components
     "pricing_summary",
@@ -181,14 +190,11 @@ _TAIL = [
     # LSH-bucketed cosine pairs); tail because embed_cosine_neardup
     # holds the embedding-dedup window slot
     "embed_semantic_dedup",
-    # round-7: DSIR importance resampling (hashed-ngram log-ratio
-    # scores + hash-seeded Gumbel top-k); tail because corpus_split /
-    # corpus_cap_per_source hold the sampling window slots
-    "corpus_dsir_resample",
-    # round-7: cross-run incremental dedup through the persisted
-    # MinHash signature store (bucket-pruned snapshot_where probe);
-    # tail because dedup_minhash_lsh holds the minhash window slot
-    "corpus_incremental_dedup",
+    # round-7 swap-outs (see the window comment): the coarse-centroid
+    # sub-step and the ws/BPE token-count variant keep their exact
+    # oracles here
+    "embed_bucket_centroids",
+    "text_token_count",
     # round-7: sliding context-window chunking (within-row integer
     # window math); tail because corpus_pack_shards holds the
     # sequence-prep window slot
