@@ -197,3 +197,52 @@ def dsir_resample(weights: DataFrame, k: int, id_col: str = "doc_id") -> DataFra
     to TakeOrderedAndProject: per-partition top-k then a k-row merge,
     never a global sort."""
     return weights.orderBy(F.col("key_micro").desc(), F.col(id_col)).limit(k)
+
+
+def temperature_caps(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source mixing at α = 0.5: select ~``budget``
+    documents with per-source quotas ∝ √n_source — the standard
+    rebalancing that UPSAMPLES small sources relative to proportional
+    mixing without letting any giant source dominate (the multilingual
+    mixing rule, α = 1/2 of the n_i^α family).
+
+    α is fixed at 1/2 because it is the one temperature with an EXACT
+    integer form: isqrt(n) (floor(sqrt(n)) — IEEE sqrt is correctly
+    rounded, so the floor is exact for any count below ~2^52) makes
+    every quota floor(budget · √n_i / Σ√n_j) pure bigint arithmetic —
+    engine-portable, no pow() libm drift. Quotas cap at n_i; selection
+    within a source is hash-order (the same deterministic "random K"
+    as ``cap_per_group``), so membership never moves on rerun.
+
+    Scale shape: source counts are one groupBy (|sources| rows,
+    broadcast back); selection is one window shuffle on the group key.
+
+    Reference analogue: none; extension per SURVEY.md §2's
+    LLM-pipeline mandate."""
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = counts.select(
+        group_col, "n", F.expr("cast(floor(sqrt(n)) as bigint)").alias("w")
+    )
+    tot = w.agg(F.sum("w").cast("bigint").alias("w_tot"))
+    quota = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            F.least(F.expr(f"cast(({budget} * w) div w_tot as bigint)"), F.col("n")).alias(
+                "quota"
+            ),
+        )
+    )
+    order = F.expr(f"md5(cast({id_col} as string))")
+    win = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (
+        docs.withColumn("__rn", F.row_number().over(win))
+        .join(F.broadcast(quota), group_col)
+        .filter(F.col("__rn") <= F.col("quota"))
+        .drop("__rn", "quota")
+    )

@@ -1401,6 +1401,43 @@ def corpus_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(docs, ["source"], 50).select("doc_id", "source")
 
 
+MIX_TEMP_BUDGET = 200
+
+MIX_TEMP_SQL = f"""
+WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+w AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM counts),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM w),
+quota AS (
+  SELECT source, least(CAST(({MIX_TEMP_BUDGET} * w) // w_tot AS BIGINT), n) AS quota
+  FROM w, tot
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.source
+FROM r JOIN quota q ON q.source = r.source
+WHERE r.rn <= q.quota
+"""
+
+
+@query("corpus_mix_temperature", MIX_TEMP_SQL)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing at α = 0.5: per-source quotas ∝ √n_source
+    (exact isqrt bigint arithmetic — the one temperature with no
+    pow() libm drift), hash-order selection within each source. The
+    multilingual rebalancing rule: small sources upsample relative to
+    proportional mixing, giant sources stop dominating."""
+    from etl_job_spark.operators.sampling import temperature_caps
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_caps(docs, MIX_TEMP_BUDGET).select("doc_id", "source")
+
+
 DSIR_SQL = r"""
 WITH d AS (
   SELECT doc_id, lang,

@@ -202,6 +202,9 @@ _TAIL = [
     # round-7: CCNet bigram-LM perplexity scoring (integer micro-nat
     # NLL); tail because text_quality holds the quality window slot
     "text_lm_perplexity",
+    # round-7: temperature mixing at α=1/2 (exact isqrt quotas); tail
+    # because corpus_mix_sources holds the mixing window slot
+    "corpus_mix_temperature",
 ]
 
 
