@@ -178,3 +178,57 @@ def salted_collect_list(
     if sort:
         merged = merged.withColumn(f"{value_col}s", F.sort_array(F.col(f"{value_col}s")))
     return merged
+
+
+def kth_smallest(
+    df: DataFrame,
+    col: str,
+    k: int,
+    bits_per_pass: int = 16,
+) -> int:
+    """EXACT k-th smallest value (1-based, duplicates counted) of a
+    non-null bigint column, by iterative histogram refinement — the
+    distributed selection primitive for quantiles over NEAR-UNIQUE
+    values, where ``exact_group_percentiles``'s frequency-map trick
+    (which exploits repeated values) degenerates and a global
+    sort/ntile would serialize into one partition.
+
+    Each pass buckets the surviving value range into ≤ 2^bits_per_pass
+    equal-width cells with ONE aggregation job, walks the ≤ 65k cell
+    counts on the driver (bounded metadata, never row data), and
+    recurses into the cell containing the k-th value. A full 64-bit
+    domain resolves in ≤ ceil(64/16) = 4 passes; ranges narrower than
+    2^bits finish in one. O(passes · scan) work, O(2^bits) driver
+    memory, no shuffle at all (aggregations are map-side partials +
+    a 65k-row reduce). Callers doing repeated probes (terciles,
+    deciles) should persist ``df`` first."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    bounds = df.agg(
+        F.min(col).alias("lo"), F.max(col).alias("hi"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    if bounds.n is None or k > bounds.n:
+        raise ValueError(f"k={k} exceeds row count {bounds.n}")
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    cells = 1 << bits_per_pass
+    while hi > lo:
+        width = hi - lo + 1
+        cell_w = max(1, -(-width // cells))  # ceil — last cell may be short
+        # integer div, not "/": double division truncates wrongly at
+        # cell boundaries once quotients stop being exactly
+        # representable. (min-max span must fit int64, as any single
+        # Spark bigint subtraction must.)
+        counts = dict(
+            df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+            .groupBy(F.expr(f"cast(({col} - ({lo})) div {cell_w} as bigint)").alias("c"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc = 0
+        for c in sorted(counts):
+            if acc + counts[c] >= k:
+                k -= acc
+                lo, hi = lo + c * cell_w, min(hi, lo + c * cell_w + cell_w - 1)
+                break
+            acc += counts[c]
+    return lo

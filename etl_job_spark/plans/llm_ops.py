@@ -1500,8 +1500,8 @@ def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_resample(weights, docs.count() // 4)
 
 
-LM_PPL_SQL = r"""
-WITH t AS (
+_LM_CTES = r"""
+t AS (
   SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
   FROM documents
 ),
@@ -1525,11 +1525,16 @@ sc AS (
   LEFT JOIN cb b ON b.w1 = d.w1 AND b.w2 = d.w2
   LEFT JOIN cu u ON u.w1 = d.w1, voc
   GROUP BY d.doc_id
-)
-SELECT doc_id,
-       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-       CAST(coalesce(s.nll_micro, 0) AS BIGINT) AS nll_micro
-FROM documents LEFT JOIN sc s USING (doc_id)
+),
+ppl AS (
+  SELECT doc_id,
+         CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         CAST(coalesce(s.nll_micro, 0) AS BIGINT) AS nll_micro
+  FROM documents LEFT JOIN sc s USING (doc_id)
+)"""
+
+LM_PPL_SQL = "WITH" + _LM_CTES + """
+SELECT doc_id, n_bigrams, nll_micro FROM ppl
 """
 
 
@@ -1544,6 +1549,60 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_lm_scores(docs, docs.filter(F.col("lang") == "en"))
+
+
+LM_BUCKETS_SQL = "WITH" + _LM_CTES + r""",
+rs AS (
+  SELECT doc_id,
+         CAST(CASE WHEN n_bigrams = 0 THEN 0
+                   ELSE nll_micro // n_bigrams END AS BIGINT) AS avg_nll_micro
+  FROM ppl
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rs),
+rk AS (SELECT avg_nll_micro, row_number() OVER (ORDER BY avg_nll_micro) AS rn FROM rs),
+t1 AS (SELECT max(avg_nll_micro) AS t FROM rk, nn WHERE rk.rn <= (nn.n + 2) // 3),
+t2 AS (SELECT max(avg_nll_micro) AS t FROM rk, nn WHERE rk.rn <= (2 * nn.n + 2) // 3)
+SELECT rs.doc_id, rs.avg_nll_micro,
+       CASE WHEN rs.avg_nll_micro <= t1.t THEN 'head'
+            WHEN rs.avg_nll_micro <= t2.t THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM rs, t1, t2
+"""
+
+
+@query("text_lm_quality_buckets", LM_BUCKETS_SQL)
+def text_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail: documents bucketed by per-bigram LM NLL
+    terciles. The tercile thresholds are EXACT k-th smallest values
+    (k = ceil(N/3), ceil(2N/3)) found by ``skew.kth_smallest``'s
+    histogram refinement — ≤4 aggregate-only passes, ≤65k driver cells,
+    no global sort — the selection primitive for near-unique value
+    domains where frequency-map percentiles degenerate; bucketing is
+    value-threshold based, so ties land deterministically in both
+    engines."""
+    from etl_job_spark.operators.skew import kth_smallest
+    from etl_job_spark.operators.text import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = bigram_lm_scores(docs, docs.filter(F.col("lang") == "en"))
+    rs = scores.select(
+        "doc_id",
+        F.expr(
+            "cast(CASE WHEN n_bigrams = 0 THEN 0"
+            " ELSE nll_micro div n_bigrams END as bigint)"
+        ).alias("avg_nll_micro"),
+    ).persist()
+    n = rs.count()
+    t1 = kth_smallest(rs, "avg_nll_micro", (n + 2) // 3)
+    t2 = kth_smallest(rs, "avg_nll_micro", (2 * n + 2) // 3)
+    return rs.select(
+        "doc_id",
+        "avg_nll_micro",
+        F.when(F.col("avg_nll_micro") <= t1, "head")
+        .when(F.col("avg_nll_micro") <= t2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
 
 
 CHUNK_MAX, CHUNK_OVERLAP = 32, 8

@@ -205,6 +205,9 @@ _TAIL = [
     # round-7: temperature mixing at α=1/2 (exact isqrt quotas); tail
     # because corpus_mix_sources holds the mixing window slot
     "corpus_mix_temperature",
+    # round-7: CCNet head/middle/tail via exact distributed k-th
+    # selection (histogram refinement); tail with text_lm_perplexity
+    "text_lm_quality_buckets",
 ]
 
 
