@@ -147,20 +147,33 @@ def dsir_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    temperature: int = 1,
 ) -> DataFrame:
     """Per-raw-document importance score and Gumbel-perturbed sampling
     key, both in exact integer micro-nats:
 
       score_micro = Σ_f cnt_f(doc) · round(1e6 · ln p̂_target(f)/p̂_raw(f))
-      key_micro   = score_micro + round(1e6 · Gumbel(md5('g:'||id)))
+      key_micro   = (score_micro div T) + round(1e6 · Gumbel(md5('g:'||id)))
 
     p̂ uses add-one smoothing over the n_buckets hashed features. The
-    top-k rows by key_micro ARE the Gumbel-top-k sample ∝ exp(score)
+    top-k rows by key_micro ARE the Gumbel-top-k sample ∝ exp(score/T)
     (Gumbel-max trick), made reproducible by the hash-derived noise.
+
+    ``temperature`` flattens the sample the usual way — T=1 is pure
+    importance resampling, T→∞ approaches uniform. It must be a
+    positive INTEGER so the tempered score stays exact bigint
+    arithmetic (``div`` floors once per document, ≤1 micro-nat, the
+    same order-free rounding discipline as the ratios themselves);
+    ``score_micro`` is always reported untempered.
 
     Scale shape: the ratio table is n_buckets rows (broadcast); doc
     scores are one groupBy(id) over the already-bucketed feature bag.
     Raw totals never leave the executors except as one 1-row aggregate."""
+    if not isinstance(temperature, int) or temperature < 1:
+        raise ValueError(
+            f"temperature must be a positive integer (got {temperature!r}); "
+            "integer division keeps the tempered score exact"
+        )
     raw_feats = hashed_ngram_features(raw_docs, text_col, id_col, n_buckets)
     tgt_feats = hashed_ngram_features(target_docs, text_col, id_col, n_buckets)
     cr = raw_feats.groupBy("feat").agg(F.sum("cnt").alias("cr"))
@@ -186,8 +199,13 @@ def dsir_weights(
         f"cast(round(-ln(-ln((({_bucket_expr(gum_arg, _GUMBEL_GRID)}) + 1)"
         f" / {_GUMBEL_GRID + 1}.0)) * 1e6) as bigint)"
     )
+    tempered = (
+        F.col("score_micro")
+        if temperature == 1
+        else F.expr(f"score_micro div {temperature}")
+    )
     return scores.select(
-        id_col, "score_micro", (F.col("score_micro") + gumbel).alias("key_micro")
+        id_col, "score_micro", (tempered + gumbel).alias("key_micro")
     )
 
 

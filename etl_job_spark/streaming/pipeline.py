@@ -618,6 +618,8 @@ def incremental_dedup_sink(
     num_hashes: int = 12,
     band_size: int = 3,
     n_buckets: int = 64,
+    compact_every: int | None = None,
+    compact_target_rows: int = 1_000_000,
 ):
     """Streaming corpus ingestion with CROSS-BATCH dedup: each
     micro-batch of documents drops everything near-duplicating any
@@ -631,7 +633,18 @@ def incremental_dedup_sink(
     sink construction so every batch probe gets partition-pruned file
     skipping; per-batch cost is O(batch + matching store partitions),
     never O(corpus). Documents are (doc_id bigint, text string, …) —
-    extra columns ride into the corpus table untouched."""
+    extra columns ride into the corpus table untouched.
+
+    ``compact_every=N`` is the upkeep cadence: every N committed
+    batches, BOTH tables run ``compact_small_files`` — each micro-batch
+    appends one file set per touched sig_bucket partition, so an
+    unattended stream otherwise fragments the store and every probe's
+    file-skipping read pays O(batches) footer opens per matching
+    partition. Compaction is content-preserving maintenance OUTSIDE the
+    ledgered commit: a crash-replayed batch at the cadence boundary
+    merely re-runs a bin-pack that finds nothing worth rewriting (the
+    call returns the current version when no file is fragmented), so
+    exactly-once of the DATA is untouched."""
     from etl_job_spark.operators.dedup import MinHashStore
     from etl_job_spark.txn import TransactionalCatalog
 
@@ -650,6 +663,11 @@ def incremental_dedup_sink(
         )
         catalog.table(store_table).overwrite(empty, partition_by=["sig_bucket"])
 
+    if compact_every is not None and (
+        not isinstance(compact_every, int) or compact_every < 1
+    ):
+        raise ValueError(f"compact_every must be a positive integer (got {compact_every!r})")
+
     def _land(batch_df: DataFrame, batch_id: int) -> None:
         dedup_batch_into_catalog(
             catalog,
@@ -663,6 +681,19 @@ def incremental_dedup_sink(
             band_size,
             n_buckets,
         )
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            spark = batch_df.sparkSession
+
+            def upkeep(txn) -> None:
+                # through the log, NOT directly on the tables: replay
+                # tracks versions purely from the log, so out-of-band
+                # commits would abort every later batch's transaction
+                for name in (store_table, corpus_table):
+                    txn.compact_small_files(
+                        name, spark, target_rows_per_file=compact_target_rows
+                    )
+
+            catalog.commit(upkeep)
 
     return (
         stream.writeStream.foreachBatch(_land)

@@ -153,6 +153,24 @@ class Transaction:
     ) -> None:
         self._run(name, lambda t: t.delete_keys(spark, key_col, values, **kw))
 
+    def compact_small_files(
+        self,
+        name: str,
+        spark: SparkSession,
+        target_rows_per_file: int = 1_000_000,
+        small_file_rows: int | None = None,
+    ) -> None:
+        """Upkeep INSIDE the log: an enrolled table must never be
+        compacted directly on the ManifestTable — replay tracks
+        versions purely from the log, so an out-of-band commit makes
+        every later transaction's expected_base look like a lost race
+        (deterministic abort, forever). Stages nothing when the table
+        has no fragmentation worth rewriting."""
+        self._run(
+            name,
+            lambda t: t.compact_small_files(spark, target_rows_per_file, small_file_rows),
+        )
+
 
 class TransactionalCatalog:
     """Tables under one root directory + the transaction log that

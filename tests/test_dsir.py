@@ -56,6 +56,28 @@ def test_every_raw_doc_scored_once(spark):
     assert dict(w.dtypes) == {"doc_id": "bigint", "score_micro": "bigint", "key_micro": "bigint"}
 
 
+def test_temperature_flattens_exactly(spark):
+    raw = _docs(spark, TARGETY + OFFY)
+    target = _docs(spark, TARGETY[:5])
+    base = {r.doc_id: r for r in dsir_weights(raw, target).collect()}
+    hot = {r.doc_id: r for r in dsir_weights(raw, target, temperature=1000).collect()}
+    for did, r in hot.items():
+        # untempered score is reported unchanged; the key uses score div T
+        assert r.score_micro == base[did].score_micro
+        gumbel = base[did].key_micro - base[did].score_micro
+        # Python // floors like Spark's div for these magnitudes only when
+        # signs agree; mirror div's truncate-toward-zero exactly
+        q = abs(r.score_micro) // 1000
+        tempered = q if r.score_micro >= 0 else -q
+        assert r.key_micro == tempered + gumbel
+    import pytest
+
+    with pytest.raises(ValueError):
+        dsir_weights(raw, target, temperature=0)
+    with pytest.raises(ValueError):
+        dsir_weights(raw, target, temperature=2.5)  # type: ignore[arg-type]
+
+
 def test_plan_shape(spark):
     raw = _docs(spark, TARGETY + OFFY)
     target = _docs(spark, TARGETY[:5])

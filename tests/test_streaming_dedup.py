@@ -70,6 +70,50 @@ def test_replayed_batch_is_metadata_noop(spark, tmp_path):
     ) == [1, 2]
 
 
+def test_sink_auto_compaction_cadence(spark, tmp_path):
+    # two micro-batches (maxFilesPerTrigger=1) land overlapping
+    # sig_bucket partitions; compact_every=1 bin-packs after each, so
+    # the store ends with ONE file per touched partition instead of
+    # one file set per batch — and the data is byte-identical
+    src = str(tmp_path / "src")
+    _docs(spark, [(1, LONG_A), (2, LONG_B)]).coalesce(1).write.json(src)
+    _docs(spark, [(3, LONG_A), (4, LONG_C)]).coalesce(1).write.mode("append").json(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    w = incremental_dedup_sink(
+        stream,
+        str(tmp_path / "cat"),
+        str(tmp_path / "ck"),
+        n_buckets=8,
+        compact_every=1,
+    )
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    cat = TransactionalCatalog(str(tmp_path / "cat"))
+    sig = cat.table("signatures")
+    # compaction commits happened (cadence fired per batch)
+    ops = [r.op for r in sig.history_df(spark).collect()]
+    assert "compact_small_files" in ops
+    # every partition holds exactly one live file
+    per_part = {}
+    for f in sig.snapshot(spark).inputFiles():
+        key = f.split("sig_bucket=")[1].split("/")[0]
+        per_part.setdefault(key, set()).add(f)
+    assert per_part and all(len(v) == 1 for v in per_part.values())
+    # content unchanged by upkeep: doc 3 deduped against batch-0's doc 1
+    kept = sorted(
+        r.doc_id for r in cat.table("corpus").snapshot(spark).collect()
+    )
+    assert kept == [1, 2, 4]
+    import pytest
+
+    with pytest.raises(ValueError):
+        incremental_dedup_sink(stream, str(tmp_path / "c2"), str(tmp_path / "k2"), compact_every=0)
+
+
 def test_incremental_dedup_sink_end_to_end(spark, tmp_path):
     # real foreachBatch run through a file stream: two duplicate docs
     # arrive in the stream, only the first survives
