@@ -1350,6 +1350,51 @@ def embed_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_search(spark, path, queries, k=5, n_probe=4)
 
 
+L2_SQL = (
+    "WITH" + SQL_QUANT + f"""
+, q AS (SELECT vec_id AS q_id, e_int AS q_int FROM vn WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.q_id, v.vec_id AS n_id,
+         CAST(list_sum([(q.q_int[i] - v.e_int[i]) * (q.q_int[i] - v.e_int[i])
+                        for i in generate_series(1, len(q.q_int))]) AS BIGINT) AS d2
+  FROM vn v CROSS JOIN q
+  WHERE v.vec_id <> q.q_id
+)
+SELECT q_id, n_id, d2, rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id) AS BIGINT) AS rk
+  FROM scored
+) t WHERE rk <= 5
+"""
+)
+
+
+@query("embed_l2_topk", L2_SQL)
+def embed_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact squared-L2 top-5 per query vector — ``embed_cosine_topk``'s
+    Euclidean twin and the ground truth the PQ tier is measured
+    against (ADC approximates L2, so a cosine baseline would conflate
+    quantization loss with metric mismatch). Integer-exact distances
+    over the same micro-quantization as the cosine family."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return similarity.l2_topk(emb, queries, k=5)
+
+
+@query("embed_pq_topk")  # no SQL oracle: iterative k-means codebooks
+def embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (8 subspaces × 16 codes, exact-L2
+    re-rank of the ADC top-50) — the COMPRESSION tier of the ANN
+    ladder: the corpus scans as m small codes per vector instead of
+    dim floats, candidates score by table lookup, and the re-rank
+    touches only 50·|Q| raw vectors. Rows-only in the driver (codebook
+    training is the same not-SQL-expressible k-means as IVF), fully
+    deterministic; tests/test_pq.py pins ADC arithmetic exactness,
+    recall vs ``embed_l2_topk``, and run/partitioning invariance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return similarity.pq_topk(emb, queries, k=5, m=8, ksub=16, n_iters=3, rerank=50)
+
+
 # ---------------------------------------------------------------------
 # Training-mix sampling: deterministic splits + per-source caps
 # ---------------------------------------------------------------------

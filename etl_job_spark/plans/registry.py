@@ -208,6 +208,14 @@ _TAIL = [
     # round-7: CCNet head/middle/tail via exact distributed k-th
     # selection (histogram refinement); tail with text_lm_perplexity
     "text_lm_quality_buckets",
+    # round-7: exact squared-L2 top-k (exact oracle in
+    # tests/test_oracle_diff.py) — the PQ recall baseline; tail because
+    # embed_cosine_topk holds the exact-search window slot
+    "embed_l2_topk",
+    # round-7: product-quantization ANN with exact-L2 re-rank —
+    # rows-only (k-means codebooks), recall/determinism pinned in
+    # tests/test_pq.py; tail with the IVF family
+    "embed_pq_topk",
 ]
 
 

@@ -1,0 +1,192 @@
+"""Product quantization (similarity.pq_*) + exact L2 baseline.
+
+PQ is the compression tier of the ANN ladder: codebooks from the
+deterministic integer k-means, codes as a pure projection, ADC scoring
+as m table lookups, exact-L2 re-rank as the recall lever. Pins:
+determinism, exact ADC arithmetic (hand-folded), recall on the real
+testdata (re-ranked) and on a clustered fixture (raw ADC), and the
+persisted index round trip.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_job_spark.operators import similarity
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _clustered(spark):
+    """8 well-separated cluster centers in 16 dims, 25 points each,
+    deterministic small offsets — the structured corpus PQ is built
+    for (quantization error << cluster separation)."""
+    rows = []
+    for c in range(8):
+        center = [1.0 * ((c * 37 + d * 11) % 13 - 6) for d in range(16)]
+        for p in range(25):
+            vec = [center[d] + ((c * 131 + p * 17 + d * 7) % 9 - 4) * 0.01
+                   for d in range(16)]
+            rows.append((c * 25 + p, vec))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_pq_encode_shape_and_determinism(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    books = similarity.pq_train(emb, m=4, ksub=16, n_iters=3)
+    assert len(books) == 4 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)  # dim 64 / m 4
+    codes = similarity.pq_encode(emb, books).collect()
+    assert all(len(r.codes) == 4 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r.codes)
+    again = similarity.pq_encode(emb.repartition(7), books).collect()
+    assert sorted((r.vec_id, tuple(r.codes)) for r in codes) == sorted(
+        (r.vec_id, tuple(r.codes)) for r in again
+    )
+    # training itself is partitioning-invariant
+    books2 = similarity.pq_train(emb.repartition(5), m=4, ksub=16, n_iters=3)
+    assert books == books2
+
+
+def test_adc_is_exact_table_lookup(spark, sf_dir):
+    # fold the ADC sum by hand for one query from the collected books
+    # and codes; the engine's adist must match exactly
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 50)
+    books = similarity.pq_train(emb, m=4, ksub=8, n_iters=2)
+    codes = {r.vec_id: r.codes for r in similarity.pq_encode(emb, books).collect()}
+    qid = 0
+    q = [round(x * similarity.EMBED_SCALE) for x in
+         emb.filter(F.col("vec_id") == qid).first().embedding]
+    sub = 16
+    got = {
+        r.n_id: r.adist
+        for r in similarity.pq_topk(
+            emb, emb.filter(F.col("vec_id") == qid), k=49, m=4, ksub=8, n_iters=2
+        ).collect()
+    }
+    for vid, cs in codes.items():
+        if vid == qid:
+            continue
+        want = sum(
+            sum((q[j * sub + d] - books[j][cs[j]][d]) ** 2 for d in range(sub))
+            for j in range(4)
+        )
+        assert got[vid] == want
+
+
+def test_rerank_recall_on_real_embeddings(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {(r.q_id, r.n_id) for r in similarity.l2_topk(emb, queries, k=5).collect()}
+    rr = similarity.pq_topk(emb, queries, k=5, m=8, ksub=16, n_iters=3, rerank=50)
+    got = {(r.q_id, r.n_id) for r in rr.collect()}
+    recall = len(exact & got) / len(exact)
+    # measured 0.76 at these params on the sf0.001 corpus; the bound
+    # leaves headroom while staying far above chance (50/499 ≈ 0.10)
+    assert recall >= 0.6, f"recall@5 = {recall:.3f}"
+    # re-ranked distances are the EXACT d2 for the pairs both found
+    e_d2 = {(r.q_id, r.n_id): r.d2
+            for r in similarity.l2_topk(emb, queries, k=5).collect()}
+    for r in rr.collect():
+        if (r.q_id, r.n_id) in e_d2:
+            assert r.d2 == e_d2[(r.q_id, r.n_id)]
+
+
+def test_adc_on_clustered_corpus(spark):
+    emb = _clustered(spark)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)  # one per cluster
+    # raw ADC cannot rank WITHIN a quantization cell (cluster-mates
+    # share codes, so their adists tie and ids break the tie) — but
+    # with real structure every returned neighbor must come from the
+    # query's own cluster: purity 1.0
+    raw = similarity.pq_topk(emb, queries, k=5, m=4, ksub=8, n_iters=3).collect()
+    assert len(raw) == 40
+    assert all(r.n_id // 25 == r.q_id // 25 for r in raw)
+    # and re-ranking the (tied) shortlist with exact L2 recovers the
+    # true within-cluster top-5 outright
+    exact = {(r.q_id, r.n_id) for r in similarity.l2_topk(emb, queries, k=5).collect()}
+    rr = {
+        (r.q_id, r.n_id)
+        for r in similarity.pq_topk(
+            emb, queries, k=5, m=4, ksub=8, n_iters=3, rerank=25
+        ).collect()
+    }
+    recall = len(exact & rr) / len(exact)
+    assert recall >= 0.95, f"clustered re-ranked recall@5 = {recall:.3f}"
+
+
+def test_persisted_index_matches_trained_twin(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "pq_idx")
+    books = similarity.pq_build_index(emb, idx, m=4, ksub=16, n_iters=3)
+    assert similarity._load_books(spark, idx) == books
+    direct = similarity.pq_topk(emb, queries, k=5, m=4, ksub=16, n_iters=3).collect()
+    served = similarity.pq_search(spark, idx, queries, k=5).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, served))
+    # the served CORPUS side reads only the codes parquet (the query
+    # side naturally reads wherever the queries came from)
+    files = similarity.pq_search(spark, idx, queries, k=5).inputFiles()
+    corpus_files = [f for f in files if "embeddings.parquet" not in f]
+    assert corpus_files and all(
+        "/codes/" in f or "/codebooks/" in f for f in corpus_files
+    )
+    # re-ranked serving needs the raw corpus passed explicitly
+    with pytest.raises(ValueError):
+        similarity.pq_search(spark, idx, queries, k=5, rerank=20)
+    rr = similarity.pq_search(
+        spark, idx, queries, k=5, rerank=20, rerank_vectors=emb
+    ).collect()
+    assert len(rr) == len(served)
+
+
+def test_l2_topk_contract(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = similarity.l2_topk(emb, queries, k=5)
+    rows = out.collect()
+    n_q = queries.count()
+    assert len(rows) == 5 * n_q
+    assert all(r.d2 >= 0 for r in rows)
+    assert dict(out.dtypes)["d2"] == "bigint"
+    # ranking is totally ordered within each query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == [1, 2, 3, 4, 5]
+        assert all(a.d2 <= b.d2 for a, b in zip(rs, rs[1:]))
+
+
+def test_plans_stay_jvm_side(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    books = similarity.pq_train(emb, m=4, ksub=16, n_iters=2)
+    for df in (
+        similarity.pq_encode(emb, books),
+        similarity.pq_topk(emb, queries, k=5, m=4, ksub=16, n_iters=2),
+        similarity.l2_topk(emb, queries, k=5),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
+
+
+def test_big_codebook_compiles_via_broadcast_path(spark):
+    # k=512 entries × 8 subspaces × 32 dims = 131k ints > the literal
+    # threshold — must compile in bounded time through the one-row
+    # broadcast frame (plan size O(1)), like the IVF big-quantizer path
+    import random
+
+    rnd = random.Random(7)
+    books = [
+        [[rnd.randint(-1000, 1000) for _ in range(32)] for _ in range(512)]
+        for _ in range(8)
+    ]
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(256)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = similarity.pq_encode(emb, books).collect()
+    assert len(out) == 20 and all(len(r.codes) == 8 for r in out)
