@@ -323,7 +323,15 @@ def kmeans_centroids(
     the k×dim centroid table itself — the quantizer, which a real IVF
     index persists anyway.
     """
-    v = quantized(vectors).select(F.col(id_col).alias("vid"), "e_int").persist()
+    v = quantized(vectors).select(F.col(id_col).alias("vid"), "e_int")
+    return _kmeans_core(v, n_centroids, n_iters)
+
+
+def _kmeans_core(v: DataFrame, n_centroids: int, n_iters: int) -> list[list[int]]:
+    """The k-means loop over ALREADY-INTEGER vectors (vid, e_int) —
+    shared by the float-corpus entry point above and the PQ paths that
+    train on integer slices/residuals directly."""
+    v = v.persist()
     try:
         seeds = (
             v.withColumn("h", F.xxhash64(F.col("vid")))
@@ -575,8 +583,24 @@ def ivf_index_staleness(spark, index_path: str) -> dict:
 
 
 class IndexStalenessError(RuntimeError):
-    """The IVF index's appended fraction exceeds the caller's
-    ``max_staleness`` budget — retrain with ``ivf_build_index``."""
+    """The index's appended fraction exceeds the caller's
+    ``max_staleness`` budget — retrain with the matching
+    ``*_build_index``."""
+
+
+def _enforce_staleness(spark, index_path: str, max_staleness: float | None) -> None:
+    """Shared ``max_staleness`` guard for every persisted index that
+    keeps the ivf-shape ``meta`` ledger (IVF, PQ, IVF-PQ)."""
+    if max_staleness is None:
+        return
+    st = ivf_index_staleness(spark, index_path)
+    if st["appended_fraction"] > max_staleness:
+        raise IndexStalenessError(
+            f"index at {index_path} has appended_fraction "
+            f"{st['appended_fraction']:.3f} > max_staleness "
+            f"{max_staleness:.3f} ({st['n_appended']} appended on "
+            f"{st['n_base']} base rows); rebuild the index"
+        )
 
 
 def ivf_search(
@@ -605,15 +629,7 @@ def ivf_search(
     ``IndexStalenessError`` instead of quietly serving from a
     quantizer that no longer reflects the corpus. ``None`` (default)
     keeps the advisory-only behavior."""
-    if max_staleness is not None:
-        st = ivf_index_staleness(spark, index_path)
-        if st["appended_fraction"] > max_staleness:
-            raise IndexStalenessError(
-                f"IVF index at {index_path} has appended_fraction "
-                f"{st['appended_fraction']:.3f} > max_staleness "
-                f"{max_staleness:.3f} ({st['n_appended']} appended on "
-                f"{st['n_base']} base rows); rebuild with ivf_build_index"
-            )
+    _enforce_staleness(spark, index_path, max_staleness)
     cents = _load_centroids(spark, index_path)
     probed = _probe_queries(queries, cents, n_probe, id_col)
     probe_cids = sorted({r.cid for r in probed.select("cid").distinct().collect()})
@@ -726,21 +742,30 @@ def pq_train(
     shape (assignment is a projection, updates are map-side-combined
     partial sums). Returns m codebooks of ksub × (dim/m) integers —
     bounded driver-side metadata, like the IVF quantizer."""
-    first = vectors.select(F.size("embedding").alias("d")).first()
+    v = quantized(vectors).select(F.col(id_col).alias("vid"), "e_int")
+    return _pq_train_int(v, m, ksub, n_iters)
+
+
+def _pq_train_int(v: DataFrame, m: int, ksub: int, n_iters: int) -> list[list[list[int]]]:
+    """PQ training over already-integer vectors (vid, e_int) — the
+    shared core, also fed residuals by ``ivfpq_build_index``. Slicing
+    commutes with the element-wise micro-quantization, so training on
+    int slices is bit-identical to quantizing float slices."""
+    first = v.select(F.size("e_int").alias("d")).first()
     if first is None:
         raise ValueError("cannot train PQ codebooks on an empty corpus")
     dim = int(first.d)
     if m < 1 or dim % m != 0:
         raise ValueError(f"m={m} must divide the embedding dimension {dim}")
     sub = dim // m
-    books = []
-    for j in range(m):
-        sliced = vectors.select(
-            id_col,
-            F.expr(f"slice(embedding, {j * sub + 1}, {sub})").alias("embedding"),
+    return [
+        _kmeans_core(
+            v.select("vid", F.expr(f"slice(e_int, {j * sub + 1}, {sub})").alias("e_int")),
+            ksub,
+            n_iters,
         )
-        books.append(kmeans_centroids(sliced, ksub, n_iters, id_col))
-    return books
+        for j in range(m)
+    ]
 
 
 def pq_encode(
@@ -871,6 +896,8 @@ def pq_build_index(
     embeddings (m ints per vector; at production m=64/dim=1024 that is
     ~1/64th the bytes). Idempotent-by-replacement like
     ``ivf_build_index``."""
+    from pyspark.sql import Observation
+
     spark = vectors.sparkSession
     books = pq_train(vectors, m, ksub, n_iters, id_col)
     rows = [
@@ -881,9 +908,14 @@ def pq_build_index(
     spark.createDataFrame(rows, "j int, cid int, centroid array<bigint>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{index_path}/codebooks")
-    pq_encode(vectors, books, id_col).write.mode("overwrite").parquet(
-        f"{index_path}/codes"
-    )
+    obs = Observation()
+    pq_encode(vectors, books, id_col).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    ).write.mode("overwrite").parquet(f"{index_path}/codes")
+    # staleness ledger, same shape as the IVF index (ivf_build_index)
+    spark.createDataFrame(
+        [("base", int(obs.get["n"]))], "kind string, n bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
     return books
 
 
@@ -895,6 +927,33 @@ def _load_books(spark, index_path: str) -> list[list[list[int]]]:
     return [[by_j[j][c] for c in sorted(by_j[j])] for j in sorted(by_j)]
 
 
+def pq_append(
+    spark,
+    index_path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+) -> dict:
+    """Append new vectors to a persisted PQ index without retraining:
+    the FROZEN codebooks encode them (a pure projection — existing
+    codes are untouched, so prior results keep their exact adists) and
+    the codes parquet gains append-mode files. Quantization error
+    drifts as the corpus grows past the trained distribution; the
+    ``meta`` ledger counts appended-vs-base rows and
+    ``ivf_index_staleness`` (shared ledger shape) turns that into a
+    retrain recommendation. Returns the staleness summary."""
+    from pyspark.sql import Observation
+
+    books = _load_books(spark, index_path)
+    obs = Observation()
+    pq_encode(vectors, books, id_col).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    ).write.mode("append").parquet(f"{index_path}/codes")
+    spark.createDataFrame(
+        [("append", int(obs.get["n"]))], "kind string, n bigint"
+    ).coalesce(1).write.mode("append").parquet(f"{index_path}/meta")
+    return ivf_index_staleness(spark, index_path)
+
+
 def pq_search(
     spark,
     index_path: str,
@@ -903,6 +962,7 @@ def pq_search(
     id_col: str = "vec_id",
     rerank: int | None = None,
     rerank_vectors: DataFrame | None = None,
+    max_staleness: float | None = None,
 ) -> DataFrame:
     """Serve a query batch from a persisted PQ index: the scan reads
     ONLY the codes parquet (never the raw embeddings), each query's
@@ -912,14 +972,188 @@ def pq_search(
     Pass ``rerank=R`` with ``rerank_vectors`` (the raw corpus — e.g. a
     bloom-indexed ManifestTable read) to refine the ADC shortlist with
     exact L2, as in ``pq_topk``; the refine touches only the R·|Q|
-    shortlisted ids."""
+    shortlisted ids. ``max_staleness`` enforces the append ledger like
+    ``ivf_search``."""
     if (rerank is None) != (rerank_vectors is None):
         raise ValueError("rerank and rerank_vectors must be passed together")
     if rerank is not None and rerank < k:
         raise ValueError(f"rerank={rerank} must be >= k={k}")
+    _enforce_staleness(spark, index_path, max_staleness)
     books = _load_books(spark, index_path)
     codes = spark.read.parquet(f"{index_path}/codes")
     short = _pq_score_topk(codes, queries, books, rerank or k, id_col)
+    if rerank is None:
+        return short
+    return _exact_rerank(rerank_vectors, queries, short, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the two tiers composed — the production ANN architecture.
+# The coarse quantizer bounds which files a query batch READS
+# (cid-partitioned codes, static partition pruning like ivf_search);
+# PQ bounds the BYTES those files hold (m codes per vector). Codes
+# encode RESIDUALS (v - centroid[cid]): within a list the residual
+# distribution is tighter than the raw corpus, so the same ksub codes
+# quantize it with less error — the standard IVFADC layout.
+
+
+def ivfpq_build_index(
+    vectors: DataFrame,
+    index_path: str,
+    n_centroids: int = 16,
+    m: int = 4,
+    ksub: int = 16,
+    n_iters: int = 4,
+    id_col: str = "vec_id",
+) -> None:
+    """Build a persistent IVF-PQ index:
+
+    - ``{index_path}/centroids`` — the coarse quantizer (IVF format);
+    - ``{index_path}/codebooks`` — m×ksub RESIDUAL codebooks;
+    - ``{index_path}/codes`` — (n_id, codes) partitioned BY LIST
+      (``cid=…`` dirs), m ints per vector.
+
+    The corpus moves once (the partitioned write); training is the
+    coarse k-means plus m residual k-means, all deterministic. A
+    search then reads only the probed lists' code files — partition
+    pruning AND compression on the same scan."""
+    from pyspark.sql import Observation
+
+    spark = vectors.sparkSession
+    cents = kmeans_centroids(vectors, n_centroids, n_iters, id_col)
+    resid = _ivfpq_residuals(vectors, cents, id_col)
+    books = _pq_train_int(
+        resid.select(F.col("n_id").alias("vid"), "e_int"), m, ksub, n_iters
+    )
+    sub = len(books[0][0])
+    cent_rows = [(c, list(map(int, cents[c]))) for c in range(len(cents))]
+    spark.createDataFrame(cent_rows, "cid int, centroid array<bigint>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    book_rows = [
+        (j, c, list(map(int, books[j][c])))
+        for j in range(len(books))
+        for c in range(len(books[j]))
+    ]
+    spark.createDataFrame(book_rows, "j int, cid int, centroid array<bigint>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    obs = Observation()
+    _with_books(resid, books).select(
+        "n_id", "cid", F.expr(_pq_codes_expr(sub)).alias("codes")
+    ).observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(f"{index_path}/codes")
+    spark.createDataFrame(
+        [("base", int(obs.get["n"]))], "kind string, n bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def _ivfpq_residuals(vectors: DataFrame, cents: list[list[int]], id_col: str) -> DataFrame:
+    """(n_id, cid, e_int) where e_int is the vector's RESIDUAL against
+    its nearest coarse centroid — the representation IVF-PQ codes."""
+    assigned = _assigned_corpus(vectors, cents, id_col)
+    return _with_centroids(assigned, cents).select(
+        "n_id",
+        "cid",
+        F.expr(
+            "zip_with(v_int, element_at(__cents, cid + 1), (x, y) -> x - y)"
+        ).alias("e_int"),
+    )
+
+
+def ivfpq_append(
+    spark,
+    index_path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+) -> dict:
+    """Append to a persisted IVF-PQ index without retraining either
+    tier: the frozen coarse quantizer assigns lists, the frozen
+    codebooks encode residuals, and the cid-partitioned codes parquet
+    gains append-mode files under the same directories (existing list
+    files untouched — ``ivf_append``'s contract, on compressed codes).
+    Both quantizers drift as the corpus grows; the shared ``meta``
+    ledger feeds ``ivf_index_staleness``/``max_staleness``. Returns
+    the staleness summary."""
+    from pyspark.sql import Observation
+
+    cents = _load_centroids(spark, index_path)
+    books = _load_books(spark, index_path)
+    sub = len(books[0][0])
+    resid = _ivfpq_residuals(vectors, cents, id_col)
+    obs = Observation()
+    _with_books(resid, books).select(
+        "n_id", "cid", F.expr(_pq_codes_expr(sub)).alias("codes")
+    ).observe(obs, F.count(F.lit(1)).alias("n")).write.mode("append").partitionBy(
+        "cid"
+    ).parquet(f"{index_path}/codes")
+    spark.createDataFrame(
+        [("append", int(obs.get["n"]))], "kind string, n bigint"
+    ).coalesce(1).write.mode("append").parquet(f"{index_path}/meta")
+    return ivf_index_staleness(spark, index_path)
+
+
+def ivfpq_search(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    rerank: int | None = None,
+    rerank_vectors: DataFrame | None = None,
+    max_staleness: float | None = None,
+) -> DataFrame:
+    """Serve a query batch from a persisted IVF-PQ index: probe each
+    query's ``n_probe`` nearest lists, build one RESIDUAL distance
+    table per (query, probed list) — the residual differs per list,
+    so each probed pair carries its own m×ksub table — then ADC-score
+    only the pruned lists' codes. ``rerank``/``rerank_vectors`` refine
+    with exact L2 as in ``pq_search``. Output (q_id, n_id, adist, rk),
+    or ``l2_topk``'s (q_id, n_id, d2, rk) when re-ranked.
+    ``max_staleness`` enforces the append ledger like ``ivf_search``."""
+    if (rerank is None) != (rerank_vectors is None):
+        raise ValueError("rerank and rerank_vectors must be passed together")
+    if rerank is not None and rerank < k:
+        raise ValueError(f"rerank={rerank} must be >= k={k}")
+    _enforce_staleness(spark, index_path, max_staleness)
+    cents = _load_centroids(spark, index_path)
+    books = _load_books(spark, index_path)
+    sub = len(books[0][0])
+    probed = _probe_queries(queries, cents, n_probe, id_col)
+    pq = (
+        _with_centroids(probed, cents)
+        .withColumn(
+            "e_int",
+            F.expr("zip_with(q_int, element_at(__cents, cid + 1), (x, y) -> x - y)"),
+        )
+        .select("q_id", "cid", "e_int")
+    )
+    pq = _with_books(pq, books).select(
+        "q_id", "cid", F.expr(_pq_dtab_expr(sub)).alias("dtab")
+    )
+    probe_cids = sorted({r.cid for r in probed.select("cid").distinct().collect()})
+    codes = spark.read.parquet(f"{index_path}/codes").filter(
+        F.col("cid").isin(probe_cids)
+    )
+    scored = (
+        codes.join(F.broadcast(pq), "cid")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn(
+            "adist",
+            F.expr(
+                "aggregate(zip_with(dtab, codes, (t, c) -> element_at(t, c + 1)),"
+                " cast(0 as bigint), (acc, x) -> acc + x)"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist"), F.col("n_id"))
+    short = (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= (rerank or k))
+        .select("q_id", "n_id", "adist", "rk")
+    )
     if rerank is None:
         return short
     return _exact_rerank(rerank_vectors, queries, short, k, id_col)

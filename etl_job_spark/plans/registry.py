@@ -212,10 +212,14 @@ _TAIL = [
     # tests/test_oracle_diff.py) — the PQ recall baseline; tail because
     # embed_cosine_topk holds the exact-search window slot
     "embed_l2_topk",
-    # round-7: product-quantization ANN with exact-L2 re-rank —
-    # rows-only (k-means codebooks), recall/determinism pinned in
-    # tests/test_pq.py; tail with the IVF family
-    "embed_pq_topk",
+    # round-7: product-quantization ANN serving (build-once codebooks
+    # + codes, ADC + exact-L2 re-rank) — rows-only (k-means
+    # codebooks), recall/determinism pinned in tests/test_pq.py; tail
+    # with the IVF family
+    "embed_pq_search",
+    # round-7: IVF-PQ composed serving (partition-pruned lists of
+    # residual codes) — rows-only, pinned in tests/test_ivfpq.py
+    "embed_ivfpq_search",
 ]
 
 
