@@ -476,6 +476,34 @@ def mart_window_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("kicc_mart_window_read", WINDOW_READ_SQL)(mart_window_read)
 
 
+def mart_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same daily window read consumed the way an ad-hoc SQL user
+    consumes it: ``spark.read.format("manifest_table")`` (the batch
+    Python Data Source) with a plain DataFrame ``.filter`` — the WHERE
+    clause pushes down through the Data Source filter-pushdown API
+    into the SAME manifest-level file skipping ``snapshot_where``
+    plans (pruning is file-granular; Spark re-applies the predicate,
+    so results are exact by construction). Same oracle as
+    ``kicc_mart_window_read`` — the hash check covers the full
+    source → pushdown → prune → arrow-read path; the file-skipping
+    evidence is pinned in tests/test_manifest_source.py (task count =
+    surviving files)."""
+    from etl_job_spark.sources.manifest_source import read_manifest_table
+
+    t = _window_mart(spark, sf_dir)
+    return (
+        read_manifest_table(spark, t.path)
+        .filter(
+            F.col("sale_date").between(*WINDOW_READ_W)
+            & F.col("sp_code").isin(list(WINDOW_READ_STORES))
+        )
+        .select("sp_code", "sale_date", "total_amt", "bill_qty")
+    )
+
+
+query("kicc_mart_sql_read", WINDOW_READ_SQL)(mart_sql_read)
+
+
 # ---------------------------------------------------------------------
 # Column RENAME (P2): the reference's staging→mart rename map as
 # metadata-only schema evolution + a pruned read under the NEW names

@@ -220,6 +220,11 @@ _TAIL = [
     # round-7: IVF-PQ composed serving (partition-pruned lists of
     # residual codes) — rows-only, pinned in tests/test_ivfpq.py
     "embed_ivfpq_search",
+    # round-7: the daily window read through the batch manifest_table
+    # Python Data Source — WHERE-clause filter pushdown into manifest
+    # file skipping (exact oracle = the same window SQL); tail because
+    # kicc_mart_window_read holds the data-skipping window slot
+    "kicc_mart_sql_read",
 ]
 
 

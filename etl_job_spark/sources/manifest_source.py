@@ -1,0 +1,238 @@
+"""Batch Python Data Source for ManifestTable — ``spark.read.format
+("manifest_table")`` with FILTER-PUSHDOWN file skipping.
+
+This makes the engine's table format consumable by plain ``spark.read``
+/ Spark SQL users with no library imports on the query side: a view
+created over the format gets snapshot isolation, time travel
+(``versionAsOf`` / ``timestampAsOf`` options), deletion-vector-exact
+rows, renamed-column resolution, and — through the Data Source filter
+pushdown API (PySpark 4.1) — the SAME manifest-level data skipping
+``snapshot_where`` plans: a ``WHERE k BETWEEN a AND b`` on the
+DataFrame prunes cold files by partition constants, transform dirs,
+footer stats, and blooms BEFORE any file opens.
+
+Pushdown semantics: pruning is file-granular, so every pushed filter
+is ALSO returned to Spark as residual (partial pushdown — the API's
+contract for sources that skip but don't filter). Results are
+therefore always exact regardless of what could be pushed.
+
+Planning tier: Python Data Source planning runs in a dedicated plan
+worker with NO SparkSession (verified: ``getActiveSession()`` is None
+inside ``partitions()``), so this source prunes with the table's pure
+in-memory matcher — partition constants, transform dirs, footer stats,
+blooms — which is O(files) driver-side CPU. That is the right tier for
+the format's audience (ad-hoc SQL over marts); a 10⁶-file table should
+plan through the library's ``snapshot_where``, whose distributed /
+sidecar-scanning tiers need a real session. Timezone-sensitive
+reasoning (timestamp stat probes, calendar transform dirs) only runs
+when the session is pinned UTC — ``read_manifest_table`` captures that
+from the live session into the ``sessionUtc`` option; bare
+``spark.read.format(...)`` users get the conservative default (those
+prunes skipped, never unsound).
+
+Reference analogue: the reference reads its mart tables through plain
+``SELECT ... WHERE`` over MySQL (kicc_to_tb_sales_prod.py:63-70); this
+source is that consumption shape over the engine's own table format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+
+def _filter_to_spec(f) -> tuple | None:
+    """One pushed v2 Filter as the table's predicate-spec tuple, or
+    None when the filter has no spec form (nested column, unsupported
+    class). Values arrive as Python literals (datetime for temporal
+    types), exactly what ``_stat_probe_encode`` expects."""
+    attr = getattr(f, "attribute", None)
+    if not attr or len(attr) != 1:
+        return None
+    col = attr[0]
+    if isinstance(f, EqualTo):
+        return (col, "=", f.value)
+    if isinstance(f, GreaterThan):
+        return (col, ">", f.value)
+    if isinstance(f, GreaterThanOrEqual):
+        return (col, ">=", f.value)
+    if isinstance(f, LessThan):
+        return (col, "<", f.value)
+    if isinstance(f, LessThanOrEqual):
+        return (col, "<=", f.value)
+    if isinstance(f, In):
+        return (col, "in", list(f.value))
+    if isinstance(f, IsNull):
+        return (col, "is_null")
+    if isinstance(f, IsNotNull):
+        return (col, "not_null")
+    return None
+
+
+class _EntryPartition(InputPartition):
+    def __init__(self, entry: dict):
+        self.entry = entry
+
+
+class _ManifestReader(DataSourceReader):
+    def __init__(
+        self, table_path: str, version: int, fields: StructType, cmap: dict, utc: bool
+    ):
+        self._path = table_path
+        self._version = version
+        self._fields = fields
+        self._cmap = cmap
+        self._utc = utc
+        self._specs: list[tuple] = []
+        self.planned: dict | None = None  # test/debug introspection
+
+    # -- plan-worker side -------------------------------------------------
+
+    def pushFilters(self, filters):
+        for f in filters:
+            spec = _filter_to_spec(f)
+            if spec is not None:
+                self._specs.append(spec)
+            # EVERY filter stays residual: pruning is file-granular,
+            # Spark must still evaluate the predicate on surviving rows
+            yield f
+
+    def partitions(self):
+        from etl_job_spark.table import ManifestTable, _fully_dead
+
+        t = ManifestTable(self._path)
+        man = t._read_manifest(self._version)
+        entries = [e for e in man["files"] if not _fully_dead(e)]
+        total = len(entries)
+        if self._specs:
+            entries, _residual = t._prune_by_key_stats(
+                entries,
+                list(self._specs),
+                self._fields,
+                partition_by=man.get("partition_by"),
+                utc=self._utc,
+                column_map=man.get("column_map") or {},
+            )
+        self.planned = {"candidates": total, "kept": len(entries), "specs": len(self._specs)}
+        if not entries:
+            # an empty-entry sentinel partition yields nothing in read()
+            return [_EntryPartition({})]
+        return [_EntryPartition(e) for e in entries]
+
+    def __getstate__(self):
+        # executors need only path/fields/cmap; planning state stays home
+        s = dict(self.__dict__)
+        s["planned"] = None
+        return s
+
+    # -- executor side ----------------------------------------------------
+
+    def read(self, partition: _EntryPartition):
+        if not partition.entry:
+            return
+        from etl_job_spark.table import entry_arrow_table
+
+        tbl = entry_arrow_table(self._path, partition.entry, self._fields, self._cmap)
+        if tbl.num_rows == 0:
+            return
+        yield from tbl.combine_chunks().to_batches()
+
+
+class ManifestTableDataSource(DataSource):
+    """``spark.read.format("manifest_table").option("path", p)`` —
+    options: ``path`` (required) and at most one of ``versionAsOf`` /
+    ``timestampAsOf`` (ISO-8601; Delta's TIMESTAMP AS OF shape)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_table"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("manifest_table source requires option 'path'")
+        return path
+
+    def _version(self, t) -> int:
+        v = self.options.get("versionasof")
+        ts = self.options.get("timestampasof")
+        if v is not None and ts is not None:
+            raise ValueError(
+                "manifest_table: pass at most one of versionAsOf / timestampAsOf"
+            )
+        if v is not None:
+            return int(v)
+        if ts is not None:
+            return t.version_as_of(ts)
+        latest = t.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self._path()}")
+        return latest
+
+    def schema(self) -> StructType:
+        from etl_job_spark.table import ManifestTable
+
+        t = ManifestTable(self._path())
+        raw = t._read_raw_manifest(self._version(t))
+        base = t._manifest_schema(raw)
+        if base is None:
+            raise ValueError(
+                "manifest_table needs a schema-carrying manifest "
+                "(pre-evolution table: overwrite it first)"
+            )
+        return base
+
+    def reader(self, schema: StructType) -> _ManifestReader:
+        from etl_job_spark.table import ManifestTable
+
+        t = ManifestTable(self._path())
+        version = self._version(t)
+        cmap = dict(t._read_raw_manifest(version).get("column_map") or {})
+        utc = str(self.options.get("sessionutc", "")).lower() == "true"
+        return _ManifestReader(self._path(), version, schema, cmap, utc)
+
+
+def read_manifest_table(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    timestamp: str | None = None,
+) -> DataFrame:
+    """Open a ManifestTable through the batch data source (registers
+    the format, idempotent). Filters applied to the returned DataFrame
+    — or the WHERE clause of SQL over a view of it — push down into
+    manifest-level file skipping automatically."""
+    spark.dataSource.register(ManifestTableDataSource)
+    # the Python DS pushdown API ships disabled by default; the source
+    # asserts at plan time without it. Runtime SQL conf — safe to set
+    # on a bare session (the driver-contract invariant: confs the
+    # engine needs are set inside the operators, not only session.py)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    reader = (
+        spark.read.format("manifest_table")
+        .option("path", table_path)
+        # timezone-sensitive pruning is sound only under a UTC session;
+        # captured HERE (the plan worker has no session to ask)
+        .option(
+            "sessionUtc",
+            str(spark.conf.get("spark.sql.session.timeZone") == "UTC").lower(),
+        )
+    )
+    if version is not None:
+        reader = reader.option("versionAsOf", str(version))
+    if timestamp is not None:
+        reader = reader.option("timestampAsOf", timestamp)
+    return reader.load()

@@ -43,9 +43,6 @@ contract of a streaming source).
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
@@ -75,21 +72,11 @@ class _ChangePartition(InputPartition):
 
 
 def _dv_positions(table_path: str, entry: dict) -> set:
-    """All deletion-vector positions of ``entry`` — inline list plus
-    sidecar parquet rows for this file's path (predicate-pushed read;
-    sidecars are shared across files of one commit)."""
-    pos = {int(i) for i in (entry.get("dv") or [])}
-    if entry.get("dv_ref"):
-        import pyarrow.parquet as pq
+    """See ``table.entry_dv_positions`` (shared with the batch
+    ``manifest_table`` source)."""
+    from etl_job_spark.table import entry_dv_positions
 
-        for ref in entry["dv_ref"]:
-            t = pq.read_table(
-                os.path.join(table_path, ref),
-                columns=["pos"],
-                filters=[("path", "=", entry["path"])],
-            )
-            pos.update(int(i) for i in t.column("pos").to_pylist())
-    return pos
+    return entry_dv_positions(table_path, entry)
 
 
 def _dv_ident(entry: dict) -> tuple:
@@ -221,55 +208,24 @@ class _TableChangesReader(DataSourceStreamReader):
 
     def read(self, partition: _ChangePartition):
         import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from etl_job_spark.table import entry_arrow_table
 
         e = partition.entry
-        full = os.path.join(self._path, "data", e["path"])
-        part_vals = e.get("partition") or {}
-        phys = [self._cmap.get(f.name, f.name) for f in self._fields.fields]
-        pf = pq.ParquetFile(full)
-        file_cols = set(pf.schema_arrow.names)
-        want = [c for c in phys if c in file_cols]
-        tbl = pq.read_table(full, columns=want)
-        n = tbl.num_rows
         if partition.old_entry is not None:
             # DV growth: emit exactly the newly-dead positions
-            idx = sorted(
+            positions = sorted(
                 _dv_positions(self._path, e)
                 - _dv_positions(self._path, partition.old_entry)
             )
-        elif dead := _dv_positions(self._path, e):
-            # live positions = all minus dead, vectorized (a 1M-row
-            # file must not pay a per-position Python loop)
-            import numpy as np
-
-            mask = np.ones(n, dtype=bool)
-            mask[np.fromiter(dead, dtype=np.int64)] = False
-            idx = np.flatnonzero(mask)
         else:
-            idx = None
-        if idx is not None:
-            tbl = tbl.take(pa.array(idx, type=pa.int64()))
+            positions = None
+        tbl = entry_arrow_table(self._path, e, self._fields, self._cmap, positions)
         m = tbl.num_rows
         if m == 0:
             return
-        target = to_arrow_schema(self._fields)
-        cols, names = [], []
-        for f, ph, tf in zip(self._fields.fields, phys, target):
-            if ph in tbl.column_names:
-                col = tbl.column(ph).combine_chunks().cast(tf.type)
-            elif ph in part_vals:
-                v = part_vals[ph]
-                col = (
-                    pa.nulls(m, tf.type)
-                    if v is None
-                    else pa.array([str(v)] * m, type=pa.string()).cast(tf.type)
-                )
-            else:
-                col = pa.nulls(m, tf.type)
-            cols.append(col)
-            names.append(f.name)
+        cols = list(tbl.columns)
+        names = list(tbl.column_names)
         cols.append(pa.array([partition.change] * m, type=pa.string()))
         names.append(CHANGE_COL)
         cols.append(pa.array([partition.version] * m, type=pa.int64()))

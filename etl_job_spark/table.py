@@ -951,6 +951,87 @@ def _fully_dead(entry: dict) -> bool:
     return bool(rows) and _dv_count(entry) >= rows
 
 
+def entry_dv_positions(table_path: str, entry: dict) -> set:
+    """All deletion-vector positions of ``entry`` — inline list plus
+    sidecar parquet rows for this file's path (predicate-pushed read;
+    sidecars are shared across the files of one commit). Executor-safe:
+    pure pyarrow, no SparkSession."""
+    pos = {int(i) for i in (entry.get("dv") or [])}
+    if entry.get("dv_ref"):
+        import pyarrow.parquet as pq
+
+        for ref in entry["dv_ref"]:
+            t = pq.read_table(
+                os.path.join(table_path, ref),
+                columns=["pos"],
+                filters=[("path", "=", entry["path"])],
+            )
+            pos.update(int(i) for i in t.column("pos").to_pylist())
+    return pos
+
+
+def entry_arrow_table(
+    table_path: str,
+    entry: dict,
+    fields: "StructType",
+    cmap: dict | None,
+    positions=None,
+    drop_dead: bool = True,
+):
+    """One manifest entry's LIVE rows as a pyarrow Table aligned to the
+    logical ``fields`` — the executor-side read both Python Data
+    Sources share (the CDF stream and the batch ``manifest_table``
+    format): column-projected parquet read by PHYSICAL name, deletion
+    vector applied as a vectorized mask (or an explicit ``positions``
+    take — the CDF DV-growth case), partition values reconstructed from
+    the entry, renamed columns resolved through ``cmap``, columns added
+    after the file was written filled with NULL. Pure pyarrow — no
+    SparkSession, safe inside ``DataSourceReader.read``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    cmap = cmap or {}
+    full = os.path.join(table_path, "data", entry["path"])
+    part_vals = entry.get("partition") or {}
+    phys = [cmap.get(f.name, f.name) for f in fields.fields]
+    pf = pq.ParquetFile(full)
+    file_cols = set(pf.schema_arrow.names)
+    want = [c for c in phys if c in file_cols]
+    tbl = pq.read_table(full, columns=want)
+    n = tbl.num_rows
+    if positions is not None:
+        idx = sorted(positions)
+    elif drop_dead and (dead := entry_dv_positions(table_path, entry)):
+        import numpy as np
+
+        mask = np.ones(n, dtype=bool)
+        mask[np.fromiter(dead, dtype=np.int64)] = False
+        idx = np.flatnonzero(mask)
+    else:
+        idx = None
+    if idx is not None:
+        tbl = tbl.take(pa.array(idx, type=pa.int64()))
+    m = tbl.num_rows
+    target = to_arrow_schema(fields)
+    cols, names = [], []
+    for f, ph, tf in zip(fields.fields, phys, target):
+        if ph in tbl.column_names:
+            col = tbl.column(ph).combine_chunks().cast(tf.type)
+        elif ph in part_vals:
+            v = part_vals[ph]
+            col = (
+                pa.nulls(m, tf.type)
+                if v is None
+                else pa.array([str(v)] * m, type=pa.string()).cast(tf.type)
+            )
+        else:
+            col = pa.nulls(m, tf.type)
+        cols.append(col)
+        names.append(f.name)
+    return pa.table(dict(zip(names, cols)))
+
+
 # -- per-file bloom filters (point-lookup skipping) -------------------
 #
 # Values canonicalize through str() on both the build side (pyarrow

@@ -21,6 +21,8 @@ def test_contract_shape():
         "sketch_cardinalities",
         "embed_ivf_topk",
         "embed_ivf_search",
+        "embed_pq_search",  # k-means codebooks; tests/test_pq.py pins recall
+        "embed_ivfpq_search",  # composed tiers; tests/test_ivfpq.py
     }
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in orc.values())

@@ -1,0 +1,113 @@
+"""Batch `manifest_table` Python Data Source
+(sources.manifest_source.read_manifest_table): plain spark.read / SQL
+over a ManifestTable with filter-pushdown file skipping. Pins: snapshot
+equality, DV exactness, rename resolution, time travel options, the
+pushdown prune (task count = surviving files), and option contracts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_job_spark.sources.manifest_source import read_manifest_table
+from etl_job_spark.table import ManifestTable
+
+
+def _mk_table(spark, path, n=1000):
+    t = ManifestTable(path)
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("g"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    )
+    # range-clustered on k so stats pruning has narrow per-file ranges
+    t.overwrite(df.repartitionByRange(8, "k").sortWithinPartitions("k"))
+    return t
+
+
+def test_round_trip_equals_snapshot(spark, tmp_path):
+    t = _mk_table(spark, str(tmp_path / "t"))
+    via_source = read_manifest_table(spark, t.path)
+    # names + types match (nullability is representational: the source
+    # declares the committed manifest schema, a fresh range() is tighter)
+    assert [(f.name, f.dataType) for f in via_source.schema.fields] == [
+        (f.name, f.dataType) for f in t.snapshot(spark).schema.fields
+    ]
+    a = sorted(map(tuple, via_source.collect()))
+    b = sorted(map(tuple, t.snapshot(spark).collect()))
+    assert a == b
+
+
+def test_pushdown_prunes_files_and_stays_exact(spark, tmp_path):
+    t = _mk_table(spark, str(tmp_path / "t"))
+    n_files = len(t._read_manifest(t.latest_version())["files"])
+    assert n_files >= 8
+    df = read_manifest_table(spark, t.path).filter("k between 100 and 120")
+    # task count == surviving manifest entries: the pushed range must
+    # plan fewer partitions than the table has files
+    assert df.rdd.getNumPartitions() < n_files
+    assert sorted(r.k for r in df.collect()) == list(range(100, 121))
+    # a filter matching nothing plans the 1-partition empty sentinel
+    none = read_manifest_table(spark, t.path).filter(F.col("k") < F.lit(-5))
+    assert none.rdd.getNumPartitions() == 1
+    assert none.count() == 0
+
+
+def test_partition_dir_pruning(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "p"))
+    df = spark.range(0, 700).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    )
+    t.overwrite(df.repartition("g"), partition_by=["g"])
+    n_files = len(t._read_manifest(t.latest_version())["files"])
+    out = read_manifest_table(spark, t.path).filter("g = 3")
+    assert out.rdd.getNumPartitions() < n_files
+    got = sorted(r.k for r in out.collect())
+    assert got == sorted(range(3, 700, 7))
+
+
+def test_deletion_vectors_apply(spark, tmp_path):
+    t = _mk_table(spark, str(tmp_path / "t"), n=200)
+    t.delete_where(spark, F.col("k").between(50, 99), mode="merge_on_read")
+    got = sorted(r.k for r in read_manifest_table(spark, t.path).collect())
+    assert got == list(range(0, 50)) + list(range(100, 200))
+
+
+def test_rename_and_time_travel(spark, tmp_path):
+    t = _mk_table(spark, str(tmp_path / "t"), n=100)
+    v1 = t.latest_version()
+    t.rename_column("k", "key")
+    cur = read_manifest_table(spark, t.path)
+    assert "key" in cur.columns and "k" not in cur.columns
+    assert sorted(r.key for r in cur.collect()) == list(range(100))
+    # version time travel reads the OLD name
+    old = read_manifest_table(spark, t.path, version=v1)
+    assert "k" in old.columns
+    # pruning still fires on the renamed column (physical stats keys)
+    n_files = len(t._read_manifest(t.latest_version())["files"])
+    pruned = read_manifest_table(spark, t.path).filter("key between 10 and 15")
+    assert pruned.rdd.getNumPartitions() < n_files
+    assert sorted(r.key for r in pruned.collect()) == list(range(10, 16))
+
+
+def test_option_contracts(spark, tmp_path):
+    t = _mk_table(spark, str(tmp_path / "t"), n=10)
+    with pytest.raises(Exception, match="at most one"):
+        (
+            spark.read.format("manifest_table")
+            .option("path", t.path)
+            .option("versionAsOf", "1")
+            .option("timestampAsOf", "2026-01-01T00:00:00")
+            .load()
+            .count()
+        )
+    with pytest.raises(Exception, match="requires option 'path'"):
+        spark.read.format("manifest_table").load().count()
+
+
+def test_sql_view_over_source(spark, tmp_path):
+    t = _mk_table(spark, str(tmp_path / "t"), n=100)
+    read_manifest_table(spark, t.path).createOrReplaceTempView("msrc_v")
+    row = spark.sql("SELECT count(*) c, sum(k) sk FROM msrc_v WHERE k < 50").first()
+    assert (row.c, row.sk) == (50, sum(range(50)))
