@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -50,6 +51,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -204,6 +206,150 @@ class ManifestTableDataSource(DataSource):
         utc = str(self.options.get("sessionutc", "")).lower() == "true"
         return _ManifestReader(self._path(), version, schema, cmap, utc)
 
+    def writer(self, schema: StructType, overwrite: bool) -> _ManifestWriter:
+        return _ManifestWriter(self._path(), schema, overwrite)
+
+
+class _FileMessage(WriterCommitMessage):
+    def __init__(self, rel: str | None):
+        self.rel = rel  # None: this task saw zero rows
+
+
+class _ManifestWriter(DataSourceArrowWriter):
+    """``df.write.format("manifest_table")`` — the write half of the
+    SQL-user surface, bounded to the shapes it can commit with the
+    library's full guarantees:
+
+    - ``mode("append")``: table must be unpartitioned, un-bloomed,
+      unconstrained, and un-renamed, and the written schema must match
+      the committed schema exactly (names + types) — anything richer
+      (schema evolution, hidden partitioning, constraints) goes
+      through ``ManifestTable.append``, which owns those rules. The
+      refusal is loud and names the API to use.
+    - ``mode("overwrite")``: full replacement snapshot (unpartitioned
+      layout, like ``overwrite(partition_by=None)``).
+
+    Mechanics: each task streams its RecordBatches into ONE immutable
+    parquet file under ``data/<commit-uuid>/`` (pyarrow writes
+    TIMESTAMP_MICROS natively, so footer stats stay prune-readable);
+    ``commit`` builds manifest entries from footers (`_file_stats` —
+    the same stats every other write path records) and publishes
+    through the put-if-absent commit protocol with conflict retries.
+    A failed job's ``abort`` removes the written files, and an
+    unpublished commit dir is invisible to every reader (manifests
+    reference files explicitly)."""
+
+    def __init__(self, table_path: str, schema: StructType, overwrite: bool):
+        import uuid
+
+        self._path = table_path
+        self._schema = schema
+        self._overwrite = overwrite
+        self._sub = uuid.uuid4().hex  # one commit dir for all tasks
+
+    # -- executor side --------------------------------------------------
+
+    def write(self, iterator) -> _FileMessage:
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        out_dir = os.path.join(self._path, "data", self._sub)
+        rel = os.path.join(self._sub, f"ds-{uuid.uuid4().hex}.parquet")
+        full = os.path.join(self._path, "data", rel)
+        writer = None
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                if writer is None:
+                    os.makedirs(out_dir, exist_ok=True)
+                    writer = pq.ParquetWriter(full, batch.schema)
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        return _FileMessage(rel if writer is not None else None)
+
+    # -- driver side ------------------------------------------------------
+
+    def commit(self, messages) -> None:
+        import os
+
+        from etl_job_spark.table import ManifestTable, _file_stats
+
+        t = ManifestTable(self._path)
+        new_entries = []
+        for m in messages:
+            if m is None or m.rel is None:
+                continue
+            rows, stats = _file_stats(os.path.join(self._path, "data", m.rel))
+            if rows == 0:
+                os.remove(os.path.join(self._path, "data", m.rel))
+                continue
+            new_entries.append(
+                {"path": m.rel, "partition": {}, "rows": rows, "stats": stats}
+            )
+        new_entries.sort(key=lambda e: e["path"])
+
+        def attempt() -> int:
+            base = t.latest_version()
+            if self._overwrite:
+                return t._commit(
+                    new_entries, self._schema, None, base,
+                    {"op": "overwrite", "via": "manifest_table datasource"},
+                    dropped_cols=[], column_map={},
+                )
+            if base is None:
+                return t._commit(
+                    new_entries, self._schema, None, None,
+                    {"op": "append", "via": "manifest_table datasource"},
+                )
+            man = t._read_manifest(base)
+            for prop in ("partition_by", "bloom_cols", "constraints", "column_map"):
+                if man.get(prop):
+                    raise ValueError(
+                        f"manifest_table datasource append: table has {prop}; "
+                        "append through ManifestTable.append, which owns "
+                        "that commit shape"
+                    )
+            committed = t._manifest_schema(man)
+            if committed is None:
+                raise ValueError(
+                    "manifest_table datasource append needs a schema-carrying "
+                    "manifest; overwrite the table first"
+                )
+            got = [(f.name, f.dataType) for f in self._schema.fields]
+            want = [(f.name, f.dataType) for f in committed.fields]
+            if got != want:
+                raise ValueError(
+                    "manifest_table datasource append: written schema "
+                    f"{got} != committed {want}; schema evolution goes "
+                    "through ManifestTable.append"
+                )
+            return t._commit(
+                man["files"] + new_entries, committed, None, base,
+                {"op": "append", "via": "manifest_table datasource"},
+            )
+
+        t._with_commit_retries(attempt)
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        for m in messages:
+            if m is not None and m.rel is not None:
+                try:
+                    os.remove(os.path.join(self._path, "data", m.rel))
+                except OSError:
+                    pass
+        try:
+            shutil.rmtree(os.path.join(self._path, "data", self._sub))
+        except OSError:
+            pass
+
 
 def read_manifest_table(
     spark: SparkSession,
@@ -236,3 +382,12 @@ def read_manifest_table(
     if timestamp is not None:
         reader = reader.option("timestampAsOf", timestamp)
     return reader.load()
+
+
+def write_manifest_table(df: DataFrame, table_path: str, mode: str = "append") -> None:
+    """Write ``df`` into a ManifestTable through the batch data source
+    (registers the format, idempotent). ``mode``: "append" (bounded to
+    plain tables — see ``_ManifestWriter``) or "overwrite"."""
+    spark = df.sparkSession
+    spark.dataSource.register(ManifestTableDataSource)
+    df.write.format("manifest_table").option("path", table_path).mode(mode).save()

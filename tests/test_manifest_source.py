@@ -106,6 +106,69 @@ def test_option_contracts(spark, tmp_path):
         spark.read.format("manifest_table").load().count()
 
 
+def test_writer_append_overwrite_round_trip(spark, tmp_path):
+    from etl_job_spark.sources.manifest_source import write_manifest_table
+
+    d = str(tmp_path / "w")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("s")
+    )
+    write_manifest_table(df, d, mode="append")  # first commit
+    t = ManifestTable(d)
+    assert t.latest_version() == 1
+    assert t.snapshot(spark).count() == 100
+    # second append lands base files + new files, no rewrite
+    write_manifest_table(
+        spark.range(100, 150).select(F.col("id").alias("k"), F.lit("x").alias("s")),
+        d,
+        mode="append",
+    )
+    assert sorted(r.k for r in t.snapshot(spark).collect()) == list(range(150))
+    # interop: the library API appends to the same table
+    t.append(
+        spark.range(150, 160).select(F.col("id").alias("k"), F.lit("y").alias("s"))
+    )
+    assert t.row_count() == 160
+    # overwrite replaces
+    write_manifest_table(df.limit(10), d, mode="overwrite")
+    assert t.snapshot(spark).count() == 10
+    # footer stats recorded -> the DS read back prunes on them
+    pruned = read_manifest_table(spark, d).filter("k between 2 and 3")
+    assert sorted(r.k for r in pruned.collect()) == [2, 3]
+
+
+def test_writer_refusals(spark, tmp_path):
+    from etl_job_spark.sources.manifest_source import write_manifest_table
+
+    # schema mismatch on append is refused, table unchanged
+    d = str(tmp_path / "r1")
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    write_manifest_table(df, d, mode="append")
+    t = ManifestTable(d)
+    v = t.latest_version()
+    with pytest.raises(Exception, match="schema"):
+        write_manifest_table(
+            spark.range(5).select(F.col("id").alias("wrong")), d, mode="append"
+        )
+    assert t.latest_version() == v  # aborted write published nothing
+    assert t.snapshot(spark).count() == 10
+    # partitioned tables refuse DS append (library API owns that shape)
+    d2 = str(tmp_path / "r2")
+    t2 = ManifestTable(d2)
+    t2.overwrite(
+        spark.range(0, 20).select(F.col("id").alias("k"), (F.col("id") % 2).alias("g")),
+        partition_by=["g"],
+    )
+    with pytest.raises(Exception, match="partition_by"):
+        write_manifest_table(
+            spark.range(20, 30).select(
+                F.col("id").alias("k"), (F.col("id") % 2).alias("g")
+            ),
+            d2,
+            mode="append",
+        )
+
+
 def test_sql_view_over_source(spark, tmp_path):
     t = _mk_table(spark, str(tmp_path / "t"), n=100)
     read_manifest_table(spark, t.path).createOrReplaceTempView("msrc_v")
