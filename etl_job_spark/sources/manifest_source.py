@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -209,6 +210,20 @@ class ManifestTableDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> _ManifestWriter:
         return _ManifestWriter(self._path(), schema, overwrite)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "manifest_table stream sink is append-only "
+                "(outputMode('append'))"
+            )
+        app = self.options.get("txnappid")
+        if not app:
+            raise ValueError(
+                "manifest_table stream sink requires option 'txnAppId' — "
+                "the exactly-once ledger key must survive restarts"
+            )
+        return _ManifestStreamWriter(self._path(), schema, app)
+
 
 class _FileMessage(WriterCommitMessage):
     def __init__(self, rel: str | None):
@@ -275,23 +290,10 @@ class _ManifestWriter(DataSourceArrowWriter):
     # -- driver side ------------------------------------------------------
 
     def commit(self, messages) -> None:
-        import os
-
-        from etl_job_spark.table import ManifestTable, _file_stats
+        from etl_job_spark.table import ManifestTable
 
         t = ManifestTable(self._path)
-        new_entries = []
-        for m in messages:
-            if m is None or m.rel is None:
-                continue
-            rows, stats = _file_stats(os.path.join(self._path, "data", m.rel))
-            if rows == 0:
-                os.remove(os.path.join(self._path, "data", m.rel))
-                continue
-            new_entries.append(
-                {"path": m.rel, "partition": {}, "rows": rows, "stats": stats}
-            )
-        new_entries.sort(key=lambda e: e["path"])
+        new_entries = _entries_from_messages(self._path, messages)
 
         def attempt() -> int:
             base = t.latest_version()
@@ -307,27 +309,7 @@ class _ManifestWriter(DataSourceArrowWriter):
                     {"op": "append", "via": "manifest_table datasource"},
                 )
             man = t._read_manifest(base)
-            for prop in ("partition_by", "bloom_cols", "constraints", "column_map"):
-                if man.get(prop):
-                    raise ValueError(
-                        f"manifest_table datasource append: table has {prop}; "
-                        "append through ManifestTable.append, which owns "
-                        "that commit shape"
-                    )
-            committed = t._manifest_schema(man)
-            if committed is None:
-                raise ValueError(
-                    "manifest_table datasource append needs a schema-carrying "
-                    "manifest; overwrite the table first"
-                )
-            got = [(f.name, f.dataType) for f in self._schema.fields]
-            want = [(f.name, f.dataType) for f in committed.fields]
-            if got != want:
-                raise ValueError(
-                    "manifest_table datasource append: written schema "
-                    f"{got} != committed {want}; schema evolution goes "
-                    "through ManifestTable.append"
-                )
+            committed = _check_plain_append(t, man, self._schema)
             return t._commit(
                 man["files"] + new_entries, committed, None, base,
                 {"op": "append", "via": "manifest_table datasource"},
@@ -349,6 +331,128 @@ class _ManifestWriter(DataSourceArrowWriter):
             shutil.rmtree(os.path.join(self._path, "data", self._sub))
         except OSError:
             pass
+
+
+def _entries_from_messages(table_path: str, messages) -> list[dict]:
+    """Manifest entries for the files a write job's tasks landed —
+    footer stats via ``_file_stats`` (the same stats every other write
+    path records), zero-row files removed."""
+    import os
+
+    from etl_job_spark.table import _file_stats
+
+    entries = []
+    for m in messages:
+        if m is None or m.rel is None:
+            continue
+        full = os.path.join(table_path, "data", m.rel)
+        rows, stats = _file_stats(full)
+        if rows == 0:
+            os.remove(full)
+            continue
+        entries.append({"path": m.rel, "partition": {}, "rows": rows, "stats": stats})
+    entries.sort(key=lambda e: e["path"])
+    return entries
+
+
+def _check_plain_append(t, man, schema: StructType) -> StructType:
+    """The bounded-append contract both data source writers share:
+    plain table (no partitions/blooms/constraints/renames) and an
+    exactly-matching schema; returns the committed schema."""
+    for prop in ("partition_by", "bloom_cols", "constraints", "column_map"):
+        if man.get(prop):
+            raise ValueError(
+                f"manifest_table datasource append: table has {prop}; "
+                "append through ManifestTable.append, which owns that "
+                "commit shape"
+            )
+    committed = t._manifest_schema(man)
+    if committed is None:
+        raise ValueError(
+            "manifest_table datasource append needs a schema-carrying "
+            "manifest; overwrite the table first"
+        )
+    got = [(f.name, f.dataType) for f in schema.fields]
+    want = [(f.name, f.dataType) for f in committed.fields]
+    if got != want:
+        raise ValueError(
+            f"manifest_table datasource append: written schema {got} != "
+            f"committed {want}; schema evolution goes through "
+            "ManifestTable.append"
+        )
+    return committed
+
+
+class _ManifestStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("manifest_table")`` — EXACTLY-ONCE
+    streaming appends through the commit protocol's per-app ledger
+    (the Delta txnAppId/txnVersion shape ``ManifestTable.merge`` uses):
+    every micro-batch commit records ``(txnAppId, batchId)`` in the
+    manifest, and a crash-replayed batch — whose id is at or below the
+    table's high-water mark for the app — deletes its re-written files
+    and publishes NOTHING, so rows land exactly once across restarts.
+
+    ``txnAppId`` is a REQUIRED option: the ledger key must survive
+    restarts, and nothing the writer can see (query id changes per
+    restart) does. Append-only (streaming ``outputMode("append")``),
+    same bounded plain-table contract as the batch writer."""
+
+    def __init__(self, table_path: str, schema: StructType, app_id: str):
+        import uuid
+
+        self._path = table_path
+        self._schema = schema
+        self._app = app_id
+        self._sub = uuid.uuid4().hex
+
+    # write(): identical task mechanics to the batch writer
+    write = _ManifestWriter.write
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        from etl_job_spark.table import ManifestTable
+
+        t = ManifestTable(self._path)
+        new_entries = _entries_from_messages(self._path, messages)
+
+        def attempt() -> int:
+            base = t.latest_version()
+            if base is None:
+                return t._commit(
+                    new_entries, self._schema, None, None,
+                    {"op": "append", "via": "manifest_table stream"},
+                    stream_txn=(self._app, batchId),
+                )
+            man = t._read_manifest(base)
+            last = (man.get("stream_txns") or {}).get(self._app)
+            if last is not None and batchId <= int(last):
+                # replayed micro-batch: this run's files are orphans —
+                # remove them, publish nothing (exactly-once)
+                for e in new_entries:
+                    try:
+                        os.remove(os.path.join(self._path, "data", e["path"]))
+                    except OSError:
+                        pass
+                return base
+            committed = _check_plain_append(t, man, self._schema)
+            return t._commit(
+                man["files"] + new_entries, committed, None, base,
+                {"op": "append", "via": "manifest_table stream"},
+                stream_txn=(self._app, batchId),
+            )
+
+        t._with_commit_retries(attempt)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and m.rel is not None:
+                try:
+                    os.remove(os.path.join(self._path, "data", m.rel))
+                except OSError:
+                    pass
 
 
 def read_manifest_table(
@@ -391,3 +495,23 @@ def write_manifest_table(df: DataFrame, table_path: str, mode: str = "append") -
     spark = df.sparkSession
     spark.dataSource.register(ManifestTableDataSource)
     df.write.format("manifest_table").option("path", table_path).mode(mode).save()
+
+
+def stream_write_manifest_table(
+    stream: DataFrame, table_path: str, checkpoint: str, txn_app_id: str
+):
+    """Exactly-once streaming appends into a ManifestTable through the
+    data source stream sink (registers the format, idempotent);
+    returns the ``DataStreamWriter`` ready to ``.start()``. Rows land
+    once across crash/replay: every micro-batch commit carries the
+    ``(txn_app_id, batchId)`` ledger mark — see
+    ``_ManifestStreamWriter``."""
+    spark = stream.sparkSession
+    spark.dataSource.register(ManifestTableDataSource)
+    return (
+        stream.writeStream.format("manifest_table")
+        .option("path", table_path)
+        .option("txnAppId", txn_app_id)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )

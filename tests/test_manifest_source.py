@@ -169,6 +169,84 @@ def test_writer_refusals(spark, tmp_path):
         )
 
 
+def test_stream_writer_exactly_once(spark, tmp_path):
+    from etl_job_spark.sources.manifest_source import (
+        _FileMessage,
+        _ManifestStreamWriter,
+        stream_write_manifest_table,
+    )
+
+    src = str(tmp_path / "src")
+    d = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string").coalesce(
+        1
+    ).write.json(src)
+    spark.createDataFrame([(3, "c")], "k long, s string").coalesce(1).write.mode(
+        "append"
+    ).json(src)
+    stream = (
+        spark.readStream.schema("k long, s string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = stream_write_manifest_table(stream, d, ck, "app1").trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    t = ManifestTable(d)
+    assert sorted(r.k for r in t.snapshot(spark).collect()) == [1, 2, 3]
+    # restart with the SAME checkpoint: already-committed batches must
+    # not re-land; only the new file appends
+    spark.createDataFrame([(4, "d")], "k long, s string").coalesce(1).write.mode(
+        "append"
+    ).json(src)
+    stream2 = (
+        spark.readStream.schema("k long, s string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q2 = stream_write_manifest_table(stream2, d, ck, "app1").trigger(
+        availableNow=True
+    ).start()
+    q2.awaitTermination(120)
+    assert sorted(r.k for r in t.snapshot(spark).collect()) == [1, 2, 3, 4]
+    # ledger recorded in the manifest
+    man = t._read_manifest(t.latest_version())
+    assert "app1" in (man.get("stream_txns") or {})
+
+    # direct replay of an already-applied batch id: files removed,
+    # nothing published (the crash-between-commit-and-checkpoint case)
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    w = _ManifestStreamWriter(d, t.snapshot(spark).schema, "app1")
+    rel = os.path.join(w._sub, "ds-replay.parquet")
+    os.makedirs(os.path.join(d, "data", w._sub), exist_ok=True)
+    pq.write_table(
+        pa.table({"k": pa.array([99], pa.int64()), "s": pa.array(["z"])}),
+        os.path.join(d, "data", rel),
+    )
+    v = t.latest_version()
+    last = int(man["stream_txns"]["app1"])
+    w.commit([_FileMessage(rel)], last)  # replay: at/below high-water
+    assert t.latest_version() == v
+    assert not os.path.exists(os.path.join(d, "data", rel))
+    assert sorted(r.k for r in t.snapshot(spark).collect()) == [1, 2, 3, 4]
+
+    # txnAppId is required
+    with pytest.raises(Exception, match="txnAppId"):
+        (
+            stream.writeStream.format("manifest_table")
+            .option("path", d)
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .start()
+            .awaitTermination(60)
+        )
+
+
 def test_sql_view_over_source(spark, tmp_path):
     t = _mk_table(spark, str(tmp_path / "t"), n=100)
     read_manifest_table(spark, t.path).createOrReplaceTempView("msrc_v")
