@@ -247,6 +247,44 @@ def test_stream_writer_exactly_once(spark, tmp_path):
         )
 
 
+def test_cdf_to_stream_sink_cascade(spark, tmp_path):
+    """The staging→mart continuous cascade entirely through standard
+    Spark APIs: table_changes readStream (CDF) → manifest_table
+    writeStream (exactly-once ledger sink). No library calls on the
+    query side — the composition a deployment actually writes."""
+    from etl_job_spark.sources.manifest_source import (
+        read_manifest_table,
+        stream_write_manifest_table,
+    )
+    from etl_job_spark.streaming.cdf import read_table_changes
+
+    staging = ManifestTable(str(tmp_path / "staging"))
+    staging.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    )
+    staging.append(spark.createDataFrame([(3, "c")], "k long, s string"))
+    mart = str(tmp_path / "mart")
+    ck = str(tmp_path / "ck")
+    changes = read_table_changes(spark, staging.path, starting_version=0).filter(
+        "_change = 'insert'"
+    ).select("k", "s")
+    q = stream_write_manifest_table(changes, mart, ck, "cascade").trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    assert sorted(r.k for r in read_manifest_table(spark, mart).collect()) == [1, 2, 3]
+    # more staging commits flow through incrementally on the next run
+    staging.append(spark.createDataFrame([(4, "d")], "k long, s string"))
+    changes2 = read_table_changes(spark, staging.path, starting_version=0).filter(
+        "_change = 'insert'"
+    ).select("k", "s")
+    q2 = stream_write_manifest_table(changes2, mart, ck, "cascade").trigger(
+        availableNow=True
+    ).start()
+    q2.awaitTermination(120)
+    assert sorted(r.k for r in read_manifest_table(spark, mart).collect()) == [1, 2, 3, 4]
+
+
 def test_sql_view_over_source(spark, tmp_path):
     t = _mk_table(spark, str(tmp_path / "t"), n=100)
     read_manifest_table(spark, t.path).createOrReplaceTempView("msrc_v")
