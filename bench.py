@@ -127,6 +127,11 @@ def main() -> None:
     detail = {
         "reps": reps,
         "warmup_seconds": warmup,
+        # full medians live HERE unconditionally: once the registry
+        # outgrows the stdout capture window the truncation guard
+        # drops tail entries from the printed line, and anchors must
+        # still be regenerable from an artifact
+        "queries_median": dict(timings),
         "queries_spread": spread,
         "failures": failures,
         "sf": sf,

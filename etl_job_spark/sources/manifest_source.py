@@ -66,6 +66,16 @@ def _filter_to_spec(f) -> tuple | None:
     if not attr or len(attr) != 1:
         return None
     col = attr[0]
+    # NULL literals never prune: `= NULL` / `IN (..., NULL)` match no
+    # row in SQL, but the stats probes should never see a None value —
+    # leave the whole filter residual instead
+    if isinstance(f, In):
+        if any(v is None for v in f.value):
+            return None
+    elif isinstance(
+        f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+    ) and f.value is None:
+        return None
     if isinstance(f, EqualTo):
         return (col, "=", f.value)
     if isinstance(f, GreaterThan):

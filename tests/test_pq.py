@@ -175,6 +175,47 @@ def test_plans_stay_jvm_side(spark, sf_dir):
         assert "Python" not in plan
 
 
+def test_adc_property_random_corpora(spark):
+    """Hypothesis pin: for random small corpora, the engine's codes and
+    ADC distances equal a pure-Python replay of the SAME codebooks —
+    encode argmin (ties to lower code), table lookup, exact sums."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    # 1/64 grid: x·10⁶ is an exact integer (n·15625), so the replay
+    # never has to reproduce the engine's HALF_UP vs Python's
+    # HALF_EVEN on a .5 boundary
+    vec = st.lists(
+        st.integers(min_value=-128, max_value=128).map(lambda n: n / 64),
+        min_size=8,
+        max_size=8,
+    )
+
+    @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(vec, min_size=6, max_size=12))
+    def check(vecs):
+        rows = [(i, v) for i, v in enumerate(vecs)]
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        books = similarity.pq_train(emb, m=2, ksub=4, n_iters=2)
+        got = {r.vec_id: list(r.codes) for r in similarity.pq_encode(emb, books).collect()}
+        q = {
+            i: [round(float(x) * similarity.EMBED_SCALE) for x in v]
+            for i, v in rows
+        }
+        sub = 4
+        for i, e in q.items():
+            want = []
+            for j in range(2):
+                s = e[j * sub : (j + 1) * sub]
+                dists = [
+                    sum((a - b) ** 2 for a, b in zip(s, c)) for c in books[j]
+                ]
+                want.append(dists.index(min(dists)))  # ties -> lower cid
+            assert got[i] == want, (i, got[i], want)
+
+    check()
+
+
 def test_big_codebook_compiles_via_broadcast_path(spark):
     # k=512 entries × 8 subspaces × 32 dims = 131k ints > the literal
     # threshold — must compile in bounded time through the one-row
