@@ -126,6 +126,11 @@ def main(argv: list[str] | None = None) -> int:
     tb.add_argument("--from", dest="from_v", type=int, default=None, help="for diff")
     tb.add_argument("--to", dest="to_v", type=int, default=None, help="for diff")
     tb.add_argument("--keep-last", type=int, default=2, help="for vacuum")
+    tb.add_argument(
+        "--grace-seconds", type=float, default=3600.0,
+        help="vacuum: never reclaim a never-referenced file younger than this "
+        "(protects in-flight commits); dropped versions reclaim immediately",
+    )
     tb.add_argument("--limit", type=int, default=10)
     tb.add_argument(
         "--cluster-by",
@@ -306,7 +311,7 @@ def main(argv: list[str] | None = None) -> int:
                         {"path": args.path, "version": v, "cluster_by": cluster or [],
                          "zorder": bool(cluster) and args.zorder}))
             elif args.action == "vacuum":
-                n = t.vacuum(keep_last=args.keep_last)
+                n = t.vacuum(keep_last=args.keep_last, grace_seconds=args.grace_seconds)
                 print(json.dumps({"path": args.path, "deleted_files": n}))
             elif args.action == "restore":
                 if args.version is None:

@@ -32,7 +32,13 @@ _DRIVER_WINDOW = [
     "kicc_merge_upsert",
     "kicc_filter_rows",
     "kicc_semi_join",
-    "kicc_anti_join",
+    # round-7 swap: the batch manifest_table Python Data Source (WHERE
+    # pushdown → manifest file skipping → arrow reads, the standard-API
+    # consumption surface) is a NEW component with no driver row;
+    # kicc_anti_join — the J5 family's second slot (semi stays
+    # in-window; anti is the same existence-probe shape negated) —
+    # moves to the tail with its exact oracle intact
+    "kicc_mart_sql_read",
     "kicc_calendar_plan",
     "kicc_scalar_dates",
     "kicc_mart_versioned",  # K3 through ManifestTable (commit protocol)
@@ -112,6 +118,9 @@ _DRIVER_WINDOW = [
 # moved out to make room for kicc_mart_versioned (round-3 verdict #3).
 _TAIL = [
     "sketch_cardinalities",  # rows-only by design (no SQL oracle)
+    # round-7 swap-out (see the window comment at kicc_mart_sql_read):
+    # the J5 anti-join keeps its exact oracle here
+    "kicc_anti_join",
     # round-6 swap: displaced by kicc_mart_window_read (read-path data
     # skipping); the LSH family keeps embed_lsh_topk in-window and this
     # bucketing sub-step keeps its exact oracle in test_oracle_diff.py
@@ -220,11 +229,6 @@ _TAIL = [
     # round-7: IVF-PQ composed serving (partition-pruned lists of
     # residual codes) — rows-only, pinned in tests/test_ivfpq.py
     "embed_ivfpq_search",
-    # round-7: the daily window read through the batch manifest_table
-    # Python Data Source — WHERE-clause filter pushdown into manifest
-    # file skipping (exact oracle = the same window SQL); tail because
-    # kicc_mart_window_read holds the data-skipping window slot
-    "kicc_mart_sql_read",
 ]
 
 

@@ -4368,17 +4368,32 @@ class ManifestTable:
 
     # -- maintenance --------------------------------------------------
 
-    def vacuum(self, keep_last: int = 1) -> int:
+    def vacuum(self, keep_last: int = 1, grace_seconds: float = 3600.0) -> int:
         """Delete data files referenced by no retained manifest and
         drop manifests older than the newest ``keep_last``. Run only
         when no reader still holds a snapshot older than the horizon
         (the same contract as Delta's VACUUM). DV sidecar directories
         referenced by no retained manifest are reclaimed too. Returns
-        data files deleted."""
-        import shutil
+        data files deleted.
 
+        ``grace_seconds`` protects the write protocol's intentional
+        write-before-publish window (the same contract as
+        ``TransactionalCatalog.vacuum`` and the files_ref sidecar
+        reclaim below): every commit shape — library writes, the
+        data source writers, merge's DV sidecars — lands its
+        data/DV/bloom files BEFORE linking the manifest that
+        references them, so an unreferenced file younger than the
+        grace may belong to an in-flight commit and is never touched.
+        Files referenced by a DROPPED manifest are provably dead
+        (they were published, then superseded) and reclaim
+        immediately regardless of age."""
+        import shutil
+        import time as _time
+
+        now = _time.time()
         vs = self.versions()
         keep_vs = vs[-keep_last:] if keep_last > 0 else vs
+        dropped_vs = vs[: -keep_last] if keep_last > 0 else []
         live = set()
         live_refs: set[str] = set()
         live_blooms: set[str] = set()
@@ -4388,12 +4403,30 @@ class ManifestTable:
                 live_refs.update(entry.get("dv_ref") or [])
                 if entry.get("bloom_ref"):
                     live_blooms.add(entry["bloom_ref"])
+        dead = set()
+        dead_refs: set[str] = set()
+        dead_blooms: set[str] = set()
+        for v in dropped_vs:
+            for entry in self._read_manifest(v)["files"]:
+                dead.add(entry["path"])
+                dead_refs.update(entry.get("dv_ref") or [])
+                if entry.get("bloom_ref"):
+                    dead_blooms.add(entry["bloom_ref"])
+
+        def _expired(full: str) -> bool:
+            try:
+                return now - os.path.getmtime(full) >= grace_seconds
+            except OSError:
+                return False  # concurrently removed: nothing to do
+
         deleted = 0
         for root, _dirs, names in os.walk(self.data_dir):
             for name in names:
                 full = os.path.join(root, name)
                 rel = os.path.relpath(full, self.data_dir)
                 if name.endswith(".parquet") and rel not in live:
+                    if rel not in dead and not _expired(full):
+                        continue  # possible in-flight commit
                     os.unlink(full)
                     deleted += 1
         # keep_last <= 0 retains every version's files above — retain
@@ -4418,23 +4451,25 @@ class ManifestTable:
                 for v in self.versions()
                 if (ref := self._read_raw_manifest(v).get("files_ref"))
             }
-            import time as _time
-
-            now = _time.time()
             for name in os.listdir(self.manifest_dir):
                 full = os.path.join(self.manifest_dir, name)
                 if (
                     name.startswith("files-")
                     and name.endswith(".parquet")
                     and name not in live_file_refs
-                    and now - os.path.getmtime(full) >= 3600.0
+                    and _expired(full)
                 ):
                     os.unlink(full)
         dv_root = os.path.join(self.path, _DV_DIR)
         if os.path.isdir(dv_root):
             for name in os.listdir(dv_root):
-                if os.path.join(_DV_DIR, name) not in live_refs:
-                    shutil.rmtree(os.path.join(dv_root, name))
+                ref = os.path.join(_DV_DIR, name)
+                full = os.path.join(dv_root, name)
+                if ref in live_refs:
+                    continue
+                if ref not in dead_refs and not _expired(full):
+                    continue  # possible in-flight merge commit
+                shutil.rmtree(full)
         # bloom sidecars are referenced at file granularity; drop the
         # dead parts, then any commit dir left empty
         bloom_root = os.path.join(self.path, _BLOOM_DIR)
@@ -4442,8 +4477,12 @@ class ManifestTable:
             for root, _dirs, names in os.walk(bloom_root, topdown=False):
                 for name in names:
                     full = os.path.join(root, name)
-                    if os.path.relpath(full, self.path) not in live_blooms:
-                        os.unlink(full)
+                    rel = os.path.relpath(full, self.path)
+                    if rel in live_blooms:
+                        continue
+                    if rel not in dead_blooms and not _expired(full):
+                        continue  # possible in-flight commit
+                    os.unlink(full)
                 if root != bloom_root and not os.listdir(root):
                     os.rmdir(root)
         # prune now-empty data subdirectories

@@ -114,6 +114,39 @@ def test_merge_last_writer_wins_and_unpartitioned(spark, tmp_path):
     assert _data(t.snapshot(spark)) == [("a", "d1", 7.0)]
 
 
+def test_vacuum_grace_protects_inflight_orphans(spark, tmp_path):
+    # a data file NEVER referenced by any manifest may belong to an
+    # in-flight commit (written, not yet published): vacuum must leave
+    # it until the grace expires; a file referenced by a DROPPED
+    # manifest is provably dead and reclaims immediately regardless
+    import time
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(_df(spark, [("a", "d1", 1.0)]))
+    t.overwrite(_df(spark, [("b", "d1", 2.0)]))
+    orphan = os.path.join(t.data_dir, "inflight", "part-x.parquet")
+    os.makedirs(os.path.dirname(orphan))
+    import shutil as _sh
+
+    # copy a RETAINED version's file (survives every vacuum below)
+    src = os.path.join(
+        t.data_dir, t._read_manifest(t.latest_version())["files"][0]["path"]
+    )
+    _sh.copy(src, orphan)
+    t.vacuum(keep_last=1)  # default grace: fresh orphan survives
+    assert os.path.exists(orphan)
+    # ...but v1's (dropped) files are already gone despite being fresh
+    assert t.versions() == [2]
+    # expire the orphan: the next vacuum collects it
+    os.utime(orphan, (time.time() - 7200, time.time() - 7200))
+    assert t.vacuum(keep_last=1) == 1
+    assert not os.path.exists(orphan)
+    # grace_seconds=0 restores the immediate-reclaim behavior
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)  # vacuum pruned the empty dir
+    _sh.copy(src, orphan)
+    assert t.vacuum(keep_last=1, grace_seconds=0.0) == 1
+
+
 def test_append_never_reads_existing_files(spark, tmp_path):
     t = ManifestTable(str(tmp_path / "t"))
     t.overwrite(_df(spark, [("a", "d1", 1.0)]))
