@@ -1075,14 +1075,9 @@ WHERE rn = 1 AND quality >= 0.5 AND n_tokens >= 5
 )
 
 
-@query("corpus_filter_pipeline", FILTER_PIPELINE_SQL)
-def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production composition: quality-score → length floor →
-    exact-dedup (keep lowest doc_id per fingerprint) in ONE plan —
-    one scan of the corpus, one shuffle (the fingerprint window); at
-    100 TB this chaining (instead of three materialized passes) is the
-    difference between one cluster-day and three."""
-    docs = load_table(spark, sf_dir, "documents")
+def _filtered_corpus(docs: DataFrame, min_quality: float) -> DataFrame:
+    """quality-score → length floor → exact-dedup (keep lowest doc_id
+    per fingerprint) in ONE plan: (doc_id, n_tokens, quality)."""
     en = stopword_hits("text", LANG_STOPWORDS["en"])
     nt = n_tokens("text")
     punct = (
@@ -1102,8 +1097,126 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("fp").orderBy("doc_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("quality") >= min_quality)
+            & (F.col("n_tokens") >= 5)
+        )
         .select("doc_id", "n_tokens", "quality")
+    )
+
+
+@query("corpus_filter_pipeline", FILTER_PIPELINE_SQL)
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production composition: quality-score → length floor →
+    exact-dedup (keep lowest doc_id per fingerprint) in ONE plan —
+    one scan of the corpus, one shuffle (the fingerprint window); at
+    100 TB this chaining (instead of three materialized passes) is the
+    difference between one cluster-day and three."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _filtered_corpus(docs, 0.5)
+
+
+# ---------------------------------------------------------------------
+# End-to-end training-set assembly: the whole prep pipeline as ONE
+# oracle-checked query — quality filter + exact dedup, benchmark
+# decontamination, temperature-balanced source mixing
+# ---------------------------------------------------------------------
+
+TRAINING_SET_MIN_QUALITY = 0.35  # 0.5 keeps nothing on the synthetic corpus
+TRAINING_SET_BUDGET = 150
+
+# the oracle COMPOSES the stage oracles: the filter pipeline's CTEs
+# (threshold re-bound), the contamination detector, and the isqrt
+# temperature mix re-scoped to the survivors — one definition per
+# stage, reused, so the composed query can never drift from its parts
+TRAINING_SET_SQL = FILTER_PIPELINE_SQL.replace(
+    "quality >= 0.5", f"quality >= {TRAINING_SET_MIN_QUALITY}"
+).replace(
+    "SELECT doc_id, n_tokens, quality\nFROM canon\n"
+    f"WHERE rn = 1 AND quality >= {TRAINING_SET_MIN_QUALITY} AND n_tokens >= 5",
+    f""", kept AS (
+  SELECT doc_id, n_tokens, quality FROM canon
+  WHERE rn = 1 AND quality >= {TRAINING_SET_MIN_QUALITY} AND n_tokens >= 5
+),
+bench AS (
+  SELECT doc_id AS bench_id, array_to_string(toks[3:10], ' ') AS ngram
+  FROM tok WHERE doc_id % 41 = 0 AND len(toks) >= 12
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([array_to_string(toks[i:i+7], ' ')
+                   for i in generate_series(1, greatest(len(toks) - 7, 0))]) AS shingle
+    FROM tok
+  ) t
+),
+contaminated AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.shingle = b.ngram),
+survivors AS (
+  SELECT k.doc_id, d.source, k.n_tokens, k.quality
+  FROM kept k JOIN documents d USING (doc_id)
+  WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM survivors GROUP BY source),
+w AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM counts),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM w),
+quota AS (
+  SELECT source, least(CAST(({TRAINING_SET_BUDGET} * w) // w_tot AS BIGINT), n) AS quota FROM w, tot
+),
+r AS (
+  SELECT doc_id, source, n_tokens, quality,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM survivors
+)
+SELECT r.doc_id, r.source, r.n_tokens, r.quality
+FROM r JOIN quota q ON q.source = r.source
+WHERE r.rn <= q.quota""",
+)
+
+
+@query("corpus_training_set", TRAINING_SET_SQL)
+def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-set assembly a pretraining run actually
+    executes, as one hash-exact query: quality filter + exact dedup
+    (``_filtered_corpus``) → benchmark decontamination (8-gram overlap
+    vs the planted eval set) → α=1/2 temperature mixing to a token
+    budget of documents (isqrt quotas over the SURVIVORS' per-source
+    counts, so the mix rebalances what the earlier stages kept, not
+    the raw corpus).
+
+    Scale shape: the corpus is scanned once for the filter and once
+    for shingles — but the shingle pass runs on the KEPT documents
+    only (an anti-join can't resurrect a dropped doc, so
+    decontaminating the survivors is result-identical to
+    decontaminating everything and intersecting — the oracle does the
+    latter, pinning that equivalence); the benchmark side broadcasts;
+    the mix is one groupBy + one window on the survivor set. Chained
+    in ONE plan: no intermediate materialization at any stage."""
+    from etl_job_spark.operators.contamination import contamination_hits
+    from etl_job_spark.operators.sampling import temperature_caps
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = _filtered_corpus(docs, TRAINING_SET_MIN_QUALITY)
+    toks = tokens("text")
+    bench = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter((F.col("doc_id") % 41 == 0) & (F.size("toks") >= 12))
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.concat_ws(" ", F.slice("toks", 3, 8)).alias("text"),
+        )
+    )
+    kept_docs = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    hits = contamination_hits(kept_docs, bench, k=8).select("doc_id")
+    survivors = (
+        kept.join(hits, "doc_id", "left_anti")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    return temperature_caps(survivors, TRAINING_SET_BUDGET).select(
+        "doc_id", "source", "n_tokens", "quality"
     )
 
 

@@ -229,6 +229,12 @@ _TAIL = [
     # round-7: IVF-PQ composed serving (partition-pruned lists of
     # residual codes) — rows-only, pinned in tests/test_ivfpq.py
     "embed_ivfpq_search",
+    # round-7: the end-to-end training-set assembly (filter+dedup →
+    # decontaminate → temperature mix) composed as ONE hash-exact
+    # query; tail because each stage's component already holds a
+    # window slot (corpus_filter_pipeline / text_contamination /
+    # corpus_mix_sources)
+    "corpus_training_set",
 ]
 
 
