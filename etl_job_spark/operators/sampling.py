@@ -162,7 +162,8 @@ def dsir_weights(
     ``temperature`` flattens the sample the usual way — T=1 is pure
     importance resampling, T→∞ approaches uniform. It must be a
     positive INTEGER so the tempered score stays exact bigint
-    arithmetic (``div`` floors once per document, ≤1 micro-nat, the
+    arithmetic (``div`` truncates toward zero once per document — the
+    pinned behavior for negative scores too — ≤1 micro-nat, the
     same order-free rounding discipline as the ratios themselves);
     ``score_micro`` is always reported untempered.
 

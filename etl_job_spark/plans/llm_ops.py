@@ -1176,6 +1176,18 @@ FROM r JOIN quota q ON q.source = r.source
 WHERE r.rn <= q.quota""",
 )
 
+# import-time guard: both chained replaces above must have FIRED — if
+# FILTER_PIPELINE_SQL's tail SELECT ever drifts, str.replace silently
+# no-ops and this oracle degrades to the plain filter pipeline (the
+# oracle-diff test would fail, but far from the cause). Fail HERE.
+assert f"quality >= {TRAINING_SET_MIN_QUALITY}" in TRAINING_SET_SQL, (
+    "TRAINING_SET_SQL: quality-threshold rebind did not fire"
+)
+assert ", kept AS (" in TRAINING_SET_SQL and "quota" in TRAINING_SET_SQL, (
+    "TRAINING_SET_SQL: tail-SELECT replace did not fire — "
+    "FILTER_PIPELINE_SQL's closing SELECT drifted"
+)
+
 
 @query("corpus_training_set", TRAINING_SET_SQL)
 def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -180,6 +180,20 @@ class ManifestTableDataSource(DataSource):
         return path
 
     def _version(self, t) -> int:
+        # resolved ONCE per DataSource instance: schema() and reader()
+        # are separate plan-time calls, and a concurrent commit landing
+        # between them would otherwise pair version-N's logical schema
+        # with version-N+1's entries and column_map — misaligned reads
+        # across a rename or schema evolution. The cache pins both
+        # calls to one snapshot.
+        cached = getattr(self, "_pinned_version", None)
+        if cached is not None:
+            return cached
+        v = self._resolve_version(t)
+        self._pinned_version = v
+        return v
+
+    def _resolve_version(self, t) -> int:
         v = self.options.get("versionasof")
         ts = self.options.get("timestampasof")
         if v is not None and ts is not None:
@@ -308,6 +322,22 @@ class _ManifestWriter(DataSourceArrowWriter):
         def attempt() -> int:
             base = t.latest_version()
             if self._overwrite:
+                if base is not None:
+                    # _commit inherits constraints/bloom_cols from the
+                    # base when not overridden — but these rows were
+                    # never validated and these files have no bloom
+                    # sidecars, so publishing under either property
+                    # would advertise a guarantee the snapshot doesn't
+                    # hold. Refuse loudly, like the append contract.
+                    man = t._read_manifest(base)
+                    for prop in ("constraints", "bloom_cols"):
+                        if man.get(prop):
+                            raise ValueError(
+                                f"manifest_table datasource overwrite: table "
+                                f"has {prop}; overwrite through "
+                                "ManifestTable.overwrite, which validates "
+                                "constraints and rebuilds bloom sidecars"
+                            )
                 return t._commit(
                     new_entries, self._schema, None, base,
                     {"op": "overwrite", "via": "manifest_table datasource"},

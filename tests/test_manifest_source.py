@@ -169,6 +169,63 @@ def test_writer_refusals(spark, tmp_path):
         )
 
 
+def test_writer_overwrite_refuses_constrained_and_bloomed(spark, tmp_path):
+    """DS overwrite must not publish unvalidated rows under a manifest
+    that still advertises CHECK constraints, nor bloom-less files under
+    an advertised bloom_cols property — _commit inherits both from the
+    base, so the writer refuses loudly (r7 advice, medium)."""
+    from etl_job_spark.sources.manifest_source import write_manifest_table
+
+    # constrained table: overwrite refused, table unchanged
+    d = str(tmp_path / "c")
+    t = ManifestTable(d)
+    t.overwrite(spark.range(0, 10).select(F.col("id").alias("k")))
+    t.alter_constraints(spark, add={"k_nonneg": "k >= 0"})
+    v = t.latest_version()
+    with pytest.raises(Exception, match="constraints"):
+        write_manifest_table(
+            spark.range(0, 5).select((F.col("id") - 100).alias("k")),
+            d,
+            mode="overwrite",
+        )
+    assert t.latest_version() == v
+    assert t.snapshot(spark).count() == 10
+
+    # bloomed table: overwrite refused (new files would have no sidecars)
+    d2 = str(tmp_path / "b")
+    t2 = ManifestTable(d2)
+    t2.overwrite(
+        spark.range(0, 10).select(F.col("id").alias("k")), bloom_cols=["k"]
+    )
+    v2 = t2.latest_version()
+    with pytest.raises(Exception, match="bloom_cols"):
+        write_manifest_table(
+            spark.range(0, 5).select(F.col("id").alias("k")), d2, mode="overwrite"
+        )
+    assert t2.latest_version() == v2
+
+
+def test_datasource_pins_one_version_across_plan_calls(spark, tmp_path):
+    """schema() and reader() resolve the snapshot version ONCE per
+    DataSource instance — a commit landing between the two plan-time
+    calls must not pair version-N schema with version-N+1 entries
+    (r7 advice, low)."""
+    from etl_job_spark.sources.manifest_source import ManifestTableDataSource
+
+    t = _mk_table(spark, str(tmp_path / "pin"), n=50)
+    ds = ManifestTableDataSource(options={"path": t.path})
+    v_before = ds._version(t)
+    # concurrent commit lands between the two plan-time resolutions
+    t.append(spark.range(1000, 1010).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    ))
+    assert t.latest_version() == v_before + 1
+    assert ds._version(t) == v_before  # pinned, not re-resolved
+    # a FRESH instance sees the new snapshot
+    assert ManifestTableDataSource(options={"path": t.path})._version(t) == v_before + 1
+
+
 def test_stream_writer_exactly_once(spark, tmp_path):
     from etl_job_spark.sources.manifest_source import (
         _FileMessage,
