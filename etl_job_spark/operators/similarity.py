@@ -718,6 +718,50 @@ def _pq_codes_expr(sub: int) -> str:
     )
 
 
+_BYTE_LUT = "X'" + "".join(f"{i:02X}" for i in range(256)) + "'"
+
+
+def _pack_codes_expr() -> str:
+    """m uint8 codes → ONE m-byte binary value — the production index
+    layout (FAISS stores exactly this): parquet keeps one BYTE_ARRAY
+    per vector instead of an int-array's per-element overhead, and a
+    1B-vector index at m=64 is 64 GB of codes instead of ~10× that.
+    Pure SQL (byte-table substring folded over the codes), JVM-side."""
+    return (
+        "aggregate(codes, X'', (acc, c) -> "
+        f"concat(acc, substring({_BYTE_LUT}, c + 1, 1)))"
+    )
+
+
+def _unpack_codes_expr(m: int) -> str:
+    """The inverse projection: byte j of ``packed`` → int code — so
+    every scorer keeps consuming ``codes array<int>`` unchanged."""
+    return (
+        f"transform(sequence(1, {m}), j -> "
+        "cast(conv(hex(substring(packed, j, 1)), 16, 10) as int))"
+    )
+
+
+def _packed_codes(df: DataFrame, books: list[list[list[int]]]) -> DataFrame:
+    """codes → packed for the persisted layout, when every code fits a
+    byte (ksub ≤ 256 — the standard PQ regime); larger codebooks keep
+    the int-array column and readers pass them through."""
+    if len(books[0]) > 256:
+        return df
+    return df.withColumn("packed", F.expr(_pack_codes_expr())).drop("codes")
+
+
+def _unpacked_codes(df: DataFrame, books: list[list[list[int]]]) -> DataFrame:
+    """Normalize a persisted codes scan back to ``codes array<int>``
+    (handles both the packed-binary layout and the legacy int-array
+    one, so old indexes keep serving)."""
+    if "packed" in df.columns:
+        return df.withColumn("codes", F.expr(_unpack_codes_expr(len(books)))).drop(
+            "packed"
+        )
+    return df
+
+
 def _pq_dtab_expr(sub: int) -> str:
     """Per-query ADC distance table: dtab[j][c] = exact squared-L2 from
     the query's j-th slice to codebook entry c (m×ksub bigints)."""
@@ -893,8 +937,10 @@ def pq_build_index(
     ``{index_path}/codebooks`` (m·ksub rows of (j, cid, centroid)) and
     the encoded corpus at ``{index_path}/codes`` — the compressed
     representation every later ``pq_search`` scans INSTEAD of the raw
-    embeddings (m ints per vector; at production m=64/dim=1024 that is
-    ~1/64th the bytes). Idempotent-by-replacement like
+    embeddings. Codes persist as ONE m-byte binary per vector
+    (``packed``; ksub ≤ 256 — the FAISS storage shape), so at
+    production m=64/dim=1024 the index is 64 bytes/vector, ~1/64th
+    the raw floats. Idempotent-by-replacement like
     ``ivf_build_index``."""
     from pyspark.sql import Observation
 
@@ -909,7 +955,7 @@ def pq_build_index(
         1
     ).write.mode("overwrite").parquet(f"{index_path}/codebooks")
     obs = Observation()
-    pq_encode(vectors, books, id_col).observe(
+    _packed_codes(pq_encode(vectors, books, id_col), books).observe(
         obs, F.count(F.lit(1)).alias("n")
     ).write.mode("overwrite").parquet(f"{index_path}/codes")
     # staleness ledger, same shape as the IVF index (ivf_build_index)
@@ -945,7 +991,7 @@ def pq_append(
 
     books = _load_books(spark, index_path)
     obs = Observation()
-    pq_encode(vectors, books, id_col).observe(
+    _packed_codes(pq_encode(vectors, books, id_col), books).observe(
         obs, F.count(F.lit(1)).alias("n")
     ).write.mode("append").parquet(f"{index_path}/codes")
     spark.createDataFrame(
@@ -980,7 +1026,7 @@ def pq_search(
         raise ValueError(f"rerank={rerank} must be >= k={k}")
     _enforce_staleness(spark, index_path, max_staleness)
     books = _load_books(spark, index_path)
-    codes = spark.read.parquet(f"{index_path}/codes")
+    codes = _unpacked_codes(spark.read.parquet(f"{index_path}/codes"), books)
     short = _pq_score_topk(codes, queries, books, rerank or k, id_col)
     if rerank is None:
         return short
@@ -1010,8 +1056,9 @@ def ivfpq_build_index(
 
     - ``{index_path}/centroids`` — the coarse quantizer (IVF format);
     - ``{index_path}/codebooks`` — m×ksub RESIDUAL codebooks;
-    - ``{index_path}/codes`` — (n_id, codes) partitioned BY LIST
-      (``cid=…`` dirs), m ints per vector.
+    - ``{index_path}/codes`` — (n_id, packed) partitioned BY LIST
+      (``cid=…`` dirs), ONE m-byte binary per vector (ksub ≤ 256;
+      the FAISS IVFADC storage shape).
 
     The corpus moves once (the partitioned write); training is the
     coarse k-means plus m residual k-means, all deterministic. A
@@ -1039,8 +1086,11 @@ def ivfpq_build_index(
         1
     ).write.mode("overwrite").parquet(f"{index_path}/codebooks")
     obs = Observation()
-    _with_books(resid, books).select(
-        "n_id", "cid", F.expr(_pq_codes_expr(sub)).alias("codes")
+    _packed_codes(
+        _with_books(resid, books).select(
+            "n_id", "cid", F.expr(_pq_codes_expr(sub)).alias("codes")
+        ),
+        books,
     ).observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").partitionBy(
         "cid"
     ).parquet(f"{index_path}/codes")
@@ -1083,8 +1133,11 @@ def ivfpq_append(
     sub = len(books[0][0])
     resid = _ivfpq_residuals(vectors, cents, id_col)
     obs = Observation()
-    _with_books(resid, books).select(
-        "n_id", "cid", F.expr(_pq_codes_expr(sub)).alias("codes")
+    _packed_codes(
+        _with_books(resid, books).select(
+            "n_id", "cid", F.expr(_pq_codes_expr(sub)).alias("codes")
+        ),
+        books,
     ).observe(obs, F.count(F.lit(1)).alias("n")).write.mode("append").partitionBy(
         "cid"
     ).parquet(f"{index_path}/codes")
@@ -1134,8 +1187,11 @@ def ivfpq_search(
         "q_id", "cid", F.expr(_pq_dtab_expr(sub)).alias("dtab")
     )
     probe_cids = sorted({r.cid for r in probed.select("cid").distinct().collect()})
-    codes = spark.read.parquet(f"{index_path}/codes").filter(
-        F.col("cid").isin(probe_cids)
+    codes = _unpacked_codes(
+        spark.read.parquet(f"{index_path}/codes").filter(
+            F.col("cid").isin(probe_cids)
+        ),
+        books,
     )
     scored = (
         codes.join(F.broadcast(pq), "cid")

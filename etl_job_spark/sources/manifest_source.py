@@ -138,6 +138,7 @@ class _ManifestReader(DataSourceReader):
                 partition_by=man.get("partition_by"),
                 utc=self._utc,
                 column_map=man.get("column_map") or {},
+                partition_specs=man.get("partition_specs"),
             )
         self.planned = {"candidates": total, "kept": len(entries), "specs": len(self._specs)}
         if not entries:
@@ -250,8 +251,15 @@ class ManifestTableDataSource(DataSource):
 
 
 class _FileMessage(WriterCommitMessage):
-    def __init__(self, rel: str | None):
+    def __init__(self, rel: str | None, rows: int = 0, stats: dict | None = None):
         self.rel = rel  # None: this task saw zero rows
+        # footer stats computed ON THE EXECUTOR right after the file
+        # closes (the Delta shape: stats collected by the write task),
+        # so commit() never reads a footer — a 100k-file commit ships
+        # one bounded message per file instead of stampeding the
+        # driver with 100k object-store reads
+        self.rows = rows
+        self.stats = stats
 
 
 class _ManifestWriter(DataSourceArrowWriter):
@@ -270,10 +278,12 @@ class _ManifestWriter(DataSourceArrowWriter):
 
     Mechanics: each task streams its RecordBatches into ONE immutable
     parquet file under ``data/<commit-uuid>/`` (pyarrow writes
-    TIMESTAMP_MICROS natively, so footer stats stay prune-readable);
-    ``commit`` builds manifest entries from footers (`_file_stats` —
-    the same stats every other write path records) and publishes
-    through the put-if-absent commit protocol with conflict retries.
+    TIMESTAMP_MICROS natively, so footer stats stay prune-readable)
+    and reads the footer it just closed (``_file_stats`` — the same
+    stats every other write path records) INTO its commit message;
+    ``commit`` assembles entries from the messages — zero driver-side
+    footer reads at any commit size — and publishes through the
+    put-if-absent commit protocol with conflict retries.
     A failed job's ``abort`` removes the written files, and an
     unpublished commit dir is invisible to every reader (manifests
     reference files explicitly)."""
@@ -309,7 +319,12 @@ class _ManifestWriter(DataSourceArrowWriter):
         finally:
             if writer is not None:
                 writer.close()
-        return _FileMessage(rel if writer is not None else None)
+        if writer is None:
+            return _FileMessage(None)
+        from etl_job_spark.table import _file_stats
+
+        rows, stats = _file_stats(full)
+        return _FileMessage(rel, rows, stats)
 
     # -- driver side ------------------------------------------------------
 
@@ -374,23 +389,28 @@ class _ManifestWriter(DataSourceArrowWriter):
 
 
 def _entries_from_messages(table_path: str, messages) -> list[dict]:
-    """Manifest entries for the files a write job's tasks landed —
-    footer stats via ``_file_stats`` (the same stats every other write
-    path records), zero-row files removed."""
+    """Manifest entries for the files a write job's tasks landed. Rows
+    and footer stats arrive IN the commit messages (computed by the
+    write tasks — see ``_FileMessage``), so this is pure driver-side
+    assembly: O(files) dict building, zero filesystem reads, no
+    file-count ceiling."""
     import os
-
-    from etl_job_spark.table import _file_stats
 
     entries = []
     for m in messages:
         if m is None or m.rel is None:
             continue
-        full = os.path.join(table_path, "data", m.rel)
-        rows, stats = _file_stats(full)
-        if rows == 0:
-            os.remove(full)
+        if not m.rows:
+            # defensive: write() only creates a file after a non-empty
+            # batch, so a zero-row message should not occur
+            try:
+                os.remove(os.path.join(table_path, "data", m.rel))
+            except OSError:
+                pass
             continue
-        entries.append({"path": m.rel, "partition": {}, "rows": rows, "stats": stats})
+        entries.append(
+            {"path": m.rel, "partition": {}, "rows": m.rows, "stats": m.stats}
+        )
     entries.sort(key=lambda e: e["path"])
     return entries
 

@@ -1378,6 +1378,51 @@ def _partition_fields(partition_by: Sequence[str] | None) -> list[_PartitionFiel
     return [_PartitionField(s) for s in (partition_by or [])]
 
 
+def _prune_tmap(
+    partition_by: Sequence[str] | None,
+    partition_specs: Sequence[Sequence[str]] | None = None,
+    utc: bool = True,
+) -> dict[str, tuple["_PartitionField", ...]]:
+    """source column → transform fields usable for PRUNING, unioned
+    across the table's partition-spec HISTORY (``partition_specs``:
+    prior ``partition_by`` lists recorded by ``alter_partition_spec``,
+    oldest first; the current spec rides separately).
+
+    After a spec change old files keep their old transform dirs — a
+    fact about those files that stays prune-usable as long as the
+    matcher knows the transform that derived each dirname. The union
+    makes a days(ts)→months(ts) evolution keep pruning BOTH layouts on
+    ``ts`` predicates instead of full-scanning the historical half.
+
+    Soundness: a dirname defined DIFFERENTLY by two specs in history
+    (bucket(8,k) → bucket(16,k) both derive ``k_bucket``) is dropped
+    entirely — an old dir probed with the new arg would mis-prune; the
+    matcher only ever reasons from dirnames whose definition is
+    unambiguous across history. Transform mirrors assume UTC sessions,
+    so non-UTC callers get the empty map (same gate as before)."""
+    if not utc:
+        return {}
+    defs: dict[str, tuple] = {}
+    conflicted: set[str] = set()
+    by_source: dict[str, dict[str, _PartitionField]] = {}
+    specs = [list(partition_by or [])] + [list(s) for s in (partition_specs or [])]
+    for spec in specs:
+        for f in _partition_fields(spec):
+            if f.kind == "raw":
+                continue
+            d = defs.get(f.dirname)
+            if d is None:
+                defs[f.dirname] = (f.kind, f.arg, f.source)
+            elif d != (f.kind, f.arg, f.source):
+                conflicted.add(f.dirname)
+            by_source.setdefault(f.source, {}).setdefault(f.dirname, f)
+    return {
+        src: tuple(f for d, f in fields.items() if d not in conflicted)
+        for src, fields in by_source.items()
+        if any(d not in conflicted for d in fields)
+    }
+
+
 def _probe_bucket(value, n: int) -> int:
     """Python twin of _PartitionField.column()'s bucket derivation —
     lets the planner turn ``col = v`` into the one bucket directory
@@ -1533,7 +1578,7 @@ def _entry_matches_stats(
     entry: dict,
     constraints: list[tuple],
     part_types: dict[str, str],
-    tmap: dict[str, "_PartitionField"] | None = None,
+    tmap: dict[str, tuple["_PartitionField", ...]] | None = None,
     utc: bool = True,
 ) -> bool:
     """False only when some conjunctive constraint PROVABLY holds for
@@ -1542,13 +1587,18 @@ def _entry_matches_stats(
     sidecars). Pure and picklable: this is the per-entry matcher the
     distributed planner ships to executors; the in-memory planner runs
     the same function, then layers blooms on top
-    (``ManifestTable._entry_matches_possible``)."""
+    (``ManifestTable._entry_matches_possible``).
+
+    ``tmap`` maps source column → the transform fields of the spec
+    HISTORY (``_prune_tmap``); only fields whose dirname the entry's
+    own partition dict actually carries apply — entries written under
+    a different spec simply skip the transform tests (sound: absence
+    proves nothing)."""
     part = entry.get("partition") or {}
     stats = entry.get("stats") or {}
     tmap = tmap or {}
     for col, op, v in constraints:
-        field = tmap.get(col)
-        on_transform = field is not None and field.dirname in part
+        t_fields = [f for f in (tmap.get(col) or ()) if f.dirname in part]
         if op in ("is_null", "not_null"):
             want_null = op == "is_null"
             if col in part:
@@ -1557,12 +1607,12 @@ def _entry_matches_stats(
                 if (part[col] is None) != want_null:
                     return False
                 continue
-            if on_transform:
+            if t_fields:
                 # every transform is null-preserving (date_format,
                 # md5-bucket, substring/arith truncate all yield NULL
                 # for NULL input), so a non-NULL dir proves zero NULL
                 # sources and a NULL dir proves all-NULL sources
-                if (part[field.dirname] is None) != want_null:
+                if (part[t_fields[0].dirname] is None) != want_null:
                     return False
                 continue
             st = stats.get(col) or {}
@@ -1582,7 +1632,7 @@ def _entry_matches_stats(
                 if not _part_match_possible(part[col], vals, part_types.get(col)):
                     return False
                 continue  # raw partition col: not in the data files
-            if on_transform:
+            for field in t_fields:
                 pv = part[field.dirname]
                 if pv is None:
                     return False  # every source value in the file is NULL
@@ -1600,7 +1650,9 @@ def _entry_matches_stats(
                 if _part_range_excludes(part[col], op, v, part_types.get(col)):
                     return False
                 continue
-            if on_transform and field.kind in ("hours", "days", "months", "truncate"):
+            for field in t_fields:
+                if field.kind not in ("hours", "days", "months", "truncate"):
+                    continue
                 # monotonic floor transforms: x >= v ⇒ t(x) >= t(v)
                 pv = part[field.dirname]
                 if pv is None:
@@ -1659,7 +1711,7 @@ def _entry_all_match(
     entry: dict,
     constraints: list[tuple],
     part_types: dict[str, str],
-    tmap: dict[str, "_PartitionField"] | None = None,
+    tmap: dict[str, tuple["_PartitionField", ...]] | None = None,
     utc: bool = True,
 ) -> bool:
     """True only when the entry's metadata PROVES every row satisfies
@@ -1681,17 +1733,17 @@ def _entry_all_match(
     if rows <= 0:
         return False
     for col, op, v in constraints:
-        field = tmap.get(col)
+        t_fields = [f for f in (tmap.get(col) or ()) if f.dirname in part]
         if op in ("is_null", "not_null"):
             want_null = op == "is_null"
             if col in part:
                 if (part[col] is None) == want_null:
                     continue
                 return False
-            if field is not None and field.dirname in part:
+            if t_fields:
                 # null-preserving transforms: dir nullness ⇔ source
                 # nullness for every row of the file
-                if (part[field.dirname] is None) == want_null:
+                if (part[t_fields[0].dirname] is None) == want_null:
                     continue
                 return False
             n = (stats.get(col) or {}).get("nulls")
@@ -2121,6 +2173,7 @@ class ManifestTable:
         partition_by: Sequence[str] | None = None,
         utc: bool = True,
         column_map: dict[str, str] | None = None,
+        partition_specs: Sequence[Sequence[str]] | None = None,
     ) -> tuple[list[dict], list[dict]]:
         """Split ``entries`` into (kept, pruned) under a conjunctive
         predicate spec — the read-time half of data skipping whose
@@ -2156,11 +2209,7 @@ class ManifestTable:
             cmap.get(f.name, f.name): f.dataType.simpleString()
             for f in (schema.fields if schema else [])
         }
-        tmap = (
-            {f.source: f for f in _partition_fields(partition_by) if f.kind != "raw"}
-            if utc
-            else {}
-        )
+        tmap = _prune_tmap(partition_by, partition_specs, utc)
         kept, pruned = [], []
         for e in entries:
             if _fully_dead(e) or not self._entry_matches_possible(
@@ -2312,15 +2361,7 @@ class ManifestTable:
             cmap.get(f.name, f.name): f.dataType.simpleString()
             for f in (schema.fields if schema else [])
         }
-        tmap = (
-            {
-                f.source: f
-                for f in _partition_fields(raw.get("partition_by"))
-                if f.kind != "raw"
-            }
-            if utc
-            else {}
-        )
+        tmap = _prune_tmap(raw.get("partition_by"), raw.get("partition_specs"), utc)
         norm = [
             [(cmap.get(col, col), op, v) for col, op, v in _normalize_predicates(s)]
             for s in specs
@@ -2387,11 +2428,7 @@ class ManifestTable:
             cmap.get(f.name, f.name): f.dataType.simpleString()
             for f in (schema.fields if schema else [])
         }
-        tmap = (
-            {f.source: f for f in _partition_fields(partition_by) if f.kind != "raw"}
-            if utc
-            else {}
-        )
+        tmap = _prune_tmap(partition_by, raw.get("partition_specs"), utc)
         # specs arrive in LOGICAL names; stats/partition/bloom keys are
         # PHYSICAL — translate once here
         norm = [
@@ -2445,7 +2482,7 @@ class ManifestTable:
         for s in specs:
             kept_s, _ = self._prune_by_key_stats(
                 entries, s, schema, partition_by=partition_by, utc=utc,
-                column_map=cmap,
+                column_map=cmap, partition_specs=raw.get("partition_specs"),
             )
             keep_paths.update(e["path"] for e in kept_s)
         kept = [e for e in entries if e["path"] in keep_paths]
@@ -2658,6 +2695,35 @@ class ManifestTable:
             meta.append(F.col("_metadata.row_index").alias("__idx"))
         if meta:
             dfs = [df.select("*", *meta) for df in dfs]
+        if len(dfs) > 1:
+            # partition-spec evolution can leave the SAME column raw-
+            # hive-partitioned in one batch (restored as a directory
+            # string) and physically stored in another (its real
+            # type). Cast the dir-string side to the physical type
+            # before the union — the same string-in-the-log /
+            # cast-on-read contract snapshot() applies, just per batch
+            # so unionByName never sees a type conflict.
+            seen: dict[str, set[str]] = {}
+            for df in dfs:
+                for n, t in df.dtypes:
+                    seen.setdefault(n, set()).add(t)
+            fix = {
+                n: next(t for t in ts if t != "string")
+                for n, ts in seen.items()
+                if len(ts) == 2 and "string" in ts
+            }
+            if fix:
+                dfs = [
+                    df.select(
+                        *[
+                            F.col(n).cast(fix[n]).alias(n)
+                            if n in fix and t == "string"
+                            else F.col(n)
+                            for n, t in df.dtypes
+                        ]
+                    )
+                    for df in dfs
+                ]
         out = dfs[0]
         for df in dfs[1:]:
             out = out.unionByName(df, allowMissingColumns=True)
@@ -2893,6 +2959,7 @@ class ManifestTable:
         constraints: dict[str, str] | None = None,
         dropped_cols: Sequence[str] | None = None,
         column_map: dict[str, str] | None = None,
+        partition_specs: Sequence[Sequence[str]] | None = None,
     ) -> int:
         # table properties carry forward across every commit unless the
         # caller overrides them: bloom_cols (None = keep, [] = clear)
@@ -2911,6 +2978,8 @@ class ManifestTable:
                 dropped_cols = base_man.get("dropped_cols")
             if column_map is None:
                 column_map = base_man.get("column_map")
+            if partition_specs is None:
+                partition_specs = base_man.get("partition_specs")
             stream_txns = dict(base_man.get("stream_txns") or {})
         if stream_txn is not None:
             stream_txns[stream_txn[0]] = int(stream_txn[1])
@@ -2955,6 +3024,14 @@ class ManifestTable:
             # map. Cleared by overwrite (fresh files adopt the logical
             # names as physical).
             manifest["column_map"] = dict(column_map)
+        if partition_specs:
+            # prior partition_by lists (oldest first) — the spec
+            # HISTORY alter_partition_spec leaves behind so historical
+            # file layouts keep pruning (_prune_tmap) and the merge
+            # planner knows a legacy entry can't be proven untouched
+            # by the current spec. Cleared by overwrite (every file
+            # rewritten under the current spec).
+            manifest["partition_specs"] = [list(s) for s in partition_specs]
         if expected_base is None or version % _CHECKPOINT_INTERVAL == 0:
             # checkpoint: self-contained full file list. Big lists take
             # the parquet-sidecar form (Delta's parquet checkpoint) —
@@ -3115,6 +3192,91 @@ class ManifestTable:
                 man["files"], schema, man["partition_by"] or None, base, op,
                 # {} (not None) when all dropped: None would re-carry
                 constraints=cons if cons else {},
+            )
+
+        return self._with_commit_retries(attempt)
+
+    def alter_partition_spec(
+        self, new_partition_by: Sequence[str] | None
+    ) -> int:
+        """Change the partition layout for FUTURE writes as a
+        METADATA-ONLY commit — no data file is read, rewritten, or
+        moved (Iceberg's partition-spec evolution; Delta can only
+        spell this as a full ``overwrite(partition_by=…)`` rewrite,
+        prohibitive on a 100 TB mart whose query keys drift).
+
+        Existing files keep their old directory layout. Every planner
+        already reasons PER FILE from the entry's own partition dict,
+        so mixed layouts stay exact everywhere:
+
+        - reads union the layouts (hive restoration is per write
+          batch; dir-typed vs stored-typed columns reconcile by the
+          cast-on-read contract in ``_read_files``);
+        - ``snapshot_where`` keeps pruning BOTH layouts — the current
+          spec's dirs directly, historical specs' dirs through the
+          recorded spec history (``partition_specs`` → ``_prune_tmap``;
+          a dirname two specs define differently is excluded, never
+          mis-probed);
+        - MERGE treats legacy-layout entries as un-provable-untouched
+          (they fall to the key-range/bloom prunes) and its rewrites —
+          like DELETE rewrites and ``compact`` — land under the NEW
+          spec, migrating the table incrementally as it churns.
+
+        ``new_partition_by`` speaks LOGICAL column names (raw columns
+        or the transform forms ``hours/days/months/bucket/truncate``);
+        pass ``None``/``[]`` to un-partition future writes. Returns
+        the new version (the current one when the spec is unchanged).
+
+        Reference analogue: the mart tables' layout keys are the
+        reference's window/scan columns (kicc_to_tb_sales_prod.py:63-70);
+        re-keying that layout as data grows is this operation."""
+
+        def attempt() -> int:
+            base = self.latest_version()
+            if base is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+            man = self._read_manifest(base)
+            schema = self._manifest_schema(man)
+            if schema is None:
+                raise ValueError(
+                    "alter_partition_spec needs a schema-carrying manifest "
+                    "(pre-evolution table: overwrite it first)"
+                )
+            cmap = man.get("column_map") or {}
+            logical = {f.name for f in schema.fields}
+            new_spec: list[str] = []
+            for s in new_partition_by or []:
+                f = _PartitionField(s)  # validates the transform form
+                if f.source not in logical:
+                    raise ValueError(
+                        f"alter_partition_spec: source column {f.source!r} "
+                        "is not a table column"
+                    )
+                # the spec is stored in the PHYSICAL namespace every
+                # write/prune path speaks (rename-safe: files keep
+                # physical names forever)
+                phys = cmap.get(f.source, f.source)
+                if f.kind == "raw":
+                    new_spec.append(phys)
+                elif f.arg is not None:
+                    new_spec.append(f"{f.kind}({f.arg}, {phys})")
+                else:
+                    new_spec.append(f"{f.kind}({phys})")
+            dn = [f.dirname for f in _partition_fields(new_spec)]
+            if len(set(dn)) != len(dn):
+                raise ValueError(
+                    f"alter_partition_spec: duplicate partition dirs {dn}"
+                )
+            cur = list(man["partition_by"] or [])
+            if new_spec == cur:
+                return base  # no-op: same layout
+            history = [list(s) for s in (man.get("partition_specs") or [])]
+            if cur:
+                history.append(cur)
+            op = {"op": "alter_partition_spec", "from": cur, "to": list(new_spec)}
+            return self._commit(
+                man["files"], schema, new_spec or None, base, op,
+                partition_specs=history,
             )
 
         return self._with_commit_retries(attempt)
@@ -3327,10 +3489,12 @@ class ManifestTable:
                 entries, df.schema, part, base, {"op": "overwrite"},
                 bloom_cols=blooms,
                 # a replacement owns its schema outright — every old file
-                # is gone, so drop-tombstones cannot resurrect anything
-                # and the fresh files store logical names as physical
+                # is gone, so drop-tombstones cannot resurrect anything,
+                # the fresh files store logical names as physical, and
+                # no historical partition layout survives to prune for
                 dropped_cols=[],
                 column_map={},
+                partition_specs=[],
             )
 
         return self._with_commit_retries(attempt)
@@ -3473,10 +3637,18 @@ class ManifestTable:
                         *[f.column(src_phys).alias(f.dirname) for f in part_fields]
                     ).distinct().collect()
                 }
+                # a LEGACY-layout entry (written before an
+                # alter_partition_spec — its partition dict lacks some
+                # current dirname) can never be PROVEN untouched by a
+                # partition-value test: it stays a touched candidate
+                # and falls through to the key-range/bloom prunes,
+                # which reason from per-file facts. A rewrite migrates
+                # it to the current layout as a side effect.
                 touched, untouched = self._split_candidates(
                     spark,
                     man["files"],
-                    lambda e: tuple(e["partition"].get(d) for d in dirnames)
+                    lambda e: any(d not in e["partition"] for d in dirnames)
+                    or tuple(e["partition"].get(d) for d in dirnames)
                     in touched_parts,
                     "merge-partition",
                 )
@@ -4360,8 +4532,14 @@ class ManifestTable:
                 bloom_cols=man.get("bloom_cols"),
                 # the restored schema's names only resolve through the
                 # restored version's own mapping ({} for none — the
-                # LATEST version's map must not leak onto old fields)
+                # LATEST version's map must not leak onto old fields);
+                # same for the partition-spec history: the restored
+                # file list was laid out under the restored version's
+                # specs, not whatever evolved afterwards
                 column_map=man.get("column_map") or {},
+                partition_specs=[
+                    list(s) for s in (man.get("partition_specs") or [])
+                ],
             )
 
         return self._with_commit_retries(attempt)

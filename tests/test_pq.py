@@ -143,6 +143,30 @@ def test_persisted_index_matches_trained_twin(spark, sf_dir, tmp_path):
     assert len(rr) == len(served)
 
 
+def test_codes_persist_packed_binary(spark, sf_dir, tmp_path):
+    """The persisted layout is ONE m-byte binary per vector (the FAISS
+    shape): schema pins the format, pack∘unpack is the identity, and a
+    LEGACY int-array index keeps serving through the same reader."""
+    emb = _emb(spark, sf_dir)
+    idx = str(tmp_path / "pq_bin")
+    books = similarity.pq_build_index(emb, idx, m=4, ksub=16, n_iters=3)
+    stored = spark.read.parquet(f"{idx}/codes")
+    assert dict(stored.dtypes) == {"vec_id": "bigint", "packed": "binary"}
+    # every packed value is exactly m bytes; unpack inverts pack
+    rows = similarity._unpacked_codes(stored, books).collect()
+    direct = {r.vec_id: r.codes for r in similarity.pq_encode(emb, books).collect()}
+    assert all(len(direct[r.vec_id]) == 4 for r in rows)
+    assert {r.vec_id: r.codes for r in rows} == direct
+
+    # legacy layout: rewrite codes as array<int>; search must still work
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    served = similarity.pq_search(spark, idx, queries, k=5).collect()
+    legacy = similarity.pq_encode(emb, books)
+    legacy.write.mode("overwrite").parquet(f"{idx}/codes")
+    served_legacy = similarity.pq_search(spark, idx, queries, k=5).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, served_legacy))
+
+
 def test_l2_topk_contract(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
