@@ -726,7 +726,12 @@ def _pack_codes_expr() -> str:
     layout (FAISS stores exactly this): parquet keeps one BYTE_ARRAY
     per vector instead of an int-array's per-element overhead, and a
     1B-vector index at m=64 is 64 GB of codes instead of ~10× that.
-    Pure SQL (byte-table substring folded over the codes), JVM-side."""
+    Pure SQL (byte-table substring folded over the codes), JVM-side.
+
+    The fold re-concats the accumulator each step, so it allocates
+    O(m²) bytes per vector — irrelevant at the PQ regime's m ≤ 64
+    (≤ ~2 KB of transient garbage per row); if m ever grows past a few
+    hundred, switch to a binary-producing UDF or a hex-string join."""
     return (
         "aggregate(codes, X'', (acc, c) -> "
         f"concat(acc, substring({_BYTE_LUT}, c + 1, 1)))"
@@ -759,6 +764,24 @@ def _unpacked_codes(df: DataFrame, books: list[list[list[int]]]) -> DataFrame:
         return df.withColumn("codes", F.expr(_unpack_codes_expr(len(books)))).drop(
             "packed"
         )
+    return df
+
+
+def _append_layout_codes(
+    spark, index_path: str, df: DataFrame, books: list[list[list[int]]]
+) -> DataFrame:
+    """Encode ``df``'s codes in whatever layout the EXISTING codes
+    directory stores. An append must never mix layouts in one parquet
+    directory: a plain ``spark.read.parquet`` (no mergeSchema) resolves
+    ONE footer's schema, so packed files appended into a legacy
+    ``codes array<int>`` index (or vice versa) would silently read as
+    NULL — dropping part of the index from every later search. A
+    legacy index therefore keeps receiving ``array<int>`` files; only
+    packed-layout indexes receive packed appends. (Rebuilding the
+    index migrates a legacy one to the packed layout.)"""
+    existing = spark.read.parquet(f"{index_path}/codes").schema.names
+    if "packed" in existing:
+        return _packed_codes(df, books)
     return df
 
 
@@ -991,7 +1014,9 @@ def pq_append(
 
     books = _load_books(spark, index_path)
     obs = Observation()
-    _packed_codes(pq_encode(vectors, books, id_col), books).observe(
+    _append_layout_codes(
+        spark, index_path, pq_encode(vectors, books, id_col), books
+    ).observe(
         obs, F.count(F.lit(1)).alias("n")
     ).write.mode("append").parquet(f"{index_path}/codes")
     spark.createDataFrame(
@@ -1133,7 +1158,9 @@ def ivfpq_append(
     sub = len(books[0][0])
     resid = _ivfpq_residuals(vectors, cents, id_col)
     obs = Observation()
-    _packed_codes(
+    _append_layout_codes(
+        spark,
+        index_path,
         _with_books(resid, books).select(
             "n_id", "cid", F.expr(_pq_codes_expr(sub)).alias("codes")
         ),

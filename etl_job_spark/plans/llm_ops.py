@@ -1045,6 +1045,12 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Composition: the end-to-end corpus filter (the actual LLM-data use)
 # ---------------------------------------------------------------------
 
+# shared quality floor: the filter pipeline and the training-set
+# assembly keep ONE survivor threshold, chosen so the synthetic corpus
+# keeps a non-empty survivor set (0.5 keeps nothing there — a 0-row vs
+# 0-row oracle match would verify only that both sides reject all)
+TRAINING_SET_MIN_QUALITY = 0.35
+
 FILTER_PIPELINE_SQL = (
     "WITH" + SQL_TOK + rf"""
 , feats AS (
@@ -1070,7 +1076,7 @@ canon AS (
 )
 SELECT doc_id, n_tokens, quality
 FROM canon
-WHERE rn = 1 AND quality >= 0.5 AND n_tokens >= 5
+WHERE rn = 1 AND quality >= {TRAINING_SET_MIN_QUALITY} AND n_tokens >= 5
 """
 )
 
@@ -1114,7 +1120,7 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this chaining (instead of three materialized passes) is the
     difference between one cluster-day and three."""
     docs = load_table(spark, sf_dir, "documents")
-    return _filtered_corpus(docs, 0.5)
+    return _filtered_corpus(docs, TRAINING_SET_MIN_QUALITY)
 
 
 # ---------------------------------------------------------------------
@@ -1123,16 +1129,14 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decontamination, temperature-balanced source mixing
 # ---------------------------------------------------------------------
 
-TRAINING_SET_MIN_QUALITY = 0.35  # 0.5 keeps nothing on the synthetic corpus
 TRAINING_SET_BUDGET = 150
 
 # the oracle COMPOSES the stage oracles: the filter pipeline's CTEs
-# (threshold re-bound), the contamination detector, and the isqrt
-# temperature mix re-scoped to the survivors — one definition per
-# stage, reused, so the composed query can never drift from its parts
+# (same threshold — TRAINING_SET_MIN_QUALITY, defined above the
+# pipeline SQL), the contamination detector, and the isqrt temperature
+# mix re-scoped to the survivors — one definition per stage, reused,
+# so the composed query can never drift from its parts
 TRAINING_SET_SQL = FILTER_PIPELINE_SQL.replace(
-    "quality >= 0.5", f"quality >= {TRAINING_SET_MIN_QUALITY}"
-).replace(
     "SELECT doc_id, n_tokens, quality\nFROM canon\n"
     f"WHERE rn = 1 AND quality >= {TRAINING_SET_MIN_QUALITY} AND n_tokens >= 5",
     f""", kept AS (
@@ -1176,17 +1180,19 @@ FROM r JOIN quota q ON q.source = r.source
 WHERE r.rn <= q.quota""",
 )
 
-# import-time guard: both chained replaces above must have FIRED — if
-# FILTER_PIPELINE_SQL's tail SELECT ever drifts, str.replace silently
-# no-ops and this oracle degrades to the plain filter pipeline (the
-# oracle-diff test would fail, but far from the cause). Fail HERE.
-assert f"quality >= {TRAINING_SET_MIN_QUALITY}" in TRAINING_SET_SQL, (
-    "TRAINING_SET_SQL: quality-threshold rebind did not fire"
-)
-assert ", kept AS (" in TRAINING_SET_SQL and "quota" in TRAINING_SET_SQL, (
-    "TRAINING_SET_SQL: tail-SELECT replace did not fire — "
-    "FILTER_PIPELINE_SQL's closing SELECT drifted"
-)
+# import-time guard: the tail-SELECT replace above must have FIRED —
+# if FILTER_PIPELINE_SQL's closing SELECT ever drifts, str.replace
+# silently no-ops and this oracle degrades to the plain filter
+# pipeline (the oracle-diff test would fail, but far from the cause).
+# Fail HERE — and as real raises, not asserts: python -O strips
+# asserts, silently disabling exactly this drift detection.
+if f"quality >= {TRAINING_SET_MIN_QUALITY}" not in TRAINING_SET_SQL:
+    raise AssertionError("TRAINING_SET_SQL: quality threshold missing")
+if ", kept AS (" not in TRAINING_SET_SQL or "quota" not in TRAINING_SET_SQL:
+    raise AssertionError(
+        "TRAINING_SET_SQL: tail-SELECT replace did not fire — "
+        "FILTER_PIPELINE_SQL's closing SELECT drifted"
+    )
 
 
 @query("corpus_training_set", TRAINING_SET_SQL)

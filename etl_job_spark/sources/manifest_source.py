@@ -353,10 +353,15 @@ class _ManifestWriter(DataSourceArrowWriter):
                                 "ManifestTable.overwrite, which validates "
                                 "constraints and rebuilds bloom sidecars"
                             )
+                # explicit empties mirror ManifestTable.overwrite:
+                # every file is rewritten under the (absent) current
+                # spec, so dropped-column tombstones, rename maps, and
+                # the partition-spec HISTORY must all clear — _commit
+                # otherwise inherits them from the base forever
                 return t._commit(
                     new_entries, self._schema, None, base,
                     {"op": "overwrite", "via": "manifest_table datasource"},
-                    dropped_cols=[], column_map={},
+                    dropped_cols=[], column_map={}, partition_specs=[],
                 )
             if base is None:
                 return t._commit(

@@ -1398,8 +1398,13 @@ def _prune_tmap(
     (bucket(8,k) → bucket(16,k) both derive ``k_bucket``) is dropped
     entirely — an old dir probed with the new arg would mis-prune; the
     matcher only ever reasons from dirnames whose definition is
-    unambiguous across history. Transform mirrors assume UTC sessions,
-    so non-UTC callers get the empty map (same gate as before)."""
+    unambiguous across history. RAW fields participate in the conflict
+    set too (a raw column literally named ``k_bucket`` in one spec and
+    ``bucket(8, k)`` in another both own the ``k_bucket`` dir — old
+    entries' raw values must not be probed as bucket numbers), but
+    never in the transform map itself: raw dirs are matched by value
+    elsewhere. Transform mirrors assume UTC sessions, so non-UTC
+    callers get the empty map (same gate as before)."""
     if not utc:
         return {}
     defs: dict[str, tuple] = {}
@@ -1408,13 +1413,13 @@ def _prune_tmap(
     specs = [list(partition_by or [])] + [list(s) for s in (partition_specs or [])]
     for spec in specs:
         for f in _partition_fields(spec):
-            if f.kind == "raw":
-                continue
             d = defs.get(f.dirname)
             if d is None:
                 defs[f.dirname] = (f.kind, f.arg, f.source)
             elif d != (f.kind, f.arg, f.source):
                 conflicted.add(f.dirname)
+            if f.kind == "raw":
+                continue
             by_source.setdefault(f.source, {}).setdefault(f.dirname, f)
     return {
         src: tuple(f for d, f in fields.items() if d not in conflicted)
@@ -2707,6 +2712,25 @@ class ManifestTable:
             for df in dfs:
                 for n, t in df.dtypes:
                     seen.setdefault(n, set()).add(t)
+            # CONTRACT: only the {dir-string, stored-type} pair can
+            # occur — type evolution is rejected at commit time
+            # (_evolved_schema adds columns, never retypes), so a
+            # column's stored type is identical across batches and the
+            # only divergence is hive-dir restoration (always string).
+            # If a third dtype ever shows up, a future type-widening
+            # change broke that premise: fail loudly instead of
+            # silently skipping the cast and dying in unionByName.
+            bad = {
+                n: ts
+                for n, ts in seen.items()
+                if len(ts) > 2 or (len(ts) == 2 and "string" not in ts)
+            }
+            if bad:
+                raise AssertionError(
+                    f"_read_files: >2 dtypes for one column across batches "
+                    f"{bad} — type evolution is unsupported; update the "
+                    "union reconciliation before allowing it"
+                )
             fix = {
                 n: next(t for t in ts if t != "string")
                 for n, ts in seen.items()
@@ -3267,6 +3291,21 @@ class ManifestTable:
                 raise ValueError(
                     f"alter_partition_spec: duplicate partition dirs {dn}"
                 )
+            # fail EARLY on a transform dirname that collides with an
+            # existing (physical) table column: every subsequent write
+            # would raise at _write_data_files' derived-column check,
+            # and if the column were later dropped, historical raw
+            # dirs of that name would poison the dirname for pruning
+            # (_prune_tmap marks it conflicted — sound, but the table
+            # loses the layout's whole benefit). Reject at alter time.
+            phys_cols = {cmap.get(f.name, f.name) for f in schema.fields}
+            for f in _partition_fields(new_spec):
+                if f.kind != "raw" and f.dirname in phys_cols:
+                    raise ValueError(
+                        f"alter_partition_spec: transform {f.spec!r} derives "
+                        f"partition dir {f.dirname!r}, which is already a "
+                        "table column"
+                    )
             cur = list(man["partition_by"] or [])
             if new_spec == cur:
                 return base  # no-op: same layout

@@ -126,6 +126,54 @@ def test_pq_append_and_staleness(spark, sf_dir, tmp_path):
         similarity.pq_search(spark, idx, queries, k=5, max_staleness=0.2)
 
 
+def test_append_into_legacy_index_keeps_one_schema(spark, sf_dir, tmp_path):
+    """Appending to a LEGACY index (codes stored as array<int>) must
+    keep writing array<int> files: mixing packed-binary and int-array
+    footers in one parquet directory makes a plain read resolve ONE
+    schema, silently nulling the other layout's rows out of every
+    search. The append sniffs the existing layout and matches it."""
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    extra = emb.filter(F.col("vec_id") % 3 == 0)
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+
+    # ---- flat PQ ----
+    idx = str(tmp_path / "pq_legacy")
+    books = similarity.pq_build_index(base, idx, m=4, ksub=8, n_iters=2)
+    # rewrite the codes dir in the legacy int-array layout
+    legacy = similarity.pq_encode(base, books)
+    legacy.write.mode("overwrite").parquet(f"{idx}/codes")
+    similarity.pq_append(spark, idx, extra)
+    stored = spark.read.parquet(f"{idx}/codes")
+    assert "packed" not in stored.columns and "codes" in stored.columns
+    # no NULL rows on either side of the append
+    assert stored.filter(F.col("codes").isNull()).count() == 0
+    got = {r.n_id for r in similarity.pq_search(spark, idx, queries, k=5).collect()}
+    assert any(v % 3 == 0 for v in got)  # appended rows searchable
+
+    # ---- IVF-PQ (cid-partitioned codes) ----
+    idx2 = str(tmp_path / "ivfpq_legacy")
+    similarity.ivfpq_build_index(base, idx2, n_centroids=8, m=4, ksub=8, n_iters=2)
+    books2 = similarity._load_books(spark, idx2)
+    legacy2 = similarity._unpacked_codes(spark.read.parquet(f"{idx2}/codes"), books2)
+    legacy2.select("n_id", "codes", "cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(f"{idx2}/codes.tmp")
+    import shutil
+
+    shutil.rmtree(f"{idx2}/codes")
+    shutil.move(f"{idx2}/codes.tmp", f"{idx2}/codes")
+    similarity.ivfpq_append(spark, idx2, extra)
+    stored2 = spark.read.parquet(f"{idx2}/codes")
+    assert "packed" not in stored2.columns and "codes" in stored2.columns
+    assert stored2.filter(F.col("codes").isNull()).count() == 0
+    got2 = {
+        r.n_id
+        for r in similarity.ivfpq_search(spark, idx2, queries, k=5, n_probe=8).collect()
+    }
+    assert any(v % 3 == 0 for v in got2)
+
+
 def test_plans_stay_jvm_side(spark, sf_dir, tmp_path):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 100 == 0)

@@ -169,6 +169,30 @@ def test_writer_refusals(spark, tmp_path):
         )
 
 
+def test_writer_overwrite_clears_partition_spec_history(spark, tmp_path):
+    """A DS overwrite rewrites every file under the (absent) current
+    spec — carrying the base's partition-spec HISTORY forward would
+    violate the 'cleared by overwrite' invariant ManifestTable.overwrite
+    establishes (stale history that never dies)."""
+    from etl_job_spark.sources.manifest_source import write_manifest_table
+
+    d = str(tmp_path / "hist")
+    t = ManifestTable(d)
+    t.overwrite(
+        spark.range(0, 40).select(F.col("id").alias("k")),
+        partition_by=["bucket(4, k)"],
+    )
+    t.alter_partition_spec(["bucket(8, k)"])
+    assert t._read_manifest(t.latest_version()).get("partition_specs")
+    write_manifest_table(
+        spark.range(0, 5).select(F.col("id").alias("k")), d, mode="overwrite"
+    )
+    man = t._read_manifest(t.latest_version())
+    assert not man.get("partition_specs")
+    assert not man.get("partition_by")
+    assert t.snapshot(spark).count() == 5
+
+
 def test_writer_overwrite_refuses_constrained_and_bloomed(spark, tmp_path):
     """DS overwrite must not publish unvalidated rows under a manifest
     that still advertises CHECK constraints, nor bloom-less files under

@@ -102,6 +102,18 @@ def test_prune_tmap_union_and_conflicts():
     assert [f.dirname for f in tm3["k"]] == ["k_bucket"]
     # non-UTC sessions get the empty map (transform mirrors assume UTC)
     assert _prune_tmap(["days(ts)"], [["months(ts)"]], utc=False) == {}
+    # a RAW partition column literally named like a transform dirname
+    # (raw 'k_bucket' in history, bucket(8, k) now) conflicts too: old
+    # entries' raw 'k_bucket' dir values must never be probed as
+    # bucket-of-k numbers (silent mis-prune)
+    tm4 = _prune_tmap(["bucket(8, k)"], [["k_bucket"]])
+    assert "k" not in tm4
+    # and symmetrically when the raw spec is current
+    tm5 = _prune_tmap(["k_bucket"], [["bucket(8, k)"]])
+    assert "k" not in tm5
+    # an unrelated raw column in history doesn't poison the transform
+    tm6 = _prune_tmap(["bucket(8, k)"], [["region"]])
+    assert [f.dirname for f in tm6["k"]] == ["k_bucket"]
 
 
 def test_merge_updates_rows_in_legacy_layout(spark, tmp_path):
@@ -184,6 +196,16 @@ def test_validation_and_errors(spark, tmp_path):
         t.alter_partition_spec(["cube(ts)"])
     with pytest.raises(ValueError, match="duplicate"):
         t.alter_partition_spec(["days(ts)", "days(ts)"])
+    # a transform dirname colliding with an existing table column is
+    # rejected at alter time (every later write would raise anyway,
+    # and a drop-then-write sequence would poison the dirname for
+    # pruning across history)
+    t2 = ManifestTable(str(tmp_path / "v2"))
+    t2.overwrite(
+        _ts_df(spark, 0, 10).withColumn("ts_day", F.lit("x"))
+    )
+    with pytest.raises(ValueError, match="already a table column"):
+        t2.alter_partition_spec(["days(ts)"])
 
 
 def test_restore_rolls_back_spec_and_history(spark, tmp_path):
