@@ -87,6 +87,99 @@ def merge_upsert(
     return kept.unionByName(source)
 
 
+def merge_clauses(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    order_col: str | None = None,
+    update_cols: Sequence[str] | None = None,
+    delete_pred: Column | str | None = None,
+    insert_unmatched: bool = True,
+) -> DataFrame:
+    """MERGE with Delta-style matched clauses — the relational core
+    shared by ``ManifestTable.merge``'s clause mode.
+
+    Clause semantics per (deduped) source row:
+
+    - ``delete_pred`` (evaluated on the SOURCE row — the CDC
+      ``_deleted``-flag shape, kicc's late voids): a flagged row is a
+      DELETE command — its matched target row drops, and it never
+      inserts (deleting an absent key is a no-op). NULL = not flagged.
+    - ``update_cols``: a matched target row takes the source's values
+      for exactly these columns (cast to the target dtype — the
+      UPDATE-SET-subset the reference's enrichment layer runs,
+      kicc_to_tb_sales.py:109-124); every other column keeps the
+      target value. SET expressions see source values only — the
+      source row width can be just ``keys + update_cols``.
+    - ``update_cols=None``: matched rows are REPLACED whole (upsert).
+    - ``insert_unmatched``: un-matched source rows insert as whole
+      rows, NULL-filled to the target width (default, the upsert
+      contract); False turns the merge into a pure UPDATE-JOIN.
+
+    Matched/unmatched is decided against the ORIGINAL target keys, so
+    one batch cannot delete a key and then re-insert it (matches
+    Delta: each target row is touched by at most one clause).
+    """
+    if order_col is not None:
+        source = dedup_last_writer(source, keys, order_col)
+    pred = F.expr(delete_pred) if isinstance(delete_pred, str) else delete_pred
+    if pred is not None:
+        flagged = F.coalesce(pred, F.lit(False))
+        dels = source.filter(flagged).select(*keys).distinct()
+        ups = source.filter(~flagged)
+    else:
+        dels, ups = None, source
+
+    kept = target if dels is None else target.join(dels, on=list(keys), how="left_anti")
+    target_types = dict(target.dtypes)
+    if update_cols is None:
+        merged = merge_upsert(kept, ups, keys)
+        if insert_unmatched:
+            return merged
+        # pure whole-row UPDATE of matched keys: drop the source rows
+        # that found no target partner
+        return merge_upsert(
+            kept, ups.join(target.select(*keys), on=list(keys), how="left_semi"), keys
+        )
+
+    ucols = list(dict.fromkeys(update_cols))
+    bad = [c for c in ucols if c in keys or c not in target_types]
+    if bad:
+        raise ValueError(
+            f"when_matched_update columns {bad}: must be non-key target columns"
+        )
+    missing = [c for c in ucols if c not in ups.columns]
+    if missing:
+        raise ValueError(f"when_matched_update: source lacks columns {missing}")
+    # marker column (not NULL-ness of a source value: a source NULL is
+    # a legitimate SET NULL) decides matched-ness after the left join
+    src = ups.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).cast(target_types[c]).alias(f"__src_{c}") for c in ucols],
+        F.lit(True).alias("__matched"),
+    )
+    uset = set(ucols)
+    updated = kept.join(src, on=list(keys), how="left").select(
+        *[
+            F.when(F.col("__matched"), F.col(f"__src_{c}")).otherwise(F.col(c)).alias(c)
+            if c in uset
+            else F.col(c)
+            for c in target.columns
+        ]
+    )
+    if not insert_unmatched:
+        return updated
+    inserts = ups.join(target.select(*keys), on=list(keys), how="left_anti").select(
+        *[
+            F.col(c).cast(target_types[c]).alias(c)
+            if c in ups.columns
+            else F.lit(None).cast(target_types[c]).alias(c)
+            for c in target.columns
+        ]
+    )
+    return updated.unionByName(inserts)
+
+
 def recover_rename_commit(target_path: str) -> bool:
     """Repair a half-finished rename-commit at ``target_path``.
 

@@ -2205,6 +2205,74 @@ def events_mart_daily_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Partition-spec evolution under the oracle: a window read spanning a
+# days(ts) -> months(ts) layout change mid-history
+# ---------------------------------------------------------------------
+
+EVENTS_EVOLVED_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-18'
+GROUP BY event_type
+"""
+
+
+@query("events_mart_evolved_read", EVENTS_EVOLVED_SQL)
+def events_mart_evolved_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION end to end under the driver oracle:
+    the first half of the events table (ts < Jan 15) lands under
+    ``days(ts)``, the spec evolves to ``months(ts)`` as a
+    metadata-only commit (``alter_partition_spec`` — no file moves),
+    and the second half appends under the NEW layout. The six-day
+    window read below then spans BOTH layouts: ``snapshot_where``
+    prunes the historical half through the recorded spec history
+    (``_prune_tmap``) and the new half through its month dirs + ts
+    stats, and the mixed-layout union reconciles per batch. The
+    oracle is the plain relational filter+group over the source
+    parquet, so the evolution's whole read surface — history-driven
+    pruning, legacy-dir restoration, cross-layout union — is
+    hash-checked. A plan pin in tests/test_plans.py asserts both
+    layouts actually pruned (kept < candidates)."""
+    import datetime as dt
+    import hashlib
+
+    from etl_job_spark.scratch import scratch_dir
+    from etl_job_spark.table import ManifestTable
+
+    path = scratch_dir(
+        spark,
+        "events_mart_evolved",
+        f"_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    t = ManifestTable(path)
+    if t.latest_version() is None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        split = dt.datetime(2024, 1, 15)
+        # range-cluster both landings on ts: day files hold one day
+        # each (not tasks x days slivers), and the month-partitioned
+        # appends carry narrow per-file ts stats — which is what lets
+        # the window prune the new layout INSIDE its month dir
+        t.overwrite(
+            ev.filter(F.col("ts") < split).repartitionByRange(8, F.col("ts")),
+            partition_by=["days(ts)"],
+        )
+        t.alter_partition_spec(["months(ts)"])
+        t.append(ev.filter(F.col("ts") >= split).repartitionByRange(8, F.col("ts")))
+    window = t.snapshot_where(
+        spark,
+        [("ts", ">=", dt.datetime(2024, 1, 12)), ("ts", "<", dt.datetime(2024, 1, 18))],
+    )
+    return window.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------
 # Exact substring (span) deduplication — Lee et al. 2022: delete every
 # token position covered by a k-gram occurring more than once in the
 # corpus, reassemble the remainder

@@ -402,6 +402,76 @@ query("kicc_mart_gdpr", GDPR_SQL)(mart_gdpr_erased)
 
 
 # ---------------------------------------------------------------------
+# Row-level UPDATE at table-format scale: the J1/J2/P6-P7 enrichment
+# executed as MERGE-matched-UPDATE + update_where statements
+# ---------------------------------------------------------------------
+
+
+def mart_enrich_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's enrichment layer executed as TABLE-FORMAT
+    statements instead of a relational rewrite: the mart lands with
+    empty enrichment columns, then
+
+    - J1 (kicc_to_tb_sales.py:109-113): ``UPDATE mart JOIN temp SET
+      responsible = resp`` → ``merge(when_matched_update=
+      ["responsible"], insert_unmatched=False)`` with the narrow
+      (chain_no, responsible) dim as the source — matched rows update
+      ONE column, unmatched rows and all other columns untouched;
+    - J2 (:118-122): the same statement for ``xy`` from the easypos
+      dim;
+    - P6/P7 (:127-134): ``UPDATE ... SET responsible = '직영' WHERE
+      responsible IS NULL AND chain_no IN (...)`` →
+      ``update_where`` with a PREDICATE-SPEC where-clause, so the
+      constant backfill plans through partition/stats pruning.
+
+    The oracle is the relational three-way join (``ENRICH_SQL`` —
+    shared with ``kicc_enrich_store``), so the UPDATE verb's whole
+    read-modify-commit path — matched-clause join semantics, untouched
+    columns, NULL-only backfill, snapshot reassembly across three
+    commits — is hash-checked against DuckDB."""
+    from etl_job_spark.scratch import scratch_dir
+    from etl_job_spark.table import ManifestTable
+
+    mart = mart_sales_by_store(spark, sf_dir).select(
+        "chain_no",
+        "sale_dy",
+        "chong_maechool",
+        F.lit(None).cast("string").alias("responsible"),
+        F.lit(None).cast("string").alias("xy"),
+    )
+    # session-scoped scratch, RESET by the overwrite each invocation
+    # (the statements mutate the table; determinism comes from landing
+    # the same frame and replaying the same statements)
+    t = ManifestTable(scratch_dir(spark, "kicc_mart_enrich_update"))
+    t.overwrite(mart.repartitionByRange(4, F.col("chain_no")))
+    temp = kicc.tb_store_temp(spark, sf_dir).select(
+        "chain_no", F.col("resp").alias("responsible")
+    )
+    t.merge(
+        spark, temp, keys=["chain_no"],
+        when_matched_update=["responsible"], insert_unmatched=False,
+    )
+    easy = kicc.tb_store_easypos(spark, sf_dir).select(
+        "chain_no", F.col("xy_degree").alias("xy")
+    )
+    t.merge(
+        spark, easy, keys=["chain_no"],
+        when_matched_update=["xy"], insert_unmatched=False,
+    )
+    t.update_where(
+        spark,
+        {"responsible": "'직영'"},
+        [("responsible", "is_null"), ("chain_no", "in", list(DIRECT_STORES))],
+    )
+    return t.snapshot(spark).select(
+        "chain_no", "sale_dy", "chong_maechool", "responsible", "xy"
+    )
+
+
+query("kicc_mart_enrich_update", ENRICH_SQL)(mart_enrich_update)
+
+
+# ---------------------------------------------------------------------
 # Read-path data skipping: predicate-pruned snapshot over a clustered
 # table (the reference's daily incremental window read as a scan that
 # never opens cold files)

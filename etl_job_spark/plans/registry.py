@@ -29,7 +29,14 @@ _DRIVER_WINDOW = [
     "kicc_sales_by_prod",
     "kicc_enrich_store",
     "kicc_backfill_medium",
-    "kicc_merge_upsert",
+    # round-9 swap: row-level UPDATE (merge matched-clauses +
+    # update_where — the table format's last missing verb, executing
+    # the reference's J1/J2/P6-P7 enrichment as table statements) is a
+    # NEW component with no driver row; kicc_merge_upsert — the K3
+    # family's library-level twin (kicc_mart_versioned keeps the
+    # family's window slot, exercising the same merge through the
+    # commit protocol) — moves to the tail with its oracle intact
+    "kicc_mart_enrich_update",
     "kicc_filter_rows",
     "kicc_semi_join",
     # round-7 swap: the batch manifest_table Python Data Source (WHERE
@@ -43,12 +50,15 @@ _DRIVER_WINDOW = [
     "kicc_scalar_dates",
     "kicc_mart_versioned",  # K3 through ManifestTable (commit protocol)
     "kicc_mart_gdpr",  # row-level DELETE via merge-on-read deletion vectors
-    # round-6 swap: read-path data skipping (snapshot_where — stats +
-    # bloom file pruning before the scan) is a NEW component with no
-    # prior driver row; embed_lsh_buckets — the bucketing SUB-STEP of
-    # embed_lsh_topk, which stays in-window — moves to the tail with
-    # its exact oracle intact
-    "kicc_mart_window_read",
+    # round-9 swap: partition-spec evolution (alter_partition_spec —
+    # a days(ts)->months(ts) layout change mid-history with the window
+    # read pruning BOTH layouts through the recorded spec history) is
+    # a NEW component with no driver row; kicc_mart_window_read — the
+    # snapshot_where data-skipping read whose exact twin
+    # kicc_mart_sql_read (same oracle, same pruning, consumed through
+    # the Data Source) stays in-window — moves to the tail with its
+    # exact oracle intact
+    "events_mart_evolved_read",
     # Extension operators with no round-1 driver row (VERDICT §wrong #1)
     "text_lang_id",
     "corpus_filter_pipeline",
@@ -118,6 +128,11 @@ _DRIVER_WINDOW = [
 # moved out to make room for kicc_mart_versioned (round-3 verdict #3).
 _TAIL = [
     "sketch_cardinalities",  # rows-only by design (no SQL oracle)
+    # round-9 swap-outs (see the window comments): the K3 library-level
+    # merge twin and the snapshot_where window read keep their exact
+    # oracles here
+    "kicc_merge_upsert",
+    "kicc_mart_window_read",
     # round-7 swap-out (see the window comment at kicc_mart_sql_read):
     # the J5 anti-join keeps its exact oracle here
     "kicc_anti_join",

@@ -94,7 +94,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from etl_job_spark.operators.merge import merge_upsert
+from etl_job_spark.operators.merge import merge_clauses, merge_upsert
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
@@ -3584,8 +3584,34 @@ class ManifestTable:
         keys: Sequence[str],
         order_col: str | None = None,
         txn: tuple[str, int] | None = None,
+        when_matched_update: Sequence[str] | None = None,
+        when_matched_delete: str | Column | None = None,
+        insert_unmatched: bool = True,
     ) -> int:
         """MERGE ``source`` into the table (source wins per key).
+
+        Matched clauses (Delta's MERGE surface, semantics in
+        ``operators.merge.merge_clauses``):
+
+        - ``when_matched_update=[cols]`` — matched rows take the
+          source's values for exactly those columns (UPDATE SET
+          subset); the source can be as narrow as ``keys + cols``.
+          The reference's enrichment layer IS this statement
+          (kicc_to_tb_sales.py:109-124 UPDATE-JOINs).
+        - ``when_matched_delete=pred`` — source rows flagged by
+          ``pred`` (evaluated on the source row — the CDC
+          ``_deleted`` shape) DELETE their matched target rows and
+          never insert.
+        - ``insert_unmatched=False`` — suppress the insert branch
+          (pure UPDATE-JOIN; default True keeps the upsert contract).
+
+        File pruning below applies unchanged to clause merges: a
+        narrow UPDATE source still prunes by partition values,
+        key-range stats, and blooms, so "set one column for matching
+        rows" rewrites only the files that can hold a matching key.
+        Clause merges never evolve the schema (UPDATE can't add
+        columns); constraints are validated on the REWRITTEN rows
+        (the source may be narrower than the table).
 
         ``txn=(app_id, version)`` makes the merge an idempotent
         streaming transaction (Delta's txnAppId/txnVersion shape): the
@@ -3620,10 +3646,28 @@ class ManifestTable:
         the files that overlap it, not the whole table.
         """
 
+        clause_mode = (
+            when_matched_update is not None
+            or when_matched_delete is not None
+            or not insert_unmatched
+        )
+
         def attempt() -> int:
             base = self.latest_version()
             if base is None:
-                first = merge_upsert_source_only(source, keys, order_col)
+                first_src = source
+                if when_matched_delete is not None:
+                    dpred = (
+                        F.expr(when_matched_delete)
+                        if isinstance(when_matched_delete, str)
+                        else when_matched_delete
+                    )
+                    first_src = first_src.filter(~F.coalesce(dpred, F.lit(False)))
+                if not insert_unmatched:
+                    # nothing can match an empty table; no inserts
+                    # either — a pure UPDATE-JOIN against nothing
+                    first_src = first_src.limit(0)
+                first = merge_upsert_source_only(first_src, keys, order_col)
                 entries = self._write_data_files(first, None)
                 return self._commit(
                     entries, first.schema, None, None, {"op": "merge"}, stream_txn=txn
@@ -3645,15 +3689,29 @@ class ManifestTable:
                 if applied is not None and int(txn[1]) <= applied:
                     return base  # replayed micro-batch: already landed
             partition_by = man["partition_by"]
-            # order_col is merge metadata, not part of the result schema
-            # (unless the table already owns a column of that name)
-            schema = self._evolved_schema(man, source.drop(order_col) if order_col else source)
-            # the source rows are the only NEW data a merge introduces;
-            # rows already in the table were validated when written
-            self._validate(
-                _align(source.drop(order_col) if order_col else source, schema),
-                man.get("constraints"),
-            )
+            if clause_mode:
+                # clause merges never evolve the schema: UPDATE sets
+                # existing columns, DELETE removes rows, and inserts
+                # NULL-fill to the table's width. The source may be
+                # NARROWER than the table (keys + update cols), so
+                # validation runs on the rewritten rows below, where
+                # every column carries its real post-merge value.
+                schema = self._manifest_schema(man)
+                if schema is None:
+                    schema = self.snapshot(spark, base).schema
+            else:
+                # order_col is merge metadata, not part of the result
+                # schema (unless the table already owns that name)
+                schema = self._evolved_schema(
+                    man, source.drop(order_col) if order_col else source
+                )
+                # the source rows are the only NEW data a merge
+                # introduces; rows already in the table were validated
+                # when written
+                self._validate(
+                    _align(source.drop(order_col) if order_col else source, schema),
+                    man.get("constraints"),
+                )
 
             untouched: list[dict] = []
             touched: list[dict] = man["files"]
@@ -3749,9 +3807,41 @@ class ManifestTable:
                 # source-introduced column survives merge_upsert's
                 # align-to-target step
                 target = _align(self._read_files(spark, touched), schema, cmap)
-                merged = merge_upsert(target, source, keys, order_col=order_col)
+                if clause_mode:
+                    merged = merge_clauses(
+                        target,
+                        source,
+                        keys,
+                        order_col=order_col,
+                        update_cols=when_matched_update,
+                        delete_pred=when_matched_delete,
+                        insert_unmatched=insert_unmatched,
+                    )
+                else:
+                    merged = merge_upsert(target, source, keys, order_col=order_col)
+            elif clause_mode:
+                # nothing matched: only the insert branch can produce
+                # rows (delete of an absent key is a no-op; updates
+                # have nothing to touch)
+                ins = source
+                if when_matched_delete is not None:
+                    dpred = (
+                        F.expr(when_matched_delete)
+                        if isinstance(when_matched_delete, str)
+                        else when_matched_delete
+                    )
+                    ins = ins.filter(~F.coalesce(dpred, F.lit(False)))
+                if not insert_unmatched:
+                    return base  # pure UPDATE-JOIN touched nothing
+                merged = _align(merge_upsert_source_only(ins, keys, order_col), schema)
             else:
                 merged = _align(merge_upsert_source_only(source, keys, order_col), schema)
+            if clause_mode:
+                # the rewritten rows are the only data this commit
+                # introduces — validate them with every column at its
+                # real post-merge value (narrow sources can't be
+                # validated standalone)
+                self._validate(merged, man.get("constraints"))
             # files store physical names: rename BEFORE the partition
             # repartition (whose fields are physical) and the write
             merged = _renamed(merged, cmap)
@@ -3920,6 +4010,139 @@ class ManifestTable:
                 "op": "delete",
                 "predicate": _describe
                 or (predicate if isinstance(predicate, str) else str(pred)),
+            }
+            return self._commit(
+                untouched + new_entries, schema, partition_by or None, base, op,
+                bloom_cols=man.get("bloom_cols"),
+            )
+
+        return self._with_commit_retries(attempt)
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        set: dict[str, str | Column],
+        where: str | Column | Sequence[tuple],
+    ) -> int:
+        """Row-level UPDATE: assign ``set``'s expressions to the rows
+        matching ``where``; returns the new version (the current one
+        when nothing matched — an empty update publishes nothing).
+        The table format's UPDATE verb, completing
+        overwrite/append/merge/delete/compact; the reference's
+        enrichment statements are exactly this shape
+        (kicc_to_tb_sales.py:127-134: ``UPDATE ... SET col = const
+        WHERE ...``; the join-driven variants go through
+        ``merge(when_matched_update=...)``).
+
+        SQL UPDATE semantics: rows where the predicate is NULL are
+        kept unchanged; every SET expression is evaluated against the
+        PRE-update row (simultaneous assignment), and its result is
+        cast to the column's existing type — an UPDATE never changes
+        the schema. ``set`` keys must be existing non-partition-derived
+        table columns (logical names).
+
+        Planned like ``delete_where``'s copy-on-write, in two passes:
+
+        1. find the files that actually hold a matching row. When
+           ``where`` is a PREDICATE SPEC (the ``snapshot_where`` tuple
+           form), planning first drops provably-cold files from
+           partition values, key-range stats, and blooms WITHOUT
+           opening them — "backfill one column for last week" touches
+           O(window) files on a clustered 100 TB mart. A plain
+           str/Column predicate skips that metadata prune (arbitrary
+           expressions can't be reasoned about from stats) and finds
+           hit files with one pushed-predicate scan.
+        2. rewrite ONLY the hit files with the assignments applied
+           (under the CURRENT partition spec — legacy-layout files
+           migrate as a side effect, like merge rewrites); every
+           untouched file is carried into the new manifest by
+           reference — never read, never rewritten. Deletion vectors
+           on rewritten files materialize away; constraints validate
+           the rewritten rows before anything commits.
+        """
+        if not set:
+            raise ValueError("update_where: empty SET map")
+        spec: list[tuple] | None = None
+        if isinstance(where, (list, tuple)):
+            spec = _normalize_predicates(where)
+            pred = predicate_column(spec)
+            describe = str(spec)
+        else:
+            pred = F.expr(where) if isinstance(where, str) else where
+            describe = where if isinstance(where, str) else str(pred)
+        set_exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e) for c, e in set.items()
+        }
+
+        def attempt() -> int:
+            base = self.latest_version()
+            if base is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+            man = self._read_manifest(base)
+            schema = self._manifest_schema(man)
+            if schema is None:
+                schema = self.snapshot(spark, base).schema
+            logical = {f.name: f.dataType for f in schema.fields}
+            # NB: the ``set`` parameter shadows the builtin here
+            unknown = sorted(k for k in set_exprs if k not in logical)
+            if unknown:
+                raise ValueError(
+                    f"update_where: SET columns {unknown} are not table columns"
+                )
+            partition_by = man["partition_by"]
+            cmap = man.get("column_map") or {}
+
+            candidates = man["files"]
+            untouched: list[dict] = []
+            if spec is not None:
+                candidates, untouched = self._prune_by_key_stats(
+                    man["files"], spec, schema,
+                    partition_by=partition_by, utc=_session_utc(spark),
+                    column_map=cmap, partition_specs=man.get("partition_specs"),
+                )
+            candidates = [e for e in candidates if not _fully_dead(e)]
+            if not candidates:
+                return base
+
+            # the predicate/SET speak LOGICAL names; files PHYSICAL
+            inv = {p: l for l, p in cmap.items()}
+            scan = _renamed(
+                self._read_files(spark, candidates, with_file_path=True), inv
+            )
+            hit_files = {
+                _strip_file_scheme(r["__file"])
+                for r in scan.filter(pred).select("__file").distinct().collect()
+            }
+            touched = []
+            for entry in candidates:
+                full = os.path.abspath(os.path.join(self.data_dir, entry["path"]))
+                (touched if full in hit_files else untouched).append(entry)
+            if not touched:
+                return base  # nothing matched; no new version
+
+            rows = _align(self._read_files(spark, touched), schema, cmap)
+            hit = F.coalesce(pred, F.lit(False))
+            updated = rows.select(
+                *[
+                    F.when(hit, set_exprs[c].cast(logical[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in rows.columns
+                ]
+            )
+            # the rewritten rows are the only data this commit
+            # introduces — validate before anything lands
+            self._validate(updated, man.get("constraints"))
+            new_entries = self._write_data_files(
+                _renamed(updated, cmap), partition_by or None,
+                bloom_cols=man.get("bloom_cols"),
+            )
+            op = {
+                "op": "update",
+                "predicate": describe,
+                "set": sorted(set_exprs),
             }
             return self._commit(
                 untouched + new_entries, schema, partition_by or None, base, op,

@@ -228,3 +228,44 @@ def test_snapshot_where_residual_filter_pushes_to_scan(spark, sf_dir):
     assert "In(sp_code" in p
     # no join/shuffle machinery: a pruned snapshot read is scan+filter
     assert "SortMergeJoin" not in p
+
+
+def test_evolved_read_prunes_both_layouts(spark, sf_dir):
+    """The partition-evolution window read (events_mart_evolved_read)
+    must actually SKIP files in BOTH layouts: day dirs outside the
+    window in the historical half, ts file stats inside the month dir
+    in the appended half — not merely return correct rows by scanning
+    everything."""
+    import hashlib
+
+    from etl_job_spark.scratch import scratch_dir
+    from etl_job_spark.table import ManifestTable
+
+    # build (or reuse) the session-scoped mart, then inspect the plan
+    QUERIES["events_mart_evolved_read"](spark, sf_dir).collect()
+    path = scratch_dir(
+        spark, "events_mart_evolved",
+        f"_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    t = ManifestTable(path)
+    import datetime as dt
+
+    spec = [("ts", ">=", dt.datetime(2024, 1, 12)), ("ts", "<", dt.datetime(2024, 1, 18))]
+    t.snapshot_where(spark, spec).count()
+    lp = t.last_planning
+    assert lp["kept"] < lp["candidates"], lp
+    man = t._read_manifest(t.latest_version())
+    assert man["partition_specs"] == [["days(ts)"]]
+    legacy = [e for e in man["files"] if "ts_day" in e["partition"]]
+    current = [e for e in man["files"] if "ts_month" in e["partition"]]
+    assert legacy and current  # genuinely mixed layouts
+    # re-plan explicitly to get the per-entry kept set
+    kept, pruned = t._prune_by_key_stats(
+        man["files"], spec, t.snapshot(spark).schema,
+        partition_by=man["partition_by"],
+        partition_specs=man.get("partition_specs"),
+    )
+    pruned_legacy = [e for e in pruned if "ts_day" in e["partition"]]
+    pruned_current = [e for e in pruned if "ts_month" in e["partition"]]
+    assert pruned_legacy, "historical days(ts) layout did not prune"
+    assert pruned_current, "appended months(ts) layout did not prune"
