@@ -18,17 +18,20 @@ therefore always exact regardless of what could be pushed.
 
 Planning tier: Python Data Source planning runs in a dedicated plan
 worker with NO SparkSession (verified: ``getActiveSession()`` is None
-inside ``partitions()``), so this source prunes with the table's pure
-in-memory matcher — partition constants, transform dirs, footer stats,
-blooms — which is O(files) driver-side CPU. That is the right tier for
-the format's audience (ad-hoc SQL over marts); a 10⁶-file table should
-plan through the library's ``snapshot_where``, whose distributed /
-sidecar-scanning tiers need a real session. Timezone-sensitive
-reasoning (timestamp stat probes, calendar transform dirs) only runs
-when the session is pinned UTC — ``read_manifest_table`` captures that
-from the live session into the ``sessionUtc`` option; bare
-``spark.read.format(...)`` users get the conservative default (those
-prunes skipped, never unsound).
+inside ``partitions()``), so a bare ``spark.read.format(...)`` prunes
+with the table's pure in-memory matcher — partition constants,
+transform dirs, footer stats, blooms — which is O(files) driver-side
+CPU. ``read_manifest_table(..., predicates=...)`` escapes that tier:
+the wrapper HAS a session, so it pre-plans the surviving entry list
+through ``snapshot_where``'s distributed / sidecar-scanning tiers
+(``_plan_read_entries``) and ships it to the plan worker via a plan
+file (the ``planRef`` option) — a 10⁶-file table then plans off the
+driver and the plan worker touches only the O(matching) survivors.
+Timezone-sensitive reasoning (timestamp stat probes, calendar
+transform dirs) only runs when the session is pinned UTC —
+``read_manifest_table`` captures that from the live session into the
+``sessionUtc`` option; bare ``spark.read.format(...)`` users get the
+conservative default (those prunes skipped, never unsound).
 
 Reference analogue: the reference reads its mart tables through plain
 ``SELECT ... WHERE`` over MySQL (kicc_to_tb_sales_prod.py:63-70); this
@@ -102,13 +105,20 @@ class _EntryPartition(InputPartition):
 
 class _ManifestReader(DataSourceReader):
     def __init__(
-        self, table_path: str, version: int, fields: StructType, cmap: dict, utc: bool
+        self,
+        table_path: str,
+        version: int,
+        fields: StructType,
+        cmap: dict,
+        utc: bool,
+        plan_ref: str | None = None,
     ):
         self._path = table_path
         self._version = version
         self._fields = fields
         self._cmap = cmap
         self._utc = utc
+        self._plan_ref = plan_ref
         self._specs: list[tuple] = []
         self.planned: dict | None = None  # test/debug introspection
 
@@ -124,11 +134,29 @@ class _ManifestReader(DataSourceReader):
             yield f
 
     def partitions(self):
+        import json
+
         from etl_job_spark.table import ManifestTable, _fully_dead
 
         t = ManifestTable(self._path)
-        man = t._read_manifest(self._version)
-        entries = [e for e in man["files"] if not _fully_dead(e)]
+        preplanned = None
+        if self._plan_ref is not None:
+            # read_manifest_table pre-planned the surviving entries
+            # with the library's distributed/sidecar tiers (it has a
+            # session; this plan worker doesn't) — the manifest's full
+            # file list is never materialized here, and the matcher
+            # below runs only over the O(matching) survivors
+            with open(self._plan_ref) as fh:
+                preplanned = json.load(fh)
+            man = {
+                "partition_by": preplanned.get("partition_by"),
+                "column_map": preplanned.get("column_map"),
+                "partition_specs": preplanned.get("partition_specs"),
+            }
+            entries = preplanned["entries"]
+        else:
+            man = t._read_manifest(self._version)
+            entries = [e for e in man["files"] if not _fully_dead(e)]
         total = len(entries)
         if self._specs:
             entries, _residual = t._prune_by_key_stats(
@@ -140,7 +168,12 @@ class _ManifestReader(DataSourceReader):
                 column_map=man.get("column_map") or {},
                 partition_specs=man.get("partition_specs"),
             )
-        self.planned = {"candidates": total, "kept": len(entries), "specs": len(self._specs)}
+        self.planned = {
+            "candidates": total,
+            "kept": len(entries),
+            "specs": len(self._specs),
+            "preplanned": preplanned is not None,
+        }
         if not entries:
             # an empty-entry sentinel partition yields nothing in read()
             return [_EntryPartition({})]
@@ -230,10 +263,67 @@ class ManifestTableDataSource(DataSource):
         version = self._version(t)
         cmap = dict(t._read_raw_manifest(version).get("column_map") or {})
         utc = str(self.options.get("sessionutc", "")).lower() == "true"
-        return _ManifestReader(self._path(), version, schema, cmap, utc)
+        return _ManifestReader(
+            self._path(), version, schema, cmap, utc,
+            plan_ref=self.options.get("planref"),
+        )
 
     def writer(self, schema: StructType, overwrite: bool) -> _ManifestWriter:
-        return _ManifestWriter(self._path(), schema, overwrite)
+        from etl_job_spark.table import ManifestTable, _partition_fields
+
+        partition_by: list[str] = []
+        int_sources: dict[str, bool] = {}
+        if not overwrite:
+            t = ManifestTable(self._path())
+            base = t.latest_version()
+            if base is not None:
+                partition_by = list(
+                    t._read_raw_manifest(base).get("partition_by") or []
+                )
+        if partition_by:
+            # type gate: the executor derives hive dir values with a
+            # Python mirror of the library's transform expressions —
+            # exact only for the types below (and, for the calendar
+            # transforms, only under a UTC session, which only the
+            # wrapper can attest). Anything else: refuse loudly here,
+            # at plan time, naming the API that owns the general case.
+            types = {f.name: f.dataType.simpleString() for f in schema.fields}
+            # option keys arrive lowercased on the read path; be
+            # spelling-robust here (the write path has varied)
+            opt = self.options.get("sessionutc", self.options.get("sessionUtc", ""))
+            utc = str(opt).lower() == "true"
+            integral = ("tinyint", "smallint", "int", "bigint")
+            for f in _partition_fields(partition_by):
+                st = types.get(f.source)
+                if st is None:
+                    raise ValueError(
+                        f"manifest_table datasource append: partition source "
+                        f"column {f.source!r} missing from the written frame"
+                    )
+                if f.kind in ("hours", "days", "months"):
+                    # ntz included: under the required UTC session its
+                    # cast-to-timestamp is wall-identical, so the
+                    # executor mirror (naive strftime) stays exact
+                    if st not in ("timestamp", "timestamp_ntz") or not utc:
+                        raise ValueError(
+                            f"manifest_table datasource append: partition "
+                            f"transform {f.spec!r} needs a timestamp source "
+                            "under a UTC session (write through "
+                            "write_manifest_table, which attests the session "
+                            "timezone, or ManifestTable.append)"
+                        )
+                elif st not in integral and st != "string":
+                    raise ValueError(
+                        f"manifest_table datasource append: partition "
+                        f"{f.spec!r} over a {st} column — only string/"
+                        "integral sources derive identical dir values in "
+                        "the datasource writer; use ManifestTable.append"
+                    )
+                int_sources[f.source] = st in integral
+        return _ManifestWriter(
+            self._path(), schema, overwrite,
+            partition_by=partition_by, int_sources=int_sources,
+        )
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         if overwrite:
@@ -251,15 +341,77 @@ class ManifestTableDataSource(DataSource):
 
 
 class _FileMessage(WriterCommitMessage):
-    def __init__(self, rel: str | None, rows: int = 0, stats: dict | None = None):
-        self.rel = rel  # None: this task saw zero rows
-        # footer stats computed ON THE EXECUTOR right after the file
-        # closes (the Delta shape: stats collected by the write task),
-        # so commit() never reads a footer — a 100k-file commit ships
-        # one bounded message per file instead of stampeding the
+    def __init__(self, files: list[dict] | None = None):
+        # one dict per file this task landed: {rel, rows, stats,
+        # partition} — a partitioned append writes one file per
+        # partition value the task held; empty list: zero rows seen.
+        # Footer stats are computed ON THE EXECUTOR right after each
+        # file closes (the Delta shape: stats collected by the write
+        # task), so commit() never reads a footer — a 100k-file commit
+        # ships one bounded message per file instead of stampeding the
         # driver with 100k object-store reads
-        self.rows = rows
-        self.stats = stats
+        self.files = files or []
+
+
+# Spark's ExternalCatalogUtils.escapePathName charset: these ASCII
+# chars (plus all control chars) are %XX-escaped in hive partition
+# path segments; everything else — unicode included — passes through
+# raw. Mirrored here so DS-written dirs decode identically to
+# Spark-written ones (the manifest stores DECODED values either way).
+_DIR_ESCAPE = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
+
+
+def _escape_dir_value(v: str | None) -> str:
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join(f"%{ord(c):02X}" if c in _DIR_ESCAPE else c for c in v)
+
+
+def _derive_dir_values(field, pdf, int_src: bool) -> list:
+    """Python mirror of ``_PartitionField.column()`` over one arrow
+    batch (as pandas): the hive dir value per row, str-or-None.
+    Exactness with the Spark derivation is guaranteed by the
+    writer-construction type gate: only string/integral sources for
+    raw/bucket/truncate, only timestamps (UTC sessions) for the
+    calendar transforms. ``int_src`` carries the SPARK source type
+    (arrow->pandas may surface nullable ints as float64, so the
+    pandas dtype can't be trusted for the str() spelling)."""
+    import hashlib
+
+    import pandas as pd
+
+    s = pdf[field.source]
+    nulls = s.isna().tolist()
+
+    def canon(v) -> str:
+        return str(int(v)) if int_src else str(v)
+
+    if field.kind in ("hours", "days", "months"):
+        fmt = {"hours": "%Y-%m-%d %H", "days": "%Y-%m-%d", "months": "%Y-%m"}[
+            field.kind
+        ]
+        rendered = pd.to_datetime(s).dt.strftime(fmt).tolist()
+        return [None if n else v for v, n in zip(rendered, nulls)]
+    vals = s.tolist()
+    if field.kind == "raw":
+        return [None if n else canon(v) for v, n in zip(vals, nulls)]
+    if field.kind == "bucket":
+        return [
+            None
+            if n
+            else str(
+                int(hashlib.md5(canon(v).encode()).hexdigest()[:8], 16) % field.arg
+            )
+            for v, n in zip(vals, nulls)
+        ]
+    # truncate: ints floor to a multiple of N (python % floors like
+    # the double-mod Spark expr); strings take the leading N chars
+    if int_src:
+        return [
+            None if n else str(int(v) - (int(v) % field.arg))
+            for v, n in zip(vals, nulls)
+        ]
+    return [None if n else str(v)[: field.arg] for v, n in zip(vals, nulls)]
 
 
 class _ManifestWriter(DataSourceArrowWriter):
@@ -267,19 +419,24 @@ class _ManifestWriter(DataSourceArrowWriter):
     SQL-user surface, bounded to the shapes it can commit with the
     library's full guarantees:
 
-    - ``mode("append")``: table must be unpartitioned, un-bloomed,
-      unconstrained, and un-renamed, and the written schema must match
-      the committed schema exactly (names + types) — anything richer
-      (schema evolution, hidden partitioning, constraints) goes
-      through ``ManifestTable.append``, which owns those rules. The
-      refusal is loud and names the API to use.
+    - ``mode("append")``: table must be un-bloomed, unconstrained,
+      and un-renamed, and the written schema must match the committed
+      schema exactly (names + types) — anything richer (schema
+      evolution, constraints) goes through ``ManifestTable.append``,
+      which owns those rules. The refusal is loud and names the API
+      to use. PARTITIONED tables are supported: each task derives the
+      hive dir values with an exact Python mirror of the library's
+      transform expressions (type-gated at plan time — see
+      ``writer()``) and lands one file per partition value it holds,
+      so the layout, the entry partition dicts, and the footer stats
+      are indistinguishable from a ``ManifestTable.append``.
     - ``mode("overwrite")``: full replacement snapshot (unpartitioned
       layout, like ``overwrite(partition_by=None)``).
 
-    Mechanics: each task streams its RecordBatches into ONE immutable
-    parquet file under ``data/<commit-uuid>/`` (pyarrow writes
+    Mechanics: each task streams its RecordBatches into immutable
+    parquet files under ``data/<commit-uuid>/`` (pyarrow writes
     TIMESTAMP_MICROS natively, so footer stats stay prune-readable)
-    and reads the footer it just closed (``_file_stats`` — the same
+    and reads each footer it just closed (``_file_stats`` — the same
     stats every other write path records) INTO its commit message;
     ``commit`` assembles entries from the messages — zero driver-side
     footer reads at any commit size — and publishes through the
@@ -288,12 +445,21 @@ class _ManifestWriter(DataSourceArrowWriter):
     unpublished commit dir is invisible to every reader (manifests
     reference files explicitly)."""
 
-    def __init__(self, table_path: str, schema: StructType, overwrite: bool):
+    def __init__(
+        self,
+        table_path: str,
+        schema: StructType,
+        overwrite: bool,
+        partition_by: list[str] | None = None,
+        int_sources: dict[str, bool] | None = None,
+    ):
         import uuid
 
         self._path = table_path
         self._schema = schema
         self._overwrite = overwrite
+        self._partition_by = list(partition_by or [])
+        self._int_sources = int_sources or {}
         self._sub = uuid.uuid4().hex  # one commit dir for all tasks
 
     # -- executor side --------------------------------------------------
@@ -304,27 +470,95 @@ class _ManifestWriter(DataSourceArrowWriter):
 
         import pyarrow.parquet as pq
 
-        out_dir = os.path.join(self._path, "data", self._sub)
-        rel = os.path.join(self._sub, f"ds-{uuid.uuid4().hex}.parquet")
-        full = os.path.join(self._path, "data", rel)
-        writer = None
+        from etl_job_spark.table import _file_stats, _partition_fields
+
+        out_root = os.path.join(self._path, "data", self._sub)
+        fields = _partition_fields(getattr(self, "_partition_by", None))
+        if not fields:
+            rel = os.path.join(self._sub, f"ds-{uuid.uuid4().hex}.parquet")
+            full = os.path.join(self._path, "data", rel)
+            writer = None
+            try:
+                for batch in iterator:
+                    if batch.num_rows == 0:
+                        continue
+                    if writer is None:
+                        os.makedirs(out_root, exist_ok=True)
+                        writer = pq.ParquetWriter(full, batch.schema)
+                    writer.write_batch(batch)
+            finally:
+                if writer is not None:
+                    writer.close()
+            if writer is None:
+                return _FileMessage()
+            rows, stats = _file_stats(full)
+            return _FileMessage([
+                {"rel": rel, "rows": rows, "stats": stats, "partition": {}}
+            ])
+
+        # partitioned append: derive the dir values per row (the exact
+        # Python mirror of the library's transform columns), split the
+        # batch, stream each partition value into its own file. The
+        # wrapper pre-clusters the frame on the partition values, so a
+        # task normally holds ONE value (the fast whole-batch path).
+        import pyarrow as pa
+
+        # partition dirnames leave the file contents (raw columns are
+        # restored from the dirs on read; transform dirs never existed
+        # as columns) — identical to Spark's partitionBy contract
+        drop_cols = [f.dirname for f in fields if f.kind == "raw"]
+        writers: dict[tuple, tuple] = {}  # key -> (writer, full, rel, pdict)
         try:
             for batch in iterator:
                 if batch.num_rows == 0:
                     continue
-                if writer is None:
-                    os.makedirs(out_dir, exist_ok=True)
-                    writer = pq.ParquetWriter(full, batch.schema)
-                writer.write_batch(batch)
+                pdf = batch.to_pandas()
+                per_field = [
+                    _derive_dir_values(
+                        f, pdf, self._int_sources.get(f.source, False)
+                    )
+                    for f in fields
+                ]
+                tbl = pa.Table.from_batches([batch])
+                if drop_cols:
+                    tbl = tbl.drop_columns(drop_cols)
+                keys = list(zip(*per_field))
+                distinct = sorted(set(keys), key=lambda k: tuple(
+                    "" if v is None else v for v in k
+                ))
+                for key in distinct:
+                    if len(distinct) == 1:
+                        part = tbl
+                    else:
+                        idx = [i for i, k in enumerate(keys) if k == key]
+                        part = tbl.take(pa.array(idx))
+                    state = writers.get(key)
+                    if state is None:
+                        segs = "/".join(
+                            f"{f.dirname}={_escape_dir_value(v)}"
+                            for f, v in zip(fields, key)
+                        )
+                        rel = os.path.join(
+                            self._sub, segs, f"ds-{uuid.uuid4().hex}.parquet"
+                        )
+                        full = os.path.join(self._path, "data", rel)
+                        os.makedirs(os.path.dirname(full), exist_ok=True)
+                        pdict = {f.dirname: v for f, v in zip(fields, key)}
+                        state = (
+                            pq.ParquetWriter(full, part.schema), full, rel, pdict
+                        )
+                        writers[key] = state
+                    state[0].write_table(part)
         finally:
-            if writer is not None:
-                writer.close()
-        if writer is None:
-            return _FileMessage(None)
-        from etl_job_spark.table import _file_stats
-
-        rows, stats = _file_stats(full)
-        return _FileMessage(rel, rows, stats)
+            for w, _, _, _ in writers.values():
+                w.close()
+        files = []
+        for _, full, rel, pdict in writers.values():
+            rows, stats = _file_stats(full)
+            files.append(
+                {"rel": rel, "rows": rows, "stats": stats, "partition": pdict}
+            )
+        return _FileMessage(files)
 
     # -- driver side ------------------------------------------------------
 
@@ -369,9 +603,22 @@ class _ManifestWriter(DataSourceArrowWriter):
                     {"op": "append", "via": "manifest_table datasource"},
                 )
             man = t._read_manifest(base)
-            committed = _check_plain_append(t, man, self._schema)
+            committed = _check_plain_append(
+                t, man, self._schema, allow_partitions=True
+            )
+            if list(man.get("partition_by") or []) != self._partition_by:
+                # a concurrent alter_partition_spec landed between plan
+                # and commit: these files sit in the WRONG layout for
+                # the manifest about to reference them — refuse rather
+                # than publish dirs the planner would mis-read
+                raise ValueError(
+                    "manifest_table datasource append: partition spec "
+                    f"changed during the write (planned {self._partition_by}, "
+                    f"now {man.get('partition_by')}); rerun the write"
+                )
             return t._commit(
-                man["files"] + new_entries, committed, None, base,
+                man["files"] + new_entries, committed,
+                man.get("partition_by") or None, base,
                 {"op": "append", "via": "manifest_table datasource"},
             )
 
@@ -382,9 +629,9 @@ class _ManifestWriter(DataSourceArrowWriter):
         import shutil
 
         for m in messages:
-            if m is not None and m.rel is not None:
+            for f in getattr(m, "files", None) or []:
                 try:
-                    os.remove(os.path.join(self._path, "data", m.rel))
+                    os.remove(os.path.join(self._path, "data", f["rel"]))
                 except OSError:
                     pass
         try:
@@ -403,28 +650,38 @@ def _entries_from_messages(table_path: str, messages) -> list[dict]:
 
     entries = []
     for m in messages:
-        if m is None or m.rel is None:
-            continue
-        if not m.rows:
-            # defensive: write() only creates a file after a non-empty
-            # batch, so a zero-row message should not occur
-            try:
-                os.remove(os.path.join(table_path, "data", m.rel))
-            except OSError:
-                pass
-            continue
-        entries.append(
-            {"path": m.rel, "partition": {}, "rows": m.rows, "stats": m.stats}
-        )
+        for f in getattr(m, "files", None) or []:
+            if not f["rows"]:
+                # defensive: write() only creates a file after a
+                # non-empty batch, so a zero-row file should not occur
+                try:
+                    os.remove(os.path.join(table_path, "data", f["rel"]))
+                except OSError:
+                    pass
+                continue
+            entries.append(
+                {
+                    "path": f["rel"],
+                    "partition": f.get("partition") or {},
+                    "rows": f["rows"],
+                    "stats": f["stats"],
+                }
+            )
     entries.sort(key=lambda e: e["path"])
     return entries
 
 
-def _check_plain_append(t, man, schema: StructType) -> StructType:
+def _check_plain_append(
+    t, man, schema: StructType, allow_partitions: bool = False
+) -> StructType:
     """The bounded-append contract both data source writers share:
-    plain table (no partitions/blooms/constraints/renames) and an
-    exactly-matching schema; returns the committed schema."""
-    for prop in ("partition_by", "bloom_cols", "constraints", "column_map"):
+    no blooms/constraints/renames (and, for the stream sink, no
+    partitions) and an exactly-matching schema; returns the committed
+    schema."""
+    props = ["bloom_cols", "constraints", "column_map"]
+    if not allow_partitions:
+        props.insert(0, "partition_by")
+    for prop in props:
         if man.get(prop):
             raise ValueError(
                 f"manifest_table datasource append: table has {prop}; "
@@ -468,6 +725,8 @@ class _ManifestStreamWriter(DataSourceStreamArrowWriter):
         self._path = table_path
         self._schema = schema
         self._app = app_id
+        self._partition_by: list[str] = []  # stream sink: plain tables only
+        self._int_sources: dict[str, bool] = {}
         self._sub = uuid.uuid4().hex
 
     # write(): identical task mechanics to the batch writer
@@ -513,11 +772,17 @@ class _ManifestStreamWriter(DataSourceStreamArrowWriter):
         import os
 
         for m in messages:
-            if m is not None and m.rel is not None:
+            for f in getattr(m, "files", None) or []:
                 try:
-                    os.remove(os.path.join(self._path, "data", m.rel))
+                    os.remove(os.path.join(self._path, "data", f["rel"]))
                 except OSError:
                     pass
+
+
+# telemetry of the LAST pre-planned read_manifest_table call (the
+# `predicates=` tier): the ManifestTable.last_planning dict of the
+# wrapper's internal instance — tests pin the tier, users can inspect
+LAST_PREPLAN: dict | None = None
 
 
 def read_manifest_table(
@@ -525,11 +790,26 @@ def read_manifest_table(
     table_path: str,
     version: int | None = None,
     timestamp: str | None = None,
+    predicates: list[tuple] | None = None,
 ) -> DataFrame:
     """Open a ManifestTable through the batch data source (registers
     the format, idempotent). Filters applied to the returned DataFrame
     — or the WHERE clause of SQL over a view of it — push down into
-    manifest-level file skipping automatically."""
+    manifest-level file skipping automatically.
+
+    ``predicates`` (the ``snapshot_where`` tuple spec) upgrades the
+    planning tier: the surviving entry list is resolved HERE, with the
+    session, through ``_plan_read_entries``'s distributed /
+    sidecar-scanning tiers — a 10⁶-file table plans as a Spark scan of
+    its checkpoint sidecar instead of a serial per-entry loop in the
+    session-less DS plan worker — and ships to the plan worker via a
+    plan file. The matching residual filter is applied to the returned
+    frame (pruning is file-granular), so the result equals
+    ``snapshot_where(spark, predicates)``; the planning telemetry is
+    readable as ``ManifestTable(path).last_planning`` on the instance
+    the wrapper used (returned frame's ``.planned`` lives DS-side).
+    Without ``predicates``, pushed-down DataFrame filters keep the
+    in-memory plan-worker tier — right for ad-hoc SQL over marts."""
     spark.dataSource.register(ManifestTableDataSource)
     # the Python DS pushdown API ships disabled by default; the source
     # asserts at plan time without it. Runtime SQL conf — safe to set
@@ -546,20 +826,99 @@ def read_manifest_table(
             str(spark.conf.get("spark.sql.session.timeZone") == "UTC").lower(),
         )
     )
+    if version is not None and timestamp is not None:
+        raise ValueError("pass at most one of version / timestamp")
     if version is not None:
         reader = reader.option("versionAsOf", str(version))
     if timestamp is not None:
         reader = reader.option("timestampAsOf", timestamp)
-    return reader.load()
+    if predicates is None:
+        return reader.load()
+
+    import json
+    import os
+    import uuid
+
+    from etl_job_spark.scratch import scratch_dir
+    from etl_job_spark.table import ManifestTable, predicate_column, _session_utc
+
+    t = ManifestTable(table_path)
+    v = version
+    if v is None:
+        v = t.version_as_of(timestamp) if timestamp is not None else t.latest_version()
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {table_path}")
+    raw = t._read_raw_manifest(v)
+    schema = t._manifest_schema(raw)
+    spec = list(predicates)
+    kept = t._plan_read_entries(
+        spark, v, raw, [spec], schema, _session_utc(spark)
+    )
+    global LAST_PREPLAN
+    LAST_PREPLAN = dict(t.last_planning)
+    plan_dir = scratch_dir(spark, "manifest_ds_plans")
+    os.makedirs(plan_dir, exist_ok=True)
+    plan_ref = os.path.join(plan_dir, f"{uuid.uuid4().hex}.json")
+    with open(plan_ref, "w") as fh:
+        json.dump(
+            {
+                "entries": kept,
+                "partition_by": raw.get("partition_by"),
+                "column_map": raw.get("column_map"),
+                "partition_specs": raw.get("partition_specs"),
+            },
+            fh,
+        )
+    df = (
+        reader.option("planRef", plan_ref)
+        # pin the planned snapshot: a commit landing between this plan
+        # and the DS's own version resolution must not pair our entry
+        # list with a newer schema/column_map
+        .option("versionAsOf", str(v))
+        .load()
+    )
+    return df.filter(predicate_column(spec))
 
 
 def write_manifest_table(df: DataFrame, table_path: str, mode: str = "append") -> None:
     """Write ``df`` into a ManifestTable through the batch data source
-    (registers the format, idempotent). ``mode``: "append" (bounded to
-    plain tables — see ``_ManifestWriter``) or "overwrite"."""
+    (registers the format, idempotent). ``mode``: "append" (plain and
+    PARTITIONED tables — raw and transform specs land the same dirs,
+    entry partition dicts, and footer stats as ``ManifestTable.append``;
+    bloomed/constrained/renamed tables still refuse loudly — see
+    ``_ManifestWriter``) or "overwrite".
+
+    For partitioned appends the frame is pre-clustered on the
+    partition values (one writer task per value instead of tasks ×
+    values sliver files — the same write shape ``merge`` uses), and
+    the session timezone is attested so the calendar transforms'
+    executor-side mirror is exact."""
     spark = df.sparkSession
     spark.dataSource.register(ManifestTableDataSource)
-    df.write.format("manifest_table").option("path", table_path).mode(mode).save()
+    if mode == "append":
+        from etl_job_spark.table import ManifestTable, _partition_fields
+
+        t = ManifestTable(table_path)
+        base = t.latest_version()
+        spec = (
+            list(t._read_raw_manifest(base).get("partition_by") or [])
+            if base is not None
+            else []
+        )
+        if spec:
+            fields = _partition_fields(spec)
+            if all(f.source in df.columns for f in fields):
+                df = df.repartition(*[f.column(df) for f in fields])
+    (
+        df.write.format("manifest_table")
+        .option("path", table_path)
+        .option(
+            "sessionUtc",
+            str(spark.conf.get("spark.sql.session.timeZone") == "UTC").lower(),
+        )
+        .mode(mode)
+        .save()
+    )
 
 
 def stream_write_manifest_table(

@@ -152,21 +152,136 @@ def test_writer_refusals(spark, tmp_path):
         )
     assert t.latest_version() == v  # aborted write published nothing
     assert t.snapshot(spark).count() == 10
-    # partitioned tables refuse DS append (library API owns that shape)
+    # calendar-transform partitions need the UTC attestation the
+    # wrapper provides; a bare format() write (no sessionUtc option)
+    # must refuse rather than derive possibly-wrong day dirs
     d2 = str(tmp_path / "r2")
     t2 = ManifestTable(d2)
     t2.overwrite(
-        spark.range(0, 20).select(F.col("id").alias("k"), (F.col("id") % 2).alias("g")),
-        partition_by=["g"],
+        spark.range(0, 20).select(
+            F.col("id").alias("k"),
+            (F.to_timestamp(F.lit("2024-01-01")) +
+             F.make_interval(hours=F.col("id").cast("int"))).alias("ts"),
+        ),
+        partition_by=["days(ts)"],
     )
-    with pytest.raises(Exception, match="partition_by"):
-        write_manifest_table(
+    with pytest.raises(Exception, match="UTC session"):
+        (
             spark.range(20, 30).select(
-                F.col("id").alias("k"), (F.col("id") % 2).alias("g")
-            ),
-            d2,
-            mode="append",
+                F.col("id").alias("k"),
+                F.to_timestamp(F.lit("2024-02-01")).alias("ts"),
+            )
+            .write.format("manifest_table").option("path", d2)
+            .mode("append").save()
         )
+
+
+def _evts(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.to_timestamp(F.lit("2024-01-01")) +
+         F.make_interval(hours=(F.col("id") * 7).cast("int"))).alias("ts"),
+        (F.col("id") * 10).alias("v"),
+    )
+
+
+def test_writer_partitioned_append_matches_library(spark, tmp_path):
+    """df.write.format("manifest_table") onto a days(ts) table lands
+    transform dirs, entry partition dicts, and footer stats identical
+    to ManifestTable.append — the manifest-diff pin for the DS
+    writer's executor-side dir derivation."""
+    from etl_job_spark.sources.manifest_source import write_manifest_table
+
+    base = _evts(spark, 0, 48)
+    extra = _evts(spark, 48, 96)
+    d_lib, d_ds = str(tmp_path / "lib"), str(tmp_path / "ds")
+    t_lib, t_ds = ManifestTable(d_lib), ManifestTable(d_ds)
+    for t in (t_lib, t_ds):
+        t.overwrite(base.repartitionByRange(4, "ts"), partition_by=["days(ts)"])
+    t_lib.append(extra)
+    write_manifest_table(extra, d_ds, mode="append")
+
+    def new_entries(t):
+        man = t._read_manifest(t.latest_version())
+        return [e for e in man["files"] if e not in t._read_manifest(1)["files"]]
+
+    lib_e, ds_e = new_entries(t_lib), new_entries(t_ds)
+    # identical partition-value coverage and per-partition row counts
+    def rollup(entries):
+        out = {}
+        for e in entries:
+            key = e["partition"]["ts_day"]
+            out[key] = out.get(key, 0) + e["rows"]
+        return out
+
+    assert rollup(ds_e) == rollup(lib_e)
+    # stats intact on every new DS file, and the per-partition ts
+    # envelope (min of mins / max of maxes) equals the library's
+    def stat_map(entries):
+        out: dict = {}
+        for e in entries:
+            d = e["partition"]["ts_day"]
+            st = e["stats"]["ts"]
+            lo, hi = out.get(d, (st["min"], st["max"]))
+            out[d] = (min(lo, st["min"]), max(hi, st["max"]))
+        return out
+
+    lib_s, ds_s = stat_map(lib_e), stat_map(ds_e)
+    assert lib_s and ds_s == lib_s
+    assert all(set(e["stats"]) == {"k", "ts", "v"} for e in ds_e)
+    # snapshots identical
+    assert sorted(map(tuple, t_ds.snapshot(spark).collect())) == sorted(
+        map(tuple, t_lib.snapshot(spark).collect())
+    )
+    # and the pruned window read skips the same files on both
+    import datetime as dt
+
+    preds = [("ts", ">=", dt.datetime(2024, 1, 10))]
+    a = sorted(map(tuple, t_ds.snapshot_where(spark, preds).collect()))
+    b = sorted(map(tuple, t_lib.snapshot_where(spark, preds).collect()))
+    assert a == b
+    assert t_ds.last_planning["kept"] < t_ds.last_planning["candidates"]
+
+
+def test_writer_partitioned_append_raw_bucket_null_and_escaping(spark, tmp_path):
+    """Raw + bucket + truncate specs through the DS writer: NULL
+    partitions render as __HIVE_DEFAULT_PARTITION__, special chars in
+    raw string values escape like Spark's writer (decoded equality),
+    bucket/truncate dirs equal the library derivation."""
+    from etl_job_spark.sources.manifest_source import write_manifest_table
+
+    df = spark.createDataFrame(
+        [("a/b=c", 17, 1), (None, 23, 2), ("plain", None, 3), ("plain", 42, 4)],
+        "g string, n bigint, v bigint",
+    )
+    d_lib, d_ds = str(tmp_path / "lib"), str(tmp_path / "ds")
+    t_lib, t_ds = ManifestTable(d_lib), ManifestTable(d_ds)
+    spec = ["g", "bucket(4, n)", "truncate(10, n)"]
+    seed = spark.createDataFrame([("seed", 5, 0)], "g string, n bigint, v bigint")
+    for t in (t_lib, t_ds):
+        t.overwrite(seed, partition_by=spec)
+    t_lib.append(df)
+    write_manifest_table(df, d_ds, mode="append")
+    def parts(t):
+        man = t._read_manifest(t.latest_version())
+        rows = [
+            (e["partition"]["g"], e["partition"]["n_bucket"],
+             e["partition"]["n_trunc"], e["rows"])
+            for e in man["files"]
+        ]
+        return sorted(
+            rows, key=lambda x: tuple("" if v is None else str(v) for v in x)
+        )
+
+    assert parts(t_ds) == parts(t_lib)
+    key = lambda r: tuple("" if v is None else str(v) for v in r)  # noqa: E731
+    assert sorted(map(tuple, t_ds.snapshot(spark).collect()), key=key) == sorted(
+        map(tuple, t_lib.snapshot(spark).collect()), key=key
+    )
+    # point read on the escaped raw value matches on both tables
+    for t in (t_lib, t_ds):
+        got = t.snapshot_where(spark, [("g", "=", "a/b=c")]).collect()
+        assert [(r.n, r.v) for r in got] == [(17, 1)]
 
 
 def test_writer_overwrite_clears_partition_spec_history(spark, tmp_path):
@@ -312,7 +427,10 @@ def test_stream_writer_exactly_once(spark, tmp_path):
     )
     v = t.latest_version()
     last = int(man["stream_txns"]["app1"])
-    w.commit([_FileMessage(rel)], last)  # replay: at/below high-water
+    w.commit(
+        [_FileMessage([{"rel": rel, "rows": 1, "stats": {}, "partition": {}}])],
+        last,
+    )  # replay: at/below high-water
     assert t.latest_version() == v
     assert not os.path.exists(os.path.join(d, "data", rel))
     assert sorted(r.k for r in t.snapshot(spark).collect()) == [1, 2, 3, 4]

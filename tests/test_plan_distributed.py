@@ -346,3 +346,37 @@ def test_partitions_df_metadata_rollup(spark, tmp_path):
     t2.overwrite(spark.range(10).selectExpr("id as k").repartition(3))
     [r] = t2.partitions_df(spark).collect()
     assert r.partition == {} and r.n_files == 3 and r.rows == 10
+
+
+def test_read_manifest_table_preplans_past_the_plan_worker(spark, tmp_path, monkeypatch):
+    """The DS read path's driver-bound planning tier, closed: passing
+    `predicates=` to read_manifest_table pre-plans the surviving entry
+    list with the library's distributed/sidecar tiers (the wrapper has
+    a session; the DS plan worker doesn't) and ships it via a plan
+    file — rows equal snapshot()+filter, the tier is distributed, and
+    the DS-side matcher sees only the survivors."""
+    import etl_job_spark.sources.manifest_source as ms
+    from etl_job_spark.sources.manifest_source import read_manifest_table
+
+    monkeypatch.setattr(tablemod, "_FILES_PARQUET_MIN", 16)
+    monkeypatch.setattr(tablemod, "_SPARK_PRUNE_MIN_FILES", 8)
+    t = _mk_table(spark, tmp_path / "t", n_files=24, bloom=True)
+    preds = [("k", "between", (400, 900)), ("u", "in", ["u500", "u9999"])]
+    got = _rows(read_manifest_table(spark, t.path, predicates=preds))
+    want = _rows(
+        t.snapshot(spark).filter("k between 400 and 900 and u in ('u500','u9999')")
+    )
+    assert got == want and got
+    lp = ms.LAST_PREPLAN
+    assert lp and lp["mode"] in ("distributed", "distributed-lazy"), lp
+    assert lp["candidates"] == 24
+    assert lp["kept"] < 24  # the prune actually bit
+    # same result and same survivors from a cold sidecar-backed table
+    t2 = ManifestTable(t.path)
+    assert _rows(read_manifest_table(spark, t2.path, predicates=preds)) == want
+    # a concurrent append AFTER planning doesn't shift the pinned read
+    df = read_manifest_table(spark, t.path, predicates=[("k", "<", 100)])
+    t.append(spark.range(10_000, 10_050).selectExpr(
+        "id as k", "cast(id % 7 as int) as v", "concat('u', id) as u"
+    ))
+    assert sorted(r.k for r in df.collect()) == list(range(100))
