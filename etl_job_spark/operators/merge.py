@@ -95,6 +95,7 @@ def merge_clauses(
     update_cols: Sequence[str] | None = None,
     delete_pred: Column | str | None = None,
     insert_unmatched: bool = True,
+    not_matched_by_source_delete: Column | str | bool = False,
 ) -> DataFrame:
     """MERGE with Delta-style matched clauses — the relational core
     shared by ``ManifestTable.merge``'s clause mode.
@@ -115,6 +116,11 @@ def merge_clauses(
     - ``insert_unmatched``: un-matched source rows insert as whole
       rows, NULL-filled to the target width (default, the upsert
       contract); False turns the merge into a pure UPDATE-JOIN.
+    - ``not_matched_by_source_delete`` (Delta's WHEN NOT MATCHED BY
+      SOURCE THEN DELETE — the full-sync shape): target rows whose
+      key has NO source row at all are deleted — all of them when
+      ``True``, or only those satisfying a predicate over the TARGET
+      row. NULL predicate = kept.
 
     Matched/unmatched is decided against the ORIGINAL target keys, so
     one batch cannot delete a key and then re-insert it (matches
@@ -131,6 +137,24 @@ def merge_clauses(
         dels, ups = None, source
 
     kept = target if dels is None else target.join(dels, on=list(keys), how="left_anti")
+    nmbs = not_matched_by_source_delete
+    if nmbs is not False and nmbs is not None:
+        # a delete-flagged source row still MATCHES its target (and
+        # deletes it via the matched clause above), so the by-source
+        # test runs against ALL source keys, flagged included
+        nm_pred = (
+            F.lit(True)
+            if nmbs is True
+            else (F.expr(nmbs) if isinstance(nmbs, str) else nmbs)
+        )
+        marked = kept.join(
+            source.select(*keys).distinct().withColumn("__in_src", F.lit(True)),
+            on=list(keys),
+            how="left",
+        )
+        kept = marked.filter(
+            ~(F.col("__in_src").isNull() & F.coalesce(nm_pred, F.lit(False)))
+        ).drop("__in_src")
     target_types = dict(target.dtypes)
     if update_cols is None:
         merged = merge_upsert(kept, ups, keys)

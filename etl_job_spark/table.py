@@ -1216,6 +1216,31 @@ def _source_key_ranges(source: DataFrame, keys: Sequence[str]) -> dict[str, tupl
     return out
 
 
+def _source_key_bounds(source: DataFrame, keys: Sequence[str]) -> dict[str, tuple]:
+    """RAW min/max of each key column — one aggregate job, a fixed
+    2×len(keys) scalars on the driver. Unlike ``_source_key_ranges``
+    (footer-ENCODED, for ``_stats_disjoint``), these are plain Python
+    values shaped as PREDICATE PROBES: ``_entry_matches_stats``
+    normalizes and encodes them per column itself, which is what lets
+    the merge range prune reason from partition constants and
+    spec-history transform dirs too — not only footer stats. All-NULL
+    or absent columns are omitted (a NULL source key never matches a
+    target row, so it cannot make a file touched)."""
+    present = [k for k in keys if k in source.columns]
+    if not present:
+        return {}
+    aggs = []
+    for k in present:
+        aggs.append(F.min(F.col(k)).alias(f"__lo_{k}"))
+        aggs.append(F.max(F.col(k)).alias(f"__hi_{k}"))
+    row = source.agg(*aggs).collect()[0]
+    return {
+        k: (row[f"__lo_{k}"], row[f"__hi_{k}"])
+        for k in present
+        if row[f"__lo_{k}"] is not None and row[f"__hi_{k}"] is not None
+    }
+
+
 _ZORDER_BITS = 8  # 256 quantile buckets per dimension
 
 
@@ -3587,6 +3612,7 @@ class ManifestTable:
         when_matched_update: Sequence[str] | None = None,
         when_matched_delete: str | Column | None = None,
         insert_unmatched: bool = True,
+        not_matched_by_source_delete: str | Column | bool = False,
     ) -> int:
         """MERGE ``source`` into the table (source wins per key).
 
@@ -3604,11 +3630,21 @@ class ManifestTable:
           never insert.
         - ``insert_unmatched=False`` — suppress the insert branch
           (pure UPDATE-JOIN; default True keeps the upsert contract).
+        - ``not_matched_by_source_delete=True`` (or a predicate over
+          the TARGET row) — Delta's WHEN NOT MATCHED BY SOURCE THEN
+          DELETE, the full-sync shape: target rows with no source key
+          match are removed. This clause makes EVERY file a rewrite
+          candidate (any file may hold an unmatched row), so all file
+          pruning is disabled for the merge — the documented,
+          unavoidable cost of full-sync semantics (Delta scans the
+          whole table for this clause too). Don't reach for it when a
+          keyed window merge expresses the intent.
 
-        File pruning below applies unchanged to clause merges: a
-        narrow UPDATE source still prunes by partition values,
-        key-range stats, and blooms, so "set one column for matching
-        rows" rewrites only the files that can hold a matching key.
+        File pruning below applies unchanged to the other clause
+        merges: a narrow UPDATE source still prunes by partition
+        values, key-range stats, and blooms, so "set one column for
+        matching rows" rewrites only the files that can hold a
+        matching key.
         Clause merges never evolve the schema (UPDATE can't add
         columns); constraints are validated on the REWRITTEN rows
         (the source may be narrower than the table).
@@ -3646,10 +3682,13 @@ class ManifestTable:
         the files that overlap it, not the whole table.
         """
 
+        nmbs = not_matched_by_source_delete
+        nmbs_active = nmbs is not False and nmbs is not None
         clause_mode = (
             when_matched_update is not None
             or when_matched_delete is not None
             or not insert_unmatched
+            or nmbs_active
         )
 
         def attempt() -> int:
@@ -3720,7 +3759,15 @@ class ManifestTable:
             cmap = man.get("column_map") or {}
             src_phys = _renamed(source, cmap)
             part_fields = _partition_fields(partition_by)
-            if partition_by and all(f.source in src_phys.columns for f in part_fields):
+            # WHEN NOT MATCHED BY SOURCE makes every file a rewrite
+            # candidate (any file may hold an unmatched row): carrying
+            # one by reference could silently keep rows the clause
+            # must delete — all pruning is disabled (see docstring)
+            if (
+                partition_by
+                and not nmbs_active
+                and all(f.source in src_phys.columns for f in part_fields)
+            ):
                 # manifests store decoded logical values (None for NULL);
                 # render the source's the same way so NULL and escaped
                 # characters compare correctly. Transform partitions
@@ -3751,20 +3798,38 @@ class ManifestTable:
                 )
 
             # key-range data skipping over the partition-prune
-            # survivors; files with no recorded/comparable stats are
-            # never pruned (unknown range = possibly touched)
-            stat_keys = [
-                cmap.get(k, k)
-                for k in keys
-                if any((e.get("stats") or {}).get(cmap.get(k, k)) for e in touched)
-            ]
-            if touched and stat_keys:
-                ranges = _source_key_ranges(src_phys, stat_keys)
-                if ranges:
+            # survivors: the source's per-key min/max (one scalar
+            # aggregate) becomes a BETWEEN spec judged by the same
+            # per-entry matcher every read plans with — so the prune
+            # reasons from footer stats AND raw partition constants
+            # AND spec-history transform dirs. The latter two are what
+            # keep legacy layouts pruning after a partition-spec
+            # evolution: a file raw-partitioned on the key has NO
+            # footer stats for it (partitionBy removes the column from
+            # the file), and stats-only reasoning carried every such
+            # file into the rewrite. Files with no usable facts are
+            # never pruned (unknown = possibly touched).
+            phys_keys = [cmap.get(k, k) for k in keys]
+            if touched and phys_keys and not nmbs_active:
+                bounds = _source_key_bounds(src_phys, phys_keys)
+                if bounds:
+                    spec = _normalize_predicates(
+                        [(k, "between", b) for k, b in bounds.items()]
+                    )
+                    part_types = {
+                        cmap.get(f.name, f.name): f.dataType.simpleString()
+                        for f in schema.fields
+                    }
+                    utc = _session_utc(spark)
+                    tmap = _prune_tmap(
+                        partition_by, man.get("partition_specs"), utc
+                    )
                     touched, cold = self._split_candidates(
                         spark,
                         touched,
-                        lambda e: not _stats_disjoint(e, ranges),
+                        lambda e: _entry_matches_stats(
+                            e, spec, part_types, tmap, utc
+                        ),
                         "merge-range",
                     )
                     untouched.extend(cold)
@@ -3779,7 +3844,7 @@ class ManifestTable:
             bloom_keys = [
                 k for k in keys if cmap.get(k, k) in (man.get("bloom_cols") or [])
             ]
-            if touched and bloom_keys:
+            if touched and bloom_keys and not nmbs_active:
                 probe: dict[str, list] = {}
                 for k in bloom_keys:
                     vals = [
@@ -3816,6 +3881,7 @@ class ManifestTable:
                         update_cols=when_matched_update,
                         delete_pred=when_matched_delete,
                         insert_unmatched=insert_unmatched,
+                        not_matched_by_source_delete=nmbs,
                     )
                 else:
                     merged = merge_upsert(target, source, keys, order_col=order_col)

@@ -136,6 +136,39 @@ def test_merge_updates_rows_in_legacy_layout(spark, tmp_path):
     assert rewritten
 
 
+def test_merge_prunes_legacy_raw_partitioned_files(spark, tmp_path):
+    """After a raw→transform spec evolution, legacy files have NO
+    footer stats for the old raw partition key (partitionBy removed
+    the column from the files) — the merge range prune must reason
+    from their partition CONSTANTS instead, or every legacy file
+    rewrites on every narrow merge forever (found at sf1.0: 0/14
+    legacy files carried by reference)."""
+    t = ManifestTable(str(tmp_path / "lp"))
+    df = spark.range(0, 120).select(
+        F.col("id").alias("k"),
+        F.lpad((F.col("id") % 12).cast("string"), 2, "0").alias("d"),
+        (F.col("id") * 10).alias("v"),
+    )
+    t.overwrite(df.repartition(F.col("d")), partition_by=["d"])
+    t.alter_partition_spec(["truncate(1, d)"])
+    before = {e["path"] for e in t._read_manifest(t.latest_version())["files"]}
+    # narrow source: keys confined to d in {'03','04'}
+    src = df.filter(F.col("d").isin("03", "04")).withColumn(
+        "v", F.lit(-1).cast("bigint")
+    )
+    t.merge(spark, src, keys=["k", "d"])
+    man = t._read_manifest(t.latest_version())
+    after = {e["path"] for e in man["files"]}
+    carried = before & after
+    # the 10 cold day-partitions' legacy files carried by reference
+    assert len(carried) >= 8, (len(before), len(carried))
+    got = {r.k: r.v for r in t.snapshot(spark).collect()}
+    assert len(got) == 120
+    assert all(
+        got[k] == (-1 if (k % 12) in (3, 4) else k * 10) for k in range(120)
+    )
+
+
 def test_bucket_arg_change_stays_exact(spark, tmp_path):
     """bucket(4,k) → bucket(16,k): the shared dirname `k_bucket` means
     old dirs CANNOT be probed with the new arg — the conflict exclusion

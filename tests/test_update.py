@@ -199,6 +199,50 @@ def test_merge_clauses_delete_pred_cdc(spark):
     assert {r.k: r.v for r in out} == {1: 11, 3: 30}
 
 
+def test_merge_clauses_not_matched_by_source_delete(spark):
+    target = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k bigint, v bigint"
+    )
+    src = spark.createDataFrame([(2, 99), (4, 44)], "k bigint, v bigint")
+    # full sync: unmatched target rows all die
+    out = merge_clauses(
+        target, src, ["k"], update_cols=["v"], not_matched_by_source_delete=True
+    ).collect()
+    assert {r.k: r.v for r in out} == {2: 99, 4: 44}
+    # predicate gates the by-source delete on the TARGET row
+    out2 = merge_clauses(
+        target, src, ["k"], not_matched_by_source_delete="v >= 30"
+    ).collect()
+    assert {r.k: r.v for r in out2} == {1: 10, 2: 99, 4: 44}
+    # a delete-flagged source row still MATCHES (never by-source-deleted
+    # twice, never resurrected)
+    src_cdc = spark.createDataFrame(
+        [(2, 0, True)], "k bigint, v bigint, _del boolean"
+    )
+    out3 = merge_clauses(
+        target, src_cdc, ["k"], update_cols=["v"], delete_pred="_del",
+        not_matched_by_source_delete="v >= 30",
+    ).collect()
+    # k=2 deleted by the matched clause; k=3 by the by-source clause
+    assert {r.k: r.v for r in out3} == {1: 10}
+
+
+def test_manifest_merge_not_matched_by_source_disables_pruning(spark, tmp_path):
+    """Full-sync MERGE must delete unmatched rows even in partitions
+    the source never mentions — a carried-by-reference file would
+    silently keep rows the clause deletes, so pruning is disabled."""
+    t = ManifestTable(str(tmp_path / "fs"))
+    t.overwrite(_df(spark, 0, 80).repartition(F.col("g")), partition_by=["g"])
+    # source lives entirely in g=1; full sync keeps ONLY its keys
+    src = spark.range(0, 80).filter(F.col("id") % 4 == 1).select(
+        F.col("id").alias("k"), F.lit(1).cast("bigint").alias("g"),
+        (F.col("id") * 10).alias("v"), F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    t.merge(spark, src, keys=["k"], not_matched_by_source_delete=True)
+    got = sorted(r.k for r in t.snapshot(spark).collect())
+    assert got == [k for k in range(80) if k % 4 == 1]
+
+
 def test_manifest_merge_when_matched_update_narrow_source(spark, tmp_path):
     """The reference's enrichment layer as a table-format statement:
     a narrow (key, enrichment-col) source updates ONE column of the
