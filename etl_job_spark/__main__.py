@@ -56,9 +56,17 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "versions", "history", "show", "read", "count", "rows",
             "agg", "diff", "compact", "vacuum", "restore", "delete",
-            "delete-keys", "constraints", "rename", "drop-cols",
+            "delete-keys", "update", "constraints", "rename", "drop-cols",
             "files", "partitions",
         ],
+    )
+    tb.add_argument(
+        "--set",
+        action="append",
+        default=[],
+        metavar="COL=SQL",
+        help="for update: a SET assignment (repeatable; SQL expression "
+        "evaluated against the pre-update row, cast to the column type)",
     )
     tb.add_argument(
         "--from-col", default=None,
@@ -331,6 +339,33 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(
                     {"path": args.path, "version": v, "mode": args.mode,
                      "where": args.where}))
+            elif args.action == "update":
+                if (not args.where and not args.predicates) or not args.set:
+                    print(
+                        "table update requires --where (SQL) or --predicates "
+                        "(pruning spec), plus at least one --set COL=SQL",
+                        file=sys.stderr,
+                    )
+                    return 2
+                sets = {}
+                for item in args.set:
+                    col, eq, expr = item.partition("=")
+                    if not eq or not col.strip() or not expr.strip():
+                        print(f"--set {item!r}: expected COL=SQL", file=sys.stderr)
+                        return 2
+                    sets[col.strip()] = expr.strip()
+                # --predicates (the spec form) plans through
+                # partition/stats/bloom file pruning; --where is the
+                # general SQL-predicate path (hit-scan only)
+                where = (
+                    [tuple(p) for p in json.loads(args.predicates)]
+                    if args.predicates
+                    else args.where
+                )
+                v = t.update_where(spark, sets, where)
+                print(json.dumps(
+                    {"path": args.path, "version": v, "set": sorted(sets),
+                     "where": args.where or args.predicates}))
             elif args.action == "delete-keys":
                 if not args.key_col or not args.keys:
                     print("table delete-keys requires --key-col and --keys",

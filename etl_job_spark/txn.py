@@ -142,8 +142,21 @@ class Transaction:
         keys: Sequence[str],
         order_col: str | None = None,
         txn: tuple[str, int] | None = None,
+        **kw,
     ) -> None:
-        self._run(name, lambda t: t.merge(spark, source, keys, order_col, txn=txn))
+        # **kw forwards the matched clauses (when_matched_update /
+        # when_matched_delete / insert_unmatched /
+        # not_matched_by_source_delete) so enrichment UPDATE-JOINs run
+        # inside the log like every other write
+        self._run(
+            name, lambda t: t.merge(spark, source, keys, order_col, txn=txn, **kw)
+        )
+
+    def update_where(self, name: str, spark: SparkSession, set, where) -> None:
+        """Row-level UPDATE inside the log (same rule as every verb
+        here: an enrolled table must never be updated directly on the
+        ManifestTable — replay tracks versions purely from the log)."""
+        self._run(name, lambda t: t.update_where(spark, set, where))
 
     def delete_where(self, name: str, spark: SparkSession, predicate, **kw) -> None:
         self._run(name, lambda t: t.delete_where(spark, predicate, **kw))

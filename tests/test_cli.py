@@ -97,6 +97,35 @@ def test_table_delete_keys_cli(capsys, spark, tmp_path):
     assert main(["table", "delete-keys", "--path", path]) == 2
 
 
+def test_table_update_cli(capsys, spark, tmp_path):
+    from etl_job_spark.table import ManifestTable
+
+    path = str(tmp_path / "tbl_up")
+    t = ManifestTable(path)
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, i % 3, i * 10) for i in range(30)], "k long, g long, v long"
+        )
+    )
+    assert main(["table", "update", "--path", path,
+                 "--set", "v=v + 1", "--where", "g = 1"]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["version"] == 2 and res["set"] == ["v"]
+    got = {r["k"]: r["v"] for r in t.snapshot(spark).collect()}
+    assert all(got[k] == k * 10 + (1 if k % 3 == 1 else 0) for k in range(30))
+    # predicate-spec form plans through the pruning path
+    assert main(["table", "update", "--path", path,
+                 "--set", "v=0", "--predicates", '[["k", "=", 5]]']) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["version"] == 3
+    assert {r["v"] for r in t.snapshot(spark).collect() if r["k"] == 5} == {0}
+    # usage errors, not crashes
+    assert main(["table", "update", "--path", path, "--set", "v=0"]) == 2
+    assert main(["table", "update", "--path", path, "--where", "g = 1"]) == 2
+    assert main(["table", "update", "--path", path,
+                 "--set", "nonsense", "--where", "g = 1"]) == 2
+
+
 def test_table_constraints_cli(capsys, spark, tmp_path):
     from etl_job_spark.table import ManifestTable
 

@@ -40,6 +40,31 @@ def test_two_table_commit_is_atomic_and_visible(spark, tmp_path):
     assert got == {1: "a", 2: "b2", 3: "c"}
 
 
+def test_update_where_and_clause_merge_inside_the_log(spark, tmp_path):
+    """The round-9 verbs route through the log like every other write:
+    update_where and a matched-clause merge stage + apply atomically,
+    and replay sees consistent versions."""
+    cat = TransactionalCatalog(str(tmp_path / "cat"))
+    cat.commit(lambda txn: txn.overwrite("t", _df(spark, [(1, "a"), (2, "b"), (3, "c")])))
+
+    def ops(txn):
+        txn.update_where("t", spark, {"v": "upper(v)"}, "k <= 2")
+
+    assert cat.commit(ops) == {"t": 2}
+    got = {r["k"]: r["v"] for r in cat.table("t").snapshot(spark).collect()}
+    assert got == {1: "A", 2: "B", 3: "c"}
+
+    def ops2(txn):
+        txn.merge(
+            "t", spark, _df(spark, [(3, "C3"), (9, "nine")]), keys=["k"],
+            when_matched_update=["v"], insert_unmatched=False,
+        )
+
+    assert cat.commit(ops2) == {"t": 3}
+    got = {r["k"]: r["v"] for r in cat.table("t").snapshot(spark).collect()}
+    assert got == {1: "A", 2: "B", 3: "C3"}  # no insert of k=9
+
+
 def test_commit_point_then_crash_heals_by_roll_forward(spark, tmp_path):
     root = str(tmp_path / "cat")
     cat = TransactionalCatalog(root)
