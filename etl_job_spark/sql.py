@@ -112,12 +112,193 @@ def _split_assignments(body: str) -> dict[str, str]:
     return out
 
 
+def _strip_alias(expr: str, alias: str, other: str | None, what: str) -> str:
+    """Remove ``alias.`` qualifiers outside quotes; refuse if the
+    OTHER relation's alias is still referenced (the clause's contract
+    allows one side only)."""
+    out = []
+    quote: str | None = None
+    i = 0
+    low = expr.lower()
+    while i < len(expr):
+        c = expr[i]
+        if quote is not None:
+            out.append(c)
+            if c == quote:
+                quote = None
+            i += 1
+            continue
+        if c in ("'", '"'):
+            quote = c
+            out.append(c)
+            i += 1
+            continue
+        for name, drop in ((alias, True), (other, False)):
+            if (
+                name
+                and low.startswith(name.lower() + ".", i)
+                and (i == 0 or not (expr[i - 1].isalnum() or expr[i - 1] == "_"))
+            ):
+                if not drop:
+                    raise ValueError(
+                        f"MERGE {what} predicate may reference only "
+                        f"{alias!r}-side columns, got {expr.strip()!r}"
+                    )
+                i += len(name) + 1
+                break
+        else:
+            out.append(c)
+            i += 1
+            continue
+    return "".join(out).strip()
+
+
+def _merge_into(spark: SparkSession, t, s: str) -> int:
+    """Constrained ``MERGE INTO`` — the statement shapes the engine's
+    clause merge expresses exactly (everything else refuses, naming
+    the library verb):
+
+        MERGE INTO <t> [AS a] USING <view> [AS b]
+        ON a.k = b.k [AND ...]            -- equi-keys, SAME column name
+        [WHEN MATCHED AND <src-pred> THEN DELETE]
+        [WHEN MATCHED THEN UPDATE SET a.c = b.c [, ...]]  -- identity cols
+        [WHEN NOT MATCHED THEN INSERT *]
+        [WHEN NOT MATCHED BY SOURCE [AND <tgt-pred>] THEN DELETE]
+
+    ``USING`` must name a registered view/table (alias the columns in
+    the view when names differ — renames and expressions belong in the
+    source query, which is full Spark SQL)."""
+    import re
+
+    head = re.match(
+        r"(?is)^\s*MERGE\s+INTO\s+(\S+?)(?:\s+AS)?(?:\s+(\w+))?\s+USING\s+"
+        r"(\w+)(?:\s+AS)?(?:\s+(\w+))?\s+ON\s+",
+        s,
+    )
+    if head is None:
+        raise ValueError(
+            "supported form: MERGE INTO <t> [AS a] USING <view> [AS b] ON ..."
+            " (subqueries in USING are unsupported — register a view)"
+        )
+    t_alias = head.group(2) or head.group(1)
+    src_name = head.group(3)
+    s_alias = head.group(4) or src_name
+    rest = s[head.end():]
+    first_when = _scan_top(rest, "WHEN")
+    if first_when < 0:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    on_sql, clause_sql = rest[:first_when], rest[first_when:]
+
+    keys = []
+    for part in re.split(r"(?i)\s+AND\s+", on_sql.strip()):
+        m = re.match(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", part)
+        if m is None or {m.group(1), m.group(3)} != {t_alias, s_alias} or (
+            m.group(2) != m.group(4)
+        ):
+            raise ValueError(
+                f"MERGE ON supports only same-named equi-keys "
+                f"({t_alias}.k = {s_alias}.k AND ...), got {part.strip()!r} — "
+                "alias the source view's column to the target name"
+            )
+        keys.append(m.group(2))
+
+    # split on top-level WHEN only (quote/paren-aware): a CASE WHEN
+    # inside a clause predicate is supported by parenthesizing the
+    # predicate — inside parens the scanner never matches
+    clauses = []
+    remaining = clause_sql
+    while True:
+        at = _scan_top(remaining, "WHEN")
+        if at < 0:
+            break
+        nxt = _scan_top(remaining[at + 4:], "WHEN")
+        if nxt < 0:
+            clauses.append(remaining[at + 4:])
+            break
+        clauses.append(remaining[at + 4: at + 4 + nxt])
+        remaining = remaining[at + 4 + nxt:]
+
+    update_cols = None
+    delete_pred = None
+    insert_unmatched = False
+    nmbs: str | bool = False
+    for clause in clauses:
+        c = clause.strip().rstrip(";").strip()
+        up = c.upper()
+        if up.startswith("MATCHED AND") and up.rstrip().endswith("THEN DELETE"):
+            pred = c[len("MATCHED AND"):c.upper().rfind("THEN DELETE")]
+            delete_pred = _strip_alias(pred, s_alias, t_alias, "WHEN MATCHED")
+        elif up.startswith("MATCHED THEN UPDATE SET"):
+            body = c[len("MATCHED THEN UPDATE SET"):]
+            update_cols = []
+            for col, expr in _split_assignments(
+                _strip_alias(body, t_alias, None, "UPDATE SET")
+            ).items():
+                rhs = _strip_alias(expr, s_alias, t_alias, "UPDATE SET")
+                if rhs != col:
+                    raise ValueError(
+                        f"MERGE UPDATE SET supports identity assignments only "
+                        f"({t_alias}.c = {s_alias}.c); got {col} = {expr!r} — "
+                        "compute expressions in the source view, or use "
+                        "ManifestTable.update_where"
+                    )
+                update_cols.append(col)
+        elif up.startswith("NOT MATCHED BY SOURCE"):
+            tail = c[len("NOT MATCHED BY SOURCE"):].strip()
+            tu = tail.upper()
+            if not tu.endswith("THEN DELETE"):
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE supports only THEN DELETE"
+                )
+            cond = tail[: len(tail) - len("THEN DELETE")].strip()
+            if cond.upper().startswith("AND "):
+                nmbs = _strip_alias(
+                    cond[4:], t_alias, s_alias, "NOT MATCHED BY SOURCE"
+                )
+            elif cond:
+                raise ValueError(f"unparsed NOT MATCHED BY SOURCE tail {cond!r}")
+            else:
+                nmbs = True
+        elif up.startswith("NOT MATCHED"):
+            tail = c[len("NOT MATCHED"):].strip()
+            if tail.upper().replace(" ", "") not in ("THENINSERT*",):
+                raise ValueError(
+                    "WHEN NOT MATCHED supports only THEN INSERT * — project "
+                    "the insert shape in the source view"
+                )
+            insert_unmatched = True
+        else:
+            raise ValueError(f"unsupported MERGE clause {c[:60]!r}")
+
+    if update_cols is None and delete_pred is None and not insert_unmatched \
+            and nmbs is False:
+        raise ValueError("MERGE needs at least one actionable WHEN clause")
+    source = spark.table(src_name)
+    if update_cols is None and insert_unmatched:
+        # plain upsert shape: WHEN NOT MATCHED INSERT * (± matched
+        # delete) with no UPDATE SET = whole-row source-wins
+        return t.merge(
+            spark, source, keys, when_matched_delete=delete_pred,
+            insert_unmatched=True, not_matched_by_source_delete=nmbs,
+        )
+    return t.merge(
+        spark, source, keys,
+        when_matched_update=update_cols,
+        when_matched_delete=delete_pred,
+        insert_unmatched=insert_unmatched,
+        not_matched_by_source_delete=nmbs,
+    )
+
+
 def execute_dml(spark: SparkSession, table, sql: str) -> int:
     """Execute one row-level DML statement against a ManifestTable
     (instance or path); returns the new committed version. The table
     name inside the statement is accepted but not resolved — the
     target is the ``table`` argument (one statement, one table: the
-    reference's shape)."""
+    reference's shape). Supported statements: ``UPDATE … SET … WHERE
+    …``, ``DELETE FROM … WHERE …``, and the constrained ``MERGE INTO``
+    grammar of ``_merge_into`` (the Delta clause surface the engine's
+    merge implements)."""
     from etl_job_spark.table import ManifestTable
 
     t = table if isinstance(table, ManifestTable) else ManifestTable(str(table))
@@ -141,8 +322,10 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
                 "supported form: DELETE FROM <table> WHERE <predicate>"
             )
         return t.delete_where(spark, s[where_at + 5:].strip())
+    if upper.startswith("MERGE"):
+        return _merge_into(spark, t, s)
     raise ValueError(
-        "execute_dml supports UPDATE ... SET ... WHERE ... and DELETE "
-        "FROM ... WHERE ...; for MERGE use ManifestTable.merge (matched "
-        "clauses included)"
+        "execute_dml supports UPDATE ... SET ... WHERE ..., DELETE "
+        "FROM ... WHERE ..., and the constrained MERGE INTO grammar; "
+        "see ManifestTable.merge for the full clause surface"
     )

@@ -79,3 +79,70 @@ def test_execute_dml_update_and_delete(spark, tmp_path):
         execute_dml(spark, t, "UPDATE tbl SET v = 1")  # no WHERE
     with _pytest.raises(ValueError, match="col = expr"):
         execute_dml(spark, t, "UPDATE tbl SET nonsense WHERE k = 1")
+
+
+def test_execute_dml_merge_into(spark, tmp_path):
+    """Constrained MERGE INTO: the Delta clause surface the engine's
+    merge implements, as a literal SQL statement."""
+    from etl_job_spark.sql import execute_dml
+    from etl_job_spark.table import ManifestTable
+
+    path = str(tmp_path / "mi")
+    t = ManifestTable(path)
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, 40, "d")],
+            "k long, v long, s string",
+        )
+    )
+    spark.createDataFrame(
+        [(2, 99, "B", False), (3, 0, "", True), (9, 90, "new", False)],
+        "k long, v long, s string, _deleted boolean",
+    ).createOrReplaceTempView("changes")
+
+    v = execute_dml(
+        spark,
+        path,
+        """
+        MERGE INTO tbl AS t USING changes AS c
+        ON t.k = c.k
+        WHEN MATCHED AND c._deleted THEN DELETE
+        WHEN MATCHED THEN UPDATE SET t.v = c.v
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    )
+    assert v == 2
+    got = {r.k: (r.v, r.s) for r in t.snapshot(spark).collect()}
+    assert got == {
+        1: (10, "a"),   # untouched
+        2: (99, "b"),   # matched update: v only, s keeps target value
+        4: (40, "d"),   # untouched
+        9: (90, "new"),  # unmatched insert (whole row, _deleted dropped)
+    }
+    assert "_deleted" not in t.snapshot(spark).columns
+
+    # full-sync: NOT MATCHED BY SOURCE THEN DELETE (predicated)
+    spark.createDataFrame([(2,), (9,)], "k long").createOrReplaceTempView("keep")
+    v = execute_dml(
+        spark,
+        t,
+        "MERGE INTO tbl t USING keep s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE AND t.v < 50 THEN DELETE",
+    )
+    got = {r.k for r in t.snapshot(spark).collect()}
+    assert got == {2, 9}  # k=1 (v=10) and k=4 (v=40) deleted, matched kept
+
+    # refusals name the constraint
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="identity assignments"):
+        execute_dml(spark, t, "MERGE INTO tbl t USING changes c ON t.k = c.k "
+                              "WHEN MATCHED THEN UPDATE SET t.v = c.v + 1")
+    with _pytest.raises(ValueError, match="same-named equi-keys"):
+        execute_dml(spark, t, "MERGE INTO tbl t USING changes c ON t.k = c.v "
+                              "WHEN NOT MATCHED THEN INSERT *")
+    with _pytest.raises(ValueError, match="INSERT \\*"):
+        execute_dml(spark, t, "MERGE INTO tbl t USING changes c ON t.k = c.k "
+                              "WHEN NOT MATCHED THEN INSERT (k) VALUES (c.k)")
+    with _pytest.raises(ValueError, match="WHEN clause"):
+        execute_dml(spark, t, "MERGE INTO tbl t USING changes c ON t.k = c.k")
