@@ -429,6 +429,7 @@ def upsert_stream_sink_manifest(
     checkpoint: str,
     order_col: str | None = None,
     txn_app_id: str | None = None,
+    **merge_kw,
 ):
     """``upsert_stream_sink`` on a ManifestTable backend: each
     micro-batch MERGEs into a manifest-committed table, so downstream
@@ -443,7 +444,13 @@ def upsert_stream_sink_manifest(
     re-runs the last uncommitted batch after a crash) a metadata-only
     no-op, even when batch content is not deterministic. The app id
     defaults to the checkpoint path, the one identity that is stable
-    across restarts of the same query (query ids are not)."""
+    across restarts of the same query (query ids are not).
+
+    ``**merge_kw`` forwards the matched clauses to ``merge`` — the
+    CDC-apply shape: a Debezium-style stream carrying a tombstone flag
+    passes ``when_matched_delete="_deleted"`` (flagged rows delete
+    their target and never insert), a narrow enrichment stream passes
+    ``when_matched_update=[cols]``."""
     from etl_job_spark.table import ManifestTable
 
     table = ManifestTable(table_path)
@@ -456,6 +463,7 @@ def upsert_stream_sink_manifest(
             keys,
             order_col=order_col,
             txn=(app_id, batch_id),
+            **merge_kw,
         )
 
     return (
@@ -479,7 +487,9 @@ def catalog_merge_batch(
 
     Each table's spec is ``{"keys": [...]}`` plus optional
     ``"transform"`` (callable ``batch_df -> DataFrame``, e.g. the
-    staging→mart projection) and ``"order_col"``. Every merge carries
+    staging→mart projection), ``"order_col"``, and ``"merge_kw"``
+    (matched clauses forwarded to ``merge`` — the CDC-apply shape,
+    e.g. ``{"when_matched_delete": "_deleted"}``). Every merge carries
     the streaming transaction ``(app_id, batch_id)``, so each table's
     manifest ledger marks the batch applied; the whole group commits
     through ONE transaction-log record, so a crash can never leave the
@@ -500,6 +510,7 @@ def catalog_merge_batch(
                     list(spec["keys"]),
                     spec.get("order_col"),
                     txn=(app_id, batch_id),
+                    **(spec.get("merge_kw") or {}),
                 )
 
         return catalog.commit(ops)

@@ -362,6 +362,43 @@ def test_upsert_stream_sink_manifest(spark, tmp_path):
     assert _data(t.snapshot(spark)) == [("a", "d1", 2.0), ("b", "d2", 9.0)]
 
 
+def test_upsert_stream_sink_manifest_cdc_deletes(spark, tmp_path):
+    """The CDC-apply shape: a stream carrying a tombstone flag passes
+    when_matched_delete through the sink — flagged rows delete their
+    target rows and never insert, across micro-batches, exactly once."""
+    import os
+
+    from etl_job_spark.streaming.pipeline import upsert_stream_sink_manifest
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.overwrite(
+        spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0), ("c", 3.0)], "k string, v double"
+        )
+    )
+    schema = "k string, v double, _deleted boolean"
+    srcdir = str(tmp_path / "src")
+    os.makedirs(srcdir)
+    spark.createDataFrame(
+        [("b", 0.0, True), ("a", 10.0, False), ("d", 4.0, False),
+         ("zz", 0.0, True)],  # delete of an absent key: no-op
+        schema,
+    ).coalesce(1).write.json(srcdir + "/b0")
+    stream = spark.readStream.schema(schema).json(srcdir + "/*")
+    q = (
+        upsert_stream_sink_manifest(
+            stream, t.path, ["k"], str(tmp_path / "ck"),
+            when_matched_delete="_deleted",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.k: r.v for r in t.snapshot(spark).collect()}
+    assert got == {"a": 10.0, "c": 3.0, "d": 4.0}
+    assert "_deleted" not in t.snapshot(spark).columns
+
+
 def _idf(spark, lo, hi, v=1.0):
     return spark.createDataFrame([(i, v) for i in range(lo, hi)], "id long, v double")
 
