@@ -28,10 +28,56 @@ share the same key partitioning, so AQE can reuse the exchange.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+import re
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: prefix under which the joined-row namespace exposes source columns to
+#: expression-mode ``update_cols`` (``source.c`` in user SQL → this)
+_SRC = "__src_"
+
+
+def _rewrite_source_refs(expr: str, source_cols: Sequence[str]) -> str:
+    """Rewrite ``source.<col>`` qualifiers (outside string literals) to
+    the joined-row namespace (``__src_<col>``); raise if a referenced
+    source column doesn't exist. Bare names stay bare — they resolve to
+    TARGET columns after the marker join."""
+    out: list[str] = []
+    quote: str | None = None
+    i = 0
+    low = expr.lower()
+    while i < len(expr):
+        c = expr[i]
+        if quote is not None:
+            out.append(c)
+            if c == quote:
+                quote = None
+            i += 1
+            continue
+        if c in ("'", '"'):
+            quote = c
+            out.append(c)
+            i += 1
+            continue
+        if (
+            low.startswith("source.", i)
+            and (i == 0 or not (expr[i - 1].isalnum() or expr[i - 1] == "_"))
+        ):
+            m = re.match(r"source\.(\w+)", expr[i:], re.IGNORECASE)
+            if m is None or m.group(1) not in source_cols:
+                raise ValueError(
+                    f"update expression {expr.strip()!r} references "
+                    f"source.{m.group(1) if m else '?'} which is not a "
+                    f"source column (have {sorted(source_cols)})"
+                )
+            out.append(_SRC + m.group(1))
+            i += len(m.group(0))
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def dedup_last_writer(source: DataFrame, keys: Sequence[str], order_col: str) -> DataFrame:
@@ -92,10 +138,12 @@ def merge_clauses(
     source: DataFrame,
     keys: Sequence[str],
     order_col: str | None = None,
-    update_cols: Sequence[str] | None = None,
+    update_cols: Sequence[str] | Mapping[str, str] | None = None,
     delete_pred: Column | str | None = None,
     insert_unmatched: bool = True,
     not_matched_by_source_delete: Column | str | bool = False,
+    not_matched_by_source_update: Mapping[str, str | Column] | None = None,
+    not_matched_by_source_update_pred: Column | str | None = None,
 ) -> DataFrame:
     """MERGE with Delta-style matched clauses — the relational core
     shared by ``ManifestTable.merge``'s clause mode.
@@ -106,12 +154,26 @@ def merge_clauses(
       ``_deleted``-flag shape, kicc's late voids): a flagged row is a
       DELETE command — its matched target row drops, and it never
       inserts (deleting an absent key is a no-op). NULL = not flagged.
-    - ``update_cols``: a matched target row takes the source's values
-      for exactly these columns (cast to the target dtype — the
-      UPDATE-SET-subset the reference's enrichment layer runs,
-      kicc_to_tb_sales.py:109-124); every other column keeps the
-      target value. SET expressions see source values only — the
-      source row width can be just ``keys + update_cols``.
+      When ``order_col`` is None the source must not carry the same
+      key BOTH flagged and unflagged — that batch is ambiguous (the
+      unflagged row would silently vanish in update mode and resurrect
+      in upsert mode), so it raises, like Delta's
+      ``MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW``; the check is one
+      eager aggregate over the source.
+    - ``update_cols`` as a LIST: a matched target row takes the
+      source's values for exactly these columns (cast to the target
+      dtype — the UPDATE-SET-subset the reference's enrichment layer
+      runs, kicc_to_tb_sales.py:109-124); every other column keeps the
+      target value. The source row width can be just
+      ``keys + update_cols``. An EMPTY list is a no-op matched clause
+      (SQL MERGE with no WHEN MATCHED THEN UPDATE).
+    - ``update_cols`` as a DICT ``{col: sql_expr}``: expression SET —
+      each matched target row sets ``col`` to the expression evaluated
+      over the JOINED (target, source) row: bare names resolve to
+      TARGET columns, ``source.<name>`` to the source row (the CDC
+      increment shape, ``SET total = total + source.delta``). All
+      assignments are simultaneous (RHS sees pre-update values), and
+      results cast to the target dtype. Values must be SQL strings.
     - ``update_cols=None``: matched rows are REPLACED whole (upsert).
     - ``insert_unmatched``: un-matched source rows insert as whole
       rows, NULL-filled to the target width (default, the upsert
@@ -121,6 +183,14 @@ def merge_clauses(
       key has NO source row at all are deleted — all of them when
       ``True``, or only those satisfying a predicate over the TARGET
       row. NULL predicate = kept.
+    - ``not_matched_by_source_update`` (Delta's WHEN NOT MATCHED BY
+      SOURCE THEN UPDATE SET): assignments ``{col: expr}`` applied to
+      target rows with no source key match — expressions see the
+      TARGET row only (there IS no source row), bare names,
+      simultaneous assignment, cast to the target dtype; gated by the
+      optional ``..._update_pred`` over the target row (NULL = not
+      updated). Evaluated AFTER the by-source delete clause, Delta's
+      clause order: a row both clauses could claim is deleted.
 
     Matched/unmatched is decided against the ORIGINAL target keys, so
     one batch cannot delete a key and then re-insert it (matches
@@ -131,31 +201,80 @@ def merge_clauses(
     pred = F.expr(delete_pred) if isinstance(delete_pred, str) else delete_pred
     if pred is not None:
         flagged = F.coalesce(pred, F.lit(False))
+        if order_col is None:
+            # cross-branch duplicate keys (same key flagged AND
+            # unflagged) have no well-defined outcome — raise, like
+            # Delta, before any clause runs (see docstring)
+            n = (
+                source.select(*keys, flagged.alias("__f"))
+                .groupBy(*keys)
+                .agg(F.count_distinct("__f").alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .count()
+            )
+            if n:
+                raise ValueError(
+                    "merge source carries the same key both delete-flagged "
+                    "and unflagged with no order_col to arbitrate — pass "
+                    "order_col (last writer wins) or split the batch "
+                    "(Delta raises MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW "
+                    "for this shape)"
+                )
         dels = source.filter(flagged).select(*keys).distinct()
         ups = source.filter(~flagged)
     else:
         dels, ups = None, source
 
     kept = target if dels is None else target.join(dels, on=list(keys), how="left_anti")
+    target_types = dict(target.dtypes)
     nmbs = not_matched_by_source_delete
-    if nmbs is not False and nmbs is not None:
+    nmbs_del = nmbs is not False and nmbs is not None
+    if nmbs_del or not_matched_by_source_update:
         # a delete-flagged source row still MATCHES its target (and
         # deletes it via the matched clause above), so the by-source
         # test runs against ALL source keys, flagged included
-        nm_pred = (
-            F.lit(True)
-            if nmbs is True
-            else (F.expr(nmbs) if isinstance(nmbs, str) else nmbs)
-        )
         marked = kept.join(
             source.select(*keys).distinct().withColumn("__in_src", F.lit(True)),
             on=list(keys),
             how="left",
         )
-        kept = marked.filter(
-            ~(F.col("__in_src").isNull() & F.coalesce(nm_pred, F.lit(False)))
-        ).drop("__in_src")
-    target_types = dict(target.dtypes)
+        unmatched = F.col("__in_src").isNull()
+        if nmbs_del:
+            nm_pred = (
+                F.lit(True)
+                if nmbs is True
+                else (F.expr(nmbs) if isinstance(nmbs, str) else nmbs)
+            )
+            marked = marked.filter(~(unmatched & F.coalesce(nm_pred, F.lit(False))))
+        if not_matched_by_source_update:
+            aset = dict(not_matched_by_source_update)
+            bad = [c for c in aset if c in keys or c not in target_types]
+            if bad:
+                raise ValueError(
+                    f"not_matched_by_source_update columns {bad}: must be "
+                    "non-key target columns"
+                )
+            up = not_matched_by_source_update_pred
+            up_pred = (
+                F.lit(True)
+                if up is None
+                else F.coalesce(F.expr(up) if isinstance(up, str) else up, F.lit(False))
+            )
+            cond = unmatched & up_pred
+            marked = marked.select(
+                *[
+                    F.when(
+                        cond,
+                        (F.expr(e) if isinstance(e, str) else e).cast(target_types[c]),
+                    ).otherwise(F.col(c)).alias(c)
+                    if (e := aset.get(c)) is not None
+                    else F.col(c)
+                    for c in target.columns
+                ],
+                F.col("__in_src"),
+            )
+        kept = marked.drop("__in_src")
     if update_cols is None:
         merged = merge_upsert(kept, ups, keys)
         if insert_unmatched:
@@ -166,31 +285,74 @@ def merge_clauses(
             kept, ups.join(target.select(*keys), on=list(keys), how="left_semi"), keys
         )
 
+    exprs = dict(update_cols) if isinstance(update_cols, Mapping) else None
     ucols = list(dict.fromkeys(update_cols))
     bad = [c for c in ucols if c in keys or c not in target_types]
     if bad:
         raise ValueError(
             f"when_matched_update columns {bad}: must be non-key target columns"
         )
-    missing = [c for c in ucols if c not in ups.columns]
-    if missing:
-        raise ValueError(f"when_matched_update: source lacks columns {missing}")
-    # marker column (not NULL-ness of a source value: a source NULL is
-    # a legitimate SET NULL) decides matched-ness after the left join
-    src = ups.select(
-        *[F.col(k) for k in keys],
-        *[F.col(c).cast(target_types[c]).alias(f"__src_{c}") for c in ucols],
-        F.lit(True).alias("__matched"),
-    )
-    uset = set(ucols)
-    updated = kept.join(src, on=list(keys), how="left").select(
-        *[
-            F.when(F.col("__matched"), F.col(f"__src_{c}")).otherwise(F.col(c)).alias(c)
-            if c in uset
-            else F.col(c)
-            for c in target.columns
-        ]
-    )
+    if not ucols:
+        # empty SET list: SQL MERGE with no matched-update clause —
+        # matched rows pass through untouched, no marker join needed
+        updated = kept
+    elif exprs is not None:
+        nonsql = [c for c, e in exprs.items() if not isinstance(e, str)]
+        if nonsql:
+            raise TypeError(
+                f"expression-mode when_matched_update values must be SQL "
+                f"strings (bare names = target, source.<name> = source); "
+                f"got non-string for {nonsql}"
+            )
+        # expression mode joins the FULL source row in (any column may
+        # be referenced), namespaced to avoid target collisions
+        scols = [c for c in ups.columns if c not in keys]
+        rewritten = {
+            c: _rewrite_source_refs(e, scols + list(keys)) for c, e in exprs.items()
+        }
+        src = ups.select(
+            *[F.col(k) for k in keys],
+            *[F.col(c).alias(_SRC + c) for c in ups.columns if c not in keys],
+            F.lit(True).alias("__matched"),
+        )
+        # keys are never renamed by the join (USING-style equi-join
+        # keeps one copy), so source.<key> rewrites to __src_<key> only
+        # if the source actually carries a renamed copy — expose them
+        src = src.select(
+            "*", *[F.col(k).alias(_SRC + k) for k in keys if _SRC + k not in src.columns]
+        )
+        updated = kept.join(src, on=list(keys), how="left").select(
+            *[
+                F.when(
+                    F.col("__matched"),
+                    F.expr(rewritten[c]).cast(target_types[c]),
+                ).otherwise(F.col(c)).alias(c)
+                if c in rewritten
+                else F.col(c)
+                for c in target.columns
+            ]
+        )
+    else:
+        missing = [c for c in ucols if c not in ups.columns]
+        if missing:
+            raise ValueError(f"when_matched_update: source lacks columns {missing}")
+        # marker column (not NULL-ness of a source value: a source NULL
+        # is a legitimate SET NULL) decides matched-ness after the left
+        # join
+        src = ups.select(
+            *[F.col(k) for k in keys],
+            *[F.col(c).cast(target_types[c]).alias(_SRC + c) for c in ucols],
+            F.lit(True).alias("__matched"),
+        )
+        uset = set(ucols)
+        updated = kept.join(src, on=list(keys), how="left").select(
+            *[
+                F.when(F.col("__matched"), F.col(_SRC + c)).otherwise(F.col(c)).alias(c)
+                if c in uset
+                else F.col(c)
+                for c in target.columns
+            ]
+        )
     if not insert_unmatched:
         return updated
     inserts = ups.join(target.select(*keys), on=list(keys), how="left_anti").select(

@@ -45,7 +45,13 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
 
 def _scan_top(sql: str, word: str) -> int:
     """Index of the first occurrence of keyword ``word`` at paren
-    depth 0, outside single/double-quoted literals; -1 if absent."""
+    depth 0, outside single/double-quoted literals; -1 if absent.
+
+    LIMITS (fine for the constrained DML grammar, revisit if it
+    grows): backtick-quoted identifiers are NOT recognized — a
+    backticked name containing a keyword (`` `my where col` ``) would
+    confuse the split; SQL comments (``--``, ``/* */``) are not
+    stripped — don't embed keywords in comments inside statements."""
     depth = 0
     quote: str | None = None
     upper = sql.upper()
@@ -153,6 +159,41 @@ def _strip_alias(expr: str, alias: str, other: str | None, what: str) -> str:
     return "".join(out).strip()
 
 
+def _requalify_source(expr: str, s_alias: str, t_alias: str) -> str:
+    """Rewrite ``<s_alias>.col`` → ``source.col`` (the namespace
+    ``merge_clauses``' expression mode understands) and strip
+    ``<t_alias>.`` qualifiers (bare names = target columns there);
+    quote-aware, leaves string literals alone."""
+    out: list[str] = []
+    quote: str | None = None
+    i = 0
+    low = expr.lower()
+    while i < len(expr):
+        c = expr[i]
+        if quote is not None:
+            out.append(c)
+            if c == quote:
+                quote = None
+            i += 1
+            continue
+        if c in ("'", '"'):
+            quote = c
+            out.append(c)
+            i += 1
+            continue
+        boundary = i == 0 or not (expr[i - 1].isalnum() or expr[i - 1] == "_")
+        if boundary and low.startswith(s_alias.lower() + ".", i):
+            out.append("source.")
+            i += len(s_alias) + 1
+            continue
+        if boundary and low.startswith(t_alias.lower() + ".", i):
+            i += len(t_alias) + 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out).strip()
+
+
 def _merge_into(spark: SparkSession, t, s: str) -> int:
     """Constrained ``MERGE INTO`` — the statement shapes the engine's
     clause merge expresses exactly (everything else refuses, naming
@@ -161,9 +202,18 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
         MERGE INTO <t> [AS a] USING <view> [AS b]
         ON a.k = b.k [AND ...]            -- equi-keys, SAME column name
         [WHEN MATCHED AND <src-pred> THEN DELETE]
-        [WHEN MATCHED THEN UPDATE SET a.c = b.c [, ...]]  -- identity cols
+        [WHEN MATCHED THEN UPDATE SET a.c = <expr> [, ...]]
+            -- identity sets (a.c = b.c) keep the narrow-source
+            -- enrichment path; any other expression (e.g.
+            -- a.total = a.total + b.delta, the CDC increment) runs
+            -- as expression SET over the joined row
         [WHEN NOT MATCHED THEN INSERT *]
         [WHEN NOT MATCHED BY SOURCE [AND <tgt-pred>] THEN DELETE]
+        [WHEN NOT MATCHED BY SOURCE [AND <tgt-pred>]
+             THEN UPDATE SET a.c = <tgt-expr> [, ...]]
+    A statement with no WHEN MATCHED THEN UPDATE clause leaves matched
+    rows untouched (standard MERGE semantics — not whole-row
+    replacement).
 
     ``USING`` must name a registered view/table (alias the columns in
     the view when names differ — renames and expressions belong in the
@@ -218,10 +268,12 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
         clauses.append(remaining[at + 4: at + 4 + nxt])
         remaining = remaining[at + 4 + nxt:]
 
-    update_cols = None
+    update_cols: list[str] | dict[str, str] | None = None
     delete_pred = None
     insert_unmatched = False
     nmbs: str | bool = False
+    nmbs_update: dict[str, str] | None = None
+    nmbs_update_pred: str | None = None
     for clause in clauses:
         c = clause.strip().rstrip(";").strip()
         up = c.upper()
@@ -230,35 +282,64 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
             delete_pred = _strip_alias(pred, s_alias, t_alias, "WHEN MATCHED")
         elif up.startswith("MATCHED THEN UPDATE SET"):
             body = c[len("MATCHED THEN UPDATE SET"):]
-            update_cols = []
+            # identity assignments (a.c = b.c for every item) keep the
+            # LIST form — narrow-source semantics, the enrichment
+            # shape; anything else becomes expression-mode SET over
+            # the joined row (bare names = target, source.<c> = source
+            # — merge_clauses' namespace), the CDC increment shape
+            assigns: dict[str, str] = {}
+            identity = True
             for col, expr in _split_assignments(
                 _strip_alias(body, t_alias, None, "UPDATE SET")
             ).items():
-                rhs = _strip_alias(expr, s_alias, t_alias, "UPDATE SET")
-                if rhs != col:
-                    raise ValueError(
-                        f"MERGE UPDATE SET supports identity assignments only "
-                        f"({t_alias}.c = {s_alias}.c); got {col} = {expr!r} — "
-                        "compute expressions in the source view, or use "
-                        "ManifestTable.update_where"
-                    )
-                update_cols.append(col)
+                rhs = _requalify_source(expr, s_alias, t_alias)
+                assigns[col] = rhs
+                if rhs != f"source.{col}":
+                    identity = False
+            update_cols = list(assigns) if identity else assigns
         elif up.startswith("NOT MATCHED BY SOURCE"):
             tail = c[len("NOT MATCHED BY SOURCE"):].strip()
-            tu = tail.upper()
-            if not tu.endswith("THEN DELETE"):
-                raise ValueError(
-                    "WHEN NOT MATCHED BY SOURCE supports only THEN DELETE"
-                )
-            cond = tail[: len(tail) - len("THEN DELETE")].strip()
+            then_at = _scan_top(tail, "THEN")
+            if then_at < 0:
+                raise ValueError(f"unparsed NOT MATCHED BY SOURCE clause {c!r}")
+            cond = tail[:then_at].strip()
+            action = tail[then_at + 4:].strip()
+            pred: str | None = None
             if cond.upper().startswith("AND "):
-                nmbs = _strip_alias(
+                pred = _strip_alias(
                     cond[4:], t_alias, s_alias, "NOT MATCHED BY SOURCE"
                 )
             elif cond:
                 raise ValueError(f"unparsed NOT MATCHED BY SOURCE tail {cond!r}")
+            au = action.upper()
+            if au == "DELETE":
+                nmbs = pred if pred is not None else True
+            elif au.startswith("UPDATE"):
+                set_at = _scan_top(action, "SET")
+                if set_at < 0:
+                    raise ValueError(
+                        "NOT MATCHED BY SOURCE UPDATE needs SET col = expr[, …]"
+                    )
+                # expressions see the TARGET row only (no source row
+                # exists for these keys) — a source-alias reference
+                # refuses via _strip_alias's other-side check
+                nmbs_update = {
+                    col: _strip_alias(
+                        expr, t_alias, s_alias, "NOT MATCHED BY SOURCE UPDATE"
+                    )
+                    for col, expr in _split_assignments(
+                        _strip_alias(
+                            action[set_at + 3:], t_alias, None,
+                            "NOT MATCHED BY SOURCE UPDATE",
+                        )
+                    ).items()
+                }
+                nmbs_update_pred = pred
             else:
-                nmbs = True
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE supports THEN DELETE or "
+                    "THEN UPDATE SET"
+                )
         elif up.startswith("NOT MATCHED"):
             tail = c[len("NOT MATCHED"):].strip()
             if tail.upper().replace(" ", "") not in ("THENINSERT*",):
@@ -271,34 +352,60 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
             raise ValueError(f"unsupported MERGE clause {c[:60]!r}")
 
     if update_cols is None and delete_pred is None and not insert_unmatched \
-            and nmbs is False:
+            and nmbs is False and nmbs_update is None:
         raise ValueError("MERGE needs at least one actionable WHEN clause")
     source = spark.table(src_name)
-    if update_cols is None and insert_unmatched:
-        # plain upsert shape: WHEN NOT MATCHED INSERT * (± matched
-        # delete) with no UPDATE SET = whole-row source-wins
-        return t.merge(
-            spark, source, keys, when_matched_delete=delete_pred,
-            insert_unmatched=True, not_matched_by_source_delete=nmbs,
-        )
+    # SQL MERGE with no WHEN MATCHED THEN UPDATE clause leaves matched
+    # rows UNTOUCHED — when_matched_update=[] is exactly that no-op
+    # matched clause. None would mean whole-row replacement, which no
+    # statement in this grammar can spell (and which silently NULLs
+    # non-key columns when the source is narrower than the table).
     return t.merge(
         spark, source, keys,
-        when_matched_update=update_cols,
+        when_matched_update=update_cols if update_cols is not None else [],
         when_matched_delete=delete_pred,
         insert_unmatched=insert_unmatched,
         not_matched_by_source_delete=nmbs,
+        not_matched_by_source_update=nmbs_update,
+        not_matched_by_source_update_pred=nmbs_update_pred,
+    )
+
+
+def _check_target(stmt_name: str | None, t) -> None:
+    """The statement's target token must name the ``table`` argument —
+    a statement written for table A executed against table B is a
+    wrong-table DML bug waiting to happen. Accepted spellings: the
+    table path, its basename, or a qualified name whose last segment
+    is the basename (case-insensitive, backticks/quotes stripped)."""
+    import os
+
+    if stmt_name is None:
+        return
+    name = stmt_name.strip().strip("`'\"")
+    base = os.path.basename(str(t.path).rstrip("/")).lower()
+    low = name.lower().rstrip("/")
+    if low in (base, str(t.path).lower().rstrip("/")) or (
+        low.split(".")[-1].split("/")[-1] == base
+    ):
+        return
+    raise ValueError(
+        f"DML statement targets {stmt_name!r} but was executed against "
+        f"the table at {t.path!r} (basename {base!r}) — name the right "
+        "table in the statement or pass the matching ManifestTable"
     )
 
 
 def execute_dml(spark: SparkSession, table, sql: str) -> int:
     """Execute one row-level DML statement against a ManifestTable
     (instance or path); returns the new committed version. The table
-    name inside the statement is accepted but not resolved — the
-    target is the ``table`` argument (one statement, one table: the
-    reference's shape). Supported statements: ``UPDATE … SET … WHERE
-    …``, ``DELETE FROM … WHERE …``, and the constrained ``MERGE INTO``
-    grammar of ``_merge_into`` (the Delta clause surface the engine's
-    merge implements)."""
+    name inside the statement must match the ``table`` argument (path,
+    basename, or qualified name ending in the basename) — a mismatch
+    raises rather than silently mutating the wrong table. Supported
+    statements: ``UPDATE … SET … WHERE …``, ``DELETE FROM … WHERE …``,
+    and the constrained ``MERGE INTO`` grammar of ``_merge_into`` (the
+    Delta clause surface the engine's merge implements)."""
+    import re
+
     from etl_job_spark.table import ManifestTable
 
     t = table if isinstance(table, ManifestTable) else ManifestTable(str(table))
@@ -312,6 +419,8 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
                 "supported form: UPDATE <table> SET col = expr[, ...] "
                 "WHERE <predicate>"
             )
+        m = re.match(r"(?is)^UPDATE\s+(\S+)", s)
+        _check_target(m.group(1) if m else None, t)
         assignments = _split_assignments(s[set_at + 3:where_at])
         return t.update_where(spark, assignments, s[where_at + 5:].strip())
     if upper.startswith("DELETE"):
@@ -321,8 +430,12 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
             raise ValueError(
                 "supported form: DELETE FROM <table> WHERE <predicate>"
             )
+        m = re.match(r"(?is)^DELETE\s+FROM\s+(\S+)", s)
+        _check_target(m.group(1) if m else None, t)
         return t.delete_where(spark, s[where_at + 5:].strip())
     if upper.startswith("MERGE"):
+        m = re.match(r"(?is)^MERGE\s+INTO\s+(\S+?)(?:\s|$)", s)
+        _check_target(m.group(1) if m else None, t)
         return _merge_into(spark, t, s)
     raise ValueError(
         "execute_dml supports UPDATE ... SET ... WHERE ..., DELETE "

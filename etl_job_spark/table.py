@@ -86,7 +86,7 @@ import json
 import os
 import urllib.parse
 import uuid
-from collections.abc import Callable, Sequence
+from collections.abc import Callable, Mapping, Sequence
 
 import pyarrow.parquet as pq
 
@@ -3609,10 +3609,12 @@ class ManifestTable:
         keys: Sequence[str],
         order_col: str | None = None,
         txn: tuple[str, int] | None = None,
-        when_matched_update: Sequence[str] | None = None,
+        when_matched_update: Sequence[str] | Mapping[str, str] | None = None,
         when_matched_delete: str | Column | None = None,
         insert_unmatched: bool = True,
         not_matched_by_source_delete: str | Column | bool = False,
+        not_matched_by_source_update: Mapping[str, str] | None = None,
+        not_matched_by_source_update_pred: str | Column | None = None,
     ) -> int:
         """MERGE ``source`` into the table (source wins per key).
 
@@ -3623,7 +3625,15 @@ class ManifestTable:
           source's values for exactly those columns (UPDATE SET
           subset); the source can be as narrow as ``keys + cols``.
           The reference's enrichment layer IS this statement
-          (kicc_to_tb_sales.py:109-124 UPDATE-JOINs).
+          (kicc_to_tb_sales.py:109-124 UPDATE-JOINs). An empty list is
+          a no-op matched clause (SQL MERGE without WHEN MATCHED).
+        - ``when_matched_update={col: sql_expr}`` — expression SET:
+          matched rows set each column to the expression evaluated
+          over the joined (target, source) row — bare names are TARGET
+          columns, ``source.<name>`` the source row (the CDC increment
+          ``SET total = total + source.delta``). Simultaneous
+          assignment, results cast to the column's dtype. File pruning
+          applies exactly as in list mode (keyed by the source).
         - ``when_matched_delete=pred`` — source rows flagged by
           ``pred`` (evaluated on the source row — the CDC
           ``_deleted`` shape) DELETE their matched target rows and
@@ -3639,6 +3649,13 @@ class ManifestTable:
           unavoidable cost of full-sync semantics (Delta scans the
           whole table for this clause too). Don't reach for it when a
           keyed window merge expresses the intent.
+        - ``not_matched_by_source_update={col: expr}`` (+ optional
+          ``..._update_pred`` over the target row) — Delta's WHEN NOT
+          MATCHED BY SOURCE THEN UPDATE SET: unmatched target rows take
+          the assignments (expressions see the target row only; there
+          is no source row). Runs AFTER the by-source delete clause.
+          Pruning is disabled exactly as for the delete variant — any
+          file may hold an unmatched row.
 
         File pruning below applies unchanged to the other clause
         merges: a narrow UPDATE source still prunes by partition
@@ -3683,7 +3700,10 @@ class ManifestTable:
         """
 
         nmbs = not_matched_by_source_delete
-        nmbs_active = nmbs is not False and nmbs is not None
+        # EITHER by-source clause makes every file a rewrite candidate
+        nmbs_active = (nmbs is not False and nmbs is not None) or bool(
+            not_matched_by_source_update
+        )
         clause_mode = (
             when_matched_update is not None
             or when_matched_delete is not None
@@ -3702,6 +3722,18 @@ class ManifestTable:
                         else when_matched_delete
                     )
                     first_src = first_src.filter(~F.coalesce(dpred, F.lit(False)))
+                    # the documented CDC shape names a plain flag column
+                    # (e.g. _deleted): it is merge metadata, not table
+                    # data — drop it so a first commit doesn't bake the
+                    # tombstone flag into the schema (merges against an
+                    # EXISTING table never evolve the schema, so the
+                    # flag stays out there; mirror that here)
+                    if (
+                        isinstance(when_matched_delete, str)
+                        and when_matched_delete.isidentifier()
+                        and when_matched_delete in first_src.columns
+                    ):
+                        first_src = first_src.drop(when_matched_delete)
                 if not insert_unmatched:
                     # nothing can match an empty table; no inserts
                     # either — a pure UPDATE-JOIN against nothing
@@ -3882,6 +3914,10 @@ class ManifestTable:
                         delete_pred=when_matched_delete,
                         insert_unmatched=insert_unmatched,
                         not_matched_by_source_delete=nmbs,
+                        not_matched_by_source_update=not_matched_by_source_update,
+                        not_matched_by_source_update_pred=(
+                            not_matched_by_source_update_pred
+                        ),
                     )
                 else:
                     merged = merge_upsert(target, source, keys, order_col=order_col)

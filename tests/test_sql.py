@@ -55,7 +55,7 @@ def test_execute_dml_update_and_delete(spark, tmp_path):
     v = execute_dml(
         spark,
         path,
-        "UPDATE tbl SET v = coalesce(v, 0) + 1, s = concat(s, ' where set')"
+        "UPDATE dml SET v = coalesce(v, 0) + 1, s = concat(s, ' where set')"
         " WHERE (g = 1 AND k < 20) OR k = 29;",
     )
     assert v == 2
@@ -65,7 +65,7 @@ def test_execute_dml_update_and_delete(spark, tmp_path):
         want = (k * 10 + 1, f"s{k} where set") if k in hit else (k * 10, f"s{k}")
         assert got[k] == want, k
     # DELETE
-    v = execute_dml(spark, t, "DELETE FROM tbl WHERE g = 0")
+    v = execute_dml(spark, t, "DELETE FROM dml WHERE g = 0")
     assert v == 3
     assert {r.k for r in t.snapshot(spark).collect()} == {
         k for k in range(30) if k % 3 != 0
@@ -74,11 +74,11 @@ def test_execute_dml_update_and_delete(spark, tmp_path):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="MERGE"):
-        execute_dml(spark, t, "MERGE INTO tbl USING src ON tbl.k = src.k")
+        execute_dml(spark, t, "MERGE INTO dml USING src ON dml.k = src.k")
     with _pytest.raises(ValueError, match="supported form"):
-        execute_dml(spark, t, "UPDATE tbl SET v = 1")  # no WHERE
+        execute_dml(spark, t, "UPDATE dml SET v = 1")  # no WHERE
     with _pytest.raises(ValueError, match="col = expr"):
-        execute_dml(spark, t, "UPDATE tbl SET nonsense WHERE k = 1")
+        execute_dml(spark, t, "UPDATE dml SET nonsense WHERE k = 1")
 
 
 def test_execute_dml_merge_into(spark, tmp_path):
@@ -104,7 +104,7 @@ def test_execute_dml_merge_into(spark, tmp_path):
         spark,
         path,
         """
-        MERGE INTO tbl AS t USING changes AS c
+        MERGE INTO mi AS t USING changes AS c
         ON t.k = c.k
         WHEN MATCHED AND c._deleted THEN DELETE
         WHEN MATCHED THEN UPDATE SET t.v = c.v
@@ -121,28 +121,148 @@ def test_execute_dml_merge_into(spark, tmp_path):
     }
     assert "_deleted" not in t.snapshot(spark).columns
 
-    # full-sync: NOT MATCHED BY SOURCE THEN DELETE (predicated)
+    # full-sync: NOT MATCHED BY SOURCE THEN DELETE (predicated). The
+    # keys-only source has no matched clause: matched rows must come
+    # through UNTOUCHED (not whole-row-replaced with NULLs — the r9
+    # ADVICE finding), so assert VALUES, not just keys
     spark.createDataFrame([(2,), (9,)], "k long").createOrReplaceTempView("keep")
     v = execute_dml(
         spark,
         t,
-        "MERGE INTO tbl t USING keep s ON t.k = s.k "
+        "MERGE INTO mi t USING keep s ON t.k = s.k "
         "WHEN NOT MATCHED BY SOURCE AND t.v < 50 THEN DELETE",
     )
-    got = {r.k for r in t.snapshot(spark).collect()}
-    assert got == {2, 9}  # k=1 (v=10) and k=4 (v=40) deleted, matched kept
+    got = {r.k: (r.v, r.s) for r in t.snapshot(spark).collect()}
+    # k=1 (v=10) and k=4 (v=40) deleted; matched rows keep their values
+    assert got == {2: (99, "b"), 9: (90, "new")}
 
     # refusals name the constraint
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="identity assignments"):
-        execute_dml(spark, t, "MERGE INTO tbl t USING changes c ON t.k = c.k "
-                              "WHEN MATCHED THEN UPDATE SET t.v = c.v + 1")
     with _pytest.raises(ValueError, match="same-named equi-keys"):
-        execute_dml(spark, t, "MERGE INTO tbl t USING changes c ON t.k = c.v "
+        execute_dml(spark, t, "MERGE INTO mi t USING changes c ON t.k = c.v "
                               "WHEN NOT MATCHED THEN INSERT *")
     with _pytest.raises(ValueError, match="INSERT \\*"):
-        execute_dml(spark, t, "MERGE INTO tbl t USING changes c ON t.k = c.k "
+        execute_dml(spark, t, "MERGE INTO mi t USING changes c ON t.k = c.k "
                               "WHEN NOT MATCHED THEN INSERT (k) VALUES (c.k)")
     with _pytest.raises(ValueError, match="WHEN clause"):
-        execute_dml(spark, t, "MERGE INTO tbl t USING changes c ON t.k = c.k")
+        execute_dml(spark, t, "MERGE INTO mi t USING changes c ON t.k = c.k")
+
+
+def test_execute_dml_merge_expression_set(spark, tmp_path):
+    """Expression SET — the CDC-increment shape the r9 grammar refused
+    (SET t.total = t.total + b.delta). Oracle: DuckDB runs the same
+    statement relationally below."""
+    import duckdb
+
+    from etl_job_spark.sql import execute_dml
+    from etl_job_spark.table import ManifestTable
+
+    rows = [(1, 100, 5), (2, 200, 7), (3, 300, 9)]
+    deltas = [(2, 42, "x"), (3, -8, "y"), (4, 1000, "z")]
+    path = str(tmp_path / "cdc")
+    t = ManifestTable(path)
+    t.overwrite(spark.createDataFrame(rows, "k long, total long, n long"))
+    spark.createDataFrame(
+        deltas, "k long, delta long, tag string"
+    ).createOrReplaceTempView("batch")
+
+    execute_dml(
+        spark,
+        t,
+        "MERGE INTO cdc t USING batch b ON t.k = b.k "
+        "WHEN MATCHED THEN UPDATE SET t.total = t.total + b.delta, "
+        "t.n = t.n * 2",
+    )
+    got = {r.k: (r.total, r.n) for r in t.snapshot(spark).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tgt AS SELECT * FROM (VALUES "
+                + ", ".join(f"({k}, {tot}, {n})" for k, tot, n in rows)
+                + ") v(k, total, n)")
+    con.execute("CREATE TABLE b AS SELECT * FROM (VALUES "
+                + ", ".join(f"({k}, {d}, '{g}')" for k, d, g in deltas)
+                + ") v(k, delta, tag)")
+    con.execute("UPDATE tgt SET total = tgt.total + b.delta, n = tgt.n * 2 "
+                "FROM b WHERE tgt.k = b.k")
+    want = {k: (tot, n) for k, tot, n in con.execute(
+        "SELECT k, total, n FROM tgt").fetchall()}
+    assert got == want
+    # simultaneous assignment: an expression referencing another SET
+    # column sees the PRE-update value
+    execute_dml(
+        spark,
+        t,
+        "MERGE INTO cdc t USING batch b ON t.k = b.k "
+        "WHEN MATCHED THEN UPDATE SET t.total = t.n, t.n = t.total",
+    )
+    got2 = {r.k: (r.total, r.n) for r in t.snapshot(spark).collect()}
+    for k, (tot, n) in want.items():
+        if k in (2, 3):  # matched keys
+            assert got2[k] == (n, tot), k
+        else:
+            assert got2[k] == (tot, n), k
+
+
+def test_execute_dml_merge_nmbs_update(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN UPDATE SET — Delta's full-sync
+    soft-expiry shape: unmatched target rows get flagged instead of
+    deleted; expressions see the target row only."""
+    import pytest as _pytest
+
+    from etl_job_spark.sql import execute_dml
+    from etl_job_spark.table import ManifestTable
+
+    path = str(tmp_path / "sync")
+    t = ManifestTable(path)
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 10, True), (2, 20, True), (3, 30, True), (4, 40, True)],
+            "k long, v long, active boolean",
+        )
+    )
+    spark.createDataFrame([(2,), (3,)], "k long").createOrReplaceTempView("cur")
+    execute_dml(
+        spark,
+        t,
+        "MERGE INTO sync t USING cur s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE AND t.v < 40 "
+        "THEN UPDATE SET t.active = false, t.v = t.v + 1000",
+    )
+    got = {r.k: (r.v, r.active) for r in t.snapshot(spark).collect()}
+    assert got == {
+        1: (1010, False),  # unmatched, pred hit: both assignments applied
+        2: (20, True),     # matched: untouched
+        3: (30, True),     # matched: untouched
+        4: (40, True),     # unmatched but pred (v<40) false: untouched
+    }
+    # a source-alias reference in the assignment refuses loudly —
+    # there is no source row for NOT-MATCHED-BY-SOURCE targets
+    with _pytest.raises(ValueError, match="only"):
+        execute_dml(
+            spark, t,
+            "MERGE INTO sync t USING cur s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.v = s.k",
+        )
+
+
+def test_execute_dml_wrong_table_name_raises(spark, tmp_path):
+    """A statement naming table A executed against table B raises
+    instead of silently mutating B (r9 ADVICE)."""
+    import pytest as _pytest
+
+    from etl_job_spark.sql import execute_dml
+    from etl_job_spark.table import ManifestTable
+
+    path = str(tmp_path / "right")
+    t = ManifestTable(path)
+    t.overwrite(spark.createDataFrame([(1, 10)], "k long, v long"))
+    with _pytest.raises(ValueError, match="targets 'wrong'"):
+        execute_dml(spark, t, "UPDATE wrong SET v = 0 WHERE k = 1")
+    with _pytest.raises(ValueError, match="targets"):
+        execute_dml(spark, t, "DELETE FROM wrong WHERE k = 1")
+    # accepted spellings: basename, full path, qualified name
+    assert execute_dml(spark, t, "UPDATE right SET v = 1 WHERE k = 1") == 2
+    assert execute_dml(spark, t, f"UPDATE {path} SET v = 2 WHERE k = 1") == 3
+    assert execute_dml(spark, t, "UPDATE db.right SET v = 3 WHERE k = 1") == 4
+    assert t.snapshot(spark).collect()[0].v == 3

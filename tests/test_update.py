@@ -314,3 +314,204 @@ def test_manifest_merge_clause_no_touch_paths(spark, tmp_path):
     t.merge(spark, src, keys=["k"], when_matched_update=["v"])
     row = t.snapshot(spark).filter("k = 999").collect()[0]
     assert row.v == 1 and row.s is None
+
+
+# ---------------------------------------------------------------------
+# round-10 clause surface: empty SET, expression SET, cross-branch
+# duplicate keys, WHEN NOT MATCHED BY SOURCE THEN UPDATE, first-commit
+# CDC-flag hygiene
+# ---------------------------------------------------------------------
+
+
+def test_merge_clauses_empty_update_is_noop_matched(spark):
+    """update_cols=[] is SQL MERGE with no WHEN MATCHED THEN UPDATE:
+    matched rows pass through untouched, unmatched still insert —
+    NOT whole-row replacement (the r9 ADVICE high finding)."""
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k bigint, s string, v bigint"
+    )
+    src = spark.createDataFrame([(2,), (4,)], "k bigint")
+    out = merge_clauses(target, src, ["k"], update_cols=[]).collect()
+    got = {r.k: (r.s, r.v) for r in out}
+    assert got == {1: ("a", 10), 2: ("b", 20), 4: (None, None)}
+
+
+def test_merge_clauses_expression_set(spark):
+    """Dict-mode SET: expressions over the joined row — bare names are
+    TARGET columns, source.<name> the source row; simultaneous
+    assignment; results cast to the column dtype."""
+    target = spark.createDataFrame(
+        [(1, 100, 5), (2, 200, 7)], "k bigint, total bigint, n bigint"
+    )
+    src = spark.createDataFrame([(2, 42), (9, 1)], "k bigint, delta bigint")
+    out = merge_clauses(
+        target, src, ["k"],
+        update_cols={"total": "total + source.delta", "n": "n * 2"},
+        insert_unmatched=False,
+    ).collect()
+    assert {r.k: (r.total, r.n) for r in out} == {1: (100, 5), 2: (242, 14)}
+    # simultaneous: both RHS see pre-update values
+    out2 = merge_clauses(
+        target, src, ["k"],
+        update_cols={"total": "n", "n": "total"},
+        insert_unmatched=False,
+    ).collect()
+    assert {r.k: (r.total, r.n) for r in out2} == {1: (100, 5), 2: (7, 200)}
+    # cast to target dtype: a double expression lands as bigint
+    out3 = merge_clauses(
+        target, src, ["k"],
+        update_cols={"total": "total * 1.5"}, insert_unmatched=False,
+    ).collect()
+    assert {r.k: r.total for r in out3} == {1: 100, 2: 300}
+    # inserts still work in expression mode (whole source row aligns)
+    src_wide = spark.createDataFrame(
+        [(2, 42, 9), (7, 0, 70)], "k bigint, delta bigint, total bigint"
+    )
+    out4 = merge_clauses(
+        target, src_wide, ["k"], update_cols={"total": "total + source.delta"},
+    ).collect()
+    got = {r.k: (r.total, r.n) for r in out4}
+    assert got == {1: (100, 5), 2: (242, 7), 7: (70, None)}
+    # refusals: unknown source column, non-string value, key assignment
+    with pytest.raises(ValueError, match="source.missing"):
+        merge_clauses(target, src, ["k"], update_cols={"total": "source.missing"})
+    with pytest.raises(TypeError, match="SQL strings"):
+        merge_clauses(target, src, ["k"], update_cols={"total": F.lit(1)})
+    with pytest.raises(ValueError, match="non-key target columns"):
+        merge_clauses(target, src, ["k"], update_cols={"k": "source.delta"})
+
+
+def test_merge_clauses_cross_branch_duplicate_key_raises(spark):
+    """A source carrying one key BOTH delete-flagged and unflagged with
+    no order_col is ambiguous (the unflagged row would vanish in
+    update mode, resurrect in upsert mode — r9 Wrong #1): raise, like
+    Delta's MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW."""
+    target = spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint")
+    src = spark.createDataFrame(
+        [(2, 0, True), (2, 99, False)], "k bigint, v bigint, _del boolean"
+    )
+    with pytest.raises(ValueError, match="both delete-flagged and unflagged"):
+        merge_clauses(target, src, ["k"], update_cols=["v"], delete_pred="_del")
+    with pytest.raises(ValueError, match="both delete-flagged and unflagged"):
+        merge_clauses(target, src, ["k"], delete_pred="_del")
+    # an order_col arbitrates: last writer wins, no raise
+    src_ord = spark.createDataFrame(
+        [(2, 0, True, 1), (2, 99, False, 2)],
+        "k bigint, v bigint, _del boolean, seq bigint",
+    )
+    out = merge_clauses(
+        target, src_ord, ["k"], order_col="seq",
+        update_cols=["v"], delete_pred="_del",
+    ).collect()
+    assert {r.k: r.v for r in out} == {1: 10, 2: 99}
+    # same-branch duplicates (both flagged) stay fine without order_col
+    src_same = spark.createDataFrame(
+        [(2, 0, True), (2, 1, True)], "k bigint, v bigint, _del boolean"
+    )
+    out2 = merge_clauses(
+        target, src_same, ["k"], update_cols=["v"], delete_pred="_del"
+    ).collect()
+    assert {r.k: r.v for r in out2} == {1: 10}
+
+
+def test_merge_clauses_not_matched_by_source_update(spark):
+    """Delta's WHEN NOT MATCHED BY SOURCE THEN UPDATE SET: unmatched
+    target rows take target-row expressions, gated by the optional
+    predicate; the by-source DELETE clause wins on rows both claim."""
+    target = spark.createDataFrame(
+        [(1, 10, True), (2, 20, True), (3, 30, True), (4, 40, True)],
+        "k bigint, v bigint, active boolean",
+    )
+    src = spark.createDataFrame([(2,), (3,)], "k bigint")
+    out = merge_clauses(
+        target, src, ["k"], update_cols=[],
+        not_matched_by_source_update={"active": "false", "v": "v + 1000"},
+        not_matched_by_source_update_pred="v < 40",
+    ).collect()
+    assert {r.k: (r.v, r.active) for r in out} == {
+        1: (1010, False), 2: (20, True), 3: (30, True), 4: (40, True),
+    }
+    # combined with the delete clause: delete first, update the rest
+    out2 = merge_clauses(
+        target, src, ["k"], update_cols=[],
+        not_matched_by_source_delete="v < 20",
+        not_matched_by_source_update={"active": "false"},
+    ).collect()
+    assert {r.k: (r.v, r.active) for r in out2} == {
+        2: (20, True), 3: (30, True), 4: (40, False),
+    }
+    # key / unknown columns refuse
+    with pytest.raises(ValueError, match="non-key target columns"):
+        merge_clauses(
+            target, src, ["k"], update_cols=[],
+            not_matched_by_source_update={"k": "0"},
+        )
+
+
+def test_manifest_merge_nmbs_update_disables_pruning(spark, tmp_path):
+    """The by-source UPDATE clause, like the DELETE one, must reach
+    rows in partitions the source never mentions."""
+    t = ManifestTable(str(tmp_path / "nu"))
+    t.overwrite(_df(spark, 0, 80).repartition(F.col("g")), partition_by=["g"])
+    # source lives entirely in g=1; unmatched rows everywhere get v=-1
+    src = spark.range(0, 80).filter(F.col("id") % 4 == 1).select(
+        F.col("id").alias("k"), F.lit(1).cast("bigint").alias("g"),
+    )
+    t.merge(
+        spark, src, keys=["k"], when_matched_update=[],
+        insert_unmatched=False,
+        not_matched_by_source_update={"v": "-1"},
+    )
+    got = {r.k: r.v for r in t.snapshot(spark).collect()}
+    assert len(got) == 80
+    for k in range(80):
+        assert got[k] == (k * 10 if k % 4 == 1 else -1), k
+
+
+def test_manifest_merge_first_commit_drops_cdc_flag(spark, tmp_path):
+    """A clause merge that CREATES the table must not bake the CDC
+    tombstone column into the schema (r9 ADVICE medium): merges
+    against an existing table keep the flag out, so the first commit
+    must too — a restarted stream's first batch and its tenth see the
+    same schema."""
+    t = ManifestTable(str(tmp_path / "fresh"))
+    src = spark.createDataFrame(
+        [(1, 10, False), (2, 20, True), (3, 30, False)],
+        "k bigint, v bigint, _deleted boolean",
+    )
+    t.merge(spark, src, keys=["k"], when_matched_delete="_deleted")
+    snap = t.snapshot(spark)
+    assert "_deleted" not in snap.columns
+    assert {r.k: r.v for r in snap.collect()} == {1: 10, 3: 30}
+    # the SECOND batch (existing-table path) agrees on the schema
+    src2 = spark.createDataFrame(
+        [(3, 0, True), (4, 40, False)], "k bigint, v bigint, _deleted boolean"
+    )
+    t.merge(spark, src2, keys=["k"], when_matched_delete="_deleted")
+    snap2 = t.snapshot(spark)
+    assert "_deleted" not in snap2.columns
+    assert {r.k: r.v for r in snap2.collect()} == {1: 10, 4: 40}
+    # an EXPRESSION delete_pred (not a plain column name) leaves the
+    # source untouched on first commit — only the documented CDC
+    # column shape is merge metadata
+    t2 = ManifestTable(str(tmp_path / "fresh2"))
+    t2.merge(spark, src, keys=["k"], when_matched_delete="_deleted = true")
+    assert "_deleted" in t2.snapshot(spark).columns
+
+
+def test_manifest_merge_expression_set_integration(spark, tmp_path):
+    """Expression SET through ManifestTable.merge: CDC increments land
+    transactionally, file pruning still keyed by the source."""
+    t = ManifestTable(str(tmp_path / "exp"))
+    t.overwrite(_df(spark, 0, 40))
+    src = spark.createDataFrame(
+        [(1, 5), (2, -3)], "k bigint, delta bigint"
+    )
+    t.merge(
+        spark, src, keys=["k"],
+        when_matched_update={"v": "v + source.delta"},
+        insert_unmatched=False,
+    )
+    got = {r.k: r.v for r in t.snapshot(spark).collect()}
+    assert got[1] == 15 and got[2] == 17
+    assert all(got[k] == k * 10 for k in range(3, 40))
