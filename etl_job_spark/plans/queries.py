@@ -471,6 +471,70 @@ def mart_enrich_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("kicc_mart_enrich_update", ENRICH_SQL)(mart_enrich_update)
 
 
+def mart_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same J1/J2/P6-P7 enrichment executed as LITERAL SQL DML
+    statements through ``sql.execute_dml`` — the statement surface the
+    reference's consumers actually write (kicc_to_tb_sales.py:109-134
+    is verbatim UPDATE SQL):
+
+    - J1/J2 as ``MERGE INTO mart USING dim ON … WHEN MATCHED THEN
+      UPDATE SET t.col = s.col`` (parsed to the identity-list clause
+      merge — narrow dim source, matched rows update one column);
+    - P6/P7 as ``UPDATE mart SET responsible = '직영' WHERE
+      responsible IS NULL AND chain_no IN (…)``.
+
+    Same oracle as the library-call twin (``ENRICH_SQL``), so the SQL
+    parser → table-verb routing is hash-checked end-to-end;
+    ``tests/test_sql.py`` additionally pins that this route and the
+    library route commit identical table states."""
+    import os
+
+    from etl_job_spark.scratch import scratch_dir
+    from etl_job_spark.sql import execute_dml
+    from etl_job_spark.table import ManifestTable
+
+    mart = mart_sales_by_store(spark, sf_dir).select(
+        "chain_no",
+        "sale_dy",
+        "chong_maechool",
+        F.lit(None).cast("string").alias("responsible"),
+        F.lit(None).cast("string").alias("xy"),
+    )
+    path = scratch_dir(spark, "kicc_mart_sql_dml")
+    name = os.path.basename(path)
+    t = ManifestTable(path)
+    t.overwrite(mart.repartitionByRange(4, F.col("chain_no")))
+    kicc.tb_store_temp(spark, sf_dir).select(
+        "chain_no", F.col("resp").alias("responsible")
+    ).createOrReplaceTempView("kicc_dml_temp_dim")
+    kicc.tb_store_easypos(spark, sf_dir).select(
+        "chain_no", F.col("xy_degree").alias("xy")
+    ).createOrReplaceTempView("kicc_dml_easy_dim")
+    execute_dml(
+        spark, t,
+        f"MERGE INTO {name} t USING kicc_dml_temp_dim s "
+        "ON t.chain_no = s.chain_no "
+        "WHEN MATCHED THEN UPDATE SET t.responsible = s.responsible",
+    )
+    execute_dml(
+        spark, t,
+        f"MERGE INTO {name} t USING kicc_dml_easy_dim s "
+        "ON t.chain_no = s.chain_no "
+        "WHEN MATCHED THEN UPDATE SET t.xy = s.xy",
+    )
+    execute_dml(
+        spark, t,
+        f"UPDATE {name} SET responsible = '직영' "
+        f"WHERE responsible IS NULL AND chain_no IN ({_IN_LIST})",
+    )
+    return t.snapshot(spark).select(
+        "chain_no", "sale_dy", "chong_maechool", "responsible", "xy"
+    )
+
+
+query("kicc_mart_sql_dml", ENRICH_SQL)(mart_sql_dml)
+
+
 # ---------------------------------------------------------------------
 # Read-path data skipping: predicate-pruned snapshot over a clustered
 # table (the reference's daily incremental window read as a scan that

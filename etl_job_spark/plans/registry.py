@@ -29,14 +29,17 @@ _DRIVER_WINDOW = [
     "kicc_sales_by_prod",
     "kicc_enrich_store",
     "kicc_backfill_medium",
-    # round-9 swap: row-level UPDATE (merge matched-clauses +
-    # update_where — the table format's last missing verb, executing
-    # the reference's J1/J2/P6-P7 enrichment as table statements) is a
-    # NEW component with no driver row; kicc_merge_upsert — the K3
-    # family's library-level twin (kicc_mart_versioned keeps the
-    # family's window slot, exercising the same merge through the
-    # commit protocol) — moves to the tail with its oracle intact
-    "kicc_mart_enrich_update",
+    # round-10 swap (r9 VERDICT #1): the SQL DML surface (execute_dml —
+    # literal UPDATE/MERGE INTO statements parsed and routed to the
+    # table verbs, the statement shape the reference's consumers write
+    # verbatim) was the r9 round's only externally-unverified surface;
+    # kicc_mart_sql_dml runs the J1/J2/P6-P7 enrichment as literal
+    # statements against the same ENRICH_SQL oracle. Its library-call
+    # twin kicc_mart_enrich_update (same oracle, same table verbs
+    # invoked directly — the r9 swap-in) moves to the tail with its
+    # oracle intact; test_sql.py pins both routes commit identical
+    # table states.
+    "kicc_mart_sql_dml",
     "kicc_filter_rows",
     "kicc_semi_join",
     # round-7 swap: the batch manifest_table Python Data Source (WHERE
@@ -133,6 +136,9 @@ _TAIL = [
     # oracles here
     "kicc_merge_upsert",
     "kicc_mart_window_read",
+    # round-10 swap-out (see the window comment at kicc_mart_sql_dml):
+    # the library-call enrichment twin keeps its exact oracle here
+    "kicc_mart_enrich_update",
     # round-7 swap-out (see the window comment at kicc_mart_sql_read):
     # the J5 anti-join keeps its exact oracle here
     "kicc_anti_join",

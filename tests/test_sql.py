@@ -266,3 +266,71 @@ def test_execute_dml_wrong_table_name_raises(spark, tmp_path):
     assert execute_dml(spark, t, f"UPDATE {path} SET v = 2 WHERE k = 1") == 3
     assert execute_dml(spark, t, "UPDATE db.right SET v = 3 WHERE k = 1") == 4
     assert t.snapshot(spark).collect()[0].v == 3
+
+
+def test_dml_route_matches_library_route(spark, sf_dir, tmp_path):
+    """r9 VERDICT #1 'done' criterion: the SQL-DML route and the
+    library-verb route commit identical table states — same version
+    count, same schema, same per-file (rows, stats) multiset, same
+    snapshot rows — for the J1/J2/P6-P7 enrichment statements."""
+    import json
+
+    from etl_job_spark.plans import kicc
+    from etl_job_spark.plans.queries import _IN_LIST, mart_sales_by_store
+    from etl_job_spark.sql import execute_dml
+    from etl_job_spark.table import ManifestTable
+    from pyspark.sql import functions as F
+
+    mart = mart_sales_by_store(spark, sf_dir).select(
+        "chain_no", "sale_dy", "chong_maechool",
+        F.lit(None).cast("string").alias("responsible"),
+        F.lit(None).cast("string").alias("xy"),
+    ).limit(500).cache()
+    temp = kicc.tb_store_temp(spark, sf_dir).select(
+        "chain_no", F.col("resp").alias("responsible")
+    )
+    easy = kicc.tb_store_easypos(spark, sf_dir).select(
+        "chain_no", F.col("xy_degree").alias("xy")
+    )
+    t_lib = ManifestTable(str(tmp_path / "lib"))
+    t_sql = ManifestTable(str(tmp_path / "sql"))
+    for t in (t_lib, t_sql):
+        t.overwrite(mart.repartitionByRange(2, F.col("chain_no")))
+
+    # library route
+    t_lib.merge(spark, temp, keys=["chain_no"],
+                when_matched_update=["responsible"], insert_unmatched=False)
+    t_lib.merge(spark, easy, keys=["chain_no"],
+                when_matched_update=["xy"], insert_unmatched=False)
+    t_lib.update_where(
+        spark, {"responsible": "'직영'"},
+        [("responsible", "is_null"), ("chain_no", "in", list(_IN_LIST.replace("'", "").split(",")))],
+    )
+    # SQL route
+    temp.createOrReplaceTempView("rt_temp")
+    easy.createOrReplaceTempView("rt_easy")
+    execute_dml(spark, t_sql,
+                "MERGE INTO sql t USING rt_temp s ON t.chain_no = s.chain_no "
+                "WHEN MATCHED THEN UPDATE SET t.responsible = s.responsible")
+    execute_dml(spark, t_sql,
+                "MERGE INTO sql t USING rt_easy s ON t.chain_no = s.chain_no "
+                "WHEN MATCHED THEN UPDATE SET t.xy = s.xy")
+    execute_dml(spark, t_sql,
+                "UPDATE sql SET responsible = '직영' "
+                f"WHERE responsible IS NULL AND chain_no IN ({_IN_LIST})")
+
+    assert t_lib.latest_version() == t_sql.latest_version()
+    m_lib = t_lib._read_manifest(t_lib.latest_version())
+    m_sql = t_sql._read_manifest(t_sql.latest_version())
+    assert m_lib["schema"] == m_sql["schema"]
+
+    def entry_key(e):
+        return json.dumps(
+            {"rows": e["rows"], "stats": e.get("stats"),
+             "partition": e.get("partition")}, sort_keys=True)
+
+    assert sorted(entry_key(e) for e in m_lib["files"]) == sorted(
+        entry_key(e) for e in m_sql["files"])
+    rows = lambda t: sorted(map(str, t.snapshot(spark).collect()))  # noqa: E731
+    assert rows(t_lib) == rows(t_sql)
+    mart.unpersist()
