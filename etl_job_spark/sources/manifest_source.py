@@ -273,13 +273,20 @@ class ManifestTableDataSource(DataSource):
 
         partition_by: list[str] = []
         int_sources: dict[str, bool] = {}
-        if not overwrite:
-            t = ManifestTable(self._path())
-            base = t.latest_version()
-            if base is not None:
-                partition_by = list(
-                    t._read_raw_manifest(base).get("partition_by") or []
-                )
+        constraints: dict[str, str] = {}
+        bloom_cols: list[str] = []
+        t = ManifestTable(self._path())
+        base = t.latest_version()
+        if base is not None:
+            raw = t._read_raw_manifest(base)
+            # guard props apply to EVERY write mode: constraints
+            # validate the incoming rows (overwrite inherits them),
+            # blooms must exist for every published file
+            man = t._read_manifest(base)
+            constraints = man.get("constraints") or {}
+            bloom_cols = list(man.get("bloom_cols") or [])
+            if not overwrite:
+                partition_by = list(raw.get("partition_by") or [])
         if partition_by:
             # type gate: the executor derives hive dir values with a
             # Python mirror of the library's transform expressions —
@@ -323,6 +330,7 @@ class ManifestTableDataSource(DataSource):
         return _ManifestWriter(
             self._path(), schema, overwrite,
             partition_by=partition_by, int_sources=int_sources,
+            constraints=constraints, bloom_cols=bloom_cols,
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):
@@ -452,6 +460,8 @@ class _ManifestWriter(DataSourceArrowWriter):
         overwrite: bool,
         partition_by: list[str] | None = None,
         int_sources: dict[str, bool] | None = None,
+        constraints: dict[str, str] | None = None,
+        bloom_cols: list[str] | None = None,
     ):
         import uuid
 
@@ -460,6 +470,8 @@ class _ManifestWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         self._partition_by = list(partition_by or [])
         self._int_sources = int_sources or {}
+        self._constraints = constraints or {}
+        self._bloom_cols = list(bloom_cols or [])
         self._sub = uuid.uuid4().hex  # one commit dir for all tasks
 
     # -- executor side --------------------------------------------------
@@ -470,10 +482,20 @@ class _ManifestWriter(DataSourceArrowWriter):
 
         import pyarrow.parquet as pq
 
-        from etl_job_spark.table import _file_stats, _partition_fields
+        from etl_job_spark.table import _file_blooms, _file_stats, _partition_fields
 
         out_root = os.path.join(self._path, "data", self._sub)
         fields = _partition_fields(getattr(self, "_partition_by", None))
+        cons = getattr(self, "_constraints", None) or {}
+        bloom_cols = list(getattr(self, "_bloom_cols", None) or [])
+
+        def _blooms(full: str):
+            # same per-file bloom build the library's write path runs
+            # (_write_bloom_sidecars reads the just-written file); here
+            # it rides back in the commit message so the session-less
+            # commit never re-reads anything
+            return _file_blooms(full, bloom_cols) if bloom_cols else None
+
         if not fields:
             rel = os.path.join(self._sub, f"ds-{uuid.uuid4().hex}.parquet")
             full = os.path.join(self._path, "data", rel)
@@ -482,6 +504,7 @@ class _ManifestWriter(DataSourceArrowWriter):
                 for batch in iterator:
                     if batch.num_rows == 0:
                         continue
+                    _validate_arrow_batch(batch, cons, self._path)
                     if writer is None:
                         os.makedirs(out_root, exist_ok=True)
                         writer = pq.ParquetWriter(full, batch.schema)
@@ -493,7 +516,8 @@ class _ManifestWriter(DataSourceArrowWriter):
                 return _FileMessage()
             rows, stats = _file_stats(full)
             return _FileMessage([
-                {"rel": rel, "rows": rows, "stats": stats, "partition": {}}
+                {"rel": rel, "rows": rows, "stats": stats, "partition": {},
+                 "bloom": _blooms(full)}
             ])
 
         # partitioned append: derive the dir values per row (the exact
@@ -512,6 +536,10 @@ class _ManifestWriter(DataSourceArrowWriter):
             for batch in iterator:
                 if batch.num_rows == 0:
                     continue
+                # validate BEFORE the raw partition columns leave the
+                # file contents — a CHECK on a partition column must
+                # see its values
+                _validate_arrow_batch(batch, cons, self._path)
                 pdf = batch.to_pandas()
                 per_field = [
                     _derive_dir_values(
@@ -556,37 +584,70 @@ class _ManifestWriter(DataSourceArrowWriter):
         for _, full, rel, pdict in writers.values():
             rows, stats = _file_stats(full)
             files.append(
-                {"rel": rel, "rows": rows, "stats": stats, "partition": pdict}
+                {"rel": rel, "rows": rows, "stats": stats, "partition": pdict,
+                 "bloom": _blooms(full)}
             )
         return _FileMessage(files)
 
     # -- driver side ------------------------------------------------------
 
     def commit(self, messages) -> None:
-        from etl_job_spark.table import ManifestTable
+        import json
+        import os
+        import uuid
+
+        from etl_job_spark.table import _BLOOM_DIR, ManifestTable
 
         t = ManifestTable(self._path)
         new_entries = _entries_from_messages(self._path, messages)
+
+        # Bloomed tables (r9 VERDICT #3): the write TASKS computed each
+        # file's blooms alongside its footer stats (see ``write``), so
+        # assembly here is pure driver-side json writing — no Spark
+        # session (the DSv2 commit runs in the session-less plan
+        # worker), no re-reads, any commit size. One sidecar per
+        # commit, the library's driver-path shape. Constraints were
+        # enforced task-side per batch — a violating write never
+        # reaches commit. Publish attempts below re-check that the
+        # props enforced at PLAN time are still the table's props (a
+        # concurrent alter between plan and publish must not slip by).
+        blooms = {}
+        for e in new_entries:
+            fb = e.pop("_bloom", None)
+            if fb:
+                blooms[e["path"]] = fb
+        if blooms:
+            commit_dir = os.path.join(_BLOOM_DIR, uuid.uuid4().hex)
+            os.makedirs(os.path.join(self._path, commit_dir), exist_ok=True)
+            ref = os.path.join(commit_dir, uuid.uuid4().hex + ".json")
+            with open(os.path.join(self._path, ref), "w") as f:
+                json.dump(blooms, f)
+            for e in new_entries:
+                if e["path"] in blooms:
+                    e["bloom_ref"] = ref
+
+        cons = self._constraints
+        bloom_cols = self._bloom_cols
+
+        def _props_stable(man) -> None:
+            if (man.get("constraints") or {}) != cons or list(
+                man.get("bloom_cols") or []
+            ) != bloom_cols:
+                raise ValueError(
+                    "manifest_table datasource commit: table constraints/"
+                    "bloom_cols changed during the write; rerun the write"
+                )
 
         def attempt() -> int:
             base = t.latest_version()
             if self._overwrite:
                 if base is not None:
-                    # _commit inherits constraints/bloom_cols from the
-                    # base when not overridden — but these rows were
-                    # never validated and these files have no bloom
-                    # sidecars, so publishing under either property
-                    # would advertise a guarantee the snapshot doesn't
-                    # hold. Refuse loudly, like the append contract.
-                    man = t._read_manifest(base)
-                    for prop in ("constraints", "bloom_cols"):
-                        if man.get(prop):
-                            raise ValueError(
-                                f"manifest_table datasource overwrite: table "
-                                f"has {prop}; overwrite through "
-                                "ManifestTable.overwrite, which validates "
-                                "constraints and rebuilds bloom sidecars"
-                            )
+                    # staged rows were validated and sidecars built
+                    # against the pre-publish props — a concurrent
+                    # change invalidates that work
+                    _props_stable(t._read_manifest(base))
+                elif cons or bloom_cols:
+                    _props_stable({})
                 # explicit empties mirror ManifestTable.overwrite:
                 # every file is rewritten under the (absent) current
                 # spec, so dropped-column tombstones, rename maps, and
@@ -598,13 +659,16 @@ class _ManifestWriter(DataSourceArrowWriter):
                     dropped_cols=[], column_map={}, partition_specs=[],
                 )
             if base is None:
+                if cons or bloom_cols:
+                    _props_stable({})
                 return t._commit(
                     new_entries, self._schema, None, None,
                     {"op": "append", "via": "manifest_table datasource"},
                 )
             man = t._read_manifest(base)
+            _props_stable(man)
             committed = _check_plain_append(
-                t, man, self._schema, allow_partitions=True
+                t, man, self._schema, allow_partitions=True, allow_guarded=True
             )
             if list(man.get("partition_by") or []) != self._partition_by:
                 # a concurrent alter_partition_spec landed between plan
@@ -640,6 +704,46 @@ class _ManifestWriter(DataSourceArrowWriter):
             pass
 
 
+def _validate_arrow_batch(batch, constraints: dict[str, str], table_path: str) -> None:
+    """Task-side CHECK enforcement for the datasource writer: evaluate
+    each constraint over the Arrow batch with DuckDB — the write tasks
+    have no SparkSession, and DuckDB reads Arrow zero-copy. A NULL
+    predicate counts as a violation (the row can't prove the check),
+    the same write-side semantics ``ManifestTable._validate`` applies.
+    A predicate DuckDB cannot evaluate (Spark-only function, dialect
+    gap) REFUSES the write loudly naming the library API — a CHECK is
+    never silently skipped. A violation fails the task, which aborts
+    the whole write job: no version publishes, staged files removed."""
+    if not constraints:
+        return
+    import duckdb
+    import pyarrow as pa
+
+    from etl_job_spark.table import ConstraintViolationError
+
+    tbl = pa.Table.from_batches([batch])
+    con = duckdb.connect()
+    try:
+        con.register("__batch", tbl)
+        for name, pred in sorted(constraints.items()):
+            try:
+                n = con.execute(
+                    f"SELECT count(*) FROM __batch "
+                    f"WHERE NOT ({pred}) OR ({pred}) IS NULL"
+                ).fetchone()[0]
+            except Exception as exc:
+                raise ValueError(
+                    f"manifest_table datasource write: CHECK constraint "
+                    f"{name!r} ({pred!r}) is not evaluable by the task-side "
+                    f"checker ({exc}); write through ManifestTable.append/"
+                    "overwrite, which validates with Spark itself"
+                ) from exc
+            if n:
+                raise ConstraintViolationError(table_path, {name: int(n)})
+    finally:
+        con.close()
+
+
 def _entries_from_messages(table_path: str, messages) -> list[dict]:
     """Manifest entries for the files a write job's tasks landed. Rows
     and footer stats arrive IN the commit messages (computed by the
@@ -659,26 +763,36 @@ def _entries_from_messages(table_path: str, messages) -> list[dict]:
                 except OSError:
                     pass
                 continue
-            entries.append(
-                {
-                    "path": f["rel"],
-                    "partition": f.get("partition") or {},
-                    "rows": f["rows"],
-                    "stats": f["stats"],
-                }
-            )
+            entry = {
+                "path": f["rel"],
+                "partition": f.get("partition") or {},
+                "rows": f["rows"],
+                "stats": f["stats"],
+            }
+            if f.get("bloom"):
+                # task-computed blooms ride along; commit() pops them
+                # into a sidecar and replaces them with a bloom_ref
+                entry["_bloom"] = f["bloom"]
+            entries.append(entry)
     entries.sort(key=lambda e: e["path"])
     return entries
 
 
 def _check_plain_append(
-    t, man, schema: StructType, allow_partitions: bool = False
+    t, man, schema: StructType, allow_partitions: bool = False,
+    allow_guarded: bool = False,
 ) -> StructType:
     """The bounded-append contract both data source writers share:
-    no blooms/constraints/renames (and, for the stream sink, no
-    partitions) and an exactly-matching schema; returns the committed
-    schema."""
+    no renames (and, for the stream sink, no partitions/blooms/
+    constraints) and an exactly-matching schema; returns the committed
+    schema. ``allow_guarded``: the batch writer's commit enforces
+    constraints and builds bloom sidecars itself (see
+    ``_ManifestWriter.commit``), so those two props pass; the stream
+    sink keeps refusing them (its exactly-once micro-batch commit has
+    no enforcement pass)."""
     props = ["bloom_cols", "constraints", "column_map"]
+    if allow_guarded:
+        props = ["column_map"]
     if not allow_partitions:
         props.insert(0, "partition_by")
     for prop in props:
