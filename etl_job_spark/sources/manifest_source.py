@@ -972,17 +972,32 @@ def read_manifest_table(
     LAST_PREPLAN = dict(t.last_planning)
     plan_dir = scratch_dir(spark, "manifest_ds_plans")
     os.makedirs(plan_dir, exist_ok=True)
-    plan_ref = os.path.join(plan_dir, f"{uuid.uuid4().hex}.json")
-    with open(plan_ref, "w") as fh:
-        json.dump(
-            {
-                "entries": kept,
-                "partition_by": raw.get("partition_by"),
-                "column_map": raw.get("column_map"),
-                "partition_specs": raw.get("partition_specs"),
-            },
-            fh,
-        )
+    # content-hashed plan name: the plan file must OUTLIVE this call
+    # (the returned frame reads it lazily, on every action), so it
+    # can't be deleted here — instead identical re-reads (same table,
+    # version, surviving entries) reuse one file, bounding the
+    # accumulation to DISTINCT plans per session; scratch_dir's
+    # session-end reclaim removes the directory wholesale.
+    payload = json.dumps(
+        {
+            "entries": kept,
+            "partition_by": raw.get("partition_by"),
+            "column_map": raw.get("column_map"),
+            "partition_specs": raw.get("partition_specs"),
+        },
+        sort_keys=True,
+    )
+    import hashlib
+
+    digest = hashlib.sha256(payload.encode()).hexdigest()[:32]
+    plan_ref = os.path.join(plan_dir, f"plan-{digest}.json")
+    if not os.path.exists(plan_ref):
+        # tmp+rename: concurrent identical plans race benignly to the
+        # same content-addressed name
+        tmp = os.path.join(plan_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        os.replace(tmp, plan_ref)
     df = (
         reader.option("planRef", plan_ref)
         # pin the planned snapshot: a commit landing between this plan
@@ -998,9 +1013,12 @@ def write_manifest_table(df: DataFrame, table_path: str, mode: str = "append") -
     """Write ``df`` into a ManifestTable through the batch data source
     (registers the format, idempotent). ``mode``: "append" (plain and
     PARTITIONED tables — raw and transform specs land the same dirs,
-    entry partition dicts, and footer stats as ``ManifestTable.append``;
-    bloomed/constrained/renamed tables still refuse loudly — see
-    ``_ManifestWriter``) or "overwrite".
+    entry partition dicts, and footer stats as ``ManifestTable.append``)
+    or "overwrite". Bloomed and CHECK-constrained tables are fully
+    supported in both modes: the write tasks validate every batch and
+    compute per-file blooms, and commit assembles the sidecars
+    (see ``_ManifestWriter``). Renamed tables (column_map) still
+    refuse loudly — use ``ManifestTable.append``.
 
     For partitioned appends the frame is pre-clustered on the
     partition values (one writer task per value instead of tasks ×

@@ -4206,19 +4206,51 @@ class ManifestTable:
             if not candidates:
                 return base
 
-            # the predicate/SET speak LOGICAL names; files PHYSICAL
-            inv = {p: l for l, p in cmap.items()}
-            scan = _renamed(
-                self._read_files(spark, candidates, with_file_path=True), inv
-            )
-            hit_files = {
-                _strip_file_scheme(r["__file"])
-                for r in scan.filter(pred).select("__file").distinct().collect()
-            }
-            touched = []
-            for entry in candidates:
-                full = os.path.abspath(os.path.join(self.data_dir, entry["path"]))
-                (touched if full in hit_files else untouched).append(entry)
+            # fast path: a candidate whose metadata PROVES every row
+            # matches the spec (``_entry_all_match`` — count_where's
+            # positive matcher: partition constants, spec-history
+            # dirs, stats ranges with a recorded zero null count) is a
+            # hit without scanning; when every candidate proves, the
+            # hit-discovery scan below is skipped entirely — the
+            # "backfill a whole partition" statement plans from
+            # metadata alone. Files with DVs stay in the scan path
+            # (their live-row set is not what the footer describes).
+            touched: list[dict] = []
+            if spec is not None:
+                utc = _session_utc(spark)
+                tmap = _prune_tmap(
+                    partition_by, man.get("partition_specs"), utc
+                )
+                part_types = {
+                    cmap.get(f.name, f.name): f.dataType.simpleString()
+                    for f in schema.fields
+                }
+                phys_spec = [
+                    (cmap.get(c, c), op, v) for c, op, v in spec
+                ]
+                proved, candidates = self._split_candidates(
+                    spark,
+                    candidates,
+                    lambda e: not (e.get("dv") or e.get("dv_ref"))
+                    and _entry_all_match(e, phys_spec, part_types, tmap, utc),
+                    "update-allmatch",
+                )
+                touched.extend(proved)
+            if candidates:
+                # the predicate/SET speak LOGICAL names; files PHYSICAL
+                inv = {p: l for l, p in cmap.items()}
+                scan = _renamed(
+                    self._read_files(spark, candidates, with_file_path=True), inv
+                )
+                hit_files = {
+                    _strip_file_scheme(r["__file"])
+                    for r in scan.filter(pred).select("__file").distinct().collect()
+                }
+                for entry in candidates:
+                    full = os.path.abspath(
+                        os.path.join(self.data_dir, entry["path"])
+                    )
+                    (touched if full in hit_files else untouched).append(entry)
             if not touched:
                 return base  # nothing matched; no new version
 

@@ -380,3 +380,29 @@ def test_read_manifest_table_preplans_past_the_plan_worker(spark, tmp_path, monk
         "id as k", "cast(id % 7 as int) as v", "concat('u', id) as u"
     ))
     assert sorted(r.k for r in df.collect()) == list(range(100))
+
+
+def test_preplanned_reads_reuse_content_hashed_plan_files(spark, tmp_path):
+    """Repeated identical pre-planned reads reuse ONE plan file
+    (content-addressed name) instead of accumulating a new JSON per
+    call for the session's lifetime (r9 ADVICE low); a different
+    predicate gets its own file."""
+    import glob
+
+    from etl_job_spark.scratch import scratch_dir
+    from etl_job_spark.sources.manifest_source import read_manifest_table
+
+    t = _mk_table(spark, tmp_path / "ph")
+    plan_dir = scratch_dir(spark, "manifest_ds_plans")
+    before = set(glob.glob(os.path.join(plan_dir, "plan-*.json")))
+    n1 = read_manifest_table(spark, t.path, predicates=[("k", "<", 500)]).count()
+    mid = set(glob.glob(os.path.join(plan_dir, "plan-*.json")))
+    n2 = read_manifest_table(spark, t.path, predicates=[("k", "<", 500)]).count()
+    n3 = read_manifest_table(spark, t.path, predicates=[("k", "<", 500)]).count()
+    after = set(glob.glob(os.path.join(plan_dir, "plan-*.json")))
+    assert n1 == n2 == n3 == 500
+    assert len(mid - before) == 1          # first read created one file
+    assert after == mid                    # identical re-reads added none
+    read_manifest_table(spark, t.path, predicates=[("k", "<", 800)]).count()
+    final = set(glob.glob(os.path.join(plan_dir, "plan-*.json")))
+    assert len(final - after) == 1         # a distinct plan gets its own

@@ -515,3 +515,29 @@ def test_manifest_merge_expression_set_integration(spark, tmp_path):
     got = {r.k: r.v for r in t.snapshot(spark).collect()}
     assert got[1] == 15 and got[2] == 17
     assert all(got[k] == k * 10 for k in range(3, 40))
+
+
+def test_update_where_allmatch_fast_path(spark, tmp_path):
+    """When metadata PROVES a whole file matches the spec (partition
+    constant / stats range + zero nulls), update_where rewrites it
+    without the hit-discovery scan (r9 nit): the allmatch split
+    records every candidate as proved and the result is identical."""
+    t = ManifestTable(str(tmp_path / "am"))
+    t.overwrite(_df(spark, 0, 80).repartition(F.col("g")), partition_by=["g"])
+    # predicate = a whole partition: every candidate file proves
+    v = t.update_where(spark, {"s": "'bulk'"}, [("g", "=", 1)])
+    plan = t.last_planning
+    assert plan["op"] == "update-allmatch"
+    assert plan["kept"] == plan["candidates"] and plan["kept"] > 0
+    got = {r.k: r.s for r in t.snapshot(spark).collect()}
+    for k in range(80):
+        assert got[k] == ("bulk" if k % 4 == 1 else f"s{k}"), k
+    assert v == 2
+    # a range predicate over an unpartitioned column: only SOME files
+    # prove; the rest go through the scan — result still exact
+    t2 = ManifestTable(str(tmp_path / "am2"))
+    t2.overwrite(_df(spark, 0, 100).repartitionByRange(4, F.col("k")))
+    t2.update_where(spark, {"v": "v + 1"}, [("k", "<", 50)])
+    got2 = {r.k: r.v for r in t2.snapshot(spark).collect()}
+    for k in range(100):
+        assert got2[k] == k * 10 + (1 if k < 50 else 0), k
