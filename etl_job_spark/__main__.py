@@ -57,8 +57,26 @@ def main(argv: list[str] | None = None) -> int:
             "versions", "history", "show", "read", "count", "rows",
             "agg", "diff", "compact", "vacuum", "restore", "delete",
             "delete-keys", "update", "constraints", "rename", "drop-cols",
-            "files", "partitions",
+            "files", "partitions", "sql",
         ],
+    )
+    tb.add_argument(
+        "--statement",
+        default=None,
+        help="for sql: one DML statement (INSERT INTO/UPDATE/DELETE "
+        "FROM/MERGE INTO) executed against the table via "
+        "sql.execute_dml; the statement's table name must match the "
+        "--path basename. MERGE/INSERT sources are resolved as Spark "
+        "views — register them via --views name=parquet_path "
+        "(repeatable)",
+    )
+    tb.add_argument(
+        "--views",
+        action="append",
+        default=[],
+        metavar="NAME=PARQUET_PATH",
+        help="for sql: register a parquet file/dir as a temp view "
+        "before executing the statement (repeatable)",
     )
     tb.add_argument(
         "--set",
@@ -366,6 +384,25 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(
                     {"path": args.path, "version": v, "set": sorted(sets),
                      "where": args.where or args.predicates}))
+            elif args.action == "sql":
+                if not args.statement:
+                    print("table sql requires --statement", file=sys.stderr)
+                    return 2
+                from etl_job_spark.sql import execute_dml
+
+                for item in args.views:
+                    name, eq, src = item.partition("=")
+                    if not eq or not name.strip() or not src.strip():
+                        print(f"--views {item!r}: expected NAME=PARQUET_PATH",
+                              file=sys.stderr)
+                        return 2
+                    spark.read.parquet(src.strip()).createOrReplaceTempView(
+                        name.strip()
+                    )
+                v = execute_dml(spark, t, args.statement)
+                print(json.dumps(
+                    {"path": args.path, "version": v,
+                     "statement": args.statement}))
             elif args.action == "delete-keys":
                 if not args.key_col or not args.keys:
                     print("table delete-keys requires --key-col and --keys",

@@ -144,6 +144,7 @@ def merge_clauses(
     not_matched_by_source_delete: Column | str | bool = False,
     not_matched_by_source_update: Mapping[str, str | Column] | None = None,
     not_matched_by_source_update_pred: Column | str | None = None,
+    insert_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """MERGE with Delta-style matched clauses — the relational core
     shared by ``ManifestTable.merge``'s clause mode.
@@ -178,6 +179,12 @@ def merge_clauses(
     - ``insert_unmatched``: un-matched source rows insert as whole
       rows, NULL-filled to the target width (default, the upsert
       contract); False turns the merge into a pure UPDATE-JOIN.
+    - ``insert_cols`` (clause mode only): SQL MERGE's column-list
+      insert — ``WHEN NOT MATCHED THEN INSERT (a, b) VALUES …``:
+      inserted rows take source values for exactly these columns;
+      every other target column lands NULL even when the source
+      carries it. Must include every key (a NULL-key insert could
+      never be matched again) and name existing source columns.
     - ``not_matched_by_source_delete`` (Delta's WHEN NOT MATCHED BY
       SOURCE THEN DELETE — the full-sync shape): target rows whose
       key has NO source row at all are deleted — all of them when
@@ -228,6 +235,29 @@ def merge_clauses(
 
     kept = target if dels is None else target.join(dels, on=list(keys), how="left_anti")
     target_types = dict(target.dtypes)
+    if insert_cols is not None:
+        if update_cols is None:
+            raise ValueError(
+                "insert_cols is a clause-mode option (SQL MERGE column-list "
+                "INSERT); whole-row replacement (update_cols=None) inserts "
+                "whole rows — pass update_cols=[] for SQL semantics"
+            )
+        iset = list(dict.fromkeys(insert_cols))
+        missing_keys = [k for k in keys if k not in iset]
+        if missing_keys:
+            raise ValueError(
+                f"insert_cols must include every merge key (missing "
+                f"{missing_keys}): a NULL-key insert could never match again"
+            )
+        bad_i = [c for c in iset if c not in target_types]
+        if bad_i:
+            raise ValueError(f"insert_cols {bad_i}: not table columns")
+        not_in_src = [c for c in iset if c not in source.columns]
+        if not_in_src:
+            raise ValueError(
+                f"insert_cols {not_in_src}: not source columns — a listed "
+                "column would always insert NULL; drop it from the list"
+            )
     nmbs = not_matched_by_source_delete
     nmbs_del = nmbs is not False and nmbs is not None
     if nmbs_del or not_matched_by_source_update:
@@ -355,10 +385,13 @@ def merge_clauses(
         )
     if not insert_unmatched:
         return updated
+    ins_allowed = (
+        set(target.columns) if insert_cols is None else set(insert_cols)
+    )
     inserts = ups.join(target.select(*keys), on=list(keys), how="left_anti").select(
         *[
             F.col(c).cast(target_types[c]).alias(c)
-            if c in ups.columns
+            if c in ups.columns and c in ins_allowed
             else F.lit(None).cast(target_types[c]).alias(c)
             for c in target.columns
         ]

@@ -207,7 +207,10 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
             -- enrichment path; any other expression (e.g.
             -- a.total = a.total + b.delta, the CDC increment) runs
             -- as expression SET over the joined row
-        [WHEN NOT MATCHED THEN INSERT *]
+        [WHEN NOT MATCHED THEN INSERT *
+         | WHEN NOT MATCHED THEN INSERT (c, ...) VALUES (b.c, ...)]
+            -- column-list insert: identity pairs; unlisted target
+            -- columns land NULL
         [WHEN NOT MATCHED BY SOURCE [AND <tgt-pred>] THEN DELETE]
         [WHEN NOT MATCHED BY SOURCE [AND <tgt-pred>]
              THEN UPDATE SET a.c = <tgt-expr> [, ...]]
@@ -271,6 +274,7 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
     update_cols: list[str] | dict[str, str] | None = None
     delete_pred = None
     insert_unmatched = False
+    insert_cols: list[str] | None = None
     nmbs: str | bool = False
     nmbs_update: dict[str, str] | None = None
     nmbs_update_pred: str | None = None
@@ -342,12 +346,43 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
                 )
         elif up.startswith("NOT MATCHED"):
             tail = c[len("NOT MATCHED"):].strip()
-            if tail.upper().replace(" ", "") not in ("THENINSERT*",):
+            m = re.match(
+                r"(?is)^THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)\s*$",
+                tail,
+            )
+            if m is not None:
+                # column-list INSERT: identity values only (a.c list,
+                # s.c values, pairwise) — expressions belong in the
+                # source view
+                cols = [x.strip() for x in m.group(1).split(",")]
+                vals = [x.strip() for x in m.group(2).split(",")]
+                if len(cols) != len(vals):
+                    raise ValueError(
+                        f"INSERT column list ({len(cols)}) and VALUES "
+                        f"({len(vals)}) differ in length"
+                    )
+                ins: list[str] = []
+                for col, val in zip(cols, vals):
+                    cname = _strip_alias(col, t_alias, s_alias, "INSERT")
+                    vname = _strip_alias(val, s_alias, t_alias, "INSERT VALUES")
+                    if not cname.isidentifier() or vname != cname:
+                        raise ValueError(
+                            f"MERGE INSERT supports identity pairs only "
+                            f"({t_alias}.c ← {s_alias}.c); got {col} = "
+                            f"{val!r} — compute expressions in the source "
+                            "view"
+                        )
+                    ins.append(cname)
+                insert_cols = ins
+                insert_unmatched = True
+            elif tail.upper().replace(" ", "") in ("THENINSERT*",):
+                insert_unmatched = True
+            else:
                 raise ValueError(
-                    "WHEN NOT MATCHED supports only THEN INSERT * — project "
-                    "the insert shape in the source view"
+                    "WHEN NOT MATCHED supports THEN INSERT * or THEN INSERT "
+                    "(cols) VALUES (identity source cols) — project other "
+                    "insert shapes in the source view"
                 )
-            insert_unmatched = True
         else:
             raise ValueError(f"unsupported MERGE clause {c[:60]!r}")
 
@@ -368,6 +403,7 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
         not_matched_by_source_delete=nmbs,
         not_matched_by_source_update=nmbs_update,
         not_matched_by_source_update_pred=nmbs_update_pred,
+        insert_cols=insert_cols,
     )
 
 
@@ -401,7 +437,9 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
     name inside the statement must match the ``table`` argument (path,
     basename, or qualified name ending in the basename) — a mismatch
     raises rather than silently mutating the wrong table. Supported
-    statements: ``UPDATE … SET … WHERE …``, ``DELETE FROM … WHERE …``,
+    statements: ``INSERT INTO … [(cols)] SELECT …/VALUES …`` (routed
+    to ``append`` — the body runs as plain Spark SQL over registered
+    views), ``UPDATE … SET … WHERE …``, ``DELETE FROM … WHERE …``,
     and the constrained ``MERGE INTO`` grammar of ``_merge_into`` (the
     Delta clause surface the engine's merge implements)."""
     import re
@@ -437,8 +475,85 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
         m = re.match(r"(?is)^MERGE\s+INTO\s+(\S+?)(?:\s|$)", s)
         _check_target(m.group(1) if m else None, t)
         return _merge_into(spark, t, s)
+    if upper.startswith("INSERT"):
+        # INSERT INTO <t> [(c1, ...)] SELECT ... | VALUES (...), ...
+        # — routed to ManifestTable.append: the body runs as plain
+        # Spark SQL (register views first); a column list projects the
+        # body onto those names and append NULL-fills the rest (its
+        # additive-evolution contract). VALUES without a column list
+        # takes the table's committed column order.
+        m = re.match(
+            r"(?is)^INSERT\s+INTO\s+(\S+)\s*(?:\(([^)]*)\))?\s*(.*)$", s
+        )
+        cols = (
+            [c.strip().strip("`") for c in m.group(2).split(",")]
+            if m is not None and m.group(2)
+            else None
+        )
+        if cols and cols[0].split(" ")[0].upper() in ("SELECT", "VALUES", "WITH"):
+            raise ValueError(
+                "INSERT INTO body must not be parenthesized — write "
+                "INSERT INTO <t> SELECT ..., not INSERT INTO <t> (SELECT ...)"
+            )
+        if m is None or not m.group(3).strip():
+            raise ValueError(
+                "supported form: INSERT INTO <table> [(col, ...)] "
+                "SELECT ... | VALUES (...), ..."
+            )
+        _check_target(m.group(1), t)
+        body = m.group(3).strip()
+        bu = body.upper()
+        if bu.startswith("VALUES"):
+            df = spark.sql(f"SELECT * FROM ({body})")
+            if cols is None:
+                base = t.latest_version()
+                if base is None:
+                    raise ValueError(
+                        "INSERT ... VALUES without a column list needs an "
+                        "existing table (its committed column order); list "
+                        "the columns explicitly"
+                    )
+                schema = t._manifest_schema(t._read_manifest(base))
+                if schema is None or len(schema.fields) != len(df.columns):
+                    raise ValueError(
+                        f"INSERT VALUES arity {len(df.columns)} != table "
+                        f"width; list the columns explicitly"
+                    )
+                cols = [f.name for f in schema.fields]
+        elif not (bu.startswith("SELECT") or bu.startswith("WITH")):
+            raise ValueError(
+                "INSERT INTO body must be SELECT/WITH or VALUES, got "
+                f"{body[:40]!r}"
+            )
+        else:
+            df = spark.sql(body)
+        if cols is not None:
+            if len(cols) != len(df.columns):
+                raise ValueError(
+                    f"INSERT column list ({len(cols)}) and body width "
+                    f"({len(df.columns)}) differ"
+                )
+            df = df.toDF(*cols)
+        base = t.latest_version()
+        if base is not None:
+            # cast to the committed column types (SQL INSERT coerces
+            # literals — a VALUES int must not read as a type change
+            # against a bigint column)
+            schema = t._manifest_schema(t._read_manifest(base))
+            if schema is not None:
+                from pyspark.sql import functions as F
+
+                types = {f.name: f.dataType for f in schema.fields}
+                df = df.select(
+                    *[
+                        F.col(c).cast(types[c]).alias(c) if c in types else F.col(c)
+                        for c in df.columns
+                    ]
+                )
+        return t.append(df)
     raise ValueError(
-        "execute_dml supports UPDATE ... SET ... WHERE ..., DELETE "
-        "FROM ... WHERE ..., and the constrained MERGE INTO grammar; "
-        "see ManifestTable.merge for the full clause surface"
+        "execute_dml supports INSERT INTO ... SELECT/VALUES, UPDATE ... "
+        "SET ... WHERE ..., DELETE FROM ... WHERE ..., and the "
+        "constrained MERGE INTO grammar; see ManifestTable.merge for "
+        "the full clause surface"
     )

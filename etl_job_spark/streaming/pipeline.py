@@ -450,7 +450,12 @@ def upsert_stream_sink_manifest(
     CDC-apply shape: a Debezium-style stream carrying a tombstone flag
     passes ``when_matched_delete="_deleted"`` (flagged rows delete
     their target and never insert), a narrow enrichment stream passes
-    ``when_matched_update=[cols]``."""
+    ``when_matched_update=[cols]``. CDC streams should ALSO pass
+    ``order_col`` (the LSN/ts column): without it, a batch carrying
+    one key both flagged and unflagged RAISES (ambiguous — see
+    ``merge_clauses``), killing the query, and the ambiguity check
+    itself costs one extra aggregate per micro-batch; with it, the
+    batch dedups to last-writer-wins first and the check never runs."""
     from etl_job_spark.table import ManifestTable
 
     table = ManifestTable(table_path)

@@ -3615,6 +3615,7 @@ class ManifestTable:
         not_matched_by_source_delete: str | Column | bool = False,
         not_matched_by_source_update: Mapping[str, str] | None = None,
         not_matched_by_source_update_pred: str | Column | None = None,
+        insert_cols: Sequence[str] | None = None,
     ) -> int:
         """MERGE ``source`` into the table (source wins per key).
 
@@ -3640,6 +3641,10 @@ class ManifestTable:
           never insert.
         - ``insert_unmatched=False`` — suppress the insert branch
           (pure UPDATE-JOIN; default True keeps the upsert contract).
+        - ``insert_cols=[cols]`` — SQL MERGE's column-list INSERT:
+          unmatched rows take source values for exactly these columns
+          (must include every key); other columns land NULL even when
+          the source carries them. Clause mode only.
         - ``not_matched_by_source_delete=True`` (or a predicate over
           the TARGET row) — Delta's WHEN NOT MATCHED BY SOURCE THEN
           DELETE, the full-sync shape: target rows with no source key
@@ -3709,12 +3714,37 @@ class ManifestTable:
             or when_matched_delete is not None
             or not insert_unmatched
             or nmbs_active
+            or insert_cols is not None
         )
+        ins_set = (
+            None if insert_cols is None else set(insert_cols) | set(keys)
+        )
+        if insert_cols is not None:
+            missing_keys = [k for k in keys if k not in insert_cols]
+            if missing_keys:
+                raise ValueError(
+                    f"insert_cols must include every merge key (missing "
+                    f"{missing_keys}): a NULL-key insert could never match "
+                    "again"
+                )
 
         def attempt() -> int:
             base = self.latest_version()
             if base is None:
                 first_src = source
+                if ins_set is not None:
+                    # column-list insert on a first commit: unlisted
+                    # columns land NULL (the source still defines the
+                    # schema width)
+                    stypes = dict(first_src.dtypes)
+                    first_src = first_src.select(
+                        *[
+                            F.col(c)
+                            if c in ins_set
+                            else F.lit(None).cast(stypes[c]).alias(c)
+                            for c in first_src.columns
+                        ]
+                    )
                 if when_matched_delete is not None:
                     dpred = (
                         F.expr(when_matched_delete)
@@ -3918,6 +3948,7 @@ class ManifestTable:
                         not_matched_by_source_update_pred=(
                             not_matched_by_source_update_pred
                         ),
+                        insert_cols=insert_cols,
                     )
                 else:
                     merged = merge_upsert(target, source, keys, order_col=order_col)
@@ -3935,6 +3966,10 @@ class ManifestTable:
                     ins = ins.filter(~F.coalesce(dpred, F.lit(False)))
                 if not insert_unmatched:
                     return base  # pure UPDATE-JOIN touched nothing
+                if ins_set is not None:
+                    # column-list insert: unlisted columns drop here
+                    # and NULL-fill through the schema align below
+                    ins = ins.select(*[c for c in ins.columns if c in ins_set])
                 merged = _align(merge_upsert_source_only(ins, keys, order_col), schema)
             else:
                 merged = _align(merge_upsert_source_only(source, keys, order_col), schema)

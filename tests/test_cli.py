@@ -262,3 +262,45 @@ def test_table_agg_cli(capsys, spark, tmp_path):
     assert res["columns"]["m"]["max"] == 490
     assert res["columns"]["m"]["metadata_only"] is True
     assert main(["table", "agg", "--path", path]) == 2
+
+
+def test_table_sql_cli(capsys, spark, tmp_path):
+    """One DML statement through the CLI: the reference's consumers
+    run literal SQL from shell scripts — `table sql --statement`
+    is that surface over the engine's table format."""
+    from etl_job_spark.table import ManifestTable
+
+    path = str(tmp_path / "tbl_sql")
+    t = ManifestTable(path)
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, i % 3, i * 10) for i in range(12)], "k long, g long, v long"
+        )
+    )
+    src = str(tmp_path / "dim.parquet")
+    spark.createDataFrame([(1, 111), (4, 444)], "k long, v long").write.parquet(src)
+
+    assert main(["table", "sql", "--path", path, "--statement",
+                 "UPDATE tbl_sql SET v = v + 1 WHERE g = 0"]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["version"] == 2
+    got = {r["k"]: r["v"] for r in t.snapshot(spark).collect()}
+    assert all(got[k] == k * 10 + (1 if k % 3 == 0 else 0) for k in range(12))
+
+    assert main(["table", "sql", "--path", path, "--views", f"dim={src}",
+                 "--statement",
+                 "MERGE INTO tbl_sql t USING dim s ON t.k = s.k "
+                 "WHEN MATCHED THEN UPDATE SET t.v = s.v"]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["version"] == 3
+    got = {r["k"]: r["v"] for r in t.snapshot(spark).collect()}
+    assert got[1] == 111 and got[4] == 444
+
+    assert main(["table", "sql", "--path", path, "--statement",
+                 "INSERT INTO tbl_sql VALUES (100, 9, 1000)"]) == 0
+    assert t.snapshot(spark).filter("k = 100").count() == 1
+
+    # usage errors, not crashes
+    assert main(["table", "sql", "--path", path]) == 2
+    assert main(["table", "sql", "--path", path, "--views", "bad",
+                 "--statement", "DELETE FROM tbl_sql WHERE k = 0"]) == 2

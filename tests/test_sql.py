@@ -142,9 +142,9 @@ def test_execute_dml_merge_into(spark, tmp_path):
     with _pytest.raises(ValueError, match="same-named equi-keys"):
         execute_dml(spark, t, "MERGE INTO mi t USING changes c ON t.k = c.v "
                               "WHEN NOT MATCHED THEN INSERT *")
-    with _pytest.raises(ValueError, match="INSERT \\*"):
+    with _pytest.raises(ValueError, match="identity pairs"):
         execute_dml(spark, t, "MERGE INTO mi t USING changes c ON t.k = c.k "
-                              "WHEN NOT MATCHED THEN INSERT (k) VALUES (c.k)")
+                              "WHEN NOT MATCHED THEN INSERT (k) VALUES (c.k + 1)")
     with _pytest.raises(ValueError, match="WHEN clause"):
         execute_dml(spark, t, "MERGE INTO mi t USING changes c ON t.k = c.k")
 
@@ -334,3 +334,111 @@ def test_dml_route_matches_library_route(spark, sf_dir, tmp_path):
     rows = lambda t: sorted(map(str, t.snapshot(spark).collect()))  # noqa: E731
     assert rows(t_lib) == rows(t_sql)
     mart.unpersist()
+
+
+def test_execute_dml_insert_into(spark, tmp_path):
+    """INSERT INTO completes the DML quartet: SELECT bodies, VALUES
+    lists, column lists (unlisted columns NULL-fill via append's
+    additive-evolution contract), constraint enforcement, and the
+    wrong-name guard."""
+    import pytest as _pytest
+
+    from etl_job_spark.sql import execute_dml
+    from etl_job_spark.table import ManifestTable
+
+    path = str(tmp_path / "ins")
+    t = ManifestTable(path)
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "k long, v long, s string"
+        )
+    )
+    spark.createDataFrame(
+        [(3, 30, "c"), (4, 40, "d")], "k long, v long, s string"
+    ).createOrReplaceTempView("src_rows")
+
+    # SELECT body
+    v = execute_dml(spark, t, "INSERT INTO ins SELECT * FROM src_rows")
+    assert v == 2
+    got = {r.k: (r.v, r.s) for r in t.snapshot(spark).collect()}
+    assert got == {1: (10, "a"), 2: (20, "b"), 3: (30, "c"), 4: (40, "d")}
+
+    # column list: unlisted column lands NULL
+    execute_dml(
+        spark, t,
+        "INSERT INTO ins (k, v) SELECT k + 10, v FROM src_rows WHERE k = 3",
+    )
+    got = {r.k: (r.v, r.s) for r in t.snapshot(spark).collect()}
+    assert got[13] == (30, None)
+
+    # VALUES without a column list takes the committed column order
+    execute_dml(spark, t, "INSERT INTO ins VALUES (50, 500, 'e'), (51, 510, 'f')")
+    got = {r.k: (r.v, r.s) for r in t.snapshot(spark).collect()}
+    assert got[50] == (500, "e") and got[51] == (510, "f")
+
+    # VALUES with a column list
+    execute_dml(spark, t, "INSERT INTO ins (k, s) VALUES (60, 'g')")
+    got = {r.k: (r.v, r.s) for r in t.snapshot(spark).collect()}
+    assert got[60] == (None, "g")
+
+    # constraints still gate the append route
+    t.alter_constraints(spark, add={"k_small": "k < 1000"})
+    n = t.snapshot(spark).count()
+    with _pytest.raises(Exception, match="k_small"):
+        execute_dml(spark, t, "INSERT INTO ins VALUES (5000, 1, 'x')")
+    assert t.snapshot(spark).count() == n
+
+    # guards
+    with _pytest.raises(ValueError, match="targets"):
+        execute_dml(spark, t, "INSERT INTO other SELECT * FROM src_rows")
+    with _pytest.raises(ValueError, match="arity|columns explicitly"):
+        execute_dml(spark, t, "INSERT INTO ins VALUES (1, 2)")
+    with _pytest.raises(ValueError, match="differ"):
+        execute_dml(spark, t, "INSERT INTO ins (k) SELECT k, v FROM src_rows")
+    with _pytest.raises(ValueError, match="parenthesized"):
+        execute_dml(spark, t, "INSERT INTO ins (SELECT * FROM src_rows)")
+
+
+def test_execute_dml_merge_insert_column_list(spark, tmp_path):
+    """MERGE's column-list INSERT: unmatched rows take listed source
+    columns, every other column lands NULL even when the source
+    carries it; keys must be listed; identity pairs only."""
+    import pytest as _pytest
+
+    from etl_job_spark.sql import execute_dml
+    from etl_job_spark.table import ManifestTable
+
+    path = str(tmp_path / "mic")
+    t = ManifestTable(path)
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "k long, v long, s string"
+        )
+    )
+    spark.createDataFrame(
+        [(2, 99, "B"), (7, 70, "new")], "k long, v long, s string"
+    ).createOrReplaceTempView("mic_src")
+    execute_dml(
+        spark, t,
+        "MERGE INTO mic t USING mic_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET t.v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)",
+    )
+    got = {r.k: (r.v, r.s) for r in t.snapshot(spark).collect()}
+    # matched row updates v, keeps s; inserted row has s NULL though
+    # the source carried 'new'
+    assert got == {1: (10, "a"), 2: (99, "b"), 7: (70, None)}
+
+    with _pytest.raises(ValueError, match="every merge key"):
+        execute_dml(
+            spark, t,
+            "MERGE INTO mic t USING mic_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET t.v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (v) VALUES (s.v)",
+        )
+    with _pytest.raises(ValueError, match="identity pairs"):
+        execute_dml(
+            spark, t,
+            "MERGE INTO mic t USING mic_src s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v + 1)",
+        )

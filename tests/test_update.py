@@ -541,3 +541,32 @@ def test_update_where_allmatch_fast_path(spark, tmp_path):
     got2 = {r.k: r.v for r in t2.snapshot(spark).collect()}
     for k in range(100):
         assert got2[k] == k * 10 + (1 if k < 50 else 0), k
+
+
+def test_merge_clauses_insert_cols(spark):
+    """Column-list INSERT at the relational level: listed columns take
+    source values, others NULL; keys required; source must carry the
+    listed columns."""
+    target = spark.createDataFrame(
+        [(1, "a", 10)], "k bigint, s string, v bigint"
+    )
+    src = spark.createDataFrame(
+        [(1, "X", 11), (5, "y", 50)], "k bigint, s string, v bigint"
+    )
+    out = merge_clauses(
+        target, src, ["k"], update_cols=["v"], insert_cols=["k", "v"]
+    ).collect()
+    got = {r.k: (r.s, r.v) for r in out}
+    assert got == {1: ("a", 11), 5: (None, 50)}
+    with pytest.raises(ValueError, match="every merge key"):
+        merge_clauses(target, src, ["k"], update_cols=["v"], insert_cols=["v"])
+    with pytest.raises(ValueError, match="not source columns"):
+        merge_clauses(
+            target,
+            src.select("k", "v"),
+            ["k"],
+            update_cols=["v"],
+            insert_cols=["k", "s"],
+        )
+    with pytest.raises(ValueError, match="clause-mode"):
+        merge_clauses(target, src, ["k"], insert_cols=["k", "v"])
