@@ -145,6 +145,7 @@ def merge_clauses(
     not_matched_by_source_update: Mapping[str, str | Column] | None = None,
     not_matched_by_source_update_pred: Column | str | None = None,
     insert_cols: Sequence[str] | None = None,
+    update_pred: str | None = None,
 ) -> DataFrame:
     """MERGE with Delta-style matched clauses — the relational core
     shared by ``ManifestTable.merge``'s clause mode.
@@ -175,6 +176,11 @@ def merge_clauses(
       increment shape, ``SET total = total + source.delta``). All
       assignments are simultaneous (RHS sees pre-update values), and
       results cast to the target dtype. Values must be SQL strings.
+    - ``update_pred`` (Delta's ``WHEN MATCHED AND cond THEN UPDATE``):
+      a SQL condition over the joined row (bare names = target,
+      ``source.<name>`` = source) gating the matched update — matched
+      rows failing it (or NULL) keep their values, and being matched
+      they still never insert. Requires ``update_cols``.
     - ``update_cols=None``: matched rows are REPLACED whole (upsert).
     - ``insert_unmatched``: un-matched source rows insert as whole
       rows, NULL-filled to the target width (default, the upsert
@@ -305,6 +311,17 @@ def merge_clauses(
                 F.col("__in_src"),
             )
         kept = marked.drop("__in_src")
+    if update_pred is not None:
+        if not isinstance(update_pred, str):
+            raise TypeError(
+                "update_pred must be a SQL string (bare names = target, "
+                "source.<name> = source)"
+            )
+        if update_cols is None:
+            raise ValueError(
+                "update_pred gates the matched-UPDATE clause — pass "
+                "update_cols (the columns/expressions it sets)"
+            )
     if update_cols is None:
         merged = merge_upsert(kept, ups, keys)
         if insert_unmatched:
@@ -316,6 +333,14 @@ def merge_clauses(
         )
 
     exprs = dict(update_cols) if isinstance(update_cols, Mapping) else None
+    if update_pred is not None and exprs is None:
+        # a gated list-mode SET takes the expression path (the joined
+        # frame must carry the full source row for the condition);
+        # identity expressions preserve list-mode semantics exactly
+        missing = [c for c in update_cols if c not in ups.columns]
+        if missing:
+            raise ValueError(f"when_matched_update: source lacks columns {missing}")
+        exprs = {c: f"source.{c}" for c in update_cols}
     ucols = list(dict.fromkeys(update_cols))
     bad = [c for c in ucols if c in keys or c not in target_types]
     if bad:
@@ -351,10 +376,17 @@ def merge_clauses(
         src = src.select(
             "*", *[F.col(k).alias(_SRC + k) for k in keys if _SRC + k not in src.columns]
         )
+        cond = F.col("__matched")
+        if update_pred is not None:
+            # NULL condition = not updated, SQL's WHEN MATCHED AND
+            cond = cond & F.coalesce(
+                F.expr(_rewrite_source_refs(update_pred, scols + list(keys))),
+                F.lit(False),
+            )
         updated = kept.join(src, on=list(keys), how="left").select(
             *[
                 F.when(
-                    F.col("__matched"),
+                    cond,
                     F.expr(rewritten[c]).cast(target_types[c]),
                 ).otherwise(F.col(c)).alias(c)
                 if c in rewritten

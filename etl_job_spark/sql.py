@@ -202,7 +202,7 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
         MERGE INTO <t> [AS a] USING <view> [AS b]
         ON a.k = b.k [AND ...]            -- equi-keys, SAME column name
         [WHEN MATCHED AND <src-pred> THEN DELETE]
-        [WHEN MATCHED THEN UPDATE SET a.c = <expr> [, ...]]
+        [WHEN MATCHED [AND <joined-pred>] THEN UPDATE SET a.c = <expr> [, ...]]
             -- identity sets (a.c = b.c) keep the narrow-source
             -- enrichment path; any other expression (e.g.
             -- a.total = a.total + b.delta, the CDC increment) runs
@@ -278,29 +278,56 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
     nmbs: str | bool = False
     nmbs_update: dict[str, str] | None = None
     nmbs_update_pred: str | None = None
+    def _parse_set(body: str):
+        # identity assignments (a.c = b.c for every item) keep the
+        # LIST form — narrow-source semantics, the enrichment
+        # shape; anything else becomes expression-mode SET over
+        # the joined row (bare names = target, source.<c> = source
+        # — merge_clauses' namespace), the CDC increment shape
+        assigns: dict[str, str] = {}
+        identity = True
+        for col, expr in _split_assignments(
+            _strip_alias(body, t_alias, None, "UPDATE SET")
+        ).items():
+            rhs = _requalify_source(expr, s_alias, t_alias)
+            assigns[col] = rhs
+            if rhs != f"source.{col}":
+                identity = False
+        return list(assigns) if identity else assigns
+
+    update_pred: str | None = None
     for clause in clauses:
         c = clause.strip().rstrip(";").strip()
         up = c.upper()
-        if up.startswith("MATCHED AND") and up.rstrip().endswith("THEN DELETE"):
-            pred = c[len("MATCHED AND"):c.upper().rfind("THEN DELETE")]
-            delete_pred = _strip_alias(pred, s_alias, t_alias, "WHEN MATCHED")
+        if up.startswith("MATCHED AND"):
+            tail = c[len("MATCHED AND"):]
+            then_at = _scan_top(tail, "THEN")
+            if then_at < 0:
+                raise ValueError(f"unparsed WHEN MATCHED AND clause {c[:60]!r}")
+            pred_sql = tail[:then_at]
+            action = tail[then_at + 4:].strip()
+            au = action.upper()
+            if au == "DELETE":
+                delete_pred = _strip_alias(
+                    pred_sql, s_alias, t_alias, "WHEN MATCHED"
+                )
+            elif au.startswith("UPDATE"):
+                set_at = _scan_top(action, "SET")
+                if set_at < 0:
+                    raise ValueError(
+                        "WHEN MATCHED AND ... THEN UPDATE needs SET col = expr"
+                    )
+                # the gating condition sees BOTH sides (Delta's WHEN
+                # MATCHED AND): target bare, source requalified
+                update_pred = _requalify_source(pred_sql, s_alias, t_alias)
+                update_cols = _parse_set(action[set_at + 3:])
+            else:
+                raise ValueError(
+                    "WHEN MATCHED AND <cond> supports THEN DELETE or "
+                    "THEN UPDATE SET"
+                )
         elif up.startswith("MATCHED THEN UPDATE SET"):
-            body = c[len("MATCHED THEN UPDATE SET"):]
-            # identity assignments (a.c = b.c for every item) keep the
-            # LIST form — narrow-source semantics, the enrichment
-            # shape; anything else becomes expression-mode SET over
-            # the joined row (bare names = target, source.<c> = source
-            # — merge_clauses' namespace), the CDC increment shape
-            assigns: dict[str, str] = {}
-            identity = True
-            for col, expr in _split_assignments(
-                _strip_alias(body, t_alias, None, "UPDATE SET")
-            ).items():
-                rhs = _requalify_source(expr, s_alias, t_alias)
-                assigns[col] = rhs
-                if rhs != f"source.{col}":
-                    identity = False
-            update_cols = list(assigns) if identity else assigns
+            update_cols = _parse_set(c[len("MATCHED THEN UPDATE SET"):])
         elif up.startswith("NOT MATCHED BY SOURCE"):
             tail = c[len("NOT MATCHED BY SOURCE"):].strip()
             then_at = _scan_top(tail, "THEN")
@@ -404,6 +431,7 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
         not_matched_by_source_update=nmbs_update,
         not_matched_by_source_update_pred=nmbs_update_pred,
         insert_cols=insert_cols,
+        when_matched_update_pred=update_pred,
     )
 
 

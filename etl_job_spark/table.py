@@ -3616,6 +3616,7 @@ class ManifestTable:
         not_matched_by_source_update: Mapping[str, str] | None = None,
         not_matched_by_source_update_pred: str | Column | None = None,
         insert_cols: Sequence[str] | None = None,
+        when_matched_update_pred: str | None = None,
     ) -> int:
         """MERGE ``source`` into the table (source wins per key).
 
@@ -3641,6 +3642,11 @@ class ManifestTable:
           never insert.
         - ``insert_unmatched=False`` — suppress the insert branch
           (pure UPDATE-JOIN; default True keeps the upsert contract).
+        - ``when_matched_update_pred`` — Delta's ``WHEN MATCHED AND
+          cond THEN UPDATE SET``: a SQL condition over the joined row
+          (bare names = target, ``source.<c>`` = source) gating the
+          matched update; failing/NULL rows keep their values and
+          still never insert. File pruning unchanged.
         - ``insert_cols=[cols]`` — SQL MERGE's column-list INSERT:
           unmatched rows take source values for exactly these columns
           (must include every key); other columns land NULL even when
@@ -3949,6 +3955,7 @@ class ManifestTable:
                             not_matched_by_source_update_pred
                         ),
                         insert_cols=insert_cols,
+                        update_pred=when_matched_update_pred,
                     )
                 else:
                     merged = merge_upsert(target, source, keys, order_col=order_col)

@@ -570,3 +570,66 @@ def test_merge_clauses_insert_cols(spark):
         )
     with pytest.raises(ValueError, match="clause-mode"):
         merge_clauses(target, src, ["k"], insert_cols=["k", "v"])
+
+
+def test_merge_clauses_conditional_matched_update(spark):
+    """Delta's WHEN MATCHED AND cond THEN UPDATE: the condition sees
+    the joined row; failing/NULL rows keep their values and still
+    never insert."""
+    target = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+        "k bigint, v bigint, s string",
+    )
+    src = spark.createDataFrame(
+        [(1, 11), (2, 5), (3, None), (9, 90)], "k bigint, v bigint"
+    )
+    # update only when the source value is larger than the target's
+    out = merge_clauses(
+        target, src, ["k"], update_cols=["v"],
+        update_pred="source.v > v",
+    ).collect()
+    got = {r.k: (r.v, r.s) for r in out}
+    assert got == {
+        1: (11, "a"),   # 11 > 10: updated
+        2: (20, "b"),   # 5 > 20 false: kept
+        3: (30, "c"),   # NULL condition: kept
+        9: (90, None),  # unmatched: inserted regardless of the gate
+    }
+    # expression-mode SET with a gate
+    out2 = merge_clauses(
+        target, src, ["k"],
+        update_cols={"v": "v + source.v"},
+        update_pred="s = 'a'",
+        insert_unmatched=False,
+    ).collect()
+    assert {r.k: r.v for r in out2} == {1: 21, 2: 20, 3: 30}
+    # guards
+    with pytest.raises(ValueError, match="requires update_cols|gates"):
+        merge_clauses(target, src, ["k"], update_pred="v > 0")
+    with pytest.raises(TypeError, match="SQL string"):
+        merge_clauses(
+            target, src, ["k"], update_cols=["v"], update_pred=F.lit(True)
+        )
+
+
+def test_manifest_merge_conditional_matched_update_sql(spark, tmp_path):
+    """The gated UPDATE through the table verb and the SQL grammar."""
+    from etl_job_spark.sql import execute_dml
+
+    t = ManifestTable(str(tmp_path / "gu"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k bigint, v bigint"
+        )
+    )
+    spark.createDataFrame(
+        [(1, 100), (2, 1), (4, 40)], "k bigint, v bigint"
+    ).createOrReplaceTempView("gu_src")
+    execute_dml(
+        spark, t,
+        "MERGE INTO gu t USING gu_src s ON t.k = s.k "
+        "WHEN MATCHED AND s.v > t.v THEN UPDATE SET t.v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = {r.k: r.v for r in t.snapshot(spark).collect()}
+    assert got == {1: 100, 2: 20, 3: 30, 4: 40}
