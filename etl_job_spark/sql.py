@@ -328,6 +328,13 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
                 )
         elif up.startswith("MATCHED THEN UPDATE SET"):
             update_cols = _parse_set(c[len("MATCHED THEN UPDATE SET"):])
+        elif up.replace(" ", "") == "MATCHEDTHENDELETE":
+            # unconditional matched delete: every matched target row
+            # drops (delete_pred over the source row, always true).
+            # The engine's delete contract is CDC-shaped (a flagged
+            # source row never inserts), so this clause cannot combine
+            # with WHEN NOT MATCHED INSERT — checked after the loop.
+            delete_pred = "__delete_all__"
         elif up.startswith("NOT MATCHED BY SOURCE"):
             tail = c[len("NOT MATCHED BY SOURCE"):].strip()
             then_at = _scan_top(tail, "THEN")
@@ -416,6 +423,16 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
     if update_cols is None and delete_pred is None and not insert_unmatched \
             and nmbs is False and nmbs_update is None:
         raise ValueError("MERGE needs at least one actionable WHEN clause")
+    if delete_pred == "__delete_all__":
+        if insert_unmatched:
+            raise ValueError(
+                "WHEN MATCHED THEN DELETE cannot combine with WHEN NOT "
+                "MATCHED INSERT here: the engine's delete contract is "
+                "CDC-shaped (a delete-commanding source row never "
+                "inserts) — carry an explicit flag column and write "
+                "WHEN MATCHED AND <flag> THEN DELETE instead"
+            )
+        delete_pred = "true"
     source = spark.table(src_name)
     # SQL MERGE with no WHEN MATCHED THEN UPDATE clause leaves matched
     # rows UNTOUCHED — when_matched_update=[] is exactly that no-op

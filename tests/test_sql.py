@@ -442,3 +442,31 @@ def test_execute_dml_merge_insert_column_list(spark, tmp_path):
             "MERGE INTO mic t USING mic_src s ON t.k = s.k "
             "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v + 1)",
         )
+
+
+def test_execute_dml_merge_unconditional_matched_delete(spark, tmp_path):
+    """WHEN MATCHED THEN DELETE: every matched target row drops; the
+    CDC-contract conflict with WHEN NOT MATCHED INSERT refuses loudly."""
+    import pytest as _pytest
+
+    from etl_job_spark.sql import execute_dml
+    from etl_job_spark.table import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "md"))
+    t.overwrite(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
+    )
+    spark.createDataFrame([(2,), (9,)], "k long").createOrReplaceTempView("gone")
+    execute_dml(
+        spark, t,
+        "MERGE INTO md t USING gone s ON t.k = s.k "
+        "WHEN MATCHED THEN DELETE",
+    )
+    assert {r.k: r.v for r in t.snapshot(spark).collect()} == {1: 10, 3: 30}
+    with _pytest.raises(ValueError, match="CDC-shaped"):
+        execute_dml(
+            spark, t,
+            "MERGE INTO md t USING gone s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
