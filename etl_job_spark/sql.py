@@ -596,8 +596,57 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
                     ]
                 )
         return t.append(df)
+    if upper.startswith("CREATE"):
+        # CREATE [OR REPLACE] TABLE <t> [PARTITIONED BY (spec, ...)]
+        # AS SELECT ... — routed to overwrite (CTAS). PARTITIONED BY
+        # accepts the table format's specs, raw columns and hidden
+        # transforms alike (days(ts), bucket(16, k), ...). Plain
+        # CREATE refuses when the table exists; OR REPLACE replaces.
+        m = re.match(
+            r"(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\S+)\s*"
+            # one nesting level inside PARTITIONED BY: transform specs
+            # like days(ts) / bucket(16, k) carry their own parens
+            r"(?:PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\)\s*)?AS\s+(.*)$",
+            s,
+        )
+        if m is None or not m.group(4).strip():
+            raise ValueError(
+                "supported form: CREATE [OR REPLACE] TABLE <table> "
+                "[PARTITIONED BY (spec, ...)] AS SELECT ..."
+            )
+        _check_target(m.group(2), t)
+        if m.group(1) is None and t.latest_version() is not None:
+            raise ValueError(
+                f"table {t.path!r} already exists — use CREATE OR REPLACE "
+                "TABLE to replace it"
+            )
+        body = m.group(4).strip()
+        if not body.upper().startswith(("SELECT", "WITH", "VALUES")):
+            raise ValueError(f"CTAS body must be a query, got {body[:40]!r}")
+        if body.upper().startswith("VALUES"):
+            body = f"SELECT * FROM ({body})"
+        # the statement defines the layout outright: no PARTITIONED BY
+        # = unpartitioned (an explicit [] so OR REPLACE doesn't inherit
+        # the replaced table's spec), unlike overwrite()'s None-keeps
+        partition_by: list[str] = []
+        if m.group(3):
+            # split on depth-0 commas only: bucket(16, k) keeps its own
+            parts, depth, start = [], 0, 0
+            spec = m.group(3)
+            for i, ch in enumerate(spec):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts.append(spec[start:i])
+                    start = i + 1
+            parts.append(spec[start:])
+            partition_by = [p.strip() for p in parts if p.strip()]
+        return t.overwrite(spark.sql(body), partition_by=partition_by)
     raise ValueError(
-        "execute_dml supports INSERT INTO ... SELECT/VALUES, UPDATE ... "
+        "execute_dml supports CREATE [OR REPLACE] TABLE ... AS SELECT, "
+        "INSERT INTO ... SELECT/VALUES, UPDATE ... "
         "SET ... WHERE ..., DELETE FROM ... WHERE ..., and the "
         "constrained MERGE INTO grammar; see ManifestTable.merge for "
         "the full clause surface"

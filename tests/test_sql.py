@@ -470,3 +470,41 @@ def test_execute_dml_merge_unconditional_matched_delete(spark, tmp_path):
             "WHEN MATCHED THEN DELETE "
             "WHEN NOT MATCHED THEN INSERT *",
         )
+
+
+def test_execute_dml_create_table_as(spark, tmp_path):
+    """CTAS: CREATE [OR REPLACE] TABLE ... [PARTITIONED BY (...)] AS
+    SELECT routed to overwrite — hidden-transform specs included."""
+    import pytest as _pytest
+
+    from etl_job_spark.sql import execute_dml
+    from etl_job_spark.table import ManifestTable
+
+    spark.createDataFrame(
+        [(i, i % 4, f"2024-01-{(i % 9) + 1:02d} 00:00:00") for i in range(40)],
+        "k long, g long, ts_s string",
+    ).selectExpr("k", "g", "cast(ts_s as timestamp) as ts").createOrReplaceTempView(
+        "ctas_src"
+    )
+    path = str(tmp_path / "ct")
+    t = ManifestTable(path)
+    v = execute_dml(
+        spark, t,
+        "CREATE TABLE ct PARTITIONED BY (days(ts), bucket(4, k)) AS "
+        "SELECT * FROM ctas_src WHERE g < 3",
+    )
+    assert v == 1
+    assert t.snapshot(spark).count() == 30
+    man = t._read_manifest(1)
+    assert man["partition_by"] == ["days(ts)", "bucket(4, k)"]
+    # plain CREATE refuses on an existing table; OR REPLACE replaces
+    with _pytest.raises(ValueError, match="already exists"):
+        execute_dml(spark, t, "CREATE TABLE ct AS SELECT * FROM ctas_src")
+    v = execute_dml(
+        spark, t,
+        "CREATE OR REPLACE TABLE ct AS SELECT k, g FROM ctas_src",
+    )
+    assert v == 2 and t.snapshot(spark).columns == ["k", "g"]
+    # VALUES body and wrong-name guard
+    with _pytest.raises(ValueError, match="targets"):
+        execute_dml(spark, t, "CREATE OR REPLACE TABLE other AS SELECT 1 AS x")
