@@ -51,3 +51,73 @@ def test_merge_idempotent_and_key_union(spark, target, source):
     vals = {(r.k1, r.k2): r.v for r in once.collect()}
     for k, v in last.items():
         assert vals[k] == v
+
+
+# ---------------------------------------------------------------------
+# round-10: clause-merge semantics vs a brute-force Python model —
+# matched UPDATE (plain/gated), CDC delete, column-list insert, and
+# the by-source clauses, over arbitrary batches
+# ---------------------------------------------------------------------
+
+clause_row_st = st.tuples(
+    st.integers(0, 6),                      # key
+    st.integers(-100, 100),                 # v
+    st.integers(-100, 100),                 # w
+    st.booleans(),                          # _del flag
+)
+clause_batch_st = st.lists(clause_row_st, min_size=0, max_size=10)
+
+
+def _model_merge(target_rows, source_rows, gate, nmbs_delete):
+    """Brute-force Python model of merge_clauses(update_cols=["v"],
+    delete_pred="_del", update_pred=gate, insert_cols=["k","v"],
+    not_matched_by_source_delete=nmbs_delete) with a key-unique,
+    per-key-single-branch source."""
+    tgt = {k: (v, w) for k, v, w in target_rows}
+    src = {k: (v, w, d) for k, v, w, d in source_rows}
+    out = {}
+    for k, (v, w) in tgt.items():
+        s = src.get(k)
+        if s is None:
+            if not nmbs_delete:
+                out[k] = (v, w)
+            continue
+        sv, sw, sd = s
+        if sd:
+            continue  # matched CDC delete
+        out[k] = (sv if gate(v, sv) else v, w)  # gated UPDATE SET v
+    for k, (sv, sw, sd) in src.items():
+        if k not in tgt and not sd:
+            out[k] = (sv, None)  # column-list insert: w lands NULL
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(target=clause_batch_st, source=clause_batch_st, nmbs=st.booleans())
+def test_merge_clauses_model_equivalence(spark, target, source, nmbs):
+    from etl_job_spark.operators.merge import merge_clauses
+
+    tgt_rows = list({k: (k, v, w) for k, v, w, _ in target}.values())
+    # per-key-unique source (the no-order_col contract)
+    src_rows = list({k: (k, v, w, d) for k, v, w, d in source}.values())
+    tgt = spark.createDataFrame(tgt_rows, "k int, v int, w int") if tgt_rows \
+        else spark.createDataFrame([], "k int, v int, w int")
+    src = spark.createDataFrame(src_rows, "k int, v int, w int, _del boolean") \
+        if src_rows else spark.createDataFrame([], "k int, v int, w int, _del boolean")
+
+    out = merge_clauses(
+        tgt, src, ["k"],
+        update_cols=["v"],
+        delete_pred="_del",
+        update_pred="source.v > v",
+        insert_cols=["k", "v"],
+        not_matched_by_source_delete=nmbs,
+    ).collect()
+    got = {r.k: (r.v, r.w) for r in out}
+    want = _model_merge(
+        [(k, v, w) for k, v, w in tgt_rows],
+        [(k, v, w, d) for k, v, w, d in src_rows],
+        gate=lambda tv, sv: sv > tv,
+        nmbs_delete=nmbs,
+    )
+    assert got == want
