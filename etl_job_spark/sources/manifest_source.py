@@ -345,7 +345,20 @@ class ManifestTableDataSource(DataSource):
                 "manifest_table stream sink requires option 'txnAppId' — "
                 "the exactly-once ledger key must survive restarts"
             )
-        return _ManifestStreamWriter(self._path(), schema, app)
+        from etl_job_spark.table import ManifestTable
+
+        constraints: dict[str, str] = {}
+        bloom_cols: list[str] = []
+        t = ManifestTable(self._path())
+        base = t.latest_version()
+        if base is not None:
+            man = t._read_manifest(base)
+            constraints = man.get("constraints") or {}
+            bloom_cols = list(man.get("bloom_cols") or [])
+        return _ManifestStreamWriter(
+            self._path(), schema, app,
+            constraints=constraints, bloom_cols=bloom_cols,
+        )
 
 
 class _FileMessage(WriterCommitMessage):
@@ -785,11 +798,10 @@ def _check_plain_append(
     """The bounded-append contract both data source writers share:
     no renames (and, for the stream sink, no partitions/blooms/
     constraints) and an exactly-matching schema; returns the committed
-    schema. ``allow_guarded``: the batch writer's commit enforces
-    constraints and builds bloom sidecars itself (see
-    ``_ManifestWriter.commit``), so those two props pass; the stream
-    sink keeps refusing them (its exactly-once micro-batch commit has
-    no enforcement pass)."""
+    schema. ``allow_guarded``: both writers' tasks enforce constraints
+    and compute blooms (see ``_ManifestWriter.write``), and their
+    commits assemble the sidecars, so those two props pass when the
+    caller attests that enforcement ran (both do)."""
     props = ["bloom_cols", "constraints", "column_map"]
     if allow_guarded:
         props = ["column_map"]
@@ -831,9 +843,21 @@ class _ManifestStreamWriter(DataSourceStreamArrowWriter):
     ``txnAppId`` is a REQUIRED option: the ledger key must survive
     restarts, and nothing the writer can see (query id changes per
     restart) does. Append-only (streaming ``outputMode("append")``),
-    same bounded plain-table contract as the batch writer."""
+    same bounded plain-table contract as the batch writer — except
+    bloomed/constrained tables, which the write TASKS guard exactly
+    like the batch writer (per-batch DuckDB CHECK validation,
+    per-file blooms in the commit messages; the props are captured at
+    stream START and every micro-batch commit re-checks they still
+    hold — a mid-stream alter fails the query loudly)."""
 
-    def __init__(self, table_path: str, schema: StructType, app_id: str):
+    def __init__(
+        self,
+        table_path: str,
+        schema: StructType,
+        app_id: str,
+        constraints: dict[str, str] | None = None,
+        bloom_cols: list[str] | None = None,
+    ):
         import uuid
 
         self._path = table_path
@@ -841,22 +865,53 @@ class _ManifestStreamWriter(DataSourceStreamArrowWriter):
         self._app = app_id
         self._partition_by: list[str] = []  # stream sink: plain tables only
         self._int_sources: dict[str, bool] = {}
+        self._constraints = constraints or {}
+        self._bloom_cols = list(bloom_cols or [])
         self._sub = uuid.uuid4().hex
 
     # write(): identical task mechanics to the batch writer
     write = _ManifestWriter.write
 
     def commit(self, messages, batchId: int) -> None:
+        import json
         import os
+        import uuid
 
-        from etl_job_spark.table import ManifestTable
+        from etl_job_spark.table import _BLOOM_DIR, ManifestTable
 
         t = ManifestTable(self._path)
         new_entries = _entries_from_messages(self._path, messages)
+        blooms = {}
+        for e in new_entries:
+            fb = e.pop("_bloom", None)
+            if fb:
+                blooms[e["path"]] = fb
+        bloom_ref: str | None = None
+        if blooms:
+            commit_dir = os.path.join(_BLOOM_DIR, uuid.uuid4().hex)
+            os.makedirs(os.path.join(self._path, commit_dir), exist_ok=True)
+            bloom_ref = os.path.join(commit_dir, uuid.uuid4().hex + ".json")
+            with open(os.path.join(self._path, bloom_ref), "w") as f:
+                json.dump(blooms, f)
+            for e in new_entries:
+                if e["path"] in blooms:
+                    e["bloom_ref"] = bloom_ref
+
+        def _props_stable(man) -> None:
+            if (man.get("constraints") or {}) != self._constraints or list(
+                man.get("bloom_cols") or []
+            ) != self._bloom_cols:
+                raise ValueError(
+                    "manifest_table stream sink: table constraints/"
+                    "bloom_cols changed after the stream started; restart "
+                    "the query so the sink re-captures them"
+                )
 
         def attempt() -> int:
             base = t.latest_version()
             if base is None:
+                if self._constraints or self._bloom_cols:
+                    _props_stable({})
                 return t._commit(
                     new_entries, self._schema, None, None,
                     {"op": "append", "via": "manifest_table stream"},
@@ -866,14 +921,21 @@ class _ManifestStreamWriter(DataSourceStreamArrowWriter):
             last = (man.get("stream_txns") or {}).get(self._app)
             if last is not None and batchId <= int(last):
                 # replayed micro-batch: this run's files are orphans —
-                # remove them, publish nothing (exactly-once)
+                # remove them (their bloom sidecar too), publish
+                # nothing (exactly-once)
                 for e in new_entries:
                     try:
                         os.remove(os.path.join(self._path, "data", e["path"]))
                     except OSError:
                         pass
+                if bloom_ref is not None:
+                    try:
+                        os.remove(os.path.join(self._path, bloom_ref))
+                    except OSError:
+                        pass
                 return base
-            committed = _check_plain_append(t, man, self._schema)
+            _props_stable(man)
+            committed = _check_plain_append(t, man, self._schema, allow_guarded=True)
             return t._commit(
                 man["files"] + new_entries, committed, None, base,
                 {"op": "append", "via": "manifest_table stream"},

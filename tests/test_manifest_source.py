@@ -548,3 +548,55 @@ def test_sql_view_over_source(spark, tmp_path):
     read_manifest_table(spark, t.path).createOrReplaceTempView("msrc_v")
     row = spark.sql("SELECT count(*) c, sum(k) sk FROM msrc_v WHERE k < 50").first()
     assert (row.c, row.sk) == (50, sum(range(50)))
+
+
+def test_stream_sink_guarded_tables(spark, tmp_path):
+    """Exactly-once streaming onto bloomed/constrained tables: valid
+    micro-batches land with bloom sidecars and the constraint
+    advertised; a violating batch fails the query and publishes
+    nothing (r10 — the batch writer's task-side guards, shared)."""
+    import json
+    import os
+
+    from etl_job_spark.sources.manifest_source import stream_write_manifest_table
+
+    d = str(tmp_path / "gs")
+    t = ManifestTable(d)
+    t.overwrite(
+        spark.createDataFrame([(1, "a")], "k long, s string").coalesce(1),
+        bloom_cols=["k"],
+    )
+    t.alter_constraints(spark, add={"k_pos": "k > 0"})
+    v0 = t.latest_version()
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame([(2, "b"), (3, "c")], "k long, s string").coalesce(
+        1
+    ).write.mode("append").json(src)
+    stream = spark.readStream.schema("k long, s string").json(src)
+    q = stream_write_manifest_table(stream, d, ck, "gapp").trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    assert sorted(r.k for r in t.snapshot(spark).collect()) == [1, 2, 3]
+    man = t._read_manifest(t.latest_version())
+    assert man.get("constraints") == {"k_pos": "k > 0"}
+    new = [e for e in man["files"] if e not in t._read_manifest(v0)["files"]]
+    assert new and all(e.get("bloom_ref") for e in new)
+    with open(os.path.join(d, new[0]["bloom_ref"])) as f:
+        assert new[0]["path"] in json.load(f)
+
+    # a violating batch fails the query; nothing publishes
+    v1 = t.latest_version()
+    spark.createDataFrame([(-9, "bad")], "k long, s string").coalesce(
+        1
+    ).write.mode("append").json(src)
+    stream2 = spark.readStream.schema("k long, s string").json(src)
+    q2 = stream_write_manifest_table(stream2, d, ck, "gapp").trigger(
+        availableNow=True
+    ).start()
+    with pytest.raises(Exception, match="k_pos"):
+        q2.awaitTermination(120)
+    assert t.latest_version() == v1
+    assert sorted(r.k for r in t.snapshot(spark).collect()) == [1, 2, 3]
