@@ -596,6 +596,52 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
                     ]
                 )
         return t.append(df)
+    if upper.startswith(("VACUUM", "OPTIMIZE", "RESTORE")):
+        # Delta-parity maintenance statements, routed to the table
+        # verbs (Spark SQL can't plan them on a Python data source):
+        #   VACUUM <t> [RETAIN <n> VERSIONS]       -> vacuum(keep_last=n)
+        #   OPTIMIZE <t> [ZORDER BY (c, ...)]      -> compact/compact_small_files
+        #   RESTORE [TABLE] <t> TO VERSION AS OF n -> restore(n)
+        if upper.startswith("VACUUM"):
+            m = re.match(
+                r"(?is)^VACUUM\s+(\S+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS?)?\s*$", s
+            )
+            if m is None:
+                raise ValueError(
+                    "supported form: VACUUM <table> [RETAIN <n> VERSIONS]"
+                )
+            _check_target(m.group(1), t)
+            # returns files deleted, not a version — keep the int
+            # contract: return the (unchanged) latest version instead
+            t.vacuum(keep_last=int(m.group(2)) if m.group(2) else 1)
+            return t.latest_version()
+        if upper.startswith("OPTIMIZE"):
+            m = re.match(
+                r"(?is)^OPTIMIZE\s+(\S+)\s*"
+                r"(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
+                s,
+            )
+            if m is None:
+                raise ValueError(
+                    "supported form: OPTIMIZE <table> [ZORDER BY (col, ...)]"
+                )
+            _check_target(m.group(1), t)
+            if m.group(2):
+                cols = [c.strip().strip("`") for c in m.group(2).split(",")]
+                return t.compact(spark, cluster_by=cols, zorder=True)
+            # plain OPTIMIZE = incremental small-file bin-packing (the
+            # fragmentation cure; cost scales with fragmentation)
+            return t.compact_small_files(spark)
+        m = re.match(
+            r"(?is)^RESTORE\s+(?:TABLE\s+)?(\S+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$",
+            s,
+        )
+        if m is None:
+            raise ValueError(
+                "supported form: RESTORE [TABLE] <table> TO VERSION AS OF <n>"
+            )
+        _check_target(m.group(1), t)
+        return t.restore(spark, int(m.group(2)))
     if upper.startswith("CREATE"):
         # CREATE [OR REPLACE] TABLE <t> [PARTITIONED BY (spec, ...)]
         # AS SELECT ... — routed to overwrite (CTAS). PARTITIONED BY

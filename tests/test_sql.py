@@ -508,3 +508,49 @@ def test_execute_dml_create_table_as(spark, tmp_path):
     # VALUES body and wrong-name guard
     with _pytest.raises(ValueError, match="targets"):
         execute_dml(spark, t, "CREATE OR REPLACE TABLE other AS SELECT 1 AS x")
+
+
+def test_execute_dml_maintenance_statements(spark, tmp_path):
+    """VACUUM / OPTIMIZE / RESTORE as literal statements routed to the
+    table verbs — the Delta maintenance surface."""
+    import os
+
+    import pytest as _pytest
+
+    from etl_job_spark.sql import execute_dml
+    from etl_job_spark.table import ManifestTable
+
+    path = str(tmp_path / "mt")
+    t = ManifestTable(path)
+    t.overwrite(
+        spark.range(0, 40).selectExpr("id as k", "id * 10 as v").repartition(8)
+    )
+    execute_dml(spark, t, "DELETE FROM mt WHERE k < 10")
+    v_del = t.latest_version()
+
+    # RESTORE to the pre-delete version (a NEW version, history intact)
+    v = execute_dml(spark, t, "RESTORE TABLE mt TO VERSION AS OF 1")
+    assert v == v_del + 1 and t.snapshot(spark).count() == 40
+
+    # OPTIMIZE bin-packs the slivers into fewer files
+    before = len(t._read_manifest(t.latest_version())["files"])
+    v = execute_dml(spark, t, "OPTIMIZE mt")
+    after = len(t._read_manifest(v)["files"])
+    assert after < before and t.snapshot(spark).count() == 40
+    # ZORDER form
+    v = execute_dml(spark, t, "OPTIMIZE mt ZORDER BY (k)")
+    assert t.snapshot(spark).count() == 40
+
+    # VACUUM RETAIN 1 VERSIONS drops older manifests (data files written
+    # seconds ago sit inside the in-flight grace window and survive —
+    # the protocol contract); the table still reads fine
+    assert os.path.exists(os.path.join(t.manifest_dir, "v000000000001.json"))
+    ret = execute_dml(spark, t, f"VACUUM {path} RETAIN 1 VERSIONS")
+    assert ret == t.latest_version()
+    assert not os.path.exists(os.path.join(t.manifest_dir, "v000000000001.json"))
+    assert t.snapshot(spark).count() == 40
+
+    with _pytest.raises(ValueError, match="supported form"):
+        execute_dml(spark, t, "RESTORE mt")
+    with _pytest.raises(ValueError, match="targets"):
+        execute_dml(spark, t, "VACUUM other")
