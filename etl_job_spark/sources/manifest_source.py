@@ -275,6 +275,7 @@ class ManifestTableDataSource(DataSource):
         int_sources: dict[str, bool] = {}
         constraints: dict[str, str] = {}
         bloom_cols: list[str] = []
+        column_map: dict[str, str] = {}
         t = ManifestTable(self._path())
         base = t.latest_version()
         if base is not None:
@@ -287,6 +288,10 @@ class ManifestTableDataSource(DataSource):
             bloom_cols = list(man.get("bloom_cols") or [])
             if not overwrite:
                 partition_by = list(raw.get("partition_by") or [])
+                # renamed tables: files store PHYSICAL names — the
+                # write tasks rename logical→physical before writing
+                # (overwrite clears the mapping, so it writes as-is)
+                column_map = dict(man.get("column_map") or {})
         if partition_by:
             # type gate: the executor derives hive dir values with a
             # Python mirror of the library's transform expressions —
@@ -331,6 +336,7 @@ class ManifestTableDataSource(DataSource):
             self._path(), schema, overwrite,
             partition_by=partition_by, int_sources=int_sources,
             constraints=constraints, bloom_cols=bloom_cols,
+            column_map=column_map,
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):
@@ -349,15 +355,18 @@ class ManifestTableDataSource(DataSource):
 
         constraints: dict[str, str] = {}
         bloom_cols: list[str] = []
+        column_map: dict[str, str] = {}
         t = ManifestTable(self._path())
         base = t.latest_version()
         if base is not None:
             man = t._read_manifest(base)
             constraints = man.get("constraints") or {}
             bloom_cols = list(man.get("bloom_cols") or [])
+            column_map = dict(man.get("column_map") or {})
         return _ManifestStreamWriter(
             self._path(), schema, app,
             constraints=constraints, bloom_cols=bloom_cols,
+            column_map=column_map,
         )
 
 
@@ -475,6 +484,7 @@ class _ManifestWriter(DataSourceArrowWriter):
         int_sources: dict[str, bool] | None = None,
         constraints: dict[str, str] | None = None,
         bloom_cols: list[str] | None = None,
+        column_map: dict[str, str] | None = None,
     ):
         import uuid
 
@@ -485,6 +495,7 @@ class _ManifestWriter(DataSourceArrowWriter):
         self._int_sources = int_sources or {}
         self._constraints = constraints or {}
         self._bloom_cols = list(bloom_cols or [])
+        self._column_map = dict(column_map or {})
         self._sub = uuid.uuid4().hex  # one commit dir for all tasks
 
     # -- executor side --------------------------------------------------
@@ -497,10 +508,25 @@ class _ManifestWriter(DataSourceArrowWriter):
 
         from etl_job_spark.table import _file_blooms, _file_stats, _partition_fields
 
+        import pyarrow as pa
+
         out_root = os.path.join(self._path, "data", self._sub)
         fields = _partition_fields(getattr(self, "_partition_by", None))
         cons = getattr(self, "_constraints", None) or {}
         bloom_cols = list(getattr(self, "_bloom_cols", None) or [])
+        cmap = getattr(self, "_column_map", None) or {}
+
+        def _physical(batch) -> "pa.Table":
+            # renamed tables: files store PHYSICAL names (the library's
+            # _renamed step) — validation ran on the LOGICAL batch
+            # above; partition sources are never renameable, so dir
+            # derivation is name-stable either way
+            tbl = pa.Table.from_batches([batch])
+            if cmap and any(n in cmap for n in tbl.schema.names):
+                tbl = tbl.rename_columns(
+                    [cmap.get(n, n) for n in tbl.schema.names]
+                )
+            return tbl
 
         def _blooms(full: str):
             # same per-file bloom build the library's write path runs
@@ -518,10 +544,11 @@ class _ManifestWriter(DataSourceArrowWriter):
                     if batch.num_rows == 0:
                         continue
                     _validate_arrow_batch(batch, cons, self._path)
+                    tbl = _physical(batch)
                     if writer is None:
                         os.makedirs(out_root, exist_ok=True)
-                        writer = pq.ParquetWriter(full, batch.schema)
-                    writer.write_batch(batch)
+                        writer = pq.ParquetWriter(full, tbl.schema)
+                    writer.write_table(tbl)
             finally:
                 if writer is not None:
                     writer.close()
@@ -554,13 +581,14 @@ class _ManifestWriter(DataSourceArrowWriter):
                 # see its values
                 _validate_arrow_batch(batch, cons, self._path)
                 pdf = batch.to_pandas()
+                phys_tbl = _physical(batch)
                 per_field = [
                     _derive_dir_values(
                         f, pdf, self._int_sources.get(f.source, False)
                     )
                     for f in fields
                 ]
-                tbl = pa.Table.from_batches([batch])
+                tbl = phys_tbl
                 if drop_cols:
                     tbl = tbl.drop_columns(drop_cols)
                 keys = list(zip(*per_field))
@@ -641,14 +669,18 @@ class _ManifestWriter(DataSourceArrowWriter):
 
         cons = self._constraints
         bloom_cols = self._bloom_cols
+        cmap = getattr(self, "_column_map", None) or {}
 
         def _props_stable(man) -> None:
-            if (man.get("constraints") or {}) != cons or list(
-                man.get("bloom_cols") or []
-            ) != bloom_cols:
+            if (
+                (man.get("constraints") or {}) != cons
+                or list(man.get("bloom_cols") or []) != bloom_cols
+                or (not self._overwrite and dict(man.get("column_map") or {}) != cmap)
+            ):
                 raise ValueError(
                     "manifest_table datasource commit: table constraints/"
-                    "bloom_cols changed during the write; rerun the write"
+                    "bloom_cols/column_map changed during the write; rerun "
+                    "the write (files were staged under the old mapping)"
                 )
 
         def attempt() -> int:
@@ -804,7 +836,9 @@ def _check_plain_append(
     caller attests that enforcement ran (both do)."""
     props = ["bloom_cols", "constraints", "column_map"]
     if allow_guarded:
-        props = ["column_map"]
+        # the attesting writers also rename logical->physical in their
+        # tasks, so column_map passes too
+        props = []
     if not allow_partitions:
         props.insert(0, "partition_by")
     for prop in props:
@@ -857,6 +891,7 @@ class _ManifestStreamWriter(DataSourceStreamArrowWriter):
         app_id: str,
         constraints: dict[str, str] | None = None,
         bloom_cols: list[str] | None = None,
+        column_map: dict[str, str] | None = None,
     ):
         import uuid
 
@@ -867,6 +902,7 @@ class _ManifestStreamWriter(DataSourceStreamArrowWriter):
         self._int_sources: dict[str, bool] = {}
         self._constraints = constraints or {}
         self._bloom_cols = list(bloom_cols or [])
+        self._column_map = dict(column_map or {})
         self._sub = uuid.uuid4().hex
 
     # write(): identical task mechanics to the batch writer
@@ -898,13 +934,16 @@ class _ManifestStreamWriter(DataSourceStreamArrowWriter):
                     e["bloom_ref"] = bloom_ref
 
         def _props_stable(man) -> None:
-            if (man.get("constraints") or {}) != self._constraints or list(
-                man.get("bloom_cols") or []
-            ) != self._bloom_cols:
+            if (
+                (man.get("constraints") or {}) != self._constraints
+                or list(man.get("bloom_cols") or []) != self._bloom_cols
+                or dict(man.get("column_map") or {}) != self._column_map
+            ):
                 raise ValueError(
                     "manifest_table stream sink: table constraints/"
-                    "bloom_cols changed after the stream started; restart "
-                    "the query so the sink re-captures them"
+                    "bloom_cols/column_map changed after the stream "
+                    "started; restart the query so the sink re-captures "
+                    "them"
                 )
 
         def attempt() -> int:
@@ -1076,11 +1115,11 @@ def write_manifest_table(df: DataFrame, table_path: str, mode: str = "append") -
     (registers the format, idempotent). ``mode``: "append" (plain and
     PARTITIONED tables — raw and transform specs land the same dirs,
     entry partition dicts, and footer stats as ``ManifestTable.append``)
-    or "overwrite". Bloomed and CHECK-constrained tables are fully
-    supported in both modes: the write tasks validate every batch and
-    compute per-file blooms, and commit assembles the sidecars
-    (see ``_ManifestWriter``). Renamed tables (column_map) still
-    refuse loudly — use ``ManifestTable.append``.
+    or "overwrite". Bloomed, CHECK-constrained, and RENAMED tables are
+    fully supported: the write tasks validate every batch, compute
+    per-file blooms, and rename logical→physical so files match the
+    column mapping; commit assembles the sidecars and re-checks every
+    guard prop captured at plan time (see ``_ManifestWriter``).
 
     For partitioned appends the frame is pre-clustered on the
     partition values (one writer task per value instead of tasks ×

@@ -600,3 +600,48 @@ def test_stream_sink_guarded_tables(spark, tmp_path):
         q2.awaitTermination(120)
     assert t.latest_version() == v1
     assert sorted(r.k for r in t.snapshot(spark).collect()) == [1, 2, 3]
+
+
+def test_writer_renamed_table_append_matches_library(spark, tmp_path):
+    """DS appends onto a RENAMED table write files under the physical
+    names (the library's _renamed step, task-side), so readers
+    resolving through the column mapping see the new rows — pinned
+    identical to ManifestTable.append."""
+    from etl_job_spark.sources.manifest_source import (
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    base = spark.range(0, 10).selectExpr("id as k", "id * 10 as v")
+    extra = spark.range(10, 15).selectExpr("id as key", "id * 10 as v").coalesce(1)
+    d_lib, d_ds = str(tmp_path / "lib"), str(tmp_path / "ds")
+    t_lib, t_ds = ManifestTable(d_lib), ManifestTable(d_ds)
+    for t in (t_lib, t_ds):
+        t.overwrite(base.coalesce(1))
+        t.rename_column("k", "key")  # logical key -> physical k
+    t_lib.append(extra)
+    write_manifest_table(extra, d_ds, mode="append")
+
+    rows = lambda t: sorted(  # noqa: E731
+        (r.key, r.v) for r in t.snapshot(spark).collect()
+    )
+    assert rows(t_ds) == rows(t_lib)
+    assert rows(t_ds) == [(k, k * 10) for k in range(15)]
+    # the DS-written file stores the PHYSICAL name (k), like the library
+    import pyarrow.parquet as pq
+
+    man = t_ds._read_manifest(t_ds.latest_version())
+    new = [e for e in man["files"] if "ds-" in e["path"]]
+    assert len(new) == 1
+    import os
+
+    names = pq.read_schema(os.path.join(t_ds.data_dir, new[0]["path"])).names
+    assert "k" in names and "key" not in names
+    # stats recorded under the physical name → pruned reads still fire
+    got = read_manifest_table(spark, d_ds, predicates=[("key", ">=", 12)])
+    assert sorted(r.key for r in got.collect()) == [12, 13, 14]
+    # a mismatched logical schema still refuses (exact-match contract)
+    with pytest.raises(Exception, match="schema"):
+        write_manifest_table(
+            spark.range(3).selectExpr("id as k", "id as v"), d_ds, mode="append"
+        )
