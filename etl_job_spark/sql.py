@@ -550,51 +550,51 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
         bu = body.upper()
         if bu.startswith("VALUES"):
             df = spark.sql(f"SELECT * FROM ({body})")
-            if cols is None:
-                base = t.latest_version()
-                if base is None:
-                    raise ValueError(
-                        "INSERT ... VALUES without a column list needs an "
-                        "existing table (its committed column order); list "
-                        "the columns explicitly"
-                    )
-                schema = t._manifest_schema(t._read_manifest(base))
-                if schema is None or len(schema.fields) != len(df.columns):
-                    raise ValueError(
-                        f"INSERT VALUES arity {len(df.columns)} != table "
-                        f"width; list the columns explicitly"
-                    )
-                cols = [f.name for f in schema.fields]
-        elif not (bu.startswith("SELECT") or bu.startswith("WITH")):
+        elif bu.startswith(("SELECT", "WITH")):
+            df = spark.sql(body)
+        else:
             raise ValueError(
                 "INSERT INTO body must be SELECT/WITH or VALUES, got "
                 f"{body[:40]!r}"
             )
-        else:
-            df = spark.sql(body)
-        if cols is not None:
-            if len(cols) != len(df.columns):
-                raise ValueError(
-                    f"INSERT column list ({len(cols)}) and body width "
-                    f"({len(df.columns)}) differ"
-                )
-            df = df.toDF(*cols)
+        # SQL INSERT maps the body's columns POSITIONALLY onto the
+        # (listed, else committed) column order and coerces to the
+        # committed types — never by name, and never evolving the
+        # schema (an unaliased SELECT expression must not silently
+        # become a new column; schema evolution goes through append)
         base = t.latest_version()
-        if base is not None:
-            # cast to the committed column types (SQL INSERT coerces
-            # literals — a VALUES int must not read as a type change
-            # against a bigint column)
-            schema = t._manifest_schema(t._read_manifest(base))
-            if schema is not None:
-                from pyspark.sql import functions as F
-
-                types = {f.name: f.dataType for f in schema.fields}
-                df = df.select(
-                    *[
-                        F.col(c).cast(types[c]).alias(c) if c in types else F.col(c)
-                        for c in df.columns
-                    ]
+        if base is None:
+            raise ValueError(
+                "INSERT INTO needs an existing table (its committed "
+                "column order); create it first — CREATE TABLE "
+                "<t> AS SELECT ..."
+            )
+        schema = t._manifest_schema(t._read_manifest(base))
+        if schema is None:
+            raise ValueError(
+                "INSERT INTO needs a schema-carrying manifest "
+                "(pre-evolution table: overwrite it first)"
+            )
+        table_cols = [f.name for f in schema.fields]
+        if cols is None:
+            cols = table_cols
+        else:
+            unknown = sorted(set(cols) - set(table_cols))
+            if unknown:
+                raise ValueError(
+                    f"INSERT column list names non-table columns {unknown}"
                 )
+        if len(cols) != len(df.columns):
+            raise ValueError(
+                f"INSERT body width ({len(df.columns)}) != column list "
+                f"({len(cols)}); list the columns explicitly"
+            )
+        from pyspark.sql import functions as F
+
+        types = {f.name: f.dataType for f in schema.fields}
+        df = df.toDF(*cols).select(
+            *[F.col(c).cast(types[c]).alias(c) for c in cols]
+        )
         return t.append(df)
     if upper.startswith(("VACUUM", "OPTIMIZE", "RESTORE")):
         # Delta-parity maintenance statements, routed to the table
@@ -642,6 +642,77 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
             )
         _check_target(m.group(1), t)
         return t.restore(spark, int(m.group(2)))
+    if upper.startswith("ALTER"):
+        # metadata-only DDL, routed to the table verbs:
+        #   ALTER TABLE <t> ADD CONSTRAINT <name> CHECK (<pred>)
+        #   ALTER TABLE <t> DROP CONSTRAINT <name>
+        #   ALTER TABLE <t> RENAME COLUMN <a> TO <b>
+        #   ALTER TABLE <t> DROP COLUMN[S] <a>[, <b> ...]
+        #   ALTER TABLE <t> SET PARTITION SPEC (<spec>, ...)   -- Iceberg
+        #     evolution: future writes only, old files keep their dirs
+        m = re.match(r"(?is)^ALTER\s+TABLE\s+(\S+)\s+(.*)$", s)
+        if m is None or not m.group(2).strip():
+            raise ValueError(
+                "supported forms: ALTER TABLE <t> ADD CONSTRAINT n CHECK "
+                "(pred) | DROP CONSTRAINT n | RENAME COLUMN a TO b | "
+                "DROP COLUMN[S] a[, b ...] | SET PARTITION SPEC (spec, ...)"
+            )
+        _check_target(m.group(1), t)
+        action = m.group(2).strip()
+        au = action.upper()
+        if au.startswith("ADD CONSTRAINT"):
+            cm = re.match(
+                r"(?is)^ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*$", action
+            )
+            if cm is None:
+                raise ValueError(
+                    "supported form: ADD CONSTRAINT <name> CHECK (<predicate>)"
+                )
+            return t.alter_constraints(spark, add={cm.group(1): cm.group(2)})
+        if au.startswith("DROP CONSTRAINT"):
+            cm = re.match(r"(?is)^DROP\s+CONSTRAINT\s+(\w+)\s*$", action)
+            if cm is None:
+                raise ValueError("supported form: DROP CONSTRAINT <name>")
+            return t.alter_constraints(spark, drop=[cm.group(1)])
+        if au.startswith("RENAME COLUMN"):
+            cm = re.match(
+                r"(?is)^RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$", action
+            )
+            if cm is None:
+                raise ValueError("supported form: RENAME COLUMN <a> TO <b>")
+            return t.rename_column(cm.group(1), cm.group(2))
+        if au.startswith("DROP COLUMN"):
+            cm = re.match(r"(?is)^DROP\s+COLUMNS?\s+(.+?)\s*$", action)
+            cols = [c.strip().strip("`") for c in cm.group(1).split(",")]
+            if not all(c.isidentifier() for c in cols):
+                raise ValueError(
+                    f"supported form: DROP COLUMN[S] a[, b ...]; got {cols}"
+                )
+            return t.alter_schema(spark, drop=cols)
+        if au.startswith("SET PARTITION SPEC"):
+            cm = re.match(
+                r"(?is)^SET\s+PARTITION\s+SPEC\s*"
+                r"\(((?:[^()]|\([^()]*\))*)\)\s*$",
+                action,
+            )
+            if cm is None:
+                raise ValueError(
+                    "supported form: SET PARTITION SPEC (spec, ...) — specs "
+                    "are raw columns or transforms like days(ts)"
+                )
+            parts, depth, start = [], 0, 0
+            spec = cm.group(1)
+            for i, ch in enumerate(spec):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts.append(spec[start:i])
+                    start = i + 1
+            parts.append(spec[start:])
+            return t.alter_partition_spec([p.strip() for p in parts if p.strip()])
+        raise ValueError(f"unsupported ALTER TABLE action {action[:50]!r}")
     if upper.startswith("CREATE"):
         # CREATE [OR REPLACE] TABLE <t> [PARTITIONED BY (spec, ...)]
         # AS SELECT ... — routed to overwrite (CTAS). PARTITIONED BY

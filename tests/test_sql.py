@@ -393,7 +393,7 @@ def test_execute_dml_insert_into(spark, tmp_path):
         execute_dml(spark, t, "INSERT INTO other SELECT * FROM src_rows")
     with _pytest.raises(ValueError, match="arity|columns explicitly"):
         execute_dml(spark, t, "INSERT INTO ins VALUES (1, 2)")
-    with _pytest.raises(ValueError, match="differ"):
+    with _pytest.raises(ValueError, match="column list"):
         execute_dml(spark, t, "INSERT INTO ins (k) SELECT k, v FROM src_rows")
     with _pytest.raises(ValueError, match="parenthesized"):
         execute_dml(spark, t, "INSERT INTO ins (SELECT * FROM src_rows)")
@@ -554,3 +554,51 @@ def test_execute_dml_maintenance_statements(spark, tmp_path):
         execute_dml(spark, t, "RESTORE mt")
     with _pytest.raises(ValueError, match="targets"):
         execute_dml(spark, t, "VACUUM other")
+
+
+def test_execute_dml_alter_table(spark, tmp_path):
+    """ALTER TABLE DDL routed to the metadata-only verbs: constraints,
+    column rename/drop, partition-spec evolution."""
+    import pytest as _pytest
+
+    from etl_job_spark.sql import execute_dml
+    from etl_job_spark.table import ConstraintViolationError, ManifestTable
+
+    path = str(tmp_path / "at")
+    t = ManifestTable(path)
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, i * 10, f"s{i}") for i in range(10)], "k long, v long, s string"
+        )
+    )
+    # ADD CONSTRAINT enforces immediately and on later writes
+    v = execute_dml(spark, t, "ALTER TABLE at ADD CONSTRAINT v_ok CHECK (v >= 0)")
+    assert t._read_manifest(v)["constraints"] == {"v_ok": "v >= 0"}
+    with _pytest.raises(ConstraintViolationError):
+        execute_dml(spark, t, "INSERT INTO at VALUES (99, -1, 'bad')")
+    # DROP CONSTRAINT lifts it
+    execute_dml(spark, t, "ALTER TABLE at DROP CONSTRAINT v_ok")
+    execute_dml(spark, t, "INSERT INTO at VALUES (99, -1, 'ok now')")
+    assert t.snapshot(spark).filter("v = -1").count() == 1
+
+    # RENAME COLUMN: metadata-only, reads resolve through the mapping
+    execute_dml(spark, t, "ALTER TABLE at RENAME COLUMN v TO val")
+    assert "val" in t.snapshot(spark).columns
+    assert t.snapshot(spark).filter("val = 20").count() == 1
+
+    # DROP COLUMN: tombstoned away
+    execute_dml(spark, t, "ALTER TABLE at DROP COLUMN s")
+    assert t.snapshot(spark).columns == ["k", "val"]
+
+    # SET PARTITION SPEC: future writes land the new layout
+    execute_dml(spark, t, "ALTER TABLE at SET PARTITION SPEC (bucket(2, k))")
+    assert t._read_raw_manifest(t.latest_version())["partition_by"] == [
+        "bucket(2, k)"
+    ]
+    execute_dml(spark, t, "INSERT INTO at VALUES (500, 1)")
+    assert t.snapshot(spark).filter("k = 500").count() == 1
+
+    with _pytest.raises(ValueError, match="supported form"):
+        execute_dml(spark, t, "ALTER TABLE at ADD CONSTRAINT broken")
+    with _pytest.raises(ValueError, match="targets"):
+        execute_dml(spark, t, "ALTER TABLE other DROP CONSTRAINT x")
