@@ -150,6 +150,12 @@ _SPARK_PRUNE_MIN_FILES = 65_536
 # job); bigger commits compute stats ON THE EXECUTORS so a 100k-file
 # commit never becomes a driver-side metadata stampede
 _DRIVER_STATS_MAX_FILES = 32
+# bloom builds read the indexed COLUMN PAGES (stats read only footers)
+# and BUILD bit arrays in pure Python (CPU-bound at ~MB/s, not IO) —
+# the driver tier is additionally capped by total input bytes, set
+# low: 32 MB of parquet is already seconds of single-threaded hashing
+# (measured: 180 MB driver-serial 28 s vs ~2 s distributed at sf1.0)
+_DRIVER_BLOOM_MAX_BYTES = 32 << 20
 
 # per-file bloom filters (point-lookup data skipping on non-clustered
 # keys — min/max ranges all overlap when keys are hash-scattered, so
@@ -2926,7 +2932,19 @@ class ManifestTable:
         abs_dir = os.path.join(self.path, commit_dir)
         data_dir = self.data_dir
         cols = list(bloom_cols)
-        if len(paths) <= _DRIVER_STATS_MAX_FILES:
+        # the driver tier is gated by BYTES as well as file count: a
+        # bloom build reads the indexed columns' pages (not just 8 KB
+        # footers like the stats path), so 32 × 50 MB files is a
+        # distributed job's worth of reads even at a small file count
+        # — measured 30 s driver-serial vs ~5 s task-side at sf1.0
+        # (BENCH_SF2.json["guarded_writes_sf1_0"])
+        try:
+            total_bytes = sum(os.path.getsize(p) for p in paths)
+        except OSError:
+            total_bytes = None  # unknown -> fall through on count alone
+        if len(paths) <= _DRIVER_STATS_MAX_FILES and (
+            total_bytes is None or total_bytes <= _DRIVER_BLOOM_MAX_BYTES
+        ):
             blooms = {
                 os.path.relpath(p, data_dir): fb
                 for p in paths

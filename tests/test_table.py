@@ -2024,3 +2024,34 @@ def test_snapshot_where_any_of_dnf_pruning(spark, tmp_path):
         t.snapshot_where(spark)
     with pytest.raises(ValueError, match="at least one"):
         t.snapshot_where(spark, any_of=[])
+
+
+def test_bloom_sidecar_tier_gated_by_bytes(spark, tmp_path, monkeypatch):
+    """Bloom builds read column pages, not footers: a FEW BIG files
+    must take the distributed tier even below the file-count cutoff
+    (measured 6x at sf1.0 — BENCH_SF2 guarded_writes_sf1_0). Both
+    tiers produce identical sidecar content."""
+    import json
+    import os
+
+    import etl_job_spark.table as tablemod
+    from etl_job_spark.table import ManifestTable
+
+    df = spark.range(0, 5000).selectExpr("id as k", "id * 2 as v").coalesce(2)
+
+    def blooms_of(t):
+        man = t._read_manifest(t.latest_version())
+        out = {}
+        for e in man["files"]:
+            assert e.get("bloom_ref")
+            with open(os.path.join(t.path, e["bloom_ref"])) as f:
+                out[e["rows"]] = json.load(f)[e["path"]]
+        return out
+
+    t_drv = ManifestTable(str(tmp_path / "drv"))
+    t_drv.overwrite(df, bloom_cols=["k"])
+    # force the byte gate: any non-empty file exceeds a 1-byte budget
+    monkeypatch.setattr(tablemod, "_DRIVER_BLOOM_MAX_BYTES", 1)
+    t_dist = ManifestTable(str(tmp_path / "dist"))
+    t_dist.overwrite(df, bloom_cols=["k"])
+    assert blooms_of(t_dist) == blooms_of(t_drv)
