@@ -66,13 +66,23 @@ def _rewrite_source_refs(expr: str, source_cols: Sequence[str]) -> str:
             and (i == 0 or not (expr[i - 1].isalnum() or expr[i - 1] == "_"))
         ):
             m = re.match(r"source\.(\w+)", expr[i:], re.IGNORECASE)
-            if m is None or m.group(1) not in source_cols:
+            # membership is case-insensitive (Spark resolves column
+            # names case-insensitively; source.C must find column c) —
+            # the rewrite uses the ACTUAL source column's spelling, the
+            # name the joined-frame alias carries
+            actual = None
+            if m is not None:
+                want = m.group(1).casefold()
+                actual = next(
+                    (c for c in source_cols if c.casefold() == want), None
+                )
+            if actual is None:
                 raise ValueError(
                     f"update expression {expr.strip()!r} references "
                     f"source.{m.group(1) if m else '?'} which is not a "
                     f"source column (have {sorted(source_cols)})"
                 )
-            out.append(_SRC + m.group(1))
+            out.append(_SRC + actual)
             i += len(m.group(0))
             continue
         out.append(c)
@@ -133,6 +143,38 @@ def merge_upsert(
     return kept.unionByName(source)
 
 
+def _strip_source_qualifier(expr: str) -> str:
+    """Rewrite ``source.<col>`` → ``<col>`` outside string literals —
+    for predicates evaluated directly over a bare SOURCE-row frame
+    (the insert condition), where columns keep their own names."""
+    out: list[str] = []
+    quote: str | None = None
+    i = 0
+    low = expr.lower()
+    while i < len(expr):
+        c = expr[i]
+        if quote is not None:
+            out.append(c)
+            if c == quote:
+                quote = None
+            i += 1
+            continue
+        if c in ("'", '"'):
+            quote = c
+            out.append(c)
+            i += 1
+            continue
+        if (
+            low.startswith("source.", i)
+            and (i == 0 or not (expr[i - 1].isalnum() or expr[i - 1] == "_"))
+        ):
+            i += len("source.")
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def merge_clauses(
     target: DataFrame,
     source: DataFrame,
@@ -146,6 +188,8 @@ def merge_clauses(
     not_matched_by_source_update_pred: Column | str | None = None,
     insert_cols: Sequence[str] | None = None,
     update_pred: str | None = None,
+    insert_pred: Column | str | None = None,
+    delete_scope: str = "source",
 ) -> DataFrame:
     """MERGE with Delta-style matched clauses — the relational core
     shared by ``ManifestTable.merge``'s clause mode.
@@ -162,6 +206,25 @@ def merge_clauses(
       in upsert mode), so it raises, like Delta's
       ``MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW``; the check is one
       eager aggregate over the source.
+    - ``delete_scope`` picks what a delete-flagged UNMATCHED source
+      row means. The default ``"source"`` is the CDC contract above: a
+      flagged row is a delete COMMAND, so it never inserts (deleting
+      an absent key is a no-op). ``"matched"`` is Delta's ``WHEN
+      MATCHED AND pred THEN DELETE`` semantics: the clause applies to
+      MATCHED rows only, so a flagged row with no target match flows
+      to the insert branch like any other unmatched row. These
+      DIVERGE exactly on flagged unmatched rows when
+      ``insert_unmatched`` — the SQL ``MERGE INTO`` surface passes
+      ``"matched"`` (Delta parity); the library default stays
+      ``"source"``. ``"matched"`` is clause-mode only (requires
+      ``update_cols``). Flagged rows never take the matched UPDATE in
+      either scope (our fixed clause order: DELETE first, like Delta's
+      only legal unconditional ordering).
+    - ``insert_pred`` (Delta's ``WHEN NOT MATCHED AND cond THEN
+      INSERT``): a SQL condition over the SOURCE row (bare names or
+      ``source.<name>`` — same thing here) gating the insert branch;
+      unmatched rows failing it (or NULL) are dropped. Clause-mode
+      only (requires ``update_cols``).
     - ``update_cols`` as a LIST: a matched target row takes the
       source's values for exactly these columns (cast to the target
       dtype — the UPDATE-SET-subset the reference's enrichment layer
@@ -209,6 +272,17 @@ def merge_clauses(
     one batch cannot delete a key and then re-insert it (matches
     Delta: each target row is touched by at most one clause).
     """
+    if delete_scope not in ("source", "matched"):
+        raise ValueError(
+            f"delete_scope must be 'source' (CDC: flagged rows never "
+            f"insert) or 'matched' (Delta: the clause touches matched "
+            f"rows only), got {delete_scope!r}"
+        )
+    if update_cols is None and (delete_scope == "matched" or insert_pred is not None):
+        raise ValueError(
+            "delete_scope='matched' and insert_pred are clause-mode "
+            "options — pass update_cols ([] for a no-op matched clause)"
+        )
     if order_col is not None:
         source = dedup_last_writer(source, keys, order_col)
     pred = F.expr(delete_pred) if isinstance(delete_pred, str) else delete_pred
@@ -417,13 +491,26 @@ def merge_clauses(
         )
     if not insert_unmatched:
         return updated
+    # under Delta scope the matched-DELETE clause never claims an
+    # unmatched row, so the insert branch sees the FULL (deduped)
+    # source — flagged rows included; CDC scope keeps them out (a
+    # delete command never inserts)
+    ins_src = source if (delete_scope == "matched" and pred is not None) else ups
+    if insert_pred is not None:
+        gate = (
+            F.expr(_strip_source_qualifier(insert_pred))
+            if isinstance(insert_pred, str)
+            else insert_pred
+        )
+        # NULL condition = not inserted, SQL's WHEN NOT MATCHED AND
+        ins_src = ins_src.filter(F.coalesce(gate, F.lit(False)))
     ins_allowed = (
         set(target.columns) if insert_cols is None else set(insert_cols)
     )
-    inserts = ups.join(target.select(*keys), on=list(keys), how="left_anti").select(
+    inserts = ins_src.join(target.select(*keys), on=list(keys), how="left_anti").select(
         *[
             F.col(c).cast(target_types[c]).alias(c)
-            if c in ups.columns and c in ins_allowed
+            if c in ins_src.columns and c in ins_allowed
             else F.lit(None).cast(target_types[c]).alias(c)
             for c in target.columns
         ]

@@ -207,10 +207,13 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
             -- enrichment path; any other expression (e.g.
             -- a.total = a.total + b.delta, the CDC increment) runs
             -- as expression SET over the joined row
-        [WHEN NOT MATCHED THEN INSERT *
-         | WHEN NOT MATCHED THEN INSERT (c, ...) VALUES (b.c, ...)]
+        [WHEN NOT MATCHED [AND <src-pred>] THEN INSERT *
+         | WHEN NOT MATCHED [AND <src-pred>] THEN INSERT (c, ...)
+               VALUES (b.c, ...)]
             -- column-list insert: identity pairs; unlisted target
-            -- columns land NULL
+            -- columns land NULL. The AND condition sees the SOURCE
+            -- row only (Delta's rule: no target row exists for an
+            -- unmatched key)
         [WHEN NOT MATCHED BY SOURCE [AND <tgt-pred>] THEN DELETE]
         [WHEN NOT MATCHED BY SOURCE [AND <tgt-pred>]
              THEN UPDATE SET a.c = <tgt-expr> [, ...]]
@@ -275,9 +278,27 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
     delete_pred = None
     insert_unmatched = False
     insert_cols: list[str] | None = None
+    insert_pred: str | None = None
     nmbs: str | bool = False
     nmbs_update: dict[str, str] | None = None
     nmbs_update_pred: str | None = None
+    # one clause per kind: the engine's merge carries ONE matched
+    # update / matched delete / insert / NMBS delete / NMBS update —
+    # a silently-clobbered duplicate would execute with different
+    # semantics than written (e.g. a conditional UPDATE's predicate
+    # leaking onto a later unconditional UPDATE's assignments), so a
+    # second clause of the same kind refuses loudly
+    seen_kinds: set[str] = set()
+
+    def _claim(kind: str, desc: str) -> None:
+        if kind in seen_kinds:
+            raise ValueError(
+                f"duplicate MERGE clause: a second {desc} clause is "
+                "unsupported (the engine carries one clause per kind; "
+                "Delta's first-match-wins multi-clause ordering is not "
+                "implemented) — combine the conditions into one clause"
+            )
+        seen_kinds.add(kind)
     def _parse_set(body: str):
         # identity assignments (a.c = b.c for every item) keep the
         # LIST form — narrow-source semantics, the enrichment
@@ -291,7 +312,9 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
         ).items():
             rhs = _requalify_source(expr, s_alias, t_alias)
             assigns[col] = rhs
-            if rhs != f"source.{col}":
+            # case-insensitive, like Spark's column resolution: SET
+            # t.c = s.C is still the identity (narrow-source) shape
+            if rhs.casefold() != f"source.{col}".casefold():
                 identity = False
         return list(assigns) if identity else assigns
 
@@ -308,6 +331,7 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
             action = tail[then_at + 4:].strip()
             au = action.upper()
             if au == "DELETE":
+                _claim("matched_delete", "WHEN MATCHED ... DELETE")
                 delete_pred = _strip_alias(
                     pred_sql, s_alias, t_alias, "WHEN MATCHED"
                 )
@@ -317,6 +341,7 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
                     raise ValueError(
                         "WHEN MATCHED AND ... THEN UPDATE needs SET col = expr"
                     )
+                _claim("matched_update", "WHEN MATCHED ... UPDATE")
                 # the gating condition sees BOTH sides (Delta's WHEN
                 # MATCHED AND): target bare, source requalified
                 update_pred = _requalify_source(pred_sql, s_alias, t_alias)
@@ -327,13 +352,14 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
                     "THEN UPDATE SET"
                 )
         elif up.startswith("MATCHED THEN UPDATE SET"):
+            _claim("matched_update", "WHEN MATCHED ... UPDATE")
             update_cols = _parse_set(c[len("MATCHED THEN UPDATE SET"):])
         elif up.replace(" ", "") == "MATCHEDTHENDELETE":
             # unconditional matched delete: every matched target row
-            # drops (delete_pred over the source row, always true).
-            # The engine's delete contract is CDC-shaped (a flagged
-            # source row never inserts), so this clause cannot combine
-            # with WHEN NOT MATCHED INSERT — checked after the loop.
+            # drops (delete_pred "true" under Delta clause scope —
+            # the delete claims MATCHED rows only, so it composes with
+            # WHEN NOT MATCHED INSERT as delete-matched/insert-rest)
+            _claim("matched_delete", "WHEN MATCHED ... DELETE")
             delete_pred = "__delete_all__"
         elif up.startswith("NOT MATCHED BY SOURCE"):
             tail = c[len("NOT MATCHED BY SOURCE"):].strip()
@@ -351,6 +377,7 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
                 raise ValueError(f"unparsed NOT MATCHED BY SOURCE tail {cond!r}")
             au = action.upper()
             if au == "DELETE":
+                _claim("nmbs_delete", "WHEN NOT MATCHED BY SOURCE ... DELETE")
                 nmbs = pred if pred is not None else True
             elif au.startswith("UPDATE"):
                 set_at = _scan_top(action, "SET")
@@ -358,6 +385,7 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
                     raise ValueError(
                         "NOT MATCHED BY SOURCE UPDATE needs SET col = expr[, …]"
                     )
+                _claim("nmbs_update", "WHEN NOT MATCHED BY SOURCE ... UPDATE")
                 # expressions see the TARGET row only (no source row
                 # exists for these keys) — a source-alias reference
                 # refuses via _strip_alias's other-side check
@@ -380,6 +408,20 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
                 )
         elif up.startswith("NOT MATCHED"):
             tail = c[len("NOT MATCHED"):].strip()
+            _claim("insert", "WHEN NOT MATCHED ... INSERT")
+            if tail.upper().startswith("AND "):
+                # Delta's WHEN NOT MATCHED AND <cond> THEN INSERT: the
+                # condition sees the SOURCE row only (there is no
+                # target row for an unmatched key — Delta's rule too)
+                then_at = _scan_top(tail, "THEN")
+                if then_at < 0:
+                    raise ValueError(
+                        f"unparsed WHEN NOT MATCHED AND clause {c[:60]!r}"
+                    )
+                insert_pred = _strip_alias(
+                    tail[4:then_at], s_alias, t_alias, "WHEN NOT MATCHED"
+                )
+                tail = tail[then_at:].strip()
             m = re.match(
                 r"(?is)^THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)\s*$",
                 tail,
@@ -424,13 +466,11 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
             and nmbs is False and nmbs_update is None:
         raise ValueError("MERGE needs at least one actionable WHEN clause")
     if delete_pred == "__delete_all__":
-        if insert_unmatched:
+        if update_cols is not None:
             raise ValueError(
-                "WHEN MATCHED THEN DELETE cannot combine with WHEN NOT "
-                "MATCHED INSERT here: the engine's delete contract is "
-                "CDC-shaped (a delete-commanding source row never "
-                "inserts) — carry an explicit flag column and write "
-                "WHEN MATCHED AND <flag> THEN DELETE instead"
+                "unconditional WHEN MATCHED THEN DELETE leaves no matched "
+                "rows for the WHEN MATCHED UPDATE clause — make the delete "
+                "conditional (WHEN MATCHED AND <cond> THEN DELETE)"
             )
         delete_pred = "true"
     source = spark.table(src_name)
@@ -439,6 +479,10 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
     # matched clause. None would mean whole-row replacement, which no
     # statement in this grammar can spell (and which silently NULLs
     # non-key columns when the source is narrower than the table).
+    # delete_scope="matched" is Delta's clause semantics — the SQL
+    # surface advertises Delta parity, so a delete-flagged UNMATCHED
+    # source row stays eligible for the INSERT clause (the library's
+    # CDC default would silently drop it; see merge_clauses docstring)
     return t.merge(
         spark, source, keys,
         when_matched_update=update_cols if update_cols is not None else [],
@@ -449,6 +493,8 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
         not_matched_by_source_update_pred=nmbs_update_pred,
         insert_cols=insert_cols,
         when_matched_update_pred=update_pred,
+        when_not_matched_insert_pred=insert_pred,
+        when_matched_delete_scope="matched",
     )
 
 
@@ -500,7 +546,9 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
         if set_at < 0 or where_at < 0 or where_at < set_at:
             raise ValueError(
                 "supported form: UPDATE <table> SET col = expr[, ...] "
-                "WHERE <predicate>"
+                "WHERE <predicate> — the WHERE clause is required as a "
+                "whole-table-mutation guard; write WHERE true for an "
+                "intentional whole-table UPDATE"
             )
         m = re.match(r"(?is)^UPDATE\s+(\S+)", s)
         _check_target(m.group(1) if m else None, t)
@@ -511,7 +559,11 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
         where_at = _scan_top(s, "WHERE")
         if from_at < 0 or where_at < 0:
             raise ValueError(
-                "supported form: DELETE FROM <table> WHERE <predicate>"
+                "supported form: DELETE FROM <table> WHERE <predicate> — "
+                "the WHERE clause is required as a whole-table-delete "
+                "guard; write WHERE true for an intentional whole-table "
+                "DELETE (or use CREATE OR REPLACE TABLE for "
+                "truncate-and-reload)"
             )
         m = re.match(r"(?is)^DELETE\s+FROM\s+(\S+)", s)
         _check_target(m.group(1) if m else None, t)
@@ -683,6 +735,10 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
             return t.rename_column(cm.group(1), cm.group(2))
         if au.startswith("DROP COLUMN"):
             cm = re.match(r"(?is)^DROP\s+COLUMNS?\s+(.+?)\s*$", action)
+            if cm is None:
+                raise ValueError(
+                    "supported form: DROP COLUMN[S] a[, b ...]"
+                )
             cols = [c.strip().strip("`") for c in cm.group(1).split(",")]
             if not all(c.isidentifier() for c in cols):
                 raise ValueError(

@@ -3635,6 +3635,8 @@ class ManifestTable:
         not_matched_by_source_update_pred: str | Column | None = None,
         insert_cols: Sequence[str] | None = None,
         when_matched_update_pred: str | None = None,
+        when_not_matched_insert_pred: str | None = None,
+        when_matched_delete_scope: str = "source",
     ) -> int:
         """MERGE ``source`` into the table (source wins per key).
 
@@ -3669,6 +3671,17 @@ class ManifestTable:
           unmatched rows take source values for exactly these columns
           (must include every key); other columns land NULL even when
           the source carries them. Clause mode only.
+        - ``when_not_matched_insert_pred`` — Delta's ``WHEN NOT
+          MATCHED AND cond THEN INSERT``: a SQL condition over the
+          SOURCE row gating the insert branch; unmatched rows failing
+          it (or NULL) are dropped. Clause mode only.
+        - ``when_matched_delete_scope`` — what a delete-flagged
+          UNMATCHED source row means: ``"source"`` (default, the CDC
+          contract — a flagged row is a delete command and never
+          inserts) or ``"matched"`` (Delta's clause semantics — the
+          delete clause touches matched rows only, so an unmatched
+          flagged row inserts like any other). The SQL ``MERGE INTO``
+          surface passes ``"matched"``. Clause mode only.
         - ``not_matched_by_source_delete=True`` (or a predicate over
           the TARGET row) — Delta's WHEN NOT MATCHED BY SOURCE THEN
           DELETE, the full-sync shape: target rows with no source key
@@ -3739,6 +3752,7 @@ class ManifestTable:
             or not insert_unmatched
             or nmbs_active
             or insert_cols is not None
+            or when_not_matched_insert_pred is not None
         )
         ins_set = (
             None if insert_cols is None else set(insert_cols) | set(keys)
@@ -3770,12 +3784,20 @@ class ManifestTable:
                         ]
                     )
                 if when_matched_delete is not None:
-                    dpred = (
-                        F.expr(when_matched_delete)
-                        if isinstance(when_matched_delete, str)
-                        else when_matched_delete
-                    )
-                    first_src = first_src.filter(~F.coalesce(dpred, F.lit(False)))
+                    if when_matched_delete_scope == "source":
+                        # CDC scope: a flagged row is a delete command,
+                        # and deleting from an empty table is a no-op —
+                        # it never inserts. Delta scope ("matched")
+                        # keeps them: nothing is matched, so the delete
+                        # clause claims no rows and flagged rows insert.
+                        dpred = (
+                            F.expr(when_matched_delete)
+                            if isinstance(when_matched_delete, str)
+                            else when_matched_delete
+                        )
+                        first_src = first_src.filter(
+                            ~F.coalesce(dpred, F.lit(False))
+                        )
                     # the documented CDC shape names a plain flag column
                     # (e.g. _deleted): it is merge metadata, not table
                     # data — drop it so a first commit doesn't bake the
@@ -3788,6 +3810,21 @@ class ManifestTable:
                         and when_matched_delete in first_src.columns
                     ):
                         first_src = first_src.drop(when_matched_delete)
+                if when_not_matched_insert_pred is not None:
+                    from etl_job_spark.operators.merge import (
+                        _strip_source_qualifier,
+                    )
+
+                    first_src = first_src.filter(
+                        F.coalesce(
+                            F.expr(
+                                _strip_source_qualifier(
+                                    when_not_matched_insert_pred
+                                )
+                            ),
+                            F.lit(False),
+                        )
+                    )
                 if not insert_unmatched:
                     # nothing can match an empty table; no inserts
                     # either — a pure UPDATE-JOIN against nothing
@@ -3974,6 +4011,8 @@ class ManifestTable:
                         ),
                         insert_cols=insert_cols,
                         update_pred=when_matched_update_pred,
+                        insert_pred=when_not_matched_insert_pred,
+                        delete_scope=when_matched_delete_scope,
                     )
                 else:
                     merged = merge_upsert(target, source, keys, order_col=order_col)
@@ -3982,7 +4021,11 @@ class ManifestTable:
                 # rows (delete of an absent key is a no-op; updates
                 # have nothing to touch)
                 ins = source
-                if when_matched_delete is not None:
+                if when_matched_delete is not None and (
+                    when_matched_delete_scope == "source"
+                ):
+                    # Delta scope keeps flagged rows: nothing matched,
+                    # so the delete clause claims none and they insert
                     dpred = (
                         F.expr(when_matched_delete)
                         if isinstance(when_matched_delete, str)
@@ -3991,6 +4034,21 @@ class ManifestTable:
                     ins = ins.filter(~F.coalesce(dpred, F.lit(False)))
                 if not insert_unmatched:
                     return base  # pure UPDATE-JOIN touched nothing
+                if when_not_matched_insert_pred is not None:
+                    from etl_job_spark.operators.merge import (
+                        _strip_source_qualifier,
+                    )
+
+                    ins = ins.filter(
+                        F.coalesce(
+                            F.expr(
+                                _strip_source_qualifier(
+                                    when_not_matched_insert_pred
+                                )
+                            ),
+                            F.lit(False),
+                        )
+                    )
                 if ins_set is not None:
                     # column-list insert: unlisted columns drop here
                     # and NULL-fill through the schema align below

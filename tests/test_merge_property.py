@@ -121,3 +121,64 @@ def test_merge_clauses_model_equivalence(spark, target, source, nmbs):
         nmbs_delete=nmbs,
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# round-11: the gated insert (WHEN NOT MATCHED AND cond THEN INSERT)
+# and Delta delete scope, against the same brute-force model style
+# ---------------------------------------------------------------------
+
+
+def _model_merge_r11(target_rows, source_rows, ins_gate, delta_scope):
+    """Model of merge_clauses(update_cols=["v"], delete_pred="_del",
+    insert_pred=ins_gate, delete_scope=...) with a key-unique,
+    per-key-single-branch source and whole-row inserts."""
+    tgt = {k: (v, w) for k, v, w in target_rows}
+    src = {k: (v, w, d) for k, v, w, d in source_rows}
+    out = {}
+    for k, (v, w) in tgt.items():
+        s = src.get(k)
+        if s is None:
+            out[k] = (v, w)
+            continue
+        sv, sw, sd = s
+        if sd:
+            continue  # matched delete (same in both scopes)
+        out[k] = (sv, w)  # UPDATE SET v
+    for k, (sv, sw, sd) in src.items():
+        if k in tgt:
+            continue
+        if sd and not delta_scope:
+            continue  # CDC: a flagged row never inserts
+        if ins_gate(sv):
+            out[k] = (sv, sw)
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(target=clause_batch_st, source=clause_batch_st, delta=st.booleans())
+def test_merge_clauses_gated_insert_model(spark, target, source, delta):
+    from etl_job_spark.operators.merge import merge_clauses
+
+    tgt_rows = list({k: (k, v, w) for k, v, w, _ in target}.values())
+    src_rows = list({k: (k, v, w, d) for k, v, w, d in source}.values())
+    tgt = spark.createDataFrame(tgt_rows, "k int, v int, w int") if tgt_rows \
+        else spark.createDataFrame([], "k int, v int, w int")
+    src = spark.createDataFrame(src_rows, "k int, v int, w int, _del boolean") \
+        if src_rows else spark.createDataFrame([], "k int, v int, w int, _del boolean")
+
+    out = merge_clauses(
+        tgt, src, ["k"],
+        update_cols=["v"],
+        delete_pred="_del",
+        insert_pred="v >= 0",
+        delete_scope="matched" if delta else "source",
+    ).collect()
+    got = {r.k: (r.v, r.w) for r in out}
+    want = _model_merge_r11(
+        [(k, v, w) for k, v, w in tgt_rows],
+        [(k, v, w, d) for k, v, w, d in src_rows],
+        ins_gate=lambda sv: sv >= 0,
+        delta_scope=delta,
+    )
+    assert got == want

@@ -445,10 +445,12 @@ def test_execute_dml_merge_insert_column_list(spark, tmp_path):
 
 
 def test_execute_dml_merge_unconditional_matched_delete(spark, tmp_path):
-    """WHEN MATCHED THEN DELETE: every matched target row drops; the
-    CDC-contract conflict with WHEN NOT MATCHED INSERT refuses loudly."""
-    import pytest as _pytest
-
+    """WHEN MATCHED THEN DELETE: every matched target row drops. Since
+    round 11 the SQL surface carries Delta's clause scope (the delete
+    claims MATCHED rows only), so the combo with WHEN NOT MATCHED
+    INSERT is supported as delete-matched/insert-rest instead of the
+    old CDC-contract refusal (test_advice_r11 pins the combo's
+    values; the library's CDC default is pinned there too)."""
     from etl_job_spark.sql import execute_dml
     from etl_job_spark.table import ManifestTable
 
@@ -463,13 +465,15 @@ def test_execute_dml_merge_unconditional_matched_delete(spark, tmp_path):
         "WHEN MATCHED THEN DELETE",
     )
     assert {r.k: r.v for r in t.snapshot(spark).collect()} == {1: 10, 3: 30}
-    with _pytest.raises(ValueError, match="CDC-shaped"):
-        execute_dml(
-            spark, t,
-            "MERGE INTO md t USING gone s ON t.k = s.k "
-            "WHEN MATCHED THEN DELETE "
-            "WHEN NOT MATCHED THEN INSERT *",
-        )
+    execute_dml(
+        spark, t,
+        "MERGE INTO md t USING gone s ON t.k = s.k "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    # nothing matches now (2 was deleted above): both source keys
+    # insert (v NULL — the keys-only source), 1 and 3 untouched
+    assert {r.k for r in t.snapshot(spark).collect()} == {1, 2, 3, 9}
 
 
 def test_execute_dml_create_table_as(spark, tmp_path):
