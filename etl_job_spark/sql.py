@@ -706,12 +706,46 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
         if m is None or not m.group(2).strip():
             raise ValueError(
                 "supported forms: ALTER TABLE <t> ADD CONSTRAINT n CHECK "
-                "(pred) | DROP CONSTRAINT n | RENAME COLUMN a TO b | "
+                "(pred) | ADD COLUMN[S] a type[, b type ...] | "
+                "DROP CONSTRAINT n | RENAME COLUMN a TO b | "
                 "DROP COLUMN[S] a[, b ...] | SET PARTITION SPEC (spec, ...)"
             )
         _check_target(m.group(1), t)
         action = m.group(2).strip()
         au = action.upper()
+        if au.startswith("ADD COLUMN"):
+            # metadata-only ADD COLUMN (Delta/Iceberg shape): existing
+            # rows read as NULL, no file is rewritten. Items split on
+            # commas outside ()/<> so decimal(10,2) and map<string,int>
+            # keep theirs; each item is "<name> <spark ddl type>"
+            cm = re.match(r"(?is)^ADD\s+COLUMNS?\s+(.+?)\s*$", action)
+            if cm is None:
+                raise ValueError(
+                    "supported form: ADD COLUMN[S] a type[, b type ...]"
+                )
+            body = cm.group(1).strip()
+            if body.startswith("(") and body.endswith(")"):
+                body = body[1:-1].strip()  # optional Delta-style parens
+            items, depth, start = [], 0, 0
+            for i, ch in enumerate(body):
+                if ch in "(<":
+                    depth += 1
+                elif ch in ")>":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    items.append(body[start:i])
+                    start = i + 1
+            items.append(body[start:])
+            adds: dict[str, str] = {}
+            for item in items:
+                parts = item.strip().split(None, 1)
+                if len(parts) != 2 or not parts[0].strip("`").isidentifier():
+                    raise ValueError(
+                        f"ADD COLUMN item {item.strip()!r}: expected "
+                        "<name> <type>"
+                    )
+                adds[parts[0].strip("`")] = parts[1].strip()
+            return t.alter_schema(spark, add=adds)
         if au.startswith("ADD CONSTRAINT"):
             cm = re.match(
                 r"(?is)^ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*$", action

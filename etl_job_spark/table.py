@@ -3363,19 +3363,52 @@ class ManifestTable:
 
         return self._with_commit_retries(attempt)
 
-    def alter_schema(self, spark: SparkSession, drop: Sequence[str]) -> int:
-        """DROP columns as a METADATA-ONLY commit — no data file is
-        read or written: the committed schema loses the fields, every
-        reader stops projecting them (``_align``), and the names go
-        into a tombstone list so a later append/merge cannot
-        reintroduce them (the physical bytes are still in the
-        immutable old files — re-adding the name would silently
-        resurrect those values; ``overwrite`` clears the tombstones
-        because it replaces every file). Refuses to drop partition
-        columns / transform sources (the layout depends on them) and
-        columns referenced by a CHECK constraint (drop the constraint
-        first); bloom indexing on a dropped column stops. Returns the
-        new version."""
+    def alter_schema(
+        self,
+        spark: SparkSession,
+        drop: Sequence[str] | None = None,
+        add: Mapping[str, str] | None = None,
+    ) -> int:
+        """DROP and/or ADD columns as a METADATA-ONLY commit — no data
+        file is read or written; every existing file is carried into
+        the new manifest by reference.
+
+        ``drop``: the committed schema loses the fields, every reader
+        stops projecting them (``_align``), and the names go into a
+        tombstone list so a later append/merge cannot reintroduce them
+        (the physical bytes are still in the immutable old files —
+        re-adding the name would silently resurrect those values;
+        ``overwrite`` clears the tombstones because it replaces every
+        file). Refuses to drop partition columns / transform sources
+        (the layout depends on them) and columns referenced by a CHECK
+        constraint (drop the constraint first); bloom indexing on a
+        dropped column stops.
+
+        ``add`` (``{name: spark_type_ddl}``, e.g. ``{"score":
+        "double"}``): the committed schema GAINS the fields —
+        Delta/Iceberg's metadata-only ADD COLUMN. Existing rows read
+        as NULL (``_align`` NULL-fills columns a file lacks — the same
+        machinery additive append-evolution reads through), so the new
+        fields are always nullable; later appends/merges carry real
+        values. Refuses names that collide case-insensitively with a
+        live column, with a drop TOMBSTONE, or with an in-use PHYSICAL
+        name (old files hold bytes under those names — the "new"
+        column would resurrect them on read), plus the same reserved
+        prefix / parquet-hostile character set ``rename_column``
+        refuses. A CHECK constraint can never reference the new name
+        yet (constraints resolve against the live schema when added),
+        so existing constraints are untouched; add the constraint
+        AFTER the column if wanted — and mind the engine's strict
+        write-side CHECK contract (``_validate``: a NULL predicate is
+        a violation), so a constraint over a sparsely-populated added
+        column should spell it ``c IS NULL OR <check>``.
+
+        When both are given, drops are validated first and both land
+        in ONE commit. Returns the new version."""
+        drop = list(drop or [])
+        add = dict(add or {})
+        if not drop and not add:
+            raise ValueError("alter_schema: pass drop=[...] and/or add={...}")
 
         def attempt() -> int:
             base = self.latest_version()
@@ -3412,8 +3445,8 @@ class ManifestTable:
                         f"CHECK constraint {name!r} ({pred!r}) references "
                         f"dropped column(s) {hit}; drop the constraint first"
                     )
-            new_schema = StructType([f for f in schema.fields if f.name not in set(drop)])
-            if not new_schema.fields:
+            new_fields = [f for f in schema.fields if f.name not in set(drop)]
+            if not new_fields:
                 raise ValueError("cannot drop every column of the table")
             # tombstones block the PHYSICAL name (that's where the
             # bytes live); bloom_cols are physical already
@@ -3422,7 +3455,61 @@ class ManifestTable:
             tombstones = sorted(set(man.get("dropped_cols") or []) | drop_phys)
             for c in drop:
                 cmap.pop(c, None)
-            op = {"op": "alter_schema", "drop": sorted(set(drop))}
+            if add:
+                from pyspark.sql.types import DataType
+
+                # all collision tests casefold: Spark resolves column
+                # names case-insensitively, so adding "V" next to "v"
+                # would make every reference ambiguous
+                live = {f.name.casefold() for f in new_fields}
+                phys_in_use = {
+                    cmap.get(f.name, f.name).casefold() for f in new_fields
+                }
+                tomb = {t.casefold() for t in tombstones}
+                for cname, ddl in add.items():
+                    if cname.startswith("__") or any(
+                        ch in cname for ch in " ,;{}()\n\t=.`"
+                    ):
+                        raise ValueError(
+                            f"cannot add column {cname!r}: names starting "
+                            "with '__' are reserved for planner metadata "
+                            "columns, ' ,;{}()\\n\\t=' are invalid in "
+                            "parquet field names, and '.'/'`' break column "
+                            "resolution"
+                        )
+                    lc = cname.casefold()
+                    if lc in live:
+                        raise ValueError(
+                            f"cannot add column {cname!r}: a column of that "
+                            "name (case-insensitively) already exists"
+                        )
+                    if lc in tomb or lc in phys_in_use:
+                        raise ValueError(
+                            f"cannot add column {cname!r}: old data files "
+                            "store bytes under that physical name (a "
+                            "dropped column or a renamed column's storage) "
+                            "— reads would resurrect them. Pick another "
+                            "name, or overwrite() to rewrite every file."
+                        )
+                    try:
+                        dt = DataType.fromDDL(str(ddl))
+                    except Exception:
+                        raise ValueError(
+                            f"cannot parse type {ddl!r} for added column "
+                            f"{cname!r} (expected Spark DDL, e.g. 'double', "
+                            "'bigint', 'array<string>')"
+                        ) from None
+                    # always nullable: existing files lack the column,
+                    # so every pre-add row reads as NULL (_align)
+                    new_fields.append(StructField(cname, dt, True))
+                    live.add(lc)
+                    phys_in_use.add(lc)
+            new_schema = StructType(new_fields)
+            op: dict = {"op": "alter_schema"}
+            if drop:
+                op["drop"] = sorted(set(drop))
+            if add:
+                op["add"] = {k: str(v) for k, v in add.items()}
             return self._commit(
                 man["files"], new_schema, man["partition_by"] or None, base, op,
                 bloom_cols=blooms, dropped_cols=tombstones, column_map=cmap,
