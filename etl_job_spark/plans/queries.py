@@ -473,9 +473,15 @@ query("kicc_mart_enrich_update", ENRICH_SQL)(mart_enrich_update)
 
 def mart_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same J1/J2/P6-P7 enrichment executed as LITERAL SQL DML
-    statements through ``sql.execute_dml`` — the statement surface the
-    reference's consumers actually write (kicc_to_tb_sales.py:109-134
-    is verbatim UPDATE SQL):
+    statements — the statement surface the reference's consumers
+    actually write (kicc_to_tb_sales.py:109-134 is verbatim UPDATE
+    SQL) — with the reference's TRANSACTION semantics: the three
+    statements run through ``sql.execute_dml_txn`` as ONE
+    TransactionalCatalog record, mirroring the single
+    ``connection.commit()`` that closes the reference's enrichment
+    block (kicc_to_tb_sales.py:136). A catalog reader can never
+    observe the half-enriched mart (responsible set, xy not yet) that
+    per-statement commits would expose:
 
     - J1/J2 as ``MERGE INTO mart USING dim ON … WHEN MATCHED THEN
       UPDATE SET t.col = s.col`` (parsed to the identity-list clause
@@ -484,14 +490,13 @@ def mart_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
       responsible IS NULL AND chain_no IN (…)``.
 
     Same oracle as the library-call twin (``ENRICH_SQL``), so the SQL
-    parser → table-verb routing is hash-checked end-to-end;
-    ``tests/test_sql.py`` additionally pins that this route and the
-    library route commit identical table states."""
-    import os
-
+    parser → txn routing is hash-checked end-to-end;
+    ``tests/test_sql.py`` pins SQL-route ≡ library-route table states
+    and ``tests/test_sql_txn.py`` pins the atomicity (no intermediate
+    state observable, crash-after-commit-point heals)."""
     from etl_job_spark.scratch import scratch_dir
-    from etl_job_spark.sql import execute_dml
-    from etl_job_spark.table import ManifestTable
+    from etl_job_spark.sql import execute_dml_txn
+    from etl_job_spark.txn import TransactionalCatalog
 
     mart = mart_sales_by_store(spark, sf_dir).select(
         "chain_no",
@@ -500,34 +505,35 @@ def mart_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("responsible"),
         F.lit(None).cast("string").alias("xy"),
     )
-    path = scratch_dir(spark, "kicc_mart_sql_dml")
-    name = os.path.basename(path)
-    t = ManifestTable(path)
-    t.overwrite(mart.repartitionByRange(4, F.col("chain_no")))
+    cat = TransactionalCatalog(scratch_dir(spark, "kicc_mart_sql_dml"))
+    # the load step — the reference's separate per-batch commit
+    # (load_sales_data.py:136); enrolled tables are written THROUGH
+    # the catalog, so the overwrite is its own one-op transaction
+    cat.commit(
+        lambda txn: txn.overwrite(
+            "mart", mart.repartitionByRange(4, F.col("chain_no"))
+        )
+    )
     kicc.tb_store_temp(spark, sf_dir).select(
         "chain_no", F.col("resp").alias("responsible")
     ).createOrReplaceTempView("kicc_dml_temp_dim")
     kicc.tb_store_easypos(spark, sf_dir).select(
         "chain_no", F.col("xy_degree").alias("xy")
     ).createOrReplaceTempView("kicc_dml_easy_dim")
-    execute_dml(
-        spark, t,
-        f"MERGE INTO {name} t USING kicc_dml_temp_dim s "
-        "ON t.chain_no = s.chain_no "
-        "WHEN MATCHED THEN UPDATE SET t.responsible = s.responsible",
+    state = execute_dml_txn(
+        spark, cat,
+        [
+            "MERGE INTO mart t USING kicc_dml_temp_dim s "
+            "ON t.chain_no = s.chain_no "
+            "WHEN MATCHED THEN UPDATE SET t.responsible = s.responsible",
+            "MERGE INTO mart t USING kicc_dml_easy_dim s "
+            "ON t.chain_no = s.chain_no "
+            "WHEN MATCHED THEN UPDATE SET t.xy = s.xy",
+            f"UPDATE mart SET responsible = '직영' "
+            f"WHERE responsible IS NULL AND chain_no IN ({_IN_LIST})",
+        ],
     )
-    execute_dml(
-        spark, t,
-        f"MERGE INTO {name} t USING kicc_dml_easy_dim s "
-        "ON t.chain_no = s.chain_no "
-        "WHEN MATCHED THEN UPDATE SET t.xy = s.xy",
-    )
-    execute_dml(
-        spark, t,
-        f"UPDATE {name} SET responsible = '직영' "
-        f"WHERE responsible IS NULL AND chain_no IN ({_IN_LIST})",
-    )
-    return t.snapshot(spark).select(
+    return cat.table("mart").snapshot(spark, state["mart"]).select(
         "chain_no", "sale_dy", "chong_maechool", "responsible", "xy"
     )
 

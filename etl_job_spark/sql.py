@@ -858,3 +858,111 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
         "constrained MERGE INTO grammar; see ManifestTable.merge for "
         "the full clause surface"
     )
+
+
+# ---------------------------------------------------------------------
+# Atomic multi-statement SQL over a TransactionalCatalog. The
+# reference commits its THREE enrichment statements as ONE transaction
+# (kicc_to_tb_sales.py:102-136 — two UPDATE-JOINs and a constant
+# backfill, then a single connection.commit(); the same per-batch
+# pattern at load_sales_data.py:136). execute_dml commits one table
+# version per statement, so a concurrent reader can observe a
+# half-enriched state the reference never exposes — these entry points
+# run a statement LIST through ONE transaction record instead.
+# ---------------------------------------------------------------------
+
+
+def statement_table(sql: str) -> str:
+    """The (basename-style) table name a DML/DDL statement targets —
+    how ``execute_dml_txn`` routes each statement to its enrolled
+    catalog table."""
+    import re
+
+    m = re.match(
+        r"(?is)^\s*(?:UPDATE|MERGE\s+INTO|DELETE\s+FROM|INSERT\s+INTO|"
+        r"VACUUM|OPTIMIZE|RESTORE\s+(?:TABLE\s+)?|ALTER\s+TABLE|"
+        r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE)\s+(\S+)",
+        sql.strip(),
+    )
+    if m is None:
+        raise ValueError(
+            f"cannot find the target table of statement {sql.strip()[:60]!r}"
+        )
+    name = m.group(1).strip().strip("`'\"").rstrip(";")
+    return name.split(".")[-1].split("/")[-1]
+
+
+def execute_dml_txn(spark: SparkSession, catalog, statements) -> dict[str, int]:
+    """Execute a statement LIST as ONE atomic transaction against a
+    ``TransactionalCatalog`` — every statement's target table moves to
+    its post-list state at a single commit point, or none does.
+
+    Statements on the SAME table chain (each reads its predecessor's
+    uncommitted state); statements on different tables commit
+    together. A catalog reader (``roll_forward()`` + snapshot at the
+    returned versions) can never observe an intermediate state — only
+    the pre-transaction or post-transaction table. Each statement
+    must name its table (``statement_table``) and supports the full
+    ``execute_dml`` surface except VACUUM (deletes files immediately;
+    nothing to stage). Returns {table: new_version}. The callback may
+    re-run on a lost commit race, like every catalog transaction."""
+    stmts = [s for s in statements if s and s.strip()]
+    if not stmts:
+        return {}
+
+    def ops(txn) -> None:
+        for s in stmts:
+            txn.sql(statement_table(s), spark, s)
+
+    return catalog.commit(ops)
+
+
+def execute_sql_script(spark: SparkSession, catalog, script: str) -> dict[str, int]:
+    """Run a semicolon-separated SQL script against a
+    ``TransactionalCatalog``; ``BEGIN; ...; COMMIT`` groups execute
+    atomically via ``execute_dml_txn`` (the reference's literal
+    transaction bracket), bare statements as single-statement
+    transactions. Returns the last version committed for every table
+    the script touched."""
+    out: dict[str, int] = {}
+    group: list[str] | None = None
+    for stmt in _split_script(script):
+        up = stmt.strip().upper()
+        if up in ("BEGIN", "BEGIN TRANSACTION", "START TRANSACTION"):
+            if group is not None:
+                raise ValueError("nested BEGIN — COMMIT the open transaction first")
+            group = []
+        elif up == "COMMIT":
+            if group is None:
+                raise ValueError("COMMIT without BEGIN")
+            out.update(execute_dml_txn(spark, catalog, group))
+            group = None
+        elif up == "ROLLBACK":
+            if group is None:
+                raise ValueError("ROLLBACK without BEGIN")
+            group = None  # nothing ran yet — staging IS the statements
+        elif group is not None:
+            group.append(stmt)
+        else:
+            out.update(execute_dml_txn(spark, catalog, [stmt]))
+    if group is not None:
+        raise ValueError("script ended inside BEGIN — add COMMIT (or ROLLBACK)")
+    return out
+
+
+def _split_script(script: str) -> list[str]:
+    """Split on semicolons outside single/double-quoted literals."""
+    parts: list[str] = []
+    quote: str | None = None
+    start = 0
+    for i, c in enumerate(script):
+        if quote is not None:
+            if c == quote:
+                quote = None
+        elif c in ("'", '"'):
+            quote = c
+        elif c == ";":
+            parts.append(script[start:i])
+            start = i + 1
+    parts.append(script[start:])
+    return [p.strip() for p in parts if p.strip()]

@@ -1980,6 +1980,14 @@ class ManifestTable:
         # it — the op runs fully (reads, prunes, data-file writes) but
         # the commit point moves to the catalog's transaction log
         self._capture: Callable[[int, dict], None] | None = None
+        # pending-manifest overlay (set by Transaction for CHAINED ops
+        # on one table): version -> captured-but-unpublished manifest.
+        # versions()/_read_raw_manifest consult it, so statement N+1
+        # of a multi-statement transaction reads statement N's
+        # uncommitted state on THIS instance while every other reader
+        # still sees the published table. Instance-private: catalog
+        # readers get fresh instances, never this one.
+        self._pending: dict[int, dict] = {}
 
     # -- bloom probing -------------------------------------------------
 
@@ -2033,13 +2041,12 @@ class ManifestTable:
     # -- version bookkeeping ------------------------------------------
 
     def versions(self) -> list[int]:
-        if not os.path.isdir(self.manifest_dir):
-            return []
-        out = []
-        for name in os.listdir(self.manifest_dir):
-            if name.startswith("v") and name.endswith(".json"):
-                out.append(int(name[1:-5]))
-        return sorted(out)
+        out = list(self._pending)  # txn-chained captures (see __init__)
+        if os.path.isdir(self.manifest_dir):
+            for name in os.listdir(self.manifest_dir):
+                if name.startswith("v") and name.endswith(".json"):
+                    out.append(int(name[1:-5]))
+        return sorted(set(out))
 
     def latest_version(self) -> int | None:
         vs = self.versions()
@@ -2048,7 +2055,13 @@ class ManifestTable:
     def _read_raw_manifest(self, version: int) -> dict:
         """One manifest file as written: either a checkpoint (full
         ``files`` list) or a delta (``delta.upserts``/``delta.removes``
-        against ``base_version``)."""
+        against ``base_version``). A txn-chained PENDING capture (see
+        ``_pending``) shadows the disk — shallow-copied so the reader's
+        in-place ``files`` resolution never mutates the manifest the
+        transaction will publish."""
+        pending = self._pending.get(version)
+        if pending is not None:
+            return dict(pending)
         with open(os.path.join(self.manifest_dir, _manifest_name(version))) as f:
             return json.load(f)
 

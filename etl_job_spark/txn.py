@@ -15,6 +15,15 @@ This module makes a multi-table change one atomic event:
   with the same put-if-absent link primitive manifests use. That one
   link IS the commit: before it, no table changed; after it, every
   table's new version is durable.
+- **ops on one table CHAIN.** A second op on the same table reads the
+  first op's captured state through the instance's pending-manifest
+  overlay (``ManifestTable._pending`` — transaction-private; every
+  other reader still resolves the published table), and the record
+  stages the whole manifest chain, applied oldest-first on replay.
+  This is the reference's multi-statement transaction: three
+  enrichment UPDATEs under one ``connection.commit()``
+  (kicc_to_tb_sales.py:102-136) land as one record via
+  ``sql.execute_dml_txn``.
 - **roll-forward makes the record effective.** Publishing the per-table
   manifest files is mechanical replay of the record, performed by
   ``roll_forward()`` — run by every subsequent commit/read, so a crash
@@ -83,30 +92,50 @@ def _ckpt_name(upto: int) -> str:
 
 class Transaction:
     """Collects one committed-together group of table ops. Obtained
-    from ``TransactionalCatalog.commit``'s callback; one op per table
-    per transaction (a second op would need the first's uncommitted
-    version as its base, which no reader can resolve yet)."""
+    from ``TransactionalCatalog.commit``'s callback. Multiple ops on
+    the SAME table CHAIN: each op reads its predecessor's
+    captured-but-unpublished state through the instance's pending
+    overlay (``ManifestTable._pending``), and the record stages the
+    whole manifest chain — the multi-statement-per-table shape the
+    reference's enrichment flow commits as one unit
+    (kicc_to_tb_sales.py:102-136: two UPDATE-JOINs + a constant
+    backfill under a single connection.commit())."""
 
     def __init__(self, catalog: "TransactionalCatalog"):
         self._catalog = catalog
         self.staged: dict[str, dict] = {}
+        # one instance per table for the transaction's lifetime: the
+        # pending-manifest overlay lives on the instance, so chained
+        # ops must share it (catalog readers get fresh instances and
+        # never see it)
+        self._tables: dict[str, ManifestTable] = {}
+
+    def _table(self, name: str) -> ManifestTable:
+        t = self._tables.get(name)
+        if t is None:
+            t = self._catalog.table(name)
+            self._tables[name] = t
+        return t
 
     def _run(self, name: str, op: Callable[[ManifestTable], int]) -> None:
-        if name in self.staged:
-            raise ValueError(
-                f"table {name!r} already written in this transaction "
-                "(one op per table per transaction)"
-            )
-        table = self._catalog.table(name)
+        table = self._table(name)
         captured: list[tuple[int, dict]] = []
-        table._capture = lambda v, m: captured.append((v, m))
+
+        def _cap(v: int, m: dict) -> None:
+            captured.append((v, m))
+            # visible to THIS transaction's later ops on the table —
+            # and only to them
+            table._pending[v] = m
+
+        table._capture = _cap
         try:
             op(table)
         finally:
             table._capture = None
             # _commit caches entries for the captured (unpublished)
             # version; drop them — the version becomes real only if
-            # this transaction's record applies
+            # this transaction's record applies (later chained reads
+            # re-resolve through the pending overlay)
             for v, _ in captured:
                 table._files_cache.pop(v, None)
         if not captured:
@@ -114,11 +143,21 @@ class Transaction:
         if len(captured) != 1:  # pragma: no cover - single-commit ops only
             raise AssertionError(f"op on {name!r} captured {len(captured)} commits")
         version, manifest = captured[0]
-        self.staged[name] = {
-            "expected_base": manifest["base_version"],
-            "version": version,
-            "manifest": manifest,
-        }
+        entry = self.staged.get(name)
+        if entry is None:
+            self.staged[name] = {
+                "expected_base": manifest["base_version"],
+                "version": version,
+                "manifests": [manifest],
+            }
+            return
+        if manifest["base_version"] != entry["version"]:  # pragma: no cover
+            raise AssertionError(
+                f"chained op on {name!r} based on {manifest['base_version']}"
+                f", expected {entry['version']}"
+            )
+        entry["version"] = version
+        entry["manifests"].append(manifest)
 
     # -- the op surface (each mirrors the ManifestTable method) -------
 
@@ -157,6 +196,23 @@ class Transaction:
         here: an enrolled table must never be updated directly on the
         ManifestTable — replay tracks versions purely from the log)."""
         self._run(name, lambda t: t.update_where(spark, set, where))
+
+    def sql(self, name: str, spark: SparkSession, statement: str) -> None:
+        """One SQL DML/DDL statement against an enrolled table, inside
+        the log — the ``execute_dml`` surface routed through the
+        transaction's captured table instance, so a statement LIST on
+        one table chains (each statement reads its predecessor's
+        uncommitted state) and commits as ONE record. VACUUM refuses:
+        it deletes files immediately and cannot be staged."""
+        if statement.strip().upper().startswith("VACUUM"):
+            raise ValueError(
+                "VACUUM cannot run inside a transaction: it deletes data "
+                "files immediately (nothing to stage or roll back) — run "
+                "it directly after the transaction commits"
+            )
+        from etl_job_spark.sql import execute_dml
+
+        self._run(name, lambda t: execute_dml(spark, t, statement))
 
     def delete_where(self, name: str, spark: SparkSession, predicate, **kw) -> None:
         self._run(name, lambda t: t.delete_where(spark, predicate, **kw))
@@ -249,14 +305,7 @@ class TransactionalCatalog:
         finally:
             os.unlink(tmp)
 
-    def _staged_manifest(self, staged: dict) -> dict:
-        """The manifest a record stages for one table — inline content,
-        or resolved through its ``manifest_ref`` spill file (written +
-        fsynced before the record's commit point, so a published record
-        always resolves)."""
-        if "manifest" in staged:
-            return staged["manifest"]
-        ref = staged["manifest_ref"]
+    def _load_ref(self, ref: str) -> dict:
         cached = self._staged_cache.get(ref)
         if cached is None:
             with open(os.path.join(self.root, ref)) as f:
@@ -264,38 +313,60 @@ class TransactionalCatalog:
             self._staged_cache[ref] = cached
         return cached
 
+    def _staged_manifests(self, staged: dict) -> list[dict]:
+        """The manifest CHAIN a record stages for one table (oldest
+        first) — inline content, or resolved through ``manifest_ref``
+        spill files (written + fsynced before the record's commit
+        point, so a published record always resolves). Single-op
+        records keep the pre-chain shape (one ``manifest`` /
+        ``manifest_ref`` key) for log compatibility."""
+        if "manifests" in staged:
+            return [
+                e["manifest"] if "manifest" in e else self._load_ref(e["manifest_ref"])
+                for e in staged["manifests"]
+            ]
+        if "manifest" in staged:
+            return [staged["manifest"]]
+        return [self._load_ref(staged["manifest_ref"])]
+
     def _apply(self, name: str, staged: dict) -> None:
-        """Idempotently publish one table's manifest from an applied
-        record. A taken slot must hold THIS record's content (another
+        """Idempotently publish one table's manifest chain from an
+        applied record, oldest first (a delta manifest resolves
+        through its base, so the chain order is the only publishable
+        order). A taken slot must hold THIS record's content (another
         process already applied it); anything else is an out-of-band
         writer violating the enrolled-tables contract — fail loudly."""
         table = self.table(name)
-        manifest = self._staged_manifest(staged)
-        if (name, manifest["version"]) in self._applied:
-            return  # verified on disk earlier in this instance's life
-        final = os.path.join(table.manifest_dir, _manifest_name(manifest["version"]))
-        if not os.path.exists(final):
-            os.makedirs(table.manifest_dir, exist_ok=True)
-            tmp = os.path.join(table.manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
-            with open(tmp, "w") as f:
-                json.dump(manifest, f, indent=1, sort_keys=True)
-                f.flush()
-                os.fsync(f.fileno())
-            try:
-                os.link(tmp, final)
-            except FileExistsError:
-                pass  # racing roll-forward of the same record
-            finally:
-                os.unlink(tmp)
-        with open(final) as f:
-            existing = json.load(f)
-        if existing != manifest:
-            raise RuntimeError(
-                f"table {name!r} version {manifest['version']} holds content "
-                "not from the transaction log — enrolled tables must be "
-                "written through the catalog"
+        for manifest in self._staged_manifests(staged):
+            if (name, manifest["version"]) in self._applied:
+                continue  # verified on disk earlier in this instance's life
+            final = os.path.join(
+                table.manifest_dir, _manifest_name(manifest["version"])
             )
-        self._applied.add((name, manifest["version"]))
+            if not os.path.exists(final):
+                os.makedirs(table.manifest_dir, exist_ok=True)
+                tmp = os.path.join(
+                    table.manifest_dir, f".tmp-{uuid.uuid4().hex}.json"
+                )
+                with open(tmp, "w") as f:
+                    json.dump(manifest, f, indent=1, sort_keys=True)
+                    f.flush()
+                    os.fsync(f.fileno())
+                try:
+                    os.link(tmp, final)
+                except FileExistsError:
+                    pass  # racing roll-forward of the same record
+                finally:
+                    os.unlink(tmp)
+            with open(final) as f:
+                existing = json.load(f)
+            if existing != manifest:
+                raise RuntimeError(
+                    f"table {name!r} version {manifest['version']} holds "
+                    "content not from the transaction log — enrolled tables "
+                    "must be written through the catalog"
+                )
+            self._applied.add((name, manifest["version"]))
 
     def _ckpt_ids(self) -> list[int]:
         if not os.path.isdir(self.txn_dir):
@@ -429,11 +500,11 @@ class TransactionalCatalog:
                 if ck < upto:
                     os.unlink(os.path.join(self.txn_dir, _ckpt_name(ck)))
                     removed += 1
-        live_refs = {
-            staged.get("manifest_ref")
-            for txn_id in self._txn_ids()
-            for staged in self._read_txn(txn_id)["tables"].values()
-        }
+        live_refs: set[str | None] = set()
+        for txn_id in self._txn_ids():
+            for staged in self._read_txn(txn_id)["tables"].values():
+                for e in staged.get("manifests") or [staged]:
+                    live_refs.add(e.get("manifest_ref"))
         import time as _time
 
         now = _time.time()
@@ -481,7 +552,8 @@ class TransactionalCatalog:
             if not txn.staged:
                 return {}
             for name, staged in txn.staged.items():
-                staged["manifest"].setdefault("txn", {})["marker"] = marker
+                for m in staged["manifests"]:
+                    m.setdefault("txn", {})["marker"] = marker
             record_tables = {
                 name: self._spill_if_large(name, staged, marker)
                 for name, staged in txn.staged.items()
@@ -500,11 +572,11 @@ class TransactionalCatalog:
                 continue  # lost the id race; re-run ops on fresh state
             state = self.roll_forward()
             applied = all(
-                self._committed_marker(name, staged["manifest"]["version"]) == marker
+                self._committed_marker(name, staged["version"]) == marker
                 for name, staged in txn.staged.items()
             )
             if applied:
-                return {n: s["manifest"]["version"] for n, s in txn.staged.items()}
+                return {n: s["version"] for n, s in txn.staged.items()}
             # our record landed in the log but lost to an earlier id
             # touching the same base — deterministically aborted;
             # re-run ops against the rolled-forward state
@@ -513,32 +585,52 @@ class TransactionalCatalog:
             "races; retry later"
         )
 
-    def _spill_if_large(self, name: str, staged: dict, marker: str) -> dict:
-        """The record-side form of one staged table: inline manifest
-        when small, else a ``manifest_ref`` to an immutable spill file
-        written + fsynced NOW — before the record (the commit point)
-        can reference it."""
-        manifest = staged["manifest"]
-        body = json.dumps(manifest, sort_keys=True)
-        entry = {
-            "expected_base": staged["expected_base"],
-            "version": staged["version"],
-        }
-        if len(body) <= _TXN_INLINE_MAX_BYTES:
-            entry["manifest"] = manifest
-            return entry
+    def _spill_one(self, name: str, manifest: dict, marker: str, body: str) -> str:
+        """Write one manifest to an immutable spill file NOW — before
+        the record (the commit point) can reference it. Unique per
+        attempt: a retried commit (same marker) must never overwrite a
+        file an earlier, aborted-but-published record references."""
         stage_dir = os.path.join(self.root, _TXN_STAGE_DIR)
         os.makedirs(stage_dir, exist_ok=True)
-        # unique per attempt: a retried commit (same marker) must never
-        # overwrite a file an earlier, aborted-but-published record
-        # references
-        ref = os.path.join(_TXN_STAGE_DIR, f"{marker}-{uuid.uuid4().hex[:8]}-{name}.json")
+        ref = os.path.join(
+            _TXN_STAGE_DIR, f"{marker}-{uuid.uuid4().hex[:8]}-{name}.json"
+        )
         with open(os.path.join(self.root, ref), "w") as f:
             f.write(body)
             f.flush()
             os.fsync(f.fileno())
-        entry["manifest_ref"] = ref
         self._staged_cache[ref] = manifest
+        return ref
+
+    def _spill_if_large(self, name: str, staged: dict, marker: str) -> dict:
+        """The record-side form of one staged table: each manifest in
+        the chain inline when small, else a ``manifest_ref`` spill.
+        Single-op stages keep the pre-chain record shape (one
+        ``manifest``/``manifest_ref`` key) so logs written by this
+        engine stay readable by its earlier versions and vice versa."""
+        entry = {
+            "expected_base": staged["expected_base"],
+            "version": staged["version"],
+        }
+        manifests = staged["manifests"]
+        if len(manifests) == 1:
+            manifest = manifests[0]
+            body = json.dumps(manifest, sort_keys=True)
+            if len(body) <= _TXN_INLINE_MAX_BYTES:
+                entry["manifest"] = manifest
+            else:
+                entry["manifest_ref"] = self._spill_one(name, manifest, marker, body)
+            return entry
+        chain: list[dict] = []
+        for manifest in manifests:
+            body = json.dumps(manifest, sort_keys=True)
+            if len(body) <= _TXN_INLINE_MAX_BYTES:
+                chain.append({"manifest": manifest})
+            else:
+                chain.append(
+                    {"manifest_ref": self._spill_one(name, manifest, marker, body)}
+                )
+        entry["manifests"] = chain
         return entry
 
     def _committed_marker(self, name: str, version: int) -> str | None:

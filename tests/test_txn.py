@@ -17,6 +17,22 @@ def _df(spark, rows):
     return spark.createDataFrame(rows, "k long, v string")
 
 
+def _mark(txn, marker):
+    for s in txn.staged.values():
+        for m in s["manifests"]:
+            m.setdefault("txn", {})["marker"] = marker
+
+
+def _record_tables(cat, txn, marker):
+    """The record-side shape commit() publishes (the in-memory staged
+    chain wraps each manifest inline-or-spilled)."""
+    _mark(txn, marker)
+    return {
+        name: cat._spill_if_large(name, staged, marker)
+        for name, staged in txn.staged.items()
+    }
+
+
 def test_two_table_commit_is_atomic_and_visible(spark, tmp_path):
     cat = TransactionalCatalog(str(tmp_path / "cat"))
 
@@ -75,9 +91,11 @@ def test_commit_point_then_crash_heals_by_roll_forward(spark, tmp_path):
     txn = Transaction(cat)
     txn.overwrite("t1", _df(spark, [(1, "y"), (2, "z")]))
     txn.overwrite("t2", _df(spark, [(9, "n")]))
-    for staged in txn.staged.values():
-        staged["manifest"].setdefault("txn", {})["marker"] = "crashed"
-    cat._publish_txn(2, {"id": 2, "marker": "crashed", "tables": txn.staged})
+    cat._publish_txn(
+        2,
+        {"id": 2, "marker": "crashed",
+         "tables": _record_tables(cat, txn, "crashed")},
+    )
 
     # before roll-forward, the tables still show the old state
     assert cat.table("t1").latest_version() == 1
@@ -100,15 +118,11 @@ def test_conflicting_record_deterministically_aborted(spark, tmp_path):
     # higher id must lose for every observer
     t1 = Transaction(cat)
     t1.overwrite("t", _df(spark, [(1, "winner")]))
-    for s in t1.staged.values():
-        s["manifest"].setdefault("txn", {})["marker"] = "w"
-    cat._publish_txn(2, {"id": 2, "marker": "w", "tables": t1.staged})
+    cat._publish_txn(2, {"id": 2, "marker": "w", "tables": _record_tables(cat, t1, "w")})
 
     t2 = Transaction(cat)
     t2.overwrite("t", _df(spark, [(1, "loser")]))
-    for s in t2.staged.values():
-        s["manifest"].setdefault("txn", {})["marker"] = "l"
-    cat._publish_txn(3, {"id": 3, "marker": "l", "tables": t2.staged})
+    cat._publish_txn(3, {"id": 3, "marker": "l", "tables": _record_tables(cat, t2, "l")})
 
     for observer in (cat, TransactionalCatalog(root)):
         assert observer.roll_forward() == {"t": 2}
@@ -130,9 +144,11 @@ def test_losing_committer_reruns_ops_against_fresh_state(spark, tmp_path):
             # publish: claim the next txn id out from under us
             rival = Transaction(cat)
             rival.merge("t", spark, _df(spark, [(2, "rival")]), keys=["k"])
-            for s in rival.staged.values():
-                s["manifest"].setdefault("txn", {})["marker"] = "r"
-            cat._publish_txn(2, {"id": 2, "marker": "r", "tables": rival.staged})
+            cat._publish_txn(
+                2,
+                {"id": 2, "marker": "r",
+                 "tables": _record_tables(cat, rival, "r")},
+            )
         txn.merge("t", spark, _df(spark, [(3, "mine")]), keys=["k"])
 
     versions = cat.commit(ops)
@@ -143,15 +159,25 @@ def test_losing_committer_reruns_ops_against_fresh_state(spark, tmp_path):
     assert versions == {"t": 3}
 
 
-def test_one_op_per_table_per_txn(spark, tmp_path):
+def test_chained_ops_on_one_table_commit_as_one_record(spark, tmp_path):
+    """Round 11: a second op on the same table CHAINS (it reads the
+    first op's captured state through the pending overlay) and the
+    whole chain publishes under ONE record — the multi-statement
+    transaction shape (replaces the old one-op-per-table refusal)."""
     cat = TransactionalCatalog(str(tmp_path / "cat"))
 
     def ops(txn):
         txn.overwrite("t", _df(spark, [(1, "a")]))
         txn.append("t", _df(spark, [(2, "b")]))
+        txn.update_where("t", spark, {"v": "upper(v)"}, "k = 1")
 
-    with pytest.raises(ValueError, match="one op per table"):
-        cat.commit(ops)
+    assert cat.commit(ops) == {"t": 3}
+    got = {r["k"]: r["v"] for r in cat.table("t").snapshot(spark).collect()}
+    assert got == {1: "A", 2: "b"}
+    # ONE record carries the whole three-manifest chain
+    assert cat._txn_ids() == [1]
+    rec = cat._read_txn(1)
+    assert len(rec["tables"]["t"]["manifests"]) == 3
 
 
 def test_out_of_band_write_fails_loudly(spark, tmp_path):
@@ -163,9 +189,7 @@ def test_out_of_band_write_fails_loudly(spark, tmp_path):
     # slot directly on the table (violating the enrolled contract)
     txn = Transaction(cat)
     txn.overwrite("t", _df(spark, [(1, "txn")]))
-    for s in txn.staged.values():
-        s["manifest"].setdefault("txn", {})["marker"] = "m"
-    cat._publish_txn(2, {"id": 2, "marker": "m", "tables": txn.staged})
+    cat._publish_txn(2, {"id": 2, "marker": "m", "tables": _record_tables(cat, txn, "m")})
     cat.table("t").overwrite(_df(spark, [(1, "oob")]))  # direct write → v2
 
     with pytest.raises(RuntimeError, match="written through the catalog"):
