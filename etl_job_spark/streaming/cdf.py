@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -87,6 +88,80 @@ def _dv_ident(entry: dict) -> tuple:
         tuple(entry.get("dv_ref") or []),
         entry.get("dv_rows"),
     )
+
+
+def _classify_version(t, by_path: dict, v: int) -> list[_ChangePartition]:
+    """Classify ONE committed version's file-entry changes against the
+    rolling ``by_path`` state (path → entry at version v-1), mutating
+    it to the at-v state. Delta manifests classify straight from their
+    upserts/removes — O(changed files); checkpoint manifests resolve
+    and full-compare once. Shared by the streaming reader (rolling
+    state across micro-batches) and the batch reader (one lo→hi
+    pass)."""
+    parts: list[_ChangePartition] = []
+    raw = t._read_raw_manifest(v)
+    if "delta" in raw:
+        delta = raw["delta"]
+        for p in delta["removes"]:
+            old = by_path.pop(p, None)
+            if old is not None:
+                parts.append(_ChangePartition(old, "delete", v, None))
+        for e in delta["upserts"]:
+            old = by_path.get(e["path"])
+            if old is None:
+                parts.append(_ChangePartition(e, "insert", v, None))
+            elif _dv_ident(e) != _dv_ident(old):
+                parts.append(_ChangePartition(e, "delete", v, old))
+            by_path[e["path"]] = e
+    else:
+        by_b = {e["path"]: e for e in t._read_manifest(v)["files"]}
+        for p, e in by_b.items():
+            old = by_path.get(p)
+            if old is None:
+                parts.append(_ChangePartition(e, "insert", v, None))
+            elif _dv_ident(e) != _dv_ident(old):
+                parts.append(_ChangePartition(e, "delete", v, old))
+        parts.extend(
+            _ChangePartition(e, "delete", v, None)
+            for p, e in by_path.items()
+            if p not in by_b
+        )
+        by_path.clear()
+        by_path.update(by_b)
+    return parts
+
+
+def _emit_change_batches(
+    table_path: str, fields: StructType, cmap: dict, partition: _ChangePartition
+):
+    """Executor-side read of one _ChangePartition: pyarrow-read the
+    file (projected columns only), apply DV positions, append the
+    ``_change``/``_commit_version`` columns. Shared by both readers."""
+    import pyarrow as pa
+
+    from etl_job_spark.table import entry_arrow_table
+
+    e = partition.entry
+    if partition.old_entry is not None:
+        # DV growth: emit exactly the newly-dead positions
+        positions = sorted(
+            _dv_positions(table_path, e)
+            - _dv_positions(table_path, partition.old_entry)
+        )
+    else:
+        positions = None
+    tbl = entry_arrow_table(table_path, e, fields, cmap, positions)
+    m = tbl.num_rows
+    if m == 0:
+        return
+    cols = list(tbl.columns)
+    names = list(tbl.column_names)
+    cols.append(pa.array([partition.change] * m, type=pa.string()))
+    names.append(CHANGE_COL)
+    cols.append(pa.array([partition.version] * m, type=pa.int64()))
+    names.append(VERSION_COL)
+    out = pa.table(dict(zip(names, cols)))
+    yield from out.combine_chunks().to_batches()
 
 
 class _TableChangesReader(DataSourceStreamReader):
@@ -165,34 +240,7 @@ class _TableChangesReader(DataSourceStreamReader):
             )
             self._at_version = lo
         for v in range(lo + 1, hi + 1):
-            raw = t._read_raw_manifest(v)
-            if "delta" in raw:
-                delta = raw["delta"]
-                for p in delta["removes"]:
-                    old = self._by_path.pop(p, None)
-                    if old is not None:
-                        parts.append(_ChangePartition(old, "delete", v, None))
-                for e in delta["upserts"]:
-                    old = self._by_path.get(e["path"])
-                    if old is None:
-                        parts.append(_ChangePartition(e, "insert", v, None))
-                    elif _dv_ident(e) != _dv_ident(old):
-                        parts.append(_ChangePartition(e, "delete", v, old))
-                    self._by_path[e["path"]] = e
-            else:
-                by_b = {e["path"]: e for e in t._read_manifest(v)["files"]}
-                for p, e in by_b.items():
-                    old = self._by_path.get(p)
-                    if old is None:
-                        parts.append(_ChangePartition(e, "insert", v, None))
-                    elif _dv_ident(e) != _dv_ident(old):
-                        parts.append(_ChangePartition(e, "delete", v, old))
-                parts.extend(
-                    _ChangePartition(e, "delete", v, None)
-                    for p, e in self._by_path.items()
-                    if p not in by_b
-                )
-                self._by_path = by_b
+            parts.extend(_classify_version(t, self._by_path, v))
             self._at_version = v
         # the resolved-files cache only ever needs the trailing edge:
         # drop older versions so a long-running stream stays O(1)
@@ -207,41 +255,75 @@ class _TableChangesReader(DataSourceStreamReader):
     # -- executor side ------------------------------------------------
 
     def read(self, partition: _ChangePartition):
-        import pyarrow as pa
+        yield from _emit_change_batches(
+            self._path, self._fields, self._cmap, partition
+        )
 
-        from etl_job_spark.table import entry_arrow_table
 
-        e = partition.entry
-        if partition.old_entry is not None:
-            # DV growth: emit exactly the newly-dead positions
-            positions = sorted(
-                _dv_positions(self._path, e)
-                - _dv_positions(self._path, partition.old_entry)
+class _TableChangesBatchReader(DataSourceReader):
+    """Batch form of the change feed: one planned read over a CLOSED
+    version range — ``spark.read.format("table_changes")`` with
+    ``startingVersion``(required, inclusive)/``endingVersion``
+    (inclusive, default latest), the shape a backfill consumer uses so
+    its one-shot read goes through the SAME planner as its streaming
+    job. Equivalent to ``ManifestTable.diff`` modulo the documented
+    file-rewrite noise (a compaction surfaces as pair-matched
+    delete+insert; ``suppress_unchanged`` cancels it)."""
+
+    def __init__(self, table_path: str, out_schema: StructType, start: int, end: int):
+        self._path = table_path
+        self._fields = StructType(out_schema.fields[:-2])
+        self._start = start
+        self._end = end
+        from etl_job_spark.table import ManifestTable
+
+        t = ManifestTable(table_path)
+        latest = t.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {table_path}")
+        if not 1 <= start <= end <= latest:
+            raise ValueError(
+                f"table_changes: need 1 <= startingVersion ({start}) <= "
+                f"endingVersion ({end}) <= latest committed ({latest})"
             )
-        else:
-            positions = None
-        tbl = entry_arrow_table(self._path, e, self._fields, self._cmap, positions)
-        m = tbl.num_rows
-        if m == 0:
-            return
-        cols = list(tbl.columns)
-        names = list(tbl.column_names)
-        cols.append(pa.array([partition.change] * m, type=pa.string()))
-        names.append(CHANGE_COL)
-        cols.append(pa.array([partition.version] * m, type=pa.int64()))
-        names.append(VERSION_COL)
-        out = pa.table(dict(zip(names, cols)))
-        yield from out.combine_chunks().to_batches()
+        self._cmap = dict(t._read_raw_manifest(latest).get("column_map") or {})
+
+    def partitions(self):
+        from etl_job_spark.table import ManifestTable
+
+        t = ManifestTable(self._path)
+        lo = self._start - 1  # startingVersion is INCLUSIVE (Delta)
+        by_path = (
+            {e["path"]: e for e in t._read_manifest(lo)["files"]} if lo >= 1 else {}
+        )
+        parts: list[_ChangePartition] = []
+        for v in range(self._start, self._end + 1):
+            parts.extend(_classify_version(t, by_path, v))
+        return parts
+
+    def read(self, partition: _ChangePartition):
+        yield from _emit_change_batches(
+            self._path, self._fields, self._cmap, partition
+        )
 
 
 class TableChangesDataSource(DataSource):
     """``spark.readStream.format("table_changes").option("path", p)``
     — the ManifestTable change-data-feed source (module docstring has
-    the full semantics). Options: ``path`` (required), and at most one
-    of ``startingVersion`` (include changes from that version on) /
+    the full semantics) — and its BATCH twin,
+    ``spark.read.format("table_changes")``, so a backfill consumer
+    reads a closed version range through the same planner its
+    streaming job uses.
+
+    Options: ``path`` (required), and at most one of
+    ``startingVersion`` (include changes from that version on) /
     ``startingTimestamp`` (inclusive: from the first version committed
-    at or after the ISO timestamp); default: only changes committed
-    after the stream starts."""
+    at or after the ISO timestamp). Streaming default: only changes
+    committed after the stream starts. Batch REQUIRES a starting
+    boundary (Delta's rule) and accepts at most one of
+    ``endingVersion`` (inclusive) / ``endingTimestamp`` (the last
+    version committed at or before the ISO timestamp); default ending:
+    the latest committed version."""
 
     @classmethod
     def name(cls) -> str:
@@ -306,8 +388,57 @@ class TableChangesDataSource(DataSource):
             ]
         )
 
+    def _ending_version(self) -> int | None:
+        ev = self.options.get("endingversion")
+        et = self.options.get("endingtimestamp")
+        if ev is not None and et is not None:
+            raise ValueError(
+                "table_changes: pass at most one of endingVersion / "
+                "endingTimestamp"
+            )
+        if ev is not None:
+            return int(ev)
+        if et is not None:
+            import datetime
+
+            from etl_job_spark.table import ManifestTable
+
+            # Delta's endingTimestamp shape, inclusive: up to the LAST
+            # version committed at or before the timestamp
+            want = datetime.datetime.fromisoformat(et)
+            if want.tzinfo is None:
+                want = want.replace(tzinfo=datetime.timezone.utc)
+            t = ManifestTable(self._path())
+            last = None
+            for v in t.versions():
+                at = t._read_raw_manifest(v).get("committed_at")
+                if at is not None and datetime.datetime.fromisoformat(at) <= want:
+                    last = v
+            if last is None:
+                raise ValueError(
+                    f"table_changes: no version committed at or before "
+                    f"endingTimestamp {et!r}"
+                )
+            return last
+        return None
+
     def streamReader(self, schema: StructType) -> _TableChangesReader:
         return _TableChangesReader(self._path(), schema, self._starting_version())
+
+    def reader(self, schema: StructType) -> _TableChangesBatchReader:
+        from etl_job_spark.table import ManifestTable
+
+        start = self._starting_version()
+        if start is None:
+            raise ValueError(
+                "batch table_changes requires startingVersion or "
+                "startingTimestamp (Delta's rule: a one-shot change read "
+                "needs an explicit lower bound)"
+            )
+        end = self._ending_version()
+        if end is None:
+            end = ManifestTable(self._path()).latest_version() or 0
+        return _TableChangesBatchReader(self._path(), schema, int(start), int(end))
 
 
 def suppress_unchanged(batch_df: DataFrame) -> DataFrame:
@@ -355,4 +486,31 @@ def read_table_changes(
         reader = reader.option("startingVersion", str(starting_version))
     if starting_timestamp is not None:
         reader = reader.option("startingTimestamp", starting_timestamp)
+    return reader.load()
+
+
+def read_table_changes_batch(
+    spark: SparkSession,
+    table_path: str,
+    starting_version: int | None = None,
+    ending_version: int | None = None,
+    starting_timestamp: str | None = None,
+    ending_timestamp: str | None = None,
+) -> DataFrame:
+    """One-shot change read over a closed version range — the batch
+    twin of ``read_table_changes``, through the SAME planner
+    (``spark.read.format("table_changes")``). A starting boundary is
+    required; the ending boundary defaults to the latest committed
+    version. Equivalent to ``ManifestTable.diff`` modulo file-rewrite
+    noise (compose with ``suppress_unchanged`` for the exact form)."""
+    spark.dataSource.register(TableChangesDataSource)
+    reader = spark.read.format("table_changes").option("path", table_path)
+    if starting_version is not None:
+        reader = reader.option("startingVersion", str(starting_version))
+    if starting_timestamp is not None:
+        reader = reader.option("startingTimestamp", starting_timestamp)
+    if ending_version is not None:
+        reader = reader.option("endingVersion", str(ending_version))
+    if ending_timestamp is not None:
+        reader = reader.option("endingTimestamp", ending_timestamp)
     return reader.load()
