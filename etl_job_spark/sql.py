@@ -118,6 +118,96 @@ def _split_assignments(body: str) -> dict[str, str]:
     return out
 
 
+def _parse_spec_predicate(pred: str) -> list[tuple]:
+    """A restricted conjunctive WHERE → the engine's predicate-spec
+    tuples (``snapshot_where`` form) — what ``OPTIMIZE t WHERE …``
+    plans file scope from. Grammar: ``col = lit``, ``col IN (lits)``,
+    ``col BETWEEN lit AND lit``, ``col </<=/>/>= lit``, ``col IS [NOT]
+    NULL``, joined by AND. Anything else (OR, functions, expressions)
+    refuses — a scope must be provable from per-file metadata, and
+    this spec form is exactly what the planner's per-entry matcher
+    reasons about."""
+    import re
+
+    def _lit(tok: str):
+        tok = tok.strip()
+        if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in ("'", '"'):
+            body = tok[1:-1]
+            # a REAL string literal has no unescaped quote inside —
+            # otherwise this is an expression whose first and last
+            # characters merely happen to be quotes ('a' OR x = 'b')
+            if tok[0] not in body.replace(tok[0] * 2, ""):
+                return body.replace(tok[0] * 2, tok[0])
+        if re.fullmatch(r"[+-]?\d+", tok):
+            return int(tok)
+        if re.fullmatch(r"[+-]?\d*\.\d+([eE][+-]?\d+)?", tok):
+            return float(tok)
+        if tok.upper() in ("TRUE", "FALSE"):
+            return tok.upper() == "TRUE"
+        raise ValueError(
+            f"OPTIMIZE WHERE literal {tok!r}: expected a quoted string, "
+            "number, or boolean"
+        )
+
+    # split on top-level AND, re-joining the AND that belongs to a
+    # BETWEEN (its lower bound ends the previous part)
+    parts: list[str] = []
+    rest = pred.strip()
+    while True:
+        at = _scan_top(rest, "AND")
+        if at < 0:
+            parts.append(rest)
+            break
+        parts.append(rest[:at])
+        rest = rest[at + 3:]
+    terms: list[str] = []
+    for p in parts:
+        if terms and re.search(r"(?is)\bBETWEEN\s+\S+\s*$", terms[-1]):
+            terms[-1] += " AND " + p  # the BETWEEN's own AND
+        else:
+            terms.append(p)
+    spec: list[tuple] = []
+    for term in terms:
+        t = term.strip()
+        m = re.fullmatch(r"(?is)(\w+)\s+IS\s+NOT\s+NULL", t)
+        if m:
+            spec.append((m.group(1), "not_null"))
+            continue
+        m = re.fullmatch(r"(?is)(\w+)\s+IS\s+NULL", t)
+        if m:
+            spec.append((m.group(1), "is_null"))
+            continue
+        m = re.fullmatch(r"(?is)(\w+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)", t)
+        if m:
+            spec.append((m.group(1), "between", (_lit(m.group(2)), _lit(m.group(3)))))
+            continue
+        m = re.fullmatch(r"(?is)(\w+)\s+IN\s*\(([^)]*)\)", t)
+        if m:
+            items = [x for x in m.group(2).split(",") if x.strip()]
+            if not items:
+                raise ValueError(f"OPTIMIZE WHERE: empty IN list in {t!r}")
+            spec.append((m.group(1), "in", [_lit(x) for x in items]))
+            continue
+        # the RHS is ONE literal: a quoted string (spaces allowed,
+        # '' escapes) or a single unquoted token — never an expression
+        m = re.fullmatch(
+            r"(?s)(\w+)\s*(=|<=|>=|<|>)\s*"
+            r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|\S+)",
+            t,
+        )
+        if m:
+            spec.append((m.group(1), m.group(2), _lit(m.group(3))))
+            continue
+        raise ValueError(
+            f"OPTIMIZE WHERE term {t!r}: supported forms are col = lit, "
+            "col IN (lits), col BETWEEN lit AND lit, col </<=/>/>= lit, "
+            "col IS [NOT] NULL, joined by AND — the scope must be "
+            "provable from file metadata (library:"
+            " compact_small_files(predicates=[...]))"
+        )
+    return spec
+
+
 def _strip_alias(expr: str, alias: str, other: str | None, what: str) -> str:
     """Remove ``alias.`` qualifiers outside quotes; refuse if the
     OTHER relation's alias is still referenced (the clause's contract
@@ -670,17 +760,31 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
         if upper.startswith("OPTIMIZE"):
             m = re.match(
                 r"(?is)^OPTIMIZE\s+(\S+)\s*"
+                r"(?:WHERE\s+(.*?)\s*)?"
                 r"(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
                 s,
             )
             if m is None:
                 raise ValueError(
-                    "supported form: OPTIMIZE <table> [ZORDER BY (col, ...)]"
+                    "supported form: OPTIMIZE <table> [WHERE <spec-pred>] "
+                    "[ZORDER BY (col, ...)]"
                 )
             _check_target(m.group(1), t)
-            if m.group(2):
-                cols = [c.strip().strip("`") for c in m.group(2).split(",")]
+            if m.group(3):
+                if m.group(2):
+                    raise ValueError(
+                        "OPTIMIZE WHERE scopes the incremental bin-pack; "
+                        "ZORDER BY rewrites whole-table — pick one"
+                    )
+                cols = [c.strip().strip("`") for c in m.group(3).split(",")]
                 return t.compact(spark, cluster_by=cols, zorder=True)
+            if m.group(2):
+                # partition-scoped OPTIMIZE: bin-pack only the files
+                # the spec-form predicate can touch — cure one hot
+                # partition's fragmentation without listing the rest
+                return t.compact_small_files(
+                    spark, predicates=_parse_spec_predicate(m.group(2))
+                )
             # plain OPTIMIZE = incremental small-file bin-packing (the
             # fragmentation cure; cost scales with fragmentation)
             return t.compact_small_files(spark)

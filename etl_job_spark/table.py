@@ -4763,6 +4763,7 @@ class ManifestTable:
         spark: SparkSession,
         target_rows_per_file: int = 1_000_000,
         small_file_rows: int | None = None,
+        predicates: Sequence[tuple] | None = None,
     ) -> int:
         """INCREMENTAL compaction — the at-scale counterpart of
         ``compact``: bin-pack only the FRAGMENTED files (fewer than
@@ -4781,17 +4782,58 @@ class ManifestTable:
         columns (one task per touched partition — the same write shape
         as MERGE); clustering/z-ordering beyond that remains
         ``compact(cluster_by=…)``'s job, since bin-packing arbitrary
-        small files cannot preserve a global sort."""
+        small files cannot preserve a global sort.
+
+        ``predicates`` (the ``snapshot_where`` spec-tuple form) SCOPES
+        the pass — SQL's ``OPTIMIZE t WHERE …``: only files the
+        predicate can possibly touch (judged from partition values,
+        transform dirs, and footer stats, the same per-entry matcher
+        every read plans with) are candidates for rewriting or
+        dead-file dropping; every other file is carried by reference,
+        untouched. A 100 TB mart cures one hot partition's
+        fragmentation without listing, reading, or rewriting the rest.
+        Unknown stats never exempt a file (unknown = possibly in
+        scope — sound, just compacts more)."""
         if small_file_rows is None:
             small_file_rows = max(1, target_rows_per_file // 2)
+        spec = _normalize_predicates(predicates) if predicates is not None else None
 
         def attempt() -> int:
             base = self.latest_version()
             if base is None:
                 raise FileNotFoundError(f"no committed version at {self.path}")
             man = self._read_manifest(base)
+            in_scope = None
+            if spec is not None:
+                cmap = man.get("column_map") or {}
+                phys_spec = [
+                    (cmap.get(col, col), op, v) for col, op, v in spec
+                ]
+                schema0 = self._manifest_schema(man)
+                part_types = (
+                    {
+                        cmap.get(f.name, f.name): f.dataType.simpleString()
+                        for f in schema0.fields
+                    }
+                    if schema0 is not None
+                    else {}
+                )
+                utc = _session_utc(spark)
+                tmap = _prune_tmap(
+                    man["partition_by"], man.get("partition_specs"), utc
+                )
+                in_scope = lambda e: _entry_matches_stats(  # noqa: E731
+                    e, phys_spec, part_types, tmap, utc
+                )
             carried, rewrite = [], []
             for e in man["files"]:
+                if in_scope is not None and not in_scope(e):
+                    # outside the OPTIMIZE WHERE scope: carried by
+                    # reference even when small or fully dead — the
+                    # scoped pass must touch only what the predicate
+                    # can reach (manifest-diff pinned)
+                    carried.append(e)
+                    continue
                 if _fully_dead(e):
                     continue  # garbage-collected by this commit
                 has_dv = bool(e.get("dv") or e.get("dv_ref"))
@@ -4837,6 +4879,10 @@ class ManifestTable:
                 "carried": len(carried),
                 "dropped_dead": n_dead,
             }
+            if spec is not None:
+                # stringified: manifest JSON; informational, like the
+                # rest of the operation dict
+                op["predicates"] = [f"{col} {o} {v!r}" for col, o, v in spec]
             return self._commit(
                 carried + new_entries, schema, partition_by or None, base, op,
                 bloom_cols=man.get("bloom_cols"),
