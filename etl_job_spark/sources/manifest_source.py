@@ -292,46 +292,21 @@ class ManifestTableDataSource(DataSource):
                 # write tasks rename logical→physical before writing
                 # (overwrite clears the mapping, so it writes as-is)
                 column_map = dict(man.get("column_map") or {})
+        _check_duck_safe_constraints(
+            constraints, columns=[f.name for f in schema.fields]
+        )
         if partition_by:
             # type gate: the executor derives hive dir values with a
             # Python mirror of the library's transform expressions —
-            # exact only for the types below (and, for the calendar
-            # transforms, only under a UTC session, which only the
-            # wrapper can attest). Anything else: refuse loudly here,
-            # at plan time, naming the API that owns the general case.
+            # exact only inside the envelope partition_envelope
+            # attests. Anything else: refuse loudly here, at plan
+            # time, naming the API that owns the general case.
             types = {f.name: f.dataType.simpleString() for f in schema.fields}
             # option keys arrive lowercased on the read path; be
             # spelling-robust here (the write path has varied)
             opt = self.options.get("sessionutc", self.options.get("sessionUtc", ""))
             utc = str(opt).lower() == "true"
-            integral = ("tinyint", "smallint", "int", "bigint")
-            for f in _partition_fields(partition_by):
-                st = types.get(f.source)
-                if st is None:
-                    raise ValueError(
-                        f"manifest_table datasource append: partition source "
-                        f"column {f.source!r} missing from the written frame"
-                    )
-                if f.kind in ("hours", "days", "months"):
-                    # ntz included: under the required UTC session its
-                    # cast-to-timestamp is wall-identical, so the
-                    # executor mirror (naive strftime) stays exact
-                    if st not in ("timestamp", "timestamp_ntz") or not utc:
-                        raise ValueError(
-                            f"manifest_table datasource append: partition "
-                            f"transform {f.spec!r} needs a timestamp source "
-                            "under a UTC session (write through "
-                            "write_manifest_table, which attests the session "
-                            "timezone, or ManifestTable.append)"
-                        )
-                elif st not in integral and st != "string":
-                    raise ValueError(
-                        f"manifest_table datasource append: partition "
-                        f"{f.spec!r} over a {st} column — only string/"
-                        "integral sources derive identical dir values in "
-                        "the datasource writer; use ManifestTable.append"
-                    )
-                int_sources[f.source] = st in integral
+            int_sources = partition_envelope(partition_by, types, utc)
         return _ManifestWriter(
             self._path(), schema, overwrite,
             partition_by=partition_by, int_sources=int_sources,
@@ -363,6 +338,9 @@ class ManifestTableDataSource(DataSource):
             constraints = man.get("constraints") or {}
             bloom_cols = list(man.get("bloom_cols") or [])
             column_map = dict(man.get("column_map") or {})
+        _check_duck_safe_constraints(
+            constraints, columns=[f.name for f in schema.fields]
+        )
         return _ManifestStreamWriter(
             self._path(), schema, app,
             constraints=constraints, bloom_cols=bloom_cols,
@@ -395,6 +373,81 @@ def _escape_dir_value(v: str | None) -> str:
     if v is None:
         return "__HIVE_DEFAULT_PARTITION__"
     return "".join(f"%{ord(c):02X}" if c in _DIR_ESCAPE else c for c in v)
+
+
+def _check_duck_safe_constraints(
+    constraints: dict[str, str], columns=None
+) -> None:
+    """Plan-time dialect gate for the DSv2 writers (r10 ADVICE,
+    medium): task-side validation evaluates CHECK predicates with
+    DuckDB, and a predicate OUTSIDE the vetted cross-dialect subset
+    could be evaluated with different semantics than Spark's
+    (ANSI cast/overflow, regexp flavor, date-function dialect,
+    timezone handling) — silently enforcing a different constraint
+    than the table's. Refuse at plan time, naming the library path,
+    whose fused route falls back to Spark-side validation for exactly
+    these predicates."""
+    from etl_job_spark.table import duckdb_dialect_safe
+
+    bad = sorted(
+        name for name, pred in (constraints or {}).items()
+        if not duckdb_dialect_safe(pred, columns=columns)
+    )
+    if bad:
+        raise ValueError(
+            f"manifest_table datasource write: CHECK constraint(s) {bad} "
+            "use predicates outside the vetted Spark/DuckDB cross-dialect "
+            "subset — the datasource's task-side DuckDB validation could "
+            "silently enforce different semantics than Spark. Write "
+            "through ManifestTable.append/overwrite, which validates "
+            "these Spark-side."
+        )
+
+
+def partition_envelope(
+    partition_by, types: dict[str, str], utc: bool
+) -> dict[str, bool]:
+    """Validate that the task-side Python dir-derivation mirror
+    (``_derive_dir_values``) is EXACT for this partition spec over
+    these source column types: string/integral sources for
+    raw/bucket/truncate, timestamp (+ntz) under a UTC session for the
+    calendar transforms. Returns ``{source: is_integral}`` (what the
+    mirror needs for canonical int spelling); raises ValueError naming
+    the library API outside the envelope — the DSv2 writer surfaces
+    that refusal at plan time, the library's fused write route catches
+    it and falls back to the native writer."""
+    from etl_job_spark.table import _partition_fields
+
+    int_sources: dict[str, bool] = {}
+    integral = ("tinyint", "smallint", "int", "bigint")
+    for f in _partition_fields(partition_by):
+        st = types.get(f.source)
+        if st is None:
+            raise ValueError(
+                f"manifest_table datasource append: partition source "
+                f"column {f.source!r} missing from the written frame"
+            )
+        if f.kind in ("hours", "days", "months"):
+            # ntz included: under the required UTC session its
+            # cast-to-timestamp is wall-identical, so the
+            # executor mirror (naive strftime) stays exact
+            if st not in ("timestamp", "timestamp_ntz") or not utc:
+                raise ValueError(
+                    f"manifest_table datasource append: partition "
+                    f"transform {f.spec!r} needs a timestamp source "
+                    "under a UTC session (write through "
+                    "write_manifest_table, which attests the session "
+                    "timezone, or ManifestTable.append)"
+                )
+        elif st not in integral and st != "string":
+            raise ValueError(
+                f"manifest_table datasource append: partition "
+                f"{f.spec!r} over a {st} column — only string/"
+                "integral sources derive identical dir values in "
+                "the datasource writer; use ManifestTable.append"
+            )
+        int_sources[f.source] = st in integral
+    return int_sources
 
 
 def _derive_dir_values(field, pdf, int_src: bool) -> list:
@@ -501,134 +554,18 @@ class _ManifestWriter(DataSourceArrowWriter):
     # -- executor side --------------------------------------------------
 
     def write(self, iterator) -> _FileMessage:
-        import os
-        import uuid
-
-        import pyarrow.parquet as pq
-
-        from etl_job_spark.table import _file_blooms, _file_stats, _partition_fields
-
-        import pyarrow as pa
-
-        out_root = os.path.join(self._path, "data", self._sub)
-        fields = _partition_fields(getattr(self, "_partition_by", None))
-        cons = getattr(self, "_constraints", None) or {}
-        bloom_cols = list(getattr(self, "_bloom_cols", None) or [])
-        cmap = getattr(self, "_column_map", None) or {}
-
-        def _physical(batch) -> "pa.Table":
-            # renamed tables: files store PHYSICAL names (the library's
-            # _renamed step) — validation ran on the LOGICAL batch
-            # above; partition sources are never renameable, so dir
-            # derivation is name-stable either way
-            tbl = pa.Table.from_batches([batch])
-            if cmap and any(n in cmap for n in tbl.schema.names):
-                tbl = tbl.rename_columns(
-                    [cmap.get(n, n) for n in tbl.schema.names]
-                )
-            return tbl
-
-        def _blooms(full: str):
-            # same per-file bloom build the library's write path runs
-            # (_write_bloom_sidecars reads the just-written file); here
-            # it rides back in the commit message so the session-less
-            # commit never re-reads anything
-            return _file_blooms(full, bloom_cols) if bloom_cols else None
-
-        if not fields:
-            rel = os.path.join(self._sub, f"ds-{uuid.uuid4().hex}.parquet")
-            full = os.path.join(self._path, "data", rel)
-            writer = None
-            try:
-                for batch in iterator:
-                    if batch.num_rows == 0:
-                        continue
-                    _validate_arrow_batch(batch, cons, self._path)
-                    tbl = _physical(batch)
-                    if writer is None:
-                        os.makedirs(out_root, exist_ok=True)
-                        writer = pq.ParquetWriter(full, tbl.schema)
-                    writer.write_table(tbl)
-            finally:
-                if writer is not None:
-                    writer.close()
-            if writer is None:
-                return _FileMessage()
-            rows, stats = _file_stats(full)
-            return _FileMessage([
-                {"rel": rel, "rows": rows, "stats": stats, "partition": {},
-                 "bloom": _blooms(full)}
-            ])
-
-        # partitioned append: derive the dir values per row (the exact
-        # Python mirror of the library's transform columns), split the
-        # batch, stream each partition value into its own file. The
-        # wrapper pre-clusters the frame on the partition values, so a
-        # task normally holds ONE value (the fast whole-batch path).
-        import pyarrow as pa
-
-        # partition dirnames leave the file contents (raw columns are
-        # restored from the dirs on read; transform dirs never existed
-        # as columns) — identical to Spark's partitionBy contract
-        drop_cols = [f.dirname for f in fields if f.kind == "raw"]
-        writers: dict[tuple, tuple] = {}  # key -> (writer, full, rel, pdict)
-        try:
-            for batch in iterator:
-                if batch.num_rows == 0:
-                    continue
-                # validate BEFORE the raw partition columns leave the
-                # file contents — a CHECK on a partition column must
-                # see its values
-                _validate_arrow_batch(batch, cons, self._path)
-                pdf = batch.to_pandas()
-                phys_tbl = _physical(batch)
-                per_field = [
-                    _derive_dir_values(
-                        f, pdf, self._int_sources.get(f.source, False)
-                    )
-                    for f in fields
-                ]
-                tbl = phys_tbl
-                if drop_cols:
-                    tbl = tbl.drop_columns(drop_cols)
-                keys = list(zip(*per_field))
-                distinct = sorted(set(keys), key=lambda k: tuple(
-                    "" if v is None else v for v in k
-                ))
-                for key in distinct:
-                    if len(distinct) == 1:
-                        part = tbl
-                    else:
-                        idx = [i for i, k in enumerate(keys) if k == key]
-                        part = tbl.take(pa.array(idx))
-                    state = writers.get(key)
-                    if state is None:
-                        segs = "/".join(
-                            f"{f.dirname}={_escape_dir_value(v)}"
-                            for f, v in zip(fields, key)
-                        )
-                        rel = os.path.join(
-                            self._sub, segs, f"ds-{uuid.uuid4().hex}.parquet"
-                        )
-                        full = os.path.join(self._path, "data", rel)
-                        os.makedirs(os.path.dirname(full), exist_ok=True)
-                        pdict = {f.dirname: v for f, v in zip(fields, key)}
-                        state = (
-                            pq.ParquetWriter(full, part.schema), full, rel, pdict
-                        )
-                        writers[key] = state
-                    state[0].write_table(part)
-        finally:
-            for w, _, _, _ in writers.values():
-                w.close()
-        files = []
-        for _, full, rel, pdict in writers.values():
-            rows, stats = _file_stats(full)
-            files.append(
-                {"rel": rel, "rows": rows, "stats": stats, "partition": pdict,
-                 "bloom": _blooms(full)}
+        return _FileMessage(
+            write_task_files(
+                self._path,
+                self._sub,
+                getattr(self, "_partition_by", None),
+                getattr(self, "_int_sources", None) or {},
+                getattr(self, "_constraints", None) or {},
+                list(getattr(self, "_bloom_cols", None) or []),
+                getattr(self, "_column_map", None) or {},
+                iterator,
             )
-        return _FileMessage(files)
+        )
 
     # -- driver side ------------------------------------------------------
 
@@ -747,6 +684,177 @@ class _ManifestWriter(DataSourceArrowWriter):
             shutil.rmtree(os.path.join(self._path, "data", self._sub))
         except OSError:
             pass
+
+
+def write_task_files(
+    table_path: str,
+    sub: str,
+    partition_by,
+    int_sources: dict[str, bool],
+    constraints: dict[str, str],
+    bloom_cols: list[str],
+    column_map: dict[str, str],
+    iterator,
+    bloom_sidecar_dir: str | None = None,
+) -> list[dict]:
+    """ONE write task's single-pass guarded write: consume Arrow
+    batches of LOGICAL rows, validate each against the CHECK
+    constraints (DuckDB, zero-copy), rename logical→physical
+    (``column_map``), derive hive partition dirs, stream to parquet,
+    and compute footer stats + per-file blooms right after each file
+    closes. Returns one dict per file landed: ``{rel, rows, stats,
+    partition, bloom}`` — or, when ``bloom_sidecar_dir`` is given, the
+    task writes its OWN bloom sidecar (the distributed-tier shape: the
+    driver never holds bloom bytes) and returns ``bloom_ref`` instead.
+
+    Shared by the DSv2 writer (``_ManifestWriter.write``, sidecars
+    assembled by its commit) and the library's fused write route
+    (``ManifestTable._write_data_files`` via ``mapInArrow`` — r10
+    VERDICT #4: the library's guarded writes get the same
+    validate-and-bloom-in-the-write-tasks shape instead of a separate
+    Spark validation pass plus a post-write bloom re-read)."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_job_spark.table import _file_blooms, _file_stats, _partition_fields
+
+    out_root = os.path.join(table_path, "data", sub)
+    fields = _partition_fields(partition_by)
+    cons = constraints or {}
+    cmap = column_map or {}
+
+    def _physical(batch) -> "pa.Table":
+        # renamed tables: files store PHYSICAL names (the library's
+        # _renamed step) — validation ran on the LOGICAL batch
+        # above; partition sources are never renameable, so dir
+        # derivation is name-stable either way
+        tbl = pa.Table.from_batches([batch])
+        if cmap and any(n in cmap for n in tbl.schema.names):
+            tbl = tbl.rename_columns(
+                [cmap.get(n, n) for n in tbl.schema.names]
+            )
+        return tbl
+
+    def _blooms(full: str):
+        # same per-file bloom build the library's driver tier runs
+        # (_write_bloom_sidecars reads the just-written file); here
+        # the just-closed file is task-local and page-cache warm
+        return _file_blooms(full, bloom_cols) if bloom_cols else None
+
+    def _finish(files: list[dict]) -> list[dict]:
+        if bloom_sidecar_dir is None:
+            return files
+        # task-side sidecar (one per task, like the distributed bloom
+        # tier): entries carry bloom_ref, never bloom bytes
+        blooms = {f["rel"]: f.pop("bloom") for f in files if f.get("bloom")}
+        for f in files:
+            f.pop("bloom", None)
+        if blooms:
+            os.makedirs(os.path.join(table_path, bloom_sidecar_dir), exist_ok=True)
+            ref = os.path.join(bloom_sidecar_dir, uuid.uuid4().hex + ".json")
+            import json as _json
+
+            with open(os.path.join(table_path, ref), "w") as f:
+                _json.dump(blooms, f)
+            for entry in files:
+                if entry["rel"] in blooms:
+                    entry["bloom_ref"] = ref
+        return files
+
+    if not fields:
+        rel = os.path.join(sub, f"ds-{uuid.uuid4().hex}.parquet")
+        full = os.path.join(table_path, "data", rel)
+        writer = None
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                _validate_arrow_batch(batch, cons, table_path)
+                tbl = _physical(batch)
+                if writer is None:
+                    os.makedirs(out_root, exist_ok=True)
+                    writer = pq.ParquetWriter(full, tbl.schema)
+                writer.write_table(tbl)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return []
+        rows, stats = _file_stats(full)
+        return _finish([
+            {"rel": rel, "rows": rows, "stats": stats, "partition": {},
+             "bloom": _blooms(full)}
+        ])
+
+    # partitioned write: derive the dir values per row (the exact
+    # Python mirror of the library's transform columns), split the
+    # batch, stream each partition value into its own file. Callers
+    # pre-cluster the frame on the partition values, so a task
+    # normally holds ONE value (the fast whole-batch path).
+
+    # partition dirnames leave the file contents (raw columns are
+    # restored from the dirs on read; transform dirs never existed
+    # as columns) — identical to Spark's partitionBy contract
+    drop_cols = [f.dirname for f in fields if f.kind == "raw"]
+    writers: dict[tuple, tuple] = {}  # key -> (writer, full, rel, pdict)
+    try:
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            # validate BEFORE the raw partition columns leave the
+            # file contents — a CHECK on a partition column must
+            # see its values
+            _validate_arrow_batch(batch, cons, table_path)
+            pdf = batch.to_pandas()
+            phys_tbl = _physical(batch)
+            per_field = [
+                _derive_dir_values(f, pdf, int_sources.get(f.source, False))
+                for f in fields
+            ]
+            tbl = phys_tbl
+            if drop_cols:
+                tbl = tbl.drop_columns(drop_cols)
+            keys = list(zip(*per_field))
+            distinct = sorted(set(keys), key=lambda k: tuple(
+                "" if v is None else v for v in k
+            ))
+            for key in distinct:
+                if len(distinct) == 1:
+                    part = tbl
+                else:
+                    idx = [i for i, k in enumerate(keys) if k == key]
+                    part = tbl.take(pa.array(idx))
+                state = writers.get(key)
+                if state is None:
+                    segs = "/".join(
+                        f"{f.dirname}={_escape_dir_value(v)}"
+                        for f, v in zip(fields, key)
+                    )
+                    rel = os.path.join(
+                        sub, segs, f"ds-{uuid.uuid4().hex}.parquet"
+                    )
+                    full = os.path.join(table_path, "data", rel)
+                    os.makedirs(os.path.dirname(full), exist_ok=True)
+                    pdict = {f.dirname: v for f, v in zip(fields, key)}
+                    state = (
+                        pq.ParquetWriter(full, part.schema), full, rel, pdict
+                    )
+                    writers[key] = state
+                state[0].write_table(part)
+    finally:
+        for w, _, _, _ in writers.values():
+            w.close()
+    files = []
+    for _, full, rel, pdict in writers.values():
+        rows, stats = _file_stats(full)
+        files.append(
+            {"rel": rel, "rows": rows, "stats": stats, "partition": pdict,
+             "bloom": _blooms(full)}
+        )
+    return _finish(files)
 
 
 def _validate_arrow_batch(batch, constraints: dict[str, str], table_path: str) -> None:

@@ -184,6 +184,65 @@ class CommitConflictError(RuntimeError):
     it escapes only after the retry budget is exhausted."""
 
 
+#: functions with identical semantics in Spark SQL and DuckDB over the
+#: types CHECK constraints see — the vetted subset task-side DuckDB
+#: validation may evaluate (r10 ADVICE: the two engines must never
+#: silently enforce DIFFERENT semantics for the same predicate text)
+_CROSS_DIALECT_FUNCS = frozenset(
+    {
+        "abs", "coalesce", "length", "lower", "upper", "trim", "ltrim",
+        "rtrim", "round", "floor", "ceil", "ceiling", "greatest", "least",
+        "nullif",
+    }
+)
+#: bare keywords/operator words of the vetted predicate grammar
+_CROSS_DIALECT_WORDS = frozenset(
+    {
+        "and", "or", "not", "in", "is", "null", "between", "like", "true",
+        "false", "case", "when", "then", "else", "end",
+    }
+)
+
+
+def duckdb_dialect_safe(pred: str, columns: Sequence[str] | None = None) -> bool:
+    """True when a CHECK predicate stays inside the vetted
+    cross-dialect subset — comparison/arithmetic operators, AND/OR/NOT,
+    IN, BETWEEN, LIKE, IS [NOT] NULL, CASE, single-quoted string and
+    numeric literals, bare column names, and the ``_CROSS_DIALECT_FUNCS``
+    allowlist — the grammar Spark SQL and DuckDB provably evaluate
+    identically. Everything else (casts, ``::``, double-quoted text —
+    a string in Spark, an IDENTIFIER in DuckDB — regexp/date/timezone
+    functions, backticks) returns False: the caller must validate
+    Spark-side instead of risking two engines enforcing different
+    semantics for the same constraint text (r10 ADVICE, medium).
+
+    ``columns`` (pass it whenever the schema is known): a bare word
+    that is NOT a vetted keyword must then be one of these column
+    names — otherwise it could be a dialect-divergent OPERATOR keyword
+    masquerading as an identifier (``s rlike '…'``: Spark regexp
+    operator, DuckDB parse error at best). Without ``columns`` the
+    check is lenient on bare words; task-side validation still refuses
+    anything DuckDB cannot parse, so unsafety degrades to a loud
+    refusal, never silence."""
+    import re
+
+    # strip single-quoted literals ('' escapes) before token scanning
+    stripped = re.sub(r"'(?:[^']|'')*'", "''", pred)
+    if any(tok in stripped for tok in ("::", "`", '"', "[", "{", "||", "?")):
+        return False
+    cols = {c.casefold() for c in columns} if columns is not None else None
+    for m in re.finditer(r"\b([A-Za-z_]\w*)(\s*\()?", stripped):
+        word = m.group(1).lower()
+        if word in _CROSS_DIALECT_WORDS:
+            continue  # keywords may precede parens (IN (...), NOT (...))
+        if m.group(2):
+            if word not in _CROSS_DIALECT_FUNCS:
+                return False  # a function call outside the allowlist
+        elif cols is not None and word not in cols:
+            return False  # not a column: possibly an operator keyword
+    return True
+
+
 class ConstraintViolationError(ValueError):
     """Incoming rows violate a table CHECK constraint; nothing was
     committed. Carries ``violations``: constraint name → row count."""
@@ -1980,6 +2039,10 @@ class ManifestTable:
         # it — the op runs fully (reads, prunes, data-file writes) but
         # the commit point moves to the catalog's transaction log
         self._capture: Callable[[int, dict], None] | None = None
+        # observability: which route the most recent _write_data_files
+        # call took ("fused" single-pass guarded write | "native"
+        # Spark parquet writer) — what the write-route tests pin
+        self.last_write_route: str | None = None
         # pending-manifest overlay (set by Transaction for CHAINED ops
         # on one table): version -> captured-but-unpublished manifest.
         # versions()/_read_raw_manifest consult it, so statement N+1
@@ -2833,14 +2896,220 @@ class ManifestTable:
 
     # -- commit protocol ----------------------------------------------
 
+    def _fused_write_route(
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str] | None,
+        cons: dict[str, str],
+        column_map: dict[str, str] | None = None,
+    ) -> dict | None:
+        """Eligibility check for the fused single-pass guarded write
+        (see ``_write_data_files``); returns the route's parameters,
+        or None → take the native route. All checks are driver-side
+        metadata work:
+
+        - the frame's schema must be Arrow-convertible (the fused
+          route moves batches through Arrow);
+        - the partition spec must sit inside the task-side derivation
+          envelope (``manifest_source.partition_envelope`` — the same
+          plan-time gate the DSv2 writer enforces);
+        - every CHECK predicate must be inside the vetted
+          cross-dialect subset (``duckdb_dialect_safe`` — task-side
+          DuckDB must never enforce different semantics than Spark
+          would; r10 ADVICE) AND must resolve against the LOGICAL view
+          of the written frame, dry-run on a zero-row Arrow table (a
+          predicate over a schema-evolved column the frame omits
+          validates Spark-side on the aligned frame instead)."""
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        cmap = dict(column_map or {})
+        try:
+            arrow_schema = to_arrow_schema(df.schema)
+        except Exception:
+            return None  # non-Arrow type in the frame: native route
+        int_sources: dict[str, bool] = {}
+        if partition_by:
+            from etl_job_spark.sources.manifest_source import partition_envelope
+
+            types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            try:
+                int_sources = partition_envelope(
+                    partition_by, types, _session_utc(df.sparkSession)
+                )
+            except ValueError:
+                return None  # outside the derivation envelope
+        if cons:
+            inv = {p: l for l, p in cmap.items()}
+            logical_cols = [inv.get(c, c) for c in df.columns]
+            if not all(
+                duckdb_dialect_safe(p, columns=logical_cols)
+                for p in cons.values()
+            ):
+                return None
+            import duckdb
+            import pyarrow as pa
+
+            logical = pa.schema(
+                [
+                    arrow_schema.field(i).with_name(
+                        inv.get(arrow_schema.field(i).name, arrow_schema.field(i).name)
+                    )
+                    for i in range(len(arrow_schema))
+                ]
+            )
+            empty = pa.table(
+                {f.name: pa.array([], type=f.type) for f in logical}
+            )
+            con = duckdb.connect()
+            try:
+                con.register("__batch", empty)
+                for pred in cons.values():
+                    try:
+                        con.execute(
+                            f"SELECT count(*) FROM __batch "
+                            f"WHERE NOT ({pred}) OR ({pred}) IS NULL"
+                        )
+                    except Exception:
+                        return None  # doesn't resolve: native route
+            finally:
+                con.close()
+        return {"int_sources": int_sources, "column_map": cmap}
+
+    def _write_data_files_fused(
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str] | None,
+        bloom_cols: list[str],
+        cons: dict[str, str],
+        route: dict,
+    ) -> list[dict]:
+        """The fused single-pass guarded write (see
+        ``_write_data_files``): one ``mapInArrow`` job running the
+        DSv2 writer's task body — validate each batch, write, stats +
+        blooms on the just-closed (page-cache-warm) file, task-side
+        bloom sidecars — and ship back one bounded JSON row per file.
+        A task-side constraint violation aborts the job; staged files
+        and sidecars are removed and the error resurfaces as the
+        library's ``ConstraintViolationError``."""
+        import re
+        import shutil
+
+        sub = uuid.uuid4().hex
+        cmap = route["column_map"]
+        if cons and cmap:
+            # tasks validate LOGICAL batches, then rename to physical
+            # for the files — hand them the logical view + the map
+            inv = {p: l for l, p in cmap.items()}
+            frame = df.select(
+                *[F.col(c).alias(inv.get(c, c)) for c in df.columns]
+            )
+            task_cmap = cmap
+        else:
+            frame = df
+            task_cmap = {}
+        sidecar_dir = (
+            os.path.join(_BLOOM_DIR, uuid.uuid4().hex) if bloom_cols else None
+        )
+        path = self.path
+        pb = list(partition_by or [])
+        int_sources = dict(route["int_sources"])
+        cons_d = dict(cons)
+        bc = list(bloom_cols)
+
+        def _task(batches):
+            import json as _json
+
+            import pyarrow as _pa
+
+            from etl_job_spark.sources.manifest_source import write_task_files
+
+            files = write_task_files(
+                path, sub, pb, int_sources, cons_d, bc, task_cmap, batches,
+                bloom_sidecar_dir=sidecar_dir,
+            )
+            if files:
+                yield _pa.record_batch(
+                    [_pa.array([_json.dumps(f) for f in files], _pa.string())],
+                    names=["entry"],
+                )
+
+        try:
+            rows = frame.mapInArrow(_task, "entry string").collect()
+        except Exception as exc:
+            shutil.rmtree(os.path.join(self.data_dir, sub), ignore_errors=True)
+            if sidecar_dir:
+                shutil.rmtree(
+                    os.path.join(self.path, sidecar_dir), ignore_errors=True
+                )
+            # a task-side CHECK violation crosses the JVM boundary as a
+            # wrapped PythonException — resurface the library error
+            hits = re.findall(
+                r"rejected by CHECK constraints: ([^\n]*)", str(exc)
+            )
+            if hits:
+                bad = {
+                    m.group(1): int(m.group(2))
+                    for m in re.finditer(r"(\w+) \((\d+) rows\)", hits[0])
+                }
+                if bad:
+                    raise ConstraintViolationError(self.path, bad) from exc
+            raise
+        entries = []
+        for r in rows:
+            d = json.loads(r["entry"])
+            if not d["rows"]:
+                try:  # defensive: tasks only create files on data
+                    os.remove(os.path.join(self.data_dir, d["rel"]))
+                except OSError:
+                    pass
+                continue
+            entry = {
+                "path": d["rel"],
+                "partition": d.get("partition") or {},
+                "rows": d["rows"],
+                "stats": d["stats"],
+            }
+            if d.get("bloom_ref"):
+                entry["bloom_ref"] = d["bloom_ref"]
+            entries.append(entry)
+        entries.sort(key=lambda e: e["path"])
+        return entries
+
     def _write_data_files(
         self,
         df: DataFrame,
         partition_by: Sequence[str] | None,
         bloom_cols: Sequence[str] | None = None,
+        constraints: Mapping[str, str] | None = None,
+        validate_frame: DataFrame | None = None,
+        column_map: Mapping[str, str] | None = None,
     ) -> list[dict]:
-        """Land ``df`` as new immutable files; return manifest entries.
+        """Land ``df`` (PHYSICAL column names) as new immutable files;
+        return manifest entries.
 
+        When ``constraints`` is given, CHECK enforcement happens
+        INSIDE this call: on the fused route below, task-side per
+        Arrow batch; on the native route, one Spark aggregation over
+        ``validate_frame`` (default: the logical view of ``df``)
+        before anything lands. Callers must not validate separately.
+
+        GUARDED writes (constraints and/or blooms) take the FUSED
+        single-pass route when eligible: one ``mapInArrow`` job whose
+        tasks validate each batch (DuckDB, zero-copy), write the
+        parquet, and compute footer stats + per-file blooms right
+        after each file closes — the DSv2 writer's shape
+        (``manifest_source.write_task_files``), shared code. This
+        replaces the old three-pass guarded shape (Spark validation
+        agg + native write + post-write bloom re-read; r10 VERDICT
+        #4). Eligibility (``_fused_write_route``): every predicate
+        inside the vetted cross-dialect subset AND resolving against
+        the written frame, and the partition spec inside the task-side
+        derivation envelope; anything else falls back to the native
+        route below — never a refusal, the library owns the general
+        case.
+
+        Native route: Spark's parquet writer (whole-stage codegen —
+        the fastest path for unguarded writes, which always take it).
         Stats collection is footer-only (no data pages) and O(new
         files per commit), never O(table). Commits of at most
         ``_DRIVER_STATS_MAX_FILES`` files read footers on the driver
@@ -2849,6 +3118,42 @@ class ManifestTable:
         — the Delta shape (stats collected by the write tasks), so a
         100k-file commit ships one bounded result row per file to the
         driver instead of stampeding it with 100k object-store reads."""
+        cons = dict(constraints or {})
+        if cons or bloom_cols:
+            fused = self._fused_write_route(
+                df, partition_by, cons, column_map=column_map
+            )
+            if fused is not None:
+                self.last_write_route = "fused"
+                return self._write_data_files_fused(
+                    df, partition_by, list(bloom_cols or []), cons, fused
+                )
+        self.last_write_route = "native"
+        if not cons:
+            return self._write_data_files_native(df, partition_by, bloom_cols)
+        # native route with constraints: one aggregation pass first
+        # (the pre-r11 shape); rows land only if every check holds
+        if validate_frame is not None:
+            self._validate(validate_frame, cons)
+            return self._write_data_files_native(df, partition_by, bloom_cols)
+        # the validation agg and the file write are two actions on the
+        # same plan — persist so an expensive upstream computes once
+        df = df.persist()
+        try:
+            self._validate(df, cons)
+            return self._write_data_files_native(df, partition_by, bloom_cols)
+        finally:
+            df.unpersist()
+
+    def _write_data_files_native(
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str] | None,
+        bloom_cols: Sequence[str] | None = None,
+    ) -> list[dict]:
+        """The native-writer route of ``_write_data_files`` (whole-stage
+        codegen parquet write; post-write footer stats and bloom
+        sidecars, driver- or executor-tiered by commit size)."""
         sub = uuid.uuid4().hex
         out_dir = os.path.join(self.data_dir, sub)
         if partition_by:
@@ -3656,17 +3961,11 @@ class ManifestTable:
                 if blooms is None:
                     blooms = man.get("bloom_cols")
                 constraints = man.get("constraints")
-            if constraints:
-                # the validation agg and the file write are two actions
-                # on the same plan — persist so an expensive upstream
-                # only computes once (the merge-source idiom)
-                frame = frame.persist()
-            try:
-                self._validate(frame, constraints)
-                entries = self._write_data_files(frame, part, bloom_cols=blooms)
-            finally:
-                if constraints:
-                    frame.unpersist()
+            # constraints enforce INSIDE the write (fused task-side
+            # single pass when eligible, else one validation agg first)
+            entries = self._write_data_files(
+                frame, part, bloom_cols=blooms, constraints=constraints
+            )
             return self._commit(
                 entries, df.schema, part, base, {"op": "overwrite"},
                 bloom_cols=blooms,
@@ -3699,19 +3998,18 @@ class ManifestTable:
             partition_by = man["partition_by"]
             blooms = man.get("bloom_cols")
             constraints = man.get("constraints")
-            frame = df.persist() if constraints else df
-            try:
-                # validate on the schema-ALIGNED frame (null-filled
-                # evolved columns) — what readers will see for these rows
-                self._validate(_align(frame, schema), constraints)
-                new_entries = self._write_data_files(
-                    _renamed(frame, man.get("column_map")),
-                    partition_by or None,
-                    bloom_cols=blooms,
-                )
-            finally:
-                if constraints:
-                    frame.unpersist()
+            # validation happens inside the write — task-side fused
+            # when eligible; the fallback validates the schema-ALIGNED
+            # frame (null-filled evolved columns), what readers will
+            # see for these rows
+            new_entries = self._write_data_files(
+                _renamed(df, man.get("column_map")),
+                partition_by or None,
+                bloom_cols=blooms,
+                constraints=constraints,
+                validate_frame=_align(df, schema) if constraints else None,
+                column_map=man.get("column_map"),
+            )
             entries = man["files"] + new_entries
             return self._commit(
                 entries, schema, partition_by or None, base, {"op": "append"},
@@ -4156,12 +4454,14 @@ class ManifestTable:
                 merged = _align(merge_upsert_source_only(ins, keys, order_col), schema)
             else:
                 merged = _align(merge_upsert_source_only(source, keys, order_col), schema)
-            if clause_mode:
-                # the rewritten rows are the only data this commit
-                # introduces — validate them with every column at its
-                # real post-merge value (narrow sources can't be
-                # validated standalone)
-                self._validate(merged, man.get("constraints"))
+            # clause mode: the rewritten rows are the only data this
+            # commit introduces — validate them with every column at
+            # its real post-merge value (narrow sources can't be
+            # validated standalone); enforcement happens inside the
+            # write (task-side fused when eligible, else one agg over
+            # the logical merged frame first)
+            write_cons = man.get("constraints") if clause_mode else None
+            logical_merged = merged
             # files store physical names: rename BEFORE the partition
             # repartition (whose fields are physical) and the write
             merged = _renamed(merged, cmap)
@@ -4176,7 +4476,10 @@ class ManifestTable:
                 # method serves.
                 merged = merged.repartition(*[f.column(merged) for f in part_fields])
             new_entries = self._write_data_files(
-                merged, partition_by or None, bloom_cols=man.get("bloom_cols")
+                merged, partition_by or None, bloom_cols=man.get("bloom_cols"),
+                constraints=write_cons,
+                validate_frame=logical_merged if write_cons else None,
+                column_map=cmap,
             )
             return self._commit(
                 untouched + new_entries, schema, partition_by or None, base,
@@ -4485,11 +4788,14 @@ class ManifestTable:
                 ]
             )
             # the rewritten rows are the only data this commit
-            # introduces — validate before anything lands
-            self._validate(updated, man.get("constraints"))
+            # introduces — validated inside the write (task-side fused
+            # when eligible, else one agg pass before anything lands)
             new_entries = self._write_data_files(
                 _renamed(updated, cmap), partition_by or None,
                 bloom_cols=man.get("bloom_cols"),
+                constraints=man.get("constraints"),
+                validate_frame=updated if man.get("constraints") else None,
+                column_map=cmap,
             )
             op = {
                 "op": "update",
