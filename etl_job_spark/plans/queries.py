@@ -1032,3 +1032,119 @@ def mart_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 query("kicc_mart_window_count", WINDOW_COUNT_SQL)(mart_window_count)
+
+
+# ---------------------------------------------------------------------
+# Round-11 surface: batch change-data-feed read + metadata-only ADD
+# COLUMN with a backfill UPDATE — both hash-checked against DuckDB
+# ---------------------------------------------------------------------
+
+CDF_BATCH_SQL = """
+SELECT o_orderkey, 'delete' AS change, 1 AS step
+FROM orders WHERE o_orderkey % 4 != 3 AND o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderkey, 'insert' AS change, 2 AS step
+FROM orders WHERE o_orderkey % 4 = 3
+"""
+
+
+def _cdf_mart(spark: SparkSession, sf_dir: str):
+    """A table with a known three-version history, landed ONCE per
+    (session, sf_dir): v1 overwrite (3/4 of orders), v2 merge-on-read
+    delete (every 10th key — DV-only, so the change feed emits EXACT
+    deleted rows with no rewrite noise), v3 append (the last quarter).
+    Re-invocations only READ — versions 2..3 are immutable."""
+    import hashlib
+
+    from etl_job_spark.scratch import scratch_dir
+    from etl_job_spark.sources.catalog import load_table
+    from etl_job_spark.table import ManifestTable
+
+    path = scratch_dir(
+        spark, "kicc_mart_cdf_batch",
+        f"_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    t = ManifestTable(path)
+    if t.latest_version() is None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        t.overwrite(orders.filter("o_orderkey % 4 != 3").coalesce(4))
+        t.delete_where(spark, "o_orderkey % 10 = 0", mode="merge_on_read")
+        t.append(orders.filter("o_orderkey % 4 = 3").coalesce(2))
+    return t
+
+
+def mart_cdf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch change-data-feed read (Delta's
+    ``spark.read.format(...).option("startingVersion", ...)`` shape)
+    over a closed version range — the backfill-consumer twin of the
+    streaming ``table_changes`` source, THROUGH THE SAME PLANNER
+    (streaming/cdf.py classify-per-version; round-11 batch reader).
+    The range covers a merge-on-read DELETE (DV growth → the exact
+    newly-dead rows emit as ``delete``) and an append (``insert``);
+    the oracle reconstructs both change sets relationally, so the
+    classification AND the executor-side Arrow reads are hash-checked
+    end to end."""
+    from etl_job_spark.streaming.cdf import read_table_changes_batch
+
+    t = _cdf_mart(spark, sf_dir)
+    df = read_table_changes_batch(
+        spark, t.path, starting_version=2, ending_version=3
+    )
+    return df.select(
+        "o_orderkey",
+        F.col("_change").alias("change"),
+        (F.col("_commit_version") - 1).cast("int").alias("step"),
+    )
+
+
+query("kicc_mart_cdf_batch", CDF_BATCH_SQL)(mart_cdf_batch)
+
+
+ADD_COLUMN_SQL = """
+SELECT c_custkey, c_acctbal,
+       CASE WHEN c_acctbal >= 5000 THEN 'gold' ELSE 'std' END AS tier
+FROM customer
+"""
+
+
+def mart_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ADD COLUMN (round 11, Delta/Iceberg shape) +
+    row-level backfill, end to end: the customer mart lands, ``ALTER
+    TABLE ... ADD COLUMN tier string`` extends the schema in a commit
+    that carries every data file by reference (existing rows read
+    NULL), and a whole-table ``UPDATE ... WHERE tier IS NULL``
+    backfills it from a CASE expression. The oracle computes the same
+    derived column relationally, so the NULL-fill read path, the DDL
+    routing, and the copy-on-write backfill are hash-checked
+    together. Landed once per (session, sf_dir); re-invocations read
+    the committed result."""
+    import hashlib
+
+    from etl_job_spark.scratch import scratch_dir
+    from etl_job_spark.sources.catalog import load_table
+    from etl_job_spark.sql import execute_dml
+    from etl_job_spark.table import ManifestTable
+
+    path = scratch_dir(
+        spark, "kicc_mart_add_column",
+        f"_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    name = os.path.basename(path)
+    t = ManifestTable(path)
+    if t.latest_version() is None:
+        customer = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+        t.overwrite(customer.coalesce(4))
+        execute_dml(spark, t, f"ALTER TABLE {name} ADD COLUMN tier string")
+        execute_dml(
+            spark, t,
+            f"UPDATE {name} SET tier = CASE WHEN c_acctbal >= 5000 "
+            "THEN 'gold' ELSE 'std' END WHERE tier IS NULL",
+        )
+    return t.snapshot(spark).select("c_custkey", "c_acctbal", "tier")
+
+
+query("kicc_mart_add_column", ADD_COLUMN_SQL)(mart_add_column)

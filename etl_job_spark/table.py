@@ -2015,6 +2015,25 @@ def _align(
     )
 
 
+def _null_fill_missing(df: DataFrame, schema: StructType | None) -> DataFrame:
+    """Add NULL columns for committed-schema fields the frame lacks,
+    keeping every existing column (planner columns like ``__file``
+    included) — what lets a predicate over a METADATA-ONLY added
+    column (``alter_schema(add=...)``) resolve against a scan of files
+    written before the column existed. ``_align`` is the projection
+    form (exact schema, planner columns dropped); this is the
+    additive form for discovery scans that must keep their markers."""
+    if schema is None:
+        return df
+    have = set(df.columns)
+    missing = [f for f in schema.fields if f.name not in have]
+    if not missing:
+        return df
+    return df.select(
+        "*", *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing]
+    )
+
+
 class ManifestTable:
     """A parquet table whose committed state is a versioned manifest."""
 
@@ -4599,11 +4618,18 @@ class ManifestTable:
             if not candidates:
                 return base
 
-            # the predicate speaks LOGICAL names; files store PHYSICAL
+            # the predicate speaks LOGICAL names; files store PHYSICAL —
+            # and may predate a metadata-only ADD COLUMN, so the scan
+            # NULL-fills committed fields the files lack before the
+            # predicate resolves against it
+            schema = self._manifest_schema(man)
             cmap = man.get("column_map") or {}
             inv = {p: l for l, p in cmap.items()}
-            scan = _renamed(
-                self._read_files(spark, candidates, with_file_path=True), inv
+            scan = _null_fill_missing(
+                _renamed(
+                    self._read_files(spark, candidates, with_file_path=True), inv
+                ),
+                schema,
             )
             hit_files = {
                 _strip_file_scheme(r["__file"])
@@ -4617,10 +4643,9 @@ class ManifestTable:
                 return base  # nothing matched; no new version
 
             partition_by = man["partition_by"]
-            kept = _renamed(self._read_files(spark, touched), inv).filter(
-                ~F.coalesce(pred, F.lit(False))
-            )
-            schema = self._manifest_schema(man)
+            kept = _null_fill_missing(
+                _renamed(self._read_files(spark, touched), inv), schema
+            ).filter(~F.coalesce(pred, F.lit(False)))
             if schema is not None:
                 kept = _align(kept, schema)
             else:
@@ -4759,9 +4784,16 @@ class ManifestTable:
                 touched.extend(proved)
             if candidates:
                 # the predicate/SET speak LOGICAL names; files PHYSICAL
+                # — NULL-filled for metadata-only added columns the
+                # files predate, so e.g. the backfill shape
+                # ``SET c = … WHERE c IS NULL`` resolves
                 inv = {p: l for l, p in cmap.items()}
-                scan = _renamed(
-                    self._read_files(spark, candidates, with_file_path=True), inv
+                scan = _null_fill_missing(
+                    _renamed(
+                        self._read_files(spark, candidates, with_file_path=True),
+                        inv,
+                    ),
+                    schema,
                 )
                 hit_files = {
                     _strip_file_scheme(r["__file"])
@@ -4847,11 +4879,15 @@ class ManifestTable:
             # already-deleted row is a no-op — new positions are always
             # disjoint from recorded ones, and counts add exactly.
             # The predicate speaks LOGICAL names; files store PHYSICAL
-            scan = _renamed(
-                self._read_files(
-                    spark, candidates, with_file_path=True, with_row_index=True
+            # (NULL-filled for metadata-only added columns)
+            scan = _null_fill_missing(
+                _renamed(
+                    self._read_files(
+                        spark, candidates, with_file_path=True, with_row_index=True
+                    ),
+                    {p: l for l, p in (man.get("column_map") or {}).items()},
                 ),
-                {p: l for l, p in (man.get("column_map") or {}).items()},
+                self._manifest_schema(man),
             )
             matched = scan.filter(pred).select(
                 _rel_path_col(self.data_dir).alias("__dv_path"),

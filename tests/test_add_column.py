@@ -111,3 +111,20 @@ def test_add_column_sql_ddl(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="expected\n?\\s*<name> <type>|expected"):
         execute_dml(spark, t, "ALTER TABLE acddl ADD COLUMN nonsense")
+
+
+def test_delete_predicates_over_added_column(spark, tmp_path):
+    """Both DELETE modes resolve predicates over a metadata-only added
+    column (the discovery scans NULL-fill fields the files predate —
+    the round-11 fix the kicc_mart_add_column oracle caught for
+    UPDATE; pinned here for CoW and MoR deletes too)."""
+    t = ManifestTable(str(tmp_path / "delac"))
+    t.overwrite(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long"))
+    t.alter_schema(spark, add={"flag": "boolean"})
+    t.append(spark.createDataFrame([(4, 40, True)], "k long, v long, flag boolean"))
+    # CoW: NULL flag rows match "flag IS NULL"; only old-file rows drop
+    t.delete_where(spark, "flag IS NULL AND k = 1")
+    assert {r.k for r in t.snapshot(spark).collect()} == {2, 3, 4}
+    # MoR: DV delete over the added column
+    t.delete_where(spark, "flag = true", mode="merge_on_read")
+    assert {r.k for r in t.snapshot(spark).collect()} == {2, 3}
