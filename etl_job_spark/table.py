@@ -3573,7 +3573,16 @@ class ManifestTable:
         Constraints persist in the manifest and every subsequent
         ``overwrite``/``append``/``merge`` validates its incoming rows
         against them before committing — the Delta CHECK-constraint
-        shape. Returns the new version."""
+        shape. Returns the new version.
+
+        Dialect boundary (r10 ADVICE): predicates are Spark SQL — that
+        is the semantics the table enforces, always. Writers that
+        validate task-side with DuckDB only ever do so for predicates
+        inside the vetted cross-dialect subset (``duckdb_dialect_safe``
+        — provably identical evaluation); anything richer (casts,
+        regexp, date/timezone functions) validates through Spark on
+        the library's native route, and the DSv2 writers refuse it at
+        plan time rather than risk enforcing different semantics."""
 
         def attempt() -> int:
             base = self.latest_version()
