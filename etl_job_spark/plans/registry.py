@@ -85,7 +85,15 @@ _DRIVER_WINDOW = [
     "dedup_clusters",
     "embed_cosine_topk",
     "embed_lsh_topk",
-    "embed_cosine_neardup",
+    # round-11 swap: the BATCH change-data-feed read (spark.read over
+    # a closed version range through the streaming source's planner —
+    # MoR-delete DV growth emitting exact deleted rows + an append,
+    # both reconstructed relationally by the oracle) is a NEW
+    # component with no driver row; embed_cosine_neardup — the
+    # brute-force cosine family keeps embed_cosine_topk (its recall
+    # oracle) in-window and the near-dup threshold variant moves to
+    # the tail with its exact oracle intact
+    "kicc_mart_cdf_batch",
     # round-7 swap: cross-run incremental dedup (the persisted
     # signature store probed through bucket-pruned snapshot_where —
     # the table-format × dedup integration) and DSIR importance
@@ -103,7 +111,14 @@ _DRIVER_WINDOW = [
     "pricing_summary",
     "shipping_priority",
     "window_topk_products",
-    "window_day_over_day",
+    # round-11 swap: metadata-only ADD COLUMN + backfill UPDATE (the
+    # Delta/Iceberg schema-extension shape, files carried by
+    # reference, NULL-fill read + CoW backfill hash-checked against a
+    # CASE-derived oracle column) is a NEW component with no driver
+    # row; window_day_over_day — the §2.6 umbrella keeps
+    # window_topk_products and window_rank_family (which carries the
+    # lag shape) in-window — moves to the tail with its exact oracle
+    "kicc_mart_add_column",
     "cube_flags",
     "set_ops",
     "events_json_extract",
@@ -131,6 +146,11 @@ _DRIVER_WINDOW = [
 # moved out to make room for kicc_mart_versioned (round-3 verdict #3).
 _TAIL = [
     "sketch_cardinalities",  # rows-only by design (no SQL oracle)
+    # round-11 swap-outs (see the window comments at
+    # kicc_mart_cdf_batch / kicc_mart_add_column): the cosine near-dup
+    # variant and the lag-shape window read keep their exact oracles
+    "embed_cosine_neardup",
+    "window_day_over_day",
     # round-9 swap-outs (see the window comments): the K3 library-level
     # merge twin and the snapshot_where window read keep their exact
     # oracles here
