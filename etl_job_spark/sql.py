@@ -621,8 +621,13 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
     statements: ``INSERT INTO … [(cols)] SELECT …/VALUES …`` (routed
     to ``append`` — the body runs as plain Spark SQL over registered
     views), ``UPDATE … SET … WHERE …``, ``DELETE FROM … WHERE …``,
-    and the constrained ``MERGE INTO`` grammar of ``_merge_into`` (the
-    Delta clause surface the engine's merge implements)."""
+    the constrained ``MERGE INTO`` grammar of ``_merge_into`` (the
+    Delta clause surface the engine's merge implements),
+    ``TRUNCATE [TABLE] …`` (metadata-only delete-all), maintenance
+    (``VACUUM``/``OPTIMIZE [WHERE …] [ZORDER …]``/``RESTORE``), and
+    ``ALTER TABLE`` DDL. The one exception to the int return:
+    ``DESCRIBE HISTORY/DETAIL <t>`` RETURNS A DATAFRAME (the executor's
+    read shape, Delta's introspection statements)."""
     import re
 
     from etl_job_spark.table import ManifestTable
@@ -738,6 +743,30 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
             *[F.col(c).cast(types[c]).alias(c) for c in cols]
         )
         return t.append(df)
+    if upper.startswith("TRUNCATE"):
+        # metadata-only delete-all (Delta's TRUNCATE TABLE): the new
+        # version references zero files; schema and table properties
+        # carry forward, vacuum reclaims the unreferenced files
+        m = re.match(r"(?is)^TRUNCATE\s+(?:TABLE\s+)?(\S+)\s*$", s)
+        if m is None:
+            raise ValueError("supported form: TRUNCATE [TABLE] <table>")
+        _check_target(m.group(1), t)
+        return t.truncate(spark)
+    if upper.startswith("DESCRIBE"):
+        # introspection statements RETURN A DATAFRAME (the one read
+        # shape in this executor — Delta's DESCRIBE HISTORY/DETAIL):
+        #   DESCRIBE HISTORY <t>  -> one row per retained version
+        #   DESCRIBE DETAIL <t>   -> one-row table detail
+        m = re.match(r"(?is)^DESCRIBE\s+(HISTORY|DETAIL)\s+(\S+)\s*$", s)
+        if m is None:
+            raise ValueError(
+                "supported forms: DESCRIBE HISTORY <table> | "
+                "DESCRIBE DETAIL <table>"
+            )
+        _check_target(m.group(2), t)
+        if m.group(1).upper() == "HISTORY":
+            return t.history_df(spark)
+        return t.detail_df(spark)
     if upper.startswith(("VACUUM", "OPTIMIZE", "RESTORE")):
         # Delta-parity maintenance statements, routed to the table
         # verbs (Spark SQL can't plan them on a Python data source):
@@ -985,6 +1014,7 @@ def statement_table(sql: str) -> str:
     m = re.match(
         r"(?is)^\s*(?:UPDATE|MERGE\s+INTO|DELETE\s+FROM|INSERT\s+INTO|"
         r"VACUUM|OPTIMIZE|RESTORE\s+(?:TABLE\s+)?|ALTER\s+TABLE|"
+        r"TRUNCATE\s+(?:TABLE\s+)?|DESCRIBE\s+(?:HISTORY|DETAIL)\s*|"
         r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE)\s+(\S+)",
         sql.strip(),
     )

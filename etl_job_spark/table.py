@@ -5467,6 +5467,67 @@ class ManifestTable:
             )
         )
 
+    def truncate(self, spark: SparkSession | None = None) -> int:
+        """DELETE every row as a METADATA-ONLY commit — the new
+        version references ZERO files; schema, partition spec, and
+        every table property (constraints, blooms, rename map,
+        tombstones, stream ledger) carry forward, so the table is
+        ready for fresh loads under the same contract. No data file is
+        read, written, or removed: at 100 TB this is one manifest link
+        where a ``delete_where(true)`` copy-on-write would rewrite
+        nothing but still scan for hits — the old files become
+        unreferenced and ``vacuum`` reclaims them (time travel to
+        pre-truncate versions keeps working until then). Delta's
+        TRUNCATE TABLE shape. ``spark`` is only needed for a
+        pre-evolution manifest (schema recovered from the files)."""
+
+        def attempt() -> int:
+            base = self.latest_version()
+            if base is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+            man = self._read_manifest(base)
+            schema = self._manifest_schema(man)
+            if schema is None:
+                if spark is None:
+                    raise ValueError(
+                        "truncate on a pre-evolution manifest needs the "
+                        "spark argument (schema recovered from the files)"
+                    )
+                schema = self.snapshot(spark, base).schema
+            return self._commit(
+                [], schema, man["partition_by"] or None, base, {"op": "truncate"}
+            )
+
+        return self._with_commit_retries(attempt)
+
+    def detail_df(self, spark: SparkSession) -> DataFrame:
+        """One-row table detail — the DESCRIBE DETAIL shape: location,
+        current version, file/row rollups (from the manifest's commit
+        rollups, no file I/O), partition spec, and the guard
+        properties (constraints, bloom columns, rename map)."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        raw = self._read_raw_manifest(base)
+        man = self._read_manifest(base) if "n_files" not in raw else raw
+        row = (
+            self.path,
+            int(base),
+            man.get("committed_at"),
+            int(man["n_files"] if "n_files" in man else len(man["files"])),
+            int(self.row_count(base)),
+            json.dumps(man.get("partition_by") or []),
+            json.dumps(man.get("bloom_cols") or []),
+            json.dumps(man.get("constraints") or {}, sort_keys=True),
+            json.dumps(man.get("column_map") or {}, sort_keys=True),
+        )
+        return spark.createDataFrame(
+            [row],
+            "location string, version long, committed_at string, "
+            "n_files long, rows long, partition_by string, "
+            "bloom_cols string, constraints string, column_map string",
+        )
+
     def history_df(self, spark: SparkSession) -> DataFrame:
         """``history()`` as a DataFrame — the DESCRIBE HISTORY shape
         (version, committed_at, operation op/detail, n_files, rows)."""

@@ -606,3 +606,48 @@ def test_execute_dml_alter_table(spark, tmp_path):
         execute_dml(spark, t, "ALTER TABLE at ADD CONSTRAINT broken")
     with _pytest.raises(ValueError, match="targets"):
         execute_dml(spark, t, "ALTER TABLE other DROP CONSTRAINT x")
+
+
+def test_truncate_and_describe_statements(spark, tmp_path):
+    """Round 11: TRUNCATE TABLE is a METADATA-ONLY delete-all (zero
+    files referenced, properties carried, time travel intact), and
+    DESCRIBE HISTORY/DETAIL return DataFrames — the executor's one
+    read shape."""
+    import pytest as _pytest
+
+    from etl_job_spark.sql import execute_dml
+    from etl_job_spark.table import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "tr"))
+    t.overwrite(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        bloom_cols=["k"],
+    )
+    t.alter_constraints(spark, add={"k_pos": "k > 0"})
+    v = execute_dml(spark, t, "TRUNCATE TABLE tr")
+    assert v == 3
+    man = t._read_manifest(v)
+    assert man["files"] == [] and man["n_files"] == 0
+    assert t.snapshot(spark).count() == 0
+    assert t.snapshot(spark, 1).count() == 2  # time travel intact
+    # properties carried: the next load is still guarded
+    assert man.get("constraints") == {"k_pos": "k > 0"}
+    assert man.get("bloom_cols") == ["k"]
+    from etl_job_spark.table import ConstraintViolationError
+
+    with _pytest.raises(ConstraintViolationError):
+        t.append(spark.createDataFrame([(-1, 0)], "k long, v long"))
+    t.append(spark.createDataFrame([(5, 50)], "k long, v long"))
+    assert {r.k for r in t.snapshot(spark).collect()} == {5}
+
+    # DESCRIBE returns frames
+    hist = execute_dml(spark, t, "DESCRIBE HISTORY tr")
+    ops = {r.version: r.op for r in hist.collect()}
+    assert ops[3] == "truncate" and ops[1] == "overwrite"
+    detail = execute_dml(spark, t, "DESCRIBE DETAIL tr").first()
+    assert detail.version == t.latest_version()
+    assert detail.rows == 1 and '"k_pos"' in detail.constraints
+    with _pytest.raises(ValueError, match="supported form"):
+        execute_dml(spark, t, "DESCRIBE SOMETHING tr")
+    with _pytest.raises(ValueError, match="targets"):
+        execute_dml(spark, t, "TRUNCATE TABLE other")
