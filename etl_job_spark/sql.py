@@ -1013,8 +1013,8 @@ def statement_table(sql: str) -> str:
 
     m = re.match(
         r"(?is)^\s*(?:UPDATE|MERGE\s+INTO|DELETE\s+FROM|INSERT\s+INTO|"
-        r"VACUUM|OPTIMIZE|RESTORE\s+(?:TABLE\s+)?|ALTER\s+TABLE|"
-        r"TRUNCATE\s+(?:TABLE\s+)?|DESCRIBE\s+(?:HISTORY|DETAIL)\s*|"
+        r"VACUUM|OPTIMIZE|RESTORE(?:\s+TABLE)?|ALTER\s+TABLE|"
+        r"TRUNCATE(?:\s+TABLE)?|DESCRIBE\s+(?:HISTORY|DETAIL)|"
         r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE)\s+(\S+)",
         sql.strip(),
     )

@@ -49,6 +49,9 @@ def test_statement_table():
     assert statement_table("INSERT INTO mart SELECT 1") == "mart"
     assert statement_table("CREATE OR REPLACE TABLE mart AS SELECT 1") == "mart"
     assert statement_table("ALTER TABLE mart ADD COLUMN c long") == "mart"
+    assert statement_table("TRUNCATE TABLE mart") == "mart"
+    assert statement_table("RESTORE TABLE mart TO VERSION AS OF 1") == "mart"
+    assert statement_table("DESCRIBE HISTORY mart") == "mart"
     with pytest.raises(ValueError, match="target table"):
         statement_table("SELECT 1")
 
@@ -247,3 +250,35 @@ def test_txn_mixed_tables_and_chains(spark, tmp_path):
     assert cat.table("log").snapshot(spark).count() == 2
     got = {r.k: r.tag for r in cat.table("mart").snapshot(spark).collect()}
     assert got == {1: "a", 2: "rest", 3: "c"}
+
+
+def test_txn_ddl_and_noop_mid_chain(spark, tmp_path):
+    """DDL statements participate in transactions (ALTER/TRUNCATE are
+    capture-able commits), and a no-op statement mid-chain (UPDATE
+    matching nothing) stages nothing while the chain stays intact."""
+    root = str(tmp_path / "cat")
+    cat = TransactionalCatalog(root)
+    _seed(spark, cat)
+    versions = execute_dml_txn(
+        spark, cat,
+        [
+            "ALTER TABLE mart ADD COLUMN score double",
+            "UPDATE mart SET v = 0 WHERE k = 999",  # matches nothing
+            "UPDATE mart SET score = v / 10.0 WHERE score IS NULL",
+        ],
+    )
+    # seed=1, ADD COLUMN=2, no-op stages nothing, backfill=3
+    assert versions == {"mart": 3}
+    rec = cat._read_txn(2)
+    assert len(rec["tables"]["mart"]["manifests"]) == 2
+    got = {r.k: r.score for r in cat.table("mart").snapshot(spark).collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+    # a TRUNCATE inside a txn chains too (metadata-only delete-all)
+    versions = execute_dml_txn(
+        spark, cat,
+        ["TRUNCATE TABLE mart",
+         "INSERT INTO mart VALUES (9, 90, 'new', 9.0)"],
+    )
+    assert versions == {"mart": 5}
+    got = {(r.k, r.tag) for r in cat.table("mart").snapshot(spark).collect()}
+    assert got == {(9, "new")}
