@@ -400,9 +400,16 @@ def main(argv: list[str] | None = None) -> int:
                         name.strip()
                     )
                 v = execute_dml(spark, t, args.statement)
-                print(json.dumps(
-                    {"path": args.path, "version": v,
-                     "statement": args.statement}))
+                if isinstance(v, int):
+                    print(json.dumps(
+                        {"path": args.path, "version": v,
+                         "statement": args.statement}))
+                else:
+                    # DESCRIBE HISTORY/DETAIL return a DataFrame: print
+                    # one JSON line per row (cron-parseable, like the
+                    # version line)
+                    for row in v.collect():
+                        print(json.dumps(row.asDict(), default=str))
             elif args.action == "delete-keys":
                 if not args.key_col or not args.keys:
                     print("table delete-keys requires --key-col and --keys",
