@@ -93,6 +93,19 @@ def test_guarded_append_takes_fused_route_same_sidecars(spark, tmp_path):
     assert sorted(b_f.values(), key=str) == sorted(b_n.values(), key=str)
     # every new entry carries a bloom_ref on both routes
     assert len(b_f) == len(b_n)
+    # per-file CORRESPONDENCE (a swapped sidecar would pass the
+    # multiset compare): each file's bloom must contain that file's
+    # own recorded key min/max and exclude a value no file holds
+    from etl_job_spark.table import _bloom_excludes
+
+    for t in (t_f, t_n):
+        man = t._read_manifest(t.latest_version())
+        for e in man["files"]:
+            with open(os.path.join(t.path, e["bloom_ref"])) as f:
+                bloom = json.load(f)[e["path"]]["k"]
+            own = [e["stats"]["k"]["min"], e["stats"]["k"]["max"]]
+            assert not _bloom_excludes(bloom, own), e["path"]
+            assert _bloom_excludes(bloom, [10**15 + 7]), e["path"]
 
 
 def test_fused_violation_atomicity(spark, tmp_path):

@@ -2030,7 +2030,16 @@ def test_bloom_sidecar_tier_gated_by_bytes(spark, tmp_path, monkeypatch):
     """Bloom builds read column pages, not footers: a FEW BIG files
     must take the distributed tier even below the file-count cutoff
     (measured 6x at sf1.0 — BENCH_SF2 guarded_writes_sf1_0). Both
-    tiers produce identical sidecar content."""
+    tiers produce identical sidecar content.
+
+    The tiers live on the NATIVE write route's post-write
+    ``_write_bloom_sidecars`` — forced here, since round 11's fused
+    route builds blooms inside the write tasks and never reaches them
+    (the fused/native sidecar-content pin lives in
+    tests/test_fused_writes.py). Blooms key by each file's recorded
+    key MIN (both files carry 2500 rows, so a row-count key would
+    silently compare only whichever file sorts last — the round-11
+    uuid file names exposed exactly that)."""
     import json
     import os
 
@@ -2045,13 +2054,16 @@ def test_bloom_sidecar_tier_gated_by_bytes(spark, tmp_path, monkeypatch):
         for e in man["files"]:
             assert e.get("bloom_ref")
             with open(os.path.join(t.path, e["bloom_ref"])) as f:
-                out[e["rows"]] = json.load(f)[e["path"]]
+                out[e["stats"]["k"]["min"]] = json.load(f)[e["path"]]
+        assert len(out) == len(man["files"])
         return out
 
     t_drv = ManifestTable(str(tmp_path / "drv"))
+    t_drv._fused_write_route = lambda *a, **kw: None
     t_drv.overwrite(df, bloom_cols=["k"])
     # force the byte gate: any non-empty file exceeds a 1-byte budget
     monkeypatch.setattr(tablemod, "_DRIVER_BLOOM_MAX_BYTES", 1)
     t_dist = ManifestTable(str(tmp_path / "dist"))
+    t_dist._fused_write_route = lambda *a, **kw: None
     t_dist.overwrite(df, bloom_cols=["k"])
     assert blooms_of(t_dist) == blooms_of(t_drv)
