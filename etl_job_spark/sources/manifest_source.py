@@ -366,6 +366,10 @@ class _FileMessage(WriterCommitMessage):
 # path segments; everything else — unicode included — passes through
 # raw. Mirrored here so DS-written dirs decode identically to
 # Spark-written ones (the manifest stores DECODED values either way).
+# write tasks coalesce incoming Arrow batches into row groups of this
+# many buffered bytes (see write_task_files._BufferedWriter)
+_WRITE_BUFFER_BYTES = 64 << 20
+
 _DIR_ESCAPE = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
 
 
@@ -726,6 +730,36 @@ def write_task_files(
     cons = constraints or {}
     cmap = column_map or {}
 
+    class _BufferedWriter:
+        """ParquetWriter wrapper that COALESCES the incoming Arrow
+        batches (Spark ships ~10k rows per batch) into row groups of
+        ``_WRITE_BUFFER_BYTES`` before writing — a 2M-row task would
+        otherwise land ~200 ten-thousand-row row groups, whose footer
+        metadata and per-group page-index overhead every future scan
+        of a 100 TB table pays. Memory is bounded by the buffer
+        budget per open writer."""
+
+        def __init__(self, full: str, schema):
+            self._w = pq.ParquetWriter(full, schema)
+            self._buf: list = []
+            self._bytes = 0
+
+        def write_table(self, tbl) -> None:
+            self._buf.append(tbl)
+            self._bytes += tbl.nbytes
+            if self._bytes >= _WRITE_BUFFER_BYTES:
+                self._flush()
+
+        def _flush(self) -> None:
+            if self._buf:
+                self._w.write_table(pa.concat_tables(self._buf))
+                self._buf = []
+                self._bytes = 0
+
+        def close(self) -> None:
+            self._flush()
+            self._w.close()
+
     def _physical(batch) -> "pa.Table":
         # renamed tables: files store PHYSICAL names (the library's
         # _renamed step) — validation ran on the LOGICAL batch
@@ -776,7 +810,7 @@ def write_task_files(
                 tbl = _physical(batch)
                 if writer is None:
                     os.makedirs(out_root, exist_ok=True)
-                    writer = pq.ParquetWriter(full, tbl.schema)
+                    writer = _BufferedWriter(full, tbl.schema)
                 writer.write_table(tbl)
         finally:
             if writer is not None:
@@ -840,7 +874,7 @@ def write_task_files(
                     os.makedirs(os.path.dirname(full), exist_ok=True)
                     pdict = {f.dirname: v for f, v in zip(fields, key)}
                     state = (
-                        pq.ParquetWriter(full, part.schema), full, rel, pdict
+                        _BufferedWriter(full, part.schema), full, rel, pdict
                     )
                     writers[key] = state
                 state[0].write_table(part)

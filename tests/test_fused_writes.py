@@ -271,3 +271,41 @@ def test_append_omitting_constrained_evolved_column_falls_back(spark, tmp_path):
     assert t.last_write_route == "fused"
     with pytest.raises(ConstraintViolationError):
         t.append(spark.createDataFrame([(4, -1.0)], "k long, c double"))
+
+
+def test_write_tasks_coalesce_row_groups(tmp_path):
+    """The write tasks coalesce Spark's ~10k-row Arrow batches into
+    big row groups (one per 64 MB buffered): 50 small batches land as
+    ONE row group, not 50 — the footer/page-index overhead every
+    future scan of a big table would pay."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_job_spark.sources.manifest_source import write_task_files
+
+    batches = [
+        pa.record_batch([pa.array(range(i * 100, (i + 1) * 100))], names=["k"])
+        for i in range(50)
+    ]
+    files = write_task_files(
+        str(tmp_path), "sub", None, {}, {}, [], {}, iter(batches)
+    )
+    assert len(files) == 1 and files[0]["rows"] == 5000
+    pf = pq.ParquetFile(str(tmp_path / "data" / files[0]["rel"]))
+    assert pf.metadata.num_row_groups == 1
+    # partitioned path coalesces per partition value too
+    batches2 = [
+        pa.record_batch(
+            [pa.array(range(i * 10, (i + 1) * 10)),
+             pa.array(["a" if j % 2 else "b" for j in range(10)])],
+            names=["k", "g"],
+        )
+        for i in range(20)
+    ]
+    files2 = write_task_files(
+        str(tmp_path), "sub2", ["g"], {"g": False}, {}, [], {}, iter(batches2)
+    )
+    assert sorted(f["partition"]["g"] for f in files2) == ["a", "b"]
+    for f in files2:
+        pf = pq.ParquetFile(str(tmp_path / "data" / f["rel"]))
+        assert pf.metadata.num_row_groups == 1, f["rel"]
