@@ -217,6 +217,19 @@ def test_execute_sql_script_begin_commit(spark, tmp_path):
         execute_sql_script(spark, cat, "BEGIN; UPDATE mart SET v=1 WHERE true")
     with pytest.raises(ValueError, match="without BEGIN"):
         execute_sql_script(spark, cat, "COMMIT")
+    # ROLLBACK discards the bracketed statements (nothing ran yet —
+    # staging IS the statement list) and the script continues
+    v_before = cat.roll_forward()["mart"]
+    out = execute_sql_script(
+        spark, cat,
+        "BEGIN; UPDATE mart SET v = 0 WHERE true; ROLLBACK; "
+        "UPDATE mart SET v = v + 5 WHERE k = 1",
+    )
+    assert out == {"mart": v_before + 1}
+    got = {r.k: r.v for r in cat.table("mart").snapshot(spark).collect()}
+    assert got[1] == 110 + 5 and got[2] == 19  # rollback left v intact
+    with pytest.raises(ValueError, match="ROLLBACK without"):
+        execute_sql_script(spark, cat, "ROLLBACK")
 
 
 def test_vacuum_refuses_inside_txn(spark, tmp_path):
