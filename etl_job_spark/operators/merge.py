@@ -518,6 +518,409 @@ def merge_clauses(
     return updated.unionByName(inserts)
 
 
+#: ordered-clause kinds → the Delta clause group each belongs to.
+#: Within a group the WRITTEN order decides (first-match-wins); the
+#: three groups are independent (a row belongs to exactly one group).
+_CLAUSE_GROUPS = {
+    "update": "matched",
+    "delete": "matched",
+    "insert": "not_matched",
+    "by_source_update": "by_source",
+    "by_source_delete": "by_source",
+}
+
+
+def validate_ordered_clauses(
+    clauses: Sequence[tuple],
+) -> tuple[list[tuple], list[tuple], list[tuple]]:
+    """Validate an ordered MERGE clause list and split it into its three
+    groups, preserving written order within each.
+
+    Clause tuples (predicates are SQL strings or None = unconditional):
+
+    - ``("update", pred, assigns)`` — matched UPDATE. ``pred`` sees the
+      joined row (bare names = target, ``source.<c>`` = source);
+      ``assigns`` is a mapping ``{col: sql_expr}`` (same namespace) or a
+      sequence of column names (identity SET from the source).
+    - ``("delete", pred)`` — matched DELETE, ``pred`` over the joined
+      row (unlike the flat API's CDC ``delete_pred``, which sees the
+      source row only — Delta's WHEN MATCHED AND allows both sides).
+    - ``("insert", pred, cols)`` — NOT MATCHED INSERT; ``pred`` sees the
+      SOURCE row only (Delta's rule — no target row exists); ``cols``
+      is the column-list (must include every key) or None = whole-row.
+    - ``("by_source_update", pred, assigns)`` / ``("by_source_delete",
+      pred)`` — NOT MATCHED BY SOURCE; predicates and expressions see
+      the TARGET row only.
+
+    Delta's ordering rule is enforced per group: only the LAST clause of
+    a group may be unconditional — anything written after an
+    unconditional clause of its group could never fire.
+    """
+    if not clauses:
+        raise ValueError("ordered MERGE needs at least one clause")
+    matched: list[tuple] = []
+    inserts: list[tuple] = []
+    by_source: list[tuple] = []
+    unconditional_seen: dict[str, str] = {}
+    for cl in clauses:
+        if not isinstance(cl, (tuple, list)) or not cl or cl[0] not in _CLAUSE_GROUPS:
+            raise ValueError(
+                f"ordered MERGE clause {cl!r}: expected (kind, ...) with "
+                f"kind in {sorted(_CLAUSE_GROUPS)}"
+            )
+        kind = cl[0]
+        group = _CLAUSE_GROUPS[kind]
+        want = 2 if kind in ("delete", "by_source_delete") else 3
+        if len(cl) != want:
+            raise ValueError(
+                f"ordered MERGE clause {cl!r}: {kind} takes {want - 1} "
+                "operands (pred" + (", assigns/cols)" if want == 3 else ")")
+            )
+        pred = cl[1]
+        if pred is not None and not isinstance(pred, str):
+            raise TypeError(
+                f"ordered MERGE clause predicates are SQL strings or None, "
+                f"got {type(pred).__name__} in {cl!r}"
+            )
+        if group in unconditional_seen:
+            raise ValueError(
+                f"ordered MERGE clause {cl!r} is unreachable: it follows "
+                f"the unconditional {unconditional_seen[group]!r} clause of "
+                "its group (only the LAST clause of a group may omit the "
+                "condition — Delta refuses this ordering too)"
+            )
+        if pred is None:
+            unconditional_seen[group] = kind
+        if kind == "update" or kind == "by_source_update":
+            assigns = cl[2]
+            if isinstance(assigns, Mapping):
+                nonsql = [c for c, e in assigns.items() if not isinstance(e, str)]
+                if nonsql:
+                    raise TypeError(
+                        f"ordered MERGE SET expressions must be SQL strings; "
+                        f"got non-string for {nonsql}"
+                    )
+                assigns = dict(assigns)
+            elif kind == "update" and isinstance(assigns, Sequence) and not isinstance(assigns, str):
+                assigns = {c: f"source.{c}" for c in assigns}
+            else:
+                raise TypeError(
+                    f"{kind} assigns must be a mapping {{col: sql_expr}}"
+                    + (" or a sequence of source column names" if kind == "update" else "")
+                )
+            if not assigns:
+                raise ValueError(f"{kind} clause with an empty SET — drop the clause")
+            if kind == "by_source_update":
+                for c, e in assigns.items():
+                    if _strip_source_qualifier(e) != e:
+                        raise ValueError(
+                            f"by_source_update expression {e!r} references "
+                            "source.<col>: NOT MATCHED BY SOURCE expressions "
+                            "see the TARGET row only (no source row exists)"
+                        )
+            if kind == "update":
+                matched.append(("update", pred, assigns))
+            else:
+                by_source.append(("update", pred, assigns))
+        elif kind == "delete":
+            matched.append(("delete", pred, None))
+        elif kind == "by_source_delete":
+            if pred is not None and _strip_source_qualifier(pred) != pred:
+                raise ValueError(
+                    f"by_source_delete predicate {pred!r} references "
+                    "source.<col>: NOT MATCHED BY SOURCE predicates see "
+                    "the TARGET row only"
+                )
+            by_source.append(("delete", pred, None))
+        else:  # insert
+            cols = cl[2]
+            if cols is not None:
+                if isinstance(cols, str) or not isinstance(cols, Sequence):
+                    raise TypeError(
+                        "insert cols must be a sequence of column names or "
+                        "None for whole-row INSERT *"
+                    )
+                cols = list(dict.fromkeys(cols))
+            inserts.append((pred, cols))
+    return matched, inserts, by_source
+
+
+def _ordered_insert_fire(inserts: Sequence[tuple]) -> Column:
+    """CASE chain over SOURCE-row insert predicates → the 0-based index
+    of the first clause that fires (NULL = no clause claims the row)."""
+    chain: Column | None = None
+    for i, (pred, _cols) in enumerate(inserts):
+        cond = (
+            F.lit(True)
+            if pred is None
+            else F.coalesce(F.expr(_strip_source_qualifier(pred)), F.lit(False))
+        )
+        chain = F.when(cond, F.lit(i)) if chain is None else chain.when(cond, F.lit(i))
+    return chain if chain is not None else F.lit(None).cast("int")
+
+
+def _require_unique_keys(source: DataFrame, keys: Sequence[str]) -> None:
+    """Ordered merges refuse duplicate source keys outright when no
+    ``order_col`` arbitrates: a duplicate matched key would fire clauses
+    twice against one target row (Delta raises
+    MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW; this engine refuses the
+    batch before any clause runs — stricter on unmatched duplicates,
+    which Delta double-inserts)."""
+    n = (
+        source.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .count()
+    )
+    if n:
+        raise ValueError(
+            "ordered MERGE source carries duplicate keys and no order_col "
+            "to arbitrate — pass order_col (last writer wins) or dedup "
+            "the batch"
+        )
+
+
+def ordered_inserts_only(
+    source: DataFrame,
+    keys: Sequence[str],
+    clauses: Sequence[tuple],
+    order_col: str | None = None,
+) -> DataFrame:
+    """The ordered engine's insert group applied alone — the shape for
+    an empty/no-match target, where nothing can be matched: each
+    (deduped) source row takes the FIRST insert clause whose predicate
+    passes; rows no clause claims drop; columns outside the firing
+    clause's list land NULL. Returns the source's width (minus
+    ``order_col``)."""
+    _matched, inserts, _by_source = validate_ordered_clauses(clauses)
+    if order_col is not None:
+        source = dedup_last_writer(source, keys, order_col)
+    else:
+        _require_unique_keys(source, keys)
+    out_cols = [c for c in source.columns if c != order_col]
+    if not inserts:
+        return source.select(*out_cols).limit(0)
+    for _pred, cols in inserts:
+        if cols is not None:
+            missing_keys = [k for k in keys if k not in cols]
+            if missing_keys:
+                raise ValueError(
+                    f"insert cols must include every merge key (missing "
+                    f"{missing_keys}): a NULL-key insert could never match "
+                    "again"
+                )
+            not_in_src = [c for c in cols if c not in source.columns]
+            if not_in_src:
+                raise ValueError(
+                    f"insert cols {not_in_src}: not source columns — a "
+                    "listed column would always insert NULL; drop it"
+                )
+    stypes = dict(source.dtypes)
+    fired = source.withColumn("__ins", _ordered_insert_fire(inserts)).filter(
+        F.col("__ins").isNotNull()
+    )
+
+    def _val(c: str) -> Column:
+        chain: Column | None = None
+        for i, (_pred, cols) in enumerate(inserts):
+            allowed = cols is None or c in cols or c in keys
+            v = F.col(c) if allowed else F.lit(None).cast(stypes[c])
+            chain = (
+                F.when(F.col("__ins") == i, v)
+                if chain is None
+                else chain.when(F.col("__ins") == i, v)
+            )
+        return chain.alias(c)
+
+    return fired.select(*[_val(c) for c in out_cols])
+
+
+def merge_ordered(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    clauses: Sequence[tuple],
+    order_col: str | None = None,
+) -> DataFrame:
+    """MERGE with Delta's ORDERED multi-clause semantics: clauses are
+    evaluated in written order within each group (matched / not-matched
+    / not-matched-by-source), and each row takes the FIRST clause of its
+    group whose condition passes — rows no clause claims pass through
+    untouched (target side) or drop (source side). Clause tuples and the
+    only-last-unconditional rule: ``validate_ordered_clauses``.
+
+    This generalizes ``merge_clauses`` (one clause per kind, fixed
+    delete-before-update order) to any Delta-legal clause stack:
+    several conditional UPDATEs, UPDATE written before DELETE (rows the
+    update claims are then NOT deleted — written order, not fixed
+    order), multiple gated INSERT lists.
+
+    Plan shape (the 100 TB story): ONE full-outer join on the keys does
+    all three groups at once — matched rows carry both sides, unmatched
+    source rows insert, unmatched target rows meet the by-source
+    clauses. Clause conditions become a single CASE chain (the firing
+    index), deletes one filter, assignments one projection; insert
+    predicates are pre-computed on the source frame (they see the
+    source row only), so no second join or union is needed. The caller
+    (``ManifestTable.merge``) still key-prunes which files join at all.
+
+    Duplicate source keys refuse unless ``order_col`` arbitrates
+    (last-writer-wins dedup first) — see ``_require_unique_keys``.
+    """
+    matched, inserts, by_source = validate_ordered_clauses(clauses)
+    if order_col is not None:
+        source = dedup_last_writer(source, keys, order_col)
+    else:
+        _require_unique_keys(source, keys)
+
+    target_types = dict(target.dtypes)
+    scols = [c for c in source.columns if c not in keys]
+    ns = scols + list(keys)
+
+    for kind, _pred, assigns in matched:
+        if kind != "update":
+            continue
+        bad = [c for c in assigns if c in keys or c not in target_types]
+        if bad:
+            raise ValueError(
+                f"ordered MERGE UPDATE columns {bad}: must be non-key "
+                "target columns"
+            )
+    for kind, _pred, assigns in by_source:
+        if kind != "update":
+            continue
+        bad = [c for c in assigns if c in keys or c not in target_types]
+        if bad:
+            raise ValueError(
+                f"ordered MERGE by-source UPDATE columns {bad}: must be "
+                "non-key target columns"
+            )
+    for _pred, cols in inserts:
+        if cols is None:
+            continue
+        missing_keys = [k for k in keys if k not in cols]
+        if missing_keys:
+            raise ValueError(
+                f"insert cols must include every merge key (missing "
+                f"{missing_keys}): a NULL-key insert could never match again"
+            )
+        bad_i = [c for c in cols if c not in target_types]
+        if bad_i:
+            raise ValueError(f"insert cols {bad_i}: not table columns")
+        not_in_src = [c for c in cols if c not in source.columns]
+        if not_in_src:
+            raise ValueError(
+                f"insert cols {not_in_src}: not source columns — a listed "
+                "column would always insert NULL; drop it from the list"
+            )
+
+    # source side: namespace non-key columns, pre-compute the insert
+    # firing index (insert predicates see the SOURCE row only), mark
+    src2 = source.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(_SRC + c) for c in scols],
+        _ordered_insert_fire(inserts).alias("__ins"),
+        F.lit(True).alias("__m"),
+    )
+    # expose source-side key copies for source.<key> references in
+    # matched predicates/expressions (the USING join keeps one key col)
+    src2 = src2.select(
+        "*", *[F.col(k).alias(_SRC + k) for k in keys if _SRC + k not in src2.columns]
+    )
+    tgt2 = target.select("*", F.lit(True).alias("__t"))
+    j = tgt2.join(src2, on=list(keys), how="full")
+    is_matched = F.col("__t").isNotNull() & F.col("__m").isNotNull()
+    tgt_only = F.col("__t").isNotNull() & F.col("__m").isNull()
+    src_only = F.col("__t").isNull()
+
+    def _fire(group: Sequence[tuple], rewrite: bool) -> Column:
+        chain: Column | None = None
+        for i, (_kind, pred, _assigns) in enumerate(group):
+            cond = (
+                F.lit(True)
+                if pred is None
+                else F.coalesce(
+                    F.expr(_rewrite_source_refs(pred, ns) if rewrite else pred),
+                    F.lit(False),
+                )
+            )
+            chain = (
+                F.when(cond, F.lit(i)) if chain is None else chain.when(cond, F.lit(i))
+            )
+        return chain if chain is not None else F.lit(None).cast("int")
+
+    # matched predicates see the joined row (source.<c> → namespaced);
+    # by-source predicates see the target row (bare names already)
+    j = j.select("*", _fire(matched, True).alias("__fm"), _fire(by_source, False).alias("__fb"))
+
+    m_del = [i for i, (kind, _p, _a) in enumerate(matched) if kind == "delete"]
+    b_del = [i for i, (kind, _p, _a) in enumerate(by_source) if kind == "delete"]
+    keep = (
+        F.when(
+            is_matched,
+            ~F.coalesce(F.col("__fm").isin(m_del) if m_del else F.lit(False), F.lit(False)),
+        )
+        .when(
+            tgt_only,
+            ~F.coalesce(F.col("__fb").isin(b_del) if b_del else F.lit(False), F.lit(False)),
+        )
+        .otherwise(F.col("__ins").isNotNull())
+    )
+    j = j.filter(keep)
+
+    rewritten: dict[int, dict[str, str]] = {
+        i: {c: _rewrite_source_refs(e, ns) for c, e in assigns.items()}
+        for i, (kind, _p, assigns) in enumerate(matched)
+        if kind == "update"
+    }
+
+    def _ins_val(c: str) -> Column:
+        if c in keys:
+            return F.col(c).cast(target_types[c])
+        chain: Column | None = None
+        for i, (_pred, cols) in enumerate(inserts):
+            allowed = c in source.columns and (cols is None or c in cols)
+            v = (
+                F.col(_SRC + c).cast(target_types[c])
+                if allowed
+                else F.lit(None).cast(target_types[c])
+            )
+            chain = (
+                F.when(F.col("__ins") == i, v)
+                if chain is None
+                else chain.when(F.col("__ins") == i, v)
+            )
+        return chain if chain is not None else F.lit(None).cast(target_types[c])
+
+    def _out(c: str) -> Column:
+        branches: list[tuple[Column, Column]] = []
+        for i, (kind, _p, assigns) in enumerate(matched):
+            if kind == "update" and c in assigns:
+                branches.append(
+                    (
+                        is_matched & (F.col("__fm") == i),
+                        F.expr(rewritten[i][c]).cast(target_types[c]),
+                    )
+                )
+        for i, (kind, _p, assigns) in enumerate(by_source):
+            if kind == "update" and c in assigns:
+                branches.append(
+                    (
+                        tgt_only & (F.col("__fb") == i),
+                        F.expr(assigns[c]).cast(target_types[c]),
+                    )
+                )
+        if inserts:
+            branches.append((src_only, _ins_val(c)))
+        expr: Column | None = None
+        for cond, val in branches:
+            expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        return (expr.otherwise(F.col(c)) if expr is not None else F.col(c)).alias(c)
+
+    return j.select(*[_out(c) for c in target.columns])
+
+
 def recover_rename_commit(target_path: str) -> bool:
     """Repair a half-finished rename-commit at ``target_path``.
 

@@ -311,6 +311,18 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
     rows untouched (standard MERGE semantics — not whole-row
     replacement).
 
+    MULTI-CLAUSE statements are supported with Delta's written-order,
+    first-match-wins semantics: several conditional clauses of the same
+    kind, UPDATE written before DELETE (rows the update claims are NOT
+    deleted), matched-DELETE predicates over either side, and multiple
+    gated INSERT lists all route to the ordered clause engine
+    (``operators.merge.merge_ordered``); within each group only the
+    LAST clause may omit its condition (a later clause would be
+    unreachable — Delta refuses that ordering too). Statements the flat
+    single-clause engine has always accepted keep its exact plan.
+    Ordered statements refuse duplicate source keys (no ``order_col``
+    exists in SQL to arbitrate).
+
     ``USING`` must name a registered view/table (alias the columns in
     the view when names differ — renames and expressions belong in the
     source query, which is full Spark SQL)."""
@@ -372,22 +384,22 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
     nmbs: str | bool = False
     nmbs_update: dict[str, str] | None = None
     nmbs_update_pred: str | None = None
-    # one clause per kind: the engine's merge carries ONE matched
-    # update / matched delete / insert / NMBS delete / NMBS update —
-    # a silently-clobbered duplicate would execute with different
-    # semantics than written (e.g. a conditional UPDATE's predicate
-    # leaking onto a later unconditional UPDATE's assignments), so a
-    # second clause of the same kind refuses loudly
+    # two routes share this parser. The FLAT route (one clause per
+    # kind, fixed delete-before-update execution — the engine's
+    # merge_clauses) keeps its exact plan for every statement it has
+    # always accepted. Statements it cannot spell — a second clause of
+    # a kind, UPDATE written before DELETE (written order matters:
+    # rows the update claims are then NOT deleted), a matched-DELETE
+    # predicate referencing the target side — route to the ORDERED
+    # engine (merge_ordered, Delta's first-match-wins semantics)
     seen_kinds: set[str] = set()
+    needs_ordered = False
+    ordered: list[tuple] = []
 
-    def _claim(kind: str, desc: str) -> None:
+    def _claim(kind: str) -> None:
+        nonlocal needs_ordered
         if kind in seen_kinds:
-            raise ValueError(
-                f"duplicate MERGE clause: a second {desc} clause is "
-                "unsupported (the engine carries one clause per kind; "
-                "Delta's first-match-wins multi-clause ordering is not "
-                "implemented) — combine the conditions into one clause"
-            )
+            needs_ordered = True
         seen_kinds.add(kind)
     def _parse_set(body: str):
         # identity assignments (a.c = b.c for every item) keep the
@@ -421,36 +433,48 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
             action = tail[then_at + 4:].strip()
             au = action.upper()
             if au == "DELETE":
-                _claim("matched_delete", "WHEN MATCHED ... DELETE")
-                delete_pred = _strip_alias(
-                    pred_sql, s_alias, t_alias, "WHEN MATCHED"
+                _claim("matched_delete")
+                ordered.append(
+                    ("delete", _requalify_source(pred_sql, s_alias, t_alias))
                 )
+                try:
+                    # flat route: the CDC shape — predicate over the
+                    # SOURCE row only. A target-side reference is
+                    # Delta-legal (joined-row scope): ordered route
+                    delete_pred = _strip_alias(
+                        pred_sql, s_alias, t_alias, "WHEN MATCHED"
+                    )
+                except ValueError:
+                    needs_ordered = True
             elif au.startswith("UPDATE"):
                 set_at = _scan_top(action, "SET")
                 if set_at < 0:
                     raise ValueError(
                         "WHEN MATCHED AND ... THEN UPDATE needs SET col = expr"
                     )
-                _claim("matched_update", "WHEN MATCHED ... UPDATE")
+                _claim("matched_update")
                 # the gating condition sees BOTH sides (Delta's WHEN
                 # MATCHED AND): target bare, source requalified
                 update_pred = _requalify_source(pred_sql, s_alias, t_alias)
                 update_cols = _parse_set(action[set_at + 3:])
+                ordered.append(("update", update_pred, update_cols))
             else:
                 raise ValueError(
                     "WHEN MATCHED AND <cond> supports THEN DELETE or "
                     "THEN UPDATE SET"
                 )
         elif up.startswith("MATCHED THEN UPDATE SET"):
-            _claim("matched_update", "WHEN MATCHED ... UPDATE")
+            _claim("matched_update")
             update_cols = _parse_set(c[len("MATCHED THEN UPDATE SET"):])
+            ordered.append(("update", None, update_cols))
         elif up.replace(" ", "") == "MATCHEDTHENDELETE":
             # unconditional matched delete: every matched target row
             # drops (delete_pred "true" under Delta clause scope —
             # the delete claims MATCHED rows only, so it composes with
             # WHEN NOT MATCHED INSERT as delete-matched/insert-rest)
-            _claim("matched_delete", "WHEN MATCHED ... DELETE")
+            _claim("matched_delete")
             delete_pred = "__delete_all__"
+            ordered.append(("delete", None))
         elif up.startswith("NOT MATCHED BY SOURCE"):
             tail = c[len("NOT MATCHED BY SOURCE"):].strip()
             then_at = _scan_top(tail, "THEN")
@@ -467,15 +491,16 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
                 raise ValueError(f"unparsed NOT MATCHED BY SOURCE tail {cond!r}")
             au = action.upper()
             if au == "DELETE":
-                _claim("nmbs_delete", "WHEN NOT MATCHED BY SOURCE ... DELETE")
+                _claim("nmbs_delete")
                 nmbs = pred if pred is not None else True
+                ordered.append(("by_source_delete", pred))
             elif au.startswith("UPDATE"):
                 set_at = _scan_top(action, "SET")
                 if set_at < 0:
                     raise ValueError(
                         "NOT MATCHED BY SOURCE UPDATE needs SET col = expr[, …]"
                     )
-                _claim("nmbs_update", "WHEN NOT MATCHED BY SOURCE ... UPDATE")
+                _claim("nmbs_update")
                 # expressions see the TARGET row only (no source row
                 # exists for these keys) — a source-alias reference
                 # refuses via _strip_alias's other-side check
@@ -491,6 +516,7 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
                     ).items()
                 }
                 nmbs_update_pred = pred
+                ordered.append(("by_source_update", pred, nmbs_update))
             else:
                 raise ValueError(
                     "WHEN NOT MATCHED BY SOURCE supports THEN DELETE or "
@@ -498,7 +524,8 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
                 )
         elif up.startswith("NOT MATCHED"):
             tail = c[len("NOT MATCHED"):].strip()
-            _claim("insert", "WHEN NOT MATCHED ... INSERT")
+            _claim("insert")
+            insert_pred = None  # per-clause; the flat slot keeps the last
             if tail.upper().startswith("AND "):
                 # Delta's WHEN NOT MATCHED AND <cond> THEN INSERT: the
                 # condition sees the SOURCE row only (there is no
@@ -541,8 +568,10 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
                     ins.append(cname)
                 insert_cols = ins
                 insert_unmatched = True
+                ordered.append(("insert", insert_pred, ins))
             elif tail.upper().replace(" ", "") in ("THENINSERT*",):
                 insert_unmatched = True
+                ordered.append(("insert", insert_pred, None))
             else:
                 raise ValueError(
                     "WHEN NOT MATCHED supports THEN INSERT * or THEN INSERT "
@@ -551,6 +580,32 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
                 )
         else:
             raise ValueError(f"unsupported MERGE clause {c[:60]!r}")
+
+    # written-order checks: the flat engine executes DELETE before
+    # UPDATE within each group regardless of where they were written;
+    # when the statement writes UPDATE first, the order is semantics
+    # (rows the update claims must NOT be deleted) — ordered route.
+    # Same for an unconditional DELETE with an UPDATE present (legal
+    # Delta only when the update is written first; the ordered engine
+    # validates reachability either way)
+    m_kinds = [cl[0] for cl in ordered if cl[0] in ("update", "delete")]
+    if (
+        "update" in m_kinds
+        and "delete" in m_kinds
+        and m_kinds.index("update") < m_kinds.index("delete")
+    ):
+        needs_ordered = True
+    b_kinds = [cl[0] for cl in ordered if cl[0].startswith("by_source")]
+    if (
+        "by_source_update" in b_kinds
+        and "by_source_delete" in b_kinds
+        and b_kinds.index("by_source_update") < b_kinds.index("by_source_delete")
+    ):
+        needs_ordered = True
+    if delete_pred == "__delete_all__" and update_cols is not None:
+        needs_ordered = True
+    if needs_ordered:
+        return t.merge(spark, spark.table(src_name), keys, clauses=ordered)
 
     if update_cols is None and delete_pred is None and not insert_unmatched \
             and nmbs is False and nmbs_update is None:

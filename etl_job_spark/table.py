@@ -4063,6 +4063,7 @@ class ManifestTable:
         when_matched_update_pred: str | None = None,
         when_not_matched_insert_pred: str | None = None,
         when_matched_delete_scope: str = "source",
+        clauses: Sequence[tuple] | None = None,
     ) -> int:
         """MERGE ``source`` into the table (source wins per key).
 
@@ -4117,6 +4118,20 @@ class ManifestTable:
           unavoidable cost of full-sync semantics (Delta scans the
           whole table for this clause too). Don't reach for it when a
           keyed window merge expresses the intent.
+        - ``clauses=[...]`` — ORDERED multi-clause mode (Delta's
+          written-order semantics, first-match-wins within each clause
+          group): pass the statement as an ordered list of clause
+          tuples (``("update", pred, assigns)``, ``("delete", pred)``,
+          ``("insert", pred, cols)``, ``("by_source_update", pred,
+          assigns)``, ``("by_source_delete", pred)`` — grammar and the
+          only-last-unconditional rule in
+          ``operators.merge.validate_ordered_clauses``). This is the
+          route for statements the flat per-kind parameters cannot
+          spell: several conditional UPDATE clauses, UPDATE written
+          before DELETE, multiple gated INSERT lists. Mutually
+          exclusive with every per-kind clause parameter; file pruning
+          applies exactly as below (a by-source clause disables it).
+          Duplicate source keys refuse unless ``order_col`` arbitrates.
         - ``not_matched_by_source_update={col: expr}`` (+ optional
           ``..._update_pred`` over the target row) — Delta's WHEN NOT
           MATCHED BY SOURCE THEN UPDATE SET: unmatched target rows take
@@ -4168,9 +4183,37 @@ class ManifestTable:
         """
 
         nmbs = not_matched_by_source_delete
+        ordered_groups = None
+        if clauses is not None:
+            # ordered mode (Delta's written-order multi-clause MERGE —
+            # semantics in operators.merge.merge_ordered) excludes the
+            # flat per-kind parameters: one statement, one grammar
+            if (
+                when_matched_update is not None
+                or when_matched_delete is not None
+                or not insert_unmatched
+                or nmbs is not False
+                or not_matched_by_source_update
+                or not_matched_by_source_update_pred is not None
+                or insert_cols is not None
+                or when_matched_update_pred is not None
+                or when_not_matched_insert_pred is not None
+                or when_matched_delete_scope != "source"
+            ):
+                raise ValueError(
+                    "clauses= (ordered multi-clause mode) excludes the "
+                    "per-kind clause parameters — express the whole "
+                    "statement as the ordered clause list"
+                )
+            from etl_job_spark.operators.merge import validate_ordered_clauses
+
+            # validate eagerly (loud refusal before any job runs)
+            ordered_groups = validate_ordered_clauses(clauses)
         # EITHER by-source clause makes every file a rewrite candidate
-        nmbs_active = (nmbs is not False and nmbs is not None) or bool(
-            not_matched_by_source_update
+        nmbs_active = (
+            (nmbs is not False and nmbs is not None)
+            or bool(not_matched_by_source_update)
+            or bool(ordered_groups and ordered_groups[2])
         )
         clause_mode = (
             when_matched_update is not None
@@ -4179,6 +4222,7 @@ class ManifestTable:
             or nmbs_active
             or insert_cols is not None
             or when_not_matched_insert_pred is not None
+            or clauses is not None
         )
         ins_set = (
             None if insert_cols is None else set(insert_cols) | set(keys)
@@ -4195,6 +4239,21 @@ class ManifestTable:
         def attempt() -> int:
             base = self.latest_version()
             if base is None:
+                if clauses is not None:
+                    # ordered mode against no table: nothing can match,
+                    # so only the insert clauses act (first-match-wins
+                    # over the source rows; the source defines the
+                    # schema width, unlisted columns land NULL)
+                    from etl_job_spark.operators.merge import (
+                        ordered_inserts_only,
+                    )
+
+                    first = ordered_inserts_only(source, keys, clauses, order_col)
+                    entries = self._write_data_files(first, None)
+                    return self._commit(
+                        entries, first.schema, None, None, {"op": "merge"},
+                        stream_txn=txn,
+                    )
                 first_src = source
                 if ins_set is not None:
                     # column-list insert on a first commit: unlisted
@@ -4421,7 +4480,13 @@ class ManifestTable:
                 # source-introduced column survives merge_upsert's
                 # align-to-target step
                 target = _align(self._read_files(spark, touched), schema, cmap)
-                if clause_mode:
+                if clauses is not None:
+                    from etl_job_spark.operators.merge import merge_ordered
+
+                    merged = merge_ordered(
+                        target, source, keys, clauses, order_col=order_col
+                    )
+                elif clause_mode:
                     merged = merge_clauses(
                         target,
                         source,
@@ -4442,6 +4507,17 @@ class ManifestTable:
                     )
                 else:
                     merged = merge_upsert(target, source, keys, order_col=order_col)
+            elif clauses is not None:
+                # ordered mode, nothing matched: only the insert
+                # clauses can produce rows (the by-source clauses
+                # disable pruning, so touched can only be empty when
+                # the table holds no files at all)
+                from etl_job_spark.operators.merge import ordered_inserts_only
+
+                merged = _align(
+                    ordered_inserts_only(source, keys, clauses, order_col),
+                    schema,
+                )
             elif clause_mode:
                 # nothing matched: only the insert branch can produce
                 # rows (delete of an absent key is a no-op; updates

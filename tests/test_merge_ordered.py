@@ -1,0 +1,389 @@
+"""Ordered multi-clause MERGE (Delta's written-order, first-match-wins
+semantics — the clause stacks the flat one-per-kind engine cannot
+spell). Engine level (``operators.merge.merge_ordered``), table level
+(``ManifestTable.merge(clauses=…)``, pruning intact), SQL routing
+(``_merge_into`` sends multi-clause statements here and keeps the flat
+plan for single-clause ones), and a Hypothesis model equivalence.
+
+Reference parity: the reference's per-row exists-probe upsert
+(load_sales_data.py:129-134) is the single-clause case; the ordered
+engine covers the general Delta statement a migrating user may carry.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_job_spark.operators.merge import (
+    merge_ordered,
+    ordered_inserts_only,
+    validate_ordered_clauses,
+)
+from etl_job_spark.table import ManifestTable
+
+
+def _tgt(spark):
+    return spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200), (3, 30, 300), (6, 60, 600)],
+        "k int, v int, w int",
+    )
+
+
+def _src(spark):
+    return spark.createDataFrame(
+        [(1, 11, "U"), (2, 22, "D"), (3, 33, "X"), (4, 44, "I"), (5, 55, "Z")],
+        "k int, v int, op string",
+    )
+
+
+FIVE_CLAUSES = [
+    ("update", "source.op = 'U'", {"v": "source.v"}),
+    ("delete", "source.op = 'D'"),
+    ("update", None, {"w": "w + source.v"}),
+    ("insert", "op = 'I'", ["k", "v"]),
+    ("insert", None, None),
+]
+# k=1 fires clause 1 (v←11); k=2 fires the delete; k=3 falls through to
+# the unconditional update (w←300+33); k=4 fires the gated column-list
+# insert (w lands NULL); k=5 falls through to INSERT * (no w in the
+# source → NULL); k=6 has no source row and passes through untouched
+FIVE_WANT = [(1, 11, 100), (3, 30, 333), (4, 44, None), (5, 55, None), (6, 60, 600)]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_first_match_wins_written_order(spark):
+    out = merge_ordered(_tgt(spark), _src(spark), ["k"], FIVE_CLAUSES)
+    assert _rows(out) == sorted(FIVE_WANT)
+
+
+def test_update_written_before_unconditional_delete(spark):
+    # Delta-legal ordering the flat engine refuses: rows the update
+    # claims are NOT deleted; the delete catches the remaining matches
+    out = merge_ordered(
+        _tgt(spark),
+        _src(spark),
+        ["k"],
+        [("update", "source.op = 'U'", {"v": "source.v"}), ("delete", None)],
+    )
+    assert _rows(out) == sorted([(1, 11, 100), (6, 60, 600)])
+
+
+def test_delete_written_before_update_claims_first(spark):
+    # same two clauses, delete written first with its own condition:
+    # the overlap (a row passing both) deletes — written order decides
+    out = merge_ordered(
+        _tgt(spark),
+        _src(spark),
+        ["k"],
+        [
+            ("delete", "source.v > 0"),
+            ("update", None, {"v": "source.v"}),
+        ],
+    )
+    # every matched row (k=1,2,3) has source.v > 0 → deleted
+    assert _rows(out) == sorted([(6, 60, 600)])
+
+
+def test_null_condition_falls_through(spark):
+    # a NULL predicate result means "this clause does not fire" (SQL
+    # WHEN semantics), so the row falls through to the next clause
+    src = spark.createDataFrame([(1, None, "x")], "k int, flag boolean, tag string")
+    out = merge_ordered(
+        _tgt(spark),
+        src,
+        ["k"],
+        [
+            ("delete", "source.flag"),          # NULL → falls through
+            ("update", None, {"v": "-1"}),
+        ],
+    )
+    got = {r.k: r.v for r in out.collect()}
+    assert got[1] == -1 and len(got) == 4
+
+
+def test_by_source_written_order(spark):
+    out = merge_ordered(
+        _tgt(spark),
+        _src(spark).filter("k <= 2"),
+        ["k"],
+        [
+            ("update", None, ["v"]),
+            ("by_source_update", "w >= 600", {"w": "-1"}),
+            ("by_source_delete", None),
+        ],
+    )
+    # k=1,2 matched update; k=3 (w=300) falls to the delete; k=6 updates
+    assert _rows(out) == sorted([(1, 11, 100), (2, 22, 200), (6, 60, -1)])
+
+
+def test_unconditional_non_last_refuses_per_group(spark):
+    with pytest.raises(ValueError, match="unreachable"):
+        validate_ordered_clauses(
+            [("update", None, ["v"]), ("update", "source.op='U'", ["v"])]
+        )
+    with pytest.raises(ValueError, match="unreachable"):
+        validate_ordered_clauses(
+            [("delete", None), ("update", "source.op='U'", ["v"])]
+        )
+    with pytest.raises(ValueError, match="unreachable"):
+        validate_ordered_clauses(
+            [("insert", None, None), ("insert", "op='I'", ["k"])]
+        )
+    with pytest.raises(ValueError, match="unreachable"):
+        validate_ordered_clauses(
+            [("by_source_delete", None), ("by_source_update", "w > 0", {"w": "0"})]
+        )
+    # an unconditional clause in ANOTHER group is independent
+    validate_ordered_clauses(
+        [("update", None, ["v"]), ("insert", "op='I'", ["k"]), ("insert", None, None)]
+    )
+
+
+def test_duplicate_source_keys_refuse_without_order_col(spark):
+    dup = spark.createDataFrame([(1, 1, "U"), (1, 2, "U")], "k int, v int, op string")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_ordered(_tgt(spark), dup, ["k"], [("update", None, ["v"])]).collect()
+    # order_col arbitrates: last writer wins before clauses run
+    dup2 = spark.createDataFrame(
+        [(1, 1, 0), (1, 2, 1)], "k int, v int, seq int"
+    )
+    out = merge_ordered(
+        _tgt(spark), dup2, ["k"], [("update", None, ["v"])], order_col="seq"
+    )
+    assert {r.v for r in out.filter("k = 1").collect()} == {2}
+
+
+def test_validation_errors(spark):
+    tgt, src = _tgt(spark), _src(spark)
+    with pytest.raises(ValueError, match="every merge key"):
+        merge_ordered(tgt, src, ["k"], [("insert", None, ["v"])]).collect()
+    with pytest.raises(ValueError, match="not table columns"):
+        merge_ordered(tgt, src, ["k"], [("insert", None, ["k", "op"])]).collect()
+    with pytest.raises(ValueError, match="non-key target columns"):
+        merge_ordered(tgt, src, ["k"], [("update", None, {"k": "source.v"})]).collect()
+    with pytest.raises(ValueError, match="TARGET row only"):
+        validate_ordered_clauses([("by_source_update", None, {"v": "source.v"})])
+    with pytest.raises(ValueError, match="TARGET row only"):
+        validate_ordered_clauses([("by_source_delete", "source.v > 0")])
+    with pytest.raises(ValueError, match="at least one clause"):
+        validate_ordered_clauses([])
+    with pytest.raises(TypeError, match="SQL strings"):
+        validate_ordered_clauses([("update", None, {"v": 3})])
+
+
+def test_inserts_only_helper(spark):
+    out = ordered_inserts_only(
+        _src(spark),
+        ["k"],
+        [("insert", "op='I'", ["k", "v"]), ("insert", "op='U'", None)],
+    )
+    assert _rows(out) == [(1, 11, "U"), (4, 44, None)]
+
+
+# ---------------------------------------------------------------------
+# table level: pruning, first commit, SQL routing
+# ---------------------------------------------------------------------
+
+
+def test_table_ordered_merge_prunes_untouched_partitions(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(p, k, k * 10) for p in ("a", "b", "c") for k in range(3)],
+        "p string, k int, v int",
+    )
+    t.overwrite(df, partition_by=["p"])
+    before = {e["path"] for e in t._read_manifest(t.latest_version())["files"]}
+    src = spark.createDataFrame([("a", 1, -1, False), ("a", 2, 0, True)],
+                                "p string, k int, v int, gone boolean")
+    t.merge(
+        spark, src, ["p", "k"],
+        clauses=[("delete", "source.gone"), ("update", None, ["v"])],
+    )
+    man = t._read_manifest(t.latest_version())
+    carried = {e["path"] for e in man["files"]} & before
+    # every file of the untouched partitions b and c carries by
+    # reference (a p=a file whose key range misses the source may
+    # legitimately carry too — that's the finer stats prune)
+    assert {p for p in before if "p=b" in p or "p=c" in p} <= carried
+    got = _rows(t.snapshot(spark).select("p", "k", "v").filter("p = 'a'"))
+    assert got == [("a", 0, 0), ("a", 1, -1)]
+
+
+def test_table_ordered_merge_first_commit_and_empty_match(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    src = _src(spark)
+    t.merge(spark, src, ["k"], clauses=[("insert", "op = 'I'", ["k", "v"])])
+    assert _rows(t.snapshot(spark)) == [(4, 44, None)]
+    # second merge whose keys miss every file: only inserts fire
+    far = spark.createDataFrame([(100, 7, "I")], "k int, v int, op string")
+    t.merge(
+        spark, far, ["k"],
+        clauses=[("update", "source.op='U'", ["v"]), ("insert", None, None)],
+    )
+    assert _rows(t.snapshot(spark)) == [(4, 44, None), (100, 7, "I")]
+
+
+def test_table_clauses_mutually_exclusive_with_flat_params(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(_tgt(spark))
+    with pytest.raises(ValueError, match="excludes the"):
+        t.merge(
+            spark, _src(spark), ["k"],
+            clauses=[("insert", None, None)], insert_cols=["k"],
+        )
+
+
+def test_sql_multi_clause_statement_routes_ordered(spark, tmp_path):
+    from etl_job_spark.sql import execute_dml
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.append(_tgt(spark))
+    _src(spark).createOrReplaceTempView("s_ord")
+    execute_dml(spark, t, """
+        MERGE INTO tbl AS a USING s_ord AS b ON a.k = b.k
+        WHEN MATCHED AND b.op = 'U' THEN UPDATE SET a.v = b.v
+        WHEN MATCHED AND b.op = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET a.w = a.w + b.v
+        WHEN NOT MATCHED AND b.op = 'I' THEN INSERT (a.k, a.v) VALUES (b.k, b.v)
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert _rows(t.snapshot(spark)) == sorted(FIVE_WANT)
+
+
+def test_sql_target_side_delete_pred_routes_ordered(spark, tmp_path):
+    from etl_job_spark.sql import execute_dml
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, 10), (2, 99)], "k int, v int"))
+    _src(spark).createOrReplaceTempView("s_ord2")
+    # a.v references the TARGET side — the flat CDC delete can't, the
+    # ordered engine's joined-row scope can (Delta-legal)
+    execute_dml(spark, t, """
+        MERGE INTO tbl AS a USING s_ord2 AS b ON a.k = b.k
+        WHEN MATCHED AND a.v > 50 THEN DELETE
+    """)
+    assert _rows(t.snapshot(spark)) == [(1, 10)]
+
+
+def test_sql_update_before_unconditional_delete(spark, tmp_path):
+    from etl_job_spark.sql import execute_dml
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k int, v int"))
+    _src(spark).createOrReplaceTempView("s_ord3")
+    execute_dml(spark, t, """
+        MERGE INTO tbl AS a USING s_ord3 AS b ON a.k = b.k
+        WHEN MATCHED AND b.op = 'U' THEN UPDATE SET a.v = b.v
+        WHEN MATCHED THEN DELETE
+    """)
+    assert _rows(t.snapshot(spark)) == [(1, 11)]
+    # the reverse order leaves the update unreachable — refuses loudly
+    with pytest.raises(ValueError, match="unreachable"):
+        execute_dml(spark, t, """
+            MERGE INTO tbl AS a USING s_ord3 AS b ON a.k = b.k
+            WHEN MATCHED THEN DELETE
+            WHEN MATCHED AND b.op = 'U' THEN UPDATE SET a.v = b.v
+        """)
+
+
+def test_sql_single_clause_keeps_flat_route(spark, tmp_path, monkeypatch):
+    """Statements the flat engine has always accepted must not change
+    route (their plans are pinned elsewhere): assert merge_ordered is
+    never consulted for a single-clause statement."""
+    from etl_job_spark import sql as sqlmod
+    from etl_job_spark.sql import execute_dml
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"))
+    _src(spark).createOrReplaceTempView("s_ord4")
+
+    import etl_job_spark.operators.merge as m
+
+    def _boom(*a, **k):  # pragma: no cover - fails the test if reached
+        raise AssertionError("single-clause statement took the ordered route")
+
+    monkeypatch.setattr(m, "merge_ordered", _boom)
+    execute_dml(spark, t, """
+        MERGE INTO tbl AS a USING s_ord4 AS b ON a.k = b.k
+        WHEN MATCHED THEN UPDATE SET a.v = b.v
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert _rows(t.snapshot(spark).select("k", "v")) == [
+        (1, 11), (2, 22), (3, 33), (4, 44), (5, 55),
+    ]
+
+
+# ---------------------------------------------------------------------
+# Hypothesis: ordered clause stack vs a brute-force Python model
+# ---------------------------------------------------------------------
+
+ord_row_st = st.tuples(
+    st.integers(0, 6),      # key
+    st.integers(-50, 50),   # v
+    st.integers(-50, 50),   # w
+)
+ord_batch_st = st.lists(ord_row_st, min_size=0, max_size=10)
+
+
+def _model_ordered(tgt_rows, src_rows):
+    """Model of the clause stack in test below: matched group
+    [UPDATE v←sv if sv>0; DELETE if sw<0; UPDATE w←w+sv], insert group
+    [INSERT(k,v) if sv>0; INSERT * ], by_source [DELETE if w<0]."""
+    tgt = {k: (v, w) for k, v, w in tgt_rows}
+    src = {k: (v, w) for k, v, w in src_rows}
+    out = {}
+    for k, (v, w) in tgt.items():
+        s = src.get(k)
+        if s is None:
+            if not (w is not None and w < 0):
+                out[k] = (v, w)
+            continue
+        sv, sw = s
+        if sv > 0:
+            out[k] = (sv, w)
+        elif sw < 0:
+            continue
+        else:
+            out[k] = (v, w + sv)
+    for k, (sv, sw) in src.items():
+        if k in tgt:
+            continue
+        if sv > 0:
+            out[k] = (sv, None)   # column-list insert: w lands NULL
+        else:
+            out[k] = (sv, sw)     # INSERT *
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(target=ord_batch_st, source=ord_batch_st)
+def test_merge_ordered_model_equivalence(spark, target, source):
+    tgt_rows = list({k: (k, v, w) for k, v, w in target}.values())
+    src_rows = list({k: (k, v, w) for k, v, w in source}.values())
+    tgt = spark.createDataFrame(tgt_rows, "k int, v int, w int") if tgt_rows \
+        else spark.createDataFrame([], "k int, v int, w int")
+    src = spark.createDataFrame(src_rows, "k int, v int, w int") if src_rows \
+        else spark.createDataFrame([], "k int, v int, w int")
+
+    out = merge_ordered(
+        tgt, src, ["k"],
+        [
+            ("update", "source.v > 0", ["v"]),
+            ("delete", "source.w < 0"),
+            ("update", None, {"w": "w + source.v"}),
+            ("insert", "v > 0", ["k", "v"]),
+            ("insert", None, None),
+            ("by_source_delete", "w < 0"),
+        ],
+    ).collect()
+    got = {r.k: (r.v, r.w) for r in out}
+    want = _model_ordered(
+        [(k, v, w) for k, v, w in tgt_rows], [(k, v, w) for k, v, w in src_rows]
+    )
+    assert got == want
