@@ -1148,3 +1148,102 @@ def mart_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 query("kicc_mart_add_column", ADD_COLUMN_SQL)(mart_add_column)
+
+
+MERGE_MULTI_SQL = """
+WITH feed AS (
+  SELECT CASE WHEN o_orderkey % 4 = 3 THEN -o_orderkey ELSE o_orderkey END
+           AS o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+         CASE WHEN o_orderkey % 4 = 0 THEN 'void'
+              WHEN o_orderkey % 4 = 1 THEN 'adjust'
+              WHEN o_orderkey % 4 = 3 THEN 'new'
+              ELSE 'touch' END AS op
+  FROM orders WHERE o_orderkey % 5 = 0
+), mart AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+  FROM orders
+)
+SELECT m.o_orderkey, m.o_custkey,
+       CASE WHEN f.op IS NOT NULL AND f.op NOT IN ('void', 'adjust')
+            THEN 'T' ELSE m.o_orderstatus END AS o_orderstatus,
+       CASE WHEN f.op = 'adjust' THEN m.total_cents + f.total_cents
+            ELSE m.total_cents END AS total_cents
+FROM mart m LEFT JOIN feed f USING (o_orderkey)
+WHERE f.op IS NULL OR f.op <> 'void'
+UNION ALL
+SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey,
+       CAST(NULL AS VARCHAR) AS o_orderstatus, total_cents
+FROM feed WHERE op = 'new'
+"""
+
+
+def mart_merge_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-clause MERGE (round 11 — Delta's written-order,
+    first-match-wins statement the flat one-clause-per-kind engine
+    refuses): a CDC feed lands against the orders mart in ONE literal
+    statement with two conditional matched clauses, an unconditional
+    matched fallback, and a gated column-list insert —
+
+        WHEN MATCHED AND op='void'   THEN DELETE
+        WHEN MATCHED AND op='adjust' THEN UPDATE SET
+             total_cents = total_cents + source amount
+        WHEN MATCHED                 THEN UPDATE SET status 'T'
+        WHEN NOT MATCHED AND op='new' THEN INSERT (key, cents)
+
+    The reference's upsert loop (load_sales_data.py:129-134) is the
+    single-clause case of this; the oracle reconstructs the clause
+    cascade relationally (CASE over the joined row + a UNION for the
+    gated insert), so the parser → ordered-engine routing
+    (sql._merge_into → operators.merge.merge_ordered) is hash-checked
+    end to end. Landed once per (session, sf_dir); re-invocations read
+    the committed result."""
+    import hashlib
+
+    from etl_job_spark.scratch import scratch_dir
+    from etl_job_spark.sources.catalog import load_table
+    from etl_job_spark.sql import execute_dml
+    from etl_job_spark.table import ManifestTable
+
+    path = scratch_dir(
+        spark, "kicc_mart_merge_multi",
+        f"_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    name = os.path.basename(path)
+    t = ManifestTable(path)
+    if t.latest_version() is None:
+        orders = load_table(spark, sf_dir, "orders")
+        mart = orders.selectExpr(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents",
+        )
+        t.overwrite(mart.repartitionByRange(4, F.col("o_orderkey")))
+        orders.filter("o_orderkey % 5 = 0").selectExpr(
+            "CASE WHEN o_orderkey % 4 = 3 THEN -o_orderkey "
+            "ELSE o_orderkey END AS o_orderkey",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents",
+            "CASE WHEN o_orderkey % 4 = 0 THEN 'void' "
+            "WHEN o_orderkey % 4 = 1 THEN 'adjust' "
+            "WHEN o_orderkey % 4 = 3 THEN 'new' "
+            "ELSE 'touch' END AS op",
+        ).createOrReplaceTempView("kicc_cdc_feed")
+        execute_dml(spark, t, f"""
+            MERGE INTO {name} t USING kicc_cdc_feed s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND s.op = 'void' THEN DELETE
+            WHEN MATCHED AND s.op = 'adjust'
+                 THEN UPDATE SET t.total_cents = t.total_cents + s.total_cents
+            WHEN MATCHED THEN UPDATE SET t.o_orderstatus = 'T'
+            WHEN NOT MATCHED AND s.op = 'new'
+                 THEN INSERT (t.o_orderkey, t.total_cents)
+                 VALUES (s.o_orderkey, s.total_cents)
+        """)
+    return t.snapshot(spark).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "total_cents"
+    )
+
+
+query("kicc_mart_merge_multi", MERGE_MULTI_SQL)(mart_merge_multi)

@@ -270,6 +270,13 @@ _TAIL = [
     # round-7: IVF-PQ composed serving (partition-pruned lists of
     # residual codes) — rows-only, pinned in tests/test_ivfpq.py
     "embed_ivfpq_search",
+    # round-11: ordered multi-clause MERGE (Delta written-order CDC
+    # statement: conditional DELETE + conditional UPDATE +
+    # unconditional UPDATE fallback + gated column-list INSERT in one
+    # parsed statement through merge_ordered); tail because the MERGE
+    # family's window slots are held by kicc_mart_versioned /
+    # kicc_mart_sql_dml — the oracle reconstructs the clause cascade
+    "kicc_mart_merge_multi",
     # round-7: the end-to-end training-set assembly (filter+dedup →
     # decontaminate → temperature mix) composed as ONE hash-exact
     # query; tail because each stage's component already holds a
