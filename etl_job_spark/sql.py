@@ -329,18 +329,21 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
     import re
 
     head = re.match(
-        r"(?is)^\s*MERGE\s+INTO\s+(\S+?)(?:\s+AS)?(?:\s+(\w+))?\s+USING\s+"
+        r"(?is)^\s*MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+"
+        r"(\S+?)(?:\s+AS)?(?:\s+(\w+))?\s+USING\s+"
         r"(\w+)(?:\s+AS)?(?:\s+(\w+))?\s+ON\s+",
         s,
     )
     if head is None:
         raise ValueError(
-            "supported form: MERGE INTO <t> [AS a] USING <view> [AS b] ON ..."
+            "supported form: MERGE [WITH SCHEMA EVOLUTION] INTO <t> [AS a] "
+            "USING <view> [AS b] ON ..."
             " (subqueries in USING are unsupported — register a view)"
         )
-    t_alias = head.group(2) or head.group(1)
-    src_name = head.group(3)
-    s_alias = head.group(4) or src_name
+    evolve = head.group(1) is not None
+    t_alias = head.group(3) or head.group(2)
+    src_name = head.group(4)
+    s_alias = head.group(5) or src_name
     rest = s[head.end():]
     first_when = _scan_top(rest, "WHEN")
     if first_when < 0:
@@ -605,7 +608,10 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
     if delete_pred == "__delete_all__" and update_cols is not None:
         needs_ordered = True
     if needs_ordered:
-        return t.merge(spark, spark.table(src_name), keys, clauses=ordered)
+        return t.merge(
+            spark, spark.table(src_name), keys, clauses=ordered,
+            schema_evolution=evolve,
+        )
 
     if update_cols is None and delete_pred is None and not insert_unmatched \
             and nmbs is False and nmbs_update is None:
@@ -640,6 +646,7 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
         when_matched_update_pred=update_pred,
         when_not_matched_insert_pred=insert_pred,
         when_matched_delete_scope="matched",
+        schema_evolution=evolve,
     )
 
 
@@ -719,7 +726,11 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
         _check_target(m.group(1) if m else None, t)
         return t.delete_where(spark, s[where_at + 5:].strip())
     if upper.startswith("MERGE"):
-        m = re.match(r"(?is)^MERGE\s+INTO\s+(\S+?)(?:\s|$)", s)
+        m = re.match(
+            r"(?is)^MERGE\s+(?:WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+"
+            r"(\S+?)(?:\s|$)",
+            s,
+        )
         _check_target(m.group(1) if m else None, t)
         return _merge_into(spark, t, s)
     if upper.startswith("INSERT"):
@@ -1067,7 +1078,8 @@ def statement_table(sql: str) -> str:
     import re
 
     m = re.match(
-        r"(?is)^\s*(?:UPDATE|MERGE\s+INTO|DELETE\s+FROM|INSERT\s+INTO|"
+        r"(?is)^\s*(?:UPDATE|MERGE\s+(?:WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO|"
+        r"DELETE\s+FROM|INSERT\s+INTO|"
         r"VACUUM|OPTIMIZE|RESTORE(?:\s+TABLE)?|ALTER\s+TABLE|"
         r"TRUNCATE(?:\s+TABLE)?|DESCRIBE\s+(?:HISTORY|DETAIL)|"
         r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE)\s+(\S+)",

@@ -3463,6 +3463,51 @@ class ManifestTable:
         self._files_cache[version] = entries
         return version
 
+    @staticmethod
+    def _clause_assigned_columns(
+        source_cols: Sequence[str],
+        order_col: str | None,
+        when_matched_update,
+        insert_cols,
+        insert_unmatched: bool,
+        when_matched_delete,
+        clauses,
+    ) -> set[str]:
+        """The source columns a clause merge ASSIGNS somewhere — the
+        set eligible to extend the schema under ``schema_evolution``
+        (Delta's rule: SET */INSERT * and explicit assignment targets
+        evolve; columns the statement never writes do not). Merge
+        metadata (``order_col``, a CDC flag named by
+        ``when_matched_delete``) never evolves in."""
+        assigned: set[str] = set()
+        whole_row = False
+        if when_matched_update:
+            assigned |= set(when_matched_update)  # list or dict keys
+        if insert_cols:
+            assigned |= set(insert_cols)
+        if clauses is None:
+            # flat clause mode's whole-row insert (insert_unmatched
+            # with no column list) is INSERT *
+            whole_row = insert_unmatched and insert_cols is None
+        else:
+            for cl in clauses:
+                kind = cl[0]
+                if kind == "update":
+                    assigned |= set(cl[2])
+                elif kind == "insert":
+                    if cl[2] is None:
+                        whole_row = True
+                    else:
+                        assigned |= set(cl[2])
+                # by-source clauses see the target row only: they can
+                # never carry a source value into a new column
+        if whole_row:
+            assigned |= set(source_cols)
+        assigned.discard(order_col)
+        if isinstance(when_matched_delete, str) and when_matched_delete.isidentifier():
+            assigned.discard(when_matched_delete)
+        return assigned
+
     def _evolved_schema(self, man: dict, df: DataFrame) -> StructType:
         """Base schema + columns new in ``df`` (add-only evolution).
 
@@ -4064,6 +4109,7 @@ class ManifestTable:
         when_not_matched_insert_pred: str | None = None,
         when_matched_delete_scope: str = "source",
         clauses: Sequence[tuple] | None = None,
+        schema_evolution: bool = False,
     ) -> int:
         """MERGE ``source`` into the table (source wins per key).
 
@@ -4145,9 +4191,17 @@ class ManifestTable:
         values, key-range stats, and blooms, so "set one column for
         matching rows" rewrites only the files that can hold a
         matching key.
-        Clause merges never evolve the schema (UPDATE can't add
-        columns); constraints are validated on the REWRITTEN rows
-        (the source may be narrower than the table).
+        Clause merges evolve the schema only under
+        ``schema_evolution=True`` (Delta's ``WITH SCHEMA EVOLUTION``):
+        source columns the statement ASSIGNS — explicit UPDATE/INSERT
+        targets, or every source column under ``INSERT *`` — extend
+        the schema as a metadata change; untouched files are carried
+        by reference and read NULL for the new columns. Merge metadata
+        (``order_col``, a CDC flag column) never evolves in, shared
+        columns must keep their type, and an expression SET of a
+        column absent from BOTH table and source still refuses (no
+        type to derive). Constraints are validated on the REWRITTEN
+        rows (the source may be narrower than the table).
 
         ``txn=(app_id, version)`` makes the merge an idempotent
         streaming transaction (Delta's txnAppId/txnVersion shape): the
@@ -4337,15 +4391,34 @@ class ManifestTable:
                     return base  # replayed micro-batch: already landed
             partition_by = man["partition_by"]
             if clause_mode:
-                # clause merges never evolve the schema: UPDATE sets
-                # existing columns, DELETE removes rows, and inserts
-                # NULL-fill to the table's width. The source may be
-                # NARROWER than the table (keys + update cols), so
-                # validation runs on the rewritten rows below, where
-                # every column carries its real post-merge value.
+                # clause merges evolve the schema only under explicit
+                # ``schema_evolution`` (below): UPDATE sets existing
+                # columns, DELETE removes rows, and inserts NULL-fill
+                # to the table's width. The source may be NARROWER
+                # than the table (keys + update cols), so validation
+                # runs on the rewritten rows below, where every column
+                # carries its real post-merge value.
                 schema = self._manifest_schema(man)
                 if schema is None:
                     schema = self.snapshot(spark, base).schema
+                if schema_evolution:
+                    # Delta's WITH SCHEMA EVOLUTION: source columns
+                    # the statement ASSIGNS (explicit targets, or all
+                    # of them under INSERT */SET *) extend the schema
+                    # as a metadata change — untouched files carry by
+                    # reference and read NULL for the new columns,
+                    # exactly like alter_schema(add=...). Types come
+                    # from the source; a shared column changing type
+                    # still refuses (files would go stale).
+                    assigned = self._clause_assigned_columns(
+                        source.columns, order_col, when_matched_update,
+                        insert_cols, insert_unmatched, when_matched_delete,
+                        clauses,
+                    )
+                    probe = source.select(
+                        *[c for c in source.columns if c in assigned]
+                    )
+                    schema = self._evolved_schema(man, probe)
             else:
                 # order_col is merge metadata, not part of the result
                 # schema (unless the table already owns that name)

@@ -319,6 +319,30 @@ def test_sql_single_clause_keeps_flat_route(spark, tmp_path, monkeypatch):
     ]
 
 
+def test_ordered_merge_inside_sql_transaction(spark, tmp_path):
+    """An ordered multi-clause statement chains inside execute_dml_txn
+    like any other DML verb (the txn's captured table routes the same
+    execute_dml surface), and the follow-up statement reads the merge's
+    uncommitted state."""
+    from etl_job_spark.sql import execute_dml_txn
+    from etl_job_spark.txn import TransactionalCatalog
+
+    cat = TransactionalCatalog(str(tmp_path / "cat"))
+    cat.commit(lambda txn: txn.overwrite("m", _tgt(spark)))
+    _src(spark).filter("k <= 4").createOrReplaceTempView("s_txn_ord")
+    state = execute_dml_txn(spark, cat, [
+        """MERGE INTO m t USING s_txn_ord s ON t.k = s.k
+           WHEN MATCHED AND s.op = 'U' THEN UPDATE SET t.v = s.v
+           WHEN MATCHED AND s.op = 'D' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET t.w = t.w + s.v
+           WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (t.k, t.v)
+                VALUES (s.k, s.v)""",
+        "UPDATE m SET w = -1 WHERE w IS NULL",
+    ])
+    rows = _rows(cat.table("m").snapshot(spark, state["m"]))
+    assert rows == sorted([(1, 11, 100), (3, 30, 333), (4, 44, -1), (6, 60, 600)])
+
+
 # ---------------------------------------------------------------------
 # Hypothesis: ordered clause stack vs a brute-force Python model
 # ---------------------------------------------------------------------
