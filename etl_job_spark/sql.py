@@ -899,6 +899,7 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
         #   ALTER TABLE <t> DROP CONSTRAINT <name>
         #   ALTER TABLE <t> RENAME COLUMN <a> TO <b>
         #   ALTER TABLE <t> DROP COLUMN[S] <a>[, <b> ...]
+        #   ALTER TABLE <t> ALTER COLUMN <a> TYPE <t>          -- widening
         #   ALTER TABLE <t> SET PARTITION SPEC (<spec>, ...)   -- Iceberg
         #     evolution: future writes only, old files keep their dirs
         m = re.match(r"(?is)^ALTER\s+TABLE\s+(\S+)\s+(.*)$", s)
@@ -907,7 +908,8 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
                 "supported forms: ALTER TABLE <t> ADD CONSTRAINT n CHECK "
                 "(pred) | ADD COLUMN[S] a type[, b type ...] | "
                 "DROP CONSTRAINT n | RENAME COLUMN a TO b | "
-                "DROP COLUMN[S] a[, b ...] | SET PARTITION SPEC (spec, ...)"
+                "DROP COLUMN[S] a[, b ...] | ALTER COLUMN a TYPE t | "
+                "SET PARTITION SPEC (spec, ...)"
             )
         _check_target(m.group(1), t)
         action = m.group(2).strip()
@@ -978,6 +980,23 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
                     f"supported form: DROP COLUMN[S] a[, b ...]; got {cols}"
                 )
             return t.alter_schema(spark, drop=cols)
+        if au.startswith("ALTER COLUMN") or au.startswith("CHANGE COLUMN"):
+            # metadata-only TYPE WIDENING (Delta 4's ALTER COLUMN ...
+            # TYPE): files keep their narrow physical type, readers
+            # promote; off-lattice changes refuse in alter_schema
+            cm = re.match(
+                r"(?is)^(?:ALTER|CHANGE)\s+COLUMN\s+(\w+)\s+"
+                r"(?:SET\s+DATA\s+)?TYPE\s+(.+?)\s*$",
+                action,
+            )
+            if cm is None:
+                raise ValueError(
+                    "supported form: ALTER COLUMN <name> TYPE <spark ddl "
+                    "type> (lossless widenings only — see alter_schema)"
+                )
+            return t.alter_schema(
+                spark, widen={cm.group(1).strip("`"): cm.group(2).strip()}
+            )
         if au.startswith("SET PARTITION SPEC"):
             cm = re.match(
                 r"(?is)^SET\s+PARTITION\s+SPEC\s*"

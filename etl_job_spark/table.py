@@ -84,6 +84,7 @@ import datetime
 import decimal
 import json
 import os
+import re
 import urllib.parse
 import uuid
 from collections.abc import Callable, Mapping, Sequence
@@ -383,6 +384,36 @@ def _file_stats(path: str) -> tuple[int, dict[str, dict]]:
     for name, n in nulls.items():
         out.setdefault(name, {})["nulls"] = n
     return meta.num_rows, out
+
+
+#: lossless type-widening lattice (Delta 4 / Iceberg v3 "type widening"):
+#: every promotion here is value-preserving AND probe-sound for this
+#: format's metadata — integer stats/blooms/partition-dir spellings are
+#: width-independent (python ints, str(7) either way), float32 stats
+#: extend exactly to double, decimal {dec: str} stats don't change with
+#: precision. int→double / date→timestamp are NOT here: the former is
+#: lossy past 2^53, the latter changes the stat encoding family.
+_WIDEN_INTS = ["tinyint", "smallint", "int", "bigint"]
+
+
+def _is_widening(old: str, new: str) -> bool:
+    """True when ``old`` → ``new`` (simpleStrings) is a supported
+    lossless widening: up the integer chain, float→double, or
+    decimal(p,s)→decimal(p2,s) with p2>p (same scale)."""
+    if old == new:
+        return False
+    if old in _WIDEN_INTS and new in _WIDEN_INTS:
+        return _WIDEN_INTS.index(new) > _WIDEN_INTS.index(old)
+    if old == "float" and new == "double":
+        return True
+    m_old = re.fullmatch(r"decimal\((\d+),(\d+)\)", old)
+    m_new = re.fullmatch(r"decimal\((\d+),(\d+)\)", new)
+    if m_old and m_new:
+        return (
+            m_old.group(2) == m_new.group(2)
+            and int(m_new.group(1)) > int(m_old.group(1))
+        )
+    return False
 
 
 def _stat_decode(enc, kind: str | None):
@@ -2838,36 +2869,42 @@ class ManifestTable:
             for df in dfs:
                 for n, t in df.dtypes:
                     seen.setdefault(n, set()).add(t)
-            # CONTRACT: only the {dir-string, stored-type} pair can
-            # occur — type evolution is rejected at commit time
-            # (_evolved_schema adds columns, never retypes), so a
-            # column's stored type is identical across batches and the
-            # only divergence is hive-dir restoration (always string).
-            # If a third dtype ever shows up, a future type-widening
-            # change broke that premise: fail loudly instead of
-            # silently skipping the cast and dying in unionByName.
-            bad = {
-                n: ts
-                for n, ts in seen.items()
-                if len(ts) > 2 or (len(ts) == 2 and "string" not in ts)
-            }
+            # CONTRACT: a column's dtypes across batches may differ in
+            # exactly two sanctioned ways — hive-dir restoration (the
+            # raw-partitioned side is always string) and TYPE WIDENING
+            # (alter_schema(widen=...): old batches keep the narrow
+            # physical type). Both resolve to the WIDEST stored type
+            # on the lossless lattice (_is_widening); anything else is
+            # real drift — fail loudly instead of dying in unionByName.
+            def _widest(ts: set[str]) -> str | None:
+                cand = [t for t in ts if t != "string"]
+                for w in cand:
+                    if all(t == w or _is_widening(t, w) for t in cand):
+                        return w
+                return None
+
+            fix: dict[str, str] = {}
+            bad: dict[str, set[str]] = {}
+            for n, ts in seen.items():
+                if len(ts) == 1:
+                    continue
+                w = _widest(ts)
+                if w is None:
+                    bad[n] = ts
+                else:
+                    fix[n] = w
             if bad:
                 raise AssertionError(
-                    f"_read_files: >2 dtypes for one column across batches "
-                    f"{bad} — type evolution is unsupported; update the "
-                    "union reconciliation before allowing it"
+                    f"_read_files: irreconcilable dtypes for one column "
+                    f"across batches {bad} — neither dir-string restoration "
+                    "nor a lossless widening explains the divergence"
                 )
-            fix = {
-                n: next(t for t in ts if t != "string")
-                for n, ts in seen.items()
-                if len(ts) == 2 and "string" in ts
-            }
             if fix:
                 dfs = [
                     df.select(
                         *[
                             F.col(n).cast(fix[n]).alias(n)
-                            if n in fix and t == "string"
+                            if n in fix and t != fix[n]
                             else F.col(n)
                             for n, t in df.dtypes
                         ]
@@ -3542,9 +3579,19 @@ class ManifestTable:
             if old is None:
                 continue
             if old.dataType != f.dataType:
+                if _is_widening(
+                    f.dataType.simpleString(), old.dataType.simpleString()
+                ):
+                    # the frame is NARROWER than the committed (widened)
+                    # type: files may store the narrow form — readers
+                    # promote it, the same parquet type promotion that
+                    # serves every pre-widening file
+                    continue
                 raise ValueError(
                     f"schema evolution cannot change column {f.name!r}: "
                     f"{old.dataType.simpleString()} -> {f.dataType.simpleString()}"
+                    " (a lossless widening goes through alter_schema("
+                    "widen={...}) / ALTER TABLE ... ALTER COLUMN ... TYPE)"
                 )
         new = [f for f in df.schema.fields if f.name not in by_name]
         return StructType(list(base.fields) + new)
@@ -3759,6 +3806,7 @@ class ManifestTable:
         spark: SparkSession,
         drop: Sequence[str] | None = None,
         add: Mapping[str, str] | None = None,
+        widen: Mapping[str, str] | None = None,
     ) -> int:
         """DROP and/or ADD columns as a METADATA-ONLY commit — no data
         file is read or written; every existing file is carried into
@@ -3794,12 +3842,36 @@ class ManifestTable:
         a violation), so a constraint over a sparsely-populated added
         column should spell it ``c IS NULL OR <check>``.
 
-        When both are given, drops are validated first and both land
-        in ONE commit. Returns the new version."""
+        ``widen`` (``{name: spark_type_ddl}``): metadata-only TYPE
+        WIDENING (Delta 4 / Iceberg v3) — the committed type moves up
+        a LOSSLESS lattice (tinyint→smallint→int→bigint, float→double,
+        decimal(p,s)→decimal(p2,s) with p2>p); every existing file is
+        carried by reference and keeps its narrow physical type, which
+        readers promote (Spark 4's parquet type promotion on the
+        library path; an explicit arrow cast on the Data Source path).
+        The metadata stays probe-sound under every prune tier: integer
+        stats, blooms (python-int canonicalization), and partition-dir
+        spellings are width-independent, float32 stats extend exactly
+        to double, and decimal stats are exact strings. Anything off
+        the lattice refuses (a narrowing or a cross-family change can
+        silently corrupt old files' values — rewrite via
+        ``overwrite``); ``float→double`` refuses when the column is a
+        partition/transform source in the current spec or its history
+        (``str()`` of a float changes spelling with width, so derived
+        directory values would stop matching). Appends may keep
+        writing the NARROW type after a widening (files store what the
+        writer sent; reads promote), so old writers don't break.
+
+        When combined, drops are validated first, then widenings, then
+        adds, and everything lands in ONE commit. Returns the new
+        version."""
         drop = list(drop or [])
         add = dict(add or {})
-        if not drop and not add:
-            raise ValueError("alter_schema: pass drop=[...] and/or add={...}")
+        widen = dict(widen or {})
+        if not drop and not add and not widen:
+            raise ValueError(
+                "alter_schema: pass drop=[...], add={...} and/or widen={...}"
+            )
 
         def attempt() -> int:
             base = self.latest_version()
@@ -3846,6 +3918,47 @@ class ManifestTable:
             tombstones = sorted(set(man.get("dropped_cols") or []) | drop_phys)
             for c in drop:
                 cmap.pop(c, None)
+            if widen:
+                from pyspark.sql.types import DataType
+
+                by_name = {f.name: i for i, f in enumerate(new_fields)}
+                spec_sources = set(part_sources)
+                for spec in man.get("partition_specs") or []:
+                    spec_sources |= {f.source for f in _partition_fields(spec)}
+                for cname, ddl in widen.items():
+                    at = by_name.get(cname)
+                    if at is None:
+                        raise ValueError(
+                            f"cannot widen unknown column {cname!r}"
+                        )
+                    try:
+                        dt = DataType.fromDDL(str(ddl))
+                    except Exception:
+                        raise ValueError(
+                            f"cannot parse type {ddl!r} for widened column "
+                            f"{cname!r} (expected Spark DDL, e.g. 'bigint')"
+                        ) from None
+                    old_s = new_fields[at].dataType.simpleString()
+                    new_s = dt.simpleString()
+                    if not _is_widening(old_s, new_s):
+                        raise ValueError(
+                            f"cannot change column {cname!r}: {old_s} -> "
+                            f"{new_s} is not a lossless widening (supported: "
+                            "tinyint->smallint->int->bigint, float->double, "
+                            "decimal(p,s)->decimal(p2,s) with p2>p) — other "
+                            "changes rewrite every file via overwrite()"
+                        )
+                    if old_s == "float" and cmap.get(cname, cname) in spec_sources:
+                        raise ValueError(
+                            f"cannot widen partition/transform source "
+                            f"{cname!r} from float: str() of a float changes "
+                            "spelling with width, so derived partition "
+                            "directory values would stop matching — "
+                            "relayout via overwrite(partition_by=...) first"
+                        )
+                    new_fields[at] = StructField(
+                        cname, dt, new_fields[at].nullable
+                    )
             if add:
                 from pyspark.sql.types import DataType
 
@@ -3901,6 +4014,8 @@ class ManifestTable:
                 op["drop"] = sorted(set(drop))
             if add:
                 op["add"] = {k: str(v) for k, v in add.items()}
+            if widen:
+                op["widen"] = {k: str(v) for k, v in widen.items()}
             return self._commit(
                 man["files"], new_schema, man["partition_by"] or None, base, op,
                 bloom_cols=blooms, dropped_cols=tombstones, column_map=cmap,
