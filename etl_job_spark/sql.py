@@ -1022,6 +1022,23 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
             return t.alter_partition_spec([p.strip() for p in parts if p.strip()])
         raise ValueError(f"unsupported ALTER TABLE action {action[:50]!r}")
     if upper.startswith("CREATE"):
+        # CREATE TABLE <dest> SHALLOW CLONE <src path> [VERSION AS OF n]
+        # — Delta's zero-copy clone, routed to ManifestTable.clone_to.
+        # The SOURCE is a path (clones cross table roots by nature);
+        # the statement's target must be the table argument as usual.
+        cm = re.match(
+            r"(?is)^CREATE\s+TABLE\s+(\S+)\s+SHALLOW\s+CLONE\s+(\S+?)"
+            r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$",
+            s,
+        )
+        if cm is not None:
+            from etl_job_spark.table import ManifestTable
+
+            _check_target(cm.group(1), t)
+            src = ManifestTable(cm.group(2).strip("`'\""))
+            ver = int(cm.group(3)) if cm.group(3) else None
+            src.clone_to(t.path, version=ver)
+            return t.latest_version()
         # CREATE [OR REPLACE] TABLE <t> [PARTITIONED BY (spec, ...)]
         # AS SELECT ... — routed to overwrite (CTAS). PARTITIONED BY
         # accepts the table format's specs, raw columns and hidden

@@ -1088,7 +1088,9 @@ def entry_arrow_table(
     from pyspark.sql.pandas.types import to_arrow_schema
 
     cmap = cmap or {}
-    full = os.path.join(table_path, "data", entry["path"])
+    # shallow-cloned entries resolve against their recorded source base
+    root = entry.get("base") or os.path.join(table_path, "data")
+    full = os.path.join(root, entry["path"])
     part_vals = entry.get("partition") or {}
     phys = [cmap.get(f.name, f.name) for f in fields.fields]
     pf = pq.ParquetFile(full)
@@ -2833,14 +2835,21 @@ class ManifestTable:
         inference_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
         prev = spark.conf.get(inference_key, None)
         spark.conf.set(inference_key, "false")
-        by_batch: dict[str, list[str]] = {}
+        # shallow-cloned entries carry the SOURCE's absolute data dir
+        # as "base"; grouping keys on (root, batch) so a clone-local
+        # batch and a foreign batch with a colliding uuid never share
+        # a scan or a basePath
+        by_batch: dict[tuple[str, str], list[str]] = {}
         for e in entries:
             batch = e["path"].split("/", 1)[0]
-            by_batch.setdefault(batch, []).append(os.path.join(self.data_dir, e["path"]))
+            root = e.get("base") or self.data_dir
+            by_batch.setdefault((root, batch), []).append(
+                os.path.join(root, e["path"])
+            )
         try:
             dfs = [
-                spark.read.option("basePath", os.path.join(self.data_dir, batch)).parquet(*files)
-                for batch, files in sorted(by_batch.items())
+                spark.read.option("basePath", os.path.join(root, batch)).parquet(*files)
+                for (root, batch), files in sorted(by_batch.items())
             ]
         finally:
             if prev is None:
@@ -4023,6 +4032,90 @@ class ManifestTable:
 
         return self._with_commit_retries(attempt)
 
+    def clone_to(self, dest_path: str, version: int | None = None) -> "ManifestTable":
+        """SHALLOW CLONE (Delta's verb): create a NEW table at
+        ``dest_path`` whose first commit references this table's data
+        files at ``version`` (default: latest) — zero data is read or
+        copied, so cloning a 100 TB table is one metadata write. Each
+        cloned entry records the source's absolute data dir as its
+        ``base``; every read tier (library scans, stats/bloom/partition
+        pruning, the Arrow Data Source) resolves paths through it.
+        Schema, partitioning, CHECK constraints, bloom indexing, column
+        mapping, and drop tombstones all carry over; history does NOT —
+        the clone starts at its own version 1 (time travel to
+        pre-clone states happens on the source).
+
+        Write semantics after the clone (all copy-on-write, the Delta
+        contract): appends land in the clone's OWN data dir;
+        merge/update/delete rewrites copy the touched source files'
+        live rows into clone-local files; the source is never modified,
+        and the two tables diverge from the clone point.
+
+        Honest edges, refused loudly rather than half-supported:
+
+        - a source version carrying live DELETION VECTORS cannot be
+          cloned (DV sidecars key positions by the source's relative
+          paths; rewrite them first — ``compact_small_files()`` or a
+          CoW delete materializes live rows);
+        - ``merge_on_read`` deletes on a table holding foreign-based
+          entries refuse (same relative-path keying) — use the default
+          copy-on-write mode;
+        - VACUUM on the SOURCE can reclaim files the clone still
+          references (exactly Delta's documented shallow-clone
+          hazard): vacuum the source only once the clone is dropped or
+          fully rewritten. Vacuum on the CLONE only ever touches the
+          clone's own directories.
+        """
+        src_v = self.latest_version() if version is None else int(version)
+        if src_v is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        man = self._read_manifest(src_v)
+        if any(_dv_count(e) for e in man["files"]):
+            raise ValueError(
+                "cannot shallow-clone a version carrying live deletion "
+                "vectors: DV sidecars key row positions by the source's "
+                "relative paths, which do not survive re-basing — rewrite "
+                "them first (compact_small_files(), or re-run the delete "
+                "in copy_on_write mode), then clone"
+            )
+        schema = self._manifest_schema(man)
+        if schema is None:
+            raise ValueError(
+                "clone_to needs a schema-carrying manifest "
+                "(pre-evolution table: overwrite it first)"
+            )
+        dest = ManifestTable(dest_path)
+        if dest.latest_version() is not None:
+            raise ValueError(
+                f"clone destination {dest_path!r} already has a committed "
+                "version — clone into a fresh path"
+            )
+        src_data = os.path.abspath(self.data_dir)
+        entries = []
+        for e in man["files"]:
+            e2 = dict(e)
+            # a clone of a clone keeps pointing at wherever the bytes
+            # actually live; refs re-base the same way
+            e2["base"] = e.get("base") or src_data
+            if e2.get("bloom_ref") and not os.path.isabs(e2["bloom_ref"]):
+                e2["bloom_ref"] = os.path.abspath(
+                    os.path.join(self.path, e2["bloom_ref"])
+                )
+            entries.append(e2)
+        dest._commit(
+            entries,
+            schema,
+            man["partition_by"] or None,
+            None,
+            {"op": "clone", "source": self.path, "source_version": src_v},
+            bloom_cols=man.get("bloom_cols"),
+            constraints=man.get("constraints"),
+            dropped_cols=man.get("dropped_cols"),
+            column_map=man.get("column_map"),
+            partition_specs=man.get("partition_specs"),
+        )
+        return dest
+
     def rename_column(self, old: str, new: str) -> int:
         """RENAME a column as a METADATA-ONLY commit — no data file is
         read or written (Delta's column-mapping shape): every file,
@@ -4910,7 +5003,9 @@ class ManifestTable:
             }
             touched = []
             for entry in candidates:
-                full = os.path.abspath(os.path.join(self.data_dir, entry["path"]))
+                full = os.path.abspath(
+                    os.path.join(entry.get("base") or self.data_dir, entry["path"])
+                )
                 (touched if full in hit_files else untouched).append(entry)
             if not touched:
                 return base  # nothing matched; no new version
@@ -5074,7 +5169,9 @@ class ManifestTable:
                 }
                 for entry in candidates:
                     full = os.path.abspath(
-                        os.path.join(self.data_dir, entry["path"])
+                        os.path.join(
+                            entry.get("base") or self.data_dir, entry["path"]
+                        )
                     )
                     (touched if full in hit_files else untouched).append(entry)
             if not touched:
@@ -5135,6 +5232,14 @@ class ManifestTable:
             if base is None:
                 raise FileNotFoundError(f"no committed version at {self.path}")
             man = self._read_manifest(base)
+            if any(e.get("base") for e in man["files"]):
+                raise ValueError(
+                    "merge_on_read DELETE is unsupported on a table holding "
+                    "shallow-cloned (foreign-based) file references: deletion "
+                    "vectors key row positions by the table's OWN relative "
+                    "paths — use the default copy_on_write mode, which "
+                    "rewrites the touched files into this table"
+                )
             pred = F.expr(predicate) if isinstance(predicate, str) else predicate
             # point-delete planning prune (delete_keys): stats + blooms
             # drop provably-cold files before the scan opens them
