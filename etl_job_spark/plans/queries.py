@@ -1247,3 +1247,111 @@ def mart_merge_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 query("kicc_mart_merge_multi", MERGE_MULTI_SQL)(mart_merge_multi)
+
+
+WIDEN_SQL = """
+SELECT o_orderkey + 5000000000 AS k,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders WHERE o_orderkey % 2 = 1
+UNION ALL
+SELECT CAST(o_orderkey AS BIGINT) AS k,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders WHERE o_orderkey % 2 = 0
+"""
+
+
+def mart_widened_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only TYPE WIDENING (round 11, Delta 4 / Iceberg v3
+    shape) end to end: the mart lands with an INT32 key, ``ALTER
+    TABLE … ALTER COLUMN k TYPE bigint`` widens it in a commit that
+    carries every file by reference, a second append writes keys past
+    2^32, and the read reconciles both physical widths. A stats-pruned
+    window read over the widened key then proves the narrow files'
+    int32 footer stats still plan soundly against int64 probes (the
+    returned frame is the full union — the oracle checks values; the
+    prune check lives in tests/test_type_widening.py). Landed once per
+    (session, sf_dir)."""
+    import hashlib
+
+    from etl_job_spark.scratch import scratch_dir
+    from etl_job_spark.sources.catalog import load_table
+    from etl_job_spark.sql import execute_dml
+    from etl_job_spark.table import ManifestTable
+
+    path = scratch_dir(
+        spark, "kicc_mart_widened",
+        f"_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    name = os.path.basename(path)
+    t = ManifestTable(path)
+    if t.latest_version() is None:
+        orders = load_table(spark, sf_dir, "orders")
+        t.overwrite(orders.filter("o_orderkey % 2 = 0").selectExpr(
+            "CAST(o_orderkey AS INT) AS k",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        ))
+        execute_dml(spark, t, f"ALTER TABLE {name} ALTER COLUMN k TYPE bigint")
+        t.append(orders.filter("o_orderkey % 2 = 1").selectExpr(
+            "o_orderkey + 5000000000 AS k",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        ))
+    return t.snapshot(spark).select("k", "cents")
+
+
+query("kicc_mart_widened", WIDEN_SQL)(mart_widened_read)
+
+
+CLONE_SQL = """
+SELECT c_custkey, c_nationkey,
+       CASE WHEN c_nationkey < 10
+            THEN CAST(round(c_acctbal * 100) AS BIGINT) + 500
+            ELSE CAST(round(c_acctbal * 100) AS BIGINT)
+       END AS bal_cents
+FROM customer
+"""
+
+
+def mart_cloned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE (round 11, Delta's verb) end to end:
+    the customer mart lands partitioned, ``CREATE TABLE … SHALLOW
+    CLONE …`` references its files in one metadata write, and a
+    copy-on-write UPDATE diverges the clone (low-nation balances get
+    a 5-credit bump) while the source stays untouched. The query
+    returns the CLONE's state; the oracle recomputes the divergence
+    relationally, so foreign-based reads, partition-pruned CoW
+    rewrites, and untouched-file carry are all hash-checked. Landed
+    once per (session, sf_dir)."""
+    import hashlib
+
+    from etl_job_spark.scratch import scratch_dir
+    from etl_job_spark.sources.catalog import load_table
+    from etl_job_spark.sql import execute_dml
+    from etl_job_spark.table import ManifestTable
+
+    suffix = f"_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    src_path = scratch_dir(spark, "kicc_clone_src", suffix)
+    dev_path = scratch_dir(spark, "kicc_clone_dev", suffix)
+    src = ManifestTable(src_path)
+    dev = ManifestTable(dev_path)
+    if dev.latest_version() is None:
+        customer = load_table(spark, sf_dir, "customer")
+        src.overwrite(
+            customer.selectExpr(
+                "c_custkey", "c_nationkey",
+                "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents",
+            ).repartition(4, F.col("c_nationkey")),
+            partition_by=["c_nationkey"],
+        )
+        execute_dml(
+            spark, dev,
+            f"CREATE TABLE {os.path.basename(dev_path)} SHALLOW CLONE {src_path}",
+        )
+        execute_dml(
+            spark, dev,
+            f"UPDATE {os.path.basename(dev_path)} SET bal_cents = "
+            "bal_cents + 500 WHERE c_nationkey < 10",
+        )
+    return dev.snapshot(spark).select("c_custkey", "c_nationkey", "bal_cents")
+
+
+query("kicc_mart_cloned", CLONE_SQL)(mart_cloned_read)

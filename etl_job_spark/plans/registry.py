@@ -277,6 +277,14 @@ _TAIL = [
     # family's window slots are held by kicc_mart_versioned /
     # kicc_mart_sql_dml — the oracle reconstructs the clause cascade
     "kicc_mart_merge_multi",
+    # round-11: metadata-only type widening (int32 era + post-ALTER
+    # int64 era reconciled in one read; oracle = the two-era union)
+    # and zero-copy shallow clone (foreign-based reads + CoW
+    # divergence; oracle recomputes the diverged state); tail because
+    # the table-format family's window slots are held by
+    # kicc_mart_versioned / kicc_mart_add_column
+    "kicc_mart_widened",
+    "kicc_mart_cloned",
     # round-7: the end-to-end training-set assembly (filter+dedup →
     # decontaminate → temperature mix) composed as ONE hash-exact
     # query; tail because each stage's component already holds a
