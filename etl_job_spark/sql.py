@@ -1021,6 +1021,30 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
             parts.append(spec[start:])
             return t.alter_partition_spec([p.strip() for p in parts if p.strip()])
         raise ValueError(f"unsupported ALTER TABLE action {action[:50]!r}")
+    if upper.startswith("COPY"):
+        # COPY INTO <t> FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
+        #   [PATTERN = '<glob>'] [FORCE] — idempotent bulk file ingest
+        # (ManifestTable.copy_into: per-file ledger, one atomic commit)
+        cm = re.match(
+            r"(?is)^COPY\s+INTO\s+(\S+)\s+FROM\s+'([^']+)'\s+"
+            r"FILEFORMAT\s*=\s*(\w+)"
+            r"(?:\s+PATTERN\s*=\s*'([^']+)')?"
+            r"(\s+FORCE)?\s*$",
+            s,
+        )
+        if cm is None:
+            raise ValueError(
+                "supported form: COPY INTO <t> FROM '<dir>' FILEFORMAT = "
+                "PARQUET|CSV|JSON [PATTERN = '<glob>'] [FORCE]"
+            )
+        _check_target(cm.group(1), t)
+        return t.copy_into(
+            spark,
+            cm.group(2),
+            file_format=cm.group(3).lower(),
+            pattern=cm.group(4),
+            force=cm.group(5) is not None,
+        )
     if upper.startswith("CREATE"):
         # CREATE TABLE <dest> SHALLOW CLONE <src path> [VERSION AS OF n]
         # — Delta's zero-copy clone, routed to ManifestTable.clone_to.
@@ -1116,7 +1140,7 @@ def statement_table(sql: str) -> str:
     m = re.match(
         r"(?is)^\s*(?:UPDATE|MERGE\s+(?:WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO|"
         r"DELETE\s+FROM|INSERT\s+INTO|"
-        r"VACUUM|OPTIMIZE|RESTORE(?:\s+TABLE)?|ALTER\s+TABLE|"
+        r"COPY\s+INTO|VACUUM|OPTIMIZE|RESTORE(?:\s+TABLE)?|ALTER\s+TABLE|"
         r"TRUNCATE(?:\s+TABLE)?|DESCRIBE\s+(?:HISTORY|DETAIL)|"
         r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE)\s+(\S+)",
         sql.strip(),

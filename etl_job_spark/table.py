@@ -3410,6 +3410,7 @@ class ManifestTable:
         dropped_cols: Sequence[str] | None = None,
         column_map: dict[str, str] | None = None,
         partition_specs: Sequence[Sequence[str]] | None = None,
+        copy_ledger: dict | None = None,
     ) -> int:
         # table properties carry forward across every commit unless the
         # caller overrides them: bloom_cols (None = keep, [] = clear)
@@ -3430,6 +3431,11 @@ class ManifestTable:
                 column_map = base_man.get("column_map")
             if partition_specs is None:
                 partition_specs = base_man.get("partition_specs")
+            if copy_ledger is None:
+                # the COPY INTO loaded-files ledger is a table property
+                # like the streaming-txn ledger: losing it on an
+                # unrelated commit would re-load every landed file
+                copy_ledger = base_man.get("copy_ledger")
             stream_txns = dict(base_man.get("stream_txns") or {})
         if stream_txn is not None:
             stream_txns[stream_txn[0]] = int(stream_txn[1])
@@ -3460,6 +3466,8 @@ class ManifestTable:
             manifest["bloom_cols"] = list(bloom_cols)
         if stream_txns:
             manifest["stream_txns"] = stream_txns
+        if copy_ledger:
+            manifest["copy_ledger"] = copy_ledger
         if constraints:
             manifest["constraints"] = dict(constraints)
         if dropped_cols:
@@ -4295,6 +4303,137 @@ class ManifestTable:
             return self._commit(
                 entries, schema, partition_by or None, base, {"op": "append"},
                 bloom_cols=blooms,
+            )
+
+        return self._with_commit_retries(attempt)
+
+    def copy_into(
+        self,
+        spark: SparkSession,
+        source: str,
+        file_format: str = "parquet",
+        pattern: str | None = None,
+        options: Mapping[str, str] | None = None,
+        force: bool = False,
+    ) -> int:
+        """Idempotent bulk file ingest — Delta's ``COPY INTO`` verb,
+        the exactly-once version of the reference's staging load
+        (load_sales_data.py re-reads whatever the producer dropped;
+        this skips what already landed):
+
+        1. list the files under ``source`` (recursive; ``pattern``
+           defaults per format, e.g. ``*.parquet``);
+        2. skip every file the table has ALREADY LOADED — a per-file
+           ledger (absolute path → [size, mtime]) rides the manifest
+           and is carried forward by every commit, like the
+           streaming-txn ledger;
+        3. read the rest (csv/json enforce the table's committed
+           schema; parquet is self-describing and follows append's
+           additive-evolution rules) and APPEND them in ONE commit
+           that also records the new ledger entries.
+
+        Because data and ledger land in one atomic commit, a crash at
+        any point makes the re-run safe: either the commit published
+        (files are in the ledger, re-run skips them) or it didn't
+        (nothing published, re-run loads them once). Re-running
+        against an unchanged directory is a metadata no-op returning
+        the current version.
+
+        An already-loaded file whose size/mtime CHANGED refuses loudly
+        (landing files must be immutable — a silent reload would
+        double-count the unchanged rows); ``force=True`` reloads every
+        matched file regardless of the ledger (Delta's ``COPY INTO …
+        FORCE``), appending duplicates by design.
+
+        Scale note: the ledger grows with the landing directory's
+        lifetime file count (~100 bytes/file — 1M landed files ≈ a
+        100 MB manifest entry). Rotate landing directories (the
+        reference's daily dirs are exactly this) rather than pointing
+        one table at an unbounded directory forever.
+        """
+        import glob as globmod
+
+        fmt = file_format.lower()
+        default_pat = {"parquet": "*.parquet", "csv": "*.csv", "json": "*.json"}
+        if fmt not in default_pat:
+            raise ValueError(
+                f"COPY INTO supports parquet/csv/json, got {file_format!r}"
+            )
+        pat = pattern or default_pat[fmt]
+
+        def attempt() -> int:
+            base = self.latest_version()
+            man = self._read_manifest(base) if base is not None else None
+            ledger = dict((man or {}).get("copy_ledger") or {})
+            found = sorted(
+                f
+                for f in globmod.glob(
+                    os.path.join(source, "**", pat), recursive=True
+                )
+                if os.path.isfile(f)
+            )
+            if not found and base is None:
+                raise FileNotFoundError(
+                    f"COPY INTO: no {pat!r} files under {source!r} and no "
+                    "committed table to no-op against"
+                )
+            new: list[str] = []
+            changed: list[str] = []
+            sigs: dict[str, list[int]] = {}
+            for f in found:
+                ap = os.path.abspath(f)
+                st = os.stat(ap)
+                sigs[ap] = [st.st_size, int(st.st_mtime)]
+                prev = ledger.get(ap)
+                if prev is None or force:
+                    new.append(ap)
+                elif prev != sigs[ap]:
+                    changed.append(ap)
+            if changed and not force:
+                raise ValueError(
+                    f"COPY INTO: {len(changed)} already-loaded file(s) "
+                    f"changed in place (e.g. {changed[0]!r}); landing files "
+                    "must be immutable — fix the producer, or force=True to "
+                    "reload everything (appending duplicates)"
+                )
+            if not new:
+                return base  # nothing new landed: metadata no-op
+            schema = self._manifest_schema(man) if man else None
+            reader = spark.read
+            if fmt != "parquet":
+                if schema is None:
+                    raise ValueError(
+                        "COPY INTO csv/json needs the table's committed "
+                        "schema to parse against — create the table first "
+                        "(overwrite/CTAS), then COPY INTO it"
+                    )
+                reader = reader.schema(schema)
+            for k, v in (options or {}).items():
+                reader = reader.option(k, v)
+            df = reader.format(fmt).load(new)
+            for ap in new:
+                ledger[ap] = sigs[ap]
+            op = {"op": "copy_into", "source": source, "files": len(new)}
+            if base is None:
+                entries = self._write_data_files(df, None)
+                return self._commit(
+                    entries, df.schema, None, None, op, copy_ledger=ledger
+                )
+            evolved = self._evolved_schema(man, df)
+            partition_by = man["partition_by"]
+            blooms = man.get("bloom_cols")
+            constraints = man.get("constraints")
+            new_entries = self._write_data_files(
+                _renamed(df, man.get("column_map")),
+                partition_by or None,
+                bloom_cols=blooms,
+                constraints=constraints,
+                validate_frame=_align(df, evolved) if constraints else None,
+                column_map=man.get("column_map"),
+            )
+            return self._commit(
+                man["files"] + new_entries, evolved, partition_by or None,
+                base, op, bloom_cols=blooms, copy_ledger=ledger,
             )
 
         return self._with_commit_retries(attempt)
