@@ -1061,8 +1061,10 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
             _check_target(cm.group(1), t)
             src = ManifestTable(cm.group(2).strip("`'\""))
             ver = int(cm.group(3)) if cm.group(3) else None
-            src.clone_to(t.path, version=ver)
-            return t.latest_version()
+            # commit on the PASSED instance: inside a SQL transaction
+            # that instance's _commit stages instead of publishing
+            src.clone_to(t, version=ver)
+            return t.latest_version() or 1
         # CREATE [OR REPLACE] TABLE <t> [PARTITIONED BY (spec, ...)]
         # AS SELECT ... — routed to overwrite (CTAS). PARTITIONED BY
         # accepts the table format's specs, raw columns and hidden

@@ -4040,7 +4040,9 @@ class ManifestTable:
 
         return self._with_commit_retries(attempt)
 
-    def clone_to(self, dest_path: str, version: int | None = None) -> "ManifestTable":
+    def clone_to(
+        self, dest: "str | ManifestTable", version: int | None = None
+    ) -> "ManifestTable":
         """SHALLOW CLONE (Delta's verb): create a NEW table at
         ``dest_path`` whose first commit references this table's data
         files at ``version`` (default: latest) — zero data is read or
@@ -4092,10 +4094,14 @@ class ManifestTable:
                 "clone_to needs a schema-carrying manifest "
                 "(pre-evolution table: overwrite it first)"
             )
-        dest = ManifestTable(dest_path)
+        # an existing instance is accepted so callers that must
+        # observe the commit on THEIR object (the SQL transaction's
+        # captured table, whose _commit is staged, not published) can
+        # pass it instead of a path
+        dest = dest if isinstance(dest, ManifestTable) else ManifestTable(dest)
         if dest.latest_version() is not None:
             raise ValueError(
-                f"clone destination {dest_path!r} already has a committed "
+                f"clone destination {dest.path!r} already has a committed "
                 "version — clone into a fresh path"
             )
         src_data = os.path.abspath(self.data_dir)

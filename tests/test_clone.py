@@ -138,6 +138,26 @@ def test_clone_of_clone_points_at_original_bytes(spark, tmp_path):
     assert _rows(t2.snapshot(spark)) == _rows(src.snapshot(spark))
 
 
+def test_clone_inside_sql_transaction(spark, tmp_path):
+    """CREATE TABLE … SHALLOW CLONE inside execute_dml_txn stages like
+    every other verb (the captured instance's _commit is intercepted),
+    so clone + divergence land as ONE transaction record and the
+    source never moves."""
+    from etl_job_spark.sql import execute_dml_txn
+    from etl_job_spark.txn import TransactionalCatalog
+
+    src = _src(spark, tmp_path)
+    cat = TransactionalCatalog(str(tmp_path / "cat"))
+    state = execute_dml_txn(spark, cat, [
+        f"CREATE TABLE dev SHALLOW CLONE {src.path}",
+        "UPDATE dev SET v = v + 1 WHERE k = 1",
+    ])
+    dev = cat.table("dev").snapshot(spark, state["dev"])
+    got = {(r.p, r.k): r.v for r in dev.collect()}
+    assert got[("a", 1)] == 11 and got[("b", 1)] == 11
+    assert {(r.p, r.k): r.v for r in src.snapshot(spark).collect()}[("a", 1)] == 10
+
+
 def test_refusals(spark, tmp_path):
     src = _src(spark, tmp_path)
     t = src.clone_to(str(tmp_path / "dev"))

@@ -106,6 +106,32 @@ def test_guarded_and_partitioned_copy(spark, tmp_path):
     assert any("k=3" in e["path"] for e in man["files"])
 
 
+def test_copy_into_inside_sql_transaction(spark, tmp_path):
+    """COPY INTO chains inside execute_dml_txn: the load and a
+    follow-up statement land as ONE record (data + ledger staged, not
+    published, until the commit point)."""
+    from etl_job_spark.sql import execute_dml_txn
+    from etl_job_spark.txn import TransactionalCatalog
+
+    land = str(tmp_path / "landing")
+    _land(spark, land + "/b1", [(5, 50)])
+    cat = TransactionalCatalog(str(tmp_path / "cat"))
+    cat.commit(
+        lambda txn: txn.overwrite(
+            "dev", spark.createDataFrame([(1, 10)], "k int, v int")
+        )
+    )
+    state = execute_dml_txn(spark, cat, [
+        f"COPY INTO dev FROM '{land}' FILEFORMAT = PARQUET",
+        "UPDATE dev SET v = 0 WHERE k = 5",
+    ])
+    rows = sorted(
+        tuple(r)
+        for r in cat.table("dev").snapshot(spark, state["dev"]).collect()
+    )
+    assert rows == [(1, 10), (5, 0)]
+
+
 def test_sql_copy_into(spark, tmp_path):
     land = str(tmp_path / "landing")
     _land(spark, land + "/b1", [(1, 10)])
