@@ -38,45 +38,77 @@ def _mk(spark, tmp_path, name="t", rows=None, schema="k long, v long, s string")
     return t
 
 
-def test_merge_into_duplicate_clause_raises(spark, tmp_path):
+def test_merge_into_duplicate_clause_semantics(spark, tmp_path):
     """The r10 high ADVICE finding: 'WHEN MATCHED AND p THEN UPDATE'
     followed by 'WHEN MATCHED THEN UPDATE' used to execute with the
-    first clause's SET dropped and the second gated by p — now any
-    second clause of the same kind refuses loudly."""
-    t = _mk(spark, tmp_path)
+    first clause's SET dropped and the second gated by p. Round 11
+    first REFUSED duplicates; the ordered clause engine now EXECUTES
+    them with Delta's written-order first-match-wins semantics — this
+    pin asserts those semantics, and that the genuinely-invalid
+    orderings (an unconditional clause followed by another of its
+    group — unreachable) still refuse loudly."""
     spark.createDataFrame(
         [(2, 99, "B")], "k long, v long, s string"
     ).createOrReplaceTempView("dup_src")
-    base = "MERGE INTO t x USING dup_src s ON x.k = s.k "
+
+    # the exact ADVICE scenario, now first-match-wins: k=2 (v=99 > 0)
+    # takes the FIRST clause — v updated, s untouched; other matched
+    # rows would fall through to the second
+    t = _mk(spark, tmp_path, name="t1")
+    execute_dml(spark, t, (
+        "MERGE INTO t1 x USING dup_src s ON x.k = s.k "
+        "WHEN MATCHED AND s.v > 0 THEN UPDATE SET x.v = s.v "
+        "WHEN MATCHED THEN UPDATE SET x.s = s.s"
+    ))
+    got = {r.k: (r.v, r.s) for r in t.snapshot(spark).collect()}
+    assert got == {1: (10, "a"), 2: (99, "b"), 3: (30, "c")}
+
+    # conditional then unconditional DELETE: both claim matched rows
+    t2 = _mk(spark, tmp_path, name="t2")
+    execute_dml(spark, t2, (
+        "MERGE INTO t2 x USING dup_src s ON x.k = s.k "
+        "WHEN MATCHED AND s.v > 0 THEN DELETE "
+        "WHEN MATCHED THEN DELETE"
+    ))
+    assert sorted(r.k for r in t2.snapshot(spark).collect()) == [1, 3]
+
+    # two NMBS deletes, conditional first: every unmatched target row
+    # is claimed by one of them
+    t3 = _mk(spark, tmp_path, name="t3")
+    execute_dml(spark, t3, (
+        "MERGE INTO t3 x USING dup_src s ON x.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET x.v = s.v "
+        "WHEN NOT MATCHED BY SOURCE AND x.v < 15 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    ))
+    assert sorted(r.k for r in t3.snapshot(spark).collect()) == [2]
+
+    # an unconditional clause followed by another of its group is
+    # unreachable — refuses (Delta's ordering rule), never clobbers
+    t4 = _mk(spark, tmp_path, name="t4")
     for stmt in (
-        # the exact ADVICE scenario: conditional then unconditional
-        base + "WHEN MATCHED AND s.v > 0 THEN UPDATE SET x.v = s.v "
-               "WHEN MATCHED THEN UPDATE SET x.s = s.s",
-        # two unconditional updates
-        base + "WHEN MATCHED THEN UPDATE SET x.v = s.v "
-               "WHEN MATCHED THEN UPDATE SET x.s = s.s",
-        # two matched deletes (conditional + unconditional clobber)
-        base + "WHEN MATCHED AND s.v > 0 THEN DELETE "
-               "WHEN MATCHED THEN DELETE",
-        # two inserts
-        base + "WHEN NOT MATCHED THEN INSERT * "
-               "WHEN NOT MATCHED AND s.v > 0 THEN INSERT *",
-        # two NMBS deletes
-        base + "WHEN NOT MATCHED BY SOURCE AND x.v < 5 THEN DELETE "
-               "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        "MERGE INTO t4 x USING dup_src s ON x.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET x.v = s.v "
+        "WHEN MATCHED THEN UPDATE SET x.s = s.s",
+        "MERGE INTO t4 x USING dup_src s ON x.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED AND s.v > 0 THEN INSERT *",
     ):
-        with pytest.raises(ValueError, match="duplicate MERGE clause"):
-            execute_dml(spark, t, stmt)
+        with pytest.raises(ValueError, match="unreachable"):
+            execute_dml(spark, t4, stmt)
+
     # distinct kinds still compose (no false positives)
+    t5 = _mk(spark, tmp_path, name="t5")
     v = execute_dml(
-        spark, t,
-        base + "WHEN MATCHED AND s.v < 0 THEN DELETE "
-               "WHEN MATCHED THEN UPDATE SET x.v = s.v "
-               "WHEN NOT MATCHED THEN INSERT * "
-               "WHEN NOT MATCHED BY SOURCE AND x.k = 999 THEN DELETE",
+        spark, t5,
+        "MERGE INTO t5 x USING dup_src s ON x.k = s.k "
+        "WHEN MATCHED AND s.v < 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET x.v = s.v "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND x.k = 999 THEN DELETE",
     )
     assert v == 2
-    got = {r.k: r.v for r in t.snapshot(spark).collect()}
+    got = {r.k: r.v for r in t5.snapshot(spark).collect()}
     assert got == {1: 10, 2: 99, 3: 30}
 
 
