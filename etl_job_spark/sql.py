@@ -734,6 +734,47 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
         _check_target(m.group(1) if m else None, t)
         return _merge_into(spark, t, s)
     if upper.startswith("INSERT"):
+        # INSERT INTO <t> REPLACE WHERE <pred> SELECT …/VALUES … —
+        # Delta's replaceWhere: the predicate's rows are replaced by
+        # the body in ONE commit (overwrite_where refuses a body row
+        # outside the scope). Scanned before the plain INSERT forms.
+        rm = re.match(
+            r"(?is)^INSERT\s+INTO\s+(\S+)\s+REPLACE\s+WHERE\s+(.*)$", s
+        )
+        if rm is not None:
+            tail2 = rm.group(2)
+            cut = _scan_top(tail2, "SELECT")
+            vcut = _scan_top(tail2, "VALUES")
+            wcut = _scan_top(tail2, "WITH")
+            cuts = [c for c in (cut, vcut, wcut) if c >= 0]
+            if not cuts:
+                raise ValueError(
+                    "supported form: INSERT INTO <t> REPLACE WHERE <pred> "
+                    "SELECT ... | VALUES (...), ..."
+                )
+            at = min(cuts)
+            pred_sql, body = tail2[:at].strip(), tail2[at:].strip()
+            if not pred_sql:
+                raise ValueError("REPLACE WHERE needs a predicate")
+            _check_target(rm.group(1), t)
+            if body.upper().startswith("VALUES"):
+                body = f"SELECT * FROM ({body})"
+            return t.overwrite_where(spark, spark.sql(body), pred_sql)
+        # INSERT OVERWRITE <t> SELECT …/VALUES … — truncate-and-reload
+        # keeping the table's layout (partitioning/blooms/constraints
+        # carry: overwrite with no explicit spec inherits them)
+        om = re.match(r"(?is)^INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(\S+)\s+(.*)$", s)
+        if om is not None:
+            _check_target(om.group(1), t)
+            body = om.group(2).strip()
+            if body.upper().startswith("VALUES"):
+                body = f"SELECT * FROM ({body})"
+            elif not body.upper().startswith(("SELECT", "WITH")):
+                raise ValueError(
+                    "INSERT OVERWRITE body must be SELECT/WITH or VALUES, "
+                    f"got {body[:40]!r}"
+                )
+            return t.overwrite(spark.sql(body))
         # INSERT INTO <t> [(c1, ...)] SELECT ... | VALUES (...), ...
         # — routed to ManifestTable.append: the body runs as plain
         # Spark SQL (register views first); a column list projects the
@@ -1141,7 +1182,7 @@ def statement_table(sql: str) -> str:
 
     m = re.match(
         r"(?is)^\s*(?:UPDATE|MERGE\s+(?:WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO|"
-        r"DELETE\s+FROM|INSERT\s+INTO|"
+        r"DELETE\s+FROM|INSERT\s+(?:OVERWRITE(?:\s+TABLE)?|INTO)|"
         r"COPY\s+INTO|VACUUM|OPTIMIZE|RESTORE(?:\s+TABLE)?|ALTER\s+TABLE|"
         r"TRUNCATE(?:\s+TABLE)?|DESCRIBE\s+(?:HISTORY|DETAIL)|"
         r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE)\s+(\S+)",

@@ -4275,6 +4275,96 @@ class ManifestTable:
 
         return self._with_commit_retries(attempt)
 
+    def overwrite_where(
+        self, spark: SparkSession, df: DataFrame, predicate: str | Column
+    ) -> int:
+        """Predicate-scoped overwrite — Delta's ``replaceWhere``: in
+        ONE commit, every existing row matching ``predicate`` is
+        replaced by ``df`` (the recompute-one-partition shape — the
+        reference's daily re-load is exactly this with a date
+        predicate). Files provably free of matching rows carry by
+        reference; partially-matching files rewrite without their
+        matching rows; ``df`` lands as new files. Readers see the old
+        state or the new state, never a mix.
+
+        Every row of ``df`` must itself satisfy ``predicate`` — a
+        frame smuggling out-of-scope rows refuses loudly (Delta
+        enforces the same): ``replace WHERE dy = '0201'`` must not
+        slip 02-02 rows past the scope. CHECK constraints validate the
+        incoming frame inside the write; the schema never evolves
+        (the scope predicate must resolve against the existing schema
+        — use ``append`` for additive evolution). Returns the new
+        version."""
+
+        def attempt() -> int:
+            base = self.latest_version()
+            if base is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+            man = self._read_manifest(base)
+            pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+            schema = self._manifest_schema(man)
+            cmap = man.get("column_map") or {}
+            inv = {p: l for l, p in cmap.items()}
+            incoming = _align(df, schema, None) if schema is not None else df
+            bad = incoming.filter(~F.coalesce(pred, F.lit(False))).limit(1).count()
+            if bad:
+                raise ValueError(
+                    "overwrite_where: the replacement frame carries rows "
+                    "OUTSIDE the predicate's scope — every incoming row "
+                    "must satisfy it (Delta's replaceWhere rule; widen the "
+                    "predicate or filter the frame)"
+                )
+            # discovery: which files hold a matching row (same pushed-
+            # predicate scan shape as the CoW DELETE)
+            candidates = man["files"]
+            scan = _null_fill_missing(
+                _renamed(
+                    self._read_files(spark, candidates, with_file_path=True),
+                    inv,
+                ),
+                schema,
+            )
+            hit_files = {
+                _strip_file_scheme(r["__file"])
+                for r in scan.filter(pred).select("__file").distinct().collect()
+            }
+            touched, untouched = [], []
+            for entry in candidates:
+                full = os.path.abspath(
+                    os.path.join(entry.get("base") or self.data_dir, entry["path"])
+                )
+                (touched if full in hit_files else untouched).append(entry)
+            partition_by = man["partition_by"]
+            blooms = man.get("bloom_cols")
+            new_entries: list[dict] = []
+            if touched:
+                kept = _null_fill_missing(
+                    _renamed(self._read_files(spark, touched), inv), schema
+                ).filter(~F.coalesce(pred, F.lit(False)))
+                if schema is not None:
+                    kept = _align(kept, schema)
+                new_entries += self._write_data_files(
+                    _renamed(kept, cmap), partition_by or None,
+                    bloom_cols=blooms,
+                )
+            constraints = man.get("constraints")
+            new_entries += self._write_data_files(
+                _renamed(incoming, cmap), partition_by or None,
+                bloom_cols=blooms, constraints=constraints,
+                validate_frame=incoming if constraints else None,
+                column_map=cmap,
+            )
+            op = {
+                "op": "overwrite_where",
+                "predicate": predicate if isinstance(predicate, str) else str(pred),
+            }
+            return self._commit(
+                untouched + new_entries, schema or incoming.schema,
+                partition_by or None, base, op, bloom_cols=blooms,
+            )
+
+        return self._with_commit_retries(attempt)
+
     def append(self, df: DataFrame) -> int:
         """Commit base's files + new files (no read of existing data).
 

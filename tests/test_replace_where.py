@@ -1,0 +1,143 @@
+"""Predicate-scoped overwrite — Delta's replaceWhere
+(``overwrite_where`` / ``INSERT INTO … REPLACE WHERE <pred> SELECT``)
+— and whole-table ``INSERT OVERWRITE``. One commit replaces exactly
+the predicate's rows: untouched files carry by reference,
+partially-matching files rewrite without their matching rows, and a
+replacement frame carrying out-of-scope rows refuses loudly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_job_spark.sql import execute_dml, statement_table
+from etl_job_spark.table import ManifestTable
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, tmp_path, **kw):
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(p, k, k * 10) for p in ("a", "b", "c") for k in range(3)],
+        "p string, k int, v int",
+    )
+    t.overwrite(df, partition_by=["p"], **kw)
+    return t
+
+
+def test_partition_recompute_carries_untouched(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    before = {e["path"] for e in t._read_manifest(t.latest_version())["files"]}
+    repl = spark.createDataFrame(
+        [("a", 7, 700), ("a", 8, 800)], "p string, k int, v int"
+    )
+    t.overwrite_where(spark, repl, "p = 'a'")
+    got = _rows(t.snapshot(spark))
+    assert got == sorted(
+        [("a", 7, 700), ("a", 8, 800)]
+        + [(p, k, k * 10) for p in ("b", "c") for k in range(3)]
+    )
+    man = t._read_manifest(t.latest_version())
+    carried = {e["path"] for e in man["files"]} & before
+    assert {p for p in before if "p=b" in p or "p=c" in p} <= carried
+
+
+def test_partial_file_rewrite(spark, tmp_path):
+    # unpartitioned, one file: the predicate hits SOME rows — the file
+    # rewrites keeping its non-matching rows, plus the replacement
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k int, v int"
+        ).coalesce(1)
+    )
+    t.overwrite_where(
+        spark, spark.createDataFrame([(2, -2)], "k int, v int"), "k = 2"
+    )
+    assert _rows(t.snapshot(spark)) == [(1, 10), (2, -2), (3, 30)]
+
+
+def test_out_of_scope_rows_refuse(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    mix = spark.createDataFrame([("a", 1, 1), ("b", 2, 2)], "p string, k int, v int")
+    with pytest.raises(ValueError, match="OUTSIDE the predicate"):
+        t.overwrite_where(spark, mix, "p = 'a'")
+    # NULL predicate result counts as out of scope too
+    nul = spark.createDataFrame([(None, 1, 1)], "p string, k int, v int")
+    with pytest.raises(ValueError, match="OUTSIDE the predicate"):
+        t.overwrite_where(spark, nul, "p = 'a'")
+
+
+def test_empty_match_is_scoped_insert(spark, tmp_path):
+    # a predicate matching nothing yet: the frame still lands (replace
+    # of an absent scope = first load of that scope)
+    t = _mk(spark, tmp_path)
+    t.overwrite_where(
+        spark,
+        spark.createDataFrame([("z", 1, 1)], "p string, k int, v int"),
+        "p = 'z'",
+    )
+    assert ("z", 1, 1) in _rows(t.snapshot(spark))
+
+
+def test_constraints_validate_incoming(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.alter_constraints(spark, add={"v_pos": "v >= 0"})
+    bad = spark.createDataFrame([("a", 1, -1)], "p string, k int, v int")
+    with pytest.raises(Exception, match="v_pos"):
+        t.overwrite_where(spark, bad, "p = 'a'")
+    # the failed attempt published nothing
+    assert len(_rows(t.snapshot(spark))) == 9
+
+
+def test_sql_replace_where_and_insert_overwrite(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(p, k, k * 10) for p in ("a", "b") for k in range(2)],
+        "p string, k int, v int",
+    )
+    t.overwrite(df, partition_by=["p"])
+    spark.createDataFrame(
+        [("a", 9, 900)], "p string, k int, v int"
+    ).createOrReplaceTempView("rw_src")
+    execute_dml(
+        spark, t, "INSERT INTO tbl REPLACE WHERE p = 'a' SELECT * FROM rw_src"
+    )
+    assert _rows(t.snapshot(spark)) == sorted(
+        [("a", 9, 900), ("b", 0, 0), ("b", 1, 10)]
+    )
+    # INSERT OVERWRITE: truncate-and-reload keeping the layout
+    execute_dml(spark, t, "INSERT OVERWRITE tbl SELECT * FROM rw_src")
+    assert _rows(t.snapshot(spark)) == [("a", 9, 900)]
+    assert t._read_manifest(t.latest_version())["partition_by"] == ["p"]
+    assert statement_table("INSERT OVERWRITE mart SELECT 1") == "mart"
+    assert statement_table(
+        "INSERT INTO mart REPLACE WHERE x = 1 SELECT 1"
+    ) == "mart"
+
+
+def test_replace_where_inside_sql_transaction(spark, tmp_path):
+    from etl_job_spark.sql import execute_dml_txn
+    from etl_job_spark.txn import TransactionalCatalog
+
+    cat = TransactionalCatalog(str(tmp_path / "cat"))
+    cat.commit(
+        lambda txn: txn.overwrite(
+            "m",
+            spark.createDataFrame(
+                [("a", 1, 10), ("b", 2, 20)], "p string, k int, v int"
+            ),
+        )
+    )
+    spark.createDataFrame(
+        [("a", 9, 900)], "p string, k int, v int"
+    ).createOrReplaceTempView("rw_txn")
+    state = execute_dml_txn(spark, cat, [
+        "INSERT INTO m REPLACE WHERE p = 'a' SELECT * FROM rw_txn",
+        "UPDATE m SET v = 0 WHERE k = 9",
+    ])
+    rows = _rows(cat.table("m").snapshot(spark, state["m"]))
+    assert rows == [("a", 9, 0), ("b", 2, 20)]
