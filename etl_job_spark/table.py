@@ -3419,6 +3419,8 @@ class ManifestTable:
         # losing it on a compact/overwrite would let a restarted stream
         # double-apply a replayed micro-batch)
         stream_txns: dict[str, int] = {}
+        operation = dict(operation or {})
+        base_man: dict | None = None
         if expected_base is not None:
             base_man = self._read_manifest(expected_base)
             if bloom_cols is None:
@@ -3439,6 +3441,27 @@ class ManifestTable:
             stream_txns = dict(base_man.get("stream_txns") or {})
         if stream_txn is not None:
             stream_txns[stream_txn[0]] = int(stream_txn[1])
+        # Delta's operationMetrics shape: every commit records what it
+        # physically did — pure entry-list arithmetic, no file reads.
+        # Computed only when the CALLER didn't (a verb may record
+        # richer numbers of its own); live_rows_delta is what makes
+        # DV-growth (merge-on-read DELETE) commits legible, where file
+        # counts don't move.
+        if "metrics" not in operation:
+            prev_entries = (base_man or {}).get("files") or []
+            prev_paths = {e["path"] for e in prev_entries}
+            cur_paths = {e["path"] for e in entries}
+            added = [e for e in entries if e["path"] not in prev_paths]
+            prev_live = sum(
+                (e.get("rows") or 0) - _dv_count(e) for e in prev_entries
+            )
+            cur_live = sum((e.get("rows") or 0) - _dv_count(e) for e in entries)
+            operation["metrics"] = {
+                "files_added": len(added),
+                "files_removed": len(prev_paths - cur_paths),
+                "rows_added": sum(e.get("rows") or 0 for e in added),
+                "live_rows_delta": cur_live - prev_live,
+            }
         version = (0 if expected_base is None else expected_base) + 1
         manifest = {
             "version": version,
@@ -3458,7 +3481,7 @@ class ManifestTable:
             "schema": schema.simpleString(),
             "fields": schema.jsonValue(),
             "partition_by": list(partition_by or []),
-            "operation": operation or {},
+            "operation": operation,
         }
         if bloom_cols:
             # a table property: carried forward by every subsequent
