@@ -285,6 +285,12 @@ _TAIL = [
     # kicc_mart_versioned / kicc_mart_add_column
     "kicc_mart_widened",
     "kicc_mart_cloned",
+    # round-11 (late): idempotent COPY INTO (ledger no-op pinned in
+    # the query itself — a double-load hash-mismatches the oracle)
+    # and replaceWhere (one statement recomputes one partition, the
+    # rest carried by reference); tail with the table-format family
+    "kicc_staging_copy_into",
+    "kicc_mart_replace_where",
     # round-7: the end-to-end training-set assembly (filter+dedup →
     # decontaminate → temperature mix) composed as ONE hash-exact
     # query; tail because each stage's component already holds a
