@@ -882,16 +882,28 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
         #   RESTORE [TABLE] <t> TO VERSION AS OF n -> restore(n)
         if upper.startswith("VACUUM"):
             m = re.match(
-                r"(?is)^VACUUM\s+(\S+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS?)?\s*$", s
+                r"(?is)^VACUUM\s+(\S+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS?)?"
+                r"(\s+DRY\s+RUN)?\s*$",
+                s,
             )
             if m is None:
                 raise ValueError(
-                    "supported form: VACUUM <table> [RETAIN <n> VERSIONS]"
+                    "supported form: VACUUM <table> [RETAIN <n> VERSIONS] "
+                    "[DRY RUN]"
                 )
             _check_target(m.group(1), t)
+            keep = int(m.group(2)) if m.group(2) else 1
+            if m.group(3):
+                # DRY RUN returns the would-be reclaim set as a
+                # DataFrame (Delta's shape) — the one statement here
+                # that answers with rows, like DESCRIBE
+                would = t.vacuum_dry_run(keep_last=keep)
+                return spark.createDataFrame(
+                    [(p,) for p in would], "path string"
+                )
             # returns files deleted, not a version — keep the int
             # contract: return the (unchanged) latest version instead
-            t.vacuum(keep_last=int(m.group(2)) if m.group(2) else 1)
+            t.vacuum(keep_last=keep)
             return t.latest_version()
         if upper.startswith("OPTIMIZE"):
             m = re.match(
@@ -925,14 +937,20 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
             # fragmentation cure; cost scales with fragmentation)
             return t.compact_small_files(spark)
         m = re.match(
-            r"(?is)^RESTORE\s+(?:TABLE\s+)?(\S+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$",
+            r"(?is)^RESTORE\s+(?:TABLE\s+)?(\S+)\s+TO\s+"
+            r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*$",
             s,
         )
         if m is None:
             raise ValueError(
-                "supported form: RESTORE [TABLE] <table> TO VERSION AS OF <n>"
+                "supported form: RESTORE [TABLE] <table> TO VERSION AS OF "
+                "<n> | TO TIMESTAMP AS OF '<iso-8601>'"
             )
         _check_target(m.group(1), t)
+        if m.group(3):
+            # timestamp restore resolves through the same commit-time
+            # lookup timestamp time travel uses (out-of-range raises)
+            return t.restore(spark, t.version_as_of(m.group(3)))
         return t.restore(spark, int(m.group(2)))
     if upper.startswith("ALTER"):
         # metadata-only DDL, routed to the table verbs:

@@ -6245,7 +6245,21 @@ class ManifestTable:
 
     # -- maintenance --------------------------------------------------
 
-    def vacuum(self, keep_last: int = 1, grace_seconds: float = 3600.0) -> int:
+    def vacuum_dry_run(
+        self, keep_last: int = 1, grace_seconds: float = 3600.0
+    ) -> list[str]:
+        """What ``vacuum`` WOULD delete (data-dir-relative paths),
+        without touching anything — Delta's ``VACUUM … DRY RUN``. The
+        same retention and in-flight-grace rules apply, so the listing
+        is exactly the reclaim set of a vacuum run at this moment."""
+        return self.vacuum(keep_last, grace_seconds, _dry_run=True)
+
+    def vacuum(
+        self,
+        keep_last: int = 1,
+        grace_seconds: float = 3600.0,
+        _dry_run: bool = False,
+    ) -> int:
         """Delete data files referenced by no retained manifest and
         drop manifests older than the newest ``keep_last``. Run only
         when no reader still holds a snapshot older than the horizon
@@ -6297,6 +6311,7 @@ class ManifestTable:
                 return False  # concurrently removed: nothing to do
 
         deleted = 0
+        would: list[str] = []
         for root, _dirs, names in os.walk(self.data_dir):
             for name in names:
                 full = os.path.join(root, name)
@@ -6304,8 +6319,13 @@ class ManifestTable:
                 if name.endswith(".parquet") and rel not in live:
                     if rel not in dead and not _expired(full):
                         continue  # possible in-flight commit
+                    if _dry_run:
+                        would.append(rel)
+                        continue
                     os.unlink(full)
                     deleted += 1
+        if _dry_run:
+            return sorted(would)
         # keep_last <= 0 retains every version's files above — retain
         # their manifests too (deleting all manifests would leave data
         # with zero committed versions)

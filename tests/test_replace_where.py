@@ -141,3 +141,31 @@ def test_replace_where_inside_sql_transaction(spark, tmp_path):
     ])
     rows = _rows(cat.table("m").snapshot(spark, state["m"]))
     assert rows == [("a", 9, 0), ("b", 2, 20)]
+
+
+# ---------------------------------------------------------------------
+# round-11 maintenance-statement additions (same SQL executor family)
+# ---------------------------------------------------------------------
+
+
+def test_vacuum_dry_run_and_timestamp_restore(spark, tmp_path):
+    """VACUUM … DRY RUN lists the reclaim set without deleting
+    (Delta's shape, returned as a DataFrame like DESCRIBE); RESTORE TO
+    TIMESTAMP AS OF resolves through the same commit-time lookup as
+    timestamp time travel."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, 10)], "k int, v int"))
+    ts1 = t._read_raw_manifest(1)["committed_at"]
+    t.overwrite(spark.createDataFrame([(2, 20)], "k int, v int"))
+    df = execute_dml(spark, t, "VACUUM t RETAIN 1 VERSIONS DRY RUN")
+    assert len(df.collect()) >= 1          # v1's file would reclaim
+    assert t.snapshot(spark, 1).count() == 1  # ... but nothing moved
+    # library twin agrees with the SQL listing
+    assert sorted(r.path for r in df.collect()) == t.vacuum_dry_run(keep_last=1)
+    v = execute_dml(spark, t, f"RESTORE t TO TIMESTAMP AS OF '{ts1}'")
+    assert v == 3
+    assert _rows(t.snapshot(spark)) == [(1, 10)]
+    with pytest.raises(ValueError, match="no version"):
+        execute_dml(
+            spark, t, "RESTORE t TO TIMESTAMP AS OF '1999-01-01T00:00:00+00:00'"
+        )
