@@ -874,6 +874,53 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
         if m.group(1).upper() == "HISTORY":
             return t.history_df(spark)
         return t.detail_df(spark)
+    if upper.startswith("SHOW"):
+        # more DataFrame-returning introspection (Delta/Hive shapes):
+        #   SHOW PARTITIONS <t>     -> one row per partition value
+        #   SHOW COLUMNS IN <t>     -> one row per committed column
+        #   SHOW TBLPROPERTIES <t>  -> key/value table properties
+        m = re.match(
+            r"(?is)^SHOW\s+(PARTITIONS|COLUMNS\s+IN|TBLPROPERTIES)\s+(\S+)\s*$",
+            s,
+        )
+        if m is None:
+            raise ValueError(
+                "supported forms: SHOW PARTITIONS <table> | SHOW COLUMNS "
+                "IN <table> | SHOW TBLPROPERTIES <table>"
+            )
+        _check_target(m.group(2), t)
+        kind = m.group(1).upper()
+        if kind == "PARTITIONS":
+            return t.partitions_df(spark)
+        base = t.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version at {t.path}")
+        man = t._read_manifest(base)
+        if kind.startswith("COLUMNS"):
+            schema = t._manifest_schema(man)
+            if schema is None:
+                raise ValueError("pre-evolution table: overwrite it first")
+            return spark.createDataFrame(
+                [
+                    (f.name, f.dataType.simpleString(), f.nullable)
+                    for f in schema.fields
+                ],
+                "col_name string, data_type string, nullable boolean",
+            )
+        import json as _json
+
+        props = {
+            "partition_by": man.get("partition_by") or [],
+            "bloom_cols": man.get("bloom_cols") or [],
+            "constraints": man.get("constraints") or {},
+            "column_map": man.get("column_map") or {},
+            "dropped_cols": man.get("dropped_cols") or [],
+            "partition_specs": man.get("partition_specs") or [],
+        }
+        return spark.createDataFrame(
+            [(k, _json.dumps(v, sort_keys=True)) for k, v in sorted(props.items())],
+            "key string, value string",
+        )
     if upper.startswith(("VACUUM", "OPTIMIZE", "RESTORE")):
         # Delta-parity maintenance statements, routed to the table
         # verbs (Spark SQL can't plan them on a Python data source):

@@ -169,3 +169,31 @@ def test_vacuum_dry_run_and_timestamp_restore(spark, tmp_path):
         execute_dml(
             spark, t, "RESTORE t TO TIMESTAMP AS OF '1999-01-01T00:00:00+00:00'"
         )
+
+
+def test_show_statements(spark, tmp_path):
+    """SHOW PARTITIONS / SHOW COLUMNS IN / SHOW TBLPROPERTIES — the
+    DataFrame-returning introspection family next to DESCRIBE."""
+    import json
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [("a", 1, 10), ("b", 2, 20)], "p string, k int, v int"
+        ),
+        partition_by=["p"], bloom_cols=["k"],
+    )
+    t.alter_constraints(spark, add={"v_pos": "v > 0"})
+    parts = execute_dml(spark, t, "SHOW PARTITIONS t")
+    assert parts.count() == 2
+    cols = execute_dml(spark, t, "SHOW COLUMNS IN t")
+    assert [(r.col_name, r.data_type) for r in cols.collect()] == [
+        ("p", "string"), ("k", "int"), ("v", "int"),
+    ]
+    props = {r.key: json.loads(r.value)
+             for r in execute_dml(spark, t, "SHOW TBLPROPERTIES t").collect()}
+    assert props["partition_by"] == ["p"]
+    assert props["bloom_cols"] == ["k"]
+    assert props["constraints"] == {"v_pos": "v > 0"}
+    with pytest.raises(ValueError, match="supported forms"):
+        execute_dml(spark, t, "SHOW CREATE TABLE t")
