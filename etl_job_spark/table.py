@@ -4299,7 +4299,10 @@ class ManifestTable:
         return self._with_commit_retries(attempt)
 
     def overwrite_where(
-        self, spark: SparkSession, df: DataFrame, predicate: str | Column
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        predicate: str | Column | Sequence[tuple],
     ) -> int:
         """Predicate-scoped overwrite — Delta's ``replaceWhere``: in
         ONE commit, every existing row matching ``predicate`` is
@@ -4310,6 +4313,16 @@ class ManifestTable:
         matching rows; ``df`` lands as new files. Readers see the old
         state or the new state, never a mix.
 
+        Planning matches ``update_where``: a PREDICATE-SPEC tuple form
+        (``snapshot_where``'s shape) prunes provably-cold files from
+        partition values, stats, and blooms WITHOUT opening them, and
+        files whose metadata PROVES every row matches (the canonical
+        whole-partition replace) become rewrite targets with no
+        discovery scan at all — "recompute yesterday" on a 100 TB
+        date-partitioned mart opens O(yesterday) files. A plain
+        str/Column predicate finds hit files with one pushed-predicate
+        scan instead.
+
         Every row of ``df`` must itself satisfy ``predicate`` — a
         frame smuggling out-of-scope rows refuses loudly (Delta
         enforces the same): ``replace WHERE dy = '0201'`` must not
@@ -4318,16 +4331,22 @@ class ManifestTable:
         (the scope predicate must resolve against the existing schema
         — use ``append`` for additive evolution). Returns the new
         version."""
+        spec: list[tuple] | None = None
+        if isinstance(predicate, (list, tuple)):
+            spec = _normalize_predicates(predicate)
+            pred = predicate_column(spec)
+        else:
+            pred = F.expr(predicate) if isinstance(predicate, str) else predicate
 
         def attempt() -> int:
             base = self.latest_version()
             if base is None:
                 raise FileNotFoundError(f"no committed version at {self.path}")
             man = self._read_manifest(base)
-            pred = F.expr(predicate) if isinstance(predicate, str) else predicate
             schema = self._manifest_schema(man)
             cmap = man.get("column_map") or {}
             inv = {p: l for l, p in cmap.items()}
+            partition_by_ = man["partition_by"]
             incoming = _align(df, schema, None) if schema is not None else df
             bad = incoming.filter(~F.coalesce(pred, F.lit(False))).limit(1).count()
             if bad:
@@ -4337,26 +4356,58 @@ class ManifestTable:
                     "must satisfy it (Delta's replaceWhere rule; widen the "
                     "predicate or filter the frame)"
                 )
-            # discovery: which files hold a matching row (same pushed-
-            # predicate scan shape as the CoW DELETE)
             candidates = man["files"]
-            scan = _null_fill_missing(
-                _renamed(
-                    self._read_files(spark, candidates, with_file_path=True),
-                    inv,
-                ),
-                schema,
-            )
-            hit_files = {
-                _strip_file_scheme(r["__file"])
-                for r in scan.filter(pred).select("__file").distinct().collect()
-            }
-            touched, untouched = [], []
-            for entry in candidates:
-                full = os.path.abspath(
-                    os.path.join(entry.get("base") or self.data_dir, entry["path"])
+            untouched: list[dict] = []
+            touched: list[dict] = []
+            if spec is not None:
+                # spec-form planning (update_where's shape): metadata
+                # prune, then the all-match short-circuit — a file the
+                # metadata PROVES fully in scope is a rewrite target
+                # with no scan (whole-partition replaces plan from
+                # metadata alone)
+                candidates, untouched = self._prune_by_key_stats(
+                    candidates, spec, schema,
+                    partition_by=partition_by_, utc=_session_utc(spark),
+                    column_map=cmap, partition_specs=man.get("partition_specs"),
                 )
-                (touched if full in hit_files else untouched).append(entry)
+                utc = _session_utc(spark)
+                tmap = _prune_tmap(partition_by_, man.get("partition_specs"), utc)
+                part_types = {
+                    cmap.get(f.name, f.name): f.dataType.simpleString()
+                    for f in schema.fields
+                }
+                phys_spec = [(cmap.get(c, c), op, v) for c, op, v in spec]
+                proved, candidates = self._split_candidates(
+                    spark,
+                    candidates,
+                    lambda e: not (e.get("dv") or e.get("dv_ref"))
+                    and _entry_all_match(e, phys_spec, part_types, tmap, utc),
+                    "replace-allmatch",
+                )
+                # proved files are REPLACED WHOLE: every row matches,
+                # so they are simply dropped — never read, never in
+                # the kept-rows rewrite below
+            if candidates:
+                # discovery: which remaining files hold a matching row
+                # (same pushed-predicate scan shape as the CoW DELETE)
+                scan = _null_fill_missing(
+                    _renamed(
+                        self._read_files(spark, candidates, with_file_path=True),
+                        inv,
+                    ),
+                    schema,
+                )
+                hit_files = {
+                    _strip_file_scheme(r["__file"])
+                    for r in scan.filter(pred).select("__file").distinct().collect()
+                }
+                for entry in candidates:
+                    full = os.path.abspath(
+                        os.path.join(
+                            entry.get("base") or self.data_dir, entry["path"]
+                        )
+                    )
+                    (touched if full in hit_files else untouched).append(entry)
             partition_by = man["partition_by"]
             blooms = man.get("bloom_cols")
             new_entries: list[dict] = []
@@ -4379,7 +4430,9 @@ class ManifestTable:
             )
             op = {
                 "op": "overwrite_where",
-                "predicate": predicate if isinstance(predicate, str) else str(pred),
+                "predicate": predicate
+                if isinstance(predicate, str)
+                else (str(spec) if spec is not None else str(pred)),
             }
             return self._commit(
                 untouched + new_entries, schema or incoming.schema,

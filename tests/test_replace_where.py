@@ -197,3 +197,28 @@ def test_show_statements(spark, tmp_path):
     assert props["constraints"] == {"v_pos": "v > 0"}
     with pytest.raises(ValueError, match="supported forms"):
         execute_dml(spark, t, "SHOW CREATE TABLE t")
+
+
+def test_spec_form_replace_plans_from_metadata(spark, tmp_path):
+    """The snapshot_where tuple form prunes cold files from metadata
+    and proves whole-partition replaces WITHOUT a discovery scan
+    (update_where's planning shape): the canonical 'recompute
+    yesterday' opens O(yesterday) files at 100 TB."""
+    t = _mk(spark, tmp_path)
+    repl = spark.createDataFrame([("a", 7, 700)], "p string, k int, v int")
+    t.overwrite_where(spark, repl, [("p", "=", "a")])
+    # the all-match split proved partition a's files outright
+    assert t.last_planning["op"] == "replace-allmatch"
+    got = _rows(t.snapshot(spark))
+    assert got == sorted(
+        [("a", 7, 700)] + [(p, k, k * 10) for p in ("b", "c") for k in range(3)]
+    )
+    man = t._read_manifest(t.latest_version())
+    assert man["operation"]["predicate"] == "[('p', 'in', ['a'])]"
+    # spec form enforces the scope on the frame exactly like SQL form
+    with pytest.raises(ValueError, match="OUTSIDE the predicate"):
+        t.overwrite_where(
+            spark,
+            spark.createDataFrame([("b", 1, 1)], "p string, k int, v int"),
+            [("p", "=", "a")],
+        )
