@@ -57,8 +57,15 @@ def main(argv: list[str] | None = None) -> int:
             "versions", "history", "show", "read", "count", "rows",
             "agg", "diff", "compact", "vacuum", "restore", "delete",
             "delete-keys", "update", "constraints", "rename", "drop-cols",
-            "files", "partitions", "sql",
+            "files", "partitions", "sql", "convert",
         ],
+    )
+    tb.add_argument(
+        "--partitioned-by",
+        default=None,
+        help="for convert: comma-separated partition columns the "
+        "adopted hive layout must match (omit to accept the "
+        "discovered layout)",
     )
     tb.add_argument(
         "--statement",
@@ -256,7 +263,22 @@ def main(argv: list[str] | None = None) -> int:
             from etl_job_spark.table import ManifestTable
 
             t = ManifestTable(args.path)
-            if args.action == "versions":
+            if args.action == "convert":
+                pb = (
+                    [c.strip() for c in args.partitioned_by.split(",") if c.strip()]
+                    if args.partitioned_by
+                    else None
+                )
+                conv = ManifestTable.convert(spark, args.path, partition_by=pb)
+                print(json.dumps({
+                    "path": args.path,
+                    "version": conv.latest_version(),
+                    "files": len(conv._read_manifest(conv.latest_version())["files"]),
+                    "partition_by": conv._read_manifest(
+                        conv.latest_version()
+                    )["partition_by"],
+                }))
+            elif args.action == "versions":
                 print(json.dumps({"path": args.path, "versions": t.versions()}))
             elif args.action == "history":
                 print(json.dumps({"path": args.path, "history": t.history()}))

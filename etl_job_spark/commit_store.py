@@ -1,0 +1,418 @@
+"""Pluggable commit store — the control-plane IO contract under the
+table format and the transaction log.
+
+The entire optimistic-concurrency design of :mod:`etl_job_spark.table`
+and :mod:`etl_job_spark.txn` rests on ONE primitive: *put-if-absent* of
+a small named blob (a manifest ``v%09d.json``, a txn record
+``t%09d.json``, a log checkpoint ``c%09d.json``). Everything else the
+control plane does is unconditional IO over immutable, uniquely-named
+blobs (uuid-named bloom sidecars, ``files-<uuid>.parquet`` checkpoint
+sidecars, txn manifest spills) plus listing and deletion. This module
+names that contract so the format can deploy somewhere other than a
+POSIX filesystem — the same factoring as Delta Lake's public
+``LogStore`` interface.
+
+Mapping to real object stores (the deployment this engine is designed
+for — a 1000-executor cluster over S3/GCS/Azure):
+
+- **S3**: ``write_if_absent`` = ``PutObject`` with the
+  ``If-None-Match: *`` conditional header (generally available since
+  2024) — a 412 Precondition Failed maps to :class:`StoreConflict`.
+  Pre-conditional-put deployments used a DynamoDB mutex keyed on the
+  object name (the public S3DynamoDBLogStore shape); either satisfies
+  this interface. ``write``/``read``/``list_dir``/``delete``/``mtime``
+  are plain PutObject / GetObject / ListObjectsV2 (prefix) /
+  DeleteObject / LastModified.
+- **GCS**: ``write_if_absent`` = upload with
+  ``x-goog-if-generation-match: 0`` (precondition: object does not
+  exist); 412 maps to :class:`StoreConflict`.
+- **Azure Blob**: ``Put Blob`` with ``If-None-Match: *``; 409/412 maps
+  to :class:`StoreConflict`.
+- **POSIX**: ``link(2)`` from an fsynced temp file — atomic, fails
+  with ``EEXIST`` if the name is taken (:class:`LocalFSCommitStore`,
+  byte-for-byte the engine's historical behavior).
+
+Two-plane contract (why this interface is small): only the
+*mutually-exclusive-name* files need the conditional primitive. Data
+files, deletion vectors, and bloom sidecars are uuid-named and
+immutable — a plain PUT can never clobber concurrent work, exactly as
+Delta treats data files — so the data plane writes straight to
+storage from executors and never routes through this interface.
+
+``uri()`` is the bridge between the planes: a sidecar written through
+``write`` that the COMPUTE ENGINE must also read (the
+``files-*.parquet`` manifest checkpoints that distributed planning
+scans with ``spark.read.parquet``) is addressable at ``uri(rel)`` when
+the store's blobs live somewhere Spark can reach (a filesystem path,
+an ``s3://`` URI). A store whose blobs are not engine-readable (the
+in-memory test double) returns ``None`` and planning falls back to
+driver-side resolution through ``read()`` — a soundness fallback, not
+the scale path.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import threading
+import time
+import uuid
+
+
+class StoreConflict(Exception):
+    """``write_if_absent`` lost: the name is already taken.
+
+    The caller decides what losing means — a manifest publish surfaces
+    it as a commit conflict (optimistic retry at the next version), a
+    checkpoint writer treats it as success (racing checkpointers write
+    byte-identical content), the txn roll-forward verifies the
+    occupant's content.
+    """
+
+
+class CommitStore:
+    """Abstract control-plane blob store rooted at one table/catalog.
+
+    All paths are RELATIVE to the store's root, ``os.sep``-joined by
+    callers (``_manifests/v000000001.json``). Blobs are bytes; the
+    store never interprets content. Implementations must make
+    ``write_if_absent`` atomic and exclusive: of N concurrent calls
+    for one name, exactly one succeeds and the rest raise
+    :class:`StoreConflict` — the single primitive every commit
+    protocol above this module is built on.
+    """
+
+    def write_if_absent(self, rel: str, data: bytes) -> None:
+        """Atomically create ``rel`` with ``data``; raise
+        :class:`StoreConflict` if the name exists (even with identical
+        content — idempotence is the caller's policy)."""
+        raise NotImplementedError
+
+    def write(self, rel: str, data: bytes) -> None:
+        """Unconditional durable write (last writer wins). Callers only
+        use this for uuid-unique immutable blobs, so overwrite can
+        never destroy concurrent work."""
+        raise NotImplementedError
+
+    def read(self, rel: str) -> bytes:
+        """Blob content; raises ``FileNotFoundError`` when absent."""
+        raise NotImplementedError
+
+    def list_dir(self, rel_dir: str) -> list[str]:
+        """Immediate child names under ``rel_dir`` (no recursion);
+        ``[]`` when the directory/prefix does not exist."""
+        raise NotImplementedError
+
+    def exists(self, rel: str) -> bool:
+        raise NotImplementedError
+
+    def delete(self, rel: str) -> None:
+        """Remove a blob; missing is not an error (racing vacuums)."""
+        raise NotImplementedError
+
+    def mtime(self, rel: str) -> float:
+        """Last-modified POSIX timestamp (S3/GCS ``LastModified``) —
+        what vacuum's in-flight-commit grace windows consult. Raises
+        ``FileNotFoundError`` when absent."""
+        raise NotImplementedError
+
+    def uri(self, rel: str) -> str | None:
+        """Engine-readable address of ``rel`` (path or URI Spark can
+        scan), or ``None`` when the store's blobs are not reachable by
+        the compute engine — callers must then fall back to
+        driver-side ``read()``."""
+        raise NotImplementedError
+
+    def scoped(self, *parts: str) -> "CommitStore":
+        """A view of this store rooted at a subpath — how a catalog
+        hands each enrolled table a store over its own directory while
+        sharing one backend (and, for doubles, one fault schedule)."""
+        raise NotImplementedError
+
+
+class LocalFSCommitStore(CommitStore):
+    """POSIX implementation — the engine's historical behavior, verb
+    for verb: ``write_if_absent`` is write-temp + fsync + ``link(2)``
+    (atomic, EEXIST when taken), ``write`` is write-temp + fsync +
+    ``rename(2)``."""
+
+    def __init__(self, root: str):
+        self.root = root.rstrip("/")
+
+    def _full(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    def write_if_absent(self, rel: str, data: bytes) -> None:
+        final = self._full(rel)
+        d = os.path.dirname(final)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            # link(2) is atomic and fails with EEXIST if another writer
+            # claimed this name first — the put-if-absent primitive
+            os.link(tmp, final)
+        except FileExistsError:
+            raise StoreConflict(rel) from None
+        finally:
+            os.unlink(tmp)
+
+    def write(self, rel: str, data: bytes) -> None:
+        final = self._full(rel)
+        d = os.path.dirname(final)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
+
+    def read(self, rel: str) -> bytes:
+        with open(self._full(rel), "rb") as f:
+            return f.read()
+
+    def list_dir(self, rel_dir: str) -> list[str]:
+        full = self._full(rel_dir)
+        if not os.path.isdir(full):
+            return []
+        return os.listdir(full)
+
+    def exists(self, rel: str) -> bool:
+        return os.path.exists(self._full(rel))
+
+    def delete(self, rel: str) -> None:
+        try:
+            os.unlink(self._full(rel))
+        except FileNotFoundError:
+            pass
+
+    def mtime(self, rel: str) -> float:
+        return os.path.getmtime(self._full(rel))
+
+    def uri(self, rel: str) -> str | None:
+        return self._full(rel)
+
+    def scoped(self, *parts: str) -> "LocalFSCommitStore":
+        return LocalFSCommitStore(os.path.join(self.root, *parts))
+
+
+class InMemoryCommitStore(CommitStore):
+    """Dict-backed store — hosts a table/catalog's ENTIRE control
+    plane in memory (the data plane still writes real parquet under
+    the table path). Thread-safe; ``scoped`` views share one dict and
+    one lock, so a catalog and its tables observe one consistent
+    namespace, as they would one bucket.
+
+    Not engine-readable (``uri`` → ``None``): distributed planning
+    over ``files-*.parquet`` sidecars falls back to driver-side
+    resolution, which is exactly the degradation the ``uri`` contract
+    documents.
+    """
+
+    def __init__(self, _blobs=None, _mtimes=None, _lock=None, _prefix: str = ""):
+        self._blobs: dict[str, bytes] = _blobs if _blobs is not None else {}
+        self._mtimes: dict[str, float] = _mtimes if _mtimes is not None else {}
+        self._lock = _lock or threading.RLock()
+        self._prefix = _prefix
+
+    def _key(self, rel: str) -> str:
+        return os.path.join(self._prefix, rel) if self._prefix else rel
+
+    def write_if_absent(self, rel: str, data: bytes) -> None:
+        k = self._key(rel)
+        with self._lock:
+            if k in self._blobs:
+                raise StoreConflict(rel)
+            self._blobs[k] = bytes(data)
+            self._mtimes[k] = time.time()
+
+    def write(self, rel: str, data: bytes) -> None:
+        k = self._key(rel)
+        with self._lock:
+            self._blobs[k] = bytes(data)
+            self._mtimes[k] = time.time()
+
+    def read(self, rel: str) -> bytes:
+        with self._lock:
+            try:
+                return self._blobs[self._key(rel)]
+            except KeyError:
+                raise FileNotFoundError(rel) from None
+
+    def list_dir(self, rel_dir: str) -> list[str]:
+        prefix = self._key(rel_dir).rstrip(os.sep) + os.sep
+        with self._lock:
+            out = set()
+            for k in self._blobs:
+                if k.startswith(prefix):
+                    out.add(k[len(prefix):].split(os.sep, 1)[0])
+            return sorted(out)
+
+    def exists(self, rel: str) -> bool:
+        with self._lock:
+            return self._key(rel) in self._blobs
+
+    def delete(self, rel: str) -> None:
+        k = self._key(rel)
+        with self._lock:
+            self._blobs.pop(k, None)
+            self._mtimes.pop(k, None)
+
+    def mtime(self, rel: str) -> float:
+        with self._lock:
+            try:
+                return self._mtimes[self._key(rel)]
+            except KeyError:
+                raise FileNotFoundError(rel) from None
+
+    def uri(self, rel: str) -> str | None:
+        return None  # blobs live in this process; Spark can't scan them
+
+    def scoped(self, *parts: str) -> "InMemoryCommitStore":
+        return InMemoryCommitStore(
+            self._blobs,
+            self._mtimes,
+            self._lock,
+            os.path.join(self._prefix, *parts) if self._prefix else os.path.join(*parts),
+        )
+
+
+class FaultInjectingStore(CommitStore):
+    """Decorator over any store that injects the object-store failure
+    modes a conditional-put protocol must survive:
+
+    - ``lose_race(payload)`` — the next ``write_if_absent`` finds its
+      name ALREADY TAKEN by ``payload`` (a rival writer won the race
+      in the window between the caller's read and its put): the rival
+      content is installed, the caller gets :class:`StoreConflict`.
+    - ``spurious_conflict()`` — the next ``write_if_absent`` raises
+      :class:`StoreConflict` WITHOUT the name being taken (a stale 412
+      / mutex timeout): a correct caller re-reads state and retries;
+      since the slot is genuinely free, the retry succeeds at the same
+      name.
+    - ``duplicate_puts`` — every successful ``write_if_absent`` is
+      internally delivered TWICE (an at-least-once HTTP retry whose
+      first attempt actually landed): the second delivery must find
+      the name taken, proving first-writer-wins holds under redelivery
+      and content is never torn.
+
+    Scoped views share the parent's fault schedule and counters, so a
+    fault armed on a catalog store can fire inside a table's publish.
+    """
+
+    def __init__(self, inner: CommitStore, _shared: dict | None = None):
+        self.inner = inner
+        # shared across scoped views: pending one-shot faults + stats
+        self._s = _shared if _shared is not None else {
+            "lock": threading.RLock(),
+            "lose": [],      # payloads for pending lost races
+            "spurious": 0,   # pending spurious conflicts
+            "duplicate_puts": False,
+            "conflicts": 0,  # StoreConflicts surfaced to callers
+            "puts": 0,       # successful write_if_absent calls
+        }
+
+    # -- fault arming --------------------------------------------------
+
+    def lose_race(self, payload: bytes) -> None:
+        with self._s["lock"]:
+            self._s["lose"].append(payload)
+
+    def spurious_conflict(self, n: int = 1) -> None:
+        with self._s["lock"]:
+            self._s["spurious"] += n
+
+    @property
+    def duplicate_puts(self) -> bool:
+        return self._s["duplicate_puts"]
+
+    @duplicate_puts.setter
+    def duplicate_puts(self, on: bool) -> None:
+        self._s["duplicate_puts"] = on
+
+    @property
+    def stats(self) -> dict:
+        with self._s["lock"]:
+            return {"conflicts": self._s["conflicts"], "puts": self._s["puts"]}
+
+    # -- store surface -------------------------------------------------
+
+    def write_if_absent(self, rel: str, data: bytes) -> None:
+        with self._s["lock"]:
+            if self._s["lose"]:
+                rival = self._s["lose"].pop(0)
+                try:
+                    self.inner.write_if_absent(rel, rival)
+                except StoreConflict:
+                    pass  # name already taken: the rival "won" earlier
+                self._s["conflicts"] += 1
+                raise StoreConflict(rel)
+            if self._s["spurious"] > 0:
+                self._s["spurious"] -= 1
+                self._s["conflicts"] += 1
+                raise StoreConflict(rel)
+        try:
+            self.inner.write_if_absent(rel, data)
+        except StoreConflict:
+            with self._s["lock"]:
+                self._s["conflicts"] += 1
+            raise
+        with self._s["lock"]:
+            self._s["puts"] += 1
+            dup = self._s["duplicate_puts"]
+        if dup:
+            try:
+                self.inner.write_if_absent(rel, data)
+            except StoreConflict:
+                pass  # redelivery found the first attempt's object
+            else:  # pragma: no cover - would mean the inner store is broken
+                raise AssertionError(
+                    f"duplicate put of {rel} succeeded: inner store is not exclusive"
+                )
+
+    def write(self, rel: str, data: bytes) -> None:
+        self.inner.write(rel, data)
+
+    def read(self, rel: str) -> bytes:
+        return self.inner.read(rel)
+
+    def list_dir(self, rel_dir: str) -> list[str]:
+        return self.inner.list_dir(rel_dir)
+
+    def exists(self, rel: str) -> bool:
+        return self.inner.exists(rel)
+
+    def delete(self, rel: str) -> None:
+        self.inner.delete(rel)
+
+    def mtime(self, rel: str) -> float:
+        return self.inner.mtime(rel)
+
+    def uri(self, rel: str) -> str | None:
+        return self.inner.uri(rel)
+
+    def scoped(self, *parts: str) -> "FaultInjectingStore":
+        return FaultInjectingStore(self.inner.scoped(*parts), self._s)
+
+
+def read_parquet_via(store: CommitStore, rel: str, **kwargs):
+    """Driver-side pyarrow read of a parquet blob through the store —
+    the fallback when ``store.uri(rel)`` is ``None`` (and the normal
+    path for small driver-side sidecar reads, where one buffered GET
+    beats opening a filesystem handle on an object store)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(io.BytesIO(store.read(rel)), **kwargs)
+
+
+def write_parquet_via(store: CommitStore, rel: str, table) -> None:
+    """Driver-side pyarrow write of a parquet blob through the store."""
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(table, buf)
+    store.write(rel, buf.getvalue())

@@ -659,25 +659,32 @@ def _ordered_insert_fire(inserts: Sequence[tuple]) -> Column:
     return chain if chain is not None else F.lit(None).cast("int")
 
 
-def _require_unique_keys(source: DataFrame, keys: Sequence[str]) -> None:
-    """Ordered merges refuse duplicate source keys outright when no
-    ``order_col`` arbitrates: a duplicate matched key would fire clauses
-    twice against one target row (Delta raises
-    MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW; this engine refuses the
-    batch before any clause runs — stricter on unmatched duplicates,
-    which Delta double-inserts)."""
-    n = (
+def _refuse_matched_duplicates(
+    target: DataFrame, source: DataFrame, keys: Sequence[str]
+) -> None:
+    """Delta's MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW rule, exactly:
+    an ordered merge without an ``order_col`` refuses only when a
+    DUPLICATED source key actually matches a target row — that target
+    row would fire matched clauses twice, an ambiguity nothing can
+    arbitrate. Unmatched-only duplicates are legal and double-insert,
+    as Delta does (ADVICE r11 — the earlier blanket refusal was
+    stricter than the semantics it advertises). One probe job: the
+    duplicate-key set (usually empty) semi-joins the target, so the
+    common no-duplicate batch costs the same single aggregation the
+    blanket check did; insert-only statements skip even that
+    (callers gate on having matched clauses)."""
+    dups = (
         source.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > 1)
-        .limit(1)
-        .count()
+        .drop("__n")
     )
+    n = target.join(dups, on=list(keys), how="leftsemi").limit(1).count()
     if n:
         raise ValueError(
-            "ordered MERGE source carries duplicate keys and no order_col "
-            "to arbitrate — pass order_col (last writer wins) or dedup "
-            "the batch"
+            "ordered MERGE source carries duplicate keys that match a "
+            "target row — matched clauses would fire twice against one "
+            "row; pass order_col (last writer wins) or dedup the batch"
         )
 
 
@@ -696,8 +703,8 @@ def ordered_inserts_only(
     _matched, inserts, _by_source = validate_ordered_clauses(clauses)
     if order_col is not None:
         source = dedup_last_writer(source, keys, order_col)
-    else:
-        _require_unique_keys(source, keys)
+    # no order_col: duplicate keys legally double-insert (nothing can
+    # match here by definition) — no uniqueness check, per Delta
     out_cols = [c for c in source.columns if c != order_col]
     if not inserts:
         return source.select(*out_cols).limit(0)
@@ -736,12 +743,19 @@ def ordered_inserts_only(
     return fired.select(*[_val(c) for c in out_cols])
 
 
+_ORDERED_BROADCAST_ROWS = 5_000
+"""Source row bound under which the ordered engine takes the
+broadcast plan — sized so the broadcast side stays well under Spark's
+default 10 MB autoBroadcastJoinThreshold for typical row widths."""
+
+
 def merge_ordered(
     target: DataFrame,
     source: DataFrame,
     keys: Sequence[str],
     clauses: Sequence[tuple],
     order_col: str | None = None,
+    small_source: bool = False,
 ) -> DataFrame:
     """MERGE with Delta's ORDERED multi-clause semantics: clauses are
     evaluated in written order within each group (matched / not-matched
@@ -765,14 +779,29 @@ def merge_ordered(
     source row only), so no second join or union is needed. The caller
     (``ManifestTable.merge``) still key-prunes which files join at all.
 
-    Duplicate source keys refuse unless ``order_col`` arbitrates
-    (last-writer-wins dedup first) — see ``_require_unique_keys``.
+    A full-outer join can never broadcast, so a dim-sized source
+    against a 100-TB target would pay a full sort-merge shuffle of the
+    target. ``small_source=True`` (set by ``ManifestTable.merge`` from
+    a bounded row probe) replans as broadcast joins with identical
+    results: matched + by-source groups run on ``target LEFT JOIN
+    broadcast(source)`` (zero target shuffle), and the insert group on
+    ``source ANTI JOIN broadcast(matched keys)`` where the matched-key
+    set comes from ``target SEMI JOIN broadcast(source keys)`` — every
+    join builds on the small side, the big side never shuffles.
+
+    Duplicate source keys that MATCH a target row refuse unless
+    ``order_col`` arbitrates (last-writer-wins dedup first);
+    unmatched-only duplicates double-insert, per Delta — see
+    ``_refuse_matched_duplicates``.
     """
     matched, inserts, by_source = validate_ordered_clauses(clauses)
     if order_col is not None:
         source = dedup_last_writer(source, keys, order_col)
-    else:
-        _require_unique_keys(source, keys)
+    elif matched:
+        # only matched clauses can be fired twice by a duplicate key;
+        # insert-only / by-source-only statements skip the probe (and
+        # its job) entirely — duplicates there double-insert, per Delta
+        _refuse_matched_duplicates(target, source, keys)
 
     target_types = dict(target.dtypes)
     scols = [c for c in source.columns if c not in keys]
@@ -829,7 +858,30 @@ def merge_ordered(
         "*", *[F.col(k).alias(_SRC + k) for k in keys if _SRC + k not in src2.columns]
     )
     tgt2 = target.select("*", F.lit(True).alias("__t"))
-    j = tgt2.join(src2, on=list(keys), how="full")
+    # With no matched clause, duplicate source keys are legal (nothing
+    # can fire twice) — but a full-outer join would then emit one
+    # PASS-THROUGH copy of a matched target row per duplicate. Since no
+    # clause reads source values in that case, join on the DISTINCT key
+    # set instead and take the dedicated insert path below (where
+    # unmatched duplicates still double-insert, per Delta).
+    split_inserts = small_source or not matched
+    if not matched:
+        join_src = source.select(*keys).distinct().select(
+            *keys,
+            F.lit(True).alias("__m"),
+            F.lit(None).cast("int").alias("__ins"),
+        )
+    else:
+        join_src = src2
+    if small_source:
+        # broadcast plan: the left join covers matched + target-only
+        # rows without shuffling the target; source-only rows union in
+        # below (src_only is vacuously false on this frame)
+        j = tgt2.join(F.broadcast(join_src), on=list(keys), how="left")
+    elif split_inserts:
+        j = tgt2.join(join_src, on=list(keys), how="left")
+    else:
+        j = tgt2.join(src2, on=list(keys), how="full")
     is_matched = F.col("__t").isNotNull() & F.col("__m").isNotNull()
     tgt_only = F.col("__t").isNotNull() & F.col("__m").isNull()
     src_only = F.col("__t").isNull()
@@ -911,14 +963,39 @@ def merge_ordered(
                         F.expr(assigns[c]).cast(target_types[c]),
                     )
                 )
-        if inserts:
+        if inserts and not split_inserts:
+            # src_only rows exist only on the full-outer plan; the
+            # split plans union inserts in from their own frame below
             branches.append((src_only, _ins_val(c)))
         expr: Column | None = None
         for cond, val in branches:
             expr = F.when(cond, val) if expr is None else expr.when(cond, val)
         return (expr.otherwise(F.col(c)) if expr is not None else F.col(c)).alias(c)
 
-    return j.select(*[_out(c) for c in target.columns])
+    out = j.select(*[_out(c) for c in target.columns])
+    if not split_inserts:
+        return out
+    if small_source:
+        # broadcast plan's insert side: matched keys = target rows
+        # whose key appears in the (small) source — a broadcast semi
+        # join, then a distinct bounded by the source's key count;
+        # anti-joining the source against that small set is itself
+        # broadcast-able. Results are identical to the full-outer
+        # route's src_only branch.
+        matched_keys = (
+            target.select(*keys)
+            .join(
+                F.broadcast(source.select(*keys).distinct()),
+                on=list(keys),
+                how="leftsemi",
+            )
+            .distinct()
+        )
+        ins = src2.join(F.broadcast(matched_keys), on=list(keys), how="left_anti")
+    else:
+        ins = src2.join(target.select(*keys), on=list(keys), how="left_anti")
+    ins = ins.filter(F.col("__ins").isNotNull())
+    return out.unionByName(ins.select(*[_ins_val(c).alias(c) for c in target.columns]))
 
 
 def recover_rename_commit(target_path: str) -> bool:

@@ -320,8 +320,11 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
     LAST clause may omit its condition (a later clause would be
     unreachable — Delta refuses that ordering too). Statements the flat
     single-clause engine has always accepted keep its exact plan.
-    Ordered statements refuse duplicate source keys (no ``order_col``
-    exists in SQL to arbitrate).
+    Ordered statements refuse duplicate source keys only when a
+    duplicated key MATCHES a target row (Delta's MULTIPLE_SOURCE_ROW
+    rule — no ``order_col`` exists in SQL to arbitrate); unmatched
+    duplicates double-insert, and insert-only statements skip the
+    uniqueness probe entirely.
 
     ``USING`` must name a registered view/table (alias the columns in
     the view when names differ — renames and expressions belong in the
@@ -759,7 +762,17 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
             _check_target(rm.group(1), t)
             if body.upper().startswith("VALUES"):
                 body = f"SELECT * FROM ({body})"
-            return t.overwrite_where(spark, spark.sql(body), pred_sql)
+            # hand overwrite_where the SPEC form when the predicate is
+            # a simple conjunction of col-vs-literal terms — that form
+            # plans from metadata alone (partition/stats/bloom prune +
+            # the all-match short-circuit), so the canonical SQL
+            # whole-partition replace never pays a discovery scan
+            # (ADVICE r11); anything richer keeps the string predicate
+            try:
+                pred: str | list[tuple] = _parse_spec_predicate(pred_sql)
+            except ValueError:
+                pred = pred_sql
+            return t.overwrite_where(spark, spark.sql(body), pred)
         # INSERT OVERWRITE <t> SELECT …/VALUES … — truncate-and-reload
         # keeping the table's layout (partitioning/blooms/constraints
         # carry: overwrite with no explicit spec inherits them)
@@ -1151,6 +1164,35 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
             pattern=cm.group(4),
             force=cm.group(5) is not None,
         )
+    if upper.startswith("CONVERT"):
+        # CONVERT TO MANIFEST <path> [PARTITIONED BY (col, ...)] —
+        # in-place adoption of an existing parquet directory (Delta's
+        # CONVERT TO DELTA): version 1 references the files where they
+        # lie, footer stats computed, hive dirs becoming the partition
+        # spec. Zero rewrite; refuses ambiguous layouts loudly
+        # (ManifestTable.convert).
+        cm = re.match(
+            r"(?is)^CONVERT\s+TO\s+MANIFEST\s+(\S+?)"
+            r"(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*$",
+            s,
+        )
+        if cm is None:
+            raise ValueError(
+                "supported form: CONVERT TO MANIFEST <path> "
+                "[PARTITIONED BY (col, ...)]"
+            )
+        path = cm.group(1).strip("`'\"")
+        _check_target(path, t)
+        pb = (
+            [c.strip().strip("`") for c in cm.group(2).split(",") if c.strip()]
+            if cm.group(2)
+            else None
+        )
+        from etl_job_spark.table import ManifestTable
+
+        return ManifestTable.convert(
+            spark, t.path, partition_by=pb
+        ).latest_version()
     if upper.startswith("CREATE"):
         # CREATE TABLE <dest> SHALLOW CLONE <src path> [VERSION AS OF n]
         # — Delta's zero-copy clone, routed to ManifestTable.clone_to.

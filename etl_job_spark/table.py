@@ -95,6 +95,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
+from etl_job_spark.commit_store import (
+    CommitStore,
+    LocalFSCommitStore,
+    StoreConflict,
+    read_parquet_via,
+    write_parquet_via,
+)
 from etl_job_spark.operators.merge import merge_clauses, merge_upsert
 
 _MANIFEST_DIR = "_manifests"
@@ -2070,10 +2077,19 @@ def _null_fill_missing(df: DataFrame, schema: StructType | None) -> DataFrame:
 class ManifestTable:
     """A parquet table whose committed state is a versioned manifest."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, store: CommitStore | None = None):
         self.path = path.rstrip("/")
         self.manifest_dir = os.path.join(self.path, _MANIFEST_DIR)
         self.data_dir = os.path.join(self.path, _DATA_DIR)
+        # control-plane blob store (manifests + their parquet sidecars).
+        # Default is the POSIX impl rooted at the table path — the
+        # engine's historical behavior verb for verb; injecting another
+        # CommitStore moves every manifest read/write/list/delete (and
+        # the put-if-absent commit point) onto that backend. The data
+        # plane (parquet data files, DVs, bloom sidecars — all
+        # uuid-named immutable blobs) intentionally bypasses it; see
+        # etl_job_spark.commit_store's two-plane contract.
+        self.store: CommitStore = store or LocalFSCommitStore(self.path)
         # version -> resolved file-entry list. Committed manifests are
         # immutable, so the cache is sound for the instance's lifetime;
         # it keeps delta-chain resolution O(1) amortized per version.
@@ -2157,10 +2173,9 @@ class ManifestTable:
 
     def versions(self) -> list[int]:
         out = list(self._pending)  # txn-chained captures (see __init__)
-        if os.path.isdir(self.manifest_dir):
-            for name in os.listdir(self.manifest_dir):
-                if name.startswith("v") and name.endswith(".json"):
-                    out.append(int(name[1:-5]))
+        for name in self.store.list_dir(_MANIFEST_DIR):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
         return sorted(set(out))
 
     def latest_version(self) -> int | None:
@@ -2177,8 +2192,9 @@ class ManifestTable:
         pending = self._pending.get(version)
         if pending is not None:
             return dict(pending)
-        with open(os.path.join(self.manifest_dir, _manifest_name(version))) as f:
-            return json.load(f)
+        return json.loads(
+            self.store.read(os.path.join(_MANIFEST_DIR, _manifest_name(version)))
+        )
 
     def _read_manifest(self, version: int) -> dict:
         """Manifest with its ``files`` list RESOLVED — the call-site
@@ -2205,8 +2221,8 @@ class ManifestTable:
         return raw
 
     def _read_files_parquet(self, ref: str) -> list[dict]:
-        tbl = pq.read_table(
-            os.path.join(self.manifest_dir, ref), columns=["entry"]
+        tbl = read_parquet_via(
+            self.store, os.path.join(_MANIFEST_DIR, ref), columns=["entry"]
         )
         return [json.loads(s) for s in tbl.column("entry").to_pylist()]
 
@@ -2219,7 +2235,6 @@ class ManifestTable:
         unreferenced file."""
         import pyarrow as pa
 
-        os.makedirs(self.manifest_dir, exist_ok=True)
         name = f"files-{uuid.uuid4().hex}.parquet"
         tbl = pa.table(
             {
@@ -2227,7 +2242,7 @@ class ManifestTable:
                 "entry": [json.dumps(e, sort_keys=True) for e in entries],
             }
         )
-        pq.write_table(tbl, os.path.join(self.manifest_dir, name))
+        write_parquet_via(self.store, os.path.join(_MANIFEST_DIR, name), tbl)
         return name
 
     def _resolve_files(self, raw: dict) -> list[dict]:
@@ -2267,12 +2282,10 @@ class ManifestTable:
             full["n_files"] = len(files)
         else:
             full["files"] = files
-        tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as f:
-            json.dump(full, f, indent=1, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.manifest_dir, _manifest_name(version)))
+        self.store.write(
+            os.path.join(_MANIFEST_DIR, _manifest_name(version)),
+            json.dumps(full, indent=1, sort_keys=True).encode(),
+        )
 
     # -- reads --------------------------------------------------------
 
@@ -2615,15 +2628,27 @@ class ManifestTable:
         # it. The chain walk costs ≤ _CHECKPOINT_INTERVAL small JSON
         # reads.
         node, removes, upserts = self._sidecar_plan(raw)
-        if node is not None and node.get("n_files", 0) >= _SPARK_PRUNE_MIN_FILES:
+        # the compute engine scans the sidecar directly, so the tier
+        # needs an engine-readable address (store.uri — a path or an
+        # object-store URI); a store without one (the in-memory test
+        # double) falls to driver-side resolution, which is sound,
+        # just not the scale path
+        ref_uri = (
+            self.store.uri(os.path.join(_MANIFEST_DIR, node["files_ref"]))
+            if node is not None
+            else None
+        )
+        if (
+            node is not None
+            and ref_uri is not None
+            and node.get("n_files", 0) >= _SPARK_PRUNE_MIN_FILES
+        ):
             mode = "distributed-lazy"
             candidates = node["n_files"]
             # the chain's composite patch: a path removed or replaced
             # anywhere in it is skipped executor-side; the replacement
             # entries (latest content wins) re-plan driver-side
-            source = spark.read.parquet(
-                os.path.join(self.manifest_dir, node["files_ref"])
-            )
+            source = spark.read.parquet(ref_uri)
             entries = _spark_filter_entries(
                 source, stats_match, skip_paths=removes | set(upserts)
             )
@@ -2841,7 +2866,13 @@ class ManifestTable:
         # a scan or a basePath
         by_batch: dict[tuple[str, str], list[str]] = {}
         for e in entries:
-            batch = e["path"].split("/", 1)[0]
+            first = e["path"].split("/", 1)[0]
+            # engine-written files live under a per-commit uuid batch
+            # dir; CONVERTED tables adopt files in place, where the
+            # first segment may already be a hive ``key=value`` dir
+            # (or the file itself, unpartitioned) — then the table
+            # root IS the basePath, or inference would lose that key
+            batch = first if "/" in e["path"] and "=" not in first else ""
             root = e.get("base") or self.data_dir
             by_batch.setdefault((root, batch), []).append(
                 os.path.join(root, e["path"])
@@ -3378,24 +3409,18 @@ class ManifestTable:
         if self._capture is not None:
             self._capture(version, manifest)
             return
-        os.makedirs(self.manifest_dir, exist_ok=True)
-        tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
-        final = os.path.join(self.manifest_dir, _manifest_name(version))
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
         try:
-            # link(2) is atomic and fails with EEXIST if another writer
-            # claimed this version first — the put-if-absent primitive
-            os.link(tmp, final)
-        except FileExistsError:
+            # put-if-absent — THE commit point, delegated to the store
+            # (link(2) locally; If-None-Match conditional put on S3)
+            self.store.write_if_absent(
+                os.path.join(_MANIFEST_DIR, _manifest_name(version)),
+                json.dumps(manifest, indent=1, sort_keys=True).encode(),
+            )
+        except StoreConflict:
             raise CommitConflictError(
                 f"concurrent commit: version {version} of {self.path} was "
                 "claimed by another writer; re-read the latest snapshot and retry"
             ) from None
-        finally:
-            os.unlink(tmp)
 
     def _commit(
         self,
@@ -4153,6 +4178,118 @@ class ManifestTable:
         )
         return dest
 
+    @classmethod
+    def convert(
+        cls,
+        spark: SparkSession,
+        source_dir: str,
+        partition_by: Sequence[str] | None = None,
+        store: CommitStore | None = None,
+    ) -> "ManifestTable":
+        """CONVERT an existing parquet directory to a manifest table
+        IN PLACE — the adoption onramp (Delta's ``CONVERT TO DELTA``,
+        Iceberg's ``migrate``): version 1 is built from a directory
+        listing, every file carried by reference with footer stats,
+        hive ``key=value`` directories becoming partition values under
+        a raw spec. ZERO data is read beyond parquet footers or
+        rewritten — a user with terabytes of pre-existing
+        hive-partitioned parquet (the reference operates on tables its
+        scripts never created, kicc_to_tb_sales.py:67) adopts them
+        with one metadata commit. The manifest log lands under
+        ``<source_dir>/_manifests`` (underscore-prefixed: raw Spark
+        reads of the directory ignore it); subsequent writes land in
+        the table's own ``data/`` batch dirs and compose with the
+        adopted files exactly like shallow-cloned entries do.
+
+        Footer stats use the same driver/distributed tiers as the
+        write path (``_distributed_file_stats`` past
+        ``_DRIVER_STATS_MAX_FILES``), so pruning works immediately and
+        converting a 100k-file directory plans its footer reads on the
+        executors.
+
+        Refusals (ambiguity never guessed): a directory that already
+        has committed versions; no parquet files at all; files whose
+        partition-directory KEYS disagree (a mixed layout has no one
+        spec); ``partition_by`` given but not matching the discovered
+        keys. Partition values commit as decoded strings and the
+        committed schema types them as strings — the engine's
+        string-in-the-log / cast-on-read contract; cast downstream (or
+        overwrite later) for typed partition columns.
+        """
+        src = source_dir.rstrip("/")
+        t = cls(src, store=store)
+        if t.latest_version() is not None:
+            raise ValueError(
+                f"CONVERT: {src!r} already has committed versions — it is "
+                "a manifest table; read it directly"
+            )
+        paths: list[str] = []
+        for root, dirs, names in os.walk(src):
+            # _manifests/_blooms/_dv/.tmp artifacts can never be data
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for name in names:
+                if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                    paths.append(os.path.join(root, name))
+        if not paths:
+            raise FileNotFoundError(f"CONVERT: no parquet files under {src!r}")
+        paths.sort()
+        rels = [os.path.relpath(p, src) for p in paths]
+        part_keys: set[tuple[str, ...]] = {
+            tuple(_partition_values(rel)) for rel in rels
+        }
+        if len(part_keys) > 1:
+            raise ValueError(
+                f"CONVERT: mixed partition layouts under {src!r} "
+                f"({sorted(part_keys)}) — one consistent key=value "
+                "directory scheme is required; split or repair the "
+                "directory first"
+            )
+        discovered = list(part_keys.pop())
+        if partition_by is not None and list(partition_by) != discovered:
+            raise ValueError(
+                f"CONVERT: PARTITIONED BY {list(partition_by)} does not "
+                f"match the discovered layout {discovered}"
+            )
+        # committed schema = data columns + partition dirs as strings
+        # (inference off — the same contract _read_files applies)
+        inference_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = spark.conf.get(inference_key, None)
+        spark.conf.set(inference_key, "false")
+        try:
+            schema = spark.read.option("basePath", src).parquet(*paths).schema
+        finally:
+            if prev is None:
+                spark.conf.unset(inference_key)
+            else:
+                spark.conf.set(inference_key, prev)
+        if len(paths) <= _DRIVER_STATS_MAX_FILES:
+            all_stats = {p: _file_stats(p) for p in paths}
+        else:
+            all_stats = _distributed_file_stats(spark, paths)
+        base = os.path.abspath(src)
+        entries = []
+        for full, rel in zip(paths, rels):
+            rows, stats = all_stats[full]
+            if rows == 0:
+                continue  # schema-only part files: carry nothing
+            entries.append(
+                {
+                    "path": rel,
+                    "partition": _partition_values(rel),
+                    "rows": rows,
+                    "stats": stats,
+                    "base": base,
+                }
+            )
+        t._commit(
+            entries,
+            schema,
+            discovered or None,
+            None,
+            {"op": "convert", "source": src, "files": len(entries)},
+        )
+        return t
+
     def rename_column(self, old: str, new: str) -> int:
         """RENAME a column as a METADATA-ONLY commit — no data file is
         read or written (Delta's column-mapping shape): every file,
@@ -4537,10 +4674,13 @@ class ManifestTable:
             base = self.latest_version()
             man = self._read_manifest(base) if base is not None else None
             ledger = dict((man or {}).get("copy_ledger") or {})
+            # escape the DIRECTORY half only: metacharacters in the
+            # landing path ('batch[1]/') are literal; ``pat`` is the
+            # user's glob and keeps its meaning
             found = sorted(
                 f
                 for f in globmod.glob(
-                    os.path.join(source, "**", pat), recursive=True
+                    os.path.join(globmod.escape(source), "**", pat), recursive=True
                 )
                 if os.path.isfile(f)
             )
@@ -4555,11 +4695,15 @@ class ManifestTable:
             for f in found:
                 ap = os.path.abspath(f)
                 st = os.stat(ap)
-                sigs[ap] = [st.st_size, int(st.st_mtime)]
+                # nanosecond mtime: a same-size in-place rewrite within
+                # one second must still read as CHANGED (ADVICE r11)
+                sigs[ap] = [st.st_size, st.st_mtime_ns]
                 prev = ledger.get(ap)
                 if prev is None or force:
                     new.append(ap)
-                elif prev != sigs[ap]:
+                elif prev != sigs[ap] and prev != [st.st_size, int(st.st_mtime)]:
+                    # second compare: ledgers written before the ns
+                    # signature recorded whole seconds — still valid
                     changed.append(ap)
             if changed and not force:
                 raise ValueError(
@@ -4582,7 +4726,12 @@ class ManifestTable:
                 reader = reader.schema(schema)
             for k, v in (options or {}).items():
                 reader = reader.option(k, v)
-            df = reader.format(fmt).load(new)
+            # Spark's reader glob-interprets each path (Hadoop glob);
+            # backslash-escape metacharacters so a landing dir like
+            # 'batch[1]' reads literally instead of PATH_NOT_FOUND
+            df = reader.format(fmt).load(
+                [re.sub(r"([\[\]{}*?])", r"\\\1", p) for p in new]
+            )
             for ap in new:
                 ledger[ap] = sigs[ap]
             op = {"op": "copy_into", "source": source, "files": len(new)}
@@ -5073,10 +5222,22 @@ class ManifestTable:
                 # align-to-target step
                 target = _align(self._read_files(spark, touched), schema, cmap)
                 if clauses is not None:
-                    from etl_job_spark.operators.merge import merge_ordered
+                    from etl_job_spark.operators.merge import (
+                        _ORDERED_BROADCAST_ROWS,
+                        merge_ordered,
+                    )
 
+                    # bounded row probe (limit pushes down — the scan
+                    # stops at the bound): a dim-sized source takes the
+                    # broadcast plan, so the touched files never
+                    # shuffle for the ordered engine's join
+                    small = (
+                        source.limit(_ORDERED_BROADCAST_ROWS + 1).count()
+                        <= _ORDERED_BROADCAST_ROWS
+                    )
                     merged = merge_ordered(
-                        target, source, keys, clauses, order_col=order_col
+                        target, source, keys, clauses, order_col=order_col,
+                        small_source=small,
                     )
                 elif clause_mode:
                     merged = merge_clauses(
@@ -6062,11 +6223,14 @@ class ManifestTable:
                 raise FileNotFoundError(f"no committed version at {self.path}")
         raw = self._read_raw_manifest(version)
         node, removes, upserts = self._sidecar_plan(raw)
-        if node is not None:
+        ref_uri = (
+            self.store.uri(os.path.join(_MANIFEST_DIR, node["files_ref"]))
+            if node is not None
+            else None
+        )
+        if node is not None and ref_uri is not None:
             # bounded literal filter (≤ interval × changed paths)
-            src = spark.read.parquet(
-                os.path.join(self.manifest_dir, node["files_ref"])
-            )
+            src = spark.read.parquet(ref_uri)
             skip = sorted(removes | set(upserts))
             if skip:
                 src = src.filter(~F.col("path").isin(skip))
@@ -6388,28 +6552,31 @@ class ManifestTable:
             # every retained version stays resolvable
             self._materialize_manifest(keep_vs[0])
             for v in vs[:-keep_last]:
-                os.unlink(os.path.join(self.manifest_dir, _manifest_name(v)))
+                self.store.delete(os.path.join(_MANIFEST_DIR, _manifest_name(v)))
         # manifest parquet sidecars (files_ref checkpoints): reclaim
         # any not referenced by a manifest that still exists — dropped
         # checkpoints orphan theirs, and so does a LOSING optimistic
         # commit attempt. A one-hour mtime grace (same contract as
         # TransactionalCatalog.vacuum) protects an in-flight attempt
         # that has written its sidecar but not yet published.
-        if os.path.isdir(self.manifest_dir):
-            live_file_refs = {
-                ref
-                for v in self.versions()
-                if (ref := self._read_raw_manifest(v).get("files_ref"))
-            }
-            for name in os.listdir(self.manifest_dir):
-                full = os.path.join(self.manifest_dir, name)
-                if (
-                    name.startswith("files-")
-                    and name.endswith(".parquet")
-                    and name not in live_file_refs
-                    and _expired(full)
-                ):
-                    os.unlink(full)
+        live_file_refs = {
+            ref
+            for v in self.versions()
+            if (ref := self._read_raw_manifest(v).get("files_ref"))
+        }
+        for name in self.store.list_dir(_MANIFEST_DIR):
+            rel = os.path.join(_MANIFEST_DIR, name)
+            if (
+                name.startswith("files-")
+                and name.endswith(".parquet")
+                and name not in live_file_refs
+            ):
+                try:
+                    if now - self.store.mtime(rel) < grace_seconds:
+                        continue
+                except FileNotFoundError:
+                    continue  # concurrently removed
+                self.store.delete(rel)
         dv_root = os.path.join(self.path, _DV_DIR)
         if os.path.isdir(dv_root):
             for name in os.listdir(dv_root):

@@ -65,7 +65,13 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_job_spark.table import CommitConflictError, ManifestTable, _manifest_name
+from etl_job_spark.commit_store import CommitStore, LocalFSCommitStore, StoreConflict
+from etl_job_spark.table import (
+    _MANIFEST_DIR,
+    CommitConflictError,
+    ManifestTable,
+    _manifest_name,
+)
 
 _TXN_DIR = "_txns"
 _TXN_STAGE_DIR = os.path.join(_TXN_DIR, "_staged")
@@ -247,9 +253,14 @@ class TransactionalCatalog:
 
     _COMMIT_RETRIES = 3
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, store: "CommitStore | None" = None):
         self.root = root.rstrip("/")
         self.txn_dir = os.path.join(self.root, _TXN_DIR)
+        # control-plane blob store for the log (records, checkpoints,
+        # manifest spills) — same contract as ManifestTable.store;
+        # enrolled tables get scoped views of it, so one backend (and,
+        # for test doubles, one fault schedule) covers the catalog
+        self.store: CommitStore = store or LocalFSCommitStore(self.root)
         # published records are immutable → cache parses for the
         # instance's lifetime; _applied tracks (table, version) pairs
         # this instance already verified on disk, so repeated
@@ -267,15 +278,15 @@ class TransactionalCatalog:
     def table(self, name: str) -> ManifestTable:
         if "/" in name or name.startswith("_"):
             raise ValueError(f"invalid table name {name!r}")
-        return ManifestTable(os.path.join(self.root, name))
+        return ManifestTable(
+            os.path.join(self.root, name), store=self.store.scoped(name)
+        )
 
     # -- log plumbing -------------------------------------------------
 
     def _txn_ids(self) -> list[int]:
-        if not os.path.isdir(self.txn_dir):
-            return []
         out = []
-        for n in os.listdir(self.txn_dir):
+        for n in self.store.list_dir(_TXN_DIR):
             if n.startswith("t") and n.endswith(".json"):
                 out.append(int(n[1:-5]))
         return sorted(out)
@@ -283,33 +294,28 @@ class TransactionalCatalog:
     def _read_txn(self, txn_id: int) -> dict:
         cached = self._txn_cache.get(txn_id)
         if cached is None:
-            with open(os.path.join(self.txn_dir, _txn_name(txn_id))) as f:
-                cached = json.load(f)
+            cached = json.loads(
+                self.store.read(os.path.join(_TXN_DIR, _txn_name(txn_id)))
+            )
             self._txn_cache[txn_id] = cached
         return cached
 
     def _publish_txn(self, txn_id: int, record: dict) -> None:
-        os.makedirs(self.txn_dir, exist_ok=True)
-        tmp = os.path.join(self.txn_dir, f".tmp-{uuid.uuid4().hex}.json")
-        final = os.path.join(self.txn_dir, _txn_name(txn_id))
-        with open(tmp, "w") as f:
-            json.dump(record, f, indent=1, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
         try:
-            os.link(tmp, final)  # put-if-absent: THE commit point
-        except FileExistsError:
+            # put-if-absent: THE commit point, delegated to the store
+            self.store.write_if_absent(
+                os.path.join(_TXN_DIR, _txn_name(txn_id)),
+                json.dumps(record, indent=1, sort_keys=True).encode(),
+            )
+        except StoreConflict:
             raise CommitConflictError(
                 f"transaction id {txn_id} claimed by another committer"
             ) from None
-        finally:
-            os.unlink(tmp)
 
     def _load_ref(self, ref: str) -> dict:
         cached = self._staged_cache.get(ref)
         if cached is None:
-            with open(os.path.join(self.root, ref)) as f:
-                cached = json.load(f)
+            cached = json.loads(self.store.read(ref))
             self._staged_cache[ref] = cached
         return cached
 
@@ -340,26 +346,15 @@ class TransactionalCatalog:
         for manifest in self._staged_manifests(staged):
             if (name, manifest["version"]) in self._applied:
                 continue  # verified on disk earlier in this instance's life
-            final = os.path.join(
-                table.manifest_dir, _manifest_name(manifest["version"])
-            )
-            if not os.path.exists(final):
-                os.makedirs(table.manifest_dir, exist_ok=True)
-                tmp = os.path.join(
-                    table.manifest_dir, f".tmp-{uuid.uuid4().hex}.json"
-                )
-                with open(tmp, "w") as f:
-                    json.dump(manifest, f, indent=1, sort_keys=True)
-                    f.flush()
-                    os.fsync(f.fileno())
+            rel = os.path.join(_MANIFEST_DIR, _manifest_name(manifest["version"]))
+            if not table.store.exists(rel):
                 try:
-                    os.link(tmp, final)
-                except FileExistsError:
+                    table.store.write_if_absent(
+                        rel, json.dumps(manifest, indent=1, sort_keys=True).encode()
+                    )
+                except StoreConflict:
                     pass  # racing roll-forward of the same record
-                finally:
-                    os.unlink(tmp)
-            with open(final) as f:
-                existing = json.load(f)
+            existing = json.loads(table.store.read(rel))
             if existing != manifest:
                 raise RuntimeError(
                     f"table {name!r} version {manifest['version']} holds "
@@ -369,10 +364,8 @@ class TransactionalCatalog:
             self._applied.add((name, manifest["version"]))
 
     def _ckpt_ids(self) -> list[int]:
-        if not os.path.isdir(self.txn_dir):
-            return []
         out = []
-        for n in os.listdir(self.txn_dir):
+        for n in self.store.list_dir(_TXN_DIR):
             if n.startswith("c") and n.endswith(".json"):
                 out.append(int(n[1:-5]))
         return sorted(out)
@@ -386,8 +379,7 @@ class TransactionalCatalog:
         ids = self._ckpt_ids()
         if not ids:
             return 0, {}
-        with open(os.path.join(self.txn_dir, _ckpt_name(ids[-1]))) as f:
-            ck = json.load(f)
+        ck = json.loads(self.store.read(os.path.join(_TXN_DIR, _ckpt_name(ids[-1]))))
         return int(ck["upto"]), dict(ck["state"])
 
     def _replay(self) -> tuple[dict[str, int | None], int]:
@@ -457,19 +449,15 @@ class TransactionalCatalog:
             return None
         if last in self._ckpt_ids():
             return last  # already covered
-        os.makedirs(self.txn_dir, exist_ok=True)
-        tmp = os.path.join(self.txn_dir, f".tmp-{uuid.uuid4().hex}.json")
-        final = os.path.join(self.txn_dir, _ckpt_name(last))
-        with open(tmp, "w") as f:
-            json.dump({"upto": last, "state": state}, f, indent=1, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
         try:
-            os.link(tmp, final)
-        except FileExistsError:
+            self.store.write_if_absent(
+                os.path.join(_TXN_DIR, _ckpt_name(last)),
+                json.dumps(
+                    {"upto": last, "state": state}, indent=1, sort_keys=True
+                ).encode(),
+            )
+        except StoreConflict:
             pass  # a racing checkpointer wrote the identical content
-        finally:
-            os.unlink(tmp)
         return last
 
     def vacuum(self, grace_seconds: float = 3600.0) -> int:
@@ -493,12 +481,12 @@ class TransactionalCatalog:
         if upto:
             for txn_id in self._txn_ids():
                 if txn_id <= upto:
-                    os.unlink(os.path.join(self.txn_dir, _txn_name(txn_id)))
+                    self.store.delete(os.path.join(_TXN_DIR, _txn_name(txn_id)))
                     self._txn_cache.pop(txn_id, None)
                     removed += 1
             for ck in self._ckpt_ids():
                 if ck < upto:
-                    os.unlink(os.path.join(self.txn_dir, _ckpt_name(ck)))
+                    self.store.delete(os.path.join(_TXN_DIR, _ckpt_name(ck)))
                     removed += 1
         live_refs: set[str | None] = set()
         for txn_id in self._txn_ids():
@@ -508,21 +496,18 @@ class TransactionalCatalog:
         import time as _time
 
         now = _time.time()
-        stage_dir = os.path.join(self.root, _TXN_STAGE_DIR)
-        if os.path.isdir(stage_dir):
-            for n in os.listdir(stage_dir):
-                ref = os.path.join(_TXN_STAGE_DIR, n)
-                full = os.path.join(stage_dir, n)
-                if ref in live_refs:
-                    continue
-                try:
-                    if now - os.path.getmtime(full) < grace_seconds:
-                        continue  # possibly an in-flight commit's spill
-                    os.unlink(full)
-                except OSError:
-                    continue  # racing vacuum/committer: skip
-                self._staged_cache.pop(ref, None)
-                removed += 1
+        for n in self.store.list_dir(_TXN_STAGE_DIR):
+            ref = os.path.join(_TXN_STAGE_DIR, n)
+            if ref in live_refs:
+                continue
+            try:
+                if now - self.store.mtime(ref) < grace_seconds:
+                    continue  # possibly an in-flight commit's spill
+                self.store.delete(ref)
+            except OSError:
+                continue  # racing vacuum/committer: skip
+            self._staged_cache.pop(ref, None)
+            removed += 1
         return removed
 
     @staticmethod
@@ -590,15 +575,10 @@ class TransactionalCatalog:
         the record (the commit point) can reference it. Unique per
         attempt: a retried commit (same marker) must never overwrite a
         file an earlier, aborted-but-published record references."""
-        stage_dir = os.path.join(self.root, _TXN_STAGE_DIR)
-        os.makedirs(stage_dir, exist_ok=True)
         ref = os.path.join(
             _TXN_STAGE_DIR, f"{marker}-{uuid.uuid4().hex[:8]}-{name}.json"
         )
-        with open(os.path.join(self.root, ref), "w") as f:
-            f.write(body)
-            f.flush()
-            os.fsync(f.fileno())
+        self.store.write(ref, body.encode())
         self._staged_cache[ref] = manifest
         return ref
 
@@ -634,9 +614,9 @@ class TransactionalCatalog:
         return entry
 
     def _committed_marker(self, name: str, version: int) -> str | None:
-        path = os.path.join(self.table(name).manifest_dir, _manifest_name(version))
+        rel = os.path.join(_MANIFEST_DIR, _manifest_name(version))
         try:
-            with open(path) as f:
-                return (json.load(f).get("txn") or {}).get("marker")
+            raw = json.loads(self.table(name).store.read(rel))
         except OSError:
             return None
+        return (raw.get("txn") or {}).get("marker")

@@ -411,3 +411,150 @@ def test_merge_ordered_model_equivalence(spark, target, source):
         [(k, v, w) for k, v, w in tgt_rows], [(k, v, w) for k, v, w in src_rows]
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# Hypothesis: RANDOM Delta-legal clause stacks vs the brute-force model
+# (VERDICT r11 next-round #4 — the fixed-stack test above exercises one
+# stack; this sweep draws the stack itself: several conditional
+# updates/deletes/inserts/by-source clauses in random written order,
+# only-last-unconditional enforced per group)
+# ---------------------------------------------------------------------
+
+# predicate / assignment pools as (engine SQL, python model) pairs;
+# rows are non-null ints so SQL and Python comparison semantics agree
+MATCHED_PREDS = [
+    ("source.v > 0", lambda t, s: s[0] > 0),
+    ("source.w < 0", lambda t, s: s[1] < 0),
+    ("v >= source.v", lambda t, s: t[0] >= s[0]),
+    ("w + source.w > 0", lambda t, s: t[1] + s[1] > 0),
+]
+MATCHED_ASSIGNS = [
+    ({"v": "source.v"}, lambda t, s: (s[0], t[1])),
+    ({"w": "w + source.v"}, lambda t, s: (t[0], t[1] + s[0])),
+    # simultaneous assignment: both RHS read OLD values
+    ({"v": "source.w", "w": "v"}, lambda t, s: (s[1], t[0])),
+]
+INSERT_PREDS = [
+    ("v > 0", lambda s: s[0] > 0),
+    ("w < 0", lambda s: s[1] < 0),
+]
+INSERT_COLS = [
+    (["k", "v"], lambda s: (s[0], None)),  # unlisted w lands NULL
+    (None, lambda s: (s[0], s[1])),
+]
+BYSRC_PREDS = [
+    ("w < 0", lambda t: t[1] < 0),
+    ("v > 10", lambda t: t[0] > 10),
+]
+BYSRC_ASSIGNS = [
+    ({"w": "-1"}, lambda t: (t[0], -1)),
+    ({"v": "v + 1"}, lambda t: (t[0] + 1, t[1])),
+]
+
+_matched_cl = st.tuples(
+    st.sampled_from(["update", "delete"]), st.integers(0, 3), st.integers(0, 2)
+)
+_insert_cl = st.tuples(st.integers(0, 1), st.integers(0, 1))
+_bysrc_cl = st.tuples(
+    st.sampled_from(["by_source_update", "by_source_delete"]),
+    st.integers(0, 1),
+    st.integers(0, 1),
+)
+
+stack_st = st.tuples(
+    st.lists(_matched_cl, max_size=3),
+    st.lists(_insert_cl, max_size=2),
+    st.lists(_bysrc_cl, max_size=2),
+    st.booleans(),  # last matched clause unconditional?
+    st.booleans(),  # last insert clause unconditional?
+    st.booleans(),  # last by-source clause unconditional?
+)
+
+
+def _build_stack(drawn):
+    """(engine clause list, model clause groups) from one draw."""
+    matched, inserts, by_source, mu, iu, bu = drawn
+    eng, m_model, i_model, b_model = [], [], [], []
+    for at_last, (kind, p, a) in enumerate(matched):
+        uncond = mu and at_last == len(matched) - 1
+        sql_p = None if uncond else MATCHED_PREDS[p][0]
+        py_p = (lambda t, s: True) if uncond else MATCHED_PREDS[p][1]
+        if kind == "update":
+            eng.append(("update", sql_p, MATCHED_ASSIGNS[a][0]))
+            m_model.append(("update", py_p, MATCHED_ASSIGNS[a][1]))
+        else:
+            eng.append(("delete", sql_p))
+            m_model.append(("delete", py_p, None))
+    for at_last, (p, c) in enumerate(inserts):
+        uncond = iu and at_last == len(inserts) - 1
+        sql_p = None if uncond else INSERT_PREDS[p][0]
+        py_p = (lambda s: True) if uncond else INSERT_PREDS[p][1]
+        eng.append(("insert", sql_p, INSERT_COLS[c][0]))
+        i_model.append((py_p, INSERT_COLS[c][1]))
+    for at_last, (kind, p, a) in enumerate(by_source):
+        uncond = bu and at_last == len(by_source) - 1
+        sql_p = None if uncond else BYSRC_PREDS[p][0]
+        py_p = (lambda t: True) if uncond else BYSRC_PREDS[p][1]
+        if kind == "by_source_update":
+            eng.append(("by_source_update", sql_p, BYSRC_ASSIGNS[a][0]))
+            b_model.append(("update", py_p, BYSRC_ASSIGNS[a][1]))
+        else:
+            eng.append(("by_source_delete", sql_p))
+            b_model.append(("delete", py_p, None))
+    return eng, m_model, i_model, b_model
+
+
+def _model_stack(tgt_rows, src_rows, m_model, i_model, b_model):
+    tgt = {k: (v, w) for k, v, w in tgt_rows}
+    src = {k: (v, w) for k, v, w in src_rows}
+    out = {}
+    for k, t in tgt.items():
+        s = src.get(k)
+        if s is not None:
+            fired = False
+            for kind, pred, assign in m_model:
+                if pred(t, s):
+                    if kind == "update":
+                        out[k] = assign(t, s)
+                    fired = True
+                    break
+            if not fired:
+                out[k] = t
+        else:
+            fired = False
+            for kind, pred, assign in b_model:
+                if pred(t):
+                    if kind == "update":
+                        out[k] = assign(t)
+                    fired = True
+                    break
+            if not fired:
+                out[k] = t
+    for k, s in src.items():
+        if k in tgt:
+            continue
+        for pred, cols in i_model:
+            if pred(s):
+                out[k] = cols(s)
+                break
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(target=ord_batch_st, source=ord_batch_st, drawn=stack_st)
+def test_merge_ordered_random_stack_model_equivalence(spark, target, source, drawn):
+    from hypothesis import assume
+
+    eng, m_model, i_model, b_model = _build_stack(drawn)
+    assume(eng)  # validate_ordered_clauses refuses an empty stack
+    tgt_rows = list({k: (k, v, w) for k, v, w in target}.values())
+    src_rows = list({k: (k, v, w) for k, v, w in source}.values())
+    tgt = spark.createDataFrame(tgt_rows, "k int, v int, w int") if tgt_rows \
+        else spark.createDataFrame([], "k int, v int, w int")
+    src = spark.createDataFrame(src_rows, "k int, v int, w int") if src_rows \
+        else spark.createDataFrame([], "k int, v int, w int")
+    out = merge_ordered(tgt, src, ["k"], eng).collect()
+    got = {r.k: (r.v, r.w) for r in out}
+    want = _model_stack(tgt_rows, src_rows, m_model, i_model, b_model)
+    assert got == want
