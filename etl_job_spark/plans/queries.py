@@ -1406,6 +1406,66 @@ def staging_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("kicc_staging_copy_into", COPY_INTO_SQL)(staging_copy_into)
 
 
+CONVERT_SQL = """
+SELECT CAST(s_nationkey AS BIGINT) AS nation,
+       count(*) AS n_sup,
+       CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM supplier
+GROUP BY CAST(s_nationkey AS BIGINT)
+"""
+
+
+def staging_converted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO MANIFEST (round 12, the adoption onramp — the
+    reference operates on tables its scripts never created,
+    kicc_to_tb_sales.py:67; a migrating user's pre-existing
+    hive-partitioned parquet adopts in place the same way): supplier
+    lands as a RAW hive-partitioned directory (no manifest), one
+    CONVERT statement builds version 1 referencing those files where
+    they lie (footer stats, partition dirs as the spec, zero rewrite),
+    and the read aggregates THROUGH the adopted table. The oracle
+    aggregates the source table directly, so a conversion that lost,
+    duplicated, or partition-misfiled any file hash-mismatches.
+    Landed once per (session, sf_dir)."""
+    import hashlib
+
+    from etl_job_spark.scratch import scratch_dir
+    from etl_job_spark.sources.catalog import load_table
+    from etl_job_spark.sql import execute_dml
+    from etl_job_spark.table import ManifestTable
+
+    path = scratch_dir(
+        spark, "kicc_staging_convert",
+        f"_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    t = ManifestTable(path)
+    if t.latest_version() is None:
+        load_table(spark, sf_dir, "supplier").write.partitionBy(
+            "s_nationkey"
+        ).mode("overwrite").parquet(path)
+        execute_dml(
+            spark, t, f"CONVERT TO MANIFEST {path} PARTITIONED BY (s_nationkey)"
+        )
+        t = ManifestTable(path)  # fresh instance past the pre-convert probe
+    return (
+        t.snapshot(spark)
+        # the adopted partition dir reads back as a string (the raw
+        # spec's string-in-the-log contract) — cast to the oracle's type
+        .selectExpr(
+            "CAST(s_nationkey AS BIGINT) AS nation",
+            "CAST(round(s_acctbal * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_sup"),
+            F.sum("cents").alias("bal_cents"),
+        )
+    )
+
+
+query("kicc_staging_converted", CONVERT_SQL)(staging_converted)
+
+
 REPLACE_WHERE_SQL = """
 SELECT l_returnflag,
        CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -125,7 +125,15 @@ _DRIVER_WINDOW = [
     "events_tumbling_hourly",
     "events_zscore_anomalies",
     "orders_month_range_join",
-    "string_functions",
+    # round-12 swap: CONVERT TO MANIFEST (the adoption onramp — a raw
+    # hive-partitioned directory becomes version 1 in place, files by
+    # reference with footer stats, then the read aggregates THROUGH
+    # the adopted table against an oracle over the source) is a NEW
+    # component with no driver row; string_functions — the §2.7 scalar
+    # family keeps kicc_scalar_dates in-window (same
+    # expression-surface row, date flavor) — moves to the tail with
+    # its exact oracle intact
+    "kicc_staging_converted",
     "full_outer_year_compare",
     "events_pivot_by_type",
     "events_exact_percentiles",
@@ -146,6 +154,10 @@ _DRIVER_WINDOW = [
 # moved out to make room for kicc_mart_versioned (round-3 verdict #3).
 _TAIL = [
     "sketch_cardinalities",  # rows-only by design (no SQL oracle)
+    # round-12 swap-out (see the window comment at
+    # kicc_staging_converted): the string half of the §2.7 scalar
+    # family keeps its exact oracle here
+    "string_functions",
     # round-11 swap-outs (see the window comments at
     # kicc_mart_cdf_batch / kicc_mart_add_column): the cosine near-dup
     # variant and the lag-shape window read keep their exact oracles

@@ -118,6 +118,27 @@ def _split_assignments(body: str) -> dict[str, str]:
     return out
 
 
+def _sql_literal(tok: str):
+    """One SQL literal token → python value: 'quoted' string ('' escapes),
+    integer, float, TRUE/FALSE, NULL → None."""
+    import re
+
+    tok = tok.strip()
+    if len(tok) >= 2 and tok[0] == "'" and tok[-1] == "'":
+        return tok[1:-1].replace("''", "'")
+    if re.fullmatch(r"[+-]?\d+", tok):
+        return int(tok)
+    if re.fullmatch(r"[+-]?\d*\.\d+([eE][+-]?\d+)?", tok):
+        return float(tok)
+    if tok.upper() in ("TRUE", "FALSE"):
+        return tok.upper() == "TRUE"
+    if tok.upper() == "NULL":
+        return None
+    raise ValueError(
+        f"literal {tok!r}: expected a quoted string, number, boolean, or NULL"
+    )
+
+
 def _parse_spec_predicate(pred: str) -> list[tuple]:
     """A restricted conjunctive WHERE → the engine's predicate-spec
     tuples (``snapshot_where`` form) — what ``OPTIMIZE t WHERE …``
@@ -700,6 +721,20 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
     t = table if isinstance(table, ManifestTable) else ManifestTable(str(table))
     s = sql.strip().rstrip(";").strip()
     upper = s.upper()
+    if upper.startswith(("SELECT", "WITH")):
+        # SELECT/WITH over the table (VERDICT r11 #3: one SQL surface
+        # for the whole lifecycle): the table's basename resolves to a
+        # manifest_table DS view, VERSION AS OF / TIMESTAMP AS OF
+        # rewrite to the reader's time-travel options, and the result
+        # DataFrame returns (read-only — nothing commits)
+        import os
+
+        base = os.path.basename(t.path.rstrip("/"))
+
+        def _resolve(name: str) -> str | None:
+            return t.path if name.lower() == base.lower() else None
+
+        return _routed_select(spark, s, _resolve)
     if upper.startswith("UPDATE"):
         set_at = _scan_top(s, "SET")
         where_at = _scan_top(s, "WHERE")
@@ -913,9 +948,15 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
             schema = t._manifest_schema(man)
             if schema is None:
                 raise ValueError("pre-evolution table: overwrite it first")
+            cons = man.get("constraints") or {}
             return spark.createDataFrame(
                 [
-                    (f.name, f.dataType.simpleString(), f.nullable)
+                    (
+                        f.name,
+                        f.dataType.simpleString(),
+                        # NOT NULL rides the auto-managed CHECK
+                        f.nullable and f"not_null_{f.name}" not in cons,
+                    )
                     for f in schema.fields
                 ],
                 "col_name string, data_type string, nullable boolean",
@@ -929,11 +970,13 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
             "column_map": man.get("column_map") or {},
             "dropped_cols": man.get("dropped_cols") or [],
             "partition_specs": man.get("partition_specs") or [],
+            "defaults": man.get("defaults") or {},
         }
-        return spark.createDataFrame(
-            [(k, _json.dumps(v, sort_keys=True)) for k, v in sorted(props.items())],
-            "key string, value string",
-        )
+        rows = [(k, str(v)) for k, v in sorted((man.get("properties") or {}).items())]
+        rows += [
+            (k, _json.dumps(v, sort_keys=True)) for k, v in sorted(props.items())
+        ]
+        return spark.createDataFrame(rows, "key string, value string")
     if upper.startswith(("VACUUM", "OPTIMIZE", "RESTORE")):
         # Delta-parity maintenance statements, routed to the table
         # verbs (Spark SQL can't plan them on a Python data source):
@@ -1100,6 +1143,36 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
                 )
             return t.alter_schema(spark, drop=cols)
         if au.startswith("ALTER COLUMN") or au.startswith("CHANGE COLUMN"):
+            # ALTER COLUMN <c> SET NOT NULL | DROP NOT NULL — rides the
+            # CHECK machinery (snapshot-validated, then enforced on
+            # every write path with violation atomicity)
+            cm = re.match(
+                r"(?is)^(?:ALTER|CHANGE)\s+COLUMN\s+(\w+)\s+"
+                r"(SET|DROP)\s+NOT\s+NULL\s*$",
+                action,
+            )
+            if cm is not None:
+                return t.alter_column_nullability(
+                    spark, cm.group(1).strip("`"),
+                    not_null=cm.group(2).upper() == "SET",
+                )
+            # ALTER COLUMN <c> SET DEFAULT <literal> | DROP DEFAULT —
+            # write-time fill for omitted columns (never retroactive)
+            cm = re.match(
+                r"(?is)^(?:ALTER|CHANGE)\s+COLUMN\s+(\w+)\s+DROP\s+DEFAULT\s*$",
+                action,
+            )
+            if cm is not None:
+                return t.alter_column_default(spark, cm.group(1).strip("`"), None)
+            cm = re.match(
+                r"(?is)^(?:ALTER|CHANGE)\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+"
+                r"('(?:[^']|'')*'|\S+)\s*$",
+                action,
+            )
+            if cm is not None:
+                return t.alter_column_default(
+                    spark, cm.group(1).strip("`"), _sql_literal(cm.group(2))
+                )
             # metadata-only TYPE WIDENING (Delta 4's ALTER COLUMN ...
             # TYPE): files keep their narrow physical type, readers
             # promote; off-lattice changes refuse in alter_schema
@@ -1110,8 +1183,10 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
             )
             if cm is None:
                 raise ValueError(
-                    "supported form: ALTER COLUMN <name> TYPE <spark ddl "
-                    "type> (lossless widenings only — see alter_schema)"
+                    "supported forms: ALTER COLUMN <name> TYPE <spark ddl "
+                    "type> (lossless widenings only — see alter_schema) | "
+                    "ALTER COLUMN <name> SET/DROP NOT NULL | "
+                    "ALTER COLUMN <name> SET DEFAULT <literal> / DROP DEFAULT"
                 )
             return t.alter_schema(
                 spark, widen={cm.group(1).strip("`"): cm.group(2).strip()}
@@ -1139,6 +1214,42 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
                     start = i + 1
             parts.append(spec[start:])
             return t.alter_partition_spec([p.strip() for p in parts if p.strip()])
+        if au.startswith("SET TBLPROPERTIES"):
+            # ALTER TABLE <t> SET TBLPROPERTIES ('k' = 'v', ...) —
+            # user key/values, metadata-only commit
+            cm = re.match(r"(?is)^SET\s+TBLPROPERTIES\s*\((.*)\)\s*$", action)
+            if cm is None:
+                raise ValueError(
+                    "supported form: SET TBLPROPERTIES ('k' = 'v', ...)"
+                )
+            kvs = re.findall(
+                r"(?s)'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'", cm.group(1)
+            )
+            if not kvs:
+                raise ValueError(
+                    "SET TBLPROPERTIES needs at least one 'key' = 'value' pair"
+                )
+            return t.alter_tblproperties(
+                set={k.replace("''", "'"): v.replace("''", "'") for k, v in kvs}
+            )
+        if au.startswith("UNSET TBLPROPERTIES"):
+            # ALTER TABLE <t> UNSET TBLPROPERTIES [IF EXISTS] ('k', ...)
+            cm = re.match(
+                r"(?is)^UNSET\s+TBLPROPERTIES\s*(IF\s+EXISTS\s*)?\((.*)\)\s*$",
+                action,
+            )
+            if cm is None:
+                raise ValueError(
+                    "supported form: UNSET TBLPROPERTIES [IF EXISTS] "
+                    "('k', ...)"
+                )
+            keys = re.findall(r"(?s)'((?:[^']|'')*)'", cm.group(2))
+            if not keys:
+                raise ValueError("UNSET TBLPROPERTIES needs at least one key")
+            return t.alter_tblproperties(
+                unset=[k.replace("''", "'") for k in keys],
+                unset_must_exist=cm.group(1) is None,
+            )
         raise ValueError(f"unsupported ALTER TABLE action {action[:50]!r}")
     if upper.startswith("COPY"):
         # COPY INTO <t> FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
@@ -1303,6 +1414,87 @@ def statement_table(sql: str) -> str:
     return name.split(".")[-1].split("/")[-1]
 
 
+def _routed_select(spark: SparkSession, s: str, resolve) -> DataFrame:
+    """Run one SELECT/WITH statement with table names resolved through
+    ``resolve(name) -> table_path | None``. Each resolving name gets a
+    ``manifest_table`` DS temp view registered under that name (so
+    WHERE clauses push down into manifest-level file skipping);
+    ``<name> VERSION AS OF n`` / ``<name> TIMESTAMP AS OF '…'``
+    rewrite to time-travel views (``versionAsOf``/``timestampAsOf``
+    reader options) with deterministic names. Non-resolving names
+    (user temp views, CTEs — which Spark scopes above temp views) pass
+    through untouched. Returns the UNEXECUTED DataFrame — the caller
+    decides whether to collect, write, or just hold the plan."""
+    import re
+
+    from etl_job_spark.sources.manifest_source import read_manifest_table
+
+    def _sub(m: re.Match) -> str:
+        kw, name, ver, ts = m.group(1), m.group(2), m.group(3), m.group(4)
+        path = resolve(name)
+        if path is None:
+            if ver is not None or ts is not None:
+                raise ValueError(
+                    f"time travel on {name!r}: not a resolvable table "
+                    "(VERSION/TIMESTAMP AS OF needs a manifest table)"
+                )
+            return m.group(0)
+        if ver is not None:
+            vname = f"{name}__v{ver}"
+            read_manifest_table(spark, path, version=int(ver)).createOrReplaceTempView(
+                vname
+            )
+            return f"{kw} {vname}"
+        if ts is not None:
+            tsv = ts.strip("'")
+            vname = f"{name}__ts_{re.sub(r'[^0-9A-Za-z]', '_', tsv)}"
+            read_manifest_table(spark, path, timestamp=tsv).createOrReplaceTempView(
+                vname
+            )
+            return f"{kw} {vname}"
+        read_manifest_table(spark, path).createOrReplaceTempView(name)
+        return m.group(0)
+
+    rewritten = re.sub(
+        r"(?is)\b(FROM|JOIN)\s+[`\"]?([A-Za-z_]\w*)[`\"]?"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'))?",
+        _sub,
+        s,
+    )
+    return spark.sql(rewritten)
+
+
+def execute_sql(spark: SparkSession, catalog, statement: str):
+    """One statement against a ``TransactionalCatalog`` — the
+    one-surface SQL lifecycle (the reference's consumers read AND
+    write through embedded SQL; so does this engine's catalog):
+
+    - ``SELECT``/``WITH`` returns a DataFrame. Table names resolve to
+      the catalog's enrolled tables (a ``roll_forward`` first heals
+      any crashed commit, so reads never see a pending record);
+      ``VERSION AS OF n`` / ``TIMESTAMP AS OF '…'`` time-travel.
+      Read-only: no transaction record is written.
+    - anything else commits as a single-statement transaction
+      (``execute_dml_txn``) and returns ``{table: new_version}``.
+    """
+    s = statement.strip().rstrip(";").strip()
+    if s.upper().startswith(("SELECT", "WITH")):
+        catalog.roll_forward()
+        return _routed_select(spark, s, _catalog_resolver(catalog))
+    return execute_dml_txn(spark, catalog, [s])
+
+
+def _catalog_resolver(catalog):
+    def resolve(name: str) -> str | None:
+        try:
+            t = catalog.table(name)
+        except ValueError:
+            return None
+        return t.path if t.latest_version() is not None else None
+
+    return resolve
+
+
 def execute_dml_txn(spark: SparkSession, catalog, statements) -> dict[str, int]:
     """Execute a statement LIST as ONE atomic transaction against a
     ``TransactionalCatalog`` — every statement's target table moves to
@@ -1328,17 +1520,33 @@ def execute_dml_txn(spark: SparkSession, catalog, statements) -> dict[str, int]:
     return catalog.commit(ops)
 
 
-def execute_sql_script(spark: SparkSession, catalog, script: str) -> dict[str, int]:
+def execute_sql_script(
+    spark: SparkSession, catalog, script: str, select_handler=None
+) -> dict[str, int]:
     """Run a semicolon-separated SQL script against a
     ``TransactionalCatalog``; ``BEGIN; ...; COMMIT`` groups execute
     atomically via ``execute_dml_txn`` (the reference's literal
     transaction bracket), bare statements as single-statement
     transactions. Returns the last version committed for every table
-    the script touched."""
+    the script touched.
+
+    ``SELECT``/``WITH`` statements may appear anywhere, including
+    inside ``BEGIN;…;COMMIT``: they are read-only and never join the
+    transaction record — inside an open bracket they read the last
+    COMMITTED state (the bracket's own statements haven't committed
+    yet; that IS the atomicity being promised). Each result DataFrame
+    goes to ``select_handler(statement, df)`` when given; without a
+    handler the statement is still resolved and planned (names and
+    columns validate) but not executed."""
     out: dict[str, int] = {}
     group: list[str] | None = None
     for stmt in _split_script(script):
         up = stmt.strip().upper()
+        if up.startswith(("SELECT", "WITH")):
+            df = execute_sql(spark, catalog, stmt)
+            if select_handler is not None:
+                select_handler(stmt, df)
+            continue
         if up in ("BEGIN", "BEGIN TRANSACTION", "START TRANSACTION"):
             if group is not None:
                 raise ValueError("nested BEGIN — COMMIT the open transaction first")

@@ -3436,6 +3436,8 @@ class ManifestTable:
         column_map: dict[str, str] | None = None,
         partition_specs: Sequence[Sequence[str]] | None = None,
         copy_ledger: dict | None = None,
+        properties: dict[str, str] | None = None,
+        defaults: dict | None = None,
     ) -> int:
         # table properties carry forward across every commit unless the
         # caller overrides them: bloom_cols (None = keep, [] = clear)
@@ -3463,6 +3465,14 @@ class ManifestTable:
                 # like the streaming-txn ledger: losing it on an
                 # unrelated commit would re-load every landed file
                 copy_ledger = base_man.get("copy_ledger")
+            if properties is None:
+                # user TBLPROPERTIES (owner, retention tags, …): carry
+                # like every other table property; {} clears
+                properties = base_man.get("properties")
+            if defaults is None:
+                # column DEFAULT literals (write-time fill for columns
+                # an INSERT/append omits): carry like constraints
+                defaults = base_man.get("defaults")
             stream_txns = dict(base_man.get("stream_txns") or {})
         if stream_txn is not None:
             stream_txns[stream_txn[0]] = int(stream_txn[1])
@@ -3516,6 +3526,10 @@ class ManifestTable:
             manifest["stream_txns"] = stream_txns
         if copy_ledger:
             manifest["copy_ledger"] = copy_ledger
+        if properties:
+            manifest["properties"] = dict(properties)
+        if defaults:
+            manifest["defaults"] = dict(defaults)
         if constraints:
             manifest["constraints"] = dict(constraints)
         if dropped_cols:
@@ -3762,6 +3776,173 @@ class ManifestTable:
                 man["files"], schema, man["partition_by"] or None, base, op,
                 # {} (not None) when all dropped: None would re-carry
                 constraints=cons if cons else {},
+            )
+
+        return self._with_commit_retries(attempt)
+
+    def alter_tblproperties(
+        self,
+        set: Mapping[str, str] | None = None,
+        unset: Sequence[str] | None = None,
+        unset_must_exist: bool = True,
+    ) -> int:
+        """Set/unset USER table properties (owner, retention policy,
+        pipeline tags — the free-form key/values every real catalog
+        carries per table) as a METADATA-ONLY commit. Values are
+        strings, like Delta/Hive TBLPROPERTIES; keys carry forward
+        across every subsequent commit and time travel shows each
+        version's values (``SHOW TBLPROPERTIES`` reads latest;
+        ``DESCRIBE DETAIL`` and the manifest carry them per version).
+        Internal properties (constraints, bloom_cols, column_map, …)
+        live in their own manifest keys and cannot be shadowed here.
+        Returns the new version."""
+        sets = {str(k): str(v) for k, v in (set or {}).items()}
+        drops = [str(k) for k in (unset or [])]
+        if not sets and not drops:
+            raise ValueError("alter_tblproperties: nothing to set or unset")
+
+        def attempt() -> int:
+            base = self.latest_version()
+            if base is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+            man = self._read_manifest(base)
+            props = dict(man.get("properties") or {})
+            missing = [k for k in drops if k not in props]
+            if missing and unset_must_exist:
+                raise KeyError(
+                    f"UNSET TBLPROPERTIES: {missing} not set (use IF "
+                    "EXISTS to ignore)"
+                )
+            for k in drops:
+                props.pop(k, None)
+            props.update(sets)
+            schema = self._manifest_schema(man)
+            if schema is None:
+                raise ValueError(
+                    "alter_tblproperties needs a schema-carrying manifest "
+                    "(pre-evolution table: overwrite it first)"
+                )
+            op = {
+                "op": "alter_tblproperties",
+                "set": sorted(sets),
+                "unset": sorted(drops),
+            }
+            return self._commit(
+                man["files"], schema, man["partition_by"] or None, base, op,
+                # {} (not None) when all removed: None would re-carry
+                properties=props if props else {},
+            )
+
+        return self._with_commit_retries(attempt)
+
+    def tblproperties(self, version: int | None = None) -> dict[str, str]:
+        """The user TBLPROPERTIES of ``version`` (default latest)."""
+        v = self.latest_version() if version is None else int(version)
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        return dict(self._read_raw_manifest(v).get("properties") or {})
+
+    def alter_column_nullability(
+        self, spark: SparkSession, column: str, not_null: bool
+    ) -> int:
+        """``ALTER COLUMN c SET/DROP NOT NULL`` — implemented as an
+        auto-managed CHECK constraint named ``not_null_<col>`` with the
+        predicate ``<col> IS NOT NULL``, which rides the ENTIRE
+        existing constraint machinery: the current snapshot is
+        validated before the metadata-only commit lands (a column with
+        existing NULLs refuses — the table must not lie), and every
+        subsequent write path enforces it with violation atomicity —
+        library fused writes validate per Arrow batch task-side, the
+        DSv2 writers likewise (``IS NOT NULL`` is inside the vetted
+        ``duckdb_dialect_safe`` subset, so enforcement stays on the
+        task-side fast path), and MERGE/UPDATE rewrites validate their
+        output. ``SHOW COLUMNS`` reports the column non-nullable while
+        the constraint stands. Returns the new version."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        man = self._read_manifest(base)
+        schema = self._manifest_schema(man)
+        if schema is not None and column not in {f.name for f in schema.fields}:
+            raise ValueError(
+                f"ALTER COLUMN {column!r}: not a table column "
+                f"({[f.name for f in schema.fields]})"
+            )
+        name = f"not_null_{column}"
+        if not_null:
+            return self.alter_constraints(
+                spark, add={name: f"{column} IS NOT NULL"}
+            )
+        if name not in (man.get("constraints") or {}):
+            raise KeyError(
+                f"ALTER COLUMN {column!r} DROP NOT NULL: column is nullable"
+            )
+        return self.alter_constraints(spark, drop=[name])
+
+    def alter_column_default(
+        self, spark: SparkSession, column: str, default
+    ) -> int:
+        """``ALTER COLUMN c SET DEFAULT <literal>`` / ``DROP DEFAULT``
+        (``default=None``) — a METADATA-ONLY commit recording a
+        write-time fill value: an ``append`` (and the SQL INSERT forms
+        routed to it — positional VALUES and column-list inserts) whose
+        frame OMITS the column lands the default instead of NULL.
+        Delta's semantics exactly: the default applies to rows written
+        AFTER it is set; existing files are untouched and still read
+        back whatever they hold (no retroactive rewrite). The literal
+        is validated against the column type at alter time (a default
+        the type cannot hold refuses here, not silently at some later
+        write). Returns the new version."""
+
+        def attempt() -> int:
+            base = self.latest_version()
+            if base is None:
+                raise FileNotFoundError(f"no committed version at {self.path}")
+            man = self._read_manifest(base)
+            schema = self._manifest_schema(man)
+            if schema is None:
+                raise ValueError(
+                    "alter_column_default needs a schema-carrying manifest"
+                )
+            fields = {f.name: f for f in schema.fields}
+            if column not in fields:
+                raise ValueError(
+                    f"ALTER COLUMN {column!r}: not a table column "
+                    f"({sorted(fields)})"
+                )
+            defaults = dict(man.get("defaults") or {})
+            if default is None:
+                if column not in defaults:
+                    raise KeyError(
+                        f"ALTER COLUMN {column!r} DROP DEFAULT: no default set"
+                    )
+                defaults.pop(column)
+            else:
+                try:
+                    cast_ok = (
+                        spark.range(1)
+                        .select(
+                            F.lit(default).cast(fields[column].dataType).alias("v")
+                        )
+                        .first()
+                        .v
+                    )
+                except Exception:
+                    cast_ok = None  # ANSI sessions THROW on a bad cast
+                if cast_ok is None:
+                    raise ValueError(
+                        f"DEFAULT {default!r} does not cast to column "
+                        f"{column!r}'s type {fields[column].dataType.simpleString()}"
+                    )
+                defaults[column] = default
+            op = {
+                "op": "alter_column_default",
+                "column": column,
+                "set": default is not None,
+            }
+            return self._commit(
+                man["files"], schema, man["partition_by"] or None, base, op,
+                defaults=defaults if defaults else {},
             )
 
         return self._with_commit_retries(attempt)
@@ -4596,16 +4777,35 @@ class ManifestTable:
             partition_by = man["partition_by"]
             blooms = man.get("bloom_cols")
             constraints = man.get("constraints")
+            # column DEFAULTs: a column the frame omits lands its
+            # recorded default instead of NULL — write-time fill only
+            # (Delta's semantics: never retroactive; old files keep
+            # reading back what they hold)
+            fill = {
+                c: v
+                for c, v in (man.get("defaults") or {}).items()
+                if c not in df.columns
+            }
+            frame = df
+            if fill:
+                ftypes = {f.name: f.dataType for f in schema.fields}
+                frame = frame.select(
+                    "*",
+                    *[
+                        F.lit(v).cast(ftypes[c]).alias(c)
+                        for c, v in sorted(fill.items())
+                    ],
+                )
             # validation happens inside the write — task-side fused
             # when eligible; the fallback validates the schema-ALIGNED
             # frame (null-filled evolved columns), what readers will
             # see for these rows
             new_entries = self._write_data_files(
-                _renamed(df, man.get("column_map")),
+                _renamed(frame, man.get("column_map")),
                 partition_by or None,
                 bloom_cols=blooms,
                 constraints=constraints,
-                validate_frame=_align(df, schema) if constraints else None,
+                validate_frame=_align(frame, schema) if constraints else None,
                 column_map=man.get("column_map"),
             )
             entries = man["files"] + new_entries
@@ -6364,12 +6564,14 @@ class ManifestTable:
             json.dumps(man.get("bloom_cols") or []),
             json.dumps(man.get("constraints") or {}, sort_keys=True),
             json.dumps(man.get("column_map") or {}, sort_keys=True),
+            json.dumps(man.get("properties") or {}, sort_keys=True),
         )
         return spark.createDataFrame(
             [row],
             "location string, version long, committed_at string, "
             "n_files long, rows long, partition_by string, "
-            "bloom_cols string, constraints string, column_map string",
+            "bloom_cols string, constraints string, column_map string, "
+            "properties string",
         )
 
     def history_df(self, spark: SparkSession) -> DataFrame:

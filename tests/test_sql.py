@@ -59,7 +59,12 @@ def test_execute_dml_update_and_delete(spark, tmp_path):
         " WHERE (g = 1 AND k < 20) OR k = 29;",
     )
     assert v == 2
-    got = {r.k: (r.v, r.s) for r in t.snapshot(spark).collect()}
+    # verification reads as literal SELECTs — the same SQL surface the
+    # writes use (one-surface lifecycle, r12)
+    got = {
+        r.k: (r.v, r.s)
+        for r in execute_dml(spark, t, "SELECT k, v, s FROM dml").collect()
+    }
     hit = {k for k in range(30) if (k % 3 == 1 and k < 20) or k == 29}
     for k in range(30):
         want = (k * 10 + 1, f"s{k} where set") if k in hit else (k * 10, f"s{k}")
@@ -67,9 +72,16 @@ def test_execute_dml_update_and_delete(spark, tmp_path):
     # DELETE
     v = execute_dml(spark, t, "DELETE FROM dml WHERE g = 0")
     assert v == 3
-    assert {r.k for r in t.snapshot(spark).collect()} == {
-        k for k in range(30) if k % 3 != 0
-    }
+    assert {
+        r.k for r in execute_dml(spark, t, "SELECT k FROM dml").collect()
+    } == {k for k in range(30) if k % 3 != 0}
+    # and the pre-delete state stays reachable through SQL time travel
+    assert (
+        execute_dml(
+            spark, t, "SELECT count(*) AS n FROM dml VERSION AS OF 2"
+        ).collect()[0].n
+        == 30
+    )
     # unsupported / malformed shapes fail loudly
     import pytest as _pytest
 

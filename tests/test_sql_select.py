@@ -1,0 +1,186 @@
+"""SQL SELECT + time travel — the one-surface lifecycle (VERDICT r11
+next-round #3): ``execute_dml`` routes SELECT/WITH over the table,
+``execute_sql`` does it against a TransactionalCatalog, and
+``execute_sql_script`` interleaves read-only SELECTs with transactional
+brackets. Time-travel SELECTs are DuckDB-oracled against the version's
+exact file list.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import DataFrame
+
+from etl_job_spark.sql import execute_dml, execute_sql, execute_sql_script
+from etl_job_spark.table import ManifestTable
+from etl_job_spark.txn import TransactionalCatalog
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, tmp_path, name="sales"):
+    t = ManifestTable(str(tmp_path / name))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+            "k int, grp string, v double",
+        )
+    )
+    return t
+
+
+def test_select_over_table_returns_dataframe(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    df = execute_dml(spark, t, "SELECT grp, sum(v) AS total FROM sales GROUP BY grp")
+    assert isinstance(df, DataFrame)
+    assert _rows(df) == [("a", 40.0), ("b", 20.0)]
+    # WITH form
+    df2 = execute_dml(
+        spark,
+        t,
+        "WITH big AS (SELECT * FROM sales WHERE v > 15) "
+        "SELECT count(*) AS n FROM big",
+    )
+    assert df2.collect()[0].n == 2
+
+
+def test_select_version_as_of_oracled(spark, tmp_path):
+    """A time-travel SELECT equals DuckDB reading the version's exact
+    file list — the driver's comparison shape applied to time travel."""
+    t = _mk(spark, tmp_path)
+    t.merge(
+        spark,
+        spark.createDataFrame([(1, "a", 99.0), (4, "c", 4.0)], "k int, grp string, v double"),
+        keys=["k"],
+    )
+    df = execute_dml(
+        spark, t, "SELECT k, v FROM sales VERSION AS OF 1 ORDER BY k"
+    )
+    files = [
+        os.path.join(e.get("base") or t.data_dir, e["path"])
+        for e in t._read_manifest(1)["files"]
+    ]
+    con = duckdb.connect()
+    try:
+        want = con.execute(
+            "SELECT k, v FROM read_parquet($files) ORDER BY k", {"files": files}
+        ).fetchall()
+    finally:
+        con.close()
+    assert [(r.k, float(r.v)) for r in df.collect()] == [
+        (k, float(v)) for k, v in want
+    ]
+    # latest reads the merged state
+    latest = execute_dml(spark, t, "SELECT count(*) AS n FROM sales")
+    assert latest.collect()[0].n == 4
+
+
+def test_select_timestamp_as_of(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    ts1 = t.history()[-1]["committed_at"]
+    t.append(spark.createDataFrame([(9, "z", 9.0)], "k int, grp string, v double"))
+    df = execute_dml(
+        spark, t, f"SELECT count(*) AS n FROM sales TIMESTAMP AS OF '{ts1}'"
+    )
+    assert df.collect()[0].n == 3
+    assert execute_dml(spark, t, "SELECT count(*) AS n FROM sales").collect()[0].n == 4
+
+
+def test_select_pushes_filters_into_file_skipping(spark, tmp_path):
+    """The SELECT's WHERE reaches the manifest DS's filter pushdown —
+    the reason names resolve to the DS view, not a plain snapshot."""
+    t = ManifestTable(str(tmp_path / "parts"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(p, k, k * 1.0) for p in ("a", "b", "c") for k in range(4)],
+            "p string, k int, v double",
+        ),
+        partition_by=["p"],
+    )
+    df = execute_dml(spark, t, "SELECT k FROM parts WHERE p = 'a'")
+    assert sorted(r.k for r in df.collect()) == [0, 1, 2, 3]
+
+
+def test_wrong_table_name_passes_through_and_fails_analysis(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(Exception):  # unresolved relation: name didn't resolve
+        execute_dml(spark, t, "SELECT * FROM other_table").collect()
+    with pytest.raises(ValueError, match="time travel"):
+        execute_dml(spark, t, "SELECT * FROM other_table VERSION AS OF 1")
+
+
+def test_execute_sql_catalog_select_and_join(spark, tmp_path):
+    cat = TransactionalCatalog(str(tmp_path))
+    cat.commit(
+        lambda txn: (
+            txn.overwrite(
+                "orders_t",
+                spark.createDataFrame([(1, 100.0), (2, 50.0)], "k int, amt double"),
+            ),
+            txn.overwrite(
+                "dim",
+                spark.createDataFrame([(1, "gold"), (2, "basic")], "k int, tier string"),
+            ),
+        )
+    )
+    df = execute_sql(
+        spark,
+        cat,
+        "SELECT o.k, d.tier, o.amt FROM orders_t o JOIN dim d ON o.k = d.k "
+        "WHERE o.amt > 60",
+    )
+    assert _rows(df) == [(1, "gold", 100.0)]
+    # a write statement through the same surface commits a txn record
+    out = execute_sql(spark, cat, "UPDATE orders_t SET amt = amt + 1 WHERE k = 2")
+    assert out == {"orders_t": 2}
+    assert _rows(execute_sql(spark, cat, "SELECT amt FROM orders_t WHERE k = 2")) == [
+        (51.0,)
+    ]
+
+
+def test_script_interleaves_selects_with_txn(spark, tmp_path):
+    """SELECTs inside BEGIN…COMMIT read the last COMMITTED state (the
+    bracket hasn't committed — that IS the atomicity), and results flow
+    to the handler; read-only statements write no txn record."""
+    cat = TransactionalCatalog(str(tmp_path))
+    cat.commit(
+        lambda txn: txn.overwrite(
+            "m", spark.createDataFrame([(1, 10.0)], "k int, v double")
+        )
+    )
+    seen: list[tuple[str, int]] = []
+    execute_sql_script(
+        spark,
+        cat,
+        """
+        SELECT * FROM m;
+        BEGIN;
+        UPDATE m SET v = v * 2 WHERE k = 1;
+        SELECT v FROM m;
+        INSERT INTO m VALUES (2, 5.0);
+        COMMIT;
+        SELECT * FROM m;
+        """,
+        select_handler=lambda stmt, df: seen.append((stmt.split()[0], df.count())),
+    )
+    assert [n for _, n in seen] == [1, 1, 2]  # mid-bracket SELECT: pre-txn state
+    # the bracket committed as ONE record
+    assert len(cat._txn_ids()) == 2
+    assert _rows(cat.table("m").snapshot(spark)) == [(1, 20.0), (2, 5.0)]
+
+
+def test_script_select_without_handler_still_resolves(spark, tmp_path):
+    cat = TransactionalCatalog(str(tmp_path))
+    cat.commit(
+        lambda txn: txn.overwrite(
+            "m", spark.createDataFrame([(1, 10.0)], "k int, v double")
+        )
+    )
+    execute_sql_script(spark, cat, "SELECT k, v FROM m")  # plans, no execute
+    with pytest.raises(Exception):  # bad column fails analysis even unexecuted
+        execute_sql_script(spark, cat, "SELECT nope FROM m")
