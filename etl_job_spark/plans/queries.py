@@ -1466,6 +1466,64 @@ def staging_converted(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("kicc_staging_converted", CONVERT_SQL)(staging_converted)
 
 
+SELECT_TT_SQL = _with(kicc.SQL_KICC_SALES_DATA) + f"""
+, base AS (
+  SELECT sp_code, sale_date, total_amt, bill_qty FROM kicc_sales_data
+  WHERE sale_date BETWEEN '{VERSIONED_W1[0]}' AND '{VERSIONED_W1[1]}'
+)
+SELECT b.sp_code, b.sale_date,
+       CAST(round((b.total_amt +
+                   CASE WHEN b.bill_qty > 2 THEN 50.0 ELSE 0.0 END) * 100)
+            AS BIGINT) AS cents_now,
+       CAST(round(b.total_amt * 100) AS BIGINT) AS cents_v1
+FROM base b
+"""
+
+
+def mart_select_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-surface SQL lifecycle (round 12): write AND read through
+    ``execute_dml`` — a literal UPDATE statement moves the mart to
+    version 2, then ONE literal SELECT joins the current state to
+    ``VERSION AS OF 1`` (the time-travel rewrite registers a
+    manifest-DS view of the old snapshot). The oracle reconstructs both
+    eras relationally from staging, so a wrong version resolution, a
+    stale view, or an UPDATE touching the wrong rows all
+    hash-mismatch. Landed once per session."""
+    from etl_job_spark.scratch import scratch_dir
+    from etl_job_spark.sql import execute_dml
+    from etl_job_spark.table import ManifestTable
+
+    path = scratch_dir(spark, "kicc_mart_select")
+    name = os.path.basename(path)
+    t = ManifestTable(path)
+    if t.latest_version() is None:
+        staging = kicc.kicc_sales_data(spark, sf_dir).select(
+            "sp_code", "sale_date", "total_amt", "bill_qty"
+        )
+        t.overwrite(
+            staging.filter(F.col("sale_date").between(*VERSIONED_W1)).repartition(
+                F.col("sale_date")
+            ),
+            partition_by=["sale_date"],
+        )
+        execute_dml(
+            spark, t,
+            f"UPDATE `{name}` SET total_amt = total_amt + 50.0 "
+            "WHERE bill_qty > 2",
+        )
+    return execute_dml(
+        spark, t,
+        f"""SELECT cur.sp_code, cur.sale_date,
+                   CAST(round(cur.total_amt * 100) AS BIGINT) AS cents_now,
+                   CAST(round(old.total_amt * 100) AS BIGINT) AS cents_v1
+            FROM `{name}` cur JOIN `{name}` VERSION AS OF 1 old
+              ON cur.sp_code = old.sp_code AND cur.sale_date = old.sale_date""",
+    )
+
+
+query("kicc_mart_select_read", SELECT_TT_SQL)(mart_select_read)
+
+
 REPLACE_WHERE_SQL = """
 SELECT l_returnflag,
        CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -158,6 +158,12 @@ _TAIL = [
     # kicc_staging_converted): the string half of the §2.7 scalar
     # family keeps its exact oracle here
     "string_functions",
+    # round-12: the one-surface SQL lifecycle — a literal UPDATE then
+    # ONE literal SELECT joining current state to VERSION AS OF 1
+    # through the time-travel view rewrite; tail because the SQL-DML
+    # family's window slot is held by kicc_mart_sql_dml and the
+    # versioned-read shape by kicc_mart_versioned
+    "kicc_mart_select_read",
     # round-11 swap-outs (see the window comments at
     # kicc_mart_cdf_batch / kicc_mart_add_column): the cosine near-dup
     # variant and the lag-shape window read keep their exact oracles

@@ -1294,6 +1294,17 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
             )
         path = cm.group(1).strip("`'\"")
         _check_target(path, t)
+        if t._capture is not None:
+            # a transaction's table commits through the catalog's
+            # capture hook; convert() builds its own instance and would
+            # publish OUT OF BAND — an enrolled-tables contract
+            # violation replay would reject later. Nothing about
+            # adopting a brand-new table needs atomicity with other
+            # statements anyway.
+            raise ValueError(
+                "CONVERT TO MANIFEST cannot run inside a transaction — "
+                "run it as a standalone statement"
+            )
         pb = (
             [c.strip().strip("`") for c in cm.group(2).split(",") if c.strip()]
             if cm.group(2)
@@ -1301,8 +1312,10 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
         )
         from etl_job_spark.table import ManifestTable
 
+        # t's store carries through (a catalog-scoped table adopts
+        # onto the catalog's backend, not a parallel default store)
         return ManifestTable.convert(
-            spark, t.path, partition_by=pb
+            spark, t.path, partition_by=pb, store=t.store
         ).latest_version()
     if upper.startswith("CREATE"):
         # CREATE TABLE <dest> SHALLOW CLONE <src path> [VERSION AS OF n]
@@ -1430,7 +1443,9 @@ def _routed_select(spark: SparkSession, s: str, resolve) -> DataFrame:
     from etl_job_spark.sources.manifest_source import read_manifest_table
 
     def _sub(m: re.Match) -> str:
-        kw, name, ver, ts = m.group(1), m.group(2), m.group(3), m.group(4)
+        kw = m.group(1)
+        name = m.group(2) or m.group(3)
+        ver, ts = m.group(4), m.group(5)
         path = resolve(name)
         if path is None:
             if ver is not None or ts is not None:
@@ -1439,24 +1454,30 @@ def _routed_select(spark: SparkSession, s: str, resolve) -> DataFrame:
                     "(VERSION/TIMESTAMP AS OF needs a manifest table)"
                 )
             return m.group(0)
+        # view names must be plain identifiers; a path basename may not
+        # be (scratch dirs carry the applicationId's dashes) — sanitize
+        base = re.sub(r"\W", "_", name)
         if ver is not None:
-            vname = f"{name}__v{ver}"
+            vname = f"{base}__v{ver}"
             read_manifest_table(spark, path, version=int(ver)).createOrReplaceTempView(
                 vname
             )
             return f"{kw} {vname}"
         if ts is not None:
             tsv = ts.strip("'")
-            vname = f"{name}__ts_{re.sub(r'[^0-9A-Za-z]', '_', tsv)}"
+            vname = f"{base}__ts_{re.sub(r'[^0-9A-Za-z]', '_', tsv)}"
             read_manifest_table(spark, path, timestamp=tsv).createOrReplaceTempView(
                 vname
             )
             return f"{kw} {vname}"
-        read_manifest_table(spark, path).createOrReplaceTempView(name)
-        return m.group(0)
+        read_manifest_table(spark, path).createOrReplaceTempView(base)
+        # a plain VALID name keeps its original spelling (a CTE of the
+        # same name must keep shadowing the view, per SQL scoping);
+        # sanitized names substitute — they could not have parsed anyway
+        return m.group(0) if base == name else f"{kw} {base}"
 
     rewritten = re.sub(
-        r"(?is)\b(FROM|JOIN)\s+[`\"]?([A-Za-z_]\w*)[`\"]?"
+        r"(?is)\b(FROM|JOIN)\s+(?:`([^`]+)`|([A-Za-z_]\w*))"
         r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'))?",
         _sub,
         s,
@@ -1481,6 +1502,29 @@ def execute_sql(spark: SparkSession, catalog, statement: str):
     if s.upper().startswith(("SELECT", "WITH")):
         catalog.roll_forward()
         return _routed_select(spark, s, _catalog_resolver(catalog))
+    if s.upper().startswith("CONVERT"):
+        # adoption happens BEFORE a table's transactional life (its
+        # published v1 becomes the starting state the log pins) — run
+        # it standalone on the catalog's scoped store, never inside a
+        # record
+        import os
+        import re
+
+        m = re.match(r"(?is)^CONVERT\s+TO\s+MANIFEST\s+(\S+)", s)
+        if m is None:
+            raise ValueError(
+                "supported form: CONVERT TO MANIFEST <path> "
+                "[PARTITIONED BY (col, ...)]"
+            )
+        path = m.group(1).strip("`'\"").rstrip("/")
+        name = os.path.basename(path)
+        t = catalog.table(name)
+        if os.path.abspath(path) != os.path.abspath(t.path):
+            raise ValueError(
+                f"CONVERT through a catalog: {path!r} is not the "
+                f"catalog's directory for table {name!r} ({t.path!r})"
+            )
+        return {name: execute_dml(spark, t, s)}
     return execute_dml_txn(spark, catalog, [s])
 
 
@@ -1546,6 +1590,14 @@ def execute_sql_script(
             df = execute_sql(spark, catalog, stmt)
             if select_handler is not None:
                 select_handler(stmt, df)
+            continue
+        if up.startswith("CONVERT"):
+            if group is not None:
+                raise ValueError(
+                    "CONVERT TO MANIFEST cannot run inside BEGIN…COMMIT — "
+                    "adoption precedes a table's transactional life"
+                )
+            out.update(execute_sql(spark, catalog, stmt))
             continue
         if up in ("BEGIN", "BEGIN TRANSACTION", "START TRANSACTION"):
             if group is not None:

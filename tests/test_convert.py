@@ -129,3 +129,38 @@ def test_convert_many_files_uses_distributed_stats(spark, tmp_path, monkeypatch)
     man = t._read_manifest(1)
     assert sum(e["rows"] for e in man["files"]) == 40
     assert all(e["stats"].get("k") for e in man["files"])
+
+
+def test_convert_through_catalog_and_txn_refusal(spark, tmp_path):
+    """CONVERT under a TransactionalCatalog adopts onto the catalog's
+    scoped store and becomes the table's pre-log starting state;
+    inside BEGIN…COMMIT it refuses (adoption precedes transactional
+    life — an in-txn convert would publish out of band)."""
+    from etl_job_spark.sql import execute_sql, execute_sql_script
+    from etl_job_spark.txn import TransactionalCatalog
+
+    root = tmp_path / "cat"
+    root.mkdir()
+    _mk_hive(spark, root / "adopted")
+    cat = TransactionalCatalog(str(root))
+    out = execute_sql(
+        spark, cat, f"CONVERT TO MANIFEST {root / 'adopted'} PARTITIONED BY (p)"
+    )
+    assert out == {"adopted": 1}
+    # the adopted table is transactional from here on
+    state = cat.commit(
+        lambda txn: txn.sql("adopted", spark, "UPDATE adopted SET v = v + 1 WHERE k = 0")
+    )
+    assert state == {"adopted": 2}
+    df = execute_sql(spark, cat, "SELECT v FROM adopted WHERE k = 0 AND p = 'a'")
+    assert [r.v for r in df.collect()] == [1]
+    # path outside the catalog refuses
+    _mk_hive(spark, tmp_path / "elsewhere")
+    with pytest.raises(ValueError, match="not the\n?.*catalog"):
+        execute_sql(spark, cat, f"CONVERT TO MANIFEST {tmp_path / 'elsewhere'}")
+    # inside a bracket refuses
+    with pytest.raises(ValueError, match="inside BEGIN"):
+        execute_sql_script(
+            spark, cat,
+            f"BEGIN; CONVERT TO MANIFEST {root / 'adopted'}; COMMIT;",
+        )
