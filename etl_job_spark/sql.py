@@ -1430,17 +1430,24 @@ def statement_table(sql: str) -> str:
 def _routed_select(spark: SparkSession, s: str, resolve) -> DataFrame:
     """Run one SELECT/WITH statement with table names resolved through
     ``resolve(name) -> table_path | None``. Each resolving name gets a
-    ``manifest_table`` DS temp view registered under that name (so
-    WHERE clauses push down into manifest-level file skipping);
+    temp view over the table's committed SNAPSHOT — the JVM parquet
+    scan, where Catalyst partition-prunes the hive-restored dirs at
+    plan time and pushes residual predicates into row-group skipping
+    (measured at a 6M-row fixture: ~20x faster than routing the read
+    through the Python-DS Arrow path, whose per-batch Python transport
+    dominates interactive SQL; manifest-level stats/bloom FILE skipping
+    on non-partition keys remains available via ``snapshot_where`` /
+    ``read_manifest_table(predicates=…)`` for the 100k-file
+    object-store case where opening footers is the bottleneck).
     ``<name> VERSION AS OF n`` / ``<name> TIMESTAMP AS OF '…'``
-    rewrite to time-travel views (``versionAsOf``/``timestampAsOf``
-    reader options) with deterministic names. Non-resolving names
-    (user temp views, CTEs — which Spark scopes above temp views) pass
-    through untouched. Returns the UNEXECUTED DataFrame — the caller
-    decides whether to collect, write, or just hold the plan."""
+    rewrite to time-travel views of the resolved version with
+    deterministic names. Non-resolving names (user temp views, CTEs —
+    which Spark scopes above temp views) pass through untouched.
+    Returns the UNEXECUTED DataFrame — the caller decides whether to
+    collect, write, or just hold the plan."""
     import re
 
-    from etl_job_spark.sources.manifest_source import read_manifest_table
+    from etl_job_spark.table import ManifestTable
 
     def _sub(m: re.Match) -> str:
         kw = m.group(1)
@@ -1454,23 +1461,22 @@ def _routed_select(spark: SparkSession, s: str, resolve) -> DataFrame:
                     "(VERSION/TIMESTAMP AS OF needs a manifest table)"
                 )
             return m.group(0)
+        t = ManifestTable(path)
         # view names must be plain identifiers; a path basename may not
         # be (scratch dirs carry the applicationId's dashes) — sanitize
         base = re.sub(r"\W", "_", name)
         if ver is not None:
             vname = f"{base}__v{ver}"
-            read_manifest_table(spark, path, version=int(ver)).createOrReplaceTempView(
-                vname
-            )
+            t.snapshot(spark, version=int(ver)).createOrReplaceTempView(vname)
             return f"{kw} {vname}"
         if ts is not None:
             tsv = ts.strip("'")
             vname = f"{base}__ts_{re.sub(r'[^0-9A-Za-z]', '_', tsv)}"
-            read_manifest_table(spark, path, timestamp=tsv).createOrReplaceTempView(
+            t.snapshot(spark, version=t.version_as_of(tsv)).createOrReplaceTempView(
                 vname
             )
             return f"{kw} {vname}"
-        read_manifest_table(spark, path).createOrReplaceTempView(base)
+        t.snapshot(spark).createOrReplaceTempView(base)
         # a plain VALID name keeps its original spelling (a CTE of the
         # same name must keep shadowing the view, per SQL scoping);
         # sanitized names substitute — they could not have parsed anyway

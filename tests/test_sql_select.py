@@ -91,9 +91,11 @@ def test_select_timestamp_as_of(spark, tmp_path):
     assert execute_dml(spark, t, "SELECT count(*) AS n FROM sales").collect()[0].n == 4
 
 
-def test_select_pushes_filters_into_file_skipping(spark, tmp_path):
-    """The SELECT's WHERE reaches the manifest DS's filter pushdown —
-    the reason names resolve to the DS view, not a plain snapshot."""
+def test_select_where_prunes_partitions(spark, tmp_path):
+    """The SELECT's WHERE reaches the snapshot view's JVM scan, where
+    the hive-restored partition column partition-prunes at plan time
+    (the snapshot route measured ~20x faster than the Python-DS Arrow
+    path at a 6M-row fixture — BENCH_SF2.json r12 section)."""
     t = ManifestTable(str(tmp_path / "parts"))
     t.overwrite(
         spark.createDataFrame(
