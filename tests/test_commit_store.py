@@ -226,3 +226,36 @@ def test_catalog_commit_through_injected_duplicate_puts(spark, tmp_path):
     )
     assert _data(cat.table("s").snapshot(spark)) == [("a", "d1", 5.0)]
     assert cat.table("s").latest_version() == 2
+
+
+def test_parquet_sidecar_checkpoint_through_in_memory_store(
+    spark, tmp_path, monkeypatch
+):
+    """A checkpoint big enough for the files-ref parquet sidecar form
+    writes THROUGH the store (bytes in the dict, nothing in
+    _manifests/ on disk) and resolves back through store.read; the
+    Spark-side sidecar-scan tiers are gated on store.uri() — None here
+    — so planning falls back to driver-side resolution and stays
+    correct."""
+    import etl_job_spark.table as table_mod
+
+    monkeypatch.setattr(table_mod, "_FILES_PARQUET_MIN", 4)
+    store = InMemoryCommitStore()
+    t = ManifestTable(str(tmp_path / "t"), store=store)
+    df = spark.range(0, 80).selectExpr(
+        "cast(id % 8 as string) p", "id k", "id * 2 v"
+    )
+    t.overwrite(df.repartition(8, "p"), partition_by=["p"])  # v1: 8 files
+    man = t._read_raw_manifest(1)
+    assert "files_ref" in man and man["n_files"] == 8
+    # the sidecar lives only in the store
+    assert any(k.endswith(".parquet") for k in store.list_dir("_manifests"))
+    assert not (tmp_path / "t" / "_manifests").exists()
+    # resolution + pruned reads work through the driver-side fallback
+    assert t.snapshot(spark).count() == 80
+    got = t.snapshot_where(spark, [("p", "=", "3")])
+    assert sorted(r.k for r in got.collect()) == [3, 11, 19, 27, 35, 43, 51, 59, 67, 75]
+    assert t.last_planning["mode"] == "driver"
+    # a follow-up commit resolves its base through the sidecar too
+    t.append(spark.createDataFrame([("9", 999, 0)], "p string, k long, v long"))
+    assert t.snapshot(spark).count() == 81

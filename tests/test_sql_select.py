@@ -106,6 +106,16 @@ def test_select_where_prunes_partitions(spark, tmp_path):
     )
     df = execute_dml(spark, t, "SELECT k FROM parts WHERE p = 'a'")
     assert sorted(r.k for r in df.collect()) == [0, 1, 2, 3]
+    # plan pin: the predicate lands as a plan-time partition filter on
+    # the JVM scan (the property that makes this route the fast one)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    assert "PartitionFilters: [" in buf.getvalue()
+    assert "isnotnull(p" in buf.getvalue() or "(p" in buf.getvalue()
 
 
 def test_wrong_table_name_passes_through_and_fails_analysis(spark, tmp_path):
