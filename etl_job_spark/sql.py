@@ -119,13 +119,20 @@ def _split_assignments(body: str) -> dict[str, str]:
 
 
 def _sql_literal(tok: str):
-    """One SQL literal token → python value: 'quoted' string ('' escapes),
-    integer, float, TRUE/FALSE, NULL → None."""
+    """One SQL literal token → python value: 'quoted'/"quoted" string
+    ('' / "" escapes), integer, float, TRUE/FALSE, NULL → None. The
+    single literal grammar shared by ALTER COLUMN SET DEFAULT and the
+    spec-predicate parser (one place to extend spellings)."""
     import re
 
     tok = tok.strip()
-    if len(tok) >= 2 and tok[0] == "'" and tok[-1] == "'":
-        return tok[1:-1].replace("''", "'")
+    if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in ("'", '"'):
+        body = tok[1:-1]
+        # a REAL string literal has no unescaped quote inside —
+        # otherwise this is an expression whose first and last
+        # characters merely happen to be quotes ('a' OR x = 'b')
+        if tok[0] not in body.replace(tok[0] * 2, ""):
+            return body.replace(tok[0] * 2, tok[0])
     if re.fullmatch(r"[+-]?\d+", tok):
         return int(tok)
     if re.fullmatch(r"[+-]?\d*\.\d+([eE][+-]?\d+)?", tok):
@@ -151,24 +158,22 @@ def _parse_spec_predicate(pred: str) -> list[tuple]:
     import re
 
     def _lit(tok: str):
+        # one literal grammar for the whole module: delegate to
+        # _sql_literal (NULL is not a spec-comparable value here)
         tok = tok.strip()
-        if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in ("'", '"'):
-            body = tok[1:-1]
-            # a REAL string literal has no unescaped quote inside —
-            # otherwise this is an expression whose first and last
-            # characters merely happen to be quotes ('a' OR x = 'b')
-            if tok[0] not in body.replace(tok[0] * 2, ""):
-                return body.replace(tok[0] * 2, tok[0])
-        if re.fullmatch(r"[+-]?\d+", tok):
-            return int(tok)
-        if re.fullmatch(r"[+-]?\d*\.\d+([eE][+-]?\d+)?", tok):
-            return float(tok)
-        if tok.upper() in ("TRUE", "FALSE"):
-            return tok.upper() == "TRUE"
-        raise ValueError(
-            f"OPTIMIZE WHERE literal {tok!r}: expected a quoted string, "
-            "number, or boolean"
-        )
+        try:
+            v = _sql_literal(tok)
+        except ValueError:
+            raise ValueError(
+                f"OPTIMIZE WHERE literal {tok!r}: expected a quoted "
+                "string, number, or boolean"
+            ) from None
+        if v is None:
+            raise ValueError(
+                f"OPTIMIZE WHERE literal {tok!r}: NULL never compares "
+                "equal — use IS [NOT] NULL"
+            )
+        return v
 
     # split on top-level AND, re-joining the AND that belongs to a
     # BETWEEN (its lower bound ends the previous part)
@@ -731,8 +736,8 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
 
         base = os.path.basename(t.path.rstrip("/"))
 
-        def _resolve(name: str) -> str | None:
-            return t.path if name.lower() == base.lower() else None
+        def _resolve(name: str):
+            return t if name.lower() == base.lower() else None
 
         return _routed_select(spark, s, _resolve)
     if upper.startswith("UPDATE"):
@@ -1429,7 +1434,11 @@ def statement_table(sql: str) -> str:
 
 def _routed_select(spark: SparkSession, s: str, resolve) -> DataFrame:
     """Run one SELECT/WITH statement with table names resolved through
-    ``resolve(name) -> table_path | None``. Each resolving name gets a
+    ``resolve(name) -> ManifestTable | None`` — the TABLE, not a path,
+    so the resolved instance's CommitStore (a catalog's scoped
+    in-memory store, a custom backend) carries into the read instead
+    of silently re-rooting on the default local store. Each resolving
+    name gets a
     temp view over the table's committed SNAPSHOT — the JVM parquet
     scan, where Catalyst partition-prunes the hive-restored dirs at
     plan time and pushes residual predicates into row-group skipping
@@ -1445,46 +1454,70 @@ def _routed_select(spark: SparkSession, s: str, resolve) -> DataFrame:
     which Spark scopes above temp views) pass through untouched.
     Returns the UNEXECUTED DataFrame — the caller decides whether to
     collect, write, or just hold the plan."""
+    import hashlib
     import re
 
-    from etl_job_spark.table import ManifestTable
+    # CTE names shadow tables per SQL scoping — collect them up front
+    # so a CTE that happens to share a catalog table's name is never
+    # resolved (and never rebound to an internal view)
+    cte_names = {
+        n.lower()
+        for n in re.findall(r"(?is)(?:\bWITH|,)\s*([A-Za-z_]\w*)\s+AS\s*\(", s)
+    }
 
     def _sub(m: re.Match) -> str:
         kw = m.group(1)
         name = m.group(2) or m.group(3)
         ver, ts = m.group(4), m.group(5)
-        path = resolve(name)
-        if path is None:
+        t = resolve(name) if name.lower() not in cte_names else None
+        if t is None:
             if ver is not None or ts is not None:
                 raise ValueError(
                     f"time travel on {name!r}: not a resolvable table "
                     "(VERSION/TIMESTAMP AS OF needs a manifest table)"
                 )
             return m.group(0)
-        t = ManifestTable(path)
-        # view names must be plain identifiers; a path basename may not
-        # be (scratch dirs carry the applicationId's dashes) — sanitize
-        base = re.sub(r"\W", "_", name)
+        # views register under INTERNAL names — __mt_<sanitized>_<path
+        # hash> — and the statement is rewritten to them: a user's temp
+        # view sharing the table's name is never clobbered, and two
+        # distinct tables whose sanitized basenames collide ('a-b' vs
+        # 'a_b') stay distinct views
+        base = "__mt_{}_{}".format(
+            re.sub(r"\W", "_", name),
+            hashlib.md5(t.path.encode()).hexdigest()[:6],
+        )
         if ver is not None:
             vname = f"{base}__v{ver}"
             t.snapshot(spark, version=int(ver)).createOrReplaceTempView(vname)
-            return f"{kw} {vname}"
-        if ts is not None:
+        elif ts is not None:
             tsv = ts.strip("'")
             vname = f"{base}__ts_{re.sub(r'[^0-9A-Za-z]', '_', tsv)}"
             t.snapshot(spark, version=t.version_as_of(tsv)).createOrReplaceTempView(
                 vname
             )
-            return f"{kw} {vname}"
-        t.snapshot(spark).createOrReplaceTempView(base)
-        # a plain VALID name keeps its original spelling (a CTE of the
-        # same name must keep shadowing the view, per SQL scoping);
-        # sanitized names substitute — they could not have parsed anyway
-        return m.group(0) if base == name else f"{kw} {base}"
+        else:
+            vname = base
+            t.snapshot(spark).createOrReplaceTempView(vname)
+        # alias semantics: an explicit user alias carries over; without
+        # one, alias the view back to the ORIGINAL spelling (backticked
+        # — valid for any basename) so `t.col` references still resolve
+        alias = m.group(6)
+        if alias:
+            return f"{kw} {vname} {alias}"
+        return f"{kw} {vname} AS `{name}`"
 
+    # the optional trailing alias must never swallow a clause keyword —
+    # consuming 'JOIN' here would hide the NEXT table from the rewrite
+    _kw = (
+        "WHERE|JOIN|ON|GROUP|ORDER|LEFT|RIGHT|INNER|FULL|CROSS|UNION|"
+        "LIMIT|HAVING|VERSION|TIMESTAMP|USING|NATURAL|SEMI|ANTI|LATERAL|"
+        "WINDOW|EXCEPT|INTERSECT|VALUES|SORT|CLUSTER|DISTRIBUTE|"
+        "TABLESAMPLE|PIVOT|UNPIVOT|AS"
+    )
     rewritten = re.sub(
         r"(?is)\b(FROM|JOIN)\s+(?:`([^`]+)`|([A-Za-z_]\w*))"
-        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'))?",
+        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'))?"
+        rf"(?:\s+(?:AS\s+)?(?!(?:{_kw})\b)([A-Za-z_]\w*))?",
         _sub,
         s,
     )
@@ -1535,12 +1568,12 @@ def execute_sql(spark: SparkSession, catalog, statement: str):
 
 
 def _catalog_resolver(catalog):
-    def resolve(name: str) -> str | None:
+    def resolve(name: str):
         try:
             t = catalog.table(name)
         except ValueError:
             return None
-        return t.path if t.latest_version() is not None else None
+        return t if t.latest_version() is not None else None
 
     return resolve
 

@@ -267,6 +267,18 @@ def _manifest_name(version: int) -> str:
     return f"v{version:012d}.json"
 
 
+def _hadoop_glob_escape(path: str) -> str:
+    """Backslash-escape Hadoop glob metacharacters in a FILE PATH
+    handed to ``spark.read.parquet`` — the reader glob-interprets every
+    path, so an ADOPTED directory like ``batch[1]`` (CONVERT/clone
+    bases are user paths, not engine-generated names) would read as a
+    character class (PATH_NOT_FOUND at best, a different existing file
+    at worst). Engine-written paths never contain these characters
+    (uuid batch dirs; Spark percent-escapes them in partition dirs), so
+    this is a no-op on the native layout."""
+    return re.sub(r"([\[\]{}*?])", r"\\\1", path)
+
+
 def _partition_values(rel_path: str) -> dict[str, str | None]:
     """Hive-style ``key=value`` path segments → *logical* partition values.
 
@@ -2879,7 +2891,9 @@ class ManifestTable:
             )
         try:
             dfs = [
-                spark.read.option("basePath", os.path.join(root, batch)).parquet(*files)
+                spark.read.option("basePath", os.path.join(root, batch)).parquet(
+                    *[_hadoop_glob_escape(f) for f in files]
+                )
                 for (root, batch), files in sorted(by_batch.items())
             ]
         finally:
@@ -3800,6 +3814,18 @@ class ManifestTable:
         drops = [str(k) for k in (unset or [])]
         if not sets and not drops:
             raise ValueError("alter_tblproperties: nothing to set or unset")
+        reserved = {
+            "partition_by", "bloom_cols", "constraints", "column_map",
+            "dropped_cols", "partition_specs", "defaults", "stream_txns",
+            "copy_ledger",
+        }
+        bad = sorted(reserved & (sets.keys() | {*drops}))
+        if bad:
+            raise ValueError(
+                f"TBLPROPERTIES keys {bad} are reserved for internal table "
+                "metadata (SHOW TBLPROPERTIES would report two rows with "
+                "one name) — pick namespaced keys, e.g. 'user.partition_by'"
+            )
 
         def attempt() -> int:
             base = self.latest_version()
@@ -4262,9 +4288,18 @@ class ManifestTable:
                 op["add"] = {k: str(v) for k, v in add.items()}
             if widen:
                 op["widen"] = {k: str(v) for k, v in widen.items()}
+            # a dropped column's DEFAULT goes with it (a dangling entry
+            # would make every later append's fill crash on a column
+            # the schema no longer carries)
+            defaults = {
+                c: v
+                for c, v in (man.get("defaults") or {}).items()
+                if c not in set(drop or [])
+            }
             return self._commit(
                 man["files"], new_schema, man["partition_by"] or None, base, op,
                 bloom_cols=blooms, dropped_cols=tombstones, column_map=cmap,
+                defaults=defaults,
             )
 
         return self._with_commit_retries(attempt)
@@ -4437,7 +4472,11 @@ class ManifestTable:
         prev = spark.conf.get(inference_key, None)
         spark.conf.set(inference_key, "false")
         try:
-            schema = spark.read.option("basePath", src).parquet(*paths).schema
+            schema = (
+                spark.read.option("basePath", src)
+                .parquet(*[_hadoop_glob_escape(p) for p in paths])
+                .schema
+            )
         finally:
             if prev is None:
                 spark.conf.unset(inference_key)
@@ -4558,9 +4597,13 @@ class ManifestTable:
                 ]
             )
             op = {"op": "rename_column", "from": old, "to": new}
+            # a DEFAULT follows its column's logical name
+            defaults = dict(man.get("defaults") or {})
+            if old in defaults:
+                defaults[new] = defaults.pop(old)
             return self._commit(
                 man["files"], new_schema, man["partition_by"] or None, base, op,
-                column_map=cmap,
+                column_map=cmap, defaults=defaults,
             )
 
         return self._with_commit_retries(attempt)
@@ -4602,6 +4645,17 @@ class ManifestTable:
             entries = self._write_data_files(
                 frame, part, bloom_cols=blooms, constraints=constraints
             )
+            # DEFAULTs survive only for columns the replacement schema
+            # still carries (a dangling default would crash later
+            # appends on a column that no longer exists)
+            new_cols = set(df.columns)
+            defaults = {
+                c: v
+                for c, v in (
+                    (man.get("defaults") or {}) if base is not None else {}
+                ).items()
+                if c in new_cols
+            }
             return self._commit(
                 entries, df.schema, part, base, {"op": "overwrite"},
                 bloom_cols=blooms,
@@ -4612,6 +4666,7 @@ class ManifestTable:
                 dropped_cols=[],
                 column_map={},
                 partition_specs=[],
+                defaults=defaults,
             )
 
         return self._with_commit_retries(attempt)
@@ -4781,14 +4836,18 @@ class ManifestTable:
             # recorded default instead of NULL — write-time fill only
             # (Delta's semantics: never retroactive; old files keep
             # reading back what they hold)
+            ftypes = {f.name: f.dataType for f in schema.fields}
             fill = {
                 c: v
                 for c, v in (man.get("defaults") or {}).items()
-                if c not in df.columns
+                # c in ftypes is belt-and-braces: every default-mutating
+                # verb prunes/re-keys the map, so a dangling entry
+                # should not exist — but filling an unknown column
+                # would crash the append, the worse failure
+                if c not in df.columns and c in ftypes
             }
             frame = df
             if fill:
-                ftypes = {f.name: f.dataType for f in schema.fields}
                 frame = frame.select(
                     "*",
                     *[
@@ -4929,9 +4988,7 @@ class ManifestTable:
             # Spark's reader glob-interprets each path (Hadoop glob);
             # backslash-escape metacharacters so a landing dir like
             # 'batch[1]' reads literally instead of PATH_NOT_FOUND
-            df = reader.format(fmt).load(
-                [re.sub(r"([\[\]{}*?])", r"\\\1", p) for p in new]
-            )
+            df = reader.format(fmt).load([_hadoop_glob_escape(p) for p in new])
             for ap in new:
                 ledger[ap] = sigs[ap]
             op = {"op": "copy_into", "source": source, "files": len(new)}
