@@ -1342,6 +1342,86 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
             # that instance's _commit stages instead of publishing
             src.clone_to(t, version=ver)
             return t.latest_version() or 1
+        # CREATE [OR REPLACE] TABLE <t> (col type [NOT NULL]
+        # [DEFAULT <lit>], ...) [PARTITIONED BY (spec, ...)] — an
+        # EMPTY table defined by its schema (the Delta DDL shape that
+        # lets constraints and defaults exist before any data): an
+        # empty frame commits version 1 carrying the schema and
+        # layout, then the column markers apply as their usual
+        # metadata-only verbs. Distinguished from CTAS by the absence
+        # of AS.
+        em = re.match(
+            r"(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\S+)\s*"
+            r"\(((?:[^()]|\([^()]*\))*)\)\s*"
+            r"(?:PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\)\s*)?$",
+            s,
+        )
+        if em is not None:
+            _check_target(em.group(2), t)
+            if em.group(1) is None and t.latest_version() is not None:
+                raise ValueError(
+                    f"table {t.path!r} already exists — use CREATE OR "
+                    "REPLACE TABLE to replace it"
+                )
+            cols: list[tuple[str, str]] = []
+            not_null: list[str] = []
+            defaults: dict[str, object] = {}
+            parts0, depth, start = [], 0, 0
+            body = em.group(3)
+            for i, ch in enumerate(body):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts0.append(body[start:i])
+                    start = i + 1
+            parts0.append(body[start:])
+            for coldef in parts0:
+                cm2 = re.match(
+                    r"(?is)^\s*[`\"]?(\w+)[`\"]?\s+(.+?)"
+                    r"(\s+NOT\s+NULL)?"
+                    r"(?:\s+DEFAULT\s+('(?:[^']|'')*'|\S+))?\s*$",
+                    coldef,
+                )
+                if cm2 is None:
+                    raise ValueError(
+                        f"cannot parse column definition {coldef.strip()!r} "
+                        "(expected: name type [NOT NULL] [DEFAULT <literal>])"
+                    )
+                cols.append((cm2.group(1), cm2.group(2).strip()))
+                if cm2.group(3):
+                    not_null.append(cm2.group(1))
+                if cm2.group(4):
+                    defaults[cm2.group(1)] = _sql_literal(cm2.group(4))
+            ddl = ", ".join(f"{n} {ty}" for n, ty in cols)
+            try:
+                empty = spark.createDataFrame([], ddl)
+            except Exception as exc:
+                raise ValueError(
+                    f"CREATE TABLE column list does not parse as a Spark "
+                    f"DDL schema ({ddl!r}): {exc}"
+                ) from None
+            pb: list[str] = []
+            if em.group(4):
+                parts1, depth, start = [], 0, 0
+                spec = em.group(4)
+                for i, ch in enumerate(spec):
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                    elif ch == "," and depth == 0:
+                        parts1.append(spec[start:i])
+                        start = i + 1
+                parts1.append(spec[start:])
+                pb = [p.strip() for p in parts1 if p.strip()]
+            t.overwrite(empty, partition_by=pb)
+            for c in not_null:
+                t.alter_column_nullability(spark, c, not_null=True)
+            for c, v in defaults.items():
+                t.alter_column_default(spark, c, v)
+            return t.latest_version()
         # CREATE [OR REPLACE] TABLE <t> [PARTITIONED BY (spec, ...)]
         # AS SELECT ... — routed to overwrite (CTAS). PARTITIONED BY
         # accepts the table format's specs, raw columns and hidden

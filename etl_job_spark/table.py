@@ -130,6 +130,16 @@ _MOR_FALLBACK_ROWS = 10_000_000
 # reads at most this many manifest files (Delta's checkpoint shape)
 _CHECKPOINT_INTERVAL = 10
 
+#: manifest protocol versions THIS engine understands — the
+#: Delta-protocol shape (minReaderVersion/minWriterVersion) reduced to
+#: its core: every commit stamps the minimum reader/writer protocol its
+#: features require, and an engine refuses (loudly, naming the
+#: versions) rather than misreading a manifest whose features it
+#: predates or clobbering table state it cannot fully interpret.
+#: Manifests written before the stamp default to (1, 1).
+_READER_PROTOCOL = 1
+_WRITER_PROTOCOL = 1
+
 # checkpoints listing at least this many files store the entry list as
 # a PARQUET sidecar (files-<uuid>.parquet, one row per file) instead
 # of inline JSON — Delta's parquet-checkpoint shape: at 10^6 files the
@@ -2204,9 +2214,18 @@ class ManifestTable:
         pending = self._pending.get(version)
         if pending is not None:
             return dict(pending)
-        return json.loads(
+        raw = json.loads(
             self.store.read(os.path.join(_MANIFEST_DIR, _manifest_name(version)))
         )
+        need = int((raw.get("protocol") or {}).get("reader", 1))
+        if need > _READER_PROTOCOL:
+            raise RuntimeError(
+                f"version {version} of {self.path} requires manifest reader "
+                f"protocol {need} (this engine reads up to "
+                f"{_READER_PROTOCOL}) — it was written by a newer engine; "
+                "upgrade before reading"
+            )
+        return raw
 
     def _read_manifest(self, version: int) -> dict:
         """Manifest with its ``files`` list RESOLVED — the call-site
@@ -3464,6 +3483,14 @@ class ManifestTable:
         base_man: dict | None = None
         if expected_base is not None:
             base_man = self._read_manifest(expected_base)
+            need_w = int((base_man.get("protocol") or {}).get("writer", 1))
+            if need_w > _WRITER_PROTOCOL:
+                raise RuntimeError(
+                    f"{self.path} requires manifest writer protocol "
+                    f"{need_w} (this engine writes up to {_WRITER_PROTOCOL}) "
+                    "— a newer engine owns this table's features; writing "
+                    "with an older one could silently drop state"
+                )
             if bloom_cols is None:
                 bloom_cols = base_man.get("bloom_cols")
             if constraints is None:
@@ -3531,6 +3558,11 @@ class ManifestTable:
             "fields": schema.jsonValue(),
             "partition_by": list(partition_by or []),
             "operation": operation,
+            # minimum protocol a reader/writer needs for THIS commit's
+            # features (all current features fit protocol 1; a future
+            # incompatible feature bumps the stamp and old engines
+            # refuse loudly instead of misreading)
+            "protocol": {"reader": _READER_PROTOCOL, "writer": _WRITER_PROTOCOL},
         }
         if bloom_cols:
             # a table property: carried forward by every subsequent

@@ -177,3 +177,45 @@ def test_default_satisfies_not_null(spark, tmp_path):
     execute_dml(spark, t, "ALTER TABLE t ALTER COLUMN s SET DEFAULT 'filled'")
     execute_dml(spark, t, "INSERT INTO t (k, v) VALUES (9, 9.0)")
     assert t.snapshot(spark).filter("k = 9").first().s == "filled"
+
+
+# ---------------------------------------------------------------------
+# empty-table CREATE with column markers (round 12, late)
+# ---------------------------------------------------------------------
+
+
+def test_create_empty_table_with_markers(spark, tmp_path):
+    """CREATE TABLE (col type [NOT NULL] [DEFAULT lit]) — schema,
+    layout, nullability, and defaults all exist BEFORE any data, the
+    Delta DDL lifecycle."""
+    t = ManifestTable(str(tmp_path / "t"))
+    v = execute_dml(
+        spark, t,
+        "CREATE TABLE t (k INT NOT NULL, s STRING DEFAULT 'unk', "
+        "v DECIMAL(10, 2), p STRING) PARTITIONED BY (p)",
+    )
+    assert v >= 1
+    assert t.snapshot(spark).count() == 0
+    man = t._read_manifest(t.latest_version())
+    assert man["partition_by"] == ["p"]
+    assert man["defaults"] == {"s": "unk"}
+    assert "not_null_k" in man["constraints"]
+    # the markers enforce from the very first write
+    import pytest as _pytest
+
+    from etl_job_spark.table import ConstraintViolationError
+
+    with _pytest.raises(ConstraintViolationError):
+        t.append(
+            spark.createDataFrame(
+                [(None, "x", None, "a")], "k int, s string, v decimal(10,2), p string"
+            )
+        )
+    execute_dml(spark, t, "INSERT INTO t (k, p) VALUES (1, 'a')")
+    row = t.snapshot(spark).first()
+    assert (row.k, row.s, row.v, row.p) == (1, "unk", None, "a")
+    # plain CREATE refuses over an existing table; OR REPLACE replaces
+    with _pytest.raises(ValueError, match="already exists"):
+        execute_dml(spark, t, "CREATE TABLE t (k INT)")
+    execute_dml(spark, t, "CREATE OR REPLACE TABLE t (k INT)")
+    assert [f.name for f in t.snapshot(spark).schema.fields] == ["k"]

@@ -542,8 +542,18 @@ def _model_stack(tgt_rows, src_rows, m_model, i_model, b_model):
 
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
-@given(target=ord_batch_st, source=ord_batch_st, drawn=stack_st)
-def test_merge_ordered_random_stack_model_equivalence(spark, target, source, drawn):
+@given(
+    target=ord_batch_st,
+    source=ord_batch_st,
+    drawn=stack_st,
+    small=st.booleans(),
+)
+def test_merge_ordered_random_stack_model_equivalence(
+    spark, target, source, drawn, small
+):
+    """Random stacks swept through BOTH plans — the full-outer default
+    and the broadcast/split replan (``small_source``), which must be
+    semantically indistinguishable."""
     from hypothesis import assume
 
     eng, m_model, i_model, b_model = _build_stack(drawn)
@@ -554,7 +564,7 @@ def test_merge_ordered_random_stack_model_equivalence(spark, target, source, dra
         else spark.createDataFrame([], "k int, v int, w int")
     src = spark.createDataFrame(src_rows, "k int, v int, w int") if src_rows \
         else spark.createDataFrame([], "k int, v int, w int")
-    out = merge_ordered(tgt, src, ["k"], eng).collect()
+    out = merge_ordered(tgt, src, ["k"], eng, small_source=small).collect()
     got = {r.k: (r.v, r.w) for r in out}
     want = _model_stack(tgt_rows, src_rows, m_model, i_model, b_model)
     assert got == want

@@ -165,3 +165,48 @@ def test_shared_literal_grammar(spark, tmp_path):
     with pytest.raises(ValueError, match="IS \\[NOT\\] NULL"):
         _parse_spec_predicate("k = NULL")
     assert _parse_spec_predicate("k = 'a''b'") == [("k", "=", "a'b")]
+
+
+# protocol versioning (round 12, late) ---------------------------------
+
+
+def test_manifest_protocol_refusals(spark, tmp_path):
+    """Commits stamp the minimum reader/writer protocol; an engine
+    refuses manifests whose features it predates instead of misreading
+    them (Delta's minReaderVersion/minWriterVersion shape)."""
+    import json
+    import os
+
+    from etl_job_spark.table import _MANIFEST_DIR, _manifest_name
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1,)], "k int"))
+    man = t._read_raw_manifest(1)
+    assert man["protocol"] == {"reader": 1, "writer": 1}
+    # a future-reader manifest refuses on read
+    fut = dict(man)
+    fut["version"] = 2
+    fut["base_version"] = 1
+    fut["protocol"] = {"reader": 99, "writer": 99}
+    with open(os.path.join(t.manifest_dir, _manifest_name(2)), "w") as f:
+        json.dump(fut, f)
+    t2 = ManifestTable(t.path)
+    with pytest.raises(RuntimeError, match="reader\n?.*protocol 99"):
+        t2.snapshot(spark)
+    # a future-WRITER table still reads at old reader protocol, but
+    # refuses writes from this engine
+    fut["protocol"] = {"reader": 1, "writer": 99}
+    with open(os.path.join(t.manifest_dir, _manifest_name(2)), "w") as f:
+        json.dump(fut, f)
+    t3 = ManifestTable(t.path)
+    assert t3.snapshot(spark).count() == 1  # readable
+    with pytest.raises(RuntimeError, match="writer protocol"):
+        t3.append(spark.createDataFrame([(2,)], "k int"))
+    # pre-protocol manifests (no stamp) default to (1,1) and work
+    legacy = {k: v for k, v in man.items() if k != "protocol"}
+    with open(os.path.join(t.manifest_dir, _manifest_name(2)), "w") as f:
+        json.dump({**legacy, "version": 2, "base_version": 1}, f)
+    t4 = ManifestTable(t.path)
+    assert t4.snapshot(spark).count() == 1
+    t4.append(spark.createDataFrame([(2,)], "k int"))
+    assert t4.snapshot(spark).count() == 2
