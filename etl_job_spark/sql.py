@@ -903,6 +903,26 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
             *[F.col(c).cast(types[c]).alias(c) for c in cols]
         )
         return t.append(df)
+    if upper.startswith("DROP"):
+        # DROP TABLE [IF EXISTS] <t> — deletes the table directory and
+        # its control plane (ManifestTable.drop's guarded rmtree)
+        m = re.match(r"(?is)^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\S+)\s*$", s)
+        if m is None:
+            raise ValueError("supported form: DROP TABLE [IF EXISTS] <table>")
+        _check_target(m.group(2), t)
+        if t._capture is not None:
+            raise ValueError(
+                "DROP TABLE cannot run inside a transaction — it deletes "
+                "the log the transaction would commit to"
+            )
+        if t.latest_version() is None:
+            if m.group(1):
+                return 0  # IF EXISTS: no-op
+            raise FileNotFoundError(
+                f"DROP TABLE: no committed version at {t.path}"
+            )
+        t.drop()
+        return 0
     if upper.startswith("TRUNCATE"):
         # metadata-only delete-all (Delta's TRUNCATE TABLE): the new
         # version references zero files; schema and table properties
@@ -1621,6 +1641,46 @@ def execute_sql(spark: SparkSession, catalog, statement: str):
     if s.upper().startswith(("SELECT", "WITH")):
         catalog.roll_forward()
         return _routed_select(spark, s, _catalog_resolver(catalog))
+    if s.upper() == "SHOW TABLES":
+        # one row per enrolled table with a committed version —
+        # discovered through the catalog's store, so any backend works
+        catalog.roll_forward()
+        rows = []
+        for n in sorted(catalog.store.list_dir("")):
+            if n.startswith(("_", ".")):
+                continue
+            try:
+                t = catalog.table(n)
+            except ValueError:
+                continue
+            v = t.latest_version()
+            if v is not None:
+                rows.append((n, int(v)))
+        return spark.createDataFrame(rows, "table_name string, version long")
+    if s.upper().startswith("DROP"):
+        # DROP TABLE against a catalog: refused while the transaction
+        # log still references the table — replay would resurrect
+        # manifests into (or abort against) the deleted state; the log
+        # has no per-table retire verb yet, so the honest contract is
+        # "tables the log knows cannot be dropped through it" (drop
+        # directly via ManifestTable.drop after decommissioning the
+        # catalog, or use tables the log never touched)
+        import os
+        import re
+
+        m = re.match(r"(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\S+)\s*$", s)
+        if m is None:
+            raise ValueError("supported form: DROP TABLE [IF EXISTS] <table>")
+        name = m.group(1).strip("`'\"").split("/")[-1]
+        state, _last = catalog._replay()
+        if name in state:
+            raise ValueError(
+                f"DROP TABLE {name!r}: the transaction log references this "
+                "table (replay would resurrect or abort against deleted "
+                "state) — the catalog has no per-table log retirement; "
+                "drop it outside the catalog after decommissioning"
+            )
+        return {name: execute_dml(spark, catalog.table(name), s)}
     if s.upper().startswith("CONVERT"):
         # adoption happens BEFORE a table's transactional life (its
         # published v1 becomes the starting state the log pins) — run
@@ -1705,16 +1765,17 @@ def execute_sql_script(
     group: list[str] | None = None
     for stmt in _split_script(script):
         up = stmt.strip().upper()
-        if up.startswith(("SELECT", "WITH")):
+        if up.startswith(("SELECT", "WITH")) or up == "SHOW TABLES":
             df = execute_sql(spark, catalog, stmt)
             if select_handler is not None:
                 select_handler(stmt, df)
             continue
-        if up.startswith("CONVERT"):
+        if up.startswith(("CONVERT", "DROP TABLE")):
             if group is not None:
                 raise ValueError(
-                    "CONVERT TO MANIFEST cannot run inside BEGIN…COMMIT — "
-                    "adoption precedes a table's transactional life"
+                    f"{up.split()[0]} cannot run inside BEGIN…COMMIT — "
+                    "adoption precedes (and dropping ends) a table's "
+                    "transactional life"
                 )
             out.update(execute_sql(spark, catalog, stmt))
             continue

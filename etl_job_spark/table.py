@@ -6633,6 +6633,29 @@ class ManifestTable:
 
         return self._with_commit_retries(attempt)
 
+    def drop(self) -> None:
+        """DROP the table: delete its directory — manifests, data
+        files, DV/bloom sidecars, everything under ``self.path`` —
+        plus the control plane held by a non-filesystem store.
+        Guarded: the path must actually BE a manifest table (at least
+        one committed version), so a mistyped path can never rmtree an
+        arbitrary directory. Unrecoverable by design (Delta's DROP
+        TABLE on an external location is the same contract: no
+        time travel survives the log's deletion). Shallow clones of
+        this table break — the documented clone hazard, same as
+        vacuuming the clone source."""
+        if self.latest_version() is None:
+            raise FileNotFoundError(
+                f"DROP TABLE: {self.path!r} has no committed version — not "
+                "a manifest table (refusing to delete an arbitrary "
+                "directory)"
+            )
+        import shutil
+
+        for name in self.store.list_dir(_MANIFEST_DIR):
+            self.store.delete(os.path.join(_MANIFEST_DIR, name))
+        shutil.rmtree(self.path, ignore_errors=True)
+
     def detail_df(self, spark: SparkSession) -> DataFrame:
         """One-row table detail — the DESCRIBE DETAIL shape: location,
         current version, file/row rollups (from the manifest's commit

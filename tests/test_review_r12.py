@@ -210,3 +210,59 @@ def test_manifest_protocol_refusals(spark, tmp_path):
     assert t4.snapshot(spark).count() == 1
     t4.append(spark.createDataFrame([(2,)], "k int"))
     assert t4.snapshot(spark).count() == 2
+
+
+# DROP TABLE + SHOW TABLES (round 12, late) -----------------------------
+
+
+def test_drop_table_and_show_tables(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "victim"))
+    t.overwrite(spark.createDataFrame([(1,)], "k int"))
+    assert execute_dml(spark, t, "DROP TABLE victim") == 0
+    import os
+
+    assert not os.path.exists(t.path)
+    # IF EXISTS no-ops on a missing table; plain DROP refuses
+    t2 = ManifestTable(str(tmp_path / "victim"))
+    assert execute_dml(spark, t2, "DROP TABLE IF EXISTS victim") == 0
+    with pytest.raises(FileNotFoundError):
+        execute_dml(spark, t2, "DROP TABLE victim")
+    # the guard refuses rmtree of a non-table directory
+    (tmp_path / "not_a_table").mkdir()
+    (tmp_path / "not_a_table" / "precious.txt").write_text("keep me")
+    t3 = ManifestTable(str(tmp_path / "not_a_table"))
+    with pytest.raises(FileNotFoundError, match="refusing"):
+        t3.drop()
+    assert (tmp_path / "not_a_table" / "precious.txt").exists()
+
+
+def test_catalog_show_tables_and_drop_guard(spark, tmp_path):
+    from etl_job_spark.sql import execute_sql_script
+
+    root = tmp_path / "cat"
+    root.mkdir()
+    cat = TransactionalCatalog(str(root))
+    cat.commit(
+        lambda txn: txn.overwrite("m", spark.createDataFrame([(1,)], "k int"))
+    )
+    # a table created OUTSIDE the log (CONVERT-style pre-life)
+    free = ManifestTable(str(root / "freestanding"))
+    free.overwrite(spark.createDataFrame([(2,)], "k int"))
+    shown = {r.table_name: r.version for r in execute_sql(spark, cat, "SHOW TABLES").collect()}
+    assert shown == {"m": 1, "freestanding": 1}
+    # log-enrolled tables refuse DROP; pre-life tables drop fine
+    with pytest.raises(ValueError, match="transaction log references"):
+        execute_sql(spark, cat, "DROP TABLE m")
+    out = execute_sql(spark, cat, "DROP TABLE freestanding")
+    assert out == {"freestanding": 0}
+    shown = {r.table_name for r in execute_sql(spark, cat, "SHOW TABLES").collect()}
+    assert shown == {"m"}
+    # script routing: SHOW TABLES is read-only, DROP refuses in-bracket
+    seen = []
+    execute_sql_script(
+        spark, cat, "SHOW TABLES",
+        select_handler=lambda st, df: seen.append(df.count()),
+    )
+    assert seen == [1]
+    with pytest.raises(ValueError, match="inside BEGIN"):
+        execute_sql_script(spark, cat, "BEGIN; DROP TABLE x; COMMIT")
