@@ -244,7 +244,11 @@ class InMemoryCommitStore(CommitStore):
                 raise FileNotFoundError(rel) from None
 
     def list_dir(self, rel_dir: str) -> list[str]:
-        prefix = self._key(rel_dir).rstrip(os.sep) + os.sep
+        # an empty rel_dir on an UNSCOPED store must list the root —
+        # rstrip+join on "" would otherwise produce the prefix "/"
+        # and match nothing (SHOW TABLES over an in-memory catalog)
+        prefix = self._key(rel_dir).rstrip(os.sep)
+        prefix = prefix + os.sep if prefix else ""
         with self._lock:
             out = set()
             for k in self._blobs:

@@ -508,25 +508,30 @@ def mart_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = TransactionalCatalog(scratch_dir(spark, "kicc_mart_sql_dml"))
     # the load step — the reference's separate per-batch commit
     # (load_sales_data.py:136); enrolled tables are written THROUGH
-    # the catalog, so the overwrite is its own one-op transaction
-    cat.commit(
-        lambda txn: txn.overwrite(
-            "mart", mart.repartitionByRange(4, F.col("chain_no"))
-        )
-    )
-    kicc.tb_store_temp(spark, sf_dir).select(
+    # the catalog, so the load is its own one-record transaction. The
+    # DIMS land as catalog tables too: the MERGE statements below name
+    # them directly — the resolver supplies their committed snapshots,
+    # zero manual view registration (VERDICT r12 #2)
+    temp_dim = kicc.tb_store_temp(spark, sf_dir).select(
         "chain_no", F.col("resp").alias("responsible")
-    ).createOrReplaceTempView("kicc_dml_temp_dim")
-    kicc.tb_store_easypos(spark, sf_dir).select(
+    )
+    easy_dim = kicc.tb_store_easypos(spark, sf_dir).select(
         "chain_no", F.col("xy_degree").alias("xy")
-    ).createOrReplaceTempView("kicc_dml_easy_dim")
+    )
+
+    def _load(txn) -> None:
+        txn.overwrite("mart", mart.repartitionByRange(4, F.col("chain_no")))
+        txn.overwrite("temp_dim", temp_dim)
+        txn.overwrite("easy_dim", easy_dim)
+
+    cat.commit(_load)
     state = execute_dml_txn(
         spark, cat,
         [
-            "MERGE INTO mart t USING kicc_dml_temp_dim s "
+            "MERGE INTO mart t USING temp_dim s "
             "ON t.chain_no = s.chain_no "
             "WHEN MATCHED THEN UPDATE SET t.responsible = s.responsible",
-            "MERGE INTO mart t USING kicc_dml_easy_dim s "
+            "MERGE INTO mart t USING easy_dim s "
             "ON t.chain_no = s.chain_no "
             "WHEN MATCHED THEN UPDATE SET t.xy = s.xy",
             f"UPDATE mart SET responsible = '직영' "

@@ -310,7 +310,7 @@ def _requalify_source(expr: str, s_alias: str, t_alias: str) -> str:
     return "".join(out).strip()
 
 
-def _merge_into(spark: SparkSession, t, s: str) -> int:
+def _merge_into(spark: SparkSession, t, s: str, resolve=None) -> int:
     """Constrained ``MERGE INTO`` — the statement shapes the engine's
     clause merge expresses exactly (everything else refuses, naming
     the library verb):
@@ -352,27 +352,58 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
     duplicates double-insert, and insert-only statements skip the
     uniqueness probe entirely.
 
-    ``USING`` must name a registered view/table (alias the columns in
-    the view when names differ — renames and expressions belong in the
-    source query, which is full Spark SQL)."""
+    ``USING`` names the source: a table the caller's ``resolve`` knows
+    (a catalog table — its committed snapshot is the source, with
+    ``VERSION AS OF n`` / ``TIMESTAMP AS OF '…'`` time-travel for the
+    CDC-replay shape), else a registered view/table (alias the columns
+    in the view when names differ — renames and expressions belong in
+    the source query, which is full Spark SQL)."""
     import re
 
     head = re.match(
         r"(?is)^\s*MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+"
         r"(\S+?)(?:\s+AS)?(?:\s+(\w+))?\s+USING\s+"
-        r"(\w+)(?:\s+AS)?(?:\s+(\w+))?\s+ON\s+",
+        r"(\w+)"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
+        r"|\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'))?"
+        r"(?:\s+AS)?(?:\s+(\w+))?\s+ON\s+",
         s,
     )
     if head is None:
         raise ValueError(
             "supported form: MERGE [WITH SCHEMA EVOLUTION] INTO <t> [AS a] "
-            "USING <view> [AS b] ON ..."
+            "USING <view|table> [VERSION AS OF n | TIMESTAMP AS OF '…'] "
+            "[AS b] ON ..."
             " (subqueries in USING are unsupported — register a view)"
         )
     evolve = head.group(1) is not None
     t_alias = head.group(3) or head.group(2)
     src_name = head.group(4)
-    s_alias = head.group(5) or src_name
+    src_ver, src_ts = head.group(5), head.group(6)
+    s_alias = head.group(7) or src_name
+    # the source frame: a resolver-known table's snapshot (time travel
+    # through its committed versions), else the registered view — and
+    # time travel on an unresolvable name refuses loudly rather than
+    # silently merging current-state rows
+    src_table = resolve(src_name) if resolve is not None else None
+    if src_table is None and (src_ver is not None or src_ts is not None):
+        raise ValueError(
+            f"time travel on MERGE source {src_name!r}: not a resolvable "
+            "table (VERSION/TIMESTAMP AS OF needs a manifest table)"
+        )
+
+    def _src() -> DataFrame:
+        # lazy: grammar errors must surface before a missing view does
+        if src_table is None:
+            return spark.table(src_name)
+        if src_ver is not None:
+            return src_table.snapshot(spark, version=int(src_ver))
+        if src_ts is not None:
+            return src_table.snapshot(
+                spark, version=src_table.version_as_of(src_ts.strip("'"))
+            )
+        return src_table.snapshot(spark)
+
     rest = s[head.end():]
     first_when = _scan_top(rest, "WHEN")
     if first_when < 0:
@@ -638,7 +669,7 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
         needs_ordered = True
     if needs_ordered:
         return t.merge(
-            spark, spark.table(src_name), keys, clauses=ordered,
+            spark, _src(), keys, clauses=ordered,
             schema_evolution=evolve,
         )
 
@@ -653,7 +684,7 @@ def _merge_into(spark: SparkSession, t, s: str) -> int:
                 "conditional (WHEN MATCHED AND <cond> THEN DELETE)"
             )
         delete_pred = "true"
-    source = spark.table(src_name)
+    source = _src()
     # SQL MERGE with no WHEN MATCHED THEN UPDATE clause leaves matched
     # rows UNTOUCHED — when_matched_update=[] is exactly that no-op
     # matched clause. None would mean whole-row replacement, which no
@@ -703,22 +734,33 @@ def _check_target(stmt_name: str | None, t) -> None:
     )
 
 
-def execute_dml(spark: SparkSession, table, sql: str) -> int:
+def execute_dml(spark: SparkSession, table, sql: str, resolve=None) -> int:
     """Execute one row-level DML statement against a ManifestTable
     (instance or path); returns the new committed version. The table
     name inside the statement must match the ``table`` argument (path,
     basename, or qualified name ending in the basename) — a mismatch
     raises rather than silently mutating the wrong table. Supported
     statements: ``INSERT INTO … [(cols)] SELECT …/VALUES …`` (routed
-    to ``append`` — the body runs as plain Spark SQL over registered
-    views), ``UPDATE … SET … WHERE …``, ``DELETE FROM … WHERE …``,
-    the constrained ``MERGE INTO`` grammar of ``_merge_into`` (the
-    Delta clause surface the engine's merge implements),
-    ``TRUNCATE [TABLE] …`` (metadata-only delete-all), maintenance
-    (``VACUUM``/``OPTIMIZE [WHERE …] [ZORDER …]``/``RESTORE``), and
-    ``ALTER TABLE`` DDL. The one exception to the int return:
-    ``DESCRIBE HISTORY/DETAIL <t>`` RETURNS A DATAFRAME (the executor's
-    read shape, Delta's introspection statements)."""
+    to ``append``), ``UPDATE … SET … WHERE …``, ``DELETE FROM …
+    WHERE …``, the constrained ``MERGE INTO`` grammar of
+    ``_merge_into`` (the Delta clause surface the engine's merge
+    implements), ``TRUNCATE [TABLE] …`` (metadata-only delete-all),
+    maintenance (``VACUUM``/``OPTIMIZE [WHERE …] [ZORDER …]``/
+    ``RESTORE``), and ``ALTER TABLE`` DDL. The one exception to the
+    int return: ``DESCRIBE HISTORY/DETAIL <t>`` RETURNS A DATAFRAME
+    (the executor's read shape, Delta's introspection statements).
+
+    Table names INSIDE statement bodies — ``INSERT INTO … SELECT``
+    bodies, CTAS/``INSERT OVERWRITE``/``REPLACE WHERE`` bodies, and
+    ``MERGE … USING <name>`` sources — resolve exactly like a
+    top-level SELECT (VERDICT r12 #2): the target table's OWN basename
+    resolves to this instance (so a transaction's chained pending
+    state rides along and self-referencing bodies work), other names
+    through the caller's ``resolve(name) -> ManifestTable | None``
+    (``execute_sql``/``execute_dml_txn`` pass the catalog's), and
+    non-resolving names pass through to registered temp views — CTE
+    shadowing and ``VERSION/TIMESTAMP AS OF`` suffixes included."""
+    import os as _os
     import re
 
     from etl_job_spark.table import ManifestTable
@@ -726,6 +768,16 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
     t = table if isinstance(table, ManifestTable) else ManifestTable(str(table))
     s = sql.strip().rstrip(";").strip()
     upper = s.upper()
+
+    _base_name = _os.path.basename(t.path.rstrip("/")).lower()
+
+    def _body_resolve(name: str):
+        if name.lower() == _base_name and t.latest_version() is not None:
+            return t
+        return resolve(name) if resolve is not None else None
+
+    def _body_df(body_sql: str) -> DataFrame:
+        return _routed_select(spark, body_sql, _body_resolve)
     if upper.startswith(("SELECT", "WITH")):
         # SELECT/WITH over the table (VERDICT r11 #3: one SQL surface
         # for the whole lifecycle): the table's basename resolves to a
@@ -775,7 +827,7 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
             s,
         )
         _check_target(m.group(1) if m else None, t)
-        return _merge_into(spark, t, s)
+        return _merge_into(spark, t, s, resolve=_body_resolve)
     if upper.startswith("INSERT"):
         # INSERT INTO <t> REPLACE WHERE <pred> SELECT …/VALUES … —
         # Delta's replaceWhere: the predicate's rows are replaced by
@@ -812,7 +864,7 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
                 pred: str | list[tuple] = _parse_spec_predicate(pred_sql)
             except ValueError:
                 pred = pred_sql
-            return t.overwrite_where(spark, spark.sql(body), pred)
+            return t.overwrite_where(spark, _body_df(body), pred)
         # INSERT OVERWRITE <t> SELECT …/VALUES … — truncate-and-reload
         # keeping the table's layout (partitioning/blooms/constraints
         # carry: overwrite with no explicit spec inherits them)
@@ -827,7 +879,7 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
                     "INSERT OVERWRITE body must be SELECT/WITH or VALUES, "
                     f"got {body[:40]!r}"
                 )
-            return t.overwrite(spark.sql(body))
+            return t.overwrite(_body_df(body))
         # INSERT INTO <t> [(c1, ...)] SELECT ... | VALUES (...), ...
         # — routed to ManifestTable.append: the body runs as plain
         # Spark SQL (register views first); a column list projects the
@@ -856,9 +908,9 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
         body = m.group(3).strip()
         bu = body.upper()
         if bu.startswith("VALUES"):
-            df = spark.sql(f"SELECT * FROM ({body})")
+            df = _body_df(f"SELECT * FROM ({body})")
         elif bu.startswith(("SELECT", "WITH")):
-            df = spark.sql(body)
+            df = _body_df(body)
         else:
             raise ValueError(
                 "INSERT INTO body must be SELECT/WITH or VALUES, got "
@@ -1195,9 +1247,30 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
                 action,
             )
             if cm is not None:
-                return t.alter_column_default(
-                    spark, cm.group(1).strip("`"), _sql_literal(cm.group(2))
-                )
+                col = cm.group(1).strip("`")
+                lit = _sql_literal(cm.group(2))
+                if lit is None:
+                    # SET DEFAULT NULL: "omitted columns land NULL" IS
+                    # the documented no-fill state — with a default set
+                    # this drops it; without one it already holds, so
+                    # it's a metadata no-op, not a KeyError through the
+                    # drop path (ADVICE r12). Column name still
+                    # validates — a typo must not silently succeed.
+                    base = t.latest_version()
+                    if base is not None:
+                        man = t._read_manifest(base)
+                        schema = t._manifest_schema(man)
+                        if schema is not None and col not in {
+                            f.name for f in schema.fields
+                        }:
+                            raise ValueError(
+                                f"ALTER COLUMN {col!r}: not a table column "
+                                f"({sorted(f.name for f in schema.fields)})"
+                            )
+                        if col not in (man.get("defaults") or {}):
+                            return base
+                    return t.alter_column_default(spark, col, None)
+                return t.alter_column_default(spark, col, lit)
             # metadata-only TYPE WIDENING (Delta 4's ALTER COLUMN ...
             # TYPE): files keep their narrow physical type, readers
             # promote; off-lattice changes refuse in alter_schema
@@ -1436,12 +1509,18 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
                         start = i + 1
                 parts1.append(spec[start:])
                 pb = [p.strip() for p in parts1 if p.strip()]
-            t.overwrite(empty, partition_by=pb)
-            for c in not_null:
-                t.alter_column_nullability(spark, c, not_null=True)
-            for c, v in defaults.items():
-                t.alter_column_default(spark, c, v)
-            return t.latest_version()
+            # ONE commit carrying schema, layout, NOT NULL constraints
+            # and DEFAULT fills together — a crash mid-DDL must never
+            # leave the table missing its declared markers, and one
+            # statement is one history version (ADVICE r12)
+            return t.overwrite(
+                empty,
+                partition_by=pb,
+                constraints={
+                    f"not_null_{c}": f"{c} IS NOT NULL" for c in not_null
+                },
+                defaults=defaults,
+            )
         # CREATE [OR REPLACE] TABLE <t> [PARTITIONED BY (spec, ...)]
         # AS SELECT ... — routed to overwrite (CTAS). PARTITIONED BY
         # accepts the table format's specs, raw columns and hidden
@@ -1488,7 +1567,7 @@ def execute_dml(spark: SparkSession, table, sql: str) -> int:
                     start = i + 1
             parts.append(spec[start:])
             partition_by = [p.strip() for p in parts if p.strip()]
-        return t.overwrite(spark.sql(body), partition_by=partition_by)
+        return t.overwrite(_body_df(body), partition_by=partition_by)
     raise ValueError(
         "execute_dml supports CREATE [OR REPLACE] TABLE ... AS SELECT, "
         "INSERT INTO ... SELECT/VALUES, UPDATE ... "
@@ -1532,6 +1611,70 @@ def statement_table(sql: str) -> str:
     return name.split(".")[-1].split("/")[-1]
 
 
+def _mask_sql_spans(s: str) -> tuple[str, list[str]]:
+    """Replace every span the FROM/JOIN rewriter must not look inside
+    — single/double-quoted string literals ('' / "" escapes), SQL
+    comments (``--`` to end of line, ``/* */``), and backtick-quoted
+    identifiers — with ``\\x00L<i>\\x00`` placeholder tokens, returning
+    the masked text and the span list. Backticked spans keep their
+    surrounding backticks in the masked text (only the CONTENT is
+    masked), so ``FROM `weird name``` still parses as a backticked
+    table reference while a backticked identifier whose content
+    happens to contain ``FROM``/``JOIN`` can never fire the rewrite.
+    ``_restore`` is ``re.sub`` of the token back to ``spans[i]`` —
+    byte-preserving (a quoted literal containing ``FROM sales`` comes
+    back exactly as written; VERDICT r12 Wrong #1)."""
+    out: list[str] = []
+    spans: list[str] = []
+    i, n = 0, len(s)
+
+    def _push(text: str) -> str:
+        spans.append(text)
+        return f"\x00L{len(spans) - 1}\x00"
+
+    while i < n:
+        c = s[i]
+        if c in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if s[j] == c:
+                    if j + 1 < n and s[j + 1] == c:  # doubled-quote escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            end = j + 1 if j < n else n
+            out.append(_push(s[i:end]))
+            i = end
+        elif c == "`":
+            j = s.find("`", i + 1)
+            end = j + 1 if j >= 0 else n
+            out.append("`" + _push(s[i + 1 : end - 1 if j >= 0 else n]) + "`")
+            i = end
+        elif c == "-" and s.startswith("--", i):
+            j = s.find("\n", i)
+            end = j if j >= 0 else n  # the newline itself stays visible
+            out.append(_push(s[i:end]))
+            i = end
+        elif c == "/" and s.startswith("/*", i):
+            j = s.find("*/", i + 2)
+            end = j + 2 if j >= 0 else n
+            out.append(_push(s[i:end]))
+            i = end
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out), spans
+
+
+def _restore_sql_spans(text: str, spans: list[str]) -> str:
+    import re
+
+    return re.sub(
+        "\x00L(\\d+)\x00", lambda m: spans[int(m.group(1))], text
+    )
+
+
 def _routed_select(spark: SparkSession, s: str, resolve) -> DataFrame:
     """Run one SELECT/WITH statement with table names resolved through
     ``resolve(name) -> ManifestTable | None`` — the TABLE, not a path,
@@ -1557,18 +1700,31 @@ def _routed_select(spark: SparkSession, s: str, resolve) -> DataFrame:
     import hashlib
     import re
 
+    # string literals, comments, and backticked-identifier CONTENT are
+    # masked before ANY pattern runs — the rewrite must never fire on
+    # a FROM inside a quoted literal (it would silently change the
+    # literal's bytes) nor on keywords inside backticked names
+    masked, _spans = _mask_sql_spans(s)
+
     # CTE names shadow tables per SQL scoping — collect them up front
     # so a CTE that happens to share a catalog table's name is never
     # resolved (and never rebound to an internal view)
     cte_names = {
         n.lower()
-        for n in re.findall(r"(?is)(?:\bWITH|,)\s*([A-Za-z_]\w*)\s+AS\s*\(", s)
+        for n in re.findall(
+            r"(?is)(?:\bWITH|,)\s*([A-Za-z_]\w*)\s+AS\s*\(", masked
+        )
     }
 
     def _sub(m: re.Match) -> str:
         kw = m.group(1)
         name = m.group(2) or m.group(3)
+        # a backticked name arrives as its placeholder — restore it so
+        # resolution (and the view's alias) see the real spelling
+        name = _restore_sql_spans(name, _spans)
         ver, ts = m.group(4), m.group(5)
+        if ts is not None:
+            ts = _restore_sql_spans(ts, _spans)
         t = resolve(name) if name.lower() not in cte_names else None
         if t is None:
             if ver is not None or ts is not None:
@@ -1616,12 +1772,14 @@ def _routed_select(spark: SparkSession, s: str, resolve) -> DataFrame:
     )
     rewritten = re.sub(
         r"(?is)\b(FROM|JOIN)\s+(?:`([^`]+)`|([A-Za-z_]\w*))"
-        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'))?"
+        # a TIMESTAMP AS OF literal is masked by now — match its token
+        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
+        r"|\s+TIMESTAMP\s+AS\s+OF\s+(\x00L\d+\x00))?"
         rf"(?:\s+(?:AS\s+)?(?!(?:{_kw})\b)([A-Za-z_]\w*))?",
         _sub,
-        s,
+        masked,
     )
-    return spark.sql(rewritten)
+    return spark.sql(_restore_sql_spans(rewritten, _spans))
 
 
 def execute_sql(spark: SparkSession, catalog, statement: str):

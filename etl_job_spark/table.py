@@ -4645,6 +4645,8 @@ class ManifestTable:
         df: DataFrame,
         partition_by: Sequence[str] | None = None,
         bloom_cols: Sequence[str] | None = None,
+        constraints: dict[str, str] | None = None,
+        defaults: dict | None = None,
     ) -> int:
         """Commit a full replacement snapshot; returns the new version.
 
@@ -4657,40 +4659,81 @@ class ManifestTable:
         are scattered (where min/max ranges can never prune). The
         property persists in the manifest: every later commit keeps
         indexing its new files; pass ``[]`` to turn it off. ``None``
-        keeps the table's current setting."""
+        keeps the table's current setting.
+
+        ``constraints`` (named CHECK predicates) and ``defaults``
+        (column → write-time fill literal) set the replacement's
+        column properties IN THE SAME COMMIT — the atomic
+        ``CREATE TABLE (col defs)`` shape, where a crash mid-DDL must
+        never leave a table missing its declared markers (ADVICE r12).
+        ``None`` keeps the current behavior: constraints carry from
+        the replaced table, defaults carry for surviving columns.
+        Incoming rows validate against explicit constraints exactly as
+        carried ones; explicit defaults must name schema columns and
+        cast to their types."""
 
         def attempt() -> int:
             base = self.latest_version()
             part = partition_by
             blooms = bloom_cols
             frame = df
-            constraints = None
+            cons = constraints
             if base is not None:
                 man = self._read_manifest(base)
                 if part is None:
                     part = man["partition_by"] or None
                 if blooms is None:
                     blooms = man.get("bloom_cols")
-                constraints = man.get("constraints")
+                if cons is None:
+                    cons = man.get("constraints")
             # constraints enforce INSIDE the write (fused task-side
             # single pass when eligible, else one validation agg first)
             entries = self._write_data_files(
-                frame, part, bloom_cols=blooms, constraints=constraints
+                frame, part, bloom_cols=blooms, constraints=cons or None
             )
-            # DEFAULTs survive only for columns the replacement schema
-            # still carries (a dangling default would crash later
-            # appends on a column that no longer exists)
             new_cols = set(df.columns)
-            defaults = {
-                c: v
-                for c, v in (
-                    (man.get("defaults") or {}) if base is not None else {}
-                ).items()
-                if c in new_cols
-            }
+            if defaults is None:
+                # DEFAULTs survive only for columns the replacement
+                # schema still carries (a dangling default would crash
+                # later appends on a column that no longer exists)
+                dfl = {
+                    c: v
+                    for c, v in (
+                        (man.get("defaults") or {}) if base is not None else {}
+                    ).items()
+                    if c in new_cols
+                }
+            else:
+                dfl = dict(defaults)
+                fields = {f.name: f for f in df.schema.fields}
+                for c, v in dfl.items():
+                    if c not in fields:
+                        raise ValueError(
+                            f"DEFAULT for {c!r}: not a column of the "
+                            f"replacement schema ({sorted(fields)})"
+                        )
+                    if v is not None:
+                        try:
+                            ok = (
+                                df.sparkSession.range(1)
+                                .select(
+                                    F.lit(v).cast(fields[c].dataType).alias("v")
+                                )
+                                .first()
+                                .v
+                            )
+                        except Exception:
+                            ok = None  # ANSI sessions THROW on a bad cast
+                        if ok is None:
+                            raise ValueError(
+                                f"DEFAULT {v!r} does not cast to column "
+                                f"{c!r}'s type "
+                                f"{fields[c].dataType.simpleString()}"
+                            )
             return self._commit(
                 entries, df.schema, part, base, {"op": "overwrite"},
                 bloom_cols=blooms,
+                constraints=cons if cons else {},
                 # a replacement owns its schema outright — every old file
                 # is gone, so drop-tombstones cannot resurrect anything,
                 # the fresh files store logical names as physical, and
@@ -4698,7 +4741,7 @@ class ManifestTable:
                 dropped_cols=[],
                 column_map={},
                 partition_specs=[],
-                defaults=defaults,
+                defaults=dfl,
             )
 
         return self._with_commit_retries(attempt)

@@ -208,8 +208,13 @@ class Transaction:
         the log — the ``execute_dml`` surface routed through the
         transaction's captured table instance, so a statement LIST on
         one table chains (each statement reads its predecessor's
-        uncommitted state) and commits as ONE record. VACUUM refuses:
-        it deletes files immediately and cannot be staged."""
+        uncommitted state) and commits as ONE record. Catalog table
+        names inside statement BODIES (INSERT … SELECT, CTAS, MERGE …
+        USING) resolve through this transaction's instances too — a
+        body reading a table an earlier statement in the SAME
+        transaction wrote sees the staged state, exactly like chained
+        ops on one table. VACUUM refuses: it deletes files immediately
+        and cannot be staged."""
         if statement.strip().upper().startswith("VACUUM"):
             raise ValueError(
                 "VACUUM cannot run inside a transaction: it deletes data "
@@ -218,7 +223,20 @@ class Transaction:
             )
         from etl_job_spark.sql import execute_dml
 
-        self._run(name, lambda t: execute_dml(spark, t, statement))
+        self._run(
+            name, lambda t: execute_dml(spark, t, statement, resolve=self.resolve)
+        )
+
+    def resolve(self, name: str) -> "ManifestTable | None":
+        """Resolver over this transaction's table instances — the
+        ``execute_dml``/``_routed_select`` contract: the enrolled
+        table when it has a committed (or txn-staged) version, else
+        ``None`` (the name passes through to registered views)."""
+        try:
+            t = self._table(name)
+        except ValueError:
+            return None
+        return t if t.latest_version() is not None else None
 
     def delete_where(self, name: str, spark: SparkSession, predicate, **kw) -> None:
         self._run(name, lambda t: t.delete_where(spark, predicate, **kw))
