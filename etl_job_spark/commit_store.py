@@ -285,6 +285,166 @@ class InMemoryCommitStore(CommitStore):
         )
 
 
+class S3CommitStore(CommitStore):
+    """S3 implementation of the control-plane contract, code-complete
+    against the public S3 API (boto3): ``write_if_absent`` is
+    ``PutObject`` with the ``If-None-Match: *`` conditional header —
+    generally available on S3 since late 2024 — where a 412
+    Precondition Failed (the name exists) or 409
+    ConditionalRequestConflict (a concurrent conditional write on the
+    same key; the caller re-reads and finds the winner) maps to
+    :class:`StoreConflict`. Everything else is plain PutObject /
+    GetObject / ListObjectsV2 / DeleteObject / HeadObject.
+
+    ``client`` injection is the test seam AND the production
+    customization point (botocore retry config, endpoint overrides for
+    S3-compatible stores): pass any object with the boto3 S3 client's
+    method shapes. Without one, ``boto3.client("s3")`` is imported
+    lazily — this engine's container has no boto3 and no network, so
+    the integration half of the contract (a real bucket) runs where
+    those exist; the conformance battery
+    (:mod:`etl_job_spark.store_conformance`) covers the protocol
+    against a stubbed client replaying S3's documented status codes.
+
+    ``uri`` returns ``s3a://bucket/key`` (the Hadoop S3A connector
+    scheme Spark scans) so distributed planning over
+    ``files-*.parquet`` sidecars stays on the engine-readable path.
+    """
+
+    def __init__(
+        self,
+        bucket: str,
+        prefix: str = "",
+        client=None,
+        uri_scheme: str = "s3a",
+    ):
+        if client is None:  # pragma: no cover - needs boto3 + a bucket
+            try:
+                import boto3
+            except ImportError as exc:
+                raise ImportError(
+                    "S3CommitStore needs boto3 (pip install boto3) or an "
+                    "injected client with the S3 API shape"
+                ) from exc
+            client = boto3.client("s3")
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        self.client = client
+        self.uri_scheme = uri_scheme
+
+    def _key(self, rel: str) -> str:
+        rel = rel.strip("/")
+        if not rel:
+            return self.prefix  # root of the store's namespace
+        return f"{self.prefix}/{rel}" if self.prefix else rel
+
+    @staticmethod
+    def _code(exc) -> tuple[str, int]:
+        """(error code, http status) of a botocore-shaped ClientError —
+        read duck-typed off ``exc.response`` so the module never
+        imports botocore (the stub client raises look-alikes)."""
+        resp = getattr(exc, "response", None) or {}
+        code = str((resp.get("Error") or {}).get("Code") or "")
+        status = int(
+            (resp.get("ResponseMetadata") or {}).get("HTTPStatusCode") or 0
+        )
+        return code, status
+
+    def write_if_absent(self, rel: str, data: bytes) -> None:
+        try:
+            self.client.put_object(
+                Bucket=self.bucket,
+                Key=self._key(rel),
+                Body=bytes(data),
+                IfNoneMatch="*",
+            )
+        except Exception as exc:
+            code, status = self._code(exc)
+            if code in ("PreconditionFailed", "ConditionalRequestConflict") or (
+                status in (409, 412)
+            ):
+                raise StoreConflict(rel) from None
+            raise
+
+    def write(self, rel: str, data: bytes) -> None:
+        self.client.put_object(
+            Bucket=self.bucket, Key=self._key(rel), Body=bytes(data)
+        )
+
+    def read(self, rel: str) -> bytes:
+        try:
+            resp = self.client.get_object(
+                Bucket=self.bucket, Key=self._key(rel)
+            )
+        except Exception as exc:
+            code, status = self._code(exc)
+            if code in ("NoSuchKey", "404") or status == 404:
+                raise FileNotFoundError(rel) from None
+            raise
+        return resp["Body"].read()
+
+    def list_dir(self, rel_dir: str) -> list[str]:
+        prefix = self._key(rel_dir)
+        prefix = prefix + "/" if prefix else ""
+        out: set[str] = set()
+        token = None
+        while True:
+            kw = dict(Bucket=self.bucket, Prefix=prefix, Delimiter="/")
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kw)
+            for cp in resp.get("CommonPrefixes") or []:
+                out.add(cp["Prefix"][len(prefix):].rstrip("/"))
+            for obj in resp.get("Contents") or []:
+                name = obj["Key"][len(prefix):]
+                if name:  # a zero-byte "directory marker" at the prefix
+                    out.add(name)
+            if not resp.get("IsTruncated"):
+                break
+            token = resp.get("NextContinuationToken")
+        return sorted(out)
+
+    def exists(self, rel: str) -> bool:
+        try:
+            self.client.head_object(Bucket=self.bucket, Key=self._key(rel))
+            return True
+        except Exception as exc:
+            code, status = self._code(exc)
+            if code in ("NoSuchKey", "404") or status == 404:
+                return False
+            raise
+
+    def delete(self, rel: str) -> None:
+        # S3 DeleteObject is idempotent: deleting a missing key is a
+        # 204, exactly the racing-vacuums contract
+        self.client.delete_object(Bucket=self.bucket, Key=self._key(rel))
+
+    def mtime(self, rel: str) -> float:
+        try:
+            resp = self.client.head_object(
+                Bucket=self.bucket, Key=self._key(rel)
+            )
+        except Exception as exc:
+            code, status = self._code(exc)
+            if code in ("NoSuchKey", "404") or status == 404:
+                raise FileNotFoundError(rel) from None
+            raise
+        lm = resp["LastModified"]
+        return lm if isinstance(lm, (int, float)) else lm.timestamp()
+
+    def uri(self, rel: str) -> str | None:
+        return f"{self.uri_scheme}://{self.bucket}/{self._key(rel)}"
+
+    def scoped(self, *parts: str) -> "S3CommitStore":
+        sub = "/".join(p.strip("/") for p in parts)
+        return S3CommitStore(
+            self.bucket,
+            f"{self.prefix}/{sub}" if self.prefix else sub,
+            client=self.client,
+            uri_scheme=self.uri_scheme,
+        )
+
+
 class FaultInjectingStore(CommitStore):
     """Decorator over any store that injects the object-store failure
     modes a conditional-put protocol must survive:

@@ -1,0 +1,206 @@
+"""The CommitStore conformance battery over every shipped impl —
+LocalFS, InMemory, and S3 against a stubbed client replaying S3's
+documented status codes (the container has no boto3 and no network;
+the integration half of the S3 contract needs a real bucket and runs
+where one exists). Plus S3-specific protocol pins: 412/409 → conflict,
+NoSuchKey → FileNotFoundError, delimiter listing with pagination, s3a
+URIs, and a catalog running end-to-end over the stubbed store."""
+
+from __future__ import annotations
+
+import io
+import itertools
+import threading
+import time
+
+import pytest
+
+from etl_job_spark.commit_store import (
+    InMemoryCommitStore,
+    LocalFSCommitStore,
+    S3CommitStore,
+    StoreConflict,
+)
+from etl_job_spark.store_conformance import run_conformance, run_fault_taxonomy
+
+_fresh = itertools.count()
+
+
+class _ClientError(Exception):
+    """botocore.ClientError look-alike: carries the ``response`` shape
+    S3CommitStore duck-types against."""
+
+    def __init__(self, code: str, status: int):
+        super().__init__(code)
+        self.response = {
+            "Error": {"Code": code},
+            "ResponseMetadata": {"HTTPStatusCode": status},
+        }
+
+
+class StubS3Client:
+    """In-memory boto3-S3-shaped client replaying the documented
+    semantics the store relies on: conditional PutObject
+    (If-None-Match:* → 412 PreconditionFailed on an existing key),
+    injectable 409 ConditionalRequestConflict, GetObject/HeadObject
+    404s, idempotent DeleteObject, and ListObjectsV2 with Delimiter
+    grouping and ContinuationToken pagination (a tiny page size forces
+    the pagination loop in every listing test)."""
+
+    def __init__(self, page_size: int = 2):
+        self.objects: dict[str, tuple[bytes, float]] = {}
+        self.page_size = page_size
+        self.lock = threading.RLock()
+        self.fail_next: list[tuple[str, int]] = []
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        with self.lock:
+            if self.fail_next:
+                code, status = self.fail_next.pop(0)
+                raise _ClientError(code, status)
+            if IfNoneMatch == "*" and Key in self.objects:
+                raise _ClientError("PreconditionFailed", 412)
+            self.objects[Key] = (bytes(Body), time.time())
+            return {}
+
+    def get_object(self, Bucket, Key):
+        with self.lock:
+            if Key not in self.objects:
+                raise _ClientError("NoSuchKey", 404)
+            return {"Body": io.BytesIO(self.objects[Key][0])}
+
+    def head_object(self, Bucket, Key):
+        with self.lock:
+            if Key not in self.objects:
+                raise _ClientError("404", 404)
+            return {"LastModified": self.objects[Key][1]}
+
+    def delete_object(self, Bucket, Key):
+        with self.lock:
+            self.objects.pop(Key, None)
+            return {}
+
+    def list_objects_v2(self, Bucket, Prefix, Delimiter=None,
+                        ContinuationToken=None):
+        with self.lock:
+            entries: list[tuple[str, str]] = []
+            seen_prefixes: set[str] = set()
+            for key in sorted(self.objects):
+                if not key.startswith(Prefix):
+                    continue
+                rest = key[len(Prefix):]
+                if Delimiter and Delimiter in rest:
+                    cp = Prefix + rest.split(Delimiter, 1)[0] + Delimiter
+                    if cp not in seen_prefixes:
+                        seen_prefixes.add(cp)
+                        entries.append(("prefix", cp))
+                else:
+                    entries.append(("key", key))
+            start = int(ContinuationToken or 0)
+            page = entries[start : start + self.page_size]
+            resp: dict = {
+                "CommonPrefixes": [
+                    {"Prefix": v} for k, v in page if k == "prefix"
+                ],
+                "Contents": [{"Key": v} for k, v in page if k == "key"],
+            }
+            if start + self.page_size < len(entries):
+                resp["IsTruncated"] = True
+                resp["NextContinuationToken"] = str(start + self.page_size)
+            return resp
+
+
+def _localfs(tmp_path):
+    return lambda: LocalFSCommitStore(str(tmp_path / f"s{next(_fresh)}"))
+
+
+def _inmemory(tmp_path):
+    return lambda: InMemoryCommitStore()
+
+
+def _stubbed_s3(tmp_path):
+    return lambda: S3CommitStore(
+        "test-bucket", f"root{next(_fresh)}", client=StubS3Client()
+    )
+
+
+@pytest.mark.parametrize("make", [_localfs, _inmemory, _stubbed_s3])
+def test_conformance_battery(tmp_path, make):
+    run_conformance(make(tmp_path))
+
+
+@pytest.mark.parametrize("make", [_localfs, _inmemory, _stubbed_s3])
+def test_fault_taxonomy(tmp_path, make):
+    run_fault_taxonomy(make(tmp_path))
+
+
+# -- S3-specific protocol pins -----------------------------------------
+
+
+def test_s3_conditional_request_conflict_maps_to_store_conflict():
+    client = StubS3Client()
+    s = S3CommitStore("b", client=client)
+    # a concurrent conditional write on the same key: S3 returns 409
+    # ConditionalRequestConflict — the caller re-reads and retries
+    client.fail_next.append(("ConditionalRequestConflict", 409))
+    with pytest.raises(StoreConflict):
+        s.write_if_absent("m/v1.json", b"x")
+    s.write_if_absent("m/v1.json", b"x")  # slot was free: retry wins
+
+
+def test_s3_unrelated_errors_propagate():
+    client = StubS3Client()
+    s = S3CommitStore("b", client=client)
+    client.fail_next.append(("SlowDown", 503))
+    with pytest.raises(Exception) as ei:
+        s.write_if_absent("m/v1.json", b"x")
+    assert not isinstance(ei.value, StoreConflict)  # 503 is NOT a conflict
+
+
+def test_s3_listing_paginates_with_delimiter():
+    s = S3CommitStore("b", "tbl", client=StubS3Client(page_size=2))
+    for i in range(5):
+        s.write(f"m/v{i}.json", b"x")
+    s.write("m/sub/deep.json", b"y")
+    s.write("top.json", b"z")
+    got = s.list_dir("m")
+    assert got == ["sub", "v0.json", "v1.json", "v2.json", "v3.json", "v4.json"]
+    assert s.list_dir("") == ["m", "top.json"]
+    assert s.list_dir("missing") == []
+
+
+def test_s3_uri_is_engine_readable_s3a():
+    s = S3CommitStore("bkt", "cat/t1", client=StubS3Client())
+    assert s.uri("_manifests/files-x.parquet") == (
+        "s3a://bkt/cat/t1/_manifests/files-x.parquet"
+    )
+    assert s.scoped("sub").uri("a.json") == "s3a://bkt/cat/t1/sub/a.json"
+
+
+def test_catalog_runs_end_to_end_over_stubbed_s3(spark, tmp_path):
+    """The control plane lives in the (stubbed) bucket; the data plane
+    still writes real parquet under the table path — the split the
+    two-plane contract documents."""
+    from etl_job_spark.sql import execute_sql, execute_sql_script
+    from etl_job_spark.txn import TransactionalCatalog
+
+    store = S3CommitStore("b", "cat", client=StubS3Client())
+    cat = TransactionalCatalog(str(tmp_path), store=store)
+    cat.commit(
+        lambda txn: txn.overwrite(
+            "t", spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+        )
+    )
+    execute_sql_script(
+        spark, cat,
+        "CREATE TABLE m AS SELECT k, v * 2 AS v2 FROM t;"
+        "UPDATE m SET v2 = 0.0 WHERE k = 1;",
+    )
+    got = sorted(
+        tuple(r) for r in execute_sql(spark, cat, "SELECT k, v2 FROM m").collect()
+    )
+    assert got == [(1, 0.0), (2, 40.0)]
+    show = sorted(
+        tuple(r) for r in execute_sql(spark, cat, "SHOW TABLES").collect()
+    )
+    assert ("m", 2) in show and ("t", 1) in show
