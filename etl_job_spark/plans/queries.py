@@ -1107,6 +1107,92 @@ def mart_cdf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("kicc_mart_cdf_batch", CDF_BATCH_SQL)(mart_cdf_batch)
 
 
+CDF_UPDATES_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 != 3
+)
+SELECT o_orderkey, 'update_preimage' AS change, o_totalprice AS price,
+       1 AS step
+FROM base WHERE o_orderkey % 20 = 0
+UNION ALL
+SELECT o_orderkey, 'update_postimage' AS change,
+       o_totalprice + 100.0 AS price, 1 AS step
+FROM base WHERE o_orderkey % 20 = 0
+UNION ALL
+SELECT o_orderkey, 'insert' AS change, o_totalprice AS price, 1 AS step
+FROM orders WHERE o_orderkey % 4 = 3
+UNION ALL
+SELECT o_orderkey, 'delete' AS change, o_totalprice AS price, 2 AS step
+FROM orders WHERE o_orderkey % 10 = 5
+"""
+
+
+def mart_cdf_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CDF's FOUR change types from the file-level feed (round
+    13): a MERGE rewrite's changed rows classify as
+    ``update_preimage``/``update_postimage`` pairs —
+    ``classify_updates`` joins each commit's removed-file rows to its
+    added-file rows on the merge keys via ONE window shuffle, with
+    ``suppress_unchanged`` folded in so the rewrite's carried rows
+    vanish — while genuine inserts and deletes keep their types.
+    History: v1 overwrite (3/4 of orders), v2 MERGE (every 20th key's
+    price +100, matched update; the last quarter inserted), v3
+    merge-on-read DELETE (every key ≡5 mod 10 — disjoint from the
+    updated keys, so deletes carry original prices). The oracle
+    reconstructs all four change sets relationally from the same
+    arithmetic, hash-checking classification, suppression, and the
+    executor-side Arrow reads together."""
+    import hashlib
+
+    from etl_job_spark.scratch import scratch_dir
+    from etl_job_spark.sources.catalog import load_table
+    from etl_job_spark.streaming.cdf import (
+        classify_updates,
+        read_table_changes_batch,
+    )
+    from etl_job_spark.table import ManifestTable
+
+    path = scratch_dir(
+        spark, "kicc_mart_cdf_updates",
+        f"_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    t = ManifestTable(path)
+    if t.latest_version() is None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        t.overwrite(orders.filter("o_orderkey % 4 != 3").coalesce(4))
+        src = (
+            orders.filter("o_orderkey % 20 = 0 AND o_orderkey % 4 != 3")
+            .select(
+                "o_orderkey",
+                (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+            )
+            .unionByName(
+                orders.filter("o_orderkey % 4 = 3").select(
+                    "o_orderkey", "o_totalprice"
+                )
+            )
+        )
+        t.merge(
+            spark, src, keys=["o_orderkey"],
+            when_matched_update=["o_totalprice"], insert_unmatched=True,
+        )
+        t.delete_where(spark, "o_orderkey % 10 = 5", mode="merge_on_read")
+    df = read_table_changes_batch(
+        spark, t.path, starting_version=2, ending_version=3
+    )
+    return classify_updates(df, keys=["o_orderkey"]).select(
+        "o_orderkey",
+        F.col("_change").alias("change"),
+        F.col("o_totalprice").alias("price"),
+        (F.col("_commit_version") - 1).cast("int").alias("step"),
+    )
+
+
+query("kicc_mart_cdf_updates", CDF_UPDATES_SQL)(mart_cdf_updates)
+
+
 ADD_COLUMN_SQL = """
 SELECT c_custkey, c_acctbal,
        CASE WHEN c_acctbal >= 5000 THEN 'gold' ELSE 'std' END AS tier

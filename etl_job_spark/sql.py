@@ -1736,6 +1736,26 @@ def _routed_select(spark: SparkSession, s: str, resolve) -> DataFrame:
                     "(VERSION/TIMESTAMP AS OF needs a manifest table)"
                 )
             return m.group(0)
+        alias = m.group(6)
+        if isinstance(t, DataFrame):
+            # a resolver may hand back an already-resolved FRAME — a
+            # catalog VIEW's re-resolved body. No snapshot, no time
+            # travel (a view has no versions of its own; travel the
+            # tables inside its body instead)
+            if ver is not None or ts is not None:
+                raise ValueError(
+                    f"time travel on {name!r}: it is a VIEW — "
+                    "VERSION/TIMESTAMP AS OF applies to tables; time "
+                    "travel the table inside the view's body instead"
+                )
+            vname = "__mv_{}_{}".format(
+                re.sub(r"\W", "_", name),
+                hashlib.md5(name.encode()).hexdigest()[:6],
+            )
+            pending.append((vname, t, None, name, alias or name))
+            if alias:
+                return f"{kw} {vname} {alias}"
+            return f"{kw} {vname} AS `{name}`"
         # views register under INTERNAL names — __mt_<sanitized>_<path
         # hash> — and the statement is rewritten to them: a user's temp
         # view sharing the table's name is never clobbered, and two
@@ -1758,7 +1778,6 @@ def _routed_select(spark: SparkSession, s: str, resolve) -> DataFrame:
         # registration is DEFERRED: with the whole statement rewritten
         # we know whether the single-table prunable shape applies and
         # can register a file-skipped view instead of the full snapshot
-        alias = m.group(6)
         pending.append((vname, t, pin, name, alias or name))
         # alias semantics: an explicit user alias carries over; without
         # one, alias the view back to the ORIGINAL spelling (backticked
@@ -1795,13 +1814,15 @@ def _routed_select(spark: SparkSession, s: str, resolve) -> DataFrame:
     # anything richer (joins, CTEs, subqueries, set ops, OR) falls
     # back to the plain snapshot view.
     spec = None
-    if len(pending) == 1:
+    if len(pending) == 1 and not isinstance(pending[0][1], DataFrame):
         spec = _prunable_where_spec(
             masked, _spans, pending[0][3], pending[0][4], pending[0][1],
             pending[0][2],
         )
     for vname, t, pin, _name, _alias in pending:
-        if spec is not None:
+        if isinstance(t, DataFrame):
+            view = t  # a catalog view's re-resolved body
+        elif spec is not None:
             view = t.snapshot_where(spark, spec, version=pin)
         else:
             view = t.snapshot(spark, version=pin)
@@ -1871,6 +1892,36 @@ def _prunable_where_spec(
     return spec
 
 
+def _view_resolver(spark: SparkSession, tables_resolve, view_sql_fn):
+    """Extend a table resolver with catalog VIEW resolution (VERDICT
+    r13 task 7): a name that is not a committed table but has stored
+    view text resolves to the view body's re-resolved DataFrame —
+    recursively, since view bodies may reference views — with cycle
+    and depth protection (a self-referencing chain refuses loudly
+    instead of recursing forever). Tables always win over views of the
+    same name; ``create_view`` refuses that collision at write time."""
+
+    def make(stack: frozenset):
+        def resolve(name: str):
+            t = tables_resolve(name)
+            if t is not None:
+                return t
+            vsql = view_sql_fn(name)
+            if vsql is None:
+                return None
+            key = name.lower()
+            if key in stack or len(stack) >= 8:
+                raise ValueError(
+                    f"view resolution cycle or depth > 8 at {name!r} "
+                    f"(chain so far: {sorted(stack)})"
+                )
+            return _routed_select(spark, vsql, make(stack | {key}))
+
+        return resolve
+
+    return make(frozenset())
+
+
 def execute_sql(spark: SparkSession, catalog, statement: str):
     """One statement against a ``TransactionalCatalog`` — the
     one-surface SQL lifecycle (the reference's consumers read AND
@@ -1884,10 +1935,55 @@ def execute_sql(spark: SparkSession, catalog, statement: str):
     - anything else commits as a single-statement transaction
       (``execute_dml_txn``) and returns ``{table: new_version}``.
     """
+    import re as _re
+
     s = statement.strip().rstrip(";").strip()
     if s.upper().startswith(("SELECT", "WITH")):
         catalog.roll_forward()
-        return _routed_select(spark, s, _catalog_resolver(catalog))
+        return _routed_select(
+            spark, s,
+            _view_resolver(spark, _catalog_resolver(catalog), catalog.view_sql),
+        )
+    # CREATE [OR REPLACE] [TEMP] VIEW <name> AS <select> — TEMP views
+    # register the routed SELECT's DataFrame in THIS session;
+    # persistent views store the statement text in the catalog and
+    # re-resolve at every read (they survive sessions and always see
+    # the tables' current committed state)
+    vm = _re.match(
+        r"(?is)^CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?VIEW\s+"
+        r"(\w+)\s+AS\s+(.*)$",
+        s,
+    )
+    if vm is not None:
+        replace = vm.group(1) is not None
+        name, body = vm.group(3), vm.group(4).strip()
+        if not body.upper().startswith(("SELECT", "WITH")):
+            raise ValueError("a view body must be a SELECT/WITH statement")
+        catalog.roll_forward()
+        resolver = _view_resolver(
+            spark, _catalog_resolver(catalog), catalog.view_sql
+        )
+        if vm.group(2) is not None:  # TEMP: session-scoped registration
+            if not replace and spark.catalog.tableExists(name):
+                raise ValueError(
+                    f"temp view {name!r} already exists — use CREATE OR "
+                    "REPLACE TEMP VIEW"
+                )
+            _routed_select(spark, body, resolver).createOrReplaceTempView(name)
+            return {}
+        # persistent: the body must PLAN now (typos refuse at create,
+        # not at first read), then the text lands in the catalog
+        _routed_select(spark, body, resolver)
+        catalog.create_view(name, body, replace=replace)
+        return {}
+    dm = _re.match(r"(?is)^DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\w+)\s*$", s)
+    if dm is not None:
+        catalog.drop_view(dm.group(2), if_exists=dm.group(1) is not None)
+        return {}
+    if s.upper() == "SHOW VIEWS":
+        return spark.createDataFrame(
+            [(n,) for n in catalog.views()], "view_name string"
+        )
     if s.upper() == "SHOW TABLES":
         # one row per enrolled table with a committed version —
         # discovered through the catalog's store, so any backend works
@@ -2008,14 +2104,30 @@ def execute_sql_script(
     goes to ``select_handler(statement, df)`` when given; without a
     handler the statement is still resolved and planned (names and
     columns validate) but not executed."""
+    import re as _re
+
     out: dict[str, int] = {}
     group: list[str] | None = None
     for stmt in _split_script(script):
         up = stmt.strip().upper()
-        if up.startswith(("SELECT", "WITH")) or up == "SHOW TABLES":
+        if up.startswith(("SELECT", "WITH")) or up in ("SHOW TABLES", "SHOW VIEWS"):
             df = execute_sql(spark, catalog, stmt)
             if select_handler is not None:
                 select_handler(stmt, df)
+            continue
+        if _re.match(
+            r"(?is)^(CREATE\s+(OR\s+REPLACE\s+)?(TEMP(ORARY)?\s+)?VIEW|"
+            r"DROP\s+VIEW)\b",
+            stmt.strip(),
+        ):
+            # view DDL is catalog metadata, not table state — it never
+            # stages, so it runs directly and refuses inside a bracket
+            if group is not None:
+                raise ValueError(
+                    "view DDL cannot run inside BEGIN…COMMIT — views are "
+                    "catalog metadata, not staged table state"
+                )
+            execute_sql(spark, catalog, stmt)
             continue
         if up.startswith(("CONVERT", "DROP TABLE")):
             if group is not None:

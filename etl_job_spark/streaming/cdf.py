@@ -462,6 +462,49 @@ def suppress_unchanged(batch_df: DataFrame) -> DataFrame:
     return kept_ins.unionByName(kept_del).select(*batch_df.columns)
 
 
+def classify_updates(
+    batch_df: DataFrame, keys: list[str] | tuple[str, ...], suppress: bool = True
+) -> DataFrame:
+    """Row-level update classification over the file-level change feed
+    (VERDICT r13 task 6 — Delta CDF's four change types): within each
+    ``_commit_version``, a key that has BOTH a ``delete`` and an
+    ``insert`` row is a rewrite of that key — its delete row becomes
+    ``update_preimage`` and its insert row ``update_postimage``;
+    unmatched deletes/inserts keep their types. ``suppress`` first
+    folds in :func:`suppress_unchanged`, so a rewrite's carried rows
+    (identical content) vanish instead of surfacing as self-updates —
+    together these turn the file-level delete+insert surface into
+    Delta's exact CDC row typology.
+
+    ``keys`` are the table's merge keys and must be non-null (the
+    merge contract); a key deleted and re-inserted with different
+    content in one commit classifies as an update, exactly as Delta's
+    MERGE CDC does.
+
+    Cost shape: ONE shuffle — a window over (``_commit_version``,
+    keys) marks both-kinds keys; no join, no driver-side state. At
+    100 TB the window partitions by the same keys the merge shuffled
+    on, so a co-partitioned feed consumer pays no extra exchange."""
+    df = suppress_unchanged(batch_df) if suppress else batch_df
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(VERSION_COL, *keys)
+    kinds = F.size(F.collect_set(CHANGE_COL).over(w))
+    return (
+        df.withColumn("__kinds", kinds)
+        .withColumn(
+            CHANGE_COL,
+            F.when(
+                F.col("__kinds") == 2,
+                F.when(
+                    F.col(CHANGE_COL) == "delete", F.lit("update_preimage")
+                ).otherwise(F.lit("update_postimage")),
+            ).otherwise(F.col(CHANGE_COL)),
+        )
+        .drop("__kinds")
+    )
+
+
 def read_table_changes(
     spark: SparkSession,
     table_path: str,

@@ -221,10 +221,14 @@ class Transaction:
                 "files immediately (nothing to stage or roll back) — run "
                 "it directly after the transaction commits"
             )
-        from etl_job_spark.sql import execute_dml
+        from etl_job_spark.sql import _view_resolver, execute_dml
 
+        # catalog VIEWS resolve inside bodies too — over the
+        # transaction's table instances, so a view read mid-transaction
+        # sees staged state exactly like a direct table reference
+        resolve = _view_resolver(spark, self.resolve, self._catalog.view_sql)
         self._run(
-            name, lambda t: execute_dml(spark, t, statement, resolve=self.resolve)
+            name, lambda t: execute_dml(spark, t, statement, resolve=resolve)
         )
 
     def resolve(self, name: str) -> "ManifestTable | None":
@@ -292,6 +296,73 @@ class TransactionalCatalog:
         # spilled-manifest cache: staged files are immutable once a
         # record referencing them publishes
         self._staged_cache: dict[str, dict] = {}
+
+    # -- persistent views ----------------------------------------------
+    # A view is STATEMENT TEXT stored in the catalog (`_views/<name>`),
+    # re-resolved at every read — Hive/Delta's persistent-view
+    # semantics: the view always sees the CURRENT committed state of
+    # the tables it names, and it survives sessions because the text
+    # lives in the store, not in any SparkSession. Underscore prefix
+    # keeps the registry invisible to SHOW TABLES' root listing.
+
+    _VIEWS_DIR = "_views"
+
+    def create_view(self, name: str, body_sql: str, replace: bool = False) -> None:
+        """Store ``name`` as a persistent view over ``body_sql`` (a
+        SELECT/WITH statement resolved through this catalog at read
+        time). Refuses a name the catalog already uses for a TABLE —
+        tables win at resolution, so a shadowed view would be a trap
+        that silently reads the wrong relation."""
+        if "/" in name or name.startswith("_"):
+            raise ValueError(f"invalid view name {name!r}")
+        if not body_sql.strip().upper().startswith(("SELECT", "WITH")):
+            raise ValueError("a view body must be a SELECT/WITH statement")
+        t = self.table(name)
+        if t.latest_version() is not None:
+            raise ValueError(
+                f"{name!r} is an enrolled TABLE of this catalog — a view "
+                "of the same name could never be read (tables win at "
+                "resolution); pick another name"
+            )
+        rel = os.path.join(self._VIEWS_DIR, f"{name}.json")
+        payload = json.dumps({"name": name, "sql": body_sql}).encode()
+        if replace:
+            self.store.write(rel, payload)
+            return
+        try:
+            self.store.write_if_absent(rel, payload)
+        except StoreConflict:
+            raise ValueError(
+                f"view {name!r} already exists — use CREATE OR REPLACE VIEW"
+            ) from None
+
+    def view_sql(self, name: str) -> str | None:
+        """The stored statement text of view ``name``, or ``None``."""
+        if "/" in name or name.startswith("_"):
+            return None
+        try:
+            raw = self.store.read(
+                os.path.join(self._VIEWS_DIR, f"{name}.json")
+            )
+        except FileNotFoundError:
+            return None
+        return json.loads(raw)["sql"]
+
+    def drop_view(self, name: str, if_exists: bool = False) -> None:
+        rel = os.path.join(self._VIEWS_DIR, f"{name}.json")
+        if not self.store.exists(rel):
+            if if_exists:
+                return
+            raise ValueError(f"view {name!r} does not exist")
+        self.store.delete(rel)
+
+    def views(self) -> list[str]:
+        """Names of every stored persistent view."""
+        return sorted(
+            n[:-5]
+            for n in self.store.list_dir(self._VIEWS_DIR)
+            if n.endswith(".json")
+        )
 
     def table(self, name: str) -> ManifestTable:
         if "/" in name or name.startswith("_"):

@@ -340,3 +340,101 @@ def test_batch_cdf_ending_timestamp(spark, tmp_path):
             spark, t.path, starting_version=1,
             ending_timestamp="2000-01-01T00:00:00+00:00",
         ).collect()
+
+
+def test_classify_updates_four_change_types(spark, tmp_path):
+    """Round 13: a MERGE rewrite classifies as update_preimage /
+    update_postimage pairs; genuine inserts and deletes keep their
+    types; carried (identical) rows are suppressed entirely."""
+    from etl_job_spark.streaming.cdf import (
+        classify_updates,
+        read_table_changes_batch,
+    )
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double"
+        ).coalesce(1)
+    )
+    # one commit: update k=1, insert k=4 (k=2,3 carried in the rewrite)
+    t.merge(
+        spark,
+        spark.createDataFrame([(1, 11.0), (4, 40.0)], "k int, v double"),
+        keys=["k"],
+        when_matched_update=["v"],
+        insert_unmatched=True,
+    )
+    # one more commit: genuine delete of k=2
+    t.delete_where(spark, "k = 2", mode="merge_on_read")
+    feed = read_table_changes_batch(spark, t.path, starting_version=2)
+    out = sorted(
+        tuple(r)
+        for r in classify_updates(feed, keys=["k"])
+        .select("k", "v", "_change", "_commit_version")
+        .collect()
+    )
+    assert out == [
+        (1, 10.0, "update_preimage", 2),
+        (1, 11.0, "update_postimage", 2),
+        (2, 20.0, "delete", 3),
+        (4, 40.0, "insert", 2),
+    ]
+
+
+def test_classify_updates_does_not_pair_across_commits(spark, tmp_path):
+    """A delete in one commit and an insert of the same key in a LATER
+    commit are a genuine delete + insert, never an update pair."""
+    from etl_job_spark.streaming.cdf import (
+        classify_updates,
+        read_table_changes_batch,
+    )
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double").coalesce(1)
+    )
+    t.delete_where(spark, "k = 1", mode="merge_on_read")
+    t.append(spark.createDataFrame([(1, 99.0)], "k int, v double"))
+    feed = read_table_changes_batch(spark, t.path, starting_version=2)
+    out = sorted(
+        tuple(r)
+        for r in classify_updates(feed, keys=["k"])
+        .select("k", "v", "_change", "_commit_version")
+        .collect()
+    )
+    assert out == [(1, 10.0, "delete", 2), (1, 99.0, "insert", 3)]
+
+
+def test_classify_updates_suppress_false_keeps_self_pairs(spark, tmp_path):
+    """With suppression off, a rewrite's carried rows surface as
+    identical pre/post pairs (same key, both kinds present) — the raw
+    file-level feed, just typed."""
+    from etl_job_spark.streaming.cdf import (
+        classify_updates,
+        read_table_changes_batch,
+    )
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double").coalesce(1)
+    )
+    t.merge(
+        spark,
+        spark.createDataFrame([(1, 11.0)], "k int, v double"),
+        keys=["k"],
+        when_matched_update=["v"],
+    )
+    feed = read_table_changes_batch(spark, t.path, starting_version=2)
+    raw = classify_updates(feed, keys=["k"], suppress=False)
+    got = sorted(tuple(r) for r in raw.select("k", "v", "_change").collect())
+    assert got == [
+        (1, 10.0, "update_preimage"),
+        (1, 11.0, "update_postimage"),
+        (2, 20.0, "update_postimage"),  # carried row, typed but kept
+        (2, 20.0, "update_preimage"),
+    ]
+    cooked = classify_updates(feed, keys=["k"])
+    assert sorted(
+        tuple(r) for r in cooked.select("k", "v", "_change").collect()
+    ) == [(1, 10.0, "update_preimage"), (1, 11.0, "update_postimage")]
