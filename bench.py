@@ -89,6 +89,7 @@ def main() -> None:
             raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY names not registered: {unknown}")
         queries = {n: queries[n] for n in names}
 
+    landing: dict[str, float] = {}
     for name, fn in queries.items():
         runs: list[float] = []
         try:
@@ -96,6 +97,21 @@ def main() -> None:
                 t0 = time.perf_counter()
                 n = run_to_noop(fn(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
+            # LANDING separation (round 13, VERDICT r12 #8): queries
+            # that lazily build a once-per-session fixture (scratch
+            # tables, IVF indexes, the MinHash signature store) pay it
+            # entirely in rep 0 — a 3-rep median then lands ON the
+            # landing rep and reads as a regression
+            # (kicc_staging_converted's [0.82, 3.04] spread was exactly
+            # this). When rep 0 is an obvious landing outlier (> 2x the
+            # median of the remaining reps), record it SEPARATELY
+            # (BENCH_SPREAD.json "queries_landing" + stderr, the
+            # embed_ivf_search precedent) and take the median/spread
+            # over the steady-state reps — the number a warm consumer
+            # actually pays.
+            if len(runs) >= 3 and runs[0] > 2 * statistics.median(runs[1:]):
+                landing[name] = round(runs[0], 4)
+                runs = runs[1:]
             # 2 decimals on the stdout medians: 10 ms precision is
             # ample for 2x-gated anchors, and the registry's growth
             # (67 queries) needs every char of the driver's ~2000-char
@@ -103,9 +119,12 @@ def main() -> None:
             # in BENCH_SPREAD.json
             timings[name] = round(statistics.median(runs), 2)
             spread[name] = [round(min(runs), 4), round(max(runs), 4)]
+            note = (
+                f" landing={landing[name]:.2f}s" if name in landing else ""
+            )
             print(
                 f"# {name}: {timings[name]:.2f}s (min {spread[name][0]:.3f}, "
-                f"max {spread[name][1]:.3f}) rows={n}",
+                f"max {spread[name][1]:.3f}){note} rows={n}",
                 file=sys.stderr,
             )
         except Exception as exc:  # pragma: no cover - bench resilience
@@ -133,6 +152,9 @@ def main() -> None:
         # still be regenerable from an artifact
         "queries_median": dict(timings),
         "queries_spread": spread,
+        # rep-0 fixture-landing costs, recorded apart from the medians
+        # (see the landing-separation note in the rep loop)
+        "queries_landing": landing,
         "failures": failures,
         "sf": sf,
         "total_median_seconds": total,

@@ -123,7 +123,16 @@ _DRIVER_WINDOW = [
     "set_ops",
     "events_json_extract",
     "events_tumbling_hourly",
-    "events_zscore_anomalies",
+    # round-13 swap: row-level CDF update classification (Delta's four
+    # change types — a MERGE rewrite's removed/added rows pair into
+    # update_preimage/update_postimage on the merge keys with carried
+    # rows suppressed, over a merge + MoR-delete history, all four
+    # change sets reconstructed relationally by the oracle) is a NEW
+    # component with no driver row; events_zscore_anomalies — a §2.6
+    # window-aggregate variant whose umbrella keeps
+    # window_rank_family and window_topk_products in-window — moves
+    # to the tail with its exact oracle intact
+    "kicc_mart_cdf_updates",
     "orders_month_range_join",
     # round-12 swap: CONVERT TO MANIFEST (the adoption onramp — a raw
     # hive-partitioned directory becomes version 1 in place, files by
@@ -154,6 +163,10 @@ _DRIVER_WINDOW = [
 # moved out to make room for kicc_mart_versioned (round-3 verdict #3).
 _TAIL = [
     "sketch_cardinalities",  # rows-only by design (no SQL oracle)
+    # round-13 swap-out (see the window comment at
+    # kicc_mart_cdf_updates): the z-score window-aggregate variant
+    # keeps its exact oracle here
+    "events_zscore_anomalies",
     # round-12 swap-out (see the window comment at
     # kicc_staging_converted): the string half of the §2.7 scalar
     # family keeps its exact oracle here

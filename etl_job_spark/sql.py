@@ -1866,13 +1866,16 @@ def _prunable_where_spec(
         at = _scan_top(tail, kw)
         if 0 <= at < cut:
             cut = at
-    where_sql = _restore_sql_spans(tail[:cut], spans).strip()
     # qualifiers naming the table (original spelling or its alias)
-    # strip to bare columns — the spec grammar speaks bare names
+    # strip to bare columns — the spec grammar speaks bare names. The
+    # strip runs on the MASKED text: a string literal containing
+    # "s." must come through byte-exact, never de-qualified
+    where_sql = tail[:cut].strip()
     for q in {alias, name}:
         where_sql = re.sub(
             rf"\b{re.escape(q)}\.", "", where_sql, flags=re.IGNORECASE
         )
+    where_sql = _restore_sql_spans(where_sql, spans).strip()
     try:
         spec = _parse_spec_predicate(where_sql)
     except ValueError:

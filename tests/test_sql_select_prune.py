@@ -135,6 +135,24 @@ def test_foreign_bare_column_falls_back(spark, clustered):
     assert t.last_planning is None
 
 
+def test_literal_containing_alias_dot_is_never_dequalified(spark, tmp_path):
+    """The qualifier strip must run on masked text: a string literal
+    containing '<alias>.' comes through byte-exact — mangling it would
+    plan a spec with a WRONG literal value and silently drop rows."""
+    t = ManifestTable(str(tmp_path / "notes"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "s.abc"), (2, "abc")], "k int, note string"
+        ).repartitionByRange(2, "k")
+    )
+    df = execute_dml(
+        spark, t, "SELECT s.k FROM notes s WHERE s.note = 's.abc'"
+    )
+    assert _rows(df) == [(1,)]  # the literal survived the strip
+    # and the prune DID engage on the correct spec
+    assert t.last_planning is not None
+
+
 def test_catalog_select_prunes_and_matches(spark, tmp_path):
     cat = TransactionalCatalog(str(tmp_path))
     df = spark.range(0, 2000).select(
