@@ -1983,6 +1983,20 @@ def execute_sql(spark: SparkSession, catalog, statement: str):
     if dm is not None:
         catalog.drop_view(dm.group(2), if_exists=dm.group(1) is not None)
         return {}
+    # read-only INTROSPECTION statements answer with rows and never
+    # stage — routed straight to the table's execute_dml instead of
+    # through a transaction record (which would swallow the DataFrame:
+    # r13 review finding — DESCRIBE HISTORY via a catalog returned {})
+    im = _re.match(
+        r"(?is)^(?:DESCRIBE\s+(?:HISTORY|DETAIL)|SHOW\s+PARTITIONS|"
+        r"SHOW\s+COLUMNS\s+IN|SHOW\s+TBLPROPERTIES)\s+(\S+)\s*$",
+        s,
+    )
+    vm2 = _re.match(r"(?is)^VACUUM\s+(\S+).*\bDRY\s+RUN\s*$", s)
+    if im is not None or vm2 is not None:
+        catalog.roll_forward()
+        name = (im or vm2).group(1).strip("`'\"").split("/")[-1]
+        return execute_dml(spark, catalog.table(name), s)
     if s.upper() == "SHOW VIEWS":
         return spark.createDataFrame(
             [(n,) for n in catalog.views()], "view_name string"
@@ -2113,7 +2127,15 @@ def execute_sql_script(
     group: list[str] | None = None
     for stmt in _split_script(script):
         up = stmt.strip().upper()
-        if up.startswith(("SELECT", "WITH")) or up in ("SHOW TABLES", "SHOW VIEWS"):
+        if (
+            up.startswith(("SELECT", "WITH"))
+            or up in ("SHOW TABLES", "SHOW VIEWS")
+            or _re.match(
+                r"(?is)^(DESCRIBE\s+(HISTORY|DETAIL)|SHOW\s+PARTITIONS|"
+                r"SHOW\s+COLUMNS\s+IN|SHOW\s+TBLPROPERTIES)\b",
+                stmt.strip(),
+            )
+        ):
             df = execute_sql(spark, catalog, stmt)
             if select_handler is not None:
                 select_handler(stmt, df)

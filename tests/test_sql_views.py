@@ -153,3 +153,25 @@ def test_create_view_with_bad_body_refuses_at_create(spark, cat):
             spark, cat, "CREATE VIEW broken AS SELECT nope FROM sales"
         )
     assert _rows(execute_sql(spark, cat, "SHOW VIEWS")) == []
+
+
+def test_introspection_statements_answer_with_rows_via_catalog(spark, cat):
+    """DESCRIBE HISTORY / SHOW PARTITIONS / SHOW COLUMNS IN /
+    SHOW TBLPROPERTIES are read-only and must return their DataFrames
+    through the catalog surface — not vanish into a transaction record
+    (r13 review finding: DESCRIBE HISTORY via a catalog returned {})."""
+    hist = execute_sql(spark, cat, "DESCRIBE HISTORY sales")
+    assert hasattr(hist, "collect") and hist.count() >= 1
+    cols = execute_sql(spark, cat, "SHOW COLUMNS IN sales")
+    got = {r[0] for r in cols.collect()}
+    assert {"k", "grp", "v"} <= got
+    det = execute_sql(spark, cat, "DESCRIBE DETAIL sales")
+    assert det.count() == 1
+    # and inside a script they hit the select_handler like any SELECT
+    seen = []
+    execute_sql_script(
+        spark, cat,
+        "DESCRIBE HISTORY sales; SELECT k FROM sales WHERE k = 1;",
+        select_handler=lambda stmt, df: seen.append(stmt.split()[0]),
+    )
+    assert seen == ["DESCRIBE", "SELECT"]
