@@ -386,14 +386,29 @@ def _merge_into(spark: SparkSession, t, s: str, resolve=None) -> int:
     # time travel on an unresolvable name refuses loudly rather than
     # silently merging current-state rows
     src_table = resolve(src_name) if resolve is not None else None
-    if src_table is None and (src_ver is not None or src_ts is not None):
+    if isinstance(src_table, DataFrame):
+        # a resolver may hand back an already-resolved FRAME — a
+        # catalog VIEW's re-resolved body; it has no versions, so
+        # time travel refuses like the SELECT surface does
+        if src_ver is not None or src_ts is not None:
+            raise ValueError(
+                f"time travel on MERGE source {src_name!r}: it is a VIEW "
+                "— VERSION/TIMESTAMP AS OF applies to tables; time "
+                "travel the table inside the view's body instead"
+            )
+        src_view, src_table = src_table, None
+    elif src_table is None and (src_ver is not None or src_ts is not None):
         raise ValueError(
             f"time travel on MERGE source {src_name!r}: not a resolvable "
             "table (VERSION/TIMESTAMP AS OF needs a manifest table)"
         )
+    else:
+        src_view = None
 
     def _src() -> DataFrame:
         # lazy: grammar errors must surface before a missing view does
+        if src_view is not None:
+            return src_view
         if src_table is None:
             return spark.table(src_name)
         if src_ver is not None:
@@ -1648,9 +1663,15 @@ def _mask_sql_spans(s: str) -> tuple[str, list[str]]:
             i = end
         elif c == "`":
             j = s.find("`", i + 1)
-            end = j + 1 if j >= 0 else n
-            out.append("`" + _push(s[i + 1 : end - 1 if j >= 0 else n]) + "`")
-            i = end
+            if j < 0:
+                # unterminated: mask the tail but never SYNTHESIZE a
+                # closing backtick the input didn't have (restoration
+                # must be byte-exact — property-tested)
+                out.append("`" + _push(s[i + 1 :]))
+                i = n
+            else:
+                out.append("`" + _push(s[i + 1 : j]) + "`")
+                i = j + 1
         elif c == "-" and s.startswith("--", i):
             j = s.find("\n", i)
             end = j if j >= 0 else n  # the newline itself stays visible

@@ -175,3 +175,27 @@ def test_introspection_statements_answer_with_rows_via_catalog(spark, cat):
         select_handler=lambda stmt, df: seen.append(stmt.split()[0]),
     )
     assert seen == ["DESCRIBE", "SELECT"]
+
+
+def test_merge_using_view_source(spark, cat):
+    """MERGE INTO … USING <view-name>: the view's re-resolved body is
+    the merge source (r13 review finding — the resolver handed the
+    DataFrame to the table-shaped time-travel path and crashed)."""
+    execute_sql(
+        spark, cat,
+        "CREATE VIEW hot AS SELECT k, v + 1.0 AS v FROM sales WHERE v >= 20",
+    )
+    execute_sql(
+        spark, cat,
+        "MERGE INTO sales a USING hot b ON a.k = b.k "
+        "WHEN MATCHED THEN UPDATE SET a.v = b.v",
+    )
+    assert _rows(execute_sql(spark, cat, "SELECT k, v FROM sales")) == [
+        (1, 10.0), (2, 21.0), (3, 31.0),
+    ]
+    with pytest.raises(ValueError, match="VIEW"):
+        execute_sql(
+            spark, cat,
+            "MERGE INTO sales a USING hot VERSION AS OF 1 b ON a.k = b.k "
+            "WHEN MATCHED THEN UPDATE SET a.v = b.v",
+        )
