@@ -1815,6 +1815,57 @@ def _routed_select(spark: SparkSession, s: str, resolve) -> DataFrame:
         "WINDOW|EXCEPT|INTERSECT|VALUES|SORT|CLUSTER|DISTRIBUTE|"
         "TABLESAMPLE|PIVOT|UNPIVOT|AS"
     )
+
+    def _tvf_sub(m: re.Match) -> str:
+        # table_changes('t', start [, end]) — Delta's CDF TVF on the
+        # one SQL surface: the batch change feed of a resolver-known
+        # table over a closed version range (ints) or timestamp bounds
+        # (string literals), through the SAME classify-per-version
+        # planner the streaming source uses. The feed reads the
+        # table's manifests BY PATH (the Python Data Source plans in
+        # a session-less worker), so it needs a filesystem-backed
+        # store — the default; in-memory-store catalogs refuse at read.
+        from etl_job_spark.streaming.cdf import read_table_changes_batch
+
+        kw = m.group(1)
+        name = _restore_sql_spans(m.group(2), _spans).strip().strip("'\"`")
+        tt = resolve(name)
+        if tt is None or isinstance(tt, DataFrame):
+            raise ValueError(
+                f"table_changes: {name!r} does not resolve to a table "
+                "(views and temp views have no change feed)"
+            )
+        args = {}
+        for i, which in ((3, "starting"), (4, "ending")):
+            tok = m.group(i)
+            if tok is None:
+                continue
+            lit = _sql_literal(_restore_sql_spans(tok, _spans).strip())
+            if isinstance(lit, int):
+                args[f"{which}_version"] = lit
+            elif isinstance(lit, str):
+                args[f"{which}_timestamp"] = lit
+            else:
+                raise ValueError(
+                    f"table_changes: {which} bound must be a version "
+                    f"number or a timestamp string, got {lit!r}"
+                )
+        df = read_table_changes_batch(spark, tt.path, **args)
+        vname = "__tc_{}_{}".format(
+            re.sub(r"\W", "_", name),
+            hashlib.md5(tt.path.encode()).hexdigest()[:6],
+        )
+        pending.append((vname, df, None, name, m.group(5) or name))
+        alias = m.group(5)
+        return f"{kw} {vname} {alias}" if alias else f"{kw} {vname}"
+
+    masked = re.sub(
+        r"(?is)\b(FROM|JOIN)\s+TABLE_CHANGES\s*\(\s*([^,()\s]+)\s*,"
+        r"\s*([^,()\s]+)\s*(?:,\s*([^,()\s]+)\s*)?\)"
+        rf"(?:\s+(?:AS\s+)?(?!(?:{_kw})\b)([A-Za-z_]\w*))?",
+        _tvf_sub,
+        masked,
+    )
     rewritten = re.sub(
         r"(?is)\b(FROM|JOIN)\s+(?:`([^`]+)`|([A-Za-z_]\w*))"
         # a TIMESTAMP AS OF literal is masked by now — match its token
@@ -1843,25 +1894,68 @@ def _routed_select(spark: SparkSession, s: str, resolve) -> DataFrame:
     for vname, t, pin, _name, _alias in pending:
         if isinstance(t, DataFrame):
             view = t  # a catalog view's re-resolved body
-        elif spec is not None:
-            view = t.snapshot_where(spark, spec, version=pin)
+        elif spec is not None and spec[0] == "predicates":
+            view = t.snapshot_where(spark, spec[1], version=pin)
+        elif spec is not None:  # ("any_of", [spec, ...]) — DNF skipping
+            view = t.snapshot_where(spark, any_of=spec[1], version=pin)
         else:
             view = t.snapshot(spark, version=pin)
         view.createOrReplaceTempView(vname)
     return spark.sql(_restore_sql_spans(rewritten, _spans))
 
 
+def _split_top_level(text: str, word: str) -> list[str]:
+    """Split ``text`` on every depth-0, outside-quotes occurrence of
+    keyword ``word`` (via ``_scan_top``)."""
+    parts: list[str] = []
+    rest = text
+    while True:
+        at = _scan_top(rest, word)
+        if at < 0:
+            parts.append(rest)
+            return parts
+        parts.append(rest[:at])
+        rest = rest[at + len(word):]
+
+
+def _strip_enclosing_parens(text: str) -> str:
+    """Remove parens that enclose the WHOLE expression (repeatedly):
+    ``((k = 5))`` → ``k = 5``; ``(k < 2) AND (k > 0)`` is untouched
+    (the first paren closes before the end)."""
+    t = text.strip()
+    while t.startswith("(") and t.endswith(")"):
+        depth = 0
+        enclosing = True
+        for i, c in enumerate(t):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and i < len(t) - 1:
+                    enclosing = False
+                    break
+        if not enclosing:
+            return t
+        t = t[1:-1].strip()
+    return t
+
+
 def _prunable_where_spec(
     masked: str, spans: list[str], name: str, alias: str, t, pin
-) -> list[tuple] | None:
-    """The predicate-spec tuples of ``masked``'s WHERE clause when the
-    statement is PROVABLY the one-table conjunctive shape file
-    skipping is sound for, else ``None``. Sound means the WHERE
-    applies directly to the resolved table's rows: no CTEs (an outer
-    WHERE may reference computed columns), no subqueries/derived
-    tables, no JOINs (outer-join semantics interact with pre-join
-    filtering), no set operations (two SELECTs share no WHERE), one
-    top-level WHERE, a spec-parseable conjunction
+) -> tuple[str, list] | None:
+    """The predicate-spec form of ``masked``'s WHERE clause when the
+    statement is PROVABLY the one-table shape file skipping is sound
+    for, else ``None``. Returns ``("predicates", spec)`` for a
+    conjunction or ``("any_of", [spec, ...])`` when the WHERE is a
+    top-level DISJUNCTION of spec-parseable conjunctions (``k < 10 OR
+    k > 5000`` — the multi-window read; each disjunct prunes
+    independently and a file survives when ANY might match, exactly
+    ``snapshot_where``'s DNF contract). Sound means the WHERE applies
+    directly to the resolved table's rows: no CTEs (an outer WHERE may
+    reference computed columns), no subqueries/derived tables, no
+    JOINs (outer-join semantics interact with pre-join filtering), no
+    set operations (two SELECTs share no WHERE), one top-level WHERE,
+    every disjunct a spec-parseable conjunction
     (``_parse_spec_predicate`` — the REPLACE WHERE grammar), and
     every spec column a committed column of the table (a bare name
     from some OTHER relation must not plan a broken residual)."""
@@ -1897,8 +1991,10 @@ def _prunable_where_spec(
             rf"\b{re.escape(q)}\.", "", where_sql, flags=re.IGNORECASE
         )
     where_sql = _restore_sql_spans(where_sql, spans).strip()
+    specs: list[list[tuple]] = []
     try:
-        spec = _parse_spec_predicate(where_sql)
+        for d in _split_top_level(where_sql, "OR"):
+            specs.append(_parse_spec_predicate(_strip_enclosing_parens(d)))
     except ValueError:
         return None
     try:
@@ -1911,9 +2007,11 @@ def _prunable_where_spec(
     if schema is None:
         return None
     cols = {f.name for f in schema.fields}
-    if any(item[0] not in cols for item in spec):
+    if any(item[0] not in cols for spec in specs for item in spec):
         return None
-    return spec
+    if len(specs) == 1:
+        return ("predicates", specs[0])
+    return ("any_of", specs)
 
 
 def _view_resolver(spark: SparkSession, tables_resolve, view_sql_fn):

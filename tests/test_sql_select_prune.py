@@ -82,11 +82,36 @@ def test_time_travel_select_prunes_pinned_version(spark, clustered):
     assert t.last_planning["kept"] < t.last_planning["candidates"]
 
 
+def test_top_level_or_prunes_via_any_of(spark, clustered):
+    """A disjunction of spec-parseable conjunctions plans DNF file
+    skipping: each disjunct prunes independently, a file survives when
+    ANY might match — the multi-window read from SQL."""
+    t = clustered
+    df = execute_dml(
+        spark, t,
+        "SELECT k FROM sales WHERE (k BETWEEN 10 AND 20) OR k >= 7990",
+    )
+    want = _rows(
+        t.snapshot(spark).filter("(k BETWEEN 10 AND 20) OR k >= 7990").select("k")
+    )
+    assert _rows(df) == want and len(want) == 21
+    plan = t.last_planning
+    assert plan is not None and plan["kept"] == 2 and plan["candidates"] == 8
+    # a disjunct richer than the spec grammar falls back whole
+    t.last_planning = None
+    df2 = execute_dml(
+        spark, t, "SELECT k FROM sales WHERE k = 1 OR k + 0 = 2"
+    )
+    assert _rows(df2) == [(1,), (2,)]
+    assert t.last_planning is None
+
+
 @pytest.mark.parametrize(
     "stmt",
     [
-        # OR is not a conjunctive spec
-        "SELECT k FROM sales WHERE k = 1 OR k = 2",
+        # OR with a parenthesized MIXED conjunct (inner OR inside an
+        # AND) is not a flat DNF of spec conjunctions
+        "SELECT k FROM sales WHERE k = 1 AND (v > 2 OR v < 0)",
         # CTE: the outer WHERE may reference computed columns
         "WITH a AS (SELECT k + 1 AS k FROM sales) SELECT k FROM a WHERE k = 5",
         # derived table

@@ -199,3 +199,36 @@ def test_merge_using_view_source(spark, cat):
             "MERGE INTO sales a USING hot VERSION AS OF 1 b ON a.k = b.k "
             "WHEN MATCHED THEN UPDATE SET a.v = b.v",
         )
+
+
+def test_table_changes_tvf(spark, cat, tmp_path):
+    """Delta's table_changes('t', start[, end]) TVF on the SQL
+    surface: the batch change feed over a closed version range,
+    through the same classify-per-version planner as the stream."""
+    execute_sql(spark, cat, "UPDATE sales SET v = 99.0 WHERE k = 2")
+    execute_sql_script(
+        spark, cat, "DELETE FROM sales WHERE k = 3;",
+    )
+    df = execute_sql(
+        spark, cat,
+        "SELECT k, _change, _commit_version FROM table_changes('sales', 2)",
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    # v2 rewrites k=2's file (carried rows surface as delete+insert of
+    # themselves — raw feed), v3 deletes k=3
+    assert (2, "delete", 2) in got and (2, "insert", 2) in got
+    assert (3, "delete", 3) in got
+    # bounded range + alias + WHERE over the feed
+    n = execute_sql(
+        spark, cat,
+        "SELECT count(*) AS n FROM table_changes('sales', 3, 3) c "
+        "WHERE c._change = 'delete'",
+    ).first().n
+    assert n == 1
+    # an unresolvable name refuses loudly
+    with pytest.raises(ValueError, match="does not resolve"):
+        execute_sql(spark, cat, "SELECT * FROM table_changes('nope', 1)")
+    # a VIEW has no change feed
+    execute_sql(spark, cat, "CREATE VIEW sv AS SELECT k FROM sales")
+    with pytest.raises(ValueError, match="does not resolve"):
+        execute_sql(spark, cat, "SELECT * FROM table_changes('sv', 1)")
