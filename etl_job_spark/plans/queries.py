@@ -621,6 +621,38 @@ def mart_window_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("kicc_mart_window_read", WINDOW_READ_SQL)(mart_window_read)
 
 
+WINDOW_OR_SQL = _with(kicc.SQL_KICC_SALES_DATA) + """
+SELECT sp_code, sale_date, total_amt, bill_qty FROM kicc_sales_data
+WHERE (sale_date BETWEEN '19930201' AND '19930214')
+   OR (sale_date BETWEEN '19980201' AND '19980214')
+"""
+
+
+def mart_or_window_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTI-WINDOW read ("this week OR the same week five years
+    ago") as one literal SQL SELECT (round 13): the routed SELECT's
+    WHERE is a top-level disjunction of spec conjunctions, so the view
+    plans through ``snapshot_where(any_of=…)`` — each disjunct prunes
+    the range-clustered file list independently and a file is scanned
+    when ANY window might touch it, never falling back to a full scan.
+    Same landed mart as ``kicc_mart_window_read``; the oracle is the
+    plain relational disjunction, so DNF pruning + the statement
+    surface are hash-checked together."""
+    from etl_job_spark.sql import execute_dml
+
+    t = _window_mart(spark, sf_dir)
+    name = os.path.basename(t.path.rstrip("/"))
+    return execute_dml(
+        spark, t,
+        f"SELECT sp_code, sale_date, total_amt, bill_qty FROM `{name}` "
+        "WHERE (sale_date BETWEEN '19930201' AND '19930214') "
+        "   OR (sale_date BETWEEN '19980201' AND '19980214')",
+    )
+
+
+query("kicc_mart_or_window_read", WINDOW_OR_SQL)(mart_or_window_read)
+
+
 def mart_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same daily window read consumed the way an ad-hoc SQL user
     consumes it: ``spark.read.format("manifest_table")`` (the batch
@@ -1191,6 +1223,28 @@ def mart_cdf_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 query("kicc_mart_cdf_updates", CDF_UPDATES_SQL)(mart_cdf_updates)
+
+
+def mart_cdf_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table_changes('t', 2, 3)`` as a literal SQL table-valued
+    function (round 13 — Delta's CDF TVF shape): the same closed
+    version range as ``kicc_mart_cdf_batch`` read through the ONE SQL
+    surface instead of the reader API, against the same relational
+    oracle — so the TVF rewrite, the name resolution, and the batch
+    feed planner are hash-checked together."""
+    from etl_job_spark.sql import execute_dml
+
+    t = _cdf_mart(spark, sf_dir)
+    name = os.path.basename(t.path.rstrip("/"))
+    return execute_dml(
+        spark, t,
+        f"SELECT o_orderkey, _change AS change, "
+        f"CAST(_commit_version - 1 AS INT) AS step "
+        f"FROM table_changes('{name}', 2, 3)",
+    )
+
+
+query("kicc_mart_cdf_tvf", CDF_BATCH_SQL)(mart_cdf_tvf)
 
 
 ADD_COLUMN_SQL = """
