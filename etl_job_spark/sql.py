@@ -1014,6 +1014,53 @@ def execute_dml(spark: SparkSession, table, sql: str, resolve=None) -> int:
         if m.group(1).upper() == "HISTORY":
             return t.history_df(spark)
         return t.detail_df(spark)
+    if upper.startswith("SHOW CREATE TABLE"):
+        # SHOW CREATE TABLE <t> — the ROUND-TRIPPABLE DDL (Delta's
+        # createtab_stmt shape): exactly what this engine's own
+        # CREATE TABLE (col defs) grammar parses back — columns with
+        # NOT NULL (from the auto-managed CHECK) and DEFAULT markers,
+        # PARTITIONED BY the CURRENT spec. State the DDL cannot
+        # express (named CHECK constraints, bloom_cols, user
+        # TBLPROPERTIES, spec history) is reported by SHOW
+        # TBLPROPERTIES, never silently folded into a statement that
+        # would not reproduce it.
+        m = re.match(r"(?is)^SHOW\s+CREATE\s+TABLE\s+(\S+)\s*$", s)
+        if m is None:
+            raise ValueError("supported form: SHOW CREATE TABLE <table>")
+        _check_target(m.group(1), t)
+        base = t.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version at {t.path}")
+        man = t._read_manifest(base)
+        schema = t._manifest_schema(man)
+        if schema is None:
+            raise ValueError("pre-evolution table: overwrite it first")
+        cons = man.get("constraints") or {}
+        defaults = man.get("defaults") or {}
+        import os as _os2
+
+        cols = []
+        for f in schema.fields:
+            d = f"{f.name} {f.dataType.simpleString()}"
+            if f"not_null_{f.name}" in cons:
+                d += " NOT NULL"
+            if f.name in defaults:
+                v = defaults[f.name]
+                lit = (
+                    "'" + str(v).replace("'", "''") + "'"
+                    if isinstance(v, str)
+                    else ("TRUE" if v is True else "FALSE" if v is False else str(v))
+                )
+                d += f" DEFAULT {lit}"
+            cols.append(d)
+        stmt_out = "CREATE TABLE `{}` ({})".format(
+            _os2.path.basename(t.path.rstrip("/")), ", ".join(cols)
+        )
+        if man.get("partition_by"):
+            stmt_out += " PARTITIONED BY ({})".format(
+                ", ".join(man["partition_by"])
+            )
+        return spark.createDataFrame([(stmt_out,)], "createtab_stmt string")
     if upper.startswith("SHOW"):
         # more DataFrame-returning introspection (Delta/Hive shapes):
         #   SHOW PARTITIONS <t>     -> one row per partition value
@@ -2066,6 +2113,29 @@ def execute_sql(spark: SparkSession, catalog, statement: str):
             spark, s,
             _view_resolver(spark, _catalog_resolver(catalog), catalog.view_sql),
         )
+    # EXPLAIN [EXTENDED|FORMATTED|CODEGEN|COST] <select> — the ".explain
+    # and iterate" loop on the one surface: the body routes through the
+    # same resolver (tables, views, time travel, file skipping all
+    # visible in the plan) and the physical plan comes back as rows
+    em = _re.match(
+        r"(?is)^EXPLAIN(?:\s+(EXTENDED|FORMATTED|CODEGEN|COST))?\s+"
+        r"((?:SELECT|WITH)\b.*)$",
+        s,
+    )
+    if em is not None:
+        import contextlib
+        import io
+
+        catalog.roll_forward()
+        df = _routed_select(
+            spark, em.group(2),
+            _view_resolver(spark, _catalog_resolver(catalog), catalog.view_sql),
+        )
+        mode = (em.group(1) or "formatted").lower()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode=mode)
+        return spark.createDataFrame([(buf.getvalue(),)], "plan string")
     # CREATE [OR REPLACE] [TEMP] VIEW <name> AS <select> — TEMP views
     # register the routed SELECT's DataFrame in THIS session;
     # persistent views store the statement text in the catalog and
@@ -2108,7 +2178,8 @@ def execute_sql(spark: SparkSession, catalog, statement: str):
     # r13 review finding — DESCRIBE HISTORY via a catalog returned {})
     im = _re.match(
         r"(?is)^(?:DESCRIBE\s+(?:HISTORY|DETAIL)|SHOW\s+PARTITIONS|"
-        r"SHOW\s+COLUMNS\s+IN|SHOW\s+TBLPROPERTIES)\s+(\S+)\s*$",
+        r"SHOW\s+COLUMNS\s+IN|SHOW\s+TBLPROPERTIES|SHOW\s+CREATE\s+TABLE)"
+        r"\s+(\S+)\s*$",
         s,
     )
     vm2 = _re.match(r"(?is)^VACUUM\s+(\S+).*\bDRY\s+RUN\s*$", s)

@@ -232,3 +232,35 @@ def test_table_changes_tvf(spark, cat, tmp_path):
     execute_sql(spark, cat, "CREATE VIEW sv AS SELECT k FROM sales")
     with pytest.raises(ValueError, match="does not resolve"):
         execute_sql(spark, cat, "SELECT * FROM table_changes('sv', 1)")
+
+
+def test_explain_statement_returns_plan_rows(spark, cat):
+    df = execute_sql(
+        spark, cat, "EXPLAIN SELECT grp, sum(v) AS t FROM sales GROUP BY grp"
+    )
+    plan = df.first().plan
+    assert "Physical Plan" in plan or "AdaptiveSparkPlan" in plan
+    df2 = execute_sql(spark, cat, "EXPLAIN EXTENDED SELECT k FROM sales")
+    assert "Analyzed Logical Plan" in df2.first().plan
+
+
+def test_show_create_table_round_trips(spark, cat, tmp_path):
+    """SHOW CREATE TABLE emits exactly the DDL this engine's own
+    CREATE TABLE (col defs) grammar parses back — markers included."""
+    execute_sql(
+        spark, cat,
+        "CREATE TABLE typed (k int NOT NULL, label string DEFAULT 'n/a', "
+        "v double) PARTITIONED BY (k)",
+    )
+    stmt = execute_sql(spark, cat, "SHOW CREATE TABLE typed").first().createtab_stmt
+    assert stmt == (
+        "CREATE TABLE `typed` (k int NOT NULL, label string DEFAULT 'n/a', "
+        "v double) PARTITIONED BY (k)"
+    )
+    # round trip: replay the emitted DDL into a fresh catalog
+    cat2 = TransactionalCatalog(str(tmp_path / "rt"))
+    execute_sql(spark, cat2, stmt)
+    man = cat2.table("typed")._read_manifest(1)
+    assert man["constraints"] == {"not_null_k": "k IS NOT NULL"}
+    assert man["defaults"] == {"label": "n/a"}
+    assert man["partition_by"] == ["k"]
