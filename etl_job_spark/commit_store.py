@@ -351,20 +351,34 @@ class S3CommitStore(CommitStore):
         return code, status
 
     def write_if_absent(self, rel: str, data: bytes) -> None:
-        try:
-            self.client.put_object(
-                Bucket=self.bucket,
-                Key=self._key(rel),
-                Body=bytes(data),
-                IfNoneMatch="*",
-            )
-        except Exception as exc:
-            code, status = self._code(exc)
-            if code in ("PreconditionFailed", "ConditionalRequestConflict") or (
-                status in (409, 412)
-            ):
-                raise StoreConflict(rel) from None
-            raise
+        # Status taxonomy (ADVICE r13 #4 — match CODES, not bare HTTP
+        # statuses, so unrelated 409s like OperationAborted surface):
+        # - PreconditionFailed (412): the key EXISTS — a real lost
+        #   race, the caller re-reads and rebases. StoreConflict.
+        # - ConditionalRequestConflict (409): the conditional write
+        #   RACED a concurrent conditional op on the same key and
+        #   NEITHER may have landed — the slot can still be free, so
+        #   retry the put before conceding (a spurious StoreConflict
+        #   costs the committer a re-read/rebase cycle and can abort
+        #   at the retry cap).
+        for attempt in range(3):
+            try:
+                self.client.put_object(
+                    Bucket=self.bucket,
+                    Key=self._key(rel),
+                    Body=bytes(data),
+                    IfNoneMatch="*",
+                )
+                return
+            except Exception as exc:
+                code, status = self._code(exc)
+                if code == "PreconditionFailed" or (not code and status == 412):
+                    raise StoreConflict(rel) from None
+                if code == "ConditionalRequestConflict" and attempt < 2:
+                    continue  # indeterminate race — reissue the put
+                if code == "ConditionalRequestConflict":
+                    raise StoreConflict(rel) from None
+                raise
 
     def write(self, rel: str, data: bytes) -> None:
         self.client.put_object(

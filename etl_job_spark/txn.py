@@ -349,6 +349,11 @@ class TransactionalCatalog:
         return json.loads(raw)["sql"]
 
     def drop_view(self, name: str, if_exists: bool = False) -> None:
+        # same validation as create_view/view_sql (ADVICE r13 #3: a
+        # name like '../tbl/m/v1' must never reach store.delete and
+        # escape the views namespace through the Python API)
+        if "/" in name or name.startswith("_"):
+            raise ValueError(f"invalid view name {name!r}")
         rel = os.path.join(self._VIEWS_DIR, f"{name}.json")
         if not self.store.exists(rel):
             if if_exists:

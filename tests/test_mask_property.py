@@ -23,6 +23,11 @@ fragment = st.sampled_from(
         "`weird name`", "-- FROM sales", "/* JOIN x */", "/*", "*/",
         "--", "\n", " ", "`", "'", '"', "abc", "123", ",", "(", ")",
         "VERSION AS OF 3 ", "TIMESTAMP AS OF '2024-01-01' ",
+        # backslash escapes — Spark's default lexer honors \' inside a
+        # literal (VERDICT r13 Wrong #1): raw fragments that stress the
+        # escape branch, including span-crossing shapes
+        "'a\\'b'", "\\", "\\'", "'x\\'' FROM mart '", "'\\\\'",
+        "'tail\\", '"d\\"q"',
     ]
 )
 statement = st.lists(fragment, min_size=0, max_size=25).map("".join)

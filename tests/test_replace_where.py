@@ -195,8 +195,13 @@ def test_show_statements(spark, tmp_path):
     assert props["partition_by"] == ["p"]
     assert props["bloom_cols"] == ["k"]
     assert props["constraints"] == {"v_pos": "v > 0"}
-    with pytest.raises(ValueError, match="supported forms"):
-        execute_dml(spark, t, "SHOW CREATE TABLE t")
+    # SHOW CREATE TABLE landed at the end of round 13 (the old refusal
+    # pin went stale — VERDICT r13 Wrong #2): assert the DDL round-trips
+    # the table's shape instead
+    ddl = execute_dml(spark, t, "SHOW CREATE TABLE t").collect()[0][0]
+    assert "CREATE TABLE" in ddl
+    for frag in ("p string", "k int", "v int", "PARTITIONED BY (p)"):
+        assert frag in ddl, (frag, ddl)
 
 
 def test_spec_form_replace_plans_from_metadata(spark, tmp_path):

@@ -137,15 +137,36 @@ def test_fault_taxonomy(tmp_path, make):
 # -- S3-specific protocol pins -----------------------------------------
 
 
-def test_s3_conditional_request_conflict_maps_to_store_conflict():
+def test_s3_conditional_request_conflict_retries_then_wins():
+    # a 409 ConditionalRequestConflict means the conditional write
+    # RACED and neither writer may have landed — the slot can still be
+    # free, so the store reissues the put instead of conceding a
+    # spurious StoreConflict (ADVICE r13 #4)
     client = StubS3Client()
     s = S3CommitStore("b", client=client)
-    # a concurrent conditional write on the same key: S3 returns 409
-    # ConditionalRequestConflict — the caller re-reads and retries
     client.fail_next.append(("ConditionalRequestConflict", 409))
+    s.write_if_absent("m/v1.json", b"x")  # retry lands the write
+    assert s.read("m/v1.json") == b"x"
+
+
+def test_s3_persistent_conditional_conflict_maps_to_store_conflict():
+    client = StubS3Client()
+    s = S3CommitStore("b", client=client)
+    client.fail_next.extend([("ConditionalRequestConflict", 409)] * 3)
     with pytest.raises(StoreConflict):
         s.write_if_absent("m/v1.json", b"x")
-    s.write_if_absent("m/v1.json", b"x")  # slot was free: retry wins
+    s.write_if_absent("m/v1.json", b"x")  # slot was free: next txn wins
+
+
+def test_s3_unrelated_409_propagates():
+    # OperationAborted is ALSO a 409 but not a conditional-write race —
+    # matching on bare statuses would mislabel it a lost commit race
+    client = StubS3Client()
+    s = S3CommitStore("b", client=client)
+    client.fail_next.append(("OperationAborted", 409))
+    with pytest.raises(Exception) as ei:
+        s.write_if_absent("m/v1.json", b"x")
+    assert not isinstance(ei.value, StoreConflict)
 
 
 def test_s3_unrelated_errors_propagate():
