@@ -438,3 +438,86 @@ def test_classify_updates_suppress_false_keeps_self_pairs(spark, tmp_path):
     assert sorted(
         tuple(r) for r in cooked.select("k", "v", "_change").collect()
     ) == [(1, 10.0, "update_preimage"), (1, 11.0, "update_postimage")]
+
+
+def test_classify_updates_pairs_exactly_on_duplicate_keys(spark, tmp_path):
+    """VERDICT r13 Wrong #3 (the sf1.0 4,050-post/4,046-pre
+    asymmetry): when a commit deletes n rows of a key and inserts m
+    with n != m, the old both-kinds window typed ALL of them update_*.
+    Pairing is now multiplicity-exact — min(n, m) of each become the
+    update pair and the excess keeps its original type — so
+    count(update_preimage) == count(update_postimage) holds per
+    (commit, key) unconditionally, Delta's 1:1 CDC contract."""
+    from etl_job_spark.streaming.cdf import (
+        classify_updates,
+        read_table_changes_batch,
+    )
+
+    t = ManifestTable(str(tmp_path / "t"))
+    # duplicate merge keys spanning multiple files (the replica shape)
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 10.0), (1, 15.0), (2, 20.0)], "k int, v double"
+        ).repartition(2)
+    )
+    # ONE commit that, for k=1, deletes 2 rows and inserts 3 (an
+    # update of both rows plus a same-key append landing together):
+    # replace_where touches only k=1's rows
+    t.overwrite_where(
+        spark,
+        spark.createDataFrame(
+            [(1, 11.0), (1, 16.0), (1, 99.0)], "k int, v double"
+        ),
+        [("k", "=", 1)],
+    )
+    feed = read_table_changes_batch(spark, t.path, starting_version=2)
+    out = classify_updates(feed, keys=["k"])
+    rows = sorted(
+        (r.k, r.v, r._change) for r in out.collect()
+    )
+    pre = [r for r in rows if r[2] == "update_preimage"]
+    post = [r for r in rows if r[2] == "update_postimage"]
+    ins = [r for r in rows if r[2] == "insert"]
+    # 2 deletes pair with 2 of the 3 inserts; the third stays insert
+    assert len(pre) == 2 and len(post) == 2 and len(ins) == 1
+    assert [v for _, v, _ in pre] == [10.0, 15.0]
+    # deterministic pairing: the postimages are the 2 SMALLEST new
+    # values (rank over the data columns), the largest stays insert
+    assert [v for _, v, _ in post] == [11.0, 16.0]
+    assert ins == [(1, 99.0, "insert")]
+
+
+def test_classify_updates_invariant_over_many_commits(spark, tmp_path):
+    """The per-commit pre/post invariant on a multi-file duplicate-key
+    table across merge, replace, and delete commits."""
+    from etl_job_spark.streaming.cdf import (
+        classify_updates,
+        read_table_changes_batch,
+    )
+
+    t = ManifestTable(str(tmp_path / "t"))
+    rows = [(k, float(k * 10 + i)) for k in range(1, 21) for i in range(k % 3 + 1)]
+    t.overwrite(spark.createDataFrame(rows, "k int, v double").repartition(4))
+    t.overwrite_where(
+        spark,
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(1, 11) for _ in range(2)],
+            "k int, v double",
+        ),
+        [("k", "between", (1, 10))],
+    )
+    t.delete_where(spark, "k >= 18", mode="merge_on_read")
+    t.append(spark.createDataFrame([(1, 1.5), (2, 2.5)], "k int, v double"))
+    feed = read_table_changes_batch(spark, t.path, starting_version=2)
+    counts = {
+        (r._commit_version, r._change): r.n
+        for r in classify_updates(feed, keys=["k"])
+        .groupBy("_commit_version", "_change")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for v in {ver for ver, _ in counts}:
+        assert counts.get((v, "update_preimage"), 0) == counts.get(
+            (v, "update_postimage"), 0
+        ), counts
