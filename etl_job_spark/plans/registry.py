@@ -93,7 +93,15 @@ _DRIVER_WINDOW = [
     # brute-force cosine family keeps embed_cosine_topk (its recall
     # oracle) in-window and the near-dup threshold variant moves to
     # the tail with its exact oracle intact
-    "kicc_mart_cdf_batch",
+    # round-14 swap: the batch CDF read now carries Delta CDF's third
+    # change column (_commit_timestamp, emitted from each version
+    # manifest's committed_at through the executor Arrow read) —
+    # kicc_mart_cdf_timestamped is the SUPERSET twin of
+    # kicc_mart_cdf_batch (same fixture, same feed read, same
+    # change/step columns, plus the ts_ok invariant the oracle
+    # hash-checks); cdf_batch moves to the tail with its exact oracle
+    # intact
+    "kicc_mart_cdf_timestamped",
     # round-7 swap: cross-run incremental dedup (the persisted
     # signature store probed through bucket-pruned snapshot_where —
     # the table-format × dedup integration) and DSIR importance
@@ -177,6 +185,10 @@ _TAIL = [
     # family's window slot is held by kicc_mart_sql_dml and the
     # versioned-read shape by kicc_mart_versioned
     "kicc_mart_select_read",
+    # round-14 swap-out (see the window comment at
+    # kicc_mart_cdf_timestamped): the timestamp-less batch CDF read
+    # keeps its exact oracle here
+    "kicc_mart_cdf_batch",
     # round-11 swap-outs (see the window comments at
     # kicc_mart_cdf_batch / kicc_mart_add_column): the cosine near-dup
     # variant and the lag-shape window read keep their exact oracles
