@@ -5091,6 +5091,132 @@ class ManifestTable:
 
         return self._with_commit_retries(attempt)
 
+    def _merge_prune(
+        self,
+        spark: SparkSession,
+        man: dict,
+        schema,
+        source: DataFrame,
+        keys: Sequence[str],
+        nmbs_active: bool,
+    ) -> tuple[list[dict], list[dict], list[dict]]:
+        """MERGE's file-prune planning — three tiers over the
+        manifest's entries, shared verbatim by the merge write path
+        and ``EXPLAIN MERGE`` (r14: the explain reports the SAME split
+        the verb would run). Returns ``(touched, untouched, tiers)``
+        where ``tiers`` records each tier's candidates→kept split.
+
+        1. PARTITION: the source's distinct partition values (raw or
+           transform-derived — hidden partitioning) prove whole
+           partitions untouched. Manifests store decoded logical
+           values (None for NULL); the source's render the same way so
+           NULL and escaped characters compare correctly. A
+           LEGACY-layout entry (written before an alter_partition_spec
+           — its partition dict lacks some current dirname) can never
+           be PROVEN untouched by a partition-value test: it stays a
+           candidate and falls through to the per-file tiers; a
+           rewrite migrates it to the current layout as a side effect.
+        2. KEY-RANGE: the source's per-key min/max (one scalar
+           aggregate) becomes a BETWEEN spec judged by the same
+           per-entry matcher every read plans with — footer stats AND
+           raw partition constants AND spec-history transform dirs.
+           Files with no usable facts are never pruned (unknown =
+           possibly touched).
+        3. BLOOM: when the source's distinct values on an indexed key
+           fit the probe budget (the GDPR/correction shape), files
+           whose bloom excludes every value are carried by reference —
+           the prune that works where ranges can't (hash-scattered
+           keys make every file's min/max span the domain).
+
+        WHEN NOT MATCHED BY SOURCE (``nmbs_active``) makes every file
+        a rewrite candidate (any file may hold an unmatched row):
+        carrying one by reference could silently keep rows the clause
+        must delete — all pruning is disabled (merge docstring)."""
+        partition_by = man["partition_by"]
+        untouched: list[dict] = []
+        touched: list[dict] = man["files"]
+        tiers: list[dict] = []
+        # rename support: keys/source speak LOGICAL names; entry
+        # stats, partition dirs, blooms, and data files PHYSICAL
+        cmap = man.get("column_map") or {}
+        src_phys = _renamed(source, cmap)
+        part_fields = _partition_fields(partition_by)
+        if (
+            partition_by
+            and not nmbs_active
+            and all(f.source in src_phys.columns for f in part_fields)
+        ):
+            dirnames = [f.dirname for f in part_fields]
+            touched_parts = {
+                tuple(None if r[d] is None else str(r[d]) for d in dirnames)
+                for r in src_phys.select(
+                    *[f.column(src_phys).alias(f.dirname) for f in part_fields]
+                ).distinct().collect()
+            }
+            touched, untouched = self._split_candidates(
+                spark,
+                man["files"],
+                lambda e: any(d not in e["partition"] for d in dirnames)
+                or tuple(e["partition"].get(d) for d in dirnames)
+                in touched_parts,
+                "merge-partition",
+            )
+            tiers.append(dict(self.last_planning or {}))
+
+        phys_keys = [cmap.get(k, k) for k in keys]
+        if touched and phys_keys and not nmbs_active:
+            bounds = _source_key_bounds(src_phys, phys_keys)
+            if bounds:
+                spec = _normalize_predicates(
+                    [(k, "between", b) for k, b in bounds.items()]
+                )
+                part_types = {
+                    cmap.get(f.name, f.name): f.dataType.simpleString()
+                    for f in schema.fields
+                }
+                utc = _session_utc(spark)
+                tmap = _prune_tmap(
+                    partition_by, man.get("partition_specs"), utc
+                )
+                touched, cold = self._split_candidates(
+                    spark,
+                    touched,
+                    lambda e: _entry_matches_stats(
+                        e, spec, part_types, tmap, utc
+                    ),
+                    "merge-range",
+                )
+                tiers.append(dict(self.last_planning or {}))
+                untouched.extend(cold)
+
+        bloom_keys = [
+            k for k in keys if cmap.get(k, k) in (man.get("bloom_cols") or [])
+        ]
+        if touched and bloom_keys and not nmbs_active:
+            probe: dict[str, list] = {}
+            for k in bloom_keys:
+                vals = [
+                    r[0]
+                    for r in source.select(k)
+                    .distinct()
+                    .limit(_BLOOM_PROBE_MAX + 1)
+                    .collect()
+                ]
+                if len(vals) <= _BLOOM_PROBE_MAX:
+                    probe[k] = vals
+            if probe:
+                types = {
+                    f.name: f.dataType.simpleString() for f in schema.fields
+                }
+                utc = _session_utc(spark)
+                touched, cold = self._split_by_values(
+                    spark, touched, probe, types, utc, "merge-bloom",
+                    column_map=man.get("column_map"),
+                )
+                tiers.append(dict(self.last_planning or {}))
+                untouched.extend(cold)
+        return touched, untouched, tiers
+
     def merge(
         self,
         spark: SparkSession,
@@ -5433,120 +5559,11 @@ class ManifestTable:
                     man.get("constraints"),
                 )
 
-            untouched: list[dict] = []
-            touched: list[dict] = man["files"]
-            # rename support: keys/source speak LOGICAL names; entry
-            # stats, partition dirs, blooms, and data files PHYSICAL
+            touched, untouched, _tiers = self._merge_prune(
+                spark, man, schema, source, keys, nmbs_active
+            )
             cmap = man.get("column_map") or {}
-            src_phys = _renamed(source, cmap)
             part_fields = _partition_fields(partition_by)
-            # WHEN NOT MATCHED BY SOURCE makes every file a rewrite
-            # candidate (any file may hold an unmatched row): carrying
-            # one by reference could silently keep rows the clause
-            # must delete — all pruning is disabled (see docstring)
-            if (
-                partition_by
-                and not nmbs_active
-                and all(f.source in src_phys.columns for f in part_fields)
-            ):
-                # manifests store decoded logical values (None for NULL);
-                # render the source's the same way so NULL and escaped
-                # characters compare correctly. Transform partitions
-                # derive the SAME expression the write side uses, so a
-                # days(ts) table gets its touched-day list from raw ts
-                # source columns — hidden partitioning's whole point.
-                dirnames = [f.dirname for f in part_fields]
-                touched_parts = {
-                    tuple(None if r[d] is None else str(r[d]) for d in dirnames)
-                    for r in src_phys.select(
-                        *[f.column(src_phys).alias(f.dirname) for f in part_fields]
-                    ).distinct().collect()
-                }
-                # a LEGACY-layout entry (written before an
-                # alter_partition_spec — its partition dict lacks some
-                # current dirname) can never be PROVEN untouched by a
-                # partition-value test: it stays a touched candidate
-                # and falls through to the key-range/bloom prunes,
-                # which reason from per-file facts. A rewrite migrates
-                # it to the current layout as a side effect.
-                touched, untouched = self._split_candidates(
-                    spark,
-                    man["files"],
-                    lambda e: any(d not in e["partition"] for d in dirnames)
-                    or tuple(e["partition"].get(d) for d in dirnames)
-                    in touched_parts,
-                    "merge-partition",
-                )
-
-            # key-range data skipping over the partition-prune
-            # survivors: the source's per-key min/max (one scalar
-            # aggregate) becomes a BETWEEN spec judged by the same
-            # per-entry matcher every read plans with — so the prune
-            # reasons from footer stats AND raw partition constants
-            # AND spec-history transform dirs. The latter two are what
-            # keep legacy layouts pruning after a partition-spec
-            # evolution: a file raw-partitioned on the key has NO
-            # footer stats for it (partitionBy removes the column from
-            # the file), and stats-only reasoning carried every such
-            # file into the rewrite. Files with no usable facts are
-            # never pruned (unknown = possibly touched).
-            phys_keys = [cmap.get(k, k) for k in keys]
-            if touched and phys_keys and not nmbs_active:
-                bounds = _source_key_bounds(src_phys, phys_keys)
-                if bounds:
-                    spec = _normalize_predicates(
-                        [(k, "between", b) for k, b in bounds.items()]
-                    )
-                    part_types = {
-                        cmap.get(f.name, f.name): f.dataType.simpleString()
-                        for f in schema.fields
-                    }
-                    utc = _session_utc(spark)
-                    tmap = _prune_tmap(
-                        partition_by, man.get("partition_specs"), utc
-                    )
-                    touched, cold = self._split_candidates(
-                        spark,
-                        touched,
-                        lambda e: _entry_matches_stats(
-                            e, spec, part_types, tmap, utc
-                        ),
-                        "merge-range",
-                    )
-                    untouched.extend(cold)
-
-            # bloom probing over the range-prune survivors: when the
-            # source's distinct values on an indexed key fit the probe
-            # budget (the GDPR/correction shape — a handful of keys
-            # against a big table), files whose bloom excludes every
-            # value are carried by reference. This is the prune that
-            # works where ranges can't: hash-scattered keys make every
-            # file's min/max span the domain.
-            bloom_keys = [
-                k for k in keys if cmap.get(k, k) in (man.get("bloom_cols") or [])
-            ]
-            if touched and bloom_keys and not nmbs_active:
-                probe: dict[str, list] = {}
-                for k in bloom_keys:
-                    vals = [
-                        r[0]
-                        for r in source.select(k)
-                        .distinct()
-                        .limit(_BLOOM_PROBE_MAX + 1)
-                        .collect()
-                    ]
-                    if len(vals) <= _BLOOM_PROBE_MAX:
-                        probe[k] = vals
-                if probe:
-                    types = {
-                        f.name: f.dataType.simpleString() for f in schema.fields
-                    }
-                    utc = _session_utc(spark)
-                    touched, cold = self._split_by_values(
-                        spark, touched, probe, types, utc, "merge-bloom",
-                        column_map=man.get("column_map"),
-                    )
-                    untouched.extend(cold)
 
             if touched:
                 # align the touched rows to the evolved schema first, so a
