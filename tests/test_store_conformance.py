@@ -1,10 +1,12 @@
 """The CommitStore conformance battery over every shipped impl —
-LocalFS, InMemory, and S3 against a stubbed client replaying S3's
-documented status codes (the container has no boto3 and no network;
-the integration half of the S3 contract needs a real bucket and runs
-where one exists). Plus S3-specific protocol pins: 412/409 → conflict,
-NoSuchKey → FileNotFoundError, delimiter listing with pagination, s3a
-URIs, and a catalog running end-to-end over the stubbed store."""
+LocalFS, InMemory, S3, and GCS, the object stores against stubbed
+clients replaying their documented status codes (the container has no
+boto3 / google-cloud-storage and no network; the integration half of
+each contract needs a real bucket and runs where one exists). Plus
+protocol pins: S3 412/409 and GCS 412/429 → conflict semantics,
+NoSuchKey/404 → FileNotFoundError, delimiter listing with pagination,
+s3a/gs URIs, and a catalog running end-to-end over the stubbed
+stores."""
 
 from __future__ import annotations
 
@@ -16,6 +18,7 @@ import time
 import pytest
 
 from etl_job_spark.commit_store import (
+    GCSCommitStore,
     InMemoryCommitStore,
     LocalFSCommitStore,
     S3CommitStore,
@@ -110,6 +113,101 @@ class StubS3Client:
             return resp
 
 
+class _GCSError(Exception):
+    """google.api_core exception look-alike: carries the integer
+    ``code`` GCSCommitStore duck-types against."""
+
+    def __init__(self, code: int, msg: str = ""):
+        super().__init__(msg or str(code))
+        self.code = code
+
+
+class _StubGCSBlob:
+    def __init__(self, client, name):
+        self._c = client
+        self.name = name
+        self.updated = None
+
+    def upload_from_string(self, data, if_generation_match=None):
+        with self._c.lock:
+            if self._c.fail_next:
+                raise _GCSError(self._c.fail_next.pop(0))
+            if if_generation_match == 0 and self.name in self._c.objects:
+                raise _GCSError(412, "conditionNotMet")
+            self._c.objects[self.name] = (
+                data if isinstance(data, bytes) else data.encode(),
+                time.time(),
+            )
+
+    def download_as_bytes(self):
+        with self._c.lock:
+            if self.name not in self._c.objects:
+                raise _GCSError(404, "notFound")
+            return self._c.objects[self.name][0]
+
+    def exists(self):
+        with self._c.lock:
+            return self.name in self._c.objects
+
+    def delete(self):
+        with self._c.lock:
+            if self.name not in self._c.objects:
+                raise _GCSError(404, "notFound")
+            del self._c.objects[self.name]
+
+    def reload(self):
+        with self._c.lock:
+            if self.name not in self._c.objects:
+                raise _GCSError(404, "notFound")
+            self.updated = self._c.objects[self.name][1]
+
+
+class _StubGCSBucket:
+    def __init__(self, client):
+        self._c = client
+
+    def blob(self, name):
+        return _StubGCSBlob(self._c, name)
+
+
+class _StubGCSListing(list):
+    """list_blobs result: iterable of blobs with a ``prefixes`` set
+    (the real HTTPIterator populates it during consumption)."""
+
+    def __init__(self, blobs, prefixes):
+        super().__init__(blobs)
+        self.prefixes = prefixes
+
+
+class StubGCSClient:
+    """In-memory google-cloud-storage-shaped client replaying the
+    documented semantics the store relies on: if_generation_match=0 →
+    412 conditionNotMet on an existing object, injectable 429 rate
+    limits, 404s on read/delete/reload, and list_blobs with delimiter
+    grouping into ``prefixes``."""
+
+    def __init__(self):
+        self.objects: dict[str, tuple[bytes, float]] = {}
+        self.lock = threading.RLock()
+        self.fail_next: list[int] = []
+
+    def bucket(self, name):
+        return _StubGCSBucket(self)
+
+    def list_blobs(self, bucket_or_name, prefix="", delimiter=None):
+        with self.lock:
+            blobs, prefixes = [], set()
+            for key in sorted(self.objects):
+                if not key.startswith(prefix):
+                    continue
+                rest = key[len(prefix):]
+                if delimiter and delimiter in rest:
+                    prefixes.add(prefix + rest.split(delimiter, 1)[0] + delimiter)
+                else:
+                    blobs.append(_StubGCSBlob(self, key))
+            return _StubGCSListing(blobs, prefixes)
+
+
 def _localfs(tmp_path):
     return lambda: LocalFSCommitStore(str(tmp_path / f"s{next(_fresh)}"))
 
@@ -124,12 +222,22 @@ def _stubbed_s3(tmp_path):
     )
 
 
-@pytest.mark.parametrize("make", [_localfs, _inmemory, _stubbed_s3])
+def _stubbed_gcs(tmp_path):
+    return lambda: GCSCommitStore(
+        "test-bucket", f"root{next(_fresh)}", client=StubGCSClient()
+    )
+
+
+@pytest.mark.parametrize(
+    "make", [_localfs, _inmemory, _stubbed_s3, _stubbed_gcs]
+)
 def test_conformance_battery(tmp_path, make):
     run_conformance(make(tmp_path))
 
 
-@pytest.mark.parametrize("make", [_localfs, _inmemory, _stubbed_s3])
+@pytest.mark.parametrize(
+    "make", [_localfs, _inmemory, _stubbed_s3, _stubbed_gcs]
+)
 def test_fault_taxonomy(tmp_path, make):
     run_fault_taxonomy(make(tmp_path))
 
@@ -225,3 +333,76 @@ def test_catalog_runs_end_to_end_over_stubbed_s3(spark, tmp_path):
         tuple(r) for r in execute_sql(spark, cat, "SHOW TABLES").collect()
     )
     assert ("m", 2) in show and ("t", 1) in show
+
+
+# -- GCS-specific protocol pins ------------------------------------------
+
+
+def test_gcs_412_maps_to_store_conflict():
+    client = StubGCSClient()
+    s = GCSCommitStore("b", client=client)
+    s.write_if_absent("m/v1.json", b"x")
+    with pytest.raises(StoreConflict):
+        s.write_if_absent("m/v1.json", b"y")
+    assert s.read("m/v1.json") == b"x"  # first writer's bytes intact
+
+
+def test_gcs_429_contention_retries_then_wins():
+    # GCS surfaces same-object conditional-write contention as a 429
+    # mutation-rate limit — the slot may still be free, so the store
+    # reissues the upload instead of conceding a spurious conflict
+    client = StubGCSClient()
+    s = GCSCommitStore("b", client=client)
+    client.fail_next.append(429)
+    s.write_if_absent("m/v1.json", b"x")
+    assert s.read("m/v1.json") == b"x"
+    client.fail_next.extend([429, 429, 429])
+    with pytest.raises(StoreConflict):
+        s.write_if_absent("m/v2.json", b"x")
+    s.write_if_absent("m/v2.json", b"x")  # slot was free: next txn wins
+
+
+def test_gcs_unrelated_errors_propagate():
+    client = StubGCSClient()
+    s = GCSCommitStore("b", client=client)
+    client.fail_next.append(503)
+    with pytest.raises(Exception) as ei:
+        s.write_if_absent("m/v1.json", b"x")
+    assert not isinstance(ei.value, StoreConflict)
+
+
+def test_gcs_uri_and_scoping():
+    s = GCSCommitStore("bkt", "cat", client=StubGCSClient())
+    t = s.scoped("mart")
+    assert t.uri("_manifests/v1.json") == "gs://bkt/cat/mart/_manifests/v1.json"
+    t.write("_manifests/v1.json", b"{}")
+    assert s.read("mart/_manifests/v1.json") == b"{}"
+    assert s.list_dir("mart") == ["_manifests"]
+    assert s.list_dir("mart/_manifests") == ["v1.json"]
+
+
+def test_gcs_delete_is_idempotent_and_read_404s():
+    s = GCSCommitStore("b", client=StubGCSClient())
+    s.delete("never/there.json")  # racing vacuums: not an error
+    with pytest.raises(FileNotFoundError):
+        s.read("never/there.json")
+    with pytest.raises(FileNotFoundError):
+        s.mtime("never/there.json")
+
+
+def test_catalog_end_to_end_over_stubbed_gcs(spark, tmp_path):
+    """A TransactionalCatalog running its whole commit protocol over
+    the stubbed GCS store: the control plane is store-agnostic."""
+    from etl_job_spark.sql import execute_sql
+    from etl_job_spark.txn import TransactionalCatalog
+
+    store = GCSCommitStore("bkt", "cats/c1", client=StubGCSClient())
+    cat = TransactionalCatalog(str(tmp_path / "c1"), store=store)
+    t = cat.table("mart")
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    execute_sql(spark, cat, "UPDATE mart SET v = 'z' WHERE k = 1")
+    got = {
+        r.k: r.v
+        for r in execute_sql(spark, cat, "SELECT k, v FROM mart").collect()
+    }
+    assert got == {1: "z", 2: "b"}
