@@ -47,11 +47,12 @@ def _scan_top(sql: str, word: str) -> int:
     """Index of the first occurrence of keyword ``word`` at paren
     depth 0, outside single/double-quoted literals; -1 if absent.
 
-    LIMITS (fine for the constrained DML grammar, revisit if it
-    grows): backtick-quoted identifiers are NOT recognized — a
-    backticked name containing a keyword (`` `my where col` ``) would
-    confuse the split; SQL comments (``--``, ``/* */``) are not
-    stripped — don't embed keywords in comments inside statements.
+    Backtick-quoted identifiers and SQL comments are SKIPPED (r14 —
+    previously documented limits; a quote inside a comment
+    (``-- don't``) or a backticked name (`` `it's` ``) must not
+    poison the quote state, and a keyword inside either never
+    matches), converging every scanner on the masker's span
+    semantics (property-tested against it in test_mask_property.py).
 
     Escape semantics match Spark's DEFAULT lexer
     (``spark.sql.parser.escapedStringLiterals=false``): inside a
@@ -68,14 +69,22 @@ def _scan_top(sql: str, word: str) -> int:
     while i < len(sql):
         c = sql[i]
         if quote is not None:
-            if c == "\\":  # backslash escape — next char is literal
+            if quote != "`" and c == "\\":  # escape — next char literal
                 i += 2
                 continue
             if c == quote:
                 quote = None
             i += 1
             continue
-        if c in ("'", '"'):
+        if c == "-" and sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = j + 1 if j >= 0 else len(sql)
+            continue
+        if c == "/" and sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            i = j + 2 if j >= 0 else len(sql)
+            continue
+        if c in ("'", '"', "`"):
             quote = c
         elif c == "(":
             depth += 1
@@ -3001,24 +3010,66 @@ def execute_sql_script(
 
 
 def _split_script(script: str) -> list[str]:
-    """Split on semicolons outside single/double-quoted literals
-    (``\\``-escape aware, matching the default lexer)."""
+    """Split on semicolons outside single/double-quoted literals,
+    backticked identifiers, and SQL comments (``\\``-escape aware,
+    matching the default lexer; backticks have no escapes — a doubled
+    backtick reads as close-then-reopen, which splits identically; a
+    ``;`` inside ``-- …`` or ``/* … */`` never splits, r14). Each
+    part's LEADING comments are stripped so a script may carry header
+    comments before its first verb; comments elsewhere inside DML
+    statements remain the scanners' documented limitation."""
+    import re
+
     parts: list[str] = []
-    quote: str | None = None
+    quote: str | None = None  # "'", '"', '`', '--', or '/*'
     esc = False
     start = 0
-    for i, c in enumerate(script):
+    i = 0
+    n = len(script)
+    while i < n:
+        c = script[i]
         if quote is not None:
-            if esc:
+            if quote == "`":
+                if c == "`":
+                    quote = None
+            elif quote == "--":
+                if c == "\n":
+                    quote = None
+            elif quote == "/*":
+                if script.startswith("*/", i):
+                    quote = None
+                    i += 2
+                    continue
+            elif esc:
                 esc = False
             elif c == "\\":
                 esc = True
             elif c == quote:
                 quote = None
+        elif c == "`":
+            quote = c
         elif c in ("'", '"'):
             quote = c
+        elif script.startswith("--", i):
+            quote = "--"
+            i += 2
+            continue
+        elif script.startswith("/*", i):
+            quote = "/*"
+            i += 2
+            continue
         elif c == ";":
             parts.append(script[start:i])
             start = i + 1
+        i += 1
     parts.append(script[start:])
-    return [p.strip() for p in parts if p.strip()]
+
+    def _strip_leading_comments(p: str) -> str:
+        prev = None
+        while prev != p:
+            prev = p
+            p = re.sub(r"(?s)^\s*--[^\n]*(\n|$)", "", p)
+            p = re.sub(r"(?s)^\s*/\*.*?\*/", "", p)
+        return p.strip()
+
+    return [q for q in (_strip_leading_comments(p) for p in parts) if q]

@@ -28,6 +28,8 @@ fragment = st.sampled_from(
         # escape branch, including span-crossing shapes
         "'a\\'b'", "\\", "\\'", "'x\\'' FROM mart '", "'\\\\'",
         "'tail\\", '"d\\"q"',
+        # script-splitter food: semicolons in every span kind
+        ";", "'a;b'", "`w;x`", "-- c;d", ";;",
     ]
 )
 statement = st.lists(fragment, min_size=0, max_size=25).map("".join)
@@ -66,3 +68,75 @@ def test_placeholders_are_well_formed_and_ordered(s):
     assert [int(t) for t in toks] == list(range(len(spans)))
     # restoration consumes every token: nothing dangles
     assert "\x00" not in _restore_sql_spans(masked, spans)
+
+
+# -- round 14: the OTHER quote-aware scanners property-tested against
+# the masker oracle (VERDICT r13 nit: _scan_top / _split_script /
+# statement_table predate the backslash fix and share its alphabet)
+
+from etl_job_spark.sql import _scan_top, _split_script, statement_table
+
+
+def _outside_span_positions(s: str) -> set[int]:
+    """Original-string indices NOT inside ANY masked span (string
+    literal, comment, backticked-identifier content), derived from the
+    masker — whose span boundaries are themselves property-tested
+    byte-exact above. Since r14 every scanner skips all three span
+    kinds, so a keyword hit must land strictly in plain text."""
+    masked, spans = _mask_sql_spans(s)
+    outside: set[int] = set()
+    i = 0  # original index
+    j = 0  # masked index
+    while j < len(masked):
+        m = re.match("\x00L(\\d+)\x00", masked[j:])
+        if m:
+            i += len(spans[int(m.group(1))])
+            j += m.end()
+        else:
+            outside.add(i)
+            i += 1
+            j += 1
+    return outside
+
+
+@settings(max_examples=300, deadline=None)
+@given(statement)
+def test_scan_top_never_hits_inside_any_span(s):
+    outside = _outside_span_positions(s)
+    for kw in ("FROM", "WHERE", "AND", "SET"):
+        at = _scan_top(s, kw)
+        if at >= 0:
+            assert at in outside, (s, kw, at)
+            assert s[at:at + len(kw)].upper() == kw
+
+
+@settings(max_examples=300, deadline=None)
+@given(statement)
+def test_split_script_agrees_with_the_mask_oracle(s):
+    # the split points must be exactly the masked text's semicolons —
+    # never inside a literal, backticked name, or comment (r14: the
+    # splitter gained backtick/comment awareness to match the masker);
+    # leading comments are stripped from each part, so the oracle
+    # re-derives each part's text and applies the same strip
+    def _strip(p: str) -> str:
+        prev = None
+        while prev != p:
+            prev = p
+            p = re.sub(r"(?s)^\s*--[^\n]*(\n|$)", "", p)
+            p = re.sub(r"(?s)^\s*/\*.*?\*/", "", p)
+        return p.strip()
+
+    masked, spans = _mask_sql_spans(s)
+    expect = [
+        p
+        for p in (
+            _strip(_restore_sql_spans(c, spans)) for c in masked.split(";")
+        )
+        if p
+    ]
+    assert _split_script(s) == expect
+
+
+def test_statement_table_with_backslash_literals():
+    assert statement_table(r"UPDATE mart SET v = 'don\'t' WHERE k = 1") == "mart"
+    assert statement_table(r"DELETE FROM mart WHERE v = 'a\';b'") == "mart"

@@ -406,3 +406,169 @@ def test_catalog_end_to_end_over_stubbed_gcs(spark, tmp_path):
         for r in execute_sql(spark, cat, "SELECT k, v FROM mart").collect()
     }
     assert got == {1: "z", 2: "b"}
+
+
+# -- Azure Blob stub + pins ----------------------------------------------
+
+
+class _AzureError(Exception):
+    """azure-core HttpResponseError look-alike: carries the
+    ``error_code`` AzureBlobCommitStore duck-types against."""
+
+    def __init__(self, error_code: str):
+        super().__init__(error_code)
+        self.error_code = error_code
+
+
+class _StubAzureItem:
+    def __init__(self, name):
+        self.name = name
+
+
+class _StubAzureDownload:
+    def __init__(self, data):
+        self._d = data
+
+    def readall(self):
+        return self._d
+
+
+class _StubAzureBlobClient:
+    def __init__(self, client, name):
+        self._c = client
+        self._n = name
+
+    def exists(self):
+        with self._c.lock:
+            return self._n in self._c.objects
+
+    def get_blob_properties(self):
+        with self._c.lock:
+            if self._n not in self._c.objects:
+                raise _AzureError("BlobNotFound")
+            return type(
+                "P", (), {"last_modified": self._c.objects[self._n][1]}
+            )()
+
+
+class StubAzureContainerClient:
+    """In-memory azure-storage-blob ContainerClient look-alike
+    replaying the documented semantics the store relies on:
+    upload_blob(overwrite=False) → 409 BlobAlreadyExists on an
+    existing name, injectable error codes, BlobNotFound 404s,
+    walk_blobs one-level delimiter grouping (BlobPrefix names end
+    with the delimiter, like the real SDK)."""
+
+    def __init__(self):
+        self.objects: dict[str, tuple[bytes, float]] = {}
+        self.lock = threading.RLock()
+        self.fail_next: list[str] = []
+
+    def upload_blob(self, name, data, overwrite=False):
+        with self.lock:
+            if self.fail_next:
+                raise _AzureError(self.fail_next.pop(0))
+            if not overwrite and name in self.objects:
+                raise _AzureError("BlobAlreadyExists")
+            self.objects[name] = (bytes(data), time.time())
+
+    def download_blob(self, name):
+        with self.lock:
+            if name not in self.objects:
+                raise _AzureError("BlobNotFound")
+            return _StubAzureDownload(self.objects[name][0])
+
+    def delete_blob(self, name):
+        with self.lock:
+            if name not in self.objects:
+                raise _AzureError("BlobNotFound")
+            del self.objects[name]
+
+    def get_blob_client(self, name):
+        return _StubAzureBlobClient(self, name)
+
+    def walk_blobs(self, name_starts_with="", delimiter="/"):
+        with self.lock:
+            seen = set()
+            for key in sorted(self.objects):
+                if not key.startswith(name_starts_with):
+                    continue
+                rest = key[len(name_starts_with):]
+                if delimiter and delimiter in rest:
+                    p = name_starts_with + rest.split(delimiter, 1)[0] + delimiter
+                    if p not in seen:
+                        seen.add(p)
+                        yield _StubAzureItem(p)  # BlobPrefix
+                else:
+                    yield _StubAzureItem(key)
+
+
+def _stubbed_azure(tmp_path):
+    from etl_job_spark.commit_store import AzureBlobCommitStore
+
+    return lambda: AzureBlobCommitStore(
+        "cont", f"root{next(_fresh)}", client=StubAzureContainerClient()
+    )
+
+
+@pytest.mark.parametrize("make", [_stubbed_azure])
+def test_conformance_battery_azure(tmp_path, make):
+    run_conformance(make(tmp_path))
+
+
+@pytest.mark.parametrize("make", [_stubbed_azure])
+def test_fault_taxonomy_azure(tmp_path, make):
+    run_fault_taxonomy(make(tmp_path))
+
+
+def test_azure_blob_already_exists_maps_to_store_conflict():
+    from etl_job_spark.commit_store import AzureBlobCommitStore
+
+    client = StubAzureContainerClient()
+    s = AzureBlobCommitStore("c", client=client)
+    s.write_if_absent("m/v1.json", b"x")
+    with pytest.raises(StoreConflict):
+        s.write_if_absent("m/v1.json", b"y")
+    assert s.read("m/v1.json") == b"x"
+
+
+def test_azure_unrelated_409s_propagate():
+    from etl_job_spark.commit_store import AzureBlobCommitStore
+
+    client = StubAzureContainerClient()
+    s = AzureBlobCommitStore("c", client=client)
+    client.fail_next.append("LeaseIdMissing")
+    with pytest.raises(Exception) as ei:
+        s.write_if_absent("m/v1.json", b"x")
+    assert not isinstance(ei.value, StoreConflict)
+
+
+def test_azure_uri_scheme_and_fallback():
+    from etl_job_spark.commit_store import AzureBlobCommitStore
+
+    c = StubAzureContainerClient()
+    s = AzureBlobCommitStore("cont", "cat", client=c, account="acct")
+    assert (
+        s.scoped("mart").uri("m/v1.json")
+        == "abfss://cont@acct.dfs.core.windows.net/cat/mart/m/v1.json"
+    )
+    # no account: not engine-readable — planning falls back to read()
+    assert AzureBlobCommitStore("cont", client=c).uri("x") is None
+
+
+def test_catalog_end_to_end_over_stubbed_azure(spark, tmp_path):
+    from etl_job_spark.commit_store import AzureBlobCommitStore
+    from etl_job_spark.sql import execute_sql
+    from etl_job_spark.txn import TransactionalCatalog
+
+    store = AzureBlobCommitStore(
+        "cont", "cats/c1", client=StubAzureContainerClient()
+    )
+    cat = TransactionalCatalog(str(tmp_path / "c1"), store=store)
+    t = cat.table("mart")
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    execute_sql(spark, cat, "DELETE FROM mart WHERE k = 2")
+    assert [
+        (r.k, r.v)
+        for r in execute_sql(spark, cat, "SELECT k, v FROM mart").collect()
+    ] == [(1, "a")]
