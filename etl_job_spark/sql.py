@@ -2614,7 +2614,11 @@ def _view_pushdown_read(
     )
     if bm is None:
         return None
-    base_name = (bm.group(1) or bm.group(2)).strip()
+    # a backticked FROM name arrives as a masked placeholder — restore
+    # it before resolving (scratch-table basenames carry hyphens)
+    base_name = _restore_sql_spans(
+        (bm.group(1) or bm.group(2)), bspans
+    ).strip().strip("`")
     balias = bm.group(3) or base_name
     bt = resolve(base_name)
     from etl_job_spark.table import ManifestTable

@@ -325,6 +325,20 @@ def test_view_pushdown_prunes_base_files(spark, tmp_path):
     )
     assert [r.k for r in out4.collect()] == [77]
 
+    # a BACKTICKED body table name (scratch basenames carry hyphens)
+    # resolves through the restored span and still prunes
+    bt_resolve = _view_resolver(
+        spark,
+        lambda n: held if n == "fact" else None,
+        lambda n: "SELECT k, v FROM `fact`" if n == "vw_bt" else None,
+    )
+    held.last_planning = None
+    out5 = _routed_select(
+        spark, "SELECT k FROM vw_bt WHERE k BETWEEN 5 AND 9", bt_resolve
+    )
+    assert sorted(r.k for r in out5.collect()) == [5, 6, 7, 8, 9]
+    assert held.last_planning["kept"] < held.last_planning["candidates"]
+
 
 def test_view_pushdown_through_catalog_sql(spark, tmp_path):
     """End to end on the one surface: CREATE VIEW then a pruned SELECT
