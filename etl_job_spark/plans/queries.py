@@ -655,7 +655,7 @@ query("kicc_mart_or_window_read", WINDOW_OR_SQL)(mart_or_window_read)
 
 VIEW_READ_SQL = _with(kicc.SQL_KICC_SALES_DATA) + """
 SELECT sp_code, sale_date, total_amt, bill_qty FROM kicc_sales_data
-WHERE sale_date BETWEEN '19940301' AND '19940307'
+WHERE sale_date BETWEEN '19960301' AND '19960307'
 """
 
 
@@ -687,7 +687,7 @@ def mart_view_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return execute_dml(
         spark, t,
         "SELECT sp_code, sale_date, total_amt, bill_qty FROM sales_view "
-        "WHERE sale_date BETWEEN '19940301' AND '19940307'",
+        "WHERE sale_date BETWEEN '19960301' AND '19960307'",
         resolve=resolve,
     )
 
