@@ -2409,17 +2409,38 @@ def _routed_select(spark: SparkSession, s: str, resolve) -> DataFrame:
             pending[0] = (
                 pending[0][0], pushed, None, pending[0][3], pending[0][4],
             )
+    prune_notes: list[str] = []
     for vname, t, pin, _name, _alias in pending:
         if isinstance(t, DataFrame):
             view = t  # a catalog view's re-resolved body
+            note = getattr(t, "_mt_prune_note", None)
+            if note:
+                prune_notes.append(note)
         elif spec is not None and spec[0] == "predicates":
             view = t.snapshot_where(spark, spec[1], version=pin)
+            lp = t.last_planning or {}
+            prune_notes.append(
+                f"{_name}: kept {lp.get('kept')} of "
+                f"{lp.get('candidates')} files (conjunctive spec)"
+            )
         elif spec is not None:  # ("any_of", [spec, ...]) — DNF skipping
             view = t.snapshot_where(spark, any_of=spec[1], version=pin)
+            lp = t.last_planning or {}
+            prune_notes.append(
+                f"{_name}: kept {lp.get('kept')} of "
+                f"{lp.get('candidates')} files "
+                f"({len(spec[1])}-disjunct DNF)"
+            )
         else:
             view = t.snapshot(spark, version=pin)
         view.createOrReplaceTempView(vname)
-    return spark.sql(_restore_sql_spans(rewritten, _spans))
+    result = spark.sql(_restore_sql_spans(rewritten, _spans))
+    if prune_notes:
+        # carried for EXPLAIN (r14): the manifest-level file-skip
+        # decisions Catalyst's plan cannot show — they happened at
+        # view registration, before the scan existed
+        result._mt_prune_notes = prune_notes
+    return result
 
 
 def _split_top_level(text: str, word: str) -> list[str]:
@@ -2665,7 +2686,15 @@ def _view_pushdown_read(
         df = bt.snapshot_where(spark, composed[0])
     else:
         df = bt.snapshot_where(spark, any_of=composed)
-    return df.select(*cols) if cols is not None else df
+    out = df.select(*cols) if cols is not None else df
+    lp = bt.last_planning or {}
+    out._mt_prune_note = (
+        f"view {name} -> base {base_name}: kept {lp.get('kept')} of "
+        f"{lp.get('candidates')} files ({len(composed)} disjunct"
+        f"{'s' if len(composed) != 1 else ''} composed from the outer "
+        "WHERE and the view body)"
+    )
+    return out
 
 
 def _view_resolver(spark: SparkSession, tables_resolve, view_sql_fn):
@@ -2748,7 +2777,13 @@ def execute_sql(spark: SparkSession, catalog, statement: str):
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain(mode=mode)
-        return spark.createDataFrame([(buf.getvalue(),)], "plan string")
+        rows = [(buf.getvalue(),)]
+        # manifest-level file skipping happens at view registration,
+        # BEFORE the scan exists, so Catalyst's plan can't show it —
+        # surface the decisions as extra plan rows (r14)
+        for note in getattr(df, "_mt_prune_notes", ()) or ():
+            rows.append((f"manifest file skipping: {note}",))
+        return spark.createDataFrame(rows, "plan string")
     # EXPLAIN <MERGE|UPDATE|DELETE|INSERT …> — the DML half (r14): the
     # routed verb, the planned file-prune split from the same spec
     # planning the verb would run, and the join strategy for merges;

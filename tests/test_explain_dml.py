@@ -137,3 +137,27 @@ def test_explain_update_allmatch_proved(spark, tmp_path):
     proved = [l for l in lines if l.startswith("all-match proved")]
     assert proved and proved[0].split(":")[1].strip() != "0", lines
     assert any(l == "hit-discovery scan candidates: 0" for l in lines), lines
+
+
+def test_explain_select_surfaces_file_skip_decisions(spark, cat):
+    """EXPLAIN SELECT appends the manifest-level file-skip decisions as
+    plan rows (r14) — they happen at view registration, before the
+    scan exists, so Catalyst's plan cannot show them."""
+    execute_sql(spark, cat, "CREATE VIEW martv AS SELECT k, v FROM mart")
+
+    def lines(stmt):
+        return [r.plan for r in execute_sql(spark, cat, stmt).collect()]
+
+    l1 = lines("EXPLAIN SELECT k FROM mart WHERE k BETWEEN 10 AND 20")
+    assert any(
+        "manifest file skipping: mart: kept 1 of 8 files "
+        "(conjunctive spec)" in x
+        for x in l1
+    ), l1
+    l2 = lines("EXPLAIN SELECT k FROM mart WHERE k < 10 OR k >= 7990")
+    assert any("2-disjunct DNF" in x and "kept 2 of 8" in x for x in l2), l2
+    l3 = lines("EXPLAIN SELECT k FROM martv WHERE k BETWEEN 10 AND 20")
+    assert any("view martv -> base mart: kept 1 of 8" in x for x in l3), l3
+    # no prune applies -> exactly the one physical-plan row
+    l4 = lines("EXPLAIN SELECT count(*) AS n FROM mart")
+    assert len(l4) == 1 and "Physical Plan" in l4[0]
