@@ -340,6 +340,16 @@ _TAIL = [
     # window slot (corpus_filter_pipeline / text_contamination /
     # corpus_mix_sources)
     "corpus_training_set",
+    # round-14: the daily window read THROUGH a catalog view — outer
+    # WHERE composed with the view body, base read file-skipped; tail
+    # because the data-skipping family's window slot is held by
+    # kicc_mart_window_read (and the routed-SELECT skip by
+    # kicc_mart_select_read's family)
+    "kicc_mart_view_read",
+    # round-14: DELETE … WHERE k IN (SELECT …) routed as a
+    # key-envelope-pruned merge; tail because the MERGE family's
+    # window slots are held by kicc_mart_versioned / kicc_mart_sql_dml
+    "kicc_staging_subq_delete",
 ]
 
 
