@@ -143,3 +143,31 @@ def test_in_subquery_via_direct_table_surface(spark, tmp_path):
     assert sorted(r.k for r in t.snapshot(spark).collect()) == [
         0, 1, 2, 6, 7, 8, 9,
     ]
+
+
+def test_in_subquery_dml_inside_txn_bracket(spark, tmp_path):
+    """IN-subquery DELETE/UPDATE inside BEGIN…COMMIT ride the same
+    keyed-merge route under ONE transaction record — the subquery
+    resolves through the catalog like every statement body."""
+    c = TransactionalCatalog(str(tmp_path / "cat"))
+    stg = c.table("stg")
+    stg.overwrite(spark.range(0, 100).selectExpr("id as k", "id * 1.0 as v"))
+    m = c.table("m")
+    m.overwrite(spark.range(10, 20).selectExpr("id as k"))
+    from etl_job_spark.sql import execute_sql_script
+
+    n_records_before = len(c._txn_ids())
+    execute_sql_script(
+        spark, c,
+        """
+        BEGIN;
+        DELETE FROM stg WHERE k IN (SELECT k FROM m);
+        UPDATE stg SET v = -1 WHERE k IN (SELECT k + 50 FROM m);
+        COMMIT
+        """,
+    )
+    rows = {r.k: r.v for r in c.table("stg").snapshot(spark).collect()}
+    assert all(k not in rows for k in range(10, 20))
+    assert all(rows[k] == -1.0 for k in range(60, 70))
+    assert rows[5] == 5.0 and rows[99] == 99.0
+    assert len(c._txn_ids()) == n_records_before + 1  # ONE record
