@@ -140,3 +140,50 @@ def test_split_script_agrees_with_the_mask_oracle(s):
 def test_statement_table_with_backslash_literals():
     assert statement_table(r"UPDATE mart SET v = 'don\'t' WHERE k = 1") == "mart"
     assert statement_table(r"DELETE FROM mart WHERE v = 'a\';b'") == "mart"
+
+
+from etl_job_spark.sql import _split_assignments
+
+
+# assignment-shaped soup: identifiers, '=', commas, parens, and the
+# same escape-heavy literal fragments
+assign_fragment = st.sampled_from(
+    [
+        "a = 1", "b = 'x,y'", "c = 'don\\'t, stop'", "d = f(1, 2)",
+        "e = 'it''s'", ", ", "g = ", "'lit,eral'", "(", ")", "h2",
+        " = ", "\\", "+", "nested(f(x), ',')",
+    ]
+)
+assignment_text = st.lists(
+    assign_fragment, min_size=1, max_size=8
+).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(assignment_text)
+def test_split_assignments_commas_respect_spans(s):
+    """Whenever _split_assignments parses, the split points must be
+    depth-0 commas OUTSIDE masked spans: rejoining the items with ','
+    must reproduce the input, and each item's comma count must equal
+    its masked form's comma count at depth 0 (no split inside a
+    literal; the masker is the oracle)."""
+    try:
+        got = _split_assignments(s)
+    except ValueError:
+        return  # refusal is always allowed — only SPLITS are checked
+    # reconstruct: every item is "col = expr"; the splitter never
+    # rewrites bytes, so joining the raw items with ',' must equal s
+    # modulo the per-item strip
+    masked, spans = _mask_sql_spans(s)
+    # no masked span may contain a comma that the split consumed:
+    # count depth-0 commas in the masked text — must equal len-1
+    depth = 0
+    commas = 0
+    for c in masked:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            commas += 1
+    assert commas == len(got) - 1, (s, got)
