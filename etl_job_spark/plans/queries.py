@@ -867,28 +867,45 @@ def semi_join_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("kicc_semi_join", SEMI_SQL)(semi_join_stores)
 
 
-ANTI_SQL = _with(kicc.SQL_KICC_PRODUCT_LIST, kicc.SQL_KICC_STORE_PRODUCT_SALES) + """
+ANTI_WINDOW = ("19980301", "19980331")
+
+ANTI_SQL = _with(kicc.SQL_KICC_PRODUCT_LIST, kicc.SQL_KICC_STORE_PRODUCT_SALES) + f"""
 SELECT p.item_code, p.item_name
 FROM kicc_product_list p
 WHERE NOT EXISTS (
-  SELECT 1 FROM kicc_store_product_sales s WHERE s.item_code = p.item_code
+  SELECT 1 FROM kicc_store_product_sales s
+  WHERE s.item_code = p.item_code
+    AND s.sale_date BETWEEN '{ANTI_WINDOW[0]}' AND '{ANTI_WINDOW[1]}'
 )
 """
 
 
 def anti_join_products(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_anti: products never sold (the not-exists branch of J5).
+    """left_anti: products NOT sold in a month (the not-exists branch
+    of J5) — the slow-mover report. The probe is windowed because the
+    driver fixture sells every part at least once over its six years,
+    which made the unwindowed form return ZERO rows at every sf — a
+    vacuous oracle match (r14 audit: watch bench stderr ``rows=`` for
+    exactly this). March 1998 leaves 144/1357/13928 unsold of
+    200/2k/20k parts at the three sfs — a real anti-join split.
 
     An item appears in kicc_store_product_sales iff some lineitem
     references its part, so the probe side is the fact's single key
-    column — not the staging view's lineitem⋈part 4-key rollup, whose
-    aggregates NOT EXISTS would discard anyway. One column scanned,
-    map-side combined by the anti join's build."""
+    column filtered to the window — not the staging view's
+    lineitem⋈part 4-key rollup, whose aggregates NOT EXISTS would
+    discard anyway. One column scanned (the date filter pushes to the
+    parquet scan), map-side combined by the anti join's build."""
     from etl_job_spark.sources import load_table
 
     prods = kicc.kicc_product_list(spark, sf_dir)
-    sold = load_table(spark, sf_dir, "lineitem").select(
-        F.lpad(F.col("l_partkey").cast("string"), 8, "0").alias("item_code")
+    sold = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.date_format("l_shipdate", "yyyyMMdd").between(*ANTI_WINDOW)
+        )
+        .select(
+            F.lpad(F.col("l_partkey").cast("string"), 8, "0").alias("item_code")
+        )
     )
     return prods.join(sold, "item_code", "left_anti").select("item_code", "item_name")
 
