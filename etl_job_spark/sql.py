@@ -623,6 +623,65 @@ def _explain_where_plan_lines(
     return lines
 
 
+def _explain_in_subquery_lines(
+    spark: SparkSession, t, verb: str, sub: tuple, resolve
+) -> list[str]:
+    """EXPLAIN for ``<verb> … WHERE k [NOT] IN (SELECT …)`` — reports
+    the route EXECUTION takes (r14: the keyed merge of
+    ``_subquery_key_dml``), not the scan route a plain predicate would
+    take: the subquery resolves (loud on correlated forms, same as
+    execution), its distinct keys become the merge source, and the
+    SAME ``_merge_prune`` planning reports the file split — the
+    subquery's key envelope for IN, pruning disabled for NOT IN, and
+    the three-valued NO-OP called out when a NOT IN subquery yields
+    NULL."""
+    from pyspark.sql import functions as F
+
+    col, negated, body_sql = sub
+    try:
+        src = _routed_select(spark, body_sql, resolve or (lambda n: None))
+        src_cols = src.columns
+    except Exception as exc:
+        raise ValueError(
+            f"IN-subquery does not plan standalone ({exc}) — correlated "
+            "subqueries referencing the outer row are unsupported; use "
+            "MERGE INTO or the library's merge() for join-driven DML"
+        ) from None
+    if len(src_cols) != 1:
+        raise ValueError(
+            f"IN-subquery must select exactly ONE column, got {src_cols}"
+        )
+    keys_df = src.toDF(col).distinct()
+    if negated and keys_df.filter(F.col(col).isNull()).limit(1).count():
+        base = t.latest_version()
+        return [
+            f"verb: {verb}",
+            f"target: {t.path} (version {base})",
+            f"where: {col} NOT IN (<subquery>)",
+            "route: NO-OP — the subquery yields NULL, so SQL's "
+            "three-valued NOT IN matches no row; nothing would commit",
+        ]
+    if not negated:
+        keys_df = keys_df.filter(F.col(col).isNotNull())
+    clause = ("delete", None) if verb == "DELETE" else ("update", None)
+    lines = _merge_plan_lines(
+        spark, t, keys_df, [col], [clause], mode="flat",
+        nmbs_active=negated,
+    )
+    lines[0] = f"verb: {verb}"
+    lines.insert(2, f"where: {col} {'NOT ' if negated else ''}IN (<subquery>)")
+    lines.insert(
+        3,
+        "route: keyed merge on the subquery's distinct keys (r14 "
+        "IN-subquery DML — "
+        + ("file pruning from the subquery's key envelope" if not negated
+           else "pruning disabled: NOT IN touches rows UNMATCHED by "
+           "the subquery, so any file may hold one")
+        + ")",
+    )
+    return lines
+
+
 def _explain_dml(spark: SparkSession, t, s: str, resolve=None) -> DataFrame:
     """``EXPLAIN <MERGE|UPDATE|DELETE|INSERT …>`` (r14, VERDICT r13
     Missing #3): report the routed verb, the planned file-prune split
@@ -651,9 +710,14 @@ def _explain_dml(spark: SparkSession, t, s: str, resolve=None) -> DataFrame:
             )
         m = re.match(r"(?is)^UPDATE\s+(\S+)", body)
         _check_target(m.group(1) if m else None, t)
-        lines = _explain_where_plan_lines(
-            spark, t, "UPDATE", body[where_at + 5:].strip()
-        )
+        where_sql = body[where_at + 5:].strip()
+        sub = _parse_in_subquery(where_sql)
+        if sub is not None:
+            lines = _explain_in_subquery_lines(
+                spark, t, "UPDATE", sub, resolve
+            )
+        else:
+            lines = _explain_where_plan_lines(spark, t, "UPDATE", where_sql)
         lines.insert(
             3, "set: " + ", ".join(sorted(_split_assignments(
                 body[set_at + 3:where_at]
@@ -667,13 +731,18 @@ def _explain_dml(spark: SparkSession, t, s: str, resolve=None) -> DataFrame:
             )
         m = re.match(r"(?is)^DELETE\s+FROM\s+(\S+)", body)
         _check_target(m.group(1) if m else None, t)
-        lines = _explain_where_plan_lines(
-            spark, t, "DELETE", body[where_at + 5:].strip()
-        )
-        lines.append(
-            "mode: copy_on_write by default (merge_on_read writes "
-            "deletion vectors instead of rewriting hit files)"
-        )
+        where_sql = body[where_at + 5:].strip()
+        sub = _parse_in_subquery(where_sql)
+        if sub is not None:
+            lines = _explain_in_subquery_lines(
+                spark, t, "DELETE", sub, resolve
+            )
+        else:
+            lines = _explain_where_plan_lines(spark, t, "DELETE", where_sql)
+            lines.append(
+                "mode: copy_on_write by default (merge_on_read writes "
+                "deletion vectors instead of rewriting hit files)"
+            )
     elif up.startswith("INSERT"):
         base = t.latest_version()
         n = len(t._read_manifest(base)["files"]) if base is not None else 0

@@ -161,3 +161,43 @@ def test_explain_select_surfaces_file_skip_decisions(spark, cat):
     # no prune applies -> exactly the one physical-plan row
     l4 = lines("EXPLAIN SELECT count(*) AS n FROM mart")
     assert len(l4) == 1 and "Physical Plan" in l4[0]
+
+
+def test_explain_in_subquery_dml_reports_the_merge_route(spark, cat):
+    """EXPLAIN of an IN-subquery DELETE/UPDATE reports the route
+    EXECUTION takes (the keyed merge with key-envelope pruning), not
+    the plain scan route — and the NOT IN three-valued NO-OP is
+    called out when the subquery yields NULL (r14)."""
+    nm = cat.table("nm")
+    nm.overwrite(spark.sql("SELECT cast(null as long) AS k UNION ALL SELECT 1"))
+    v0 = cat.table("mart").latest_version()
+
+    l1 = _lines(
+        execute_sql(
+            spark, cat,
+            "EXPLAIN DELETE FROM mart WHERE k IN (SELECT k FROM dim)",
+        )
+    )
+    assert l1[0] == "verb: DELETE"
+    assert any("route: keyed merge" in x for x in l1)
+    # dim keys 100..119 → one of 8 range-clustered files, the SAME
+    # split the executing merge would plan
+    assert any("rewrite_candidates=1" in x for x in l1), l1
+
+    l2 = _lines(
+        execute_sql(
+            spark, cat,
+            "EXPLAIN UPDATE mart SET v = 0 WHERE k NOT IN (SELECT k FROM dim)",
+        )
+    )
+    assert any("prune: DISABLED" in x for x in l2), l2
+    assert any(x.startswith("set: v") for x in l2)
+
+    l3 = _lines(
+        execute_sql(
+            spark, cat,
+            "EXPLAIN DELETE FROM mart WHERE k NOT IN (SELECT k FROM nm)",
+        )
+    )
+    assert any("NO-OP" in x and "three-valued" in x for x in l3), l3
+    assert cat.table("mart").latest_version() == v0  # nothing committed
