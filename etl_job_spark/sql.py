@@ -139,6 +139,14 @@ def _split_assignments(body: str) -> dict[str, str]:
         expr = item[eq + 1:].strip()
         if not col.isidentifier() or not expr:
             raise ValueError(f"SET item {item.strip()!r}: expected col = expr")
+        if col in out:
+            # SQL refuses duplicate assignments (Spark/Delta:
+            # DUPLICATE_ASSIGNMENTS); silent last-wins hid a typo
+            # (found by the r14 split-point property test)
+            raise ValueError(
+                f"SET assigns column {col!r} more than once — duplicate "
+                "assignments are ambiguous"
+            )
         out[col] = expr
     return out
 

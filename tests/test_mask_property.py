@@ -171,12 +171,11 @@ def test_split_assignments_commas_respect_spans(s):
         got = _split_assignments(s)
     except ValueError:
         return  # refusal is always allowed — only SPLITS are checked
-    # reconstruct: every item is "col = expr"; the splitter never
-    # rewrites bytes, so joining the raw items with ',' must equal s
-    # modulo the per-item strip
+    # when it parses, every item is one distinct column (duplicate
+    # assignments refuse — pinned below), so the number of items must
+    # equal depth-0 outside-span commas + 1: no split inside a
+    # literal, no missed split outside one (the masker is the oracle)
     masked, spans = _mask_sql_spans(s)
-    # no masked span may contain a comma that the split consumed:
-    # count depth-0 commas in the masked text — must equal len-1
     depth = 0
     commas = 0
     for c in masked:
@@ -187,3 +186,10 @@ def test_split_assignments_commas_respect_spans(s):
         elif c == "," and depth == 0:
             commas += 1
     assert commas == len(got) - 1, (s, got)
+
+
+def test_split_assignments_refuses_duplicate_columns():
+    import pytest
+
+    with pytest.raises(ValueError, match="more than once"):
+        _split_assignments("a = 1, a = 2")
