@@ -248,9 +248,21 @@ def connected_components(
 
     ``nodes``: one doc_id column; ``pairs``: (doc_a, doc_b) edges.
     """
+    # symmetrize with ONE pass over the pair stream (optimization r14,
+    # guide §2.4): the union-of-two-selects form evaluated the whole
+    # upstream pair pipeline TWICE — LSH banding, candidate join and
+    # Jaccard verify are a multi-join subtree, and only its exchanges
+    # are reused across union branches, so every post-shuffle join and
+    # filter ran once per direction. Exploding both orientations from
+    # each pair row reads the subtree once; distinct() sees the same
+    # 2|pairs| rows either way.
+    both_dirs = F.array(
+        F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+    )
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select(F.explode(both_dirs).alias("e"))
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint()
     )

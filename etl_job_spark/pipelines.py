@@ -82,12 +82,30 @@ def ingest_sales(
     merge_upsert_path(spark, staging_path, staged, list(keys))
 
 
+def _iso_day(col: str) -> F.Column:
+    """YYYYMMDD → YYYY-MM-DD by byte surgery, not a date round-trip.
+
+    The staging ``sale_date`` is machine-generated (``calendar_df``'s
+    ``date_format`` stamps every ingested row), so it is always a
+    valid fixed-width digit string and
+    ``date_format(to_date(s, 'yyyyMMdd'), 'yyyy-MM-dd')`` reduces to
+    re-slicing 8 bytes. The round-trip form paid a java.time PARSE per
+    mart row (allocation-heavy, ~10-100x the substring cost — guide
+    §1.2 per-task work); the surgery is three codegen'd byte ops.
+    NULL propagates identically (concat of NULL substrings is NULL)."""
+    s = F.col(col)
+    # F.concat (not concat_ws): concat propagates NULL, concat_ws skips it
+    return F.concat(
+        F.substring(s, 1, 4), F.lit("-"), F.substring(s, 5, 2), F.lit("-"), F.substring(s, 7, 2)
+    )
+
+
 def _mart_store_shape(staging: DataFrame) -> DataFrame:
     """tb_sales_by_store shape: P2 renames + F1 cast
     (kicc_to_tb_sales.py:71-86)."""
     return staging.select(
         F.col("sp_code").alias("chain_no"),
-        F.date_format(F.to_date("sale_date", "yyyyMMdd"), "yyyy-MM-dd").alias("sale_dy"),
+        _iso_day("sale_date").alias("sale_dy"),
         F.col("sp_name").alias("chain_name"),
         F.col("total_amt").alias("chong_maechool"),
         F.col("sale_amt").alias("soon_maechool"),
@@ -229,7 +247,7 @@ def build_mart_prod(
     the key: renamed products create rows, not updates (SURVEY.md §7)."""
     lo, hi = window
     mart = staging.filter(F.col("sale_date").between(lo, hi)).select(
-        F.date_format(F.to_date("sale_date", "yyyyMMdd"), "yyyy-MM-dd").alias("sale_dy"),
+        _iso_day("sale_date").alias("sale_dy"),
         F.col("sp_code").alias("chain_no"),
         F.col("item_code").alias("prod_code"),
         F.col("item_name").alias("prod_name"),

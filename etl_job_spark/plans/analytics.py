@@ -185,9 +185,22 @@ SELECT sp_code, item_code, revenue, rk FROM (
 def window_topk_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 products per store by revenue — Window.partitionBy +
     row_number with a total order (revenue desc, item_code)."""
-    sps = kicc.kicc_store_product_sales(spark, sf_dir)
-    rev = sps.groupBy("sp_code", "item_code").agg(
-        money_sum("sale_amt", 10000).alias("revenue")
+    # dated staging (optimization r14): the re-aggregation groups on
+    # the native int keys (narrower shuffle than the lpad'd strings;
+    # injective, so identical groups) and the strings print once per
+    # (store, item) group AFTER the aggregate. The window itself keeps
+    # the string keys: partitioning is injective either way, but the
+    # row_number tiebreak on item_code must stay byte-identical (lpad
+    # is only order-preserving while keys fit the pad width).
+    sps = kicc.kicc_store_product_sales_dated(spark, sf_dir)
+    rev = (
+        sps.groupBy("sp_key", "item_key")
+        .agg(money_sum("sale_amt", 10000).alias("revenue"))
+        .select(
+            F.lpad(F.col("sp_key").cast("string"), 6, "0").alias("sp_code"),
+            F.lpad(F.col("item_key").cast("string"), 8, "0").alias("item_code"),
+            "revenue",
+        )
     )
     w = Window.partitionBy("sp_code").orderBy(F.col("revenue").desc(), F.col("item_code"))
     return (
@@ -217,9 +230,14 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank / percent_rank / ntile over daily revenue —
     the remaining window-function family in one totally-ordered pass
     (integer-cents revenue, explicit date tiebreak)."""
-    sales = kicc.kicc_sales_data(spark, sf_dir)
-    day_rev = sales.groupBy("sale_date").agg(
-        F.sum(F.round(F.col("total_amt") * 100).cast("bigint")).alias("rev_cents")
+    # dated staging (optimization r14): the day re-aggregation groups
+    # on the 4-byte DATE (identical groups — date_format is injective)
+    # and the string prints once per day, after the aggregate
+    sales = kicc.kicc_sales_data_dated(spark, sf_dir)
+    day_rev = (
+        sales.groupBy("sale_d")
+        .agg(F.sum(F.round(F.col("total_amt") * 100).cast("bigint")).alias("rev_cents"))
+        .select(F.date_format("sale_d", "yyyyMMdd").alias("sale_date"), "rev_cents")
     )
     w = Window.orderBy(F.col("rev_cents").desc(), F.col("sale_date"))
     return day_rev.select(
@@ -246,15 +264,26 @@ def window_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag + running total per store ordered by day. The running sum
     accumulates integer cents inside the window frame, so it is exact
     and engine-independent (a double running sum would not be)."""
-    sales = kicc.kicc_sales_data(spark, sf_dir)
-    w = Window.partitionBy("sp_code").orderBy("sale_date")
+    # dated staging (optimization r14): the window exchange+sort run
+    # on (int, date) instead of two strings — identical partitions and
+    # per-partition order (both derivations are injective and
+    # order-preserving on the key domain); strings print after the
+    # window, so they never enter the shuffle
+    sales = kicc.kicc_sales_data_dated(spark, sf_dir)
+    w = Window.partitionBy("sp_key").orderBy("sale_d")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return sales.select(
-        "sp_code",
-        "sale_date",
+        "sp_key",
+        "sale_d",
         "total_amt",
         F.lag("total_amt").over(w).alias("prev_amt"),
         (F.sum(F.round(F.col("total_amt") * 100).cast("bigint")).over(wcum) / 100.0).alias("cum_amt"),
+    ).select(
+        F.lpad(F.col("sp_key").cast("string"), 6, "0").alias("sp_code"),
+        F.date_format("sale_d", "yyyyMMdd").alias("sale_date"),
+        "total_amt",
+        "prev_amt",
+        "cum_amt",
     )
 
 
@@ -278,18 +307,22 @@ def window_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: per-store trailing-7-day revenue — the frame
     is bounded by VALUE distance (6 days back), not row count, so gaps
     in the calendar are handled correctly. Integer-cents arithmetic."""
-    sales = kicc.kicc_sales_data(spark, sf_dir)
+    # dated staging (optimization r14): the native DATE key feeds the
+    # RANGE frame directly — the to_date re-parse of the string the
+    # rollup had just printed (a java.time parse per row) is gone, and
+    # the day re-aggregation groups on (int, date)
+    sales = kicc.kicc_sales_data_dated(spark, sf_dir)
     daily = sales.groupBy(
-        "sp_code", F.to_date("sale_date", "yyyyMMdd").alias("d")
+        "sp_key", F.col("sale_d").alias("d")
     ).agg(F.sum(F.round(F.col("total_amt") * 100).cast("bigint")).cast("bigint").alias("rev_cents"))
     # RANGE frames need a numeric ordering column: days since epoch
     w = (
-        Window.partitionBy("sp_code")
+        Window.partitionBy("sp_key")
         .orderBy(F.unix_date("d"))
         .rangeBetween(-6, Window.currentRow)
     )
     return daily.select(
-        "sp_code",
+        F.lpad(F.col("sp_key").cast("string"), 6, "0").alias("sp_code"),
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         F.sum("rev_cents").over(w).cast("bigint").alias("trailing_7d_cents"),
     )
@@ -386,13 +419,19 @@ SELECT 'feb_only' AS tag, sp_code FROM (SELECT sp_code FROM feb EXCEPT SELECT sp
 @query("set_ops", SETOPS_SQL)
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT / UNION ALL over store activity in two months."""
-    sales = kicc.kicc_sales_data(spark, sf_dir)
-    jan = sales.filter(F.col("sale_date").between("19980101", "19980131")).select("sp_code").distinct()
-    feb = sales.filter(F.col("sale_date").between("19980201", "19980228")).select("sp_code").distinct()
+    # dated staging (optimization r14): the month windows land on the
+    # DATE key (pushed below the rollup to the lineitem scan — each
+    # branch aggregates one month, not the full history) and the set
+    # ops compare 8-byte ints; sp_code prints per surviving key
+    sales = kicc.kicc_sales_data_dated(spark, sf_dir)
+    win = kicc.date_window
+    jan = sales.filter(F.col("sale_d").between(*win("19980101", "19980131"))).select("sp_key").distinct()
+    feb = sales.filter(F.col("sale_d").between(*win("19980201", "19980228"))).select("sp_key").distinct()
+    code = F.lpad(F.col("sp_key").cast("string"), 6, "0").alias("sp_code")
     return (
-        jan.intersect(feb).select(F.lit("both").alias("tag"), "sp_code")
-        .unionAll(jan.exceptAll(feb).distinct().select(F.lit("jan_only").alias("tag"), "sp_code"))
-        .unionAll(feb.exceptAll(jan).distinct().select(F.lit("feb_only").alias("tag"), "sp_code"))
+        jan.intersect(feb).select(F.lit("both").alias("tag"), code)
+        .unionAll(jan.exceptAll(feb).distinct().select(F.lit("jan_only").alias("tag"), code))
+        .unionAll(feb.exceptAll(jan).distinct().select(F.lit("feb_only").alias("tag"), code))
     )
 
 
@@ -556,14 +595,24 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_by/max_by ordered lookups (DuckDB arg_min/arg_max), the
     aggregate form of first_value/last_value. sale_date is unique per
     store at this grain, so the ordered pick is deterministic."""
-    sales = kicc.kicc_sales_data(spark, sf_dir).select(
-        "sp_code", "sale_date", F.round(F.col("total_amt") * 100).cast("bigint").alias("cents")
+    # dated staging (optimization r14): min/max/min_by/max_by order by
+    # the DATE key (same order as the fixed-width yyyyMMdd string —
+    # date_format is monotonic), the groupBy shuffles an int key, and
+    # the two day strings print once per store
+    sales = kicc.kicc_sales_data_dated(spark, sf_dir).select(
+        "sp_key", "sale_d", F.round(F.col("total_amt") * 100).cast("bigint").alias("cents")
     )
-    return sales.groupBy("sp_code").agg(
-        F.min("sale_date").alias("first_day"),
-        F.max("sale_date").alias("last_day"),
-        F.expr("min_by(cents, sale_date)").cast("bigint").alias("first_day_cents"),
-        F.expr("max_by(cents, sale_date)").cast("bigint").alias("last_day_cents"),
+    return sales.groupBy("sp_key").agg(
+        F.min("sale_d").alias("first_d"),
+        F.max("sale_d").alias("last_d"),
+        F.expr("min_by(cents, sale_d)").cast("bigint").alias("first_day_cents"),
+        F.expr("max_by(cents, sale_d)").cast("bigint").alias("last_day_cents"),
+    ).select(
+        F.lpad(F.col("sp_key").cast("string"), 6, "0").alias("sp_code"),
+        F.date_format("first_d", "yyyyMMdd").alias("first_day"),
+        F.date_format("last_d", "yyyyMMdd").alias("last_day"),
+        "first_day_cents",
+        "last_day_cents",
     )
 
 
@@ -737,22 +786,26 @@ def full_outer_year_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join (absent from the reference, SURVEY.md §2.4
     'not present'): year-over-year store revenue where stores may
     exist in either year only — null-side rows coalesce to 0."""
-    sales = kicc.kicc_sales_data(spark, sf_dir)
+    # dated staging (optimization r14): each year window filters the
+    # DATE key (pushed below the rollup to the lineitem scan — each
+    # branch aggregates one year, not the full history), the full
+    # outer join keys on the int, sp_code prints per store at the end
+    sales = kicc.kicc_sales_data_dated(spark, sf_dir)
     cents = F.sum(F.round(F.col("total_amt") * 100).cast("bigint")).cast("bigint")
 
     def year(lo: str, hi: str, alias: str):
         return (
-            sales.filter(F.col("sale_date").between(lo, hi))
-            .groupBy("sp_code")
+            sales.filter(F.col("sale_d").between(*kicc.date_window(lo, hi)))
+            .groupBy("sp_key")
             .agg(cents.alias(alias))
         )
 
     a = year("19970101", "19971231", "rev_1997")
     b = year("19980101", "19981231", "rev_1998")
     return (
-        a.join(b, "sp_code", "full_outer")
+        a.join(b, "sp_key", "full_outer")
         .select(
-            "sp_code",
+            F.lpad(F.col("sp_key").cast("string"), 6, "0").alias("sp_code"),
             F.coalesce("rev_1997", F.lit(0)).alias("rev_1997"),
             F.coalesce("rev_1998", F.lit(0)).alias("rev_1998"),
             (F.coalesce("rev_1998", F.lit(0)) - F.coalesce("rev_1997", F.lit(0))).alias(

@@ -34,6 +34,19 @@ from etl_job_spark.sources import load_table
 EXCLUDED_STORE = "000002"  # P3: load_store_data.py:69-72 skips sp_code 000002
 
 
+def date_window(lo: str, hi: str):
+    """``sale_d BETWEEN`` bounds for a YYYYMMDD string window.
+
+    ``sale_date BETWEEN '19980101' AND '19980331'`` on the string
+    grain is exactly ``sale_d BETWEEN DATE'1998-01-01' AND
+    DATE'1998-03-31'`` on the native grain (fixed-width digit strings
+    order chronologically), and the DATE form pushes to the lineitem
+    parquet scan as an l_shipdate range — the string form never
+    reached the scan at all (it compared a post-agg derivation)."""
+    iso = lambda s: f"{s[:4]}-{s[4:6]}-{s[6:]}"  # noqa: E731
+    return F.to_date(F.lit(iso(lo))), F.to_date(F.lit(iso(hi)))
+
+
 # ---------------------------------------------------------------- Spark side
 
 def kicc_store_list(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,16 +67,39 @@ def kicc_store_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kicc_sales_data(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Store-day staging rollup (A2 grain of load_sales_data.py s_code=3)."""
+def kicc_sales_data_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-day staging rollup grouped on the NATIVE keys — the int
+    supplier key and the DATE ship date — exposed as (sp_key, sale_d)
+    alongside the aggregates and sp_name.
+
+    Why this exists (optimization r14, guide §2.3 "narrower types" +
+    §1.2 "per-task work"): the original rollup grouped by
+    ``lpad(l_suppkey)`` / ``date_format(l_shipdate)``, which (a)
+    computed two string derivations per INPUT row before the partial
+    aggregation, (b) shuffled 14 bytes of string key where 8 bytes of
+    int+date suffice, and (c) forced every downstream consumer that
+    needs a real date to RE-PARSE the string it had just printed —
+    ``to_date(sale_date, 'yyyyMMdd')`` per output row, a java.time
+    parse (allocation-heavy, ~10-100x the cost of the comparison it
+    feeds) that moreover lands in the single AQE-coalesced post-agg
+    partition. Grouping by the native columns is result-identical
+    (lpad and date_format are injective on the key domains) and lets
+    date-window consumers filter ``sale_d BETWEEN DATE…``, which
+    pushes to the parquet scan as an l_shipdate range
+    (PushedFilters), where the string form never could.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc * (1 + F.col("l_tax"))
     agg = (
         li.groupBy(
-            F.lpad(F.col("l_suppkey").cast("string"), 6, "0").alias("sp_code"),
-            F.date_format("l_shipdate", "yyyyMMdd").alias("sale_date"),
+            F.col("l_suppkey").alias("sp_key"),
+            # cast, not to_date-with-format: the fixture stores shipdate
+            # as TIMESTAMP(MICROS) — the cast is integer day extraction
+            # (no java.time), and it pins the grain to the DAY exactly
+            # like the date_format key it replaces
+            F.col("l_shipdate").cast("date").alias("sale_d"),
         )
         .agg(
             money_sum("l_extendedprice").alias("total_amt"),
@@ -78,10 +114,33 @@ def kicc_sales_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sup_dim = sup.select(
-        F.lpad(F.col("s_suppkey").cast("string"), 6, "0").alias("sp_code"),
+        F.col("s_suppkey").alias("sp_key"),
         F.col("s_name").alias("sp_name"),
     )
-    return agg.join(F.broadcast(sup_dim), "sp_code", "left")
+    return agg.join(F.broadcast(sup_dim), "sp_key", "left")
+
+
+def kicc_sales_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-day staging rollup (A2 grain of load_sales_data.py
+    s_code=3) — the reference string grain (sp_code varchar(6),
+    sale_date varchar YYYYMMDD), derived once per GROUP from the
+    native-key rollup above (bit-identical: lpad/date_format are the
+    same injective derivations the groupBy keys used to run per row)."""
+    d = kicc_sales_data_dated(spark, sf_dir)
+    return d.select(
+        F.lpad(F.col("sp_key").cast("string"), 6, "0").alias("sp_code"),
+        F.date_format("sale_d", "yyyyMMdd").alias("sale_date"),
+        "total_amt",
+        "sale_amt",
+        "net_amt",
+        "total_dc_amt",
+        "vat_amt",
+        "bill_qty",
+        "cash_amt",
+        "card_amt",
+        "emoney_amt",
+        "sp_name",
+    )
 
 
 def kicc_product_list(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,25 +157,36 @@ def kicc_product_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kicc_store_product_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Store-day-item staging rollup (A2 grain of s_code=12)."""
+def kicc_store_product_sales_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-day-item rollup on NATIVE keys (sp_key int, sale_d date,
+    item_key int) with item_code/item_name attached per GROUP.
+
+    Same optimization as :func:`kicc_sales_data_dated`, plus one join
+    move (guide §3.3 "explode before a join multiplies the shuffle",
+    dual): the part dim used to broadcast-join BEFORE the rollup, so
+    every lineitem row carried item_code+item_name (~35 bytes of
+    string) into the shuffle as grouping keys; joining AFTER the
+    rollup attaches them once per group. Result-identical: the join
+    key l_partkey is the same rows either side of the aggregate
+    (inner-join existence commutes with grouping on the join key —
+    groups on (sp, d, partkey) survive iff their partkey matches,
+    exactly the rows the pre-agg join kept), and
+    (item_code, item_name) are functions of p_partkey."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     part_dim = F.broadcast(
         part.select(
-            F.col("p_partkey"),
+            F.col("p_partkey").alias("item_key"),
             F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("item_code"),
             F.col("p_name").alias("item_name"),
         )
     )
-    return (
-        li.join(part_dim, li.l_partkey == part_dim.p_partkey)
-        .groupBy(
-            F.lpad(F.col("l_suppkey").cast("string"), 6, "0").alias("sp_code"),
-            F.date_format("l_shipdate", "yyyyMMdd").alias("sale_date"),
-            F.col("item_code"),
-            F.col("item_name"),
+    agg = (
+        li.groupBy(
+            F.col("l_suppkey").alias("sp_key"),
+            F.col("l_shipdate").cast("date").alias("sale_d"),
+            F.col("l_partkey").alias("item_key"),
         )
         .agg(
             qty_sum("l_quantity").alias("sale_qty"),
@@ -125,6 +195,25 @@ def kicc_store_product_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("l_extendedprice") * F.col("l_discount"), 10000).alias("total_dc_amt"),
             money_sum(F.col("l_extendedprice") * F.col("l_tax"), 10000).alias("vat_amt"),
         )
+    )
+    return agg.join(part_dim, "item_key")
+
+
+def kicc_store_product_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-day-item staging rollup (A2 grain of s_code=12) — the
+    reference string grain, derived once per group (see
+    :func:`kicc_store_product_sales_dated`)."""
+    d = kicc_store_product_sales_dated(spark, sf_dir)
+    return d.select(
+        F.lpad(F.col("sp_key").cast("string"), 6, "0").alias("sp_code"),
+        F.date_format("sale_d", "yyyyMMdd").alias("sale_date"),
+        "item_code",
+        "item_name",
+        "sale_qty",
+        "total_amt",
+        "sale_amt",
+        "total_dc_amt",
+        "vat_amt",
     )
 
 

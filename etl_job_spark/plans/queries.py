@@ -66,10 +66,14 @@ FROM kicc_sales_data
 def mart_sales_by_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tb_sales_by_store shape: P2 renames (kicc_to_tb_sales.py:71-86)
     + F1 date cast (kicc_to_tb_sales.py:72) over the A2 rollup."""
-    staging = kicc.kicc_sales_data(spark, sf_dir)
+    # dated staging: sale_dy prints straight off the native DATE group
+    # key — the string→date re-parse (to_date per output row, a
+    # java.time parse that ran inside the single AQE-coalesced
+    # post-agg partition) is gone (optimization r14, guide §1.2/§2.3)
+    staging = kicc.kicc_sales_data_dated(spark, sf_dir)
     return staging.select(
-        F.col("sp_code").alias("chain_no"),
-        F.date_format(F.to_date("sale_date", "yyyyMMdd"), "yyyy-MM-dd").alias("sale_dy"),
+        F.lpad(F.col("sp_key").cast("string"), 6, "0").alias("chain_no"),
+        F.date_format("sale_d", "yyyy-MM-dd").alias("sale_dy"),
         F.col("sp_name").alias("chain_name"),
         F.col("total_amt").alias("chong_maechool"),
         F.col("sale_amt").alias("soon_maechool"),
@@ -112,10 +116,14 @@ def mart_sales_by_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     range scan (kicc_to_tb_sales_prod.py:63-70) + P2 renames (:75-87).
     The BETWEEN lands on the string YYYYMMDD column exactly like the
     reference (sortable format, SURVEY.md §7) and pushes to the scan."""
-    staging = kicc.kicc_store_product_sales(spark, sf_dir)
-    return staging.filter(F.col("sale_date").between(*PROD_WINDOW)).select(
-        F.date_format(F.to_date("sale_date", "yyyyMMdd"), "yyyy-MM-dd").alias("sale_dy"),
-        F.col("sp_code").alias("chain_no"),
+    # dated staging (optimization r14): the window filter lands on the
+    # native DATE key — pushed to the lineitem scan as an l_shipdate
+    # range — and sale_dy prints once per surviving group instead of
+    # re-parsing the string the rollup just printed
+    staging = kicc.kicc_store_product_sales_dated(spark, sf_dir)
+    return staging.filter(F.col("sale_d").between(*kicc.date_window(*PROD_WINDOW))).select(
+        F.date_format("sale_d", "yyyy-MM-dd").alias("sale_dy"),
+        F.lpad(F.col("sp_key").cast("string"), 6, "0").alias("chain_no"),
         F.col("item_code").alias("prod_code"),
         F.col("item_name").alias("prod_name"),
         F.col("sale_qty").alias("maechool_count"),
@@ -209,10 +217,13 @@ def mart_backfill_medium(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped on item_code for determinism (MySQL UPDATE-JOIN picks an
     arbitrary match — SURVEY.md §7 'duplicate dim keys'); some mart
     rows carry a preset value to exercise the keep-existing branch."""
-    staging = kicc.kicc_store_product_sales(spark, sf_dir)
-    mart = staging.filter(F.col("sale_date").between(*PROD_WINDOW)).select(
-        F.col("sp_code").alias("chain_no"),
-        F.date_format(F.to_date("sale_date", "yyyyMMdd"), "yyyy-MM-dd").alias("sale_dy"),
+    # dated staging (optimization r14): native-date window filter
+    # (pushes to the lineitem scan) + sale_dy printed per group — the
+    # per-row to_date re-parse is gone
+    staging = kicc.kicc_store_product_sales_dated(spark, sf_dir)
+    mart = staging.filter(F.col("sale_d").between(*kicc.date_window(*PROD_WINDOW))).select(
+        F.lpad(F.col("sp_key").cast("string"), 6, "0").alias("chain_no"),
+        F.date_format("sale_d", "yyyy-MM-dd").alias("sale_dy"),
         F.col("item_code").alias("prod_code"),
         F.when(F.col("item_code").cast("int") % 7 == 0, F.lit("preset"))
         .otherwise(F.lit(None).cast("string"))
@@ -267,11 +278,18 @@ def merge_sales_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # base and delta both branch off the same rollup; no persist —
     # Spark's ReusedExchange already shares the aggregation's shuffle,
     # and a cache here measurably hurts (breaks AQE pipelining)
-    staging = kicc.kicc_sales_data(spark, sf_dir).select(
-        "sp_code", "sale_date", "total_amt", "bill_qty"
+    # dated staging (optimization r14): the %-filters land on the int
+    # key (pushed below the rollup to the lineitem scan — the string
+    # cast('int') form blocked pushdown), strings print per group
+    staging = kicc.kicc_sales_data_dated(spark, sf_dir).select(
+        F.col("sp_key"),
+        F.lpad(F.col("sp_key").cast("string"), 6, "0").alias("sp_code"),
+        F.date_format("sale_d", "yyyyMMdd").alias("sale_date"),
+        "total_amt",
+        "bill_qty",
     )
-    base = staging.filter(F.col("sp_code").cast("int") % 2 == 0)
-    delta = staging.filter(F.col("sp_code").cast("int") % 3 == 0).withColumn(
+    base = staging.filter(F.col("sp_key") % 2 == 0).drop("sp_key")
+    delta = staging.filter(F.col("sp_key") % 3 == 0).drop("sp_key").withColumn(
         "total_amt", F.col("total_amt") + 100.0
     )
     return merge_upsert(base, delta, ["sp_code", "sale_date"])
@@ -315,11 +333,20 @@ def mart_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_job_spark.table import ManifestTable
 
-    staging = kicc.kicc_sales_data(spark, sf_dir).select(
-        "sp_code", "sale_date", "total_amt", "bill_qty"
+    # dated staging (optimization r14): both daily windows filter the
+    # native DATE key (pushed to the lineitem scan), so each batch
+    # aggregates only its window's rows instead of the full rollup
+    dated = kicc.kicc_sales_data_dated(spark, sf_dir)
+    staging = lambda w: dated.filter(  # noqa: E731
+        F.col("sale_d").between(*kicc.date_window(*w))
+    ).select(
+        F.lpad(F.col("sp_key").cast("string"), 6, "0").alias("sp_code"),
+        F.date_format("sale_d", "yyyyMMdd").alias("sale_date"),
+        "total_amt",
+        "bill_qty",
     )
-    day1 = staging.filter(F.col("sale_date").between(*VERSIONED_W1))
-    day2 = staging.filter(F.col("sale_date").between(*VERSIONED_W2)).withColumn(
+    day1 = staging(VERSIONED_W1)
+    day2 = staging(VERSIONED_W2).withColumn(
         "total_amt", F.col("total_amt") + 100.0
     )
     # session-scoped scratch table, REUSED across invocations: repeated
@@ -376,10 +403,18 @@ def mart_gdpr_erased(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_job_spark.table import ManifestTable
 
-    staging = kicc.kicc_sales_data(spark, sf_dir).select(
-        "sp_code", "sale_date", "total_amt", "bill_qty"
+    # dated staging (optimization r14): native-date window filter —
+    # the landing batch aggregates only its window's lineitem rows
+    day1 = (
+        kicc.kicc_sales_data_dated(spark, sf_dir)
+        .filter(F.col("sale_d").between(*kicc.date_window(*VERSIONED_W1)))
+        .select(
+            F.lpad(F.col("sp_key").cast("string"), 6, "0").alias("sp_code"),
+            F.date_format("sale_d", "yyyyMMdd").alias("sale_date"),
+            "total_amt",
+            "bill_qty",
+        )
     )
-    day1 = staging.filter(F.col("sale_date").between(*VERSIONED_W1))
     # same session-scoped reuse contract as kicc_mart_versioned above:
     # repeated invocations append overwrite+delete version pairs to one
     # directory; scratch_dir registers the session-end reclaim
@@ -808,14 +843,27 @@ WHERE sp_code <> '{kicc.EXCLUDED_STORE}'
 def filter_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 equality skip (load_store_data.py:69-72) + P4 range + numeric
     predicate, with P1 projection. All push down to the scan."""
+    # dated staging (optimization r14): the store-equality and date
+    # window land on the native int/date keys and push below the
+    # rollup to the lineitem scan (PushedFilters: l_suppkey,
+    # l_shipdate); the string forms compared post-agg derivations and
+    # never reached the scan. sale_qty > 30 stays post-agg (genuine
+    # aggregate predicate). Strings print once per surviving group.
     return (
-        kicc.kicc_store_product_sales(spark, sf_dir)
+        kicc.kicc_store_product_sales_dated(spark, sf_dir)
         .filter(
-            (F.col("sp_code") != kicc.EXCLUDED_STORE)
+            (F.col("sp_key") != int(kicc.EXCLUDED_STORE))
             & (F.col("sale_qty") > 30)
-            & F.col("sale_date").between(*PROD_WINDOW)
+            & F.col("sale_d").between(*kicc.date_window(*PROD_WINDOW))
         )
-        .select("sp_code", "sale_date", "item_code", "item_name", "sale_qty", "total_amt")
+        .select(
+            F.lpad(F.col("sp_key").cast("string"), 6, "0").alias("sp_code"),
+            F.date_format("sale_d", "yyyyMMdd").alias("sale_date"),
+            "item_code",
+            "item_name",
+            "sale_qty",
+            "total_amt",
+        )
     )
 
 
@@ -900,9 +948,10 @@ def anti_join_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     prods = kicc.kicc_product_list(spark, sf_dir)
     sold = (
         load_table(spark, sf_dir, "lineitem")
-        .filter(
-            F.date_format("l_shipdate", "yyyyMMdd").between(*ANTI_WINDOW)
-        )
+        # native-date window (optimization r14): the date_format form
+        # printed a string per lineitem row and hid the filter from
+        # the parquet scan; the DATE form pushes down (PushedFilters)
+        .filter(F.col("l_shipdate").between(*kicc.date_window(*ANTI_WINDOW)))
         .select(
             F.lpad(F.col("l_partkey").cast("string"), 8, "0").alias("item_code")
         )
@@ -967,13 +1016,16 @@ FROM (SELECT DISTINCT sale_date, strptime(sale_date, '%Y%m%d')::DATE AS d FROM k
 def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 parse, F2 format, F3 ±1 day arithmetic, month truncation and
     day differences over the staging date domain."""
-    d = F.to_date("sale_date", "yyyyMMdd")
+    # dated staging (optimization r14): the distinct runs over the
+    # 4-byte DATE key (narrower shuffle) and every scalar derives from
+    # it directly — the to_date re-parse of the printed string is gone
+    d = F.col("sale_d")
     return (
-        kicc.kicc_sales_data(spark, sf_dir)
-        .select("sale_date")
+        kicc.kicc_sales_data_dated(spark, sf_dir)
+        .select("sale_d")
         .distinct()
         .select(
-            "sale_date",
+            F.date_format("sale_d", "yyyyMMdd").alias("sale_date"),
             F.date_format(d, "yyyy-MM-dd").alias("iso_date"),
             F.date_format(F.date_add(d, 1), "yyyy-MM-dd").alias("next_date"),
             F.date_format(F.date_sub(d, 1), "yyyy-MM-dd").alias("prev_date"),
@@ -1024,12 +1076,14 @@ def mart_backfill_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = ManifestTable(path)
     if t.latest_version() is None:
-        staging = kicc.kicc_store_product_sales(spark, sf_dir)
-        mart = staging.filter(F.col("sale_date").between(*PROD_WINDOW)).select(
-            F.col("sp_code").alias("chain_no"),
-            F.date_format(F.to_date("sale_date", "yyyyMMdd"), "yyyy-MM-dd").alias(
-                "sale_dy"
-            ),
+        # dated staging (optimization r14): native-date landing window
+        # (scan pushdown), sale_dy printed per group — no re-parse
+        staging = kicc.kicc_store_product_sales_dated(spark, sf_dir)
+        mart = staging.filter(
+            F.col("sale_d").between(*kicc.date_window(*PROD_WINDOW))
+        ).select(
+            F.lpad(F.col("sp_key").cast("string"), 6, "0").alias("chain_no"),
+            F.date_format("sale_d", "yyyy-MM-dd").alias("sale_dy"),
             F.col("item_code").alias("prod_code"),
             F.when(F.col("item_code").cast("int") % 7 == 0, F.lit("preset"))
             .otherwise(F.lit(None).cast("string"))
@@ -1812,13 +1866,19 @@ def mart_select_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = os.path.basename(path)
     t = ManifestTable(path)
     if t.latest_version() is None:
-        staging = kicc.kicc_sales_data(spark, sf_dir).select(
-            "sp_code", "sale_date", "total_amt", "bill_qty"
+        # dated staging (optimization r14): native-date landing window
+        staging = (
+            kicc.kicc_sales_data_dated(spark, sf_dir)
+            .filter(F.col("sale_d").between(*kicc.date_window(*VERSIONED_W1)))
+            .select(
+                F.lpad(F.col("sp_key").cast("string"), 6, "0").alias("sp_code"),
+                F.date_format("sale_d", "yyyyMMdd").alias("sale_date"),
+                "total_amt",
+                "bill_qty",
+            )
         )
         t.overwrite(
-            staging.filter(F.col("sale_date").between(*VERSIONED_W1)).repartition(
-                F.col("sale_date")
-            ),
+            staging.repartition(F.col("sale_date")),
             partition_by=["sale_date"],
         )
         execute_dml(
