@@ -250,12 +250,20 @@ def _centroid_literal(cents: list[list[int]]):
 _CENT_LITERAL_MAX_INTS = 100_000
 
 
-def _with_centroids(df: DataFrame, cents: list[list[int]]) -> DataFrame:
+def _with_centroids(
+    df: DataFrame, cents: list[list[int]], force_frame: bool = False
+) -> DataFrame:
     """Attach the centroid table as a ``__cents`` column: plan literal
-    below ``_CENT_LITERAL_MAX_INTS`` total ints (fastest — pure
-    codegen constant), broadcast one-row crossJoin above it (no row
-    multiplication: the broadcast side is a single row)."""
-    if len(cents) * (len(cents[0]) if cents else 0) <= _CENT_LITERAL_MAX_INTS:
+    below ``_CENT_LITERAL_MAX_INTS`` total ints (cheapest per ROW —
+    pure codegen constant — right for compile-once corpus passes),
+    broadcast one-row crossJoin above it (no row multiplication: the
+    broadcast side is a single row). ``force_frame=True`` takes the
+    broadcast form regardless of size — the k-means loop uses it
+    because its centroids change per round, so the literal plan's
+    compile cost recurs every iteration (guide §7.3)."""
+    if not force_frame and (
+        len(cents) * (len(cents[0]) if cents else 0) <= _CENT_LITERAL_MAX_INTS
+    ):
         return df.withColumn("__cents", _centroid_literal(cents))
     spark = df.sparkSession
     row = spark.createDataFrame(
@@ -342,13 +350,20 @@ def _kmeans_core(v: DataFrame, n_centroids: int, n_iters: int) -> list[list[int]
         )
         cents = [[int(x) for x in r.e_int] for r in seeds]
         for _ in range(n_iters):
-            cid = (
-                _nearest_centroid(cents)
-                if _is_literal_path(cents)
-                else F.expr(_NEAREST_CID_EXPR)
-            )
-            assigned = _with_centroids(v, cents).select(
-                "vid", "e_int", cid.alias("cid")
+            # training assignment ALWAYS rides the broadcast-frame /
+            # transform-argmin path (optimization r14, guide §7.3 "very
+            # large plans"): the centroids CHANGE every round, so the
+            # plan-literal path re-plans and re-codegens a k·dim-literal
+            # expression tree per iteration — pure driver overhead paid
+            # n_iters times for a pass whose per-row cost is amortized
+            # over a training SAMPLE, not the corpus. Bit-identical
+            # assignment either way (same integer arithmetic and
+            # tie-breaks — tests/test_ivf.py pins the two paths equal);
+            # the compile-once, corpus-sized assignment in
+            # _assigned_corpus keeps the literal path below the
+            # threshold, where the cheaper per-row code wins.
+            assigned = _with_centroids(v, cents, force_frame=True).select(
+                "vid", "e_int", F.expr(_NEAREST_CID_EXPR).alias("cid")
             )
             rows = (
                 assigned.select("cid", F.posexplode("e_int").alias("dim", "x"))
