@@ -48,6 +48,113 @@ from pyspark.sql import functions as F
 from etl_job_spark.plans.registry import QUERIES
 from etl_job_spark.session import get_spark
 
+# Queries whose medians the driver has ALREADY seen on the printed
+# stdout line (everything BENCH_r14 parsed, plus the two entries the
+# r14 truncation guard evicted and the driver flagged as phantom
+# "dropped_from_bench"). The truncation guard below must never evict
+# one of these: a median that vanishes from the printed line reads as
+# a dropped query round-over-round. New registry additions start
+# UNPROTECTED (evicted first, newest-first) until a driver round
+# prints them; extend this list when that happens.
+PRINTED_CONTRACT = frozenset([
+    "kicc_sales_by_store", "kicc_sales_by_prod", "kicc_enrich_store",
+    "kicc_backfill_medium", "kicc_mart_sql_dml", "kicc_filter_rows",
+    "kicc_semi_join", "kicc_mart_sql_read", "kicc_calendar_plan",
+    "kicc_scalar_dates", "kicc_mart_versioned", "kicc_mart_gdpr",
+    "events_mart_evolved_read", "text_lang_id", "corpus_filter_pipeline",
+    "text_tfidf_top_term", "text_vocab", "text_contamination",
+    "corpus_pack_shards", "multimodal_frame_sample", "multimodal_decode_meta",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash_pairs", "dedup_clusters", "embed_cosine_topk",
+    "embed_lsh_topk", "kicc_mart_cdf_timestamped", "corpus_incremental_dedup",
+    "text_stats", "corpus_dsir_resample", "text_winnowing",
+    "pricing_summary", "shipping_priority", "window_topk_products",
+    "kicc_mart_add_column", "cube_flags", "set_ops",
+    "events_json_extract", "events_tumbling_hourly", "kicc_mart_cdf_updates",
+    "orders_month_range_join", "kicc_staging_converted", "full_outer_year_compare",
+    "events_pivot_by_type", "events_exact_percentiles", "asof_view_attribution",
+    "events_sessionize", "window_rank_family", "sketch_cardinalities",
+    "events_zscore_anomalies", "string_functions", "kicc_mart_select_read",
+    "kicc_mart_cdf_batch", "embed_cosine_neardup", "window_day_over_day",
+    "kicc_merge_upsert", "kicc_mart_window_read", "kicc_mart_enrich_update",
+    "kicc_anti_join", "embed_lsh_buckets", "window_trailing_7d",
+    "text_fingerprint", "window_first_last", "top_orders",
+    "distinct_agg", "rollup_flags", "events_sliding_hourly",
+    "local_supplier_revenue", "dedup_simhash", "embed_ivf_topk",
+    "text_quality_score",
+])
+
+
+def format_stdout_line(
+    timings: dict[str, float], total: float, sf: float, budget: int = 1900
+) -> str:
+    """Encode the ONE stdout JSON line the driver parses.
+
+    The driver tail-captures the last ~2000 chars of stdout; a longer
+    line records parsed:null (BENCH_r03 lesson). When the registry's
+    growth crowds the budget, degrade in stages (sums and the gate use
+    BENCH_ANCHORS.json / BENCH_SPREAD.json, which keep full precision)
+    rather than risk losing the whole artifact:
+
+    1. 1-decimal medians, integral values as ints (2.0 -> 2);
+    2. evict UNPROTECTED entries from the END of the registry order
+       (newest additions first) — never a query a previous driver
+       round already printed: a median that vanishes from the printed
+       line reads as "dropped_from_bench" round-over-round (PERF_r14
+       phantom-dropped embed_ivf_topk/text_quality_score exactly this
+       way when the r14 registry grew 108->111);
+    3. drop the informational n_queries/queries_omitted keys;
+    4. only then, as a last resort, evict protected tail entries — an
+       unparseable line loses every median, not just the tail.
+    """
+    out = {
+        "metric": "total_query_seconds",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": dict(timings),
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) <= budget:
+        return line
+
+    def _enc(v: float):
+        r = round(v, 1)
+        return int(r) if r == int(r) else r
+
+    kept = {k: _enc(v) for k, v in timings.items()}
+    out["queries"] = kept
+    line = json.dumps(out, separators=(",", ":"))
+    print(
+        f"# stdout line trimmed to 1-decimal medians ({len(line)} chars); "
+        "full precision in BENCH_SPREAD.json",
+        file=sys.stderr,
+    )
+    evictable = [n for n in kept if n not in PRINTED_CONTRACT]
+    protected = [n for n in kept if n in PRINTED_CONTRACT]
+    for stage in (evictable, None, protected):
+        if len(line) <= budget:
+            break
+        if stage is None:
+            out.pop("n_queries", None)
+            out.pop("queries_omitted", None)
+            line = json.dumps(out, separators=(",", ":"))
+            continue
+        names = list(stage)
+        while len(line) > budget and names:
+            kept.pop(names.pop())
+            out["queries"] = kept
+            if "n_queries" in out:
+                out["queries_omitted"] = len(timings) - len(kept)
+            line = json.dumps(out, separators=(",", ":"))
+    print(
+        f"# stdout queries map holds {len(kept)} of {len(timings)} "
+        f"({len(line)} chars); full set in BENCH_SPREAD.json",
+        file=sys.stderr,
+    )
+    return line
+
 
 def run_to_noop(df) -> int:
     """Materialize every row/column through the noop sink; returns the
@@ -132,17 +239,6 @@ def main() -> None:
             print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    # Compact stdout line only — the driver tail-captures stdout and a
-    # long line breaks parsing (BENCH_r03.json: parsed null).  Detail
-    # goes to BENCH_SPREAD.json + stderr.
-    out = {
-        "metric": "total_query_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "n_queries": len(timings),
-    }
     detail = {
         "reps": reps,
         "warmup_seconds": warmup,
@@ -175,43 +271,7 @@ def main() -> None:
     print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
     if failures:
         print(f"# {len(failures)} FAILED queries: {sorted(failures)}", file=sys.stderr)
-    line = json.dumps(out, separators=(",", ":"))
-    # The driver tail-captures the last ~2000 chars of stdout; a longer
-    # line records parsed:null (BENCH_r03 lesson). 72 queries at 2
-    # decimals is ~1.9k — when the registry's growth crowds the budget,
-    # degrade per-query precision to 1 decimal (sums and the gate use
-    # BENCH_ANCHORS.json / BENCH_SPREAD.json, which keep full precision)
-    # rather than risk losing the whole artifact.
-    if len(line) > 1900:
-        out["queries"] = {k: round(v, 1) for k, v in timings.items()}
-        line = json.dumps(out, separators=(",", ":"))
-        print(
-            f"# stdout line trimmed to 1-decimal medians ({len(line)} chars); "
-            "full precision in BENCH_SPREAD.json",
-            file=sys.stderr,
-        )
-    if len(line) > 1900:
-        # Final-stage guard: drop per-query entries from the END of the
-        # registry order (the curated tail — the driver window's 50
-        # stay first) until the line fits, and say how many were
-        # dropped. Losing tail medians from STDOUT is strictly better
-        # than losing the whole artifact to the capture window
-        # (BENCH_r03: parsed null); every dropped median still lands in
-        # BENCH_SPREAD.json and BENCH_ANCHORS.json with full precision.
-        kept = {k: round(v, 1) for k, v in timings.items()}
-        names = list(kept)
-        while len(line) > 1900 and names:
-            dropped = names.pop()
-            kept.pop(dropped)
-            out["queries"] = kept
-            out["queries_omitted"] = len(timings) - len(kept)
-            line = json.dumps(out, separators=(",", ":"))
-        print(
-            f"# stdout queries map truncated to {len(kept)} of {len(timings)} "
-            f"({len(line)} chars); full set in BENCH_SPREAD.json",
-            file=sys.stderr,
-        )
-    print(line)
+    print(format_stdout_line(timings, total, sf))
     # reclaim this session's scratch tables (keyed by applicationId —
     # nothing else will ever reuse them once the session ends). The
     # same reclaim is registered atexit by scratch_dir for any caller
