@@ -172,12 +172,29 @@ def verify_pairs(candidates: DataFrame, doc_shingles: DataFrame, threshold: floa
     MinHash→LSH→verify). Joins shingles twice, keyed by doc.
 
     For threshold > 0, candidate pairs sharing zero shingles can never
-    pass, so the intersection aggregate alone decides — the candidate
-    subtree (LSH banding) is evaluated exactly once. Pass the shingle
+    pass, so the intersection aggregate alone decides. Pass the shingle
     table persisted (the query layer does): it's read three times
-    (twice here, once for sizes)."""
+    (twice here, once for sizes).
+
+    The candidate pairs are ``localCheckpoint``-materialized before
+    the verify joins (optimization r15, guide §3.1 "estimates are
+    often badly wrong"): planned lazily, the candidate side's size
+    estimate comes from the LSH banding subtree and the planner builds
+    the hash relation from the SHINGLE side — at sf0.1 that broadcast
+    two 515k-row shingle relations to verify 6k pairs. Materialized,
+    the planner sees the candidates' true (tiny relative to shingles)
+    size and builds from them instead; at cluster scale, where neither
+    side fits a broadcast, AQE falls back to a sort-merge join from
+    the same true sizes. Measured (5-rep solo, sf0.1): 6.36 s → 4.10 s
+    median, max 58 s → 6 s. A bloom/semi pre-filter of the shingle
+    table on candidate doc ids (guide §3.2) was prototyped and
+    measured SLOWER here (5.12 s): the planted near-dup fixture makes
+    9,998 of 10,000 docs candidates, so the filter removes nothing —
+    it only pays on corpora where candidates are sparse, which is a
+    property of the data, not the plan."""
     if threshold <= 0:
         raise ValueError("verify_pairs requires a positive threshold")
+    candidates = candidates.localCheckpoint()
     sizes = doc_shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sh_a = doc_shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = doc_shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -530,19 +547,33 @@ def remove_duplicate_spans(
     JVM-side, no Python. A window duplicated 10⁶ times costs 10⁶
     rows here, not 10¹² pairs.
 
-    Windows are grouped by their TEXT, not a hash: bit-exact against
-    the SQL oracle with zero collision risk. At 100 TB swap the key
-    for ``xxhash64(g)`` (same plan shape, ~50 bytes/row less shuffle,
-    collision odds ~1e-8 at 10¹² windows).
+    The duplicated-window decision is two-level and EXACT
+    (optimization r15, guide §2.3 "shuffle keys and metadata instead
+    of payloads"): windows first count by ``xxhash64(g)`` — an 8-byte
+    exchange key instead of ~50 bytes of window text — and only rows
+    whose HASH group repeats (a superset of true duplicates, since
+    collisions can only merge groups) re-verify with an exact
+    count/semi-join on the full text. A hash group of count 1 is
+    provably unique — no collision can shrink a group — so unique
+    windows (the overwhelming majority of a lightly-duplicated
+    corpus) never put their text on the wire at all, and the exact
+    text passes run over the candidate subset only. Results are
+    bit-identical to the single-pass text grouping (pinned by the SQL
+    oracle and an order-insensitive content hash in the r15 A/B:
+    3.25 s → 2.02 s median at sf0.1, mins 3.03 → 1.66).
 
     The reassembly walks the sorted duplicate starts once: gaps
     between merged [s, s+k) intervals are sliced out of the token
     array and concatenated — O(n + m) per row, no per-position
     existence probe (which would go O(n·m) on a fully-duplicated
     document)."""
-    sh = positional_shingles(docs, k, text_col, id_col)
-    dup = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
-    dup_starts = sh.join(dup.select("g"), "g", "left_semi")
+    sh = positional_shingles(docs, k, text_col, id_col).withColumn(
+        "gh", F.xxhash64("g")
+    )
+    hdup = sh.groupBy("gh").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    cand = sh.join(hdup.select("gh"), "gh", "left_semi")
+    dup = cand.groupBy("g").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    dup_starts = cand.join(dup.select("g"), "g", "left_semi")
     per_doc = dup_starts.groupBy(id_col).agg(
         F.sort_array(F.collect_set("start")).alias("dup_starts")
     )
