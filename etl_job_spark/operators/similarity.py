@@ -408,21 +408,19 @@ def _probe_queries(
     queries: DataFrame, cents: list[list[int]], n_probe: int, id_col: str
 ) -> DataFrame:
     """Each query's ``n_probe`` nearest inverted lists:
-    (q_id, q_int, qn_int, cid), one row per probed list."""
-    q = _with_centroids(quantized(queries), cents)
-    if _is_literal_path(cents):
-        dists = F.array(
-            *[
-                F.expr(
-                    f"aggregate(zip_with(e_int, element_at(__cents, {c + 1}),"
-                    " (x, y) -> (x - y) * (x - y)), cast(0 as bigint),"
-                    " (acc, x) -> acc + x)"
-                )
-                for c in range(len(cents))
-            ]
-        )
-    else:
-        dists = F.expr(_CENT_DISTS_EXPR)
+    (q_id, q_int, qn_int, cid), one row per probed list.
+
+    Always the broadcast-frame centroid path (optimization r15, guide
+    §7.3): queries are |Q|-small by contract, so the literal path's
+    k×dim-literal plan — re-analyzed and re-codegen'd on EVERY serve
+    call — costs more than the whole probe computes (profiled at
+    sf0.1: the probe stage was ~1.1 s of embed_ivf_search's ~2.2 s
+    warm rep for 20 query rows). The per-row advantage that justifies
+    the literal path on corpus-sized passes (``_assigned_corpus``)
+    never materializes over |Q| rows. Identical integer distances and
+    (cdist, cid) ordering either way."""
+    q = _with_centroids(quantized(queries), cents, force_frame=True)
+    dists = F.expr(_CENT_DISTS_EXPR)
     probes = q.select(
         F.col(id_col).alias("q_id"),
         F.col("e_int").alias("q_int"),
@@ -700,13 +698,19 @@ def l2_topk(
     )
 
 
-def _with_books(df: DataFrame, books: list[list[list[int]]]) -> DataFrame:
+def _with_books(
+    df: DataFrame, books: list[list[list[int]]], force_frame: bool = False
+) -> DataFrame:
     """Attach the m×ksub×(dim/m) codebook table as ``__books`` — plan
     literal below the centroid-ints threshold, one-row broadcast frame
     above it (the same O(1)-plan-size discipline as ``_with_centroids``;
-    a production codebook at m=64, ksub=256, dim=1024 is 262k ints)."""
+    a production codebook at m=64, ksub=256, dim=1024 is 262k ints).
+    ``force_frame=True`` for |Q|-small QUERY-side attachments, where
+    the literal's per-call plan compile dominates (see
+    ``_probe_queries``); corpus-side encode/unpack keeps the literal's
+    cheaper generated code."""
     total = sum(len(b) * (len(b[0]) if b else 0) for b in books)
-    if total <= _CENT_LITERAL_MAX_INTS:
+    if not force_frame and total <= _CENT_LITERAL_MAX_INTS:
         lit = F.array(
             *[
                 F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in b])
@@ -872,7 +876,7 @@ def _pq_score_topk(
     approximate-squared-L2 — never touching the original vectors.
     Output (q_id, n_id, adist, rk), ranked (adist asc, n_id)."""
     sub = len(books[0][0])
-    q = _with_books(quantized(queries), books).select(
+    q = _with_books(quantized(queries), books, force_frame=True).select(
         F.col(id_col).alias("q_id"), F.expr(_pq_dtab_expr(sub)).alias("dtab")
     )
     scored = (
@@ -1217,15 +1221,17 @@ def ivfpq_search(
     books = _load_books(spark, index_path)
     sub = len(books[0][0])
     probed = _probe_queries(queries, cents, n_probe, id_col)
+    # query-side attachments ride the broadcast frame: |Q|·n_probe
+    # rows never amortize a k×dim / m×ksub×sub literal plan compile
     pq = (
-        _with_centroids(probed, cents)
+        _with_centroids(probed, cents, force_frame=True)
         .withColumn(
             "e_int",
             F.expr("zip_with(q_int, element_at(__cents, cid + 1), (x, y) -> x - y)"),
         )
         .select("q_id", "cid", "e_int")
     )
-    pq = _with_books(pq, books).select(
+    pq = _with_books(pq, books, force_frame=True).select(
         "q_id", "cid", F.expr(_pq_dtab_expr(sub)).alias("dtab")
     )
     probe_cids = sorted({r.cid for r in probed.select("cid").distinct().collect()})
