@@ -92,11 +92,17 @@ def _iso_day(col: str) -> F.Column:
     re-slicing 8 bytes. The round-trip form paid a java.time PARSE per
     mart row (allocation-heavy, ~10-100x the substring cost — guide
     §1.2 per-task work); the surgery is three codegen'd byte ops.
-    NULL propagates identically (concat of NULL substrings is NULL)."""
+    NULL propagates identically (concat of NULL substrings is NULL).
+    Guarded (ADVICE r14): a non-8-digit value — possible on staging
+    tables landed by external writers — yields NULL exactly like the
+    to_date round-trip did, instead of a garbage fragment."""
     s = F.col(col)
     # F.concat (not concat_ws): concat propagates NULL, concat_ws skips it
-    return F.concat(
-        F.substring(s, 1, 4), F.lit("-"), F.substring(s, 5, 2), F.lit("-"), F.substring(s, 7, 2)
+    return F.when(
+        F.length(s) == 8,
+        F.concat(
+            F.substring(s, 1, 4), F.lit("-"), F.substring(s, 5, 2), F.lit("-"), F.substring(s, 7, 2)
+        ),
     )
 
 

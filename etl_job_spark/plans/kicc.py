@@ -87,6 +87,16 @@ def kicc_sales_data_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
     date-window consumers filter ``sale_d BETWEEN DATE…``, which
     pushes to the parquet scan as an l_shipdate range
     (PushedFilters), where the string form never could.
+
+    Key-domain bound (ADVICE r14): the lpad injectivity argument holds
+    only while keys FIT their pad width — Spark's lpad TRUNCATES
+    longer strings, so at suppkey ≥ 10^6 (sf ≥ ~100 under TPC-H
+    scaling) the old string-grouped rollup silently MERGED colliding
+    keys while this rollup keeps them distinct and prints duplicate
+    sp_code values (same bound for item_code at partkey ≥ 10^8).
+    Within the width the derivations are equal; past it the reference
+    string grain itself is ill-defined — widen the pads with the key
+    domain if the fixture ever grows there.
     """
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")

@@ -950,8 +950,12 @@ def anti_join_products(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         # native-date window (optimization r14): the date_format form
         # printed a string per lineitem row and hid the filter from
-        # the parquet scan; the DATE form pushes down (PushedFilters)
-        .filter(F.col("l_shipdate").between(*kicc.date_window(*ANTI_WINDOW)))
+        # the parquet scan; the DATE form pushes down (PushedFilters).
+        # The cast pins DAY grain (ADVICE r14): comparing the raw
+        # timestamp against a DATE literal compiles to <= 00:00 of the
+        # last day and would drop intra-day rows; the cast form keeps
+        # the whole day and still unwraps to a pushable shipdate range.
+        .filter(F.col("l_shipdate").cast("date").between(*kicc.date_window(*ANTI_WINDOW)))
         .select(
             F.lpad(F.col("l_partkey").cast("string"), 8, "0").alias("item_code")
         )
